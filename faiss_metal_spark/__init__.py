@@ -1,0 +1,25 @@
+"""faiss_metal_spark — a PySpark-native vector analytics engine.
+
+A from-scratch engine with the query capabilities of the reference
+flat-index vector search system (decisiongraph/faiss-metal, surveyed in
+SURVEY.md), re-expressed Spark-first: DataFrame/SQL logical plans,
+Catalyst/Tungsten physical execution, Arrow-vectorized Python only where
+the built-ins can't express the semantics, plus the LLM-data-pipeline
+operator extensions (dedup, similarity join, text analysis) the
+north-star targets.
+"""
+
+from .quantize import STORAGE_BF16, STORAGE_FP16, STORAGE_FP32
+from .session import get_spark
+from .vector_table import SearchToken, VectorTable
+
+__all__ = [
+    "VectorTable",
+    "SearchToken",
+    "get_spark",
+    "STORAGE_FP32",
+    "STORAGE_FP16",
+    "STORAGE_BF16",
+]
+
+__version__ = "0.1.0"

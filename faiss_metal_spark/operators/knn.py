@@ -1,0 +1,285 @@
+"""Brute-force kNN search — the engine's core operator.
+
+Logical semantics (what the reference computes): a theta cross product
+``queries × vectors`` under an L2²/IP/cosine distance expression,
+followed by per-query top-k, with FAISS result conventions
+(/root/reference/src/MetalIndexFlat.mm:313-401):
+
+- ``k`` clamped to ``ntotal``; ranks beyond ``min(k, ntotal)`` padded
+  with sentinel distance (+inf for L2, −inf for IP/cosine-sim ordering)
+  and label −1.
+- Empty index or empty query batch → all-sentinel rows, no error.
+- Output sorted best-first per query, rank 0..k−1.
+
+Physical strategies (the §4 planner, chosen by ``method='auto'``):
+
+``gemm``  — the scale path, analog of the reference's simdgroup-GEMM +
+  two-phase top-k select (/root/reference/shaders/simdgroup_gemm.metal,
+  block_select.metal). Queries are small by contract (like the build
+  side of a broadcast join): collected to a numpy (nq×d) matrix and
+  broadcast to every executor. A single ``mapInPandas`` pass over the
+  vector partitions computes per-Arrow-batch distance blocks with BLAS
+  (``Q @ V.T``) and folds them into a *running* per-partition top-k —
+  the full (nq×nv) distance matrix is never materialized, which is
+  exactly the reference's fused_l2_topk strategy
+  (/root/reference/shaders/fused_l2_topk.metal:19-124) generalized to
+  every input size. Each partition emits ≤ nq·k candidate rows, so the
+  only shuffle moves O(num_partitions · nq · k) rows into the final
+  merge — Spark's partial+final aggregation shape, identical in
+  structure to block_select's phase-1 local top-k + phase-2 merge.
+
+``sql``   — fully declarative crossJoin + higher-order-function distance
+  + window rank. Slow (O(nq·nv) shuffled rows) but trivially correct and
+  Catalyst-visible end-to-end; it is the in-engine oracle, analog of the
+  reference's direct Σ(q−v)² small-input kernel
+  (/root/reference/shaders/l2_norm_f16.metal:74-123).
+
+At 100 TB scale the ``gemm`` path is the only sane choice: it does one
+scan of the vector table (no shuffle of vector data at all), Python
+workers see Arrow batches zero-copy, and distance math is C-speed BLAS.
+The broadcast ceiling on queries (default 100k × d) matches Spark's own
+broadcast-join discipline; larger query sets should use
+``knn_join`` (block-partitioned both sides — see similarity.py).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+from typing import Literal
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from ..functions.vector import cosine_sim, dot, l2sq, sqnorm
+
+Metric = Literal["l2", "ip", "cosine"]
+
+# Result schema of every kNN search (FIXTURES.md "Expected-output schema").
+RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("qid", T.LongType(), False),
+        T.StructField("rank", T.IntegerType(), False),
+        T.StructField("label", T.LongType(), False),
+        T.StructField("distance", T.DoubleType(), False),
+    ]
+)
+
+_PARTIAL_SCHEMA = T.StructType(
+    [
+        T.StructField("qid", T.LongType(), False),
+        T.StructField("label", T.LongType(), False),
+        T.StructField("distance", T.DoubleType(), False),
+    ]
+)
+
+# Broadcast-side ceiling for the gemm path, in floats (≈ 64 MB of FP64).
+_MAX_BROADCAST_ELEMS = 8_000_000
+
+
+def _sentinel(metric: Metric) -> float:
+    # L2: smaller is better → pad +inf. IP/cosine: larger is better → pad −inf.
+    return math.inf if metric == "l2" else -math.inf
+
+
+def _better_is_min(metric: Metric) -> bool:
+    return metric == "l2"
+
+
+def knn_search(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    metric: Metric = "l2",
+    method: Literal["auto", "gemm", "sql"] = "auto",
+    id_col: str = "id",
+    vec_col: str = "vec",
+    qid_col: str = "qid",
+    qvec_col: str = "vec",
+) -> DataFrame:
+    """Top-k nearest neighbors of each query row among the vector rows.
+
+    Returns a DataFrame (qid, rank, label, distance) — rank 0..k−1
+    best-first, sentinel-padded per FAISS semantics. Distances: squared
+    L2 (no sqrt — FAISS convention), raw inner product, or cosine
+    *similarity* depending on ``metric``.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")  # ≙ MetalIndexFlat.mm:321
+    if metric not in ("l2", "ip", "cosine"):
+        raise ValueError(f"unknown metric {metric!r}")
+
+    v = vectors.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
+    )
+    q = queries.select(
+        F.col(qid_col).cast("long").alias("qid"), F.col(qvec_col).alias("qvec")
+    )
+
+    if method == "auto":
+        method = "gemm"
+
+    if method == "gemm":
+        candidates = _gemm_candidates(v, q, k, metric)
+    else:
+        candidates = _sql_candidates(v, q, k, metric)
+
+    return _finalize(q, candidates, k, metric)
+
+
+# ---------------------------------------------------------------------------
+# sql path — declarative crossJoin + HOF distance + window rank
+# ---------------------------------------------------------------------------
+
+
+def _distance_expr(metric: Metric, qvec: str, vvec: str):
+    if metric == "l2":
+        return l2sq(qvec, vvec)
+    if metric == "ip":
+        return dot(qvec, vvec)
+    return cosine_sim(qvec, vvec)
+
+
+def _sql_candidates(v: DataFrame, q: DataFrame, k: int, metric: Metric) -> DataFrame:
+    asc = _better_is_min(metric)
+    dist = _distance_expr(metric, "qvec", "vec").alias("distance")
+    joined = F.broadcast(q).crossJoin(v).select("qid", F.col("id").alias("label"), dist)
+    order = [F.col("distance").asc(), F.col("label").asc()] if asc else [
+        F.col("distance").desc(),
+        F.col("label").asc(),
+    ]
+    w = Window.partitionBy("qid").orderBy(*order)
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", "label", "distance")
+    )
+
+
+# ---------------------------------------------------------------------------
+# gemm path — broadcast queries, single scan, per-partition running top-k
+# ---------------------------------------------------------------------------
+
+
+def _collect_queries(q: DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """Queries are the broadcast side: small by contract, like a dim table."""
+    pdf = q.toPandas()
+    qids = pdf["qid"].to_numpy(np.int64)
+    if len(pdf) == 0:
+        return qids, np.zeros((0, 0), np.float64)
+    Q = np.stack(pdf["qvec"].to_numpy()).astype(np.float64)
+    if Q.size > _MAX_BROADCAST_ELEMS:
+        raise ValueError(
+            f"query batch too large to broadcast ({Q.size} elems); "
+            "use knn_join for large-nq workloads"
+        )
+    return qids, Q
+
+
+def _gemm_candidates(v: DataFrame, q: DataFrame, k: int, metric: Metric) -> DataFrame:
+    qids, Q = _collect_queries(q)
+    nq = len(qids)
+    if nq == 0:
+        return v.sparkSession.createDataFrame([], _PARTIAL_SCHEMA)
+
+    spark = v.sparkSession
+    bc = spark.sparkContext.broadcast((qids, Q))
+    want_min = _better_is_min(metric)
+    qnorm = (Q * Q).sum(axis=1) if metric == "l2" else None
+    bc_qnorm = spark.sparkContext.broadcast(qnorm)
+
+    def partial_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Running per-partition top-k: the reference's fused streaming
+        # select — never materializes more than one (nq × batch) block.
+        qids_, Q_ = bc.value
+        qn = bc_qnorm.value
+        nq_ = Q_.shape[0]
+        best_d = np.full((nq_, 0), 0.0)  # grows to ≤ (nq, k)
+        best_l = np.full((nq_, 0), -1, dtype=np.int64)
+        sign = 1.0 if want_min else -1.0  # minimize sign*distance
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            labels = pdf["id"].to_numpy(np.int64)
+            G = Q_ @ V.T  # BLAS — the reference's GEMM kernel family
+            if metric == "l2":
+                vn = (V * V).sum(axis=1)
+                D = qn[:, None] + vn[None, :] - 2.0 * G  # fused epilogue
+                np.maximum(D, 0.0, out=D)
+            elif metric == "cosine":
+                vnorm = np.sqrt((V * V).sum(axis=1))
+                qnorm_ = np.sqrt((Q_ * Q_).sum(axis=1))
+                denom = qnorm_[:, None] * vnorm[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    D = np.where(denom > 0, G / denom, 0.0)
+            else:
+                D = G
+
+            cat_d = np.concatenate([best_d, sign * D], axis=1)
+            cat_l = np.concatenate(
+                [best_l, np.broadcast_to(labels, (nq_, len(labels)))], axis=1
+            )
+            if cat_d.shape[1] > k:
+                idx = np.argpartition(cat_d, k - 1, axis=1)[:, :k]
+            else:
+                idx = np.argsort(cat_d, axis=1)
+            best_d = np.take_along_axis(cat_d, idx, axis=1)
+            best_l = np.take_along_axis(cat_l, idx, axis=1)
+
+        n_have = best_d.shape[1]
+        if n_have:
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(qids_, n_have),
+                    "label": best_l.ravel(),
+                    "distance": (sign * best_d).ravel(),
+                }
+            )
+
+    return v.mapInPandas(partial_topk, _PARTIAL_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# final merge + sentinel padding
+# ---------------------------------------------------------------------------
+
+
+def _finalize(q: DataFrame, candidates: DataFrame, k: int, metric: Metric) -> DataFrame:
+    """Merge partial candidates, rank, and pad to exactly k rows per qid.
+
+    The (qid × rank) scaffold is built from the query table itself so
+    empty-index and k>ntotal cases produce sentinel rows — semantics of
+    /root/reference/src/MetalIndexFlat.mm:328-334,387-399.
+    """
+    spark = q.sparkSession
+    asc = _better_is_min(metric)
+    order = [F.col("distance").asc(), F.col("label").asc()] if asc else [
+        F.col("distance").desc(),
+        F.col("label").asc(),
+    ]
+    w = Window.partitionBy("qid").orderBy(*order)
+    ranked = (
+        candidates.withColumn("rank", (F.row_number().over(w) - 1).cast("int"))
+        .where(F.col("rank") < k)
+        .select("qid", "rank", "label", "distance")
+    )
+
+    scaffold = q.select("qid").crossJoin(
+        spark.range(k).select(F.col("id").cast("int").alias("rank"))
+    )
+    sent = float(_sentinel(metric))
+    return (
+        scaffold.join(ranked, ["qid", "rank"], "left")
+        .select(
+            "qid",
+            "rank",
+            F.coalesce(F.col("label"), F.lit(-1).cast("long")).alias("label"),
+            F.coalesce(F.col("distance"), F.lit(sent)).alias("distance"),
+        )
+    )

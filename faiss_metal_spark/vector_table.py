@@ -1,0 +1,234 @@
+"""VectorTable — the engine's analog of the reference's flat index.
+
+Wraps a DataFrame ``(id BIGINT, vec ARRAY<FLOAT>, norm_sq DOUBLE)`` plus
+metadata (d, metric, storage type), mirroring the reference's data model
+(SURVEY §1.1; /root/reference/include/faiss-metal/MetalIndexFlat.h:47-66):
+
+- ``add``          ≙ MetalIndexFlat::add (/root/reference/src/MetalIndexFlat.mm:185-311):
+                     append rows, quantize if configured, and compute
+                     ``norm_sq`` from the UNQUANTIZED input (:258-268) —
+                     the ordering the oracle tests check.
+- ``reset``        ≙ :492-506 — drop all rows.
+- ``reconstruct``  ≙ :508-527 — point lookup by id (already-dequantized
+                     floats; FP16/BF16 decode happened at write).
+- ``from_pandas`` / ``to_pandas`` ≙ index_cpu_to_metal / index_metal_to_cpu
+                     (:552-587) — the in/out connectors.
+- ``search`` / ``search_async`` ≙ :313-490. Async returns a lazy token:
+                     Spark's lazy evaluation IS the reference's deferred
+                     command buffer; ``wait()`` = the action.
+
+Scale notes: ids are int64 (the reference's 2³¹−1 ceiling from int32 GPU
+indices is deliberately relaxed — SURVEY §1.2); `persist()` is the
+analog of keeping the index resident in unified memory; partitioning of
+the underlying parquet is preserved by search's single-scan plan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Literal
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .functions.vector import sqnorm
+from .operators.knn import Metric, knn_search
+from .quantize import STORAGE_FP32, STORAGE_TYPES, quantize_col
+
+VECTOR_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("vec", T.ArrayType(T.FloatType()), False),
+        T.StructField("norm_sq", T.DoubleType(), True),
+    ]
+)
+
+
+class SearchToken:
+    """Async-search handle (≙ MetalSearchToken, MetalIndexFlat.mm:17-78).
+
+    The plan is already submitted in the Spark sense (lazy DataFrame);
+    ``wait()`` runs the action and caches the result so repeated waits
+    return identical data, matching the reference's copy-once semantics.
+    """
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+        self._result: pd.DataFrame | None = None
+
+    def dataframe(self) -> DataFrame:
+        return self._df
+
+    def is_ready(self) -> bool:
+        return self._result is not None
+
+    def wait(self) -> pd.DataFrame:
+        if self._result is None:
+            self._result = self._df.toPandas()
+        return self._result
+
+
+@dataclass
+class VectorTable:
+    spark: SparkSession
+    d: int
+    metric: Metric = "l2"
+    storage: str = STORAGE_FP32
+    df: DataFrame | None = None
+    _next_id: int = 0
+    _persisted: bool = field(default=False, repr=False)
+
+    def __post_init__(self):
+        if self.storage not in STORAGE_TYPES:
+            raise ValueError(f"storage must be one of {STORAGE_TYPES}")
+        if self.df is None:
+            self.df = self.spark.createDataFrame([], VECTOR_SCHEMA)
+
+    # -- ingest ------------------------------------------------------------
+
+    @property
+    def ntotal(self) -> int:
+        return self.df.count()
+
+    def add_df(self, batch: DataFrame, vec_col: str = "vec") -> "VectorTable":
+        """Append vectors from a DataFrame that has no ids yet.
+
+        Norms are computed from the incoming (unquantized) floats BEFORE
+        the storage quantization is applied — MetalIndexFlat.mm:258-268.
+        """
+        n_before = self._next_id
+        new = (
+            batch.select(F.col(vec_col).alias("_raw"))
+            .withColumn("id", (F.row_number().over(_insertion_window()) - 1 + n_before).cast("long"))
+            .select(
+                "id",
+                quantize_col(F.col("_raw"), self.storage).alias("vec"),
+                sqnorm(F.col("_raw")).alias("norm_sq"),
+            )
+        )
+        cnt = batch.count()
+        self.df = self.df.unionByName(new)
+        self._next_id += cnt
+        return self
+
+    def add_numpy(self, x: np.ndarray) -> "VectorTable":
+        """≙ add(n, const float* x): ingest a host array."""
+        x = np.asarray(x, dtype=np.float32)
+        if x.ndim != 2 or x.shape[1] != self.d:
+            raise ValueError(f"expected (n, {self.d}) array, got {x.shape}")
+        if len(x) == 0:
+            return self
+        rows = [(v.tolist(),) for v in x]
+        return self.add_df(
+            self.spark.createDataFrame(rows, schema="vec array<float>")
+        )
+
+    @classmethod
+    def from_pandas(
+        cls, spark: SparkSession, pdf: pd.DataFrame, d: int, metric: Metric = "l2",
+        storage: str = STORAGE_FP32, vec_col: str = "vec",
+    ) -> "VectorTable":
+        """≙ index_cpu_to_metal — build from host data."""
+        vt = cls(spark, d=d, metric=metric, storage=storage)
+        return vt.add_df(spark.createDataFrame(pdf[[vec_col]]), vec_col=vec_col)
+
+    @classmethod
+    def from_parquet(
+        cls, spark: SparkSession, path: str, d: int, metric: Metric = "l2",
+        storage: str = STORAGE_FP32, id_col: str | None = None, vec_col: str = "vec",
+    ) -> "VectorTable":
+        """Source connector: a parquet table of vectors.
+
+        With an explicit ``id_col`` the file's ids are kept (no window —
+        scan stays parallel and shuffle-free, which is what you want for
+        a 100 TB vector table). Without one, insertion order is imposed.
+        """
+        raw = spark.read.parquet(path)
+        if id_col is not None:
+            df = raw.select(
+                F.col(id_col).cast("long").alias("id"),
+                quantize_col(F.col(vec_col), storage).alias("vec"),
+                sqnorm(F.col(vec_col)).alias("norm_sq"),
+            )
+            vt = cls(spark, d=d, metric=metric, storage=storage, df=df)
+            vt._next_id = (raw.agg(F.max(F.col(id_col))).collect()[0][0] or -1) + 1
+            return vt
+        vt = cls(spark, d=d, metric=metric, storage=storage)
+        return vt.add_df(raw, vec_col=vec_col)
+
+    # -- maintenance -------------------------------------------------------
+
+    def reset(self) -> "VectorTable":
+        self.unpersist()
+        self.df = self.spark.createDataFrame([], VECTOR_SCHEMA)
+        self._next_id = 0
+        return self
+
+    def reconstruct(self, key: int) -> np.ndarray:
+        rows = self.df.where(F.col("id") == key).select("vec").collect()
+        if not rows:
+            raise KeyError(f"id {key} out of range")  # ≙ bounds check :509-511
+        return np.asarray(rows[0][0], dtype=np.float32)
+
+    def to_pandas(self) -> pd.DataFrame:
+        """≙ index_metal_to_cpu — export (already FP32-decoded)."""
+        return self.df.orderBy("id").toPandas()
+
+    def persist(self) -> "VectorTable":
+        """Keep the index hot (≙ unified-memory residency, scratch reuse)."""
+        self.df = self.df.persist()
+        self._persisted = True
+        return self
+
+    def unpersist(self) -> "VectorTable":
+        if self._persisted:
+            self.df.unpersist()
+            self._persisted = False
+        return self
+
+    # -- introspection (≙ MetalIndexFlat.mm:529-544) -----------------------
+
+    def is_float16_storage(self) -> bool:
+        return self.storage == "fp16"
+
+    def is_bfloat16_storage(self) -> bool:
+        return self.storage == "bf16"
+
+    def get_storage_type(self) -> str:
+        return self.storage
+
+    # -- search ------------------------------------------------------------
+
+    def search(
+        self, queries: DataFrame, k: int, method: str = "auto",
+        qid_col: str = "qid", qvec_col: str = "vec",
+    ) -> DataFrame:
+        return knn_search(
+            self.df, queries, k, metric=self.metric, method=method,
+            qid_col=qid_col, qvec_col=qvec_col,
+        )
+
+    def search_numpy(self, x: np.ndarray, k: int, method: str = "auto") -> tuple[np.ndarray, np.ndarray]:
+        """≙ search(n, x, k, distances, labels) with host arrays in/out."""
+        x = np.asarray(x, dtype=np.float32)
+        qdf = self.spark.createDataFrame(
+            [(int(i), v.tolist()) for i, v in enumerate(x)],
+            schema="qid long, vec array<float>",
+        )
+        res = self.search(qdf, k, method=method).orderBy("qid", "rank").toPandas()
+        nq = len(x)
+        D = res["distance"].to_numpy(np.float64).reshape(nq, k)
+        L = res["label"].to_numpy(np.int64).reshape(nq, k)
+        return D.astype(np.float32), L
+
+    def search_async(self, queries: DataFrame, k: int, method: str = "auto") -> SearchToken:
+        return SearchToken(self.search(queries, k, method=method))
+
+
+def _insertion_window():
+    from pyspark.sql.window import Window
+
+    return Window.orderBy(F.monotonically_increasing_id())

@@ -1,0 +1,139 @@
+"""kNN correctness vs exact numpy oracle — the FIXTURES.md e2e matrix.
+
+Mirrors the reference's oracle-comparison strategy
+(/root/reference/tests/test_metal_flat.mm): top-1 label exact, remaining
+ranks distance-tolerance with tie-tolerant labels, plus the invariants
+list (ordering, label domain, sentinel placement, async ≡ sync).
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from conftest import make_fixture, numpy_oracle, queries_df, vectors_df
+from faiss_metal_spark.operators.knn import knn_search
+
+
+def run_engine(spark, V, Q, k, metric="l2", method="gemm"):
+    res = (
+        knn_search(vectors_df(spark, V), queries_df(spark, Q), k, metric=metric, method=method)
+        .orderBy("qid", "rank")
+        .toPandas()
+    )
+    nq = len(Q)
+    D = res["distance"].to_numpy(np.float64).reshape(nq, k)
+    L = res["label"].to_numpy(np.int64).reshape(nq, k)
+    return D, L
+
+
+def check_against_oracle(V, Q, k, D, L, metric="l2", rtol=1e-3):
+    oD, oL = numpy_oracle(V, Q, k, metric)
+    kk = min(k, len(V))
+    # top-1 label exact (hard assert — test_metal_flat.mm:51-58)
+    if kk > 0:
+        assert (L[:, 0] == oL[:, 0]).all(), "top-1 label mismatch"
+    # distances within tolerance at every real rank
+    scale = np.maximum(np.abs(oD[:, :kk]), 1e-9)
+    assert (np.abs(D[:, :kk] - oD[:, :kk]) / scale < rtol).all()
+    # padded ranks: sentinel
+    sent = math.inf if metric == "l2" else -math.inf
+    assert (D[:, kk:] == sent).all()
+    assert (L[:, kk:] == -1).all()
+    # invariant 1: rank ordering monotone among real ranks
+    diffs = np.diff(D[:, :kk], axis=1)
+    if metric == "l2":
+        assert (diffs >= -1e-12).all()
+    else:
+        assert (diffs <= 1e-12).all()
+    # invariant 2: labels in range, no dup labels per query
+    for row in L[:, :kk]:
+        assert ((row >= 0) & (row < len(V))).all()
+        assert len(set(row.tolist())) == kk
+
+
+# The reference e2e matrix (FIXTURES T1-T5, T8) on both physical paths.
+MATRIX = [
+    ("l2_32d", 1000, 10, 32, 5, "l2"),
+    ("l2_128d", 1000, 10, 128, 10, "l2"),
+    ("l2_768d", 500, 5, 768, 5, "l2"),
+    ("ip_128d", 1000, 10, 128, 10, "ip"),
+    ("edge_single", 100, 1, 32, 1, "l2"),
+]
+
+
+@pytest.mark.parametrize("method", ["gemm", "sql"])
+@pytest.mark.parametrize("name,nv,nq,d,k,metric", MATRIX)
+def test_knn_matrix(spark, name, nv, nq, d, k, metric, method):
+    V, Q = make_fixture(nv, nq, d)
+    D, L = run_engine(spark, V, Q, k, metric, method)
+    rtol = 1e-3 if metric == "l2" else 1e-2
+    check_against_oracle(V, Q, k, D, L, metric, rtol)
+
+
+def test_knn_1536d(spark):
+    V, Q = make_fixture(500, 5, 1536)
+    D, L = run_engine(spark, V, Q, 5, "l2", "gemm")
+    check_against_oracle(V, Q, 5, D, L, "l2", 1e-3)
+
+
+def test_highk_beyond_reference(spark):
+    """T9: k=100 > 32 — the case the reference never value-checks."""
+    V, Q = make_fixture(10000, 10, 128)
+    D, L = run_engine(spark, V, Q, 100, "l2", "gemm")
+    check_against_oracle(V, Q, 100, D, L, "l2", 1e-3)
+
+
+def test_cosine_metric(spark):
+    V, Q = make_fixture(1000, 10, 64)
+    D, L = run_engine(spark, V, Q, 10, "cosine", "gemm")
+    check_against_oracle(V, Q, 10, D, L, "cosine", 1e-2)
+
+
+def test_k_gt_ntotal_sentinels(spark):
+    """T12: k clamp + sentinel padding (MetalIndexFlat.mm:336-337,387-399)."""
+    V, Q = make_fixture(3, 2, 8)
+    for method in ("gemm", "sql"):
+        D, L = run_engine(spark, V, Q, 5, "l2", method)
+        check_against_oracle(V, Q, 5, D, L, "l2", 1e-3)
+        assert (L[:, 3:] == -1).all()
+        assert np.isinf(D[:, 3:]).all()
+
+
+def test_empty_index(spark):
+    """T11: empty index → all sentinels, no error (MetalIndexFlat.mm:328-334)."""
+    import pandas as pd
+
+    from faiss_metal_spark.vector_table import VECTOR_SCHEMA
+
+    _, Q = make_fixture(1, 1, 32)
+    empty = spark.createDataFrame([], VECTOR_SCHEMA)
+    res = (
+        knn_search(empty, queries_df(spark, Q), 5).orderBy("qid", "rank").toPandas()
+    )
+    assert len(res) == 5
+    assert (res["label"] == -1).all()
+    assert np.isinf(res["distance"]).all()
+
+
+def test_empty_queries(spark):
+    V, _ = make_fixture(10, 1, 8)
+    q = queries_df(spark, np.zeros((0, 8), np.float32))
+    assert knn_search(vectors_df(spark, V), q, 3).count() == 0
+
+
+def test_k_zero_raises(spark):
+    V, Q = make_fixture(4, 1, 4)
+    with pytest.raises(ValueError):
+        knn_search(vectors_df(spark, V), queries_df(spark, Q), 0)
+
+
+def test_paths_agree(spark):
+    """gemm and sql physical paths produce identical labels and close
+    distances (≙ default-vs-forced-MPS cross-check,
+    test_metal_distance.mm:233-337)."""
+    V, Q = make_fixture(800, 8, 48)
+    Dg, Lg = run_engine(spark, V, Q, 7, "l2", "gemm")
+    Ds, Ls = run_engine(spark, V, Q, 7, "l2", "sql")
+    assert (Lg == Ls).all()
+    assert np.allclose(Dg, Ds, rtol=1e-9)
