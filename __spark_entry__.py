@@ -1,38 +1,478 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship kNN query on sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 +
+north-star extensions); each callable is (spark, sf_dir) -> DataFrame.
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query.
+
+Float discipline for the oracle hash-match: every computed float column
+is rounded on BOTH sides (engine + SQL) after all ordering/ranking is
+done on the unrounded value, and ``+ 0.0`` normalizes −0.0. All vector
+distance math accumulates in FP64 in both engines, so rounded values
+agree exactly.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from faiss_metal_spark.functions.text import (  # noqa: E402
+    avg_token_len,
+    distinct_token_ratio,
+    quality_score,
+    token_count,
+)
+from faiss_metal_spark.operators.dedup import (  # noqa: E402
+    embedding_neardup_pairs,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from faiss_metal_spark.operators.knn import knn_search  # noqa: E402
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table; some sf levels store ts as TIMESTAMP(NANOS), which
+    Spark only reads as long via the legacy conf — normalize to a real
+    timestamp column either way."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = _t(spark, sf_dir, "events")
+    if dict(df.dtypes)["ts"] in ("bigint", "long"):
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return df
+
+
+def _norm(col, digits: int):
+    """Round a computed float for hash-stable comparison; kill −0.0."""
+    return F.round(col, digits) + F.lit(0.0)
+
+
+# ---------------------------------------------------------------------------
+# kNN queries (the reference's core operator, SURVEY §2.3-2.5)
+# ---------------------------------------------------------------------------
+
+
+def _knn_query(metric: str, qlo: int, qhi: int, k: int, method: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = _t(spark, sf_dir, "embeddings")
+        queries = emb.where((F.col("vec_id") >= qlo) & (F.col("vec_id") < qhi))
+        res = knn_search(
+            emb, queries, k, metric=metric, method=method,
+            id_col="vec_id", vec_col="embedding",
+            qid_col="vec_id", qvec_col="embedding",
+        )
+        return res.select(
+            "qid", "rank", "label", _norm(F.col("distance"), 4).alias("distance")
+        )
+
+    return run
+
+
+def _knn_oracle(metric: str, qlo: int, qhi: int, k: int) -> str:
+    ip = (
+        "list_inner_product(q.qv::DOUBLE[], v.embedding::DOUBLE[])"
+    )
+    if metric == "l2":
+        dist = (
+            "GREATEST(list_inner_product(q.qv::DOUBLE[], q.qv::DOUBLE[])"
+            " + list_inner_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[])"
+            f" - 2 * {ip}, 0.0)"
+        )
+        order = "dist ASC, label ASC"
+    elif metric == "ip":
+        dist = ip
+        order = "dist DESC, label ASC"
+    else:  # cosine similarity
+        dist = "list_cosine_similarity(q.qv::DOUBLE[], v.embedding::DOUBLE[])"
+        order = "dist DESC, label ASC"
+    return f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+  WHERE vec_id >= {qlo} AND vec_id < {qhi}
+), d AS (
+  SELECT q.qid, v.vec_id AS label, {dist} AS dist
+  FROM q CROSS JOIN embeddings v
+), r AS (
+  SELECT qid, label, dist,
+         row_number() OVER (PARTITION BY qid ORDER BY {order}) - 1 AS rank
+  FROM d
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS INTEGER) AS rank,
+       CAST(label AS BIGINT) AS label, ROUND(dist, 4) + 0.0 AS distance
+FROM r WHERE rank < {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style relational queries (Catalyst-native: joins, aggs, windows)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "2000-12-01")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _norm(F.sum("l_quantity"), 2).alias("sum_qty"),
+            _norm(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            _norm(F.sum(disc), 2).alias("sum_disc_price"),
+            _norm(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            _norm(F.avg("l_quantity"), 4).alias("avg_qty"),
+            _norm(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            _norm(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_Q1 = """
+SELECT l_returnflag, l_linestatus,
+  ROUND(SUM(l_quantity), 2) + 0.0 AS sum_qty,
+  ROUND(SUM(l_extendedprice), 2) + 0.0 AS sum_base_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) + 0.0 AS sum_disc_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) + 0.0 AS sum_charge,
+  ROUND(AVG(l_quantity), 4) + 0.0 AS avg_qty,
+  ROUND(AVG(l_extendedprice), 4) + 0.0 AS avg_price,
+  ROUND(AVG(l_discount), 6) + 0.0 AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1998-01-01")
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1998-01-01")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(rev.alias("_rev"))
+        .orderBy(F.col("_rev").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            _norm(F.col("_rev"), 2).alias("revenue"),
+        )
+    )
+
+
+ORACLE_Q3 = """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       ROUND(rev, 2) + 0.0 AS revenue
+FROM (
+  SELECT o_orderkey, o_orderdate,
+         SUM(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY o_orderkey, o_orderdate
+  ORDER BY rev DESC, o_orderkey ASC LIMIT 10
+)
+"""
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(c), (F.col("o_custkey") == F.col("c_custkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(_norm(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+ORACLE_Q5 = """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) + 0.0 AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_norm(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+ORACLE_Q6 = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) + 0.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+ORACLE_TOP3 = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+) WHERE rk <= 3
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), _norm(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+ORACLE_EVENTS_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 2) + 0.0 AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _norm(F.avg(k), 4).alias("avg_k"),
+            F.max(k).alias("max_k"),
+        )
+    )
+
+
+ORACLE_EVENTS_JSON = """
+SELECT event_type, COUNT(*) AS n,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) + 0.0 AS avg_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup / text-analysis queries (north-star extensions)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    key = F.concat_ws(" ", F.slice(F.split("text", " "), 1, 3))
+    return exact_dedup(d, key, id_col="doc_id")
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT array_to_string(string_split(text, ' ')[1:3], ' ') AS dup_key,
+       COUNT(*) AS n_dups, MIN(doc_id) AS keeper
+FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    sig = minhash_signatures(d, num_hashes=8, shingle_size=3)
+    return lsh_candidate_pairs(sig, num_hashes=8, bands=4)
+
+
+ORACLE_MINHASH_LSH = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]) AS sh
+  FROM toks WHERE len(t) >= 3
+),
+sig AS (
+  SELECT doc_id,
+    MIN(md5(sh || '#0')) AS mh0, MIN(md5(sh || '#1')) AS mh1,
+    MIN(md5(sh || '#2')) AS mh2, MIN(md5(sh || '#3')) AS mh3,
+    MIN(md5(sh || '#4')) AS mh4, MIN(md5(sh || '#5')) AS mh5,
+    MIN(md5(sh || '#6')) AS mh6, MIN(md5(sh || '#7')) AS mh7
+  FROM sh GROUP BY doc_id
+),
+bkt AS (
+  SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bkey FROM sig UNION ALL
+  SELECT doc_id, 1 AS band, md5(mh2 || mh3) AS bkey FROM sig UNION ALL
+  SELECT doc_id, 2 AS band, md5(mh4 || mh5) AS bkey FROM sig UNION ALL
+  SELECT doc_id, 3 AS band, md5(mh6 || mh7) AS bkey FROM sig
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bkt a JOIN bkt b ON a.band = b.band AND a.bkey = b.bkey
+WHERE a.doc_id < b.doc_id
+"""
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            _norm(F.avg(token_count("text")), 4).alias("avg_tokens"),
+            _norm(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.max(token_count("text")).alias("max_tokens"),
+        )
+    )
+
+
+ORACLE_TEXT_STATS = """
+SELECT lang, COUNT(*) AS n_docs,
+       ROUND(AVG(len(string_split(text, ' '))), 4) + 0.0 AS avg_tokens,
+       ROUND(AVG(n_chars), 4) + 0.0 AS avg_chars,
+       MAX(len(string_split(text, ' '))) AS max_tokens
+FROM documents GROUP BY lang
+"""
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        _norm(distinct_token_ratio("text"), 4).alias("distinct_ratio"),
+        _norm(avg_token_len("text"), 4).alias("avg_token_len"),
+        _norm(quality_score("text"), 4).alias("quality"),
+    )
+
+
+ORACLE_DOC_QUALITY = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id, len(toks) AS n_tokens,
+  ROUND(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 4) + 0.0 AS distinct_ratio,
+  ROUND(list_sum([length(x) FOR x IN toks]) / CAST(len(toks) AS DOUBLE), 4) + 0.0 AS avg_token_len,
+  ROUND(0.4 * (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE))
+      + 0.3 * LEAST(len(toks) / 64.0, 1.0)
+      + 0.3 * LEAST(list_sum([length(x) FOR x IN toks]) / CAST(len(toks) AS DOUBLE) / 8.0, 1.0),
+      4) + 0.0 AS quality
+FROM t
+"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(e, block_col="label", threshold=0.35)
+    return pairs.select("id_a", "id_b", _norm(F.col("cos"), 4).alias("cos"))
+
+
+ORACLE_NEARDUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) + 0.0 AS cos
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+"""
+
+
+# ---------------------------------------------------------------------------
+# Contract surface
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: L2 kNN (gemm path) over sf0.001 embeddings."""
+    return _knn_query("l2", 0, 8, 10, "gemm")(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "knn_l2": _knn_query("l2", 0, 8, 10, "gemm"),
+        "knn_ip": _knn_query("ip", 0, 8, 10, "gemm"),
+        "knn_cosine": _knn_query("cosine", 0, 8, 10, "gemm"),
+        "knn_l2_sql": _knn_query("l2", 8, 16, 10, "sql"),
+        "knn_highk": _knn_query("l2", 0, 4, 64, "gemm"),
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "top3_orders_per_customer": q_top3_orders_per_customer,
+        "events_hourly": q_events_hourly,
+        "events_json": q_events_json,
+        "dedup_exact": q_dedup_exact,
+        "minhash_lsh": q_minhash_lsh,
+        "text_stats": q_text_stats,
+        "doc_quality": q_doc_quality,
+        "embedding_neardup": q_embedding_neardup,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "knn_l2": _knn_oracle("l2", 0, 8, 10),
+        "knn_ip": _knn_oracle("ip", 0, 8, 10),
+        "knn_cosine": _knn_oracle("cosine", 0, 8, 10),
+        "knn_l2_sql": _knn_oracle("l2", 8, 16, 10),
+        "knn_highk": _knn_oracle("l2", 0, 4, 64),
+        "tpch_q1": ORACLE_Q1,
+        "tpch_q3": ORACLE_Q3,
+        "tpch_q5": ORACLE_Q5,
+        "tpch_q6": ORACLE_Q6,
+        "top3_orders_per_customer": ORACLE_TOP3,
+        "events_hourly": ORACLE_EVENTS_HOURLY,
+        "events_json": ORACLE_EVENTS_JSON,
+        "dedup_exact": ORACLE_DEDUP_EXACT,
+        "minhash_lsh": ORACLE_MINHASH_LSH,
+        "text_stats": ORACLE_TEXT_STATS,
+        "doc_quality": ORACLE_DOC_QUALITY,
+        "embedding_neardup": ORACLE_NEARDUP,
+    }

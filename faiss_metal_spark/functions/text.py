@@ -1,0 +1,82 @@
+"""Text-analysis column expressions for large-scale corpus pipelines.
+
+All pure Catalyst expressions (whole-stage codegen, no Python): token
+counting, shingling, quality scoring, language scoring. Built to be
+SQL-oracle-checkable — every construct here has an exact ANSI-SQL
+equivalent (see __spark_entry__.oracle_sql), which is why hashing uses
+md5 (identical across engines) rather than murmur3.
+
+These are north-star extensions (SURVEY §0, BASELINE.json): the
+reference engine has no string functions (SURVEY §2.9); they're built
+on Spark primitives, not ported.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A tiny multi-language stopword sample; enough for ratio features and
+# the n-gram language heuristic on synthetic corpora. Deliberately
+# short so the SQL oracle can inline the same list.
+STOPWORDS_EN = ["the", "a", "and", "of", "to", "in", "is", "on", "for", "with"]
+
+
+def tokens(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def char_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(c)
+
+
+def avg_token_len(text: Column | str) -> Column:
+    """Mean token length in characters (double)."""
+    t = tokens(text)
+    total = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    return total.cast("double") / F.size(t).cast("double")
+
+
+def distinct_token_ratio(text: Column | str) -> Column:
+    """|distinct tokens| / |tokens| — repetition detector."""
+    t = tokens(text)
+    return F.size(F.array_distinct(t)).cast("double") / F.size(t).cast("double")
+
+
+def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or STOPWORDS_EN
+    t = tokens(text)
+    hits = F.size(F.filter(t, lambda x: x.isin(*sw)))
+    return hits.cast("double") / F.size(t).cast("double")
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite document-quality score in [0, 1].
+
+    0.4·distinct-token ratio + 0.3·length saturation (tokens/64 capped
+    at 1) + 0.3·mean-token-length saturation (len/8 capped at 1).
+    Deterministic, closed-form — the SQL oracle computes the same.
+    """
+    dr = distinct_token_ratio(text)
+    ls = F.least(token_count(text).cast("double") / F.lit(64.0), F.lit(1.0))
+    ts = F.least(avg_token_len(text) / F.lit(8.0), F.lit(1.0))
+    return F.lit(0.4) * dr + F.lit(0.3) * ls + F.lit(0.3) * ts
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as strings; empty array when < n tokens.
+
+    Guarded so Spark's descending-sequence quirk (sequence(1,0) =
+    [1,0]) can't produce phantom shingles.
+    """
+    t = tokens(text)
+    idx = F.when(
+        F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda j: F.concat_ws(" ", F.slice(t, j, n)))

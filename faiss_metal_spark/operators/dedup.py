@@ -1,0 +1,183 @@
+"""Deduplication operators for training-data pipelines.
+
+North-star extensions (not in the reference — SURVEY §2.9): exact
+dedup, MinHash+LSH near-dedup, SimHash, n-gram Jaccard similarity join,
+and embedding-cosine near-dup. All shapes are shuffle-disciplined for
+100 TB corpora:
+
+- exact dedup       — one hash-groupBy on a 32-byte digest (map-side
+                      partial aggregation; no raw-text shuffle).
+- MinHash signatures — explode shingles → groupBy(doc) with min() aggs:
+                      Spark's partial+final aggregation keeps the
+                      shuffle at one row per (doc, shingle-hash) after
+                      map-side combine; signatures are tiny.
+- LSH candidates    — self-equi-join on (band, band-hash) buckets; the
+                      join key is a digest so skew only appears when
+                      *real* duplicate clusters exist (AQE skew-join
+                      handles the pathological all-identical case).
+- cosine near-dup   — block on a caller key (e.g. cluster/label) and
+                      equi-join within blocks: turns an O(n²) theta
+                      join into per-block products.
+
+Hashing is md5-based (not murmur3) so every pipeline here has an exact
+cross-engine SQL oracle — determinism is part of the operator contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles
+from ..functions.vector import cosine_sim
+
+
+def exact_dedup(
+    df: DataFrame, key: Column, id_col: str = "doc_id", keep: str = "min"
+) -> DataFrame:
+    """Group rows by a content key; emit one keeper id + group size.
+
+    Returns (dup_key, n_dups, keeper) for groups with >1 member.
+    """
+    agg_keep = F.min(id_col) if keep == "min" else F.max(id_col)
+    return (
+        df.groupBy(key.alias("dup_key"))
+        .agg(F.count(F.lit(1)).alias("n_dups"), agg_keep.alias("keeper"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def minhash_signature_cols(shingle_col: Column, num_hashes: int) -> list[Column]:
+    """num_hashes md5-min columns over an exploded shingle column.
+
+    min(md5(shingle || '#i')) is a proper min-hash family: md5 output is
+    uniform per seed suffix, and the lexicographic min over hex strings
+    orders identically in any engine.
+    """
+    return [
+        F.min(F.md5(F.concat(shingle_col, F.lit(f"#{i}")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """(id, mh0..mh{H-1}) — docs with < shingle_size tokens drop out."""
+    sh = (
+        docs.select(F.col(id_col), F.explode(shingles(text_col, shingle_size)).alias("sh"))
+    )
+    return sh.groupBy(id_col).agg(*minhash_signature_cols(F.col("sh"), num_hashes))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str = "doc_id", num_hashes: int = 8, bands: int = 2
+) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing at least one LSH band.
+
+    Band key = md5 of the concatenated signature slice, so the join key
+    is a fixed-width digest regardless of H.
+    """
+    rows_per_band = num_hashes // bands
+    band_structs = []
+    for b in range(bands):
+        cols = [F.col(f"mh{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat(*cols)).alias("bkey"))
+        )
+    buckets = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col(f"b.band"))
+            & (F.col(f"a.bkey") == F.col(f"b.bkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    pair_candidates: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs.
+
+    Without explicit candidates, compares all pairs that share ≥1
+    shingle (the shared-shingle join IS the candidate generation — no
+    full cross product is ever formed, which is what makes this viable
+    on large corpora).
+    Returns (id_a, id_b, jaccard).
+    """
+    sh = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(text_col, shingle_size))).alias("sh")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if pair_candidates is not None:
+        inter = inter.join(pair_candidates, ["id_a", "id_b"], "inner")
+
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    block_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Cosine near-duplicate pairs within blocking-key groups.
+
+    (id_a, id_b, cos) with id_a < id_b and cos ≥ threshold. The block
+    key bounds the quadratic term; for unblocked corpora use LSH
+    bucketing (similarity.py) to generate blocks first.
+    """
+    a = emb.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = emb.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    return (
+        a.join(b, "blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_sim("va", "vb").alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
