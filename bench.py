@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Two sections:
+1. Headline queries: every __spark_entry__.queries() entry, timed
+   end-to-end (plan build + execution + fetch) at $SPARK_GRAFT_SF_DIR
+   (default /root/testdata/sf0.1).
+2. The reference's 7-config kNN benchmark grid
+   (/root/reference/tests/bench_metal_flat.mm:16-23 — see BASELINE.md):
+   synthetic uniform[−1,1] vectors generated *distributed* (no driver
+   materialization), L2 metric, timed per search.
+
+Output: {"metric": "headline_total_sec", "value": N, "unit": "sec",
+         "queries": {name: sec, ...}, "sf": X}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _gen_vectors(spark, nv: int, d: int, seed: int = 42):
+    """Distributed deterministic uniform[−1,1] vector table (id, vec)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    base = spark.range(0, nv, 1, min(n_parts, max(1, nv // 1000)))
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("vec", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(np.int64)
+            if len(ids) == 0:
+                continue
+            rng = np.random.default_rng(seed + int(ids[0]))
+            mat = rng.uniform(-1, 1, size=(len(ids), d)).astype(np.float32)
+            yield pd.DataFrame({"id": ids, "vec": list(mat)})
+
+    return base.mapInPandas(gen, schema)
+
+
+def bench_grid(spark) -> dict[str, float]:
+    """BASELINE.md grid: (label, nv, nq, d, k)."""
+    from faiss_metal_spark.operators.knn import knn_search
+
+    grid = [
+        ("knn_small_32d", 10_000, 100, 32, 10),
+        ("knn_small_128d", 10_000, 100, 128, 10),
+        ("knn_medium_128d", 100_000, 100, 128, 10),
+        ("knn_medium_768d", 100_000, 10, 768, 10),
+        ("knn_large_1536d", 10_000, 10, 1536, 10),
+        ("knn_highk_128d", 10_000, 10, 128, 100),
+        ("knn_latency_128d", 100_000, 1, 128, 10),
+    ]
+    results = {}
+    for label, nv, nq, d, k in grid:
+        vecs = _gen_vectors(spark, nv, d).persist()
+        vecs.count()  # materialize the index (build ≠ search time)
+        rng = np.random.default_rng(1042 + d)
+        Q = rng.uniform(-1, 1, size=(nq, d)).astype(np.float32)
+        qdf = spark.createDataFrame(
+            [(int(i), v.tolist()) for i, v in enumerate(Q)],
+            schema="qid long, vec array<float>",
+        )
+        # warm-up (JIT, codegen, Python worker pool)
+        knn_search(vecs, qdf, k).count()
+        t0 = time.time()
+        n = knn_search(vecs, qdf, k).count()
+        results[label] = round(time.time() - t0, 3)
+        assert n == nq * k, f"{label}: got {n} rows"
+        vecs.unpersist()
+    return results
+
+
+def bench_headline(spark) -> dict[str, float]:
+    import __spark_entry__ as entry_mod
+
+    out = {}
+    for name, fn in entry_mod.queries().items():
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        out[name] = round(time.time() - t0, 3)
+        _ = n
+    return out
+
+
+def main() -> None:
+    from faiss_metal_spark.session import get_spark
+
+    spark = get_spark("faiss-metal-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+    queries.update(bench_headline(spark))
+    queries.update(bench_grid(spark))
+
+    sf = 0.1
+    if "sf0.01" in SF_DIR:
+        sf = 0.01
+    elif "sf0.001" in SF_DIR:
+        sf = 0.001
+
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -168,16 +168,26 @@ def embedding_neardup_pairs(
     (id_a, id_b, cos) with id_a < id_b and cos ≥ threshold. The block
     key bounds the quadratic term; for unblocked corpora use LSH
     bucketing (similarity.py) to generate blocks first.
+
+    Vectors are L2-normalized BEFORE the join (once per row, not once
+    per pair), so the pairwise expression is a single dot product —
+    3× less per-pair work than evaluating cosine directly, which is
+    what dominates when blocks produce millions of pairs.
     """
-    a = emb.select(
-        F.col(block_col).alias("blk"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    from ..functions.vector import dot, sqnorm
+
+    nrm = F.sqrt(sqnorm(vec_col))
+    unit = F.when(
+        nrm > 0, F.transform(F.col(vec_col), lambda x: x.cast("double") / nrm)
+    ).otherwise(F.transform(F.col(vec_col), lambda x: F.lit(0.0)))
+    normed = emb.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("_id"), unit.alias("_u")
     )
-    b = emb.select(
-        F.col(block_col).alias("blk"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
-    )
+    a = normed.select("blk", F.col("_id").alias("id_a"), F.col("_u").alias("ua"))
+    b = normed.select("blk", F.col("_id").alias("id_b"), F.col("_u").alias("ub"))
     return (
         a.join(b, "blk")
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine_sim("va", "vb").alias("cos"))
+        .select("id_a", "id_b", dot("ua", "ub").alias("cos"))
         .where(F.col("cos") >= threshold)
     )
