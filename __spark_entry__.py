@@ -29,11 +29,21 @@ from faiss_metal_spark.functions.text import (  # noqa: E402
     quality_score,
     token_count,
 )
+from faiss_metal_spark.functions.text import (  # noqa: E402
+    BPE_PATTERN,
+    LANG_MARKERS,
+    bpe_token_count,
+    doc_fingerprint,
+    lang_id,
+)
 from faiss_metal_spark.operators.dedup import (  # noqa: E402
     embedding_neardup_pairs,
     exact_dedup,
     lsh_candidate_pairs,
     minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_neardup_pairs,
+    simhash_signatures,
 )
 from faiss_metal_spark.operators.knn import knn_search  # noqa: E402
 
@@ -425,6 +435,132 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 
 
 # ---------------------------------------------------------------------------
+# SimHash / Jaccard / language-ID / fingerprint (training-data pipeline ops)
+# ---------------------------------------------------------------------------
+
+# DuckDB rendering of functions.text.token_hash32 / dedup._md5_val32:
+# decode the first 8 hex chars of md5(expr) into a BIGINT.
+def _sql_hash32(expr: str) -> str:
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"({terms})"
+
+
+def _sql_simhash_sig() -> str:
+    """CTE chain producing sig(doc_id, simhash) — mirrors simhash_signatures."""
+    sums = ", ".join(
+        f"SUM(CASE WHEN (val >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(32)
+    )
+    packed = " + ".join(f"CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END" for b in range(32))
+    return f"""
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+v AS (SELECT doc_id, {_sql_hash32('t')} AS val FROM tok),
+s AS (SELECT doc_id, {sums} FROM v GROUP BY doc_id),
+sig AS (SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM s)
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_SIMHASH = f"WITH {_sql_simhash_sig()} SELECT doc_id, simhash FROM sig"
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = simhash_signatures(_t(spark, sf_dir, "documents"))
+    pairs = simhash_neardup_pairs(sig, bands=4, max_hamming=6)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+ORACLE_SIMHASH_PAIRS = f"""
+WITH {_sql_simhash_sig()},
+bkt AS (
+  SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS bkey
+  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM bkt a JOIN bkt b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, shingle_size=3, threshold=0.1)
+    return pairs.select("id_a", "id_b", _norm(F.col("jaccard"), 4).alias("jaccard"))
+
+
+ORACLE_NGRAM_JACCARD = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)])) AS sh
+  FROM toks WHERE len(t) >= 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 4) + 0.0 AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.1
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", lang_id("text").alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _oracle_lang_id() -> str:
+    structs = ", ".join(
+        "{'s': -(len(list_filter(toks, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in words)
+        + "], x))) / CAST(len(toks) AS DOUBLE)), 'lang': '" + lang + "'}"
+        for lang, words in sorted(LANG_MARKERS.items())
+    )
+    return f"""
+WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+p AS (SELECT lang, list_sort([{structs}])[1].lang AS predicted FROM t)
+SELECT lang, predicted, COUNT(*) AS n FROM p GROUP BY 1, 2
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        doc_fingerprint("text").alias("fp"),
+        bpe_token_count("text").cast("long").alias("n_bpe"),
+    )
+
+
+ORACLE_FINGERPRINT = f"""
+SELECT doc_id,
+  list_reduce(
+    list_prepend(0::BIGINT, [{_sql_hash32('x')} FOR x IN string_split(text, ' ')]),
+    (acc, v) -> (acc * 31 + v) % 2147483647
+  ) AS fp,
+  len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 
@@ -453,6 +589,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "doc_quality": q_doc_quality,
         "embedding_neardup": q_embedding_neardup,
+        "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
     }
 
 
@@ -475,4 +616,9 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": ORACLE_TEXT_STATS,
         "doc_quality": ORACLE_DOC_QUALITY,
         "embedding_neardup": ORACLE_NEARDUP,
+        "simhash": ORACLE_SIMHASH,
+        "simhash_pairs": ORACLE_SIMHASH_PAIRS,
+        "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+        "lang_id": _oracle_lang_id(),
+        "doc_fingerprint": ORACLE_FINGERPRINT,
     }

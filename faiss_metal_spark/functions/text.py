@@ -69,6 +69,77 @@ def quality_score(text: Column | str) -> Column:
     return F.lit(0.4) * dr + F.lit(0.3) * ls + F.lit(0.3) * ts
 
 
+# Marker stopwords per language for the n-gram/stopword language-ID
+# heuristic. Tiny on purpose: the SQL oracle inlines the same lists.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit"],
+    "en": ["the", "a", "and", "of", "to", "is", "in"],
+    "es": ["el", "los", "las", "una", "es", "y", "por"],
+    "fr": ["le", "la", "les", "et", "est", "des", "une"],
+}
+
+
+def lang_score(text: Column | str, markers: list[str]) -> Column:
+    """Fraction of tokens that are markers of one language."""
+    t = tokens(text)
+    hits = F.size(F.filter(t, lambda x: x.isin(*markers)))
+    return hits.cast("double") / F.size(t).cast("double")
+
+
+def lang_id(text: Column | str, markers: dict[str, list[str]] | None = None) -> Column:
+    """Heuristic language ID: argmax of per-language marker-token ratio.
+
+    Deterministic tie-break: alphabetically-first language code wins
+    (sort on (−score, lang) structs — struct ordering is lexicographic
+    by field in both Spark and ANSI engines, so the SQL oracle can
+    reproduce the exact argmax).
+    """
+    mk = markers or LANG_MARKERS
+    structs = [
+        F.struct((-lang_score(text, words)).alias("s"), F.lit(lang).alias("lang"))
+        for lang, words in sorted(mk.items())
+    ]
+    return F.array_sort(F.array(*structs)).getItem(0).getField("lang")
+
+
+# Modulus for the rolling document fingerprint (largest int32 prime).
+FP_MOD = 2_147_483_647
+FP_BASE = 31
+
+
+def token_hash32(col: Column) -> Column:
+    """First 32 bits of md5(token) as BIGINT — cross-engine stable."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def doc_fingerprint(text: Column | str) -> Column:
+    """Order-sensitive rolling (Rabin–Karp) fingerprint of the token
+    stream: fold (acc·31 + hash32(token)) mod 2³¹−1 left-to-right.
+
+    Unlike the MinHash/SimHash set signatures this is sensitive to
+    token *order*, so it detects exact-sequence duplicates even when
+    the bag of words matches. Pure Catalyst (aggregate HOF) — no
+    Python, no shuffle; it's a projection.
+    """
+    t = tokens(text)
+    vals = F.transform(t, token_hash32)
+    return F.aggregate(
+        vals,
+        F.lit(0).cast("long"),
+        lambda acc, v: (acc * F.lit(FP_BASE) + v) % F.lit(FP_MOD),
+    )
+
+
+# A BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation.
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Token count under the BPE-ish regex (vs whitespace tokens())."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_PATTERN), 0))
+
+
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles as strings; empty array when < n tokens.
 

@@ -109,6 +109,97 @@ def lsh_candidate_pairs(
     )
 
 
+def _md5_val32(col: Column) -> Column:
+    """First 32 bits of md5 as a BIGINT — the cross-engine hash value.
+
+    md5 is used (not xxhash/murmur) so DuckDB reproduces the exact
+    integer; conv(hex, 16, 10) decodes the first 8 hex chars.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def simhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """Per-document SimHash: bit b of the signature is the sign of
+    Σ_tokens (±1) where +1 iff bit b of hash(token) is set.
+
+    Near-identical documents differ in few tokens, so their per-bit sums
+    — and therefore signatures — are close in Hamming distance. One
+    explode + one groupBy: Spark's map-side combine keeps the shuffle at
+    one partial-sum row per (doc, partition), and the 32 CASE-sums are
+    a single whole-stage-codegen aggregation (no Python).
+    """
+    from ..functions.text import tokens
+
+    val = _md5_val32(F.col("t"))
+    tok = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
+    sums = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(val, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(bits)
+        ]
+    )
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return sums.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with Hamming(simhash) ≤ max_hamming.
+
+    Candidate generation is the standard banding trick: split the
+    signature into ``bands`` bit-slices and equi-join on (band, slice) —
+    any pair within Hamming ≤ bands−1 shares at least one exact band
+    (pigeonhole), so with default 4 bands radius ≤ 3 has full recall and
+    the verify step re-filters with the exact bit_count. No cross
+    product is ever formed; the join key is a small int, and skew only
+    appears for genuinely duplicate-heavy corpora (AQE handles it).
+    """
+    bw = bits // bands
+    mask = (1 << bw) - 1
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright("simhash", b * bw).bitwiseAND(F.lit(mask)).alias("bkey"),
+        )
+        for b in range(bands)
+    ]
+    buckets = signatures.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     pair_candidates: DataFrame | None = None,

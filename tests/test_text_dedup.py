@@ -1,0 +1,111 @@
+"""Semantic property tests for the text/dedup operator family.
+
+The driver's DuckDB hash-match (tools/check_oracle.py) covers exact
+cross-engine value parity; these tests pin the *semantics* the oracles
+can't express — locality of SimHash, order-sensitivity of the rolling
+fingerprint, recall of LSH banding.
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from faiss_metal_spark.functions.text import (
+    bpe_token_count,
+    doc_fingerprint,
+    lang_id,
+)
+from faiss_metal_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_neardup_pairs,
+    simhash_signatures,
+)
+
+
+def docs_df(spark, texts):
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+        schema="doc_id long, text string",
+    )
+
+
+BASE = "the quick brown fox jumps over the lazy dog near the old river bank today"
+
+
+def test_simhash_locality(spark):
+    """Near-identical docs → small Hamming distance; unrelated → large."""
+    near = BASE.replace("lazy", "sleepy")
+    far = "alpha beta gamma delta epsilon zeta eta theta iota kappa mu nu xi"
+    sig = simhash_signatures(docs_df(spark, [BASE, near, far])).orderBy("doc_id")
+    s = [r["simhash"] for r in sig.collect()]
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(s[0], s[1]) <= 8
+    assert ham(s[0], s[2]) > ham(s[0], s[1])
+
+
+def test_simhash_pairs_finds_neardup(spark):
+    texts = [BASE, BASE.replace("lazy", "sleepy"),
+             "unrelated totally different words entirely about other topics here now"]
+    sig = simhash_signatures(docs_df(spark, texts))
+    pairs = simhash_neardup_pairs(sig, bands=4, max_hamming=8).collect()
+    assert any(r["id_a"] == 0 and r["id_b"] == 1 for r in pairs)
+    assert not any(r["id_b"] == 2 for r in pairs)
+
+
+def test_fingerprint_order_sensitive(spark):
+    """Same bag of words, different order → different fingerprint;
+    identical text → identical fingerprint (exact-sequence dup)."""
+    shuffled = " ".join(reversed(BASE.split()))
+    df = docs_df(spark, [BASE, BASE, shuffled]).select(
+        "doc_id", doc_fingerprint("text").alias("fp")
+    )
+    fp = [r["fp"] for r in df.orderBy("doc_id").collect()]
+    assert fp[0] == fp[1]
+    assert fp[0] != fp[2]
+    assert all(0 <= x < 2_147_483_647 for x in fp)
+
+
+def test_minhash_lsh_recall_on_identical(spark):
+    """Identical docs must always be LSH candidates (sig equality)."""
+    texts = [BASE, BASE, "completely different content with many other unique tokens present"]
+    sig = minhash_signatures(docs_df(spark, texts), num_hashes=8, shingle_size=3)
+    pairs = lsh_candidate_pairs(sig, num_hashes=8, bands=4).collect()
+    assert any(r["id_a"] == 0 and r["id_b"] == 1 for r in pairs)
+
+
+def test_ngram_jaccard_bounds(spark):
+    texts = [BASE, BASE, BASE.replace("lazy", "sleepy")]
+    pairs = ngram_jaccard_pairs(docs_df(spark, texts), shingle_size=3)
+    rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert rows[(0, 1)] == pytest.approx(1.0)
+    assert 0.0 < rows[(0, 2)] < 1.0
+
+
+def test_exact_dedup_keeper(spark):
+    df = docs_df(spark, ["aa bb", "aa bb", "cc dd"])
+    out = exact_dedup(df, F.col("text"), id_col="doc_id").collect()
+    assert len(out) == 1 and out[0]["keeper"] == 0 and out[0]["n_dups"] == 2
+
+
+def test_lang_id_markers(spark):
+    df = docs_df(
+        spark,
+        [
+            "the cat is in the house and a dog",
+            "der hund ist nicht der beste und das",
+            "le chat est dans la maison et les chiens",
+            "el perro y los gatos es una casa por",
+        ],
+    )
+    out = [r["p"] for r in df.select(lang_id("text").alias("p")).orderBy(
+        F.col("doc_id") if "doc_id" in df.columns else F.lit(0)).collect()]
+    assert out == ["en", "de", "fr", "es"]
+
+
+def test_bpe_token_count(spark):
+    df = spark.createDataFrame([("hello world42 x-y",)], schema="text string")
+    # [hello][world][42][x][-][y] = 6
+    assert df.select(bpe_token_count("text").alias("n")).first()["n"] == 6
