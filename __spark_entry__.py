@@ -46,6 +46,14 @@ from faiss_metal_spark.operators.dedup import (  # noqa: E402
     simhash_signatures,
 )
 from faiss_metal_spark.operators.knn import knn_search  # noqa: E402
+from faiss_metal_spark.operators.similarity import (  # noqa: E402
+    ann_lsh_search,
+    ivf_assign,
+    ivf_search,
+    ivf_train_centroids,
+    knn_join_blocked,
+    lsh_planes,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -435,6 +443,96 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 
 
 # ---------------------------------------------------------------------------
+# Similarity search beyond broadcast brute force (similarity.py)
+# ---------------------------------------------------------------------------
+
+_LSH_D, _LSH_PLANES, _LSH_TABLES, _LSH_SEED, _LSH_K = 64, 6, 2, 7, 5
+
+
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact blocked kNN join: 64 queries, neither side broadcast."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 64)
+    res = knn_join_blocked(
+        emb, queries, k=10, metric="l2", num_qblocks=4, num_vblocks=4,
+        id_col="vec_id", vec_col="embedding", qid_col="vec_id", qvec_col="embedding",
+    )
+    return res.select("qid", "rank", "label", _norm(F.col("distance"), 4).alias("distance"))
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    planes = lsh_planes(_LSH_D, _LSH_PLANES, _LSH_TABLES, _LSH_SEED)
+    queries = emb.where(F.col("vec_id") < 8)
+    res = ann_lsh_search(
+        emb, queries, k=_LSH_K, planes=planes,
+        id_col="vec_id", vec_col="embedding", qid_col="vec_id", qvec_col="embedding",
+    )
+    return res.select("qid", "rank", "label", _norm(F.col("distance"), 4).alias("distance"))
+
+
+def _oracle_ann_lsh() -> str:
+    planes = lsh_planes(_LSH_D, _LSH_PLANES, _LSH_TABLES, _LSH_SEED)
+
+    def bucket_sql(t: int) -> str:
+        terms = []
+        for p in range(_LSH_PLANES):
+            lits = ", ".join(f"{int(w)}.0" for w in planes[t][p])
+            terms.append(
+                f"CASE WHEN list_inner_product(qv::DOUBLE[], [{lits}]) > 0 "
+                f"THEN {2 ** p} ELSE 0 END"
+            )
+        return " + ".join(terms)
+
+    tables = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {t} AS tbl, CAST({bucket_sql(t)} AS BIGINT) AS bucket FROM vq"
+        for t in range(_LSH_TABLES)
+    )
+    return f"""
+WITH vq AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+bkt AS ({tables}),
+cand AS (
+  SELECT DISTINCT q.vec_id AS qid, v.vec_id AS label
+  FROM bkt q JOIN bkt v ON q.tbl = v.tbl AND q.bucket = v.bucket
+  WHERE q.vec_id < 8
+),
+scored AS (
+  SELECT cand.qid AS qid, cand.label AS label,
+         list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS dist
+  FROM cand JOIN embeddings a ON a.vec_id = cand.qid
+  JOIN embeddings b ON b.vec_id = cand.label
+),
+r AS (
+  SELECT qid, label, dist,
+         row_number() OVER (PARTITION BY qid ORDER BY dist DESC, label ASC) - 1 AS rank
+  FROM scored
+)
+SELECT qid, CAST(rank AS INTEGER) AS rank, label, ROUND(dist, 4) + 0.0 AS distance
+FROM r WHERE rank < {_LSH_K}
+"""
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe search — iterative k-means training, rows-only check
+    (correctness pinned by tests/test_similarity.py instead: exact at
+    nprobe=n_cells, recall bound at partial probe)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    centroids = ivf_train_centroids(emb, n_cells=16)
+    assigned = ivf_assign(emb, centroids)
+    queries = emb.where(F.col("id") < 8).select(
+        F.col("id").alias("qid"), F.col("vec")
+    )
+    res = ivf_search(assigned, centroids, queries, k=10, nprobe=4)
+    return res.select("qid", "rank", "label", _norm(F.col("distance"), 4).alias("distance"))
+
+
+# ---------------------------------------------------------------------------
 # SimHash / Jaccard / language-ID / fingerprint (training-data pipeline ops)
 # ---------------------------------------------------------------------------
 
@@ -577,6 +675,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": _knn_query("cosine", 0, 8, 10, "gemm"),
         "knn_l2_sql": _knn_query("l2", 8, 16, 10, "sql"),
         "knn_highk": _knn_query("l2", 0, 4, 64, "gemm"),
+        "knn_join": q_knn_join,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -604,6 +705,10 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine": _knn_oracle("cosine", 0, 8, 10),
         "knn_l2_sql": _knn_oracle("l2", 8, 16, 10),
         "knn_highk": _knn_oracle("l2", 0, 4, 64),
+        "knn_join": _knn_oracle("l2", 0, 64, 10),
+        "ann_lsh": _oracle_ann_lsh(),
+        # ann_ivf: no SQL oracle (iterative k-means) — rows-only check;
+        # exactness at full probe is pinned in tests/test_similarity.py.
         "tpch_q1": ORACLE_Q1,
         "tpch_q3": ORACLE_Q3,
         "tpch_q5": ORACLE_Q5,

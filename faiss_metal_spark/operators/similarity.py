@@ -1,0 +1,377 @@
+"""Similarity-search operators beyond broadcastable brute force.
+
+The reference engine is a single-node flat index (SURVEY §0); these are
+the horizontal-scale paths a 100 TB corpus needs:
+
+- ``ann_lsh_search``   — random-hyperplane LSH: bucket both sides on
+  sign-bit signatures, equi-join buckets, exact rerank inside buckets.
+  Sub-linear candidate generation; the bucket join is an ordinary
+  shuffle-hash join on a small int key. Bucketing is *integer-exact*
+  (vectors quantized to floor(x·1000), integer plane entries) so the
+  DuckDB oracle reproduces bucket membership bit-for-bit — determinism
+  is part of the operator contract, not a test convenience.
+- ``knn_join_blocked`` — exact kNN join when BOTH sides are too large
+  to broadcast: block-nested-loop over (query-block × vector-block)
+  grid cells, local GEMM top-k per cell, global merge. Shuffle volume
+  is nv·BQ + nq·BV rows (each side replicated by the other's block
+  count), not nq·nv.
+- ``ivf_build/ivf_search`` — inverted-file ANN: k-means cells, probe
+  the nprobe nearest cells per query. Written ``partitionBy("cell")``
+  the probe filter becomes parquet partition pruning — the scan never
+  touches non-probed cells, which is the IVF promise expressed in
+  Spark's own storage layout.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from ..functions.vector import cosine_sim
+from .knn import RESULT_SCHEMA, _finalize, _sentinel
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (cosine)
+# ---------------------------------------------------------------------------
+
+# Quantization scale for integer-exact bucket signatures.
+_LSH_SCALE = 1000
+
+
+def lsh_planes(d: int, num_planes: int, num_tables: int, seed: int = 7) -> np.ndarray:
+    """Deterministic integer hyperplanes, shape (tables, planes, d).
+
+    Integer entries (−3..3) keep the signed projection exact in 64-bit
+    arithmetic, so any engine computes identical bucket ids.
+    """
+    rng = np.random.default_rng(seed)
+    return rng.integers(-3, 4, size=(num_tables, num_planes, d)).astype(np.int64)
+
+
+def _quantized(vec_col: Column) -> Column:
+    """floor(x·1000) per element as BIGINT — exact, engine-agnostic."""
+    return F.transform(vec_col, lambda x: F.floor(x.cast("double") * F.lit(1000.0)))
+
+
+def _bucket_expr(qcol: Column, plane: np.ndarray) -> Column:
+    """Packed sign bits of integer projections onto one table's planes."""
+    acc = None
+    for p, row in enumerate(plane):
+        lits = F.array(*[F.lit(int(w)) for w in row])
+        proj = F.aggregate(
+            F.zip_with(qcol, lits, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda s, x: s + x,
+        )
+        term = F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0))
+        acc = term if acc is None else acc + term
+    return acc.cast("long")
+
+
+def lsh_buckets(
+    df: DataFrame,
+    planes: np.ndarray,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """(id, vec, table, bucket) — one row per (row, table).
+
+    All-Catalyst (no Python): quantize once, then packed sign bits per
+    table; the explode is num_tables× fan-out of id+bucket only.
+    """
+    q = _quantized(F.col(vec_col))
+    tb = F.array(
+        *[
+            F.struct(F.lit(t).alias("tbl"), _bucket_expr(q, planes[t]).alias("bucket"))
+            for t in range(len(planes))
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), F.explode(tb).alias("tb")
+    ).select("id", "vec", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+
+
+def ann_lsh_search(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    planes: np.ndarray,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    qid_col: str = "qid",
+    qvec_col: str = "vec",
+) -> DataFrame:
+    """Approximate cosine top-k via bucket join + exact rerank.
+
+    Returns (qid, rank, label, distance=cosine sim) for candidates only
+    — queries whose buckets are empty yield fewer than k rows (no
+    sentinel padding; this is the approximate path, ``knn_search`` is
+    the exact one). Candidates found in multiple tables are deduped
+    before the rerank so each pair is scored once.
+    """
+    vb = lsh_buckets(vectors, planes, id_col, vec_col)
+    qb = lsh_buckets(queries, planes, qid_col, qvec_col).withColumnRenamed("id", "qid")
+
+    cand = (
+        qb.alias("q")
+        .join(vb.alias("v"), ["tbl", "bucket"])
+        .select(
+            F.col("q.qid").alias("qid"),
+            F.col("v.id").alias("label"),
+            F.col("q.vec").alias("qvec"),
+            F.col("v.vec").alias("vvec"),
+        )
+        .dropDuplicates(["qid", "label"])
+    )
+    scored = cand.select(
+        "qid", "label", cosine_sim("qvec", "vvec").alias("distance")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("distance").desc(), F.col("label").asc())
+    return (
+        scored.withColumn("rank", (F.row_number().over(w) - 1).cast("int"))
+        .where(F.col("rank") < k)
+        .select("qid", "rank", "label", "distance")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocked exact kNN join (both sides large)
+# ---------------------------------------------------------------------------
+
+
+def knn_join_blocked(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    metric: str = "l2",
+    num_qblocks: int = 4,
+    num_vblocks: int = 4,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    qid_col: str = "qid",
+    qvec_col: str = "vec",
+) -> DataFrame:
+    """Exact kNN join without broadcasting either side.
+
+    Each (qb, vb) grid cell receives its query block and vector block
+    (rows carry a ``role`` tag through one shuffle), computes a local
+    BLAS top-k, and the per-cell winners merge in a final window — the
+    same partial+final shape as ``knn_search``'s gemm path, with the
+    broadcast replaced by bounded replication: vectors are sent to BQ
+    cells and queries to BV cells, so memory per task is
+    (nq/BQ + nv/BV)·d and total shuffle is nq·BV + nv·BQ rows.
+    """
+    if metric not in ("l2", "ip", "cosine"):
+        raise ValueError(f"unknown metric {metric!r}")
+    spark = vectors.sparkSession
+    want_min = metric == "l2"
+
+    qblocks = spark.range(num_qblocks).select(F.col("id").cast("int").alias("qb"))
+    vblocks = spark.range(num_vblocks).select(F.col("id").cast("int").alias("vb"))
+
+    v = vectors.select(
+        F.lit("v").alias("role"),
+        F.col(id_col).cast("long").alias("rid"),
+        F.col(vec_col).cast("array<double>").alias("rvec"),
+        F.pmod(F.col(id_col), F.lit(num_vblocks)).cast("int").alias("vb"),
+    ).crossJoin(qblocks)
+    q = queries.select(
+        F.lit("q").alias("role"),
+        F.col(qid_col).cast("long").alias("rid"),
+        F.col(qvec_col).cast("array<double>").alias("rvec"),
+        F.pmod(F.col(qid_col), F.lit(num_qblocks)).cast("int").alias("qb"),
+    ).crossJoin(vblocks)
+
+    both = v.select("qb", "vb", "role", "rid", "rvec").unionByName(
+        q.select("qb", "vb", "role", "rid", "rvec")
+    )
+
+    sign = 1.0 if want_min else -1.0
+
+    def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        qm = pdf[pdf["role"] == "q"]
+        vm = pdf[pdf["role"] == "v"]
+        if len(qm) == 0 or len(vm) == 0:
+            return pd.DataFrame({"qid": [], "label": [], "distance": []}).astype(
+                {"qid": np.int64, "label": np.int64, "distance": np.float64}
+            )
+        Q = np.stack(qm["rvec"].to_numpy())
+        V = np.stack(vm["rvec"].to_numpy())
+        G = Q @ V.T
+        if metric == "l2":
+            D = (Q * Q).sum(1)[:, None] + (V * V).sum(1)[None, :] - 2.0 * G
+            np.maximum(D, 0.0, out=D)
+        elif metric == "cosine":
+            denom = np.linalg.norm(Q, axis=1)[:, None] * np.linalg.norm(V, axis=1)[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                D = np.where(denom > 0, G / denom, 0.0)
+        else:
+            D = G
+        kk = min(k, D.shape[1])
+        Ds = sign * D
+        idx = np.argpartition(Ds, kk - 1, axis=1)[:, :kk] if kk < D.shape[1] else (
+            np.argsort(Ds, axis=1)
+        )
+        qids = np.repeat(qm["rid"].to_numpy(np.int64), idx.shape[1])
+        labels = vm["rid"].to_numpy(np.int64)[idx.ravel()]
+        dists = np.take_along_axis(D, idx, axis=1).ravel()
+        return pd.DataFrame({"qid": qids, "label": labels, "distance": dists})
+
+    cand_schema = T.StructType(
+        [
+            T.StructField("qid", T.LongType()),
+            T.StructField("label", T.LongType()),
+            T.StructField("distance", T.DoubleType()),
+        ]
+    )
+    candidates = both.groupBy("qb", "vb").applyInPandas(
+        lambda key, pdf: cell_topk(pdf), cand_schema
+    )
+    qid_df = queries.select(F.col(qid_col).cast("long").alias("qid"))
+    return _finalize(qid_df, candidates, k, metric)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN
+# ---------------------------------------------------------------------------
+
+
+def ivf_train_centroids(
+    vectors: DataFrame,
+    n_cells: int,
+    vec_col: str = "vec",
+    id_col: str = "id",
+    sample_size: int = 16384,
+    iters: int = 10,
+) -> np.ndarray:
+    """Deterministic k-means centroids from an id-ordered sample.
+
+    The sample is the first ``sample_size`` rows by id (stable across
+    runs and engines); init is the first n_cells sample rows; Lloyd
+    iterations run on the driver (the sample is small by construction —
+    training is O(sample), assignment is the distributed part).
+    """
+    pdf = (
+        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .orderBy("id")
+        .limit(sample_size)
+        .toPandas()
+    )
+    X = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+    if len(X) < n_cells:
+        raise ValueError(f"need ≥ {n_cells} vectors to train, got {len(X)}")
+    C = X[:n_cells].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        for c in range(n_cells):
+            m = assign == c
+            if m.any():
+                C[c] = X[m].mean(0)
+    return C
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Add a ``cell`` column = nearest centroid id (one scan, no shuffle)."""
+    spark = vectors.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+    fields = vectors.schema.fields
+
+    out_schema = T.StructType(list(fields) + [T.StructField("cell", T.IntegerType())])
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = bc.value
+        cn = (C * C).sum(1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            # argmin ‖v−c‖² = argmin ‖c‖²−2v·c  (‖v‖² constant per row)
+            pdf = pdf.copy()
+            pdf["cell"] = (cn[None, :] - 2.0 * (V @ C.T)).argmin(1).astype(np.int32)
+            yield pdf
+
+    return vectors.mapInPandas(assign, out_schema)
+
+
+def ivf_write(assigned: DataFrame, path: str) -> None:
+    """Persist the inverted file: parquet partitioned by cell, so probe
+    filters prune partitions at scan time (the IVF 'inverted list')."""
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivf_search(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    queries: DataFrame,
+    k: int,
+    nprobe: int,
+    metric: str = "l2",
+    id_col: str = "id",
+    vec_col: str = "vec",
+    qid_col: str = "qid",
+    qvec_col: str = "vec",
+) -> DataFrame:
+    """Probe the nprobe nearest cells per query, exact search within.
+
+    The cell filter is a plain ``isin`` — on a cell-partitioned table it
+    becomes partition pruning; in memory it's still a single scan that
+    skips non-candidate rows before any distance math. Search within
+    the probed subset reuses the exact brute-force operator, so
+    nprobe = n_cells degrades gracefully to exact search.
+    """
+    from .knn import knn_search
+
+    qpdf = queries.select(
+        F.col(qid_col).cast("long").alias("qid"), F.col(qvec_col).alias("qvec")
+    ).toPandas()
+    if len(qpdf) == 0:
+        return queries.sparkSession.createDataFrame([], RESULT_SCHEMA)
+    Q = np.stack(qpdf["qvec"].to_numpy()).astype(np.float64)
+    cn = (centroids * centroids).sum(1)
+    order = (cn[None, :] - 2.0 * (Q @ centroids.T)).argsort(1, kind="stable")
+    probe = order[:, :nprobe]
+
+    spark = queries.sparkSession
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "qid": np.repeat(qpdf["qid"].to_numpy(np.int64), nprobe),
+                "cell": probe.ravel().astype(np.int32),
+            }
+        )
+    )
+    cells = np.unique(probe.ravel())
+    subset = assigned.where(F.col("cell").isin([int(c) for c in cells]))
+
+    # Exact search over the union of probed cells, then drop hits whose
+    # cell wasn't probed for that particular query.
+    res = knn_search(
+        subset, queries, k * max(2, nprobe), metric=metric, method="gemm",
+        id_col=id_col, vec_col=vec_col, qid_col=qid_col, qvec_col=qvec_col,
+    ).where(F.col("label") >= 0)
+    cellmap = assigned.select(F.col(id_col).cast("long").alias("label"), "cell")
+    valid = (
+        res.join(cellmap, "label")
+        .join(pairs, ["qid", "cell"], "left_semi")
+    )
+    asc = metric == "l2"
+    order_cols = [F.col("distance").asc() if asc else F.col("distance").desc(),
+                  F.col("label").asc()]
+    w = Window.partitionBy("qid").orderBy(*order_cols)
+    return (
+        valid.withColumn("rank", (F.row_number().over(w) - 1).cast("int"))
+        .where(F.col("rank") < k)
+        .select("qid", "rank", "label", "distance")
+    )

@@ -1,0 +1,121 @@
+"""Property tests for similarity.py: blocked exact kNN join equals the
+brute-force oracle; LSH self-recall; IVF degrades to exact at full
+probe and keeps usable recall at partial probe."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from faiss_metal_spark.operators.knn import knn_search
+from faiss_metal_spark.operators.similarity import (
+    ann_lsh_search,
+    ivf_assign,
+    ivf_search,
+    ivf_train_centroids,
+    knn_join_blocked,
+    lsh_planes,
+)
+from tests.conftest import make_fixture, numpy_oracle, queries_df, vectors_df
+
+
+def test_knn_join_blocked_exact(spark):
+    V, Q = make_fixture(nv=200, nq=23, d=16)
+    res = (
+        knn_join_blocked(
+            vectors_df(spark, V), queries_df(spark, Q), k=5,
+            metric="l2", num_qblocks=3, num_vblocks=4,
+        )
+        .orderBy("qid", "rank")
+        .toPandas()
+    )
+    D, L = numpy_oracle(V, Q, 5, "l2")
+    got_d = res["distance"].to_numpy().reshape(23, 5)
+    np.testing.assert_allclose(got_d, D, rtol=1e-9)
+    # top-1 label exact (reference test discipline, test_metal_flat.mm:51-58)
+    np.testing.assert_array_equal(res["label"].to_numpy().reshape(23, 5)[:, 0], L[:, 0])
+
+
+def test_knn_join_blocked_ip(spark):
+    V, Q = make_fixture(nv=150, nq=11, d=8)
+    res = (
+        knn_join_blocked(
+            vectors_df(spark, V), queries_df(spark, Q), k=3, metric="ip",
+        )
+        .orderBy("qid", "rank")
+        .toPandas()
+    )
+    D, L = numpy_oracle(V, Q, 3, "ip")
+    np.testing.assert_allclose(res["distance"].to_numpy().reshape(11, 3), D, rtol=1e-9)
+
+
+def test_ann_lsh_self_recall(spark):
+    """A query identical to a stored vector lands in the same buckets,
+    so it must find itself at rank 0 with cosine ≈ 1."""
+    V, _ = make_fixture(nv=300, nq=1, d=32)
+    planes = lsh_planes(32, num_planes=6, num_tables=2)
+    vdf = vectors_df(spark, V)
+    qdf = queries_df(spark, V[:10])
+    res = ann_lsh_search(vdf, qdf, k=5, planes=planes).orderBy("qid", "rank").toPandas()
+    top1 = res[res["rank"] == 0]
+    assert len(top1) == 10
+    np.testing.assert_array_equal(top1["label"].to_numpy(), np.arange(10))
+    np.testing.assert_allclose(top1["distance"].to_numpy(), 1.0, atol=1e-9)
+
+
+def test_ann_lsh_candidates_only(spark):
+    """Results are a subset of true neighbors by construction: every
+    returned distance must equal the exact cosine for that pair."""
+    V, Q = make_fixture(nv=120, nq=4, d=16)
+    planes = lsh_planes(16, num_planes=4, num_tables=2)
+    res = ann_lsh_search(
+        vectors_df(spark, V), queries_df(spark, Q), k=3, planes=planes
+    ).toPandas()
+    Vd, Qd = V.astype(np.float64), Q.astype(np.float64)
+    for r in res.itertuples():
+        exact = (Qd[r.qid] @ Vd[r.label]) / (
+            np.linalg.norm(Qd[r.qid]) * np.linalg.norm(Vd[r.label])
+        )
+        assert r.distance == pytest.approx(exact, rel=1e-9)
+
+
+@pytest.fixture(scope="module")
+def ivf_setup(spark):
+    V, Q = make_fixture(nv=400, nq=8, d=16)
+    vdf = vectors_df(spark, V)
+    C = ivf_train_centroids(vdf, n_cells=8, sample_size=400)
+    assigned = ivf_assign(vdf, C).persist()
+    assigned.count()
+    return V, Q, C, assigned
+
+
+def test_ivf_full_probe_is_exact(spark, ivf_setup):
+    V, Q, C, assigned = ivf_setup
+    res = (
+        ivf_search(assigned, C, queries_df(spark, Q), k=5, nprobe=8)
+        .orderBy("qid", "rank")
+        .toPandas()
+    )
+    D, L = numpy_oracle(V, Q, 5, "l2")
+    np.testing.assert_allclose(res["distance"].to_numpy().reshape(8, 5), D, rtol=1e-9)
+    np.testing.assert_array_equal(res["label"].to_numpy().reshape(8, 5)[:, 0], L[:, 0])
+
+
+def test_ivf_partial_probe_recall(spark, ivf_setup):
+    V, Q, C, assigned = ivf_setup
+    res = ivf_search(assigned, C, queries_df(spark, Q), k=5, nprobe=3).toPandas()
+    _, L = numpy_oracle(V, Q, 5, "l2")
+    hits = 0
+    for qid in range(8):
+        got = set(res[res["qid"] == qid]["label"])
+        hits += len(got & set(L[qid]))
+    assert hits / (8 * 5) >= 0.5  # nprobe 3/8 keeps most true neighbors
+
+
+def test_ivf_matches_knn_on_probed_subset(spark, ivf_setup):
+    """IVF results with nprobe=1 are exact within the probed cell."""
+    V, Q, C, assigned = ivf_setup
+    res = ivf_search(assigned, C, queries_df(spark, Q[:2]), k=3, nprobe=1).toPandas()
+    probe = ((C * C).sum(1)[None, :] - 2.0 * (Q[:2].astype(np.float64) @ C.T)).argmin(1)
+    apdf = assigned.select("id", "cell").toPandas().set_index("id")["cell"]
+    for r in res.itertuples():
+        assert apdf[r.label] == probe[r.qid]
