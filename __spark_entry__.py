@@ -46,6 +46,12 @@ from faiss_metal_spark.operators.dedup import (  # noqa: E402
     simhash_signatures,
 )
 from faiss_metal_spark.operators.knn import knn_search  # noqa: E402
+from faiss_metal_spark.operators.multimodal import (  # noqa: E402
+    attach_payload,
+    byte_stats,
+    decode_image,
+    sample_frames,
+)
 from faiss_metal_spark.operators.similarity import (  # noqa: E402
     ann_lsh_search,
     ivf_assign,
@@ -659,6 +665,59 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# Multimodal binary-payload plumbing (operators/multimodal.py)
+# ---------------------------------------------------------------------------
+
+
+def _mm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return attach_payload(_t(spark, sf_dir, "documents"))
+
+
+def q_mm_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = byte_stats(_mm(spark, sf_dir))
+    return s.select(
+        "doc_id", "n_bytes", _norm(F.col("mean_byte"), 4).alias("mean_byte"), "max_byte"
+    )
+
+
+ORACLE_MM_BYTE_STATS = """
+WITH c AS (
+  SELECT doc_id, length(text) AS n,
+         [unicode(substr(text, i, 1)) FOR i IN range(1, length(text) + 1)] AS codes
+  FROM documents
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+       ROUND(list_sum(codes) / CAST(n AS DOUBLE), 4) + 0.0 AS mean_byte,
+       CAST(list_max(codes) AS INTEGER) AS max_byte
+FROM c
+"""
+
+
+def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_frames(_mm(spark, sf_dir), stride=16)
+
+
+ORACLE_MM_FRAMES = """
+SELECT doc_id, CAST(j AS INTEGER) AS frame_idx,
+       CAST(unicode(substr(text, CAST(j * 16 + 1 AS INTEGER), 1)) AS INTEGER) AS frame_byte
+FROM documents CROSS JOIN (SELECT unnest(range(0, 10000)) AS j)
+WHERE j * 16 < length(text)
+"""
+
+
+def q_mm_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_image(_mm(spark, sf_dir), fake=True)
+
+
+ORACLE_MM_THUMBNAIL = """
+SELECT doc_id, CAST(i AS INTEGER) AS px_idx,
+       CAST(unicode(substr(text, CAST((i * length(text)) // 16 + 1 AS INTEGER), 1)) AS INTEGER) AS px
+FROM documents CROSS JOIN (SELECT unnest(range(0, 16)) AS i)
+WHERE length(text) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 
@@ -695,6 +754,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "mm_byte_stats": q_mm_byte_stats,
+        "mm_frames": q_mm_frames,
+        "mm_thumbnail": q_mm_thumbnail,
     }
 
 
@@ -726,4 +788,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "lang_id": _oracle_lang_id(),
         "doc_fingerprint": ORACLE_FINGERPRINT,
+        "mm_byte_stats": ORACLE_MM_BYTE_STATS,
+        "mm_frames": ORACLE_MM_FRAMES,
+        "mm_thumbnail": ORACLE_MM_THUMBNAIL,
     }
