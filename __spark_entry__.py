@@ -73,9 +73,9 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = _t(spark, sf_dir, "events")
     if dict(df.dtypes)["ts"] in ("bigint", "long"):
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        # integer div, not float: float division rounds the microsecond
+        # while nanos→micros must truncate (what TIMESTAMP readers do)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
@@ -339,6 +339,40 @@ FROM events GROUP BY event_type
 # ---------------------------------------------------------------------------
 # Dedup / text-analysis queries (north-star extensions)
 # ---------------------------------------------------------------------------
+
+
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (session_window — same op streams with a
+    watermark; batch form is the oracle-checkable one)."""
+    from faiss_metal_spark.streaming import sessionize
+
+    e = _events(spark, sf_dir)
+    s = sessionize(e, gap="30 minutes")
+    return s.select(
+        "user_id", "session_start_us", "n_events", _norm(F.col("sum_value"), 2).alias("sum_value")
+    )
+
+
+ORACLE_SESSIONS = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+),
+f AS (
+  SELECT *, CASE WHEN prev_ts IS NULL OR ts >= prev_ts + INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS new_session
+  FROM o
+),
+g AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f
+)
+SELECT user_id, epoch_us(MIN(ts)) AS session_start_us,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) + 0.0 AS sum_value
+FROM g GROUP BY user_id, sid
+"""
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -744,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top3_orders_per_customer": q_top3_orders_per_customer,
         "events_hourly": q_events_hourly,
         "events_json": q_events_json,
+        "event_sessions": q_event_sessions,
         "dedup_exact": q_dedup_exact,
         "minhash_lsh": q_minhash_lsh,
         "text_stats": q_text_stats,
@@ -778,6 +813,7 @@ def oracle_sql() -> dict[str, str]:
         "top3_orders_per_customer": ORACLE_TOP3,
         "events_hourly": ORACLE_EVENTS_HOURLY,
         "events_json": ORACLE_EVENTS_JSON,
+        "event_sessions": ORACLE_SESSIONS,
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "minhash_lsh": ORACLE_MINHASH_LSH,
         "text_stats": ORACLE_TEXT_STATS,

@@ -1,0 +1,7 @@
+from .ops import (  # noqa: F401
+    hourly_counts,
+    read_events_stream,
+    run_to_memory,
+    sessionize,
+    user_running_totals,
+)

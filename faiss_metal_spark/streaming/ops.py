@@ -1,0 +1,153 @@
+"""Structured Streaming operators over the events table.
+
+The reference engine has no streaming surface (SURVEY §2.9 —
+``searchAsync`` is async execution, not streaming); these are
+north-star extensions built directly on Spark's incremental engine:
+
+- ``read_events_stream``  — file-stream source over the events parquet;
+  ``maxFilesPerTrigger`` bounds micro-batch size.
+- ``hourly_counts``       — watermarked tumbling-window aggregation;
+  late events beyond the watermark are dropped, state is bounded.
+- ``sessionize``          — gap-based session windows (works identically
+  in batch mode, which is how the DuckDB oracle checks it).
+- ``user_running_totals`` — custom stateful operator via
+  ``applyInPandasWithState``: per-user cumulative counters that survive
+  across micro-batches (the analog of a keyed state store).
+
+Every transformation here is identical for batch and streaming input
+DataFrames except ``user_running_totals`` (state requires a stream), so
+correctness is pinned by batch-vs-stream equivalence tests
+(tests/test_streaming.py) plus the SQL oracle on the batch form.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over an events parquet path (file or glob)."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def hourly_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1-hour windows of event counts / value sums per type.
+
+    With a streaming input the watermark bounds state: windows older
+    than (max event time − watermark) are finalized and evicted. The
+    same expression runs in batch for the oracle comparison.
+    """
+    e = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user gap sessions: (user_id, session_start_us, n_events,
+    sum_value). An event extends its user's session iff it arrives
+    strictly within ``gap`` of the previous event (half-open windows).
+    """
+    e = events.withWatermark("ts", gap) if events.isStreaming else events
+    return (
+        e.groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """Keyed stateful operator: per-user cumulative (count, Σvalue).
+
+    State persists across micro-batches in the state store; each batch
+    emits the updated totals for users seen in that batch. This is the
+    ``applyInPandasWithState`` pattern any custom streaming accumulator
+    (dedup windows, rate limiters, CUSUM detectors) builds on.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, name: str, checkpoint: str, output_mode: str = "complete"
+) -> None:
+    """Drain a stream into an in-memory table with availableNow (test &
+    backfill harness: process everything currently in the source, then
+    stop)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
