@@ -336,6 +336,119 @@ FROM events GROUP BY event_type
 """
 
 
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders having ≥1 heavy lineitem (EXISTS → left-semi join)."""
+    o = _t(spark, sf_dir, "orders")
+    heavy = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    return (
+        o.join(heavy, o["o_orderkey"] == heavy["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+ORACLE_SEMI_JOIN = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+GROUP BY o_orderpriority
+"""
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no big-ticket order (NOT EXISTS → left-anti join)."""
+    c = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return (
+        c.join(big, c["c_custkey"] == big["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+ORACLE_ANTI_JOIN = """
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+GROUP BY c_mktsegment
+"""
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals over (returnflag, linestatus) with ROLLUP."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _norm(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_price",
+        )
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) + 0.0 AS sum_price
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers active in both 1996 and 1997 (INTERSECT set op)."""
+    o = _t(spark, sf_dir, "orders")
+    y96 = o.where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_custkey")
+    y97 = o.where(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    ).select("o_custkey")
+    return y96.intersect(y97)
+
+
+ORACLE_INTERSECT = """
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+INTERSECT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+"""
+
+
+def q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running Σvalue ordered by event time (unbounded-preceding
+    window) — ties broken by event_id so the frame is deterministic."""
+    from pyspark.sql.window import Window
+
+    e = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        _norm(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+ORACLE_RUNNING = """
+SELECT user_id, event_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 2) + 0.0 AS running_value
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # Dedup / text-analysis queries (north-star extensions)
 # ---------------------------------------------------------------------------
@@ -776,6 +889,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "top3_orders_per_customer": q_top3_orders_per_customer,
+        "semi_join_heavy_orders": q_semi_join,
+        "anti_join_idle_customers": q_anti_join,
+        "rollup_lineitem": q_rollup,
+        "intersect_customers": q_intersect_customers,
+        "running_totals": q_running_totals,
         "events_hourly": q_events_hourly,
         "events_json": q_events_json,
         "event_sessions": q_event_sessions,
@@ -811,6 +929,11 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q5": ORACLE_Q5,
         "tpch_q6": ORACLE_Q6,
         "top3_orders_per_customer": ORACLE_TOP3,
+        "semi_join_heavy_orders": ORACLE_SEMI_JOIN,
+        "anti_join_idle_customers": ORACLE_ANTI_JOIN,
+        "rollup_lineitem": ORACLE_ROLLUP,
+        "intersect_customers": ORACLE_INTERSECT,
+        "running_totals": ORACLE_RUNNING,
         "events_hourly": ORACLE_EVENTS_HOURLY,
         "events_json": ORACLE_EVENTS_JSON,
         "event_sessions": ORACLE_SESSIONS,
