@@ -516,10 +516,10 @@ sh AS (
 ),
 sig AS (
   SELECT doc_id,
-    MIN(md5(sh || '#0')) AS mh0, MIN(md5(sh || '#1')) AS mh1,
-    MIN(md5(sh || '#2')) AS mh2, MIN(md5(sh || '#3')) AS mh3,
-    MIN(md5(sh || '#4')) AS mh4, MIN(md5(sh || '#5')) AS mh5,
-    MIN(md5(sh || '#6')) AS mh6, MIN(md5(sh || '#7')) AS mh7
+    MIN(substr(md5(sh), 1, 8))  AS mh0, MIN(substr(md5(sh), 9, 8))  AS mh1,
+    MIN(substr(md5(sh), 17, 8)) AS mh2, MIN(substr(md5(sh), 25, 8)) AS mh3,
+    MIN(substr(md5(sh || '#'), 1, 8))  AS mh4, MIN(substr(md5(sh || '#'), 9, 8))  AS mh5,
+    MIN(substr(md5(sh || '#'), 17, 8)) AS mh6, MIN(substr(md5(sh || '#'), 25, 8)) AS mh7
   FROM sh GROUP BY doc_id
 ),
 bkt AS (
@@ -723,7 +723,7 @@ ORACLE_SIMHASH = f"WITH {_sql_simhash_sig()} SELECT doc_id, simhash FROM sig"
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = simhash_signatures(_t(spark, sf_dir, "documents"))
-    pairs = simhash_neardup_pairs(sig, bands=4, max_hamming=6)
+    pairs = simhash_neardup_pairs(sig, bands=4, max_hamming=3)
     return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
@@ -736,7 +736,7 @@ bkt AS (
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
 FROM bkt a JOIN bkt b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 

@@ -30,31 +30,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def _gen_vectors(spark, nv: int, d: int, seed: int = 42):
     """Distributed deterministic uniform[−1,1] vector table (id, vec)."""
-    from pyspark.sql import functions as F
-    from pyspark.sql import types as T
+    from faiss_metal_spark.sources import synthetic_vectors
 
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    base = spark.range(0, nv, 1, min(n_parts, max(1, nv // 1000)))
-
-    schema = T.StructType(
-        [
-            T.StructField("id", T.LongType()),
-            T.StructField("vec", T.ArrayType(T.FloatType())),
-        ]
-    )
-
-    def gen(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            ids = pdf["id"].to_numpy(np.int64)
-            if len(ids) == 0:
-                continue
-            rng = np.random.default_rng(seed + int(ids[0]))
-            mat = rng.uniform(-1, 1, size=(len(ids), d)).astype(np.float32)
-            yield pd.DataFrame({"id": ids, "vec": list(mat)})
-
-    return base.mapInPandas(gen, schema)
+    return synthetic_vectors(spark, nv, d, seed)
 
 
 def bench_grid(spark) -> dict[str, float]:
@@ -90,6 +68,25 @@ def bench_grid(spark) -> dict[str, float]:
     return results
 
 
+def _warmup(spark) -> None:
+    """Steady-state warm-up (the reference benches warmup=3 before
+    timing, bench_metal_flat.mm:118): spin up the Python worker pool,
+    JIT the codegen paths, and prime the parquet footer cache."""
+    import pandas as pd
+
+    def ident(batches):
+        yield from batches
+
+    spark.range(0, 1000, 1, 8).mapInPandas(
+        ident, "id long"
+    ).count()
+    for t in ("lineitem", "events", "documents", "embeddings"):
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            spark.read.parquet(p).count()
+    _ = pd.DataFrame()
+
+
 def bench_headline(spark) -> dict[str, float]:
     import __spark_entry__ as entry_mod
 
@@ -109,6 +106,7 @@ def main() -> None:
     spark = get_spark("faiss-metal-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    _warmup(spark)
     queries: dict[str, float] = {}
     queries.update(bench_headline(spark))
     queries.update(bench_grid(spark))

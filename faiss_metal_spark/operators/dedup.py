@@ -48,16 +48,22 @@ def exact_dedup(
 
 
 def minhash_signature_cols(shingle_col: Column, num_hashes: int) -> list[Column]:
-    """num_hashes md5-min columns over an exploded shingle column.
+    """num_hashes min-hash columns over an exploded shingle column.
 
-    min(md5(shingle || '#i')) is a proper min-hash family: md5 output is
-    uniform per seed suffix, and the lexicographic min over hex strings
-    orders identically in any engine.
+    Each md5 digest is carved into four independent 8-hex-char lanes, so
+    H signatures cost ⌈H/4⌉ md5 evaluations per shingle instead of H —
+    at corpus scale the hash is the dominant per-row cost of signature
+    building. Lexicographic min over fixed-width hex substrings is a
+    proper min-hash family and orders identically in any engine.
     """
-    return [
-        F.min(F.md5(F.concat(shingle_col, F.lit(f"#{i}")))).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
+    cols = []
+    for i in range(num_hashes):
+        digest, lane = divmod(i, 4)
+        h = F.md5(shingle_col) if digest == 0 else F.md5(
+            F.concat(shingle_col, F.lit("#" * digest))
+        )
+        cols.append(F.min(F.substring(h, 8 * lane + 1, 8)).alias(f"mh{i}"))
+    return cols
 
 
 def minhash_signatures(
@@ -215,10 +221,17 @@ def ngram_jaccard_pairs(
     full cross product is ever formed, which is what makes this viable
     on large corpora).
     Returns (id_a, id_b, jaccard).
+
+    Shingle strings are hashed to int64 before the self-join: the
+    shuffle moves 8-byte keys instead of n-word strings and the join
+    compares longs. A 64-bit collision (≈ p·2⁻⁶⁴ per pair) would
+    overcount one intersection — negligible against the corpus sizes
+    this runs at, and the oracle comparison would surface it.
     """
     sh = docs.select(
-        F.col(id_col), F.explode(F.array_distinct(shingles(text_col, shingle_size))).alias("sh")
-    )
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(text_col, shingle_size))).alias("_s"),
+    ).select(id_col, F.xxhash64("_s").alias("sh"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
 
     a, b = sh.alias("a"), sh.alias("b")
@@ -260,25 +273,49 @@ def embedding_neardup_pairs(
     key bounds the quadratic term; for unblocked corpora use LSH
     bucketing (similarity.py) to generate blocks first.
 
-    Vectors are L2-normalized BEFORE the join (once per row, not once
-    per pair), so the pairwise expression is a single dot product —
-    3× less per-pair work than evaluating cosine directly, which is
-    what dominates when blocks produce millions of pairs.
+    The pairwise math runs as one BLAS GEMM per block inside
+    ``applyInPandas`` (U·Uᵀ of the L2-normalized block matrix) instead
+    of a per-pair expression over an exploded self-join — the block's
+    vectors cross the Arrow boundary once, and the b² term is a C-speed
+    matrix multiply rather than b² row-wise aggregates. One shuffle
+    total (the groupBy on the block key). Per-task memory is b·d + b²
+    doubles, so the blocking key must bound b — that is its job.
     """
-    from ..functions.vector import dot, sqnorm
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
 
-    nrm = F.sqrt(sqnorm(vec_col))
-    unit = F.when(
-        nrm > 0, F.transform(F.col(vec_col), lambda x: x.cast("double") / nrm)
-    ).otherwise(F.transform(F.col(vec_col), lambda x: F.lit(0.0)))
-    normed = emb.select(
-        F.col(block_col).alias("blk"), F.col(id_col).alias("_id"), unit.alias("_u")
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cos", T.DoubleType()),
+        ]
     )
-    a = normed.select("blk", F.col("_id").alias("id_a"), F.col("_u").alias("ua"))
-    b = normed.select("blk", F.col("_id").alias("id_b"), F.col("_u").alias("ub"))
-    return (
-        a.join(b, "blk")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", dot("ua", "ub").alias("cos"))
-        .where(F.col("cos") >= threshold)
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"id_a": np.int64, "id_b": np.int64, "cos": np.float64}
+            )
+        ids = pdf["_id"].to_numpy(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        V = np.stack(pdf["_v"].to_numpy())[order].astype(np.float64)
+        nrm = np.linalg.norm(V, axis=1, keepdims=True)
+        U = np.divide(V, nrm, out=np.zeros_like(V), where=nrm > 0)
+        S = U @ U.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = S[ia, ib] >= threshold
+        return pd.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cos": S[ia, ib][keep]}
+        )
+
+    blocks = emb.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vec_col).alias("_v"),
+    )
+    return blocks.groupBy("blk").applyInPandas(
+        lambda key, pdf: block_pairs(pdf), out_schema
     )

@@ -1,0 +1,78 @@
+"""Sources round-trip + physical-plan quality gates.
+
+Plan-shape assertions are regression tests for scale discipline: the
+TPC-H joins must broadcast their dimension sides and push filters into
+the parquet scan; the kNN gemm path must stay a single scan + one
+candidate shuffle. If a code change silently degrades one of these,
+the suite fails even though results stay correct.
+"""
+
+import numpy as np
+import pytest
+
+from faiss_metal_spark.plans import assert_plan, explain_report
+from faiss_metal_spark.sources import read_vectors, synthetic_vectors, write_vectors
+from tests.conftest import make_fixture, vectors_df
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "json", "csv"])
+def test_vector_io_roundtrip(spark, tmp_path, fmt):
+    V, _ = make_fixture(nv=50, nq=1, d=8)
+    df = vectors_df(spark, V)
+    path = str(tmp_path / f"vecs_{fmt}")
+    write_vectors(df, path, fmt=fmt)
+    back = read_vectors(spark, path, fmt=fmt).orderBy("id").toPandas()
+    got = np.stack(back["vec"].to_numpy())
+    np.testing.assert_allclose(got, V, rtol=1e-6)
+    assert back["id"].tolist() == list(range(50))
+
+
+def test_synthetic_vectors_deterministic(spark):
+    a = synthetic_vectors(spark, 500, 16, seed=42, partitions=4).orderBy("id").toPandas()
+    b = synthetic_vectors(spark, 500, 16, seed=42, partitions=4).orderBy("id").toPandas()
+    np.testing.assert_array_equal(np.stack(a["vec"]), np.stack(b["vec"]))
+    c = synthetic_vectors(spark, 500, 16, seed=43, partitions=4).orderBy("id").toPandas()
+    assert not np.array_equal(np.stack(a["vec"]), np.stack(c["vec"]))
+
+
+def test_tpch_q3_plan_broadcasts_and_pushes(spark):
+    import __spark_entry__ as entry
+
+    df = entry.q_tpch_q3(spark, SF)
+    r = assert_plan(df, min_broadcasts=1, require_pushed_filter=True,
+                    forbid_sort_merge_join=True)
+    # both joins broadcast; the only shuffle is the partial→final agg
+    assert r.n_exchanges <= 1, r.plan
+
+
+def test_tpch_q5_plan_all_dims_broadcast(spark):
+    import __spark_entry__ as entry
+
+    df = entry.q_tpch_q5(spark, SF)
+    # four dimension tables broadcast; the only shuffle-heavy join input
+    # is the lineitem-orders fact join
+    assert_plan(df, min_broadcasts=3, require_pushed_filter=True)
+
+
+def test_knn_gemm_plan_single_scan(spark):
+    from faiss_metal_spark.operators.knn import knn_search
+
+    V, Q = make_fixture(nv=300, nq=4, d=16)
+    from tests.conftest import queries_df
+
+    res = knn_search(vectors_df(spark, V), queries_df(spark, Q), k=5)
+    r = explain_report(res)
+    assert r.has_python_stage  # the BLAS stage
+    # vectors are scanned once and never shuffled: only the tiny
+    # candidate set (≤ parts·nq·k rows) moves — window merge + scaffold
+    # join account for the remaining exchanges
+    assert r.n_exchanges <= 4, r.plan
+
+
+def test_scan_prunes_columns(spark):
+    df = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_quantity")
+    r = explain_report(df)
+    assert any("l_quantity" in s for s in r.read_schemas)
+    assert not any("l_extendedprice" in s for s in r.read_schemas)
