@@ -1,3 +1,4 @@
+from .knn_stream import read_query_stream, run_knn_stream  # noqa: F401
 from .ops import (  # noqa: F401
     hourly_counts,
     read_events_stream,

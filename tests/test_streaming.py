@@ -86,3 +86,46 @@ def test_watermark_bounds_state(spark, events_dir):
     """The watermarked plan must carry an eventTime watermark node."""
     s = hourly_counts(_stream(spark, events_dir))
     assert "EventTimeWatermark" in s._jdf.queryExecution().analyzed().toString()
+
+
+def test_knn_stream_equals_batch(spark, tmp_path):
+    """Streamed query micro-batches produce exactly the batch results
+    (≙ the reference's async ≡ sync assertion, generalized to a feed)."""
+    import numpy as np
+
+    from faiss_metal_spark.operators.knn import knn_search
+    from faiss_metal_spark.streaming.knn_stream import (
+        read_query_stream,
+        run_knn_stream,
+    )
+    from tests.conftest import make_fixture, queries_df, vectors_df
+
+    V, Q = make_fixture(nv=250, nq=12, d=16)
+    vdf = vectors_df(spark, V).persist()
+    vdf.count()
+
+    # stage the query feed as three files → three micro-batches
+    qdir = tmp_path / "queries"
+    for i in range(3):
+        queries_df(spark, Q[i * 4 : (i + 1) * 4]).withColumn(
+            "qid", F.col("qid") + F.lit(i * 4)
+        ).coalesce(1).write.mode("append").parquet(str(qdir))
+
+    out = str(tmp_path / "results")
+    run_knn_stream(
+        vdf,
+        read_query_stream(spark, str(qdir), max_files_per_trigger=1),
+        k=5,
+        checkpoint=str(tmp_path / "cp_knn"),
+        results_path=out,
+    )
+    got = spark.read.parquet(out).orderBy("qid", "rank").toPandas()
+    want = (
+        knn_search(vdf, queries_df(spark, Q), 5).orderBy("qid", "rank").toPandas()
+    )
+    assert len(got) == 12 * 5
+    np.testing.assert_array_equal(got["label"].to_numpy(), want["label"].to_numpy())
+    np.testing.assert_allclose(
+        got["distance"].to_numpy(), want["distance"].to_numpy(), rtol=1e-12
+    )
+    vdf.unpersist()
