@@ -80,6 +80,8 @@ def _warmup(spark) -> None:
     spark.range(0, 1000, 1, 8).mapInPandas(
         ident, "id long"
     ).count()
+    # events may store TIMESTAMP(NANOS); same conf __spark_entry__ uses
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for t in ("lineitem", "events", "documents", "embeddings"):
         p = os.path.join(SF_DIR, f"{t}.parquet")
         if os.path.exists(p):

@@ -90,6 +90,13 @@ def _better_is_min(metric: Metric) -> bool:
     return metric == "l2"
 
 
+# Below this row count the declarative path beats paying the Python
+# worker round-trip — the analog of the reference's direct-kernel gate
+# for nv ≤ 256 (/root/reference/src/MetalDistance.mm:237-253), scaled
+# to where Spark's crossJoin+window actually crosses over.
+_SMALL_NV = 1024
+
+
 def knn_search(
     vectors: DataFrame,
     queries: DataFrame,
@@ -100,6 +107,7 @@ def knn_search(
     vec_col: str = "vec",
     qid_col: str = "qid",
     qvec_col: str = "vec",
+    nv_hint: int | None = None,
 ) -> DataFrame:
     """Top-k nearest neighbors of each query row among the vector rows.
 
@@ -107,6 +115,11 @@ def knn_search(
     best-first, sentinel-padded per FAISS semantics. Distances: squared
     L2 (no sqrt — FAISS convention), raw inner product, or cosine
     *similarity* depending on ``metric``.
+
+    ``method='auto'`` picks the physical strategy (SURVEY §4): the gemm
+    path by default; the declarative sql path when ``nv_hint`` says the
+    vector side is tiny (counting would cost a job, so the caller
+    supplies the hint — a real deployment knows its table sizes).
     """
     if k <= 0:
         raise ValueError("k must be positive")  # ≙ MetalIndexFlat.mm:321
@@ -121,7 +134,7 @@ def knn_search(
     )
 
     if method == "auto":
-        method = "gemm"
+        method = "sql" if (nv_hint is not None and nv_hint <= _SMALL_NV) else "gemm"
 
     if method == "gemm":
         candidates = _gemm_candidates(v, q, k, metric)
