@@ -82,19 +82,54 @@ def lsh_buckets(
 ) -> DataFrame:
     """(id, vec, table, bucket) — one row per (row, table).
 
-    All-Catalyst (no Python): quantize once, then packed sign bits per
-    table; the explode is num_tables× fan-out of id+bucket only.
+    Bucket ids for ALL tables are computed in one Arrow-batched integer
+    matmul: quantize the batch to int64, multiply by the (d × T·P)
+    stacked plane matrix, pack sign bits. Integer arithmetic is exact,
+    so bucket ids are bit-identical to the per-row Catalyst expression
+    (``_bucket_expr``, kept as the oracle-shaped reference form) and to
+    the SQL oracle — at T·P·d ≈ 768 multiplies per row the BLAS batch
+    beats per-row HOF evaluation by an order of magnitude.
     """
-    q = _quantized(F.col(vec_col))
-    tb = F.array(
-        *[
-            F.struct(F.lit(t).alias("tbl"), _bucket_expr(q, planes[t]).alias("bucket"))
-            for t in range(len(planes))
+    import pandas as pd
+    from pyspark.sql import types as T_
+
+    n_tables, n_planes, d = planes.shape
+    # (d, T·P) int64 — broadcast once per executor
+    P = planes.reshape(n_tables * n_planes, d).T.copy()
+    bc = df.sparkSession.sparkContext.broadcast(P)
+    pows = (2 ** np.arange(n_planes, dtype=np.int64))
+
+    out_schema = T_.StructType(
+        [
+            T_.StructField("id", T_.LongType()),
+            T_.StructField("vec", df.schema[vec_col].dataType),
+            T_.StructField("tbl", T_.IntegerType()),
+            T_.StructField("bucket", T_.LongType()),
         ]
     )
-    return df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), F.explode(tb).alias("tb")
-    ).select("id", "vec", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+
+    def bucketize(batches):
+        Pl = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            Vq = np.floor(V * 1000.0).astype(np.int64)
+            proj = Vq @ Pl  # (n, T·P) exact int64
+            bits = (proj > 0).reshape(len(V), n_tables, n_planes)
+            buckets = (bits * pows).sum(axis=2)  # (n, T)
+            ids = pdf["_id"].to_numpy(np.int64)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(ids, n_tables),
+                    "vec": np.repeat(pdf["_v"].to_numpy(), n_tables),
+                    "tbl": np.tile(np.arange(n_tables, dtype=np.int32), len(V)),
+                    "bucket": buckets.ravel(),
+                }
+            )
+
+    src = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    return src.mapInPandas(bucketize, out_schema)
 
 
 def ann_lsh_search(

@@ -119,3 +119,24 @@ def test_ivf_matches_knn_on_probed_subset(spark, ivf_setup):
     apdf = assigned.select("id", "cell").toPandas().set_index("id")["cell"]
     for r in res.itertuples():
         assert apdf[r.label] == probe[r.qid]
+
+
+def test_ivf_write_partition_pruning(spark, ivf_setup, tmp_path):
+    """A cell-partitioned inverted file turns the probe filter into
+    parquet partition pruning — the scan must carry PartitionFilters on
+    cell and read only probed directories."""
+    from faiss_metal_spark.operators.similarity import ivf_write
+
+    V, Q, C, assigned = ivf_setup
+    path = str(tmp_path / "ivf")
+    ivf_write(assigned, path)
+    back = spark.read.parquet(path)
+    probed = back.where(F.col("cell").isin([0, 3]))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:120]
+    # pruned scan returns exactly the probed cells' rows
+    want = assigned.where(F.col("cell").isin([0, 3])).count()
+    assert probed.count() == want
+    # and search over the reloaded inverted file still works end-to-end
+    res = ivf_search(back, C, queries_df(spark, Q[:2]), k=3, nprobe=2)
+    assert res.count() == 2 * 3
