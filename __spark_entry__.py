@@ -336,6 +336,111 @@ FROM events GROUP BY event_type
 """
 
 
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by revenue lost to returned items (TPC-H Q10
+    adapted to the available columns)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(rev.alias("_rev"))
+        .orderBy(F.col("_rev").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select("c_custkey", "c_name", "n_name", _norm(F.col("_rev"), 2).alias("revenue"))
+    )
+
+
+ORACLE_Q10 = """
+SELECT c_custkey, c_name, n_name, ROUND(rev, 2) + 0.0 AS revenue
+FROM (
+  SELECT c_custkey, c_name, n_name,
+         SUM(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+  GROUP BY c_custkey, c_name, n_name
+  ORDER BY rev DESC, c_custkey ASC LIMIT 20
+)
+"""
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders: total quantity > 250 (TPC-H Q18 shape:
+    group-HAVING subquery join)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .where(F.col("_qty") > 250)
+    )
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice", _norm(F.col("_qty"), 2).alias("total_qty"),
+        )
+    )
+
+
+ORACLE_Q18 = """
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice,
+       ROUND(q._qty, 2) + 0.0 AS total_qty
+FROM (
+  SELECT l_orderkey, SUM(l_quantity) AS _qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+) q
+JOIN orders ON q.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts priced above their brand's average (correlated scalar
+    subquery, decorrelated into a window aggregate — no self-join)."""
+    from pyspark.sql.window import Window
+
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand")
+    # the filter runs on the unrounded avg; the emitted column is the
+    # exact integer brand size (Spark's ROUND(double) uses the shortest
+    # decimal repr, which disagrees with engines rounding the true
+    # double exactly at .xx5 averages of 2-decimal prices)
+    return (
+        p.withColumn("_avg", F.avg("p_retailprice").over(w))
+        .withColumn("brand_n", F.count(F.lit(1)).over(w))
+        .where(F.col("p_retailprice") > F.col("_avg"))
+        .select("p_partkey", "p_brand", "p_retailprice", "brand_n")
+    )
+
+
+ORACLE_ABOVE_BRAND_AVG = """
+SELECT p_partkey, p_brand, p_retailprice, brand_n
+FROM (
+  SELECT p_partkey, p_brand, p_retailprice,
+         AVG(p_retailprice) OVER (PARTITION BY p_brand) AS brand_avg,
+         COUNT(*) OVER (PARTITION BY p_brand) AS brand_n
+  FROM part
+)
+WHERE p_retailprice > brand_avg
+"""
+
+
 def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders having ≥1 heavy lineitem (EXISTS → left-semi join)."""
     o = _t(spark, sf_dir, "orders")
@@ -888,6 +993,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q18": q_tpch_q18,
+        "above_brand_avg": q_above_brand_avg,
         "top3_orders_per_customer": q_top3_orders_per_customer,
         "semi_join_heavy_orders": q_semi_join,
         "anti_join_idle_customers": q_anti_join,
@@ -928,6 +1036,9 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q3": ORACLE_Q3,
         "tpch_q5": ORACLE_Q5,
         "tpch_q6": ORACLE_Q6,
+        "tpch_q10": ORACLE_Q10,
+        "tpch_q18": ORACLE_Q18,
+        "above_brand_avg": ORACLE_ABOVE_BRAND_AVG,
         "top3_orders_per_customer": ORACLE_TOP3,
         "semi_join_heavy_orders": ORACLE_SEMI_JOIN,
         "anti_join_idle_customers": ORACLE_ANTI_JOIN,
