@@ -63,6 +63,10 @@ from faiss_metal_spark.operators.similarity import (  # noqa: E402
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # the DuckDB oracle computes on naive timestamps; session-tz-dependent
+    # functions (date_trunc/date_format on LTZ) must agree regardless of
+    # the driver session's locale
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
