@@ -563,6 +563,26 @@ FROM events
 # ---------------------------------------------------------------------------
 
 
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ordered-statistics aggregate (linear-interpolated
+    percentiles) per event type — Spark percentile ≡ quantile_cont."""
+    e = _events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        _norm(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        _norm(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+        _norm(F.max("value"), 4).alias("vmax"),
+    )
+
+
+ORACLE_PERCENTILES = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 4) + 0.0 AS p50,
+       ROUND(quantile_cont(value, 0.95), 4) + 0.0 AS p95,
+       ROUND(MAX(value), 4) + 0.0 AS vmax
+FROM events GROUP BY event_type
+"""
+
+
 def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (session_window — same op streams with a
     watermark; batch form is the oracle-checkable one)."""
@@ -1009,6 +1029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_json": q_events_json,
         "event_sessions": q_event_sessions,
+        "value_percentiles": q_value_percentiles,
         "dedup_exact": q_dedup_exact,
         "minhash_lsh": q_minhash_lsh,
         "text_stats": q_text_stats,
@@ -1052,6 +1073,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": ORACLE_EVENTS_HOURLY,
         "events_json": ORACLE_EVENTS_JSON,
         "event_sessions": ORACLE_SESSIONS,
+        "value_percentiles": ORACLE_PERCENTILES,
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "minhash_lsh": ORACLE_MINHASH_LSH,
         "text_stats": ORACLE_TEXT_STATS,
