@@ -108,6 +108,7 @@ def knn_search(
     qid_col: str = "qid",
     qvec_col: str = "vec",
     nv_hint: int | None = None,
+    vec_format: str = "array",
 ) -> DataFrame:
     """Top-k nearest neighbors of each query row among the vector rows.
 
@@ -135,9 +136,11 @@ def knn_search(
 
     if method == "auto":
         method = "sql" if (nv_hint is not None and nv_hint <= _SMALL_NV) else "gemm"
+    if vec_format != "array" and method != "gemm":
+        raise ValueError("compact binary vector storage requires the gemm path")
 
     if method == "gemm":
-        candidates = _gemm_candidates(v, q, k, metric)
+        candidates = _gemm_candidates(v, q, k, metric, vec_format)
     else:
         candidates = _sql_candidates(v, q, k, metric)
 
@@ -193,7 +196,29 @@ def _collect_queries(q: DataFrame) -> tuple[np.ndarray, np.ndarray]:
     return qids, Q
 
 
-def _gemm_candidates(v: DataFrame, q: DataFrame, k: int, metric: Metric) -> DataFrame:
+def _decode_batch(col: pd.Series, vec_format: str) -> np.ndarray:
+    """Materialize an Arrow batch of vectors as an (n, d) float64 matrix.
+
+    For compact BINARY layouts the decode happens HERE, inside the same
+    Python stage as the GEMM — rows cross the JVM boundary at 2 bytes
+    per element (the bandwidth the reference's FP16 storage buys,
+    /root/reference/README.md Features) and never exist as float arrays
+    outside this function.
+    """
+    if vec_format == "array":
+        return np.stack(col.to_numpy()).astype(np.float64)
+    raw = b"".join(col)
+    if vec_format == "fp16_binary":
+        return np.frombuffer(raw, dtype=np.float16).reshape(len(col), -1).astype(np.float64)
+    if vec_format == "bf16_binary":
+        u = np.frombuffer(raw, dtype=np.uint16).astype(np.uint32) << 16
+        return u.view(np.float32).reshape(len(col), -1).astype(np.float64)
+    raise ValueError(f"unknown vec_format {vec_format!r}")
+
+
+def _gemm_candidates(
+    v: DataFrame, q: DataFrame, k: int, metric: Metric, vec_format: str = "array"
+) -> DataFrame:
     qids, Q = _collect_queries(q)
     nq = len(qids)
     if nq == 0:
@@ -218,7 +243,7 @@ def _gemm_candidates(v: DataFrame, q: DataFrame, k: int, metric: Metric) -> Data
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            V = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            V = _decode_batch(pdf["vec"], vec_format)
             labels = pdf["id"].to_numpy(np.int64)
             G = Q_ @ V.T  # BLAS — the reference's GEMM kernel family
             if metric == "l2":

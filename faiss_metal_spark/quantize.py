@@ -56,6 +56,70 @@ def bf16_roundtrip_np(x: np.ndarray) -> np.ndarray:
 _ROUNDTRIPS = {STORAGE_FP16: fp16_roundtrip_np, STORAGE_BF16: bf16_roundtrip_np}
 
 
+# -- compact (BINARY) layout: the actual 2-bytes-per-element store ----------
+#
+# The ARRAY<FLOAT> round-trip keeps the reference's *numerics*; the
+# BINARY layout also keeps its *bandwidth*: half the bytes in cache,
+# shuffle, and parquet — the honest Spark analog of "+22-34% on
+# bandwidth-bound workloads" (/root/reference/README.md Features).
+
+
+def fp16_encode_np(x: np.ndarray) -> np.ndarray:
+    """(n, d) FP32 → n byte-strings of d float16s."""
+    h = np.ascontiguousarray(x, dtype=np.float32).astype(np.float16)
+    return np.array([row.tobytes() for row in h], dtype=object)
+
+
+def fp16_decode_np(buf: bytes) -> np.ndarray:
+    return np.frombuffer(buf, dtype=np.float16).astype(np.float32)
+
+
+def bf16_encode_np(x: np.ndarray) -> np.ndarray:
+    """(n, d) FP32 → n byte-strings of d uint16 bfloat16s (RNE)."""
+    bits = np.ascontiguousarray(x, dtype=np.float32).view(np.uint32)
+    lsb = (bits >> 16) & 1
+    top = ((bits + np.uint32(0x7FFF) + lsb) >> 16).astype(np.uint16)
+    return np.array([row.tobytes() for row in top], dtype=object)
+
+
+def bf16_decode_np(buf: bytes) -> np.ndarray:
+    u = np.frombuffer(buf, dtype=np.uint16).astype(np.uint32) << 16
+    return u.view(np.float32)
+
+
+ENCODERS = {STORAGE_FP16: fp16_encode_np, STORAGE_BF16: bf16_encode_np}
+DECODERS = {STORAGE_FP16: fp16_decode_np, STORAGE_BF16: bf16_decode_np}
+
+
+def encode_col(vec: Column | str, storage: str) -> Column:
+    """ARRAY<FLOAT> → BINARY compact store for the given storage type."""
+    if storage not in ENCODERS:
+        raise ValueError(f"no compact layout for storage {storage!r}")
+    enc = ENCODERS[storage]
+
+    @pandas_udf(T.BinaryType())
+    def encode(s: pd.Series) -> pd.Series:
+        if len(s) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack(s.to_numpy()).astype(np.float32)
+        return pd.Series(list(enc(mat)))
+
+    return encode(F.col(vec) if isinstance(vec, str) else vec)
+
+
+def decode_col(bin_col: Column | str, storage: str) -> Column:
+    """BINARY compact store → ARRAY<FLOAT> (for sql-path / export use)."""
+    if storage not in DECODERS:
+        raise ValueError(f"no compact layout for storage {storage!r}")
+    dec = DECODERS[storage]
+
+    @pandas_udf(T.ArrayType(T.FloatType()))
+    def decode(s: pd.Series) -> pd.Series:
+        return pd.Series([dec(b) for b in s])
+
+    return decode(F.col(bin_col) if isinstance(bin_col, str) else bin_col)
+
+
 def _make_roundtrip_udf(kind: str):
     fn = _ROUNDTRIPS[kind]
 

@@ -46,6 +46,14 @@ VECTOR_SCHEMA = T.StructType(
     ]
 )
 
+COMPACT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("vec", T.BinaryType(), False),
+        T.StructField("norm_sq", T.DoubleType(), True),
+    ]
+)
+
 
 class SearchToken:
     """Async-search handle (≙ MetalSearchToken, MetalIndexFlat.mm:17-78).
@@ -73,10 +81,18 @@ class SearchToken:
 
 @dataclass
 class VectorTable:
+    """``compact=True`` stores reduced-precision vectors as BINARY
+    (2 bytes/element) instead of round-tripped ARRAY<FLOAT>: identical
+    numerics, half the cache/shuffle/parquet bytes — the reference's
+    FP16-storage bandwidth win realized in Spark's storage layer. The
+    search path decodes inside the GEMM UDF (no extra Python stage);
+    the declarative sql path is unavailable in compact mode."""
+
     spark: SparkSession
     d: int
     metric: Metric = "l2"
     storage: str = STORAGE_FP32
+    compact: bool = False
     df: DataFrame | None = None
     _next_id: int = 0
     _persisted: bool = field(default=False, repr=False)
@@ -84,8 +100,16 @@ class VectorTable:
     def __post_init__(self):
         if self.storage not in STORAGE_TYPES:
             raise ValueError(f"storage must be one of {STORAGE_TYPES}")
+        if self.compact and self.storage == STORAGE_FP32:
+            raise ValueError("compact layout requires fp16 or bf16 storage")
         if self.df is None:
-            self.df = self.spark.createDataFrame([], VECTOR_SCHEMA)
+            self.df = self.spark.createDataFrame(
+                [], COMPACT_SCHEMA if self.compact else VECTOR_SCHEMA
+            )
+
+    @property
+    def _vec_format(self) -> str:
+        return f"{self.storage}_binary" if self.compact else "array"
 
     # -- ingest ------------------------------------------------------------
 
@@ -99,13 +123,20 @@ class VectorTable:
         Norms are computed from the incoming (unquantized) floats BEFORE
         the storage quantization is applied — MetalIndexFlat.mm:258-268.
         """
+        from .quantize import encode_col
+
         n_before = self._next_id
+        store = (
+            encode_col(F.col("_raw"), self.storage)
+            if self.compact
+            else quantize_col(F.col("_raw"), self.storage)
+        )
         new = (
             batch.select(F.col(vec_col).alias("_raw"))
             .withColumn("id", (F.row_number().over(_insertion_window()) - 1 + n_before).cast("long"))
             .select(
                 "id",
-                quantize_col(F.col("_raw"), self.storage).alias("vec"),
+                store.alias("vec"),
                 sqnorm(F.col("_raw")).alias("norm_sq"),
             )
         )
@@ -139,6 +170,7 @@ class VectorTable:
     def from_parquet(
         cls, spark: SparkSession, path: str, d: int, metric: Metric = "l2",
         storage: str = STORAGE_FP32, id_col: str | None = None, vec_col: str = "vec",
+        compact: bool = False,
     ) -> "VectorTable":
         """Source connector: a parquet table of vectors.
 
@@ -146,17 +178,24 @@ class VectorTable:
         scan stays parallel and shuffle-free, which is what you want for
         a 100 TB vector table). Without one, insertion order is imposed.
         """
+        from .quantize import encode_col
+
         raw = spark.read.parquet(path)
         if id_col is not None:
+            store = (
+                encode_col(F.col(vec_col), storage)
+                if compact
+                else quantize_col(F.col(vec_col), storage)
+            )
             df = raw.select(
                 F.col(id_col).cast("long").alias("id"),
-                quantize_col(F.col(vec_col), storage).alias("vec"),
+                store.alias("vec"),
                 sqnorm(F.col(vec_col)).alias("norm_sq"),
             )
-            vt = cls(spark, d=d, metric=metric, storage=storage, df=df)
+            vt = cls(spark, d=d, metric=metric, storage=storage, compact=compact, df=df)
             vt._next_id = (raw.agg(F.max(F.col(id_col))).collect()[0][0] or -1) + 1
             return vt
-        vt = cls(spark, d=d, metric=metric, storage=storage)
+        vt = cls(spark, d=d, metric=metric, storage=storage, compact=compact)
         return vt.add_df(raw, vec_col=vec_col)
 
     # -- maintenance -------------------------------------------------------
@@ -171,11 +210,21 @@ class VectorTable:
         rows = self.df.where(F.col("id") == key).select("vec").collect()
         if not rows:
             raise KeyError(f"id {key} out of range")  # ≙ bounds check :509-511
+        if self.compact:
+            from .quantize import DECODERS
+
+            return DECODERS[self.storage](bytes(rows[0][0]))
         return np.asarray(rows[0][0], dtype=np.float32)
 
     def to_pandas(self) -> pd.DataFrame:
-        """≙ index_metal_to_cpu — export (already FP32-decoded)."""
-        return self.df.orderBy("id").toPandas()
+        """≙ index_metal_to_cpu — export (FP32-decoded either layout)."""
+        pdf = self.df.orderBy("id").toPandas()
+        if self.compact:
+            from .quantize import DECODERS
+
+            dec = DECODERS[self.storage]
+            pdf["vec"] = [dec(bytes(b)) for b in pdf["vec"]]
+        return pdf
 
     def persist(self) -> "VectorTable":
         """Keep the index hot (≙ unified-memory residency, scratch reuse)."""
@@ -206,9 +255,11 @@ class VectorTable:
         self, queries: DataFrame, k: int, method: str = "auto",
         qid_col: str = "qid", qvec_col: str = "vec",
     ) -> DataFrame:
+        if self.compact and method == "auto":
+            method = "gemm"
         return knn_search(
             self.df, queries, k, metric=self.metric, method=method,
-            qid_col=qid_col, qvec_col=qvec_col,
+            qid_col=qid_col, qvec_col=qvec_col, vec_format=self._vec_format,
         )
 
     def search_numpy(self, x: np.ndarray, k: int, method: str = "auto") -> tuple[np.ndarray, np.ndarray]:

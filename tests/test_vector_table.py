@@ -151,3 +151,43 @@ def test_introspection(spark):
     assert build(spark, V, storage=STORAGE_FP16).is_float16_storage()
     assert build(spark, V, storage=STORAGE_BF16).is_bfloat16_storage()
     assert build(spark, V).get_storage_type() == "fp32"
+
+
+@pytest.mark.parametrize("storage", [STORAGE_FP16, STORAGE_BF16])
+def test_compact_layout_equals_array_layout(spark, storage):
+    """BINARY 2-byte storage must produce bit-identical search results
+    and reconstructions to the ARRAY round-trip layout — same numerics,
+    half the bytes."""
+    V, Q = make_fixture(400, 6, 64)
+    a = build(spark, V, storage=storage)
+    c = VectorTable(spark, d=64, storage=storage, compact=True).add_numpy(V)
+    Da, La = a.search_numpy(Q, 7)
+    Dc, Lc = c.search_numpy(Q, 7)
+    np.testing.assert_array_equal(La, Lc)
+    np.testing.assert_array_equal(Da, Dc)
+    np.testing.assert_array_equal(a.reconstruct(11), c.reconstruct(11))
+    # norms still from the FP32 input in both layouts
+    na = a.df.orderBy("id").select("norm_sq").toPandas()["norm_sq"].to_numpy()
+    nc = c.df.orderBy("id").select("norm_sq").toPandas()["norm_sq"].to_numpy()
+    np.testing.assert_array_equal(na, nc)
+
+
+def test_compact_to_pandas_and_bytes(spark):
+    V, _ = make_fixture(100, 1, 32)
+    c = VectorTable(spark, d=32, storage=STORAGE_FP16, compact=True).add_numpy(V)
+    pdf = c.to_pandas()
+    np.testing.assert_array_equal(
+        np.stack(pdf["vec"].to_numpy()), fp16_roundtrip_np(V)
+    )
+    # the stored payload really is 2 bytes/element
+    raw = c.df.select("vec").first()[0]
+    assert len(bytes(raw)) == 32 * 2
+
+
+def test_compact_requires_reduced_precision(spark):
+    with pytest.raises(ValueError):
+        VectorTable(spark, d=8, compact=True)  # fp32 compact is pointless
+    V, Q = make_fixture(10, 1, 8)
+    c = VectorTable(spark, d=8, storage=STORAGE_FP16, compact=True).add_numpy(V)
+    with pytest.raises(ValueError):
+        c.search(queries_df(spark, Q), 2, method="sql")
