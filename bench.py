@@ -64,6 +64,25 @@ def bench_grid(spark) -> dict[str, float]:
         n = knn_search(vecs, qdf, k).count()
         results[label] = round(time.time() - t0, 3)
         assert n == nq * k, f"{label}: got {n} rows"
+
+        if label == "knn_medium_128d":
+            # the reference's FP32-vs-FP16-storage comparison
+            # (bench_metal_flat.mm benches each config on both): same
+            # search over the 2-byte compact store
+            from pyspark.sql import functions as F
+
+            from faiss_metal_spark.quantize import encode_col
+
+            cvecs = vecs.select(
+                "id", encode_col(F.col("vec"), "fp16").alias("vec")
+            ).persist()
+            cvecs.count()
+            knn_search(cvecs, qdf, k, vec_format="fp16_binary").count()
+            t0 = time.time()
+            n = knn_search(cvecs, qdf, k, vec_format="fp16_binary").count()
+            results["knn_medium_128d_fp16c"] = round(time.time() - t0, 3)
+            assert n == nq * k
+            cvecs.unpersist()
         vecs.unpersist()
     return results
 

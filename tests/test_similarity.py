@@ -140,3 +140,29 @@ def test_ivf_write_partition_pruning(spark, ivf_setup, tmp_path):
     # and search over the reloaded inverted file still works end-to-end
     res = ivf_search(back, C, queries_df(spark, Q[:2]), k=3, nprobe=2)
     assert res.count() == 2 * 3
+
+
+def test_lsh_bucket_vectorized_equals_expression(spark):
+    """The numpy integer-matmul bucketing must equal the Catalyst
+    expression form bit-for-bit (both are 'integer-exact' — this is the
+    claim the SQL oracle relies on)."""
+    from faiss_metal_spark.operators.similarity import (
+        _bucket_expr,
+        _quantized,
+        lsh_buckets,
+    )
+
+    V, _ = make_fixture(nv=80, nq=1, d=24)
+    planes = lsh_planes(24, num_planes=5, num_tables=3)
+    df = vectors_df(spark, V)
+    fast = {
+        (r["id"], r["tbl"]): r["bucket"]
+        for r in lsh_buckets(df, planes).collect()
+    }
+    q = _quantized(F.col("vec"))
+    slow_df = df.select(
+        "id", *[_bucket_expr(q, planes[t]).alias(f"b{t}") for t in range(3)]
+    )
+    for r in slow_df.collect():
+        for t in range(3):
+            assert fast[(r["id"], t)] == r[f"b{t}"]
