@@ -563,6 +563,34 @@ FROM events
 # ---------------------------------------------------------------------------
 
 
+def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each click annotated with the user's most recent
+    purchase value at or before it (null if none). Right side is
+    pre-deduped per (user, ts) so tie semantics are engine-independent."""
+    from faiss_metal_spark.operators.joins import as_of_join
+
+    e = _events(spark, sf_dir)
+    clicks = e.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purch = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pval"))
+    )
+    res = as_of_join(clicks, purch, key="user_id", value_cols=["pval"])
+    return res.select(
+        "event_id", "user_id", _norm(F.col("pval"), 2).alias("last_purchase")
+    )
+
+
+ORACLE_ASOF = """
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts, MAX(value) AS pval
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT c.event_id, c.user_id, ROUND(p.pval, 2) + 0.0 AS last_purchase
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts
+"""
+
+
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ordered-statistics aggregate (linear-interpolated
     percentiles) per event type — Spark percentile ≡ quantile_cont."""
@@ -1030,6 +1058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "event_sessions": q_event_sessions,
         "value_percentiles": q_value_percentiles,
+        "asof_last_purchase": q_asof_last_purchase,
         "dedup_exact": q_dedup_exact,
         "minhash_lsh": q_minhash_lsh,
         "text_stats": q_text_stats,
@@ -1074,6 +1103,7 @@ def oracle_sql() -> dict[str, str]:
         "events_json": ORACLE_EVENTS_JSON,
         "event_sessions": ORACLE_SESSIONS,
         "value_percentiles": ORACLE_PERCENTILES,
+        "asof_last_purchase": ORACLE_ASOF,
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "minhash_lsh": ORACLE_MINHASH_LSH,
         "text_stats": ORACLE_TEXT_STATS,

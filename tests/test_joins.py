@@ -1,0 +1,59 @@
+"""as_of_join / range_bucket_join semantics on hand-computable data."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from faiss_metal_spark.operators.joins import as_of_join, range_bucket_join
+
+
+def test_as_of_join_basic(spark):
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 1, 2], "ts": [5, 10, 20, 7], "lid": [0, 1, 2, 3]}),
+        schema="k long, ts long, lid long",
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 2], "ts": [4, 10, 9], "val": [40.0, 100.0, 90.0]}),
+        schema="k long, ts long, val double",
+    )
+    out = {
+        r["lid"]: r["val"]
+        for r in as_of_join(left, right, key="k", value_cols=["val"]).collect()
+    }
+    # lid0@5 → right@4 (40); lid1@10 → right@10 inclusive (100);
+    # lid2@20 → right@10 (100); lid3@7 → no purchase ≤ 7 for k=2 → null
+    assert out == {0: 40.0, 1: 100.0, 2: 100.0, 3: None}
+
+
+def test_as_of_join_exclusive(spark):
+    left = spark.createDataFrame([(1, 10, 0)], schema="k long, ts long, lid long")
+    right = spark.createDataFrame([(1, 10, 7.0)], schema="k long, ts long, val double")
+    out = as_of_join(left, right, key="k", value_cols=["val"], inclusive=False).collect()
+    assert out[0]["val"] is None  # strict <: the ts-equal right row is invisible
+
+
+def test_as_of_join_preserves_left_rows(spark):
+    left = spark.createDataFrame(
+        [(i, i * 3, i) for i in range(50)], schema="k long, ts long, lid long"
+    )
+    right = spark.createDataFrame([(0, 0, 1.0)], schema="k long, ts long, val double")
+    assert as_of_join(left, right, key="k", value_cols=["val"]).count() == 50
+
+
+def test_range_bucket_join_matches_theta(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    pts = spark.createDataFrame(
+        pd.DataFrame({"pid": range(200), "x": rng.uniform(0, 100, 200)}),
+        schema="pid long, x double",
+    )
+    lo = rng.uniform(0, 95, 30)
+    ranges = spark.createDataFrame(
+        pd.DataFrame({"rid": range(30), "lo": lo, "hi": lo + rng.uniform(1, 10, 30)}),
+        schema="rid long, lo double, hi double",
+    )
+    fast = range_bucket_join(pts, ranges, "x", "lo", "hi", granule=5.0)
+    slow = pts.crossJoin(ranges).where((F.col("x") >= F.col("lo")) & (F.col("x") < F.col("hi")))
+    f = {(r["pid"], r["rid"]) for r in fast.collect()}
+    s = {(r["pid"], r["rid"]) for r in slow.collect()}
+    assert f == s and len(f) > 0
