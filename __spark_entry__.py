@@ -35,6 +35,7 @@ from faiss_metal_spark.functions.text import (  # noqa: E402
     bpe_token_count,
     doc_fingerprint,
     lang_id,
+    winnow_fingerprints,
 )
 from faiss_metal_spark.operators.dedup import (  # noqa: E402
     embedding_neardup_pairs,
@@ -968,6 +969,32 @@ FROM documents
 """
 
 
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint sets: k-gram hashes → window minima
+    → distinct; any shared run ≥ k+w−1 tokens yields a shared print."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.explode(winnow_fingerprints("text", k=4, w=5)).alias("fp")
+    )
+
+
+ORACLE_WINNOW = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id,
+         [array_to_string(t[i:i+3], ' ') FOR i IN range(1, len(t) - 2)] AS g
+  FROM toks WHERE len(t) >= 4
+),
+h AS (SELECT doc_id, [{_sql_hash32('x')} FOR x IN g] AS hs FROM grams),
+wins AS (
+  SELECT doc_id,
+         list_distinct([list_min(hs[i:i+4]) FOR i IN range(1, len(hs) - 3)]) AS fps
+  FROM h WHERE len(hs) >= 5
+)
+SELECT doc_id, unnest(fps) AS fp FROM wins
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal binary-payload plumbing (operators/multimodal.py)
 # ---------------------------------------------------------------------------
@@ -1069,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "winnow_fingerprints": q_winnow,
         "mm_byte_stats": q_mm_byte_stats,
         "mm_frames": q_mm_frames,
         "mm_thumbnail": q_mm_thumbnail,
@@ -1114,6 +1142,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "lang_id": _oracle_lang_id(),
         "doc_fingerprint": ORACLE_FINGERPRINT,
+        "winnow_fingerprints": ORACLE_WINNOW,
         "mm_byte_stats": ORACLE_MM_BYTE_STATS,
         "mm_frames": ORACLE_MM_FRAMES,
         "mm_thumbnail": ORACLE_MM_THUMBNAIL,

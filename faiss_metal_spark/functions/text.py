@@ -130,6 +130,26 @@ def doc_fingerprint(text: Column | str) -> Column:
     )
 
 
+def winnow_fingerprints(text: Column | str, k: int = 4, w: int = 5) -> Column:
+    """Winnowing fingerprints (the MOSS algorithm): hash every token
+    k-gram, slide a window of ``w`` hashes, keep each window's minimum;
+    distinct mins form the document's fingerprint set.
+
+    Guarantees: any shared token run of length ≥ k+w−1 between two
+    documents produces at least one shared fingerprint, while only
+    ~2/(w+1) of the k-gram hashes survive — sub-linear signature size
+    with a matching-detection guarantee. Pure Catalyst (arrays + HOFs);
+    the md5-derived hash keeps it SQL-oracle-checkable.
+    """
+    grams = shingles(text, k)
+    hashes = F.transform(grams, token_hash32)
+    idx = F.when(
+        F.size(hashes) >= w, F.sequence(F.lit(1), F.size(hashes) - (w - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    wins = F.transform(idx, lambda i: F.array_min(F.slice(hashes, i, w)))
+    return F.array_distinct(wins)
+
+
 # A BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation.
 BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 

@@ -86,6 +86,32 @@ def as_of_join(
     return out
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt_col: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Inner equi-join that survives heavy key skew.
+
+    A hot key sends all its rows to one reducer in a plain shuffle
+    join; salting splits each left key's rows across ``n_salts``
+    sub-partitions (deterministically, by hashing ``salt_col``) and
+    replicates the right side once per salt — reducer load shrinks by
+    n_salts at the cost of n_salts× the (small) right side. AQE's skew
+    handling covers sort-merge joins adaptively; this is the explicit
+    form for when the build side must shuffle anyway. Result equals the
+    plain join exactly (pinned by test).
+    """
+    l_s = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(n_salts)).cast("int")
+    )
+    salts = left.sparkSession.range(n_salts).select(F.col("id").cast("int").alias("_salt"))
+    r_s = right.crossJoin(salts)
+    return l_s.join(r_s, [on, "_salt"]).drop("_salt")
+
+
 def range_bucket_join(
     points: DataFrame,
     ranges: DataFrame,

@@ -109,3 +109,40 @@ def test_bpe_token_count(spark):
     df = spark.createDataFrame([("hello world42 x-y",)], schema="text string")
     # [hello][world][42][x][-][y] = 6
     assert df.select(bpe_token_count("text").alias("n")).first()["n"] == 6
+
+
+def test_winnow_guarantee(spark):
+    """Docs sharing a run of ≥ k+w−1 tokens share ≥1 fingerprint;
+    winnowing keeps far fewer hashes than the full k-gram set."""
+    from faiss_metal_spark.functions.text import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens = k+w-1
+    texts = [
+        shared + " uno dos tres cuatro cinco seis siete ocho nueve diez",
+        "otro prefijo totalmente distinto aqui " + shared,
+        "nada en comun con los otros documentos de este grupo en absoluto",
+    ]
+    df = docs_df(spark, texts).select(
+        "doc_id", winnow_fingerprints("text", k=4, w=5).alias("fps")
+    )
+    fps = {r["doc_id"]: set(r["fps"]) for r in df.collect()}
+    assert fps[0] & fps[1], "shared 8-token run must share a fingerprint"
+    assert not (fps[0] & fps[2])
+    # compression: fingerprints ≪ k-grams (18 tokens → 15 grams)
+    assert 0 < len(fps[0]) < 15
+
+
+def test_salted_join_equals_plain(spark):
+    from faiss_metal_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        [(i, i % 3, f"l{i}") for i in range(60)], schema="lid long, k long, pay string"
+    )
+    right = spark.createDataFrame(
+        [(0, "x"), (1, "y"), (2, "z")], schema="k long, rv string"
+    )
+    fast = salted_join(left, right, on="k", salt_col="lid", n_salts=4)
+    slow = left.join(right, "k")
+    f = {(r["lid"], r["rv"]) for r in fast.collect()}
+    s = {(r["lid"], r["rv"]) for r in slow.collect()}
+    assert f == s and len(f) == 60
