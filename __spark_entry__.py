@@ -38,6 +38,7 @@ from faiss_metal_spark.functions.text import (  # noqa: E402
     winnow_fingerprints,
 )
 from faiss_metal_spark.operators.dedup import (  # noqa: E402
+    connected_components,
     embedding_neardup_pairs,
     exact_dedup,
     lsh_candidate_pairs,
@@ -665,8 +666,10 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sig, num_hashes=8, bands=4)
 
 
-ORACLE_MINHASH_LSH = """
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+# Shared CTE chain producing the LSH candidate pairs (used by both the
+# pair query's oracle and the recursive clusters oracle).
+_MINHASH_CTES = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 sh AS (
   SELECT doc_id,
          unnest([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]) AS sh
@@ -685,10 +688,40 @@ bkt AS (
   SELECT doc_id, 1 AS band, md5(mh2 || mh3) AS bkey FROM sig UNION ALL
   SELECT doc_id, 2 AS band, md5(mh4 || mh5) AS bkey FROM sig UNION ALL
   SELECT doc_id, 3 AS band, md5(mh6 || mh7) AS bkey FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bkt a JOIN bkt b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.doc_id < b.doc_id
 )
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM bkt a JOIN bkt b ON a.band = b.band AND a.bkey = b.bkey
-WHERE a.doc_id < b.doc_id
+"""
+
+ORACLE_MINHASH_LSH = f"WITH {_MINHASH_CTES} SELECT id_a, id_b FROM pairs"
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: MinHash-LSH candidate pairs → connected
+    components (min-label propagation ≡ recursive-CTE closure)."""
+    d = _t(spark, sf_dir, "documents")
+    sig = minhash_signatures(d, num_hashes=8, shingle_size=3)
+    pairs = lsh_candidate_pairs(sig, num_hashes=8, bands=4)
+    return connected_components(pairs)
+
+
+def _oracle_dedup_clusters() -> str:
+    # same pair CTEs, then transitive closure by recursive min-label
+    # reachability (≡ the engine's label propagation at convergence)
+    return f"""
+WITH RECURSIVE {_MINHASH_CTES},
+e AS (SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+n AS (SELECT DISTINCT a AS id FROM e),
+r AS (
+  SELECT id, id AS l FROM n
+  UNION
+  SELECT e.b AS id, r.l FROM r JOIN e ON e.a = r.id
+)
+SELECT id, MIN(l) AS cluster FROM r GROUP BY id
 """
 
 
@@ -1087,6 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": q_value_percentiles,
         "asof_last_purchase": q_asof_last_purchase,
         "dedup_exact": q_dedup_exact,
+        "dedup_clusters": q_dedup_clusters,
         "minhash_lsh": q_minhash_lsh,
         "text_stats": q_text_stats,
         "doc_quality": q_doc_quality,
@@ -1133,6 +1167,7 @@ def oracle_sql() -> dict[str, str]:
         "value_percentiles": ORACLE_PERCENTILES,
         "asof_last_purchase": ORACLE_ASOF,
         "dedup_exact": ORACLE_DEDUP_EXACT,
+        "dedup_clusters": _oracle_dedup_clusters(),
         "minhash_lsh": ORACLE_MINHASH_LSH,
         "text_stats": ORACLE_TEXT_STATS,
         "doc_quality": ORACLE_DOC_QUALITY,

@@ -260,6 +260,60 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate clusters from near-dup pairs: (id, cluster) where
+    cluster = min id reachable in the undirected pair graph.
+
+    Min-label propagation: every node starts as its own label; each
+    round takes the min of its own and its neighbors' labels; converges
+    in O(graph diameter) rounds — duplicate clusters are shallow, so
+    this is a handful of joins, each a plain shuffle on the edge key.
+    The loop is driver-side but each iteration is fully distributed and
+    the convergence check is one count per round (the standard
+    GraphX-style pattern). Deterministic → exactly reproducible by a
+    recursive-SQL oracle.
+    """
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    nodes = und.select(F.col("a").alias("id")).distinct()
+    labels = nodes.withColumn("lbl", F.col("id")).persist()
+    labels.count()
+    und = und.persist()
+
+    for _ in range(max_iter):
+        nbr = (
+            und.join(labels, und["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["id"] == nbr["a"], "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels.select(F.col("id"), F.col("lbl").alias("cluster"))
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     block_col: str,

@@ -146,3 +146,16 @@ def test_salted_join_equals_plain(spark):
     f = {(r["lid"], r["rv"]) for r in fast.collect()}
     s = {(r["lid"], r["rv"]) for r in slow.collect()}
     assert f == s and len(f) == 60
+
+
+def test_connected_components(spark):
+    """Two chains and an isolated pair cluster to their min ids."""
+    from faiss_metal_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # component {1,2,3,4} via chain, component {10,11}
+        [(1, 2), (2, 3), (3, 4), (10, 11)],
+        schema="id_a long, id_b long",
+    )
+    out = {r["id"]: r["cluster"] for r in connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
