@@ -291,33 +291,44 @@ def _gemm_candidates(
 def _finalize(q: DataFrame, candidates: DataFrame, k: int, metric: Metric) -> DataFrame:
     """Merge partial candidates, rank, and pad to exactly k rows per qid.
 
-    The (qid × rank) scaffold is built from the query table itself so
-    empty-index and k>ntotal cases produce sentinel rows — semantics of
-    /root/reference/src/MetalIndexFlat.mm:328-334,387-399.
+    One shuffle total: candidates groupBy(qid) → collect (≤ parts·k
+    structs per group) → array_sort → sentinel-pad → posexplode. The
+    query table left-joins in (broadcast — it is the small side by the
+    gemm path's contract) so empty-index and k>ntotal cases still emit
+    all-sentinel rows — semantics of
+    /root/reference/src/MetalIndexFlat.mm:328-334,387-399. Replaces the
+    previous rank-scaffold construction, which cost two extra shuffles
+    (window rank + scaffold equi-join) for the same result.
     """
-    spark = q.sparkSession
     asc = _better_is_min(metric)
-    order = [F.col("distance").asc(), F.col("label").asc()] if asc else [
-        F.col("distance").desc(),
-        F.col("label").asc(),
-    ]
-    w = Window.partitionBy("qid").orderBy(*order)
-    ranked = (
-        candidates.withColumn("rank", (F.row_number().over(w) - 1).cast("int"))
-        .where(F.col("rank") < k)
-        .select("qid", "rank", "label", "distance")
-    )
-
-    scaffold = q.select("qid").crossJoin(
-        spark.range(k).select(F.col("id").cast("int").alias("rank"))
-    )
     sent = float(_sentinel(metric))
-    return (
-        scaffold.join(ranked, ["qid", "rank"], "left")
+    # sort key: minimize skey; struct comparison is field-lexicographic,
+    # so (skey, label) gives distance-then-label ordering
+    skey = F.col("distance") if asc else -F.col("distance")
+    packed = candidates.groupBy("qid").agg(
+        F.array_sort(
+            F.collect_list(F.struct(skey.alias("s"), F.col("label").alias("l")))
+        ).alias("_cand")
+    )
+    pad = F.array_repeat(
+        F.struct(F.lit(None).cast("double").alias("s"), F.lit(-1).cast("long").alias("l")),
+        k,
+    )
+    topk = F.slice(F.concat(F.col("_cand"), pad), 1, k)
+
+    sign = 1.0 if asc else -1.0
+    # both join inputs are nq-scale after the groupBy (one row per qid),
+    # so this join is trivial whatever strategy AQE picks; the only real
+    # shuffle in the merge is the groupBy above
+    out = (
+        q.select("qid")
+        .join(packed, "qid", "left")
+        .select("qid", F.posexplode(F.coalesce(topk, pad)).alias("_r", "_c"))
         .select(
             "qid",
-            "rank",
-            F.coalesce(F.col("label"), F.lit(-1).cast("long")).alias("label"),
-            F.coalesce(F.col("distance"), F.lit(sent)).alias("distance"),
+            F.col("_r").cast("int").alias("rank"),
+            F.col("_c.l").alias("label"),
+            F.coalesce(F.col("_c.s") * F.lit(sign), F.lit(sent)).alias("distance"),
         )
     )
+    return out

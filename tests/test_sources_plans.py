@@ -65,10 +65,10 @@ def test_knn_gemm_plan_single_scan(spark):
     res = knn_search(vectors_df(spark, V), queries_df(spark, Q), k=5)
     r = explain_report(res)
     assert r.has_python_stage  # the BLAS stage
-    # vectors are scanned once and never shuffled: only the tiny
-    # candidate set (≤ parts·nq·k rows) moves — window merge + scaffold
-    # join account for the remaining exchanges
-    assert r.n_exchanges <= 4, r.plan
+    # vectors are scanned once and never shuffled: the ONLY exchange in
+    # the whole plan is the candidate groupBy (≤ parts·nq·k rows); the
+    # merge join runs on nq-scale inputs
+    assert r.n_exchanges <= 2, r.plan
 
 
 def test_scan_prunes_columns(spark):
