@@ -593,6 +593,33 @@ FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts
 """
 
 
+def q_join_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded interval join (the batch form of the watermarked
+    stream-stream join): clicks paired with same-user purchases in the
+    preceding 30 minutes."""
+    from faiss_metal_spark.streaming import join_within
+
+    e = _events(spark, sf_dir)
+    clicks = e.where(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    purch = e.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    res = join_within(clicks, purch, key="user_id", within="30 minutes")
+    return res.select(
+        F.col("l_event_id").alias("click_id"),
+        F.col("l_user_id").alias("user_id"),
+        _norm(F.col("r_value"), 2).alias("purchase_value"),
+    )
+
+
+ORACLE_JOIN_WITHIN = """
+SELECT c.event_id AS click_id, c.user_id AS user_id,
+       ROUND(p.value, 2) + 0.0 AS purchase_value
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts - INTERVAL 30 MINUTE AND p.ts <= c.ts
+"""
+
+
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ordered-statistics aggregate (linear-interpolated
     percentiles) per event type — Spark percentile ≡ quantile_cont."""
@@ -1119,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": q_event_sessions,
         "value_percentiles": q_value_percentiles,
         "asof_last_purchase": q_asof_last_purchase,
+        "join_within": q_join_within,
         "dedup_exact": q_dedup_exact,
         "dedup_clusters": q_dedup_clusters,
         "minhash_lsh": q_minhash_lsh,
@@ -1166,6 +1194,7 @@ def oracle_sql() -> dict[str, str]:
         "event_sessions": ORACLE_SESSIONS,
         "value_percentiles": ORACLE_PERCENTILES,
         "asof_last_purchase": ORACLE_ASOF,
+        "join_within": ORACLE_JOIN_WITHIN,
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "dedup_clusters": _oracle_dedup_clusters(),
         "minhash_lsh": ORACLE_MINHASH_LSH,

@@ -1,6 +1,7 @@
 from .knn_stream import read_query_stream, run_knn_stream  # noqa: F401
 from .ops import (  # noqa: F401
     hourly_counts,
+    join_within,
     read_events_stream,
     run_to_memory,
     sessionize,

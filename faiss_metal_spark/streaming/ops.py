@@ -90,6 +90,38 @@ def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def join_within(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    within: str = "1 hour",
+    watermark: str = "1 hour",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """Stream-stream (or batch) inner join: pair each left row with
+    right rows of the same key whose timestamp falls in
+    ``[left.ts − within, left.ts]``.
+
+    With streaming inputs both sides carry watermarks and the time
+    bound makes state evictable — Spark drops buffered rows once the
+    watermark passes their join window, so state is bounded by
+    (rate × within) instead of growing forever. The identical
+    expression runs on batch inputs, which is how the equivalence test
+    checks it. Left columns come out prefixed ``l_``, right ``r_``.
+    """
+    l = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    r = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    l = l.select([F.col(c).alias(f"l_{c}") for c in left.columns])
+    r = r.select([F.col(c).alias(f"r_{c}") for c in right.columns])
+    cond = (
+        (F.col(f"l_{key}") == F.col(f"r_{key}"))
+        & (F.col(f"r_{right_ts}") >= F.expr(f"l_{left_ts} - INTERVAL {within}"))
+        & (F.col(f"r_{right_ts}") <= F.col(f"l_{left_ts}"))
+    )
+    return l.join(r, cond)
+
+
 _TOTALS_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

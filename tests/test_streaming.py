@@ -129,3 +129,29 @@ def test_knn_stream_equals_batch(spark, tmp_path):
         got["distance"].to_numpy(), want["distance"].to_numpy(), rtol=1e-12
     )
     vdf.unpersist()
+
+
+def test_stream_stream_join_equals_batch(spark, batch_events, events_dir, tmp_path):
+    """Watermarked stream-stream join over two feeds of the same source
+    equals the batch join with the identical time-bound condition."""
+    from faiss_metal_spark.streaming import join_within
+
+    def split(df):
+        clicks = df.where(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+        purch = df.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+        return clicks, purch
+
+    sc, sp = split(_stream(spark, events_dir))
+    run_to_memory(
+        join_within(sc, sp, key="user_id", within="30 minutes"),
+        "ssj_t",
+        str(tmp_path / "cp_ssj"),
+        output_mode="append",
+    )
+    got = spark.table("ssj_t").toPandas()
+    bc, bp = split(batch_events)
+    want = join_within(bc, bp, key="user_id", within="30 minutes").toPandas()
+    assert len(got) == len(want) and len(want) > 0
+    g = _normalize(got[["l_event_id", "r_value"]])
+    w = _normalize(want[["l_event_id", "r_value"]])
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
