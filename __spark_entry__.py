@@ -534,6 +534,57 @@ WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01
 """
 
 
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event counts spread into one column per type
+    (explicit value list keeps the schema deterministic)."""
+    e = _events(spark, sf_dir)
+    types = ["click", "view", "purchase", "error", "signup"]
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+        )
+    )
+
+
+ORACLE_PIVOT = """
+SELECT user_id,
+  COUNT(*) FILTER (event_type = 'click')    AS n_click,
+  COUNT(*) FILTER (event_type = 'view')     AS n_view,
+  COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+  COUNT(*) FILTER (event_type = 'error')    AS n_error,
+  COUNT(*) FILTER (event_type = 'signup')   AS n_signup
+FROM events GROUP BY user_id
+"""
+
+
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderstatus, orderpriority): all 4 grouping-set
+    combinations in one pass."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), _norm(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
+
+
+ORACLE_CUBE = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) + 0.0 AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 def q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running Σvalue ordered by event time (unbounded-preceding
     window) — ties broken by event_id so the frame is deterministic."""
@@ -1139,6 +1190,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join_heavy_orders": q_semi_join,
         "anti_join_idle_customers": q_anti_join,
         "rollup_lineitem": q_rollup,
+        "cube_orders": q_cube_orders,
+        "pivot_events": q_pivot_events,
         "intersect_customers": q_intersect_customers,
         "running_totals": q_running_totals,
         "events_hourly": q_events_hourly,
@@ -1187,6 +1240,8 @@ def oracle_sql() -> dict[str, str]:
         "semi_join_heavy_orders": ORACLE_SEMI_JOIN,
         "anti_join_idle_customers": ORACLE_ANTI_JOIN,
         "rollup_lineitem": ORACLE_ROLLUP,
+        "cube_orders": ORACLE_CUBE,
+        "pivot_events": ORACLE_PIVOT,
         "intersect_customers": ORACLE_INTERSECT,
         "running_totals": ORACLE_RUNNING,
         "events_hourly": ORACLE_EVENTS_HOURLY,
