@@ -611,6 +611,477 @@ FROM events
 """
 
 
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (TPC-H Q12 shape adapted: priority-class
+    counts per linestatus instead of shipmode)."""
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    o = _t(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+ORACLE_Q12 = """
+SELECT l_linestatus,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+"""
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo revenue share (TPC-H Q14: conditional agg over a join,
+    single-row ratio output)."""
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-03-01")
+    )
+    p = _t(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            _norm(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0))
+                / F.sum(disc),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+ORACLE_Q14 = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) + 0.0 AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-03-01'
+"""
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity revenue (TPC-H Q17: correlated AVG subquery,
+    decorrelated into an aggregate join; the per-part limit side is
+    tiny → broadcast)."""
+    l = _t(spark, sf_dir, "lineitem")
+    lim = (
+        l.groupBy("l_partkey")
+        .agg((0.2 * F.avg("l_quantity")).alias("_qty_lim"))
+        .withColumnRenamed("l_partkey", "_pk")
+    )
+    return (
+        l.join(F.broadcast(lim), F.col("l_partkey") == F.col("_pk"))
+        .where(F.col("l_quantity") < F.col("_qty_lim"))
+        .agg(_norm(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+ORACLE_Q17 = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) + 0.0 AS avg_yearly
+FROM lineitem l
+JOIN (SELECT l_partkey AS pk, 0.2 * AVG(l_quantity) AS qty_lim
+      FROM lineitem GROUP BY 1) q
+  ON l.l_partkey = q.pk
+WHERE l.l_quantity < q.qty_lim
+"""
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive multi-clause predicate over a join (TPC-H Q19 shape):
+    Catalyst pushes the common join key and evaluates the OR-of-ANDs
+    post-join; the part side broadcasts."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    c1 = (
+        (F.col("p_type") == "SMALL")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(1, 20)
+    )
+    c2 = (
+        (F.col("p_type") == "MEDIUM")
+        & F.col("p_size").between(10, 25)
+        & F.col("l_quantity").between(10, 30)
+    )
+    c3 = (
+        (F.col("p_type") == "LARGE")
+        & F.col("p_size").between(20, 40)
+        & F.col("l_quantity").between(25, 50)
+    )
+    return j.where(c1 | c2 | c3).agg(
+        _norm(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+ORACLE_Q19 = """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) + 0.0 AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_type = 'SMALL'  AND p_size BETWEEN 1  AND 10 AND l_quantity BETWEEN 1  AND 20)
+   OR (p_type = 'MEDIUM' AND p_size BETWEEN 10 AND 25 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_type = 'LARGE'  AND p_size BETWEEN 20 AND 40 AND l_quantity BETWEEN 25 AND 50)
+"""
+
+
+def q_top_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group argmax (TPC-H Q2 shape): best supplier by account
+    balance per nation, window rank over the small dimension side."""
+    from pyspark.sql.window import Window
+
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey").asc()
+    )
+    return (
+        s.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "s_name", "s_acctbal")
+    )
+
+
+ORACLE_TOP_SUPPLIER = """
+SELECT n_name, s_name, s_acctbal
+FROM (
+  SELECT s_nationkey, s_name, s_acctbal,
+         row_number() OVER (PARTITION BY s_nationkey
+                            ORDER BY s_acctbal DESC, s_suppkey ASC) AS rk
+  FROM supplier
+) JOIN nation ON s_nationkey = n_nationkey
+WHERE rk = 1
+"""
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: global scalar subquery (avg positive balance)
+    + anti join (customers with no urgent orders), grouped. The 1-row
+    scalar broadcasts via crossJoin."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    avg_pos = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_pos))
+        .where(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            _norm(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+ORACLE_IDLE_RICH = """
+SELECT c_nationkey, COUNT(*) AS n_cust, ROUND(SUM(c_acctbal), 2) + 0.0 AS total_bal
+FROM customer c
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
+
+
+def q_orders_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar bucketing + exact DISTINCT aggregate: orders per month
+    with distinct active customers."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            _norm(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+ORACLE_ORDERS_MONTHLY = """
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+       COUNT(*) AS n_orders, COUNT(DISTINCT o_custkey) AS n_customers,
+       ROUND(SUM(o_totalprice), 2) + 0.0 AS total
+FROM orders GROUP BY 1
+"""
+
+
+def q_part_name_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode: part-name tokens → term frequency + distinct
+    brand reach per term."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select("p_brand", F.explode(F.split("p_name", " ")).alias("term"))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.countDistinct("p_brand").alias("n_brands"),
+        )
+    )
+
+
+ORACLE_PART_TERMS = """
+SELECT term, COUNT(*) AS n_parts, COUNT(DISTINCT p_brand) AS n_brands
+FROM (SELECT p_brand, unnest(string_split(p_name, ' ')) AS term FROM part)
+GROUP BY term
+"""
+
+
+def q_brand_number_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String functions (regexp extract, upper, concat) feeding a
+    group-by: brand numeric suffix buckets."""
+    p = _t(spark, sf_dir, "part")
+    bnum = F.regexp_extract("p_brand", r"(\d+)", 1).cast("int")
+    return (
+        p.select(
+            bnum.alias("brand_num"),
+            F.concat(F.upper(F.col("p_type")), F.lit(":"), F.col("p_brand")).alias("tag"),
+            "p_retailprice",
+        )
+        .groupBy("brand_num")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("tag").alias("n_tags"),
+            _norm(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+ORACLE_BRAND_NUM = """
+SELECT CAST(regexp_extract(p_brand, '(\\d+)', 1) AS INTEGER) AS brand_num,
+       COUNT(*) AS n,
+       COUNT(DISTINCT upper(p_type) || ':' || p_brand) AS n_tags,
+       ROUND(AVG(p_retailprice), 4) + 0.0 AS avg_price
+FROM part GROUP BY 1
+"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: explode → tf per (doc, term) → df per term → score →
+    per-doc argmax. The doc count is a 1-row broadcast, the df table
+    shuffles once on term, the final argmax is a window over doc_id."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.col("tf") * F.log(F.col("n_docs") / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn("score", score)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("doc_id", F.col("term").alias("top_term"), _norm(F.col("score"), 4).alias("tfidf"))
+    )
+
+
+ORACLE_TFIDF = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+s AS (
+  SELECT doc_id, term, tf * ln(n_docs / CAST(df AS DOUBLE)) AS score
+  FROM tf JOIN dfq USING (term) CROSS JOIN n
+),
+r AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
+  FROM s
+)
+SELECT doc_id, term AS top_term, ROUND(score, 4) + 0.0 AS tfidf FROM r WHERE rk = 1
+"""
+
+
+def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag + bounded-frame moving average per user (4-row trailing
+    window), deterministic frame via (ts, event_id) ordering."""
+    from pyspark.sql.window import Window
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wm = w.rowsBetween(-3, Window.currentRow)
+    return e.select(
+        "user_id",
+        "event_id",
+        _norm(F.lag("value").over(w), 2).alias("prev_value"),
+        _norm(F.avg("value").over(wm), 4).alias("moving_avg"),
+    )
+
+
+ORACLE_MOVING_AVG = """
+SELECT user_id, event_id,
+  ROUND(lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) + 0.0 AS prev_value,
+  ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) + 0.0 AS moving_avg
+FROM events
+"""
+
+
+def q_order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile bucketing per status partition → per-quartile price stats."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("o_orderstatus", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _norm(F.min("o_totalprice"), 2).alias("lo"),
+            _norm(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+ORACLE_QUARTILES = """
+SELECT o_orderstatus, CAST(quartile AS INTEGER) AS quartile, COUNT(*) AS n,
+       ROUND(MIN(o_totalprice), 2) + 0.0 AS lo, ROUND(MAX(o_totalprice), 2) + 0.0 AS hi
+FROM (
+  SELECT o_orderstatus, o_totalprice,
+         ntile(4) OVER (PARTITION BY o_orderstatus
+                        ORDER BY o_totalprice ASC, o_orderkey ASC) AS quartile
+  FROM orders
+)
+GROUP BY 1, 2
+"""
+
+
+def q_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference: customers active in 1996 but not in 1997."""
+    o = _t(spark, sf_dir, "orders")
+    y96 = o.where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_custkey")
+    y97 = o.where(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    ).select("o_custkey")
+    return y96.subtract(y97)
+
+
+ORACLE_EXCEPT = """
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+EXCEPT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+"""
+
+
+def q_grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (marginal totals by type, by user, and
+    grand total in one pass) via Spark SQL."""
+    e = _events(spark, sf_dir)
+    e.createOrReplaceTempView("_gs_events")
+    return spark.sql(
+        """
+        SELECT COALESCE(event_type, 'ALL') AS etype,
+               COALESCE(CAST(user_id AS STRING), 'ALL') AS uid,
+               COUNT(*) AS n, ROUND(SUM(value), 2) + 0.0 AS sum_value
+        FROM _gs_events
+        GROUP BY GROUPING SETS ((event_type), (user_id), ())
+        """
+    )
+
+
+ORACLE_GROUPING_SETS = """
+SELECT COALESCE(event_type, 'ALL') AS etype,
+       COALESCE(CAST(user_id AS VARCHAR), 'ALL') AS uid,
+       COUNT(*) AS n, ROUND(SUM(value), 2) + 0.0 AS sum_value
+FROM events GROUP BY GROUPING SETS ((event_type), (user_id), ())
+"""
+
+
+def q_range_join_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join as a driver query: customers whose balance falls in
+    [s_acctbal − 50, s_acctbal + 50) per supplier, via granule
+    bucketing (equi-join + residual filter, no theta cross product)."""
+    from faiss_metal_spark.operators.joins import range_bucket_join
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (F.col("s_acctbal") - 50.0).alias("lo"),
+        (F.col("s_acctbal") + 50.0).alias("hi"),
+    )
+    j = range_bucket_join(c, s, "c_acctbal", "lo", "hi", granule=50.0)
+    # sum, not avg: an AVG of 2-decimal balances can land exactly on a
+    # round-half boundary where the two engines' doubles disagree
+    return j.groupBy("s_suppkey").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        _norm(F.sum("c_acctbal"), 2).alias("sum_bal"),
+    )
+
+
+ORACLE_RANGE_JOIN = """
+SELECT s_suppkey, COUNT(*) AS n_cust, ROUND(SUM(c_acctbal), 2) + 0.0 AS sum_bal
+FROM supplier JOIN customer
+  ON c_acctbal >= s_acctbal - 50.0 AND c_acctbal < s_acctbal + 50.0
+GROUP BY 1
+"""
+
+
+def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1 h length, 30 min slide): each event
+    lands in exactly two windows. Same op streams with a watermark;
+    the batch form is the oracle-checkable one."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), _norm(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+ORACLE_SLIDING = """
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 2) + 0.0 AS sum_value
+FROM (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS ws,
+         event_type, value
+  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+)
+GROUP BY 1, 2
+"""
+
+
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct (the 100-TB path where exact DISTINCT
+    shuffles too much). Deterministic for fixed input; rows-only check
+    (no DuckDB oracle — sketch estimates differ across engines), exact
+    parity pinned by tests/test_joins.py::test_approx_distinct_close."""
+    e = _events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup / text-analysis queries (north-star extensions)
 # ---------------------------------------------------------------------------
@@ -1184,7 +1655,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "tpch_q10": q_tpch_q10,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q17": q_tpch_q17,
         "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
+        "top_supplier_per_nation": q_top_supplier_per_nation,
+        "idle_rich_customers": q_idle_rich_customers,
+        "orders_monthly": q_orders_monthly,
+        "part_name_terms": q_part_name_terms,
+        "brand_number_stats": q_brand_number_stats,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "events_moving_avg": q_events_moving_avg,
+        "order_quartiles": q_order_quartiles,
+        "except_customers": q_except_customers,
+        "grouping_sets_events": q_grouping_sets_events,
+        "range_join_balance": q_range_join_balance,
+        "sliding_windows": q_sliding_windows,
+        "approx_distinct_users": q_approx_distinct_users,
         "above_brand_avg": q_above_brand_avg,
         "top3_orders_per_customer": q_top3_orders_per_customer,
         "semi_join_heavy_orders": q_semi_join,
@@ -1234,7 +1722,25 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q5": ORACLE_Q5,
         "tpch_q6": ORACLE_Q6,
         "tpch_q10": ORACLE_Q10,
+        "tpch_q12": ORACLE_Q12,
+        "tpch_q14": ORACLE_Q14,
+        "tpch_q17": ORACLE_Q17,
         "tpch_q18": ORACLE_Q18,
+        "tpch_q19": ORACLE_Q19,
+        "top_supplier_per_nation": ORACLE_TOP_SUPPLIER,
+        "idle_rich_customers": ORACLE_IDLE_RICH,
+        "orders_monthly": ORACLE_ORDERS_MONTHLY,
+        "part_name_terms": ORACLE_PART_TERMS,
+        "brand_number_stats": ORACLE_BRAND_NUM,
+        "tfidf_top_terms": ORACLE_TFIDF,
+        "events_moving_avg": ORACLE_MOVING_AVG,
+        "order_quartiles": ORACLE_QUARTILES,
+        "except_customers": ORACLE_EXCEPT,
+        "grouping_sets_events": ORACLE_GROUPING_SETS,
+        "range_join_balance": ORACLE_RANGE_JOIN,
+        "sliding_windows": ORACLE_SLIDING,
+        # approx_distinct_users: rows-only (HLL sketch estimate is
+        # engine-specific); accuracy pinned in tests instead.
         "above_brand_avg": ORACLE_ABOVE_BRAND_AVG,
         "top3_orders_per_customer": ORACLE_TOP3,
         "semi_join_heavy_orders": ORACLE_SEMI_JOIN,

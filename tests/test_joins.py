@@ -57,3 +57,22 @@ def test_range_bucket_join_matches_theta(spark):
     f = {(r["pid"], r["rid"]) for r in fast.collect()}
     s = {(r["pid"], r["rid"]) for r in slow.collect()}
     assert f == s and len(f) > 0
+
+
+def test_approx_distinct_close(spark):
+    """HLL++ estimate stays within the declared rsd of exact DISTINCT
+    (backs the rows-only approx_distinct_users driver query)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": rng.integers(0, 3, 5000), "u": rng.integers(0, 800, 5000)}),
+        schema="g long, u long",
+    )
+    rows = df.groupBy("g").agg(
+        F.approx_count_distinct("u", 0.01).alias("est"),
+        F.countDistinct("u").alias("exact"),
+    ).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert abs(r["est"] - r["exact"]) <= max(0.05 * r["exact"], 5)
