@@ -1274,6 +1274,53 @@ SELECT id, MIN(l) AS cluster FROM r GROUP BY id
 """
 
 
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship pipeline: exact dedup + MinHash-LSH near-dedup (cluster
+    representative = min id) + quality filter, one declarative plan."""
+    from faiss_metal_spark.pipeline import curate_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    out = curate_corpus(d, min_quality=0.5)
+    return out.select(
+        "doc_id", "lang", "n_tokens", _norm(F.col("quality"), 4).alias("quality")
+    )
+
+
+# exact-dup + near-dup drop set, then the doc_quality scoring formula —
+# stitched from the same CTEs the individual stage oracles use
+_ORACLE_CURATE = f"""
+WITH RECURSIVE {_MINHASH_CTES},
+e AS (SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+nn AS (SELECT DISTINCT a AS id FROM e),
+r AS (
+  SELECT id, id AS l FROM nn
+  UNION
+  SELECT e.b AS id, r.l FROM r JOIN e ON e.a = r.id
+),
+cc AS (SELECT id, MIN(l) AS cluster FROM r GROUP BY id),
+near_drop AS (SELECT id FROM cc WHERE id != cluster),
+ek AS (SELECT doc_id, md5(text) AS k FROM documents),
+km AS (SELECT k, MIN(doc_id) AS keeper FROM ek GROUP BY k),
+exact_drop AS (SELECT doc_id AS id FROM ek JOIN km USING (k) WHERE doc_id != keeper),
+drops AS (SELECT id FROM near_drop UNION SELECT id FROM exact_drop),
+t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+  WHERE doc_id NOT IN (SELECT id FROM drops)
+),
+q AS (
+  SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+         0.4 * (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE))
+       + 0.3 * LEAST(len(toks) / 64.0, 1.0)
+       + 0.3 * LEAST(list_sum([length(x) FOR x IN toks]) / CAST(len(toks) AS DOUBLE) / 8.0, 1.0)
+         AS quality
+  FROM t
+)
+SELECT doc_id, lang, n_tokens, ROUND(quality, 4) + 0.0 AS quality
+FROM q WHERE quality >= 0.5
+"""
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return (
@@ -1690,6 +1737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_within": q_join_within,
         "dedup_exact": q_dedup_exact,
         "dedup_clusters": q_dedup_clusters,
+        "curate_corpus": q_curate_corpus,
         "minhash_lsh": q_minhash_lsh,
         "text_stats": q_text_stats,
         "doc_quality": q_doc_quality,
@@ -1758,6 +1806,7 @@ def oracle_sql() -> dict[str, str]:
         "join_within": ORACLE_JOIN_WITHIN,
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "dedup_clusters": _oracle_dedup_clusters(),
+        "curate_corpus": _ORACLE_CURATE,
         "minhash_lsh": ORACLE_MINHASH_LSH,
         "text_stats": ORACLE_TEXT_STATS,
         "doc_quality": ORACLE_DOC_QUALITY,

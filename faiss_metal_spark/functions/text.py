@@ -143,11 +143,22 @@ def winnow_fingerprints(text: Column | str, k: int = 4, w: int = 5) -> Column:
     """
     grams = shingles(text, k)
     hashes = F.transform(grams, token_hash32)
-    idx = F.when(
-        F.size(hashes) >= w, F.sequence(F.lit(1), F.size(hashes) - (w - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    wins = F.transform(idx, lambda i: F.array_min(F.slice(hashes, i, w)))
-    return F.array_distinct(wins)
+
+    # Bind the hash array ONCE as a lambda variable: referencing the
+    # raw `hashes` expression inside the per-window lambda would
+    # re-evaluate the whole md5 array per window (O(T²) hashing per
+    # document — measured 60× slower at sf0.1). transform over a
+    # 1-element wrapper array gives the windows a bound variable
+    # instead of a repeated subexpression.
+    def windows(hs: Column) -> Column:
+        idx = F.when(
+            F.size(hs) >= w, F.sequence(F.lit(1), F.size(hs) - (w - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.array_min(F.slice(hs, i, w)))
+        )
+
+    return F.get(F.transform(F.array(hashes), windows), 0)
 
 
 # A BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation.
@@ -167,7 +178,13 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     [1,0]) can't produce phantom shingles.
     """
     t = tokens(text)
-    idx = F.when(
-        F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    return F.transform(idx, lambda j: F.concat_ws(" ", F.slice(t, j, n)))
+
+    # bind the token array once (see winnow_fingerprints: a raw
+    # expression inside the lambda re-splits the text per shingle)
+    def mk(tt: Column) -> Column:
+        idx = F.when(
+            F.size(tt) >= n, F.sequence(F.lit(1), F.size(tt) - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(idx, lambda j: F.concat_ws(" ", F.slice(tt, j, n)))
+
+    return F.get(F.transform(F.array(t), mk), 0)

@@ -1,0 +1,84 @@
+"""End-to-end training-data curation pipeline.
+
+The reference is a single-operator engine (kNN — SURVEY §0); this module
+is the north-star composition the Spark engine exists for: take a raw
+document corpus and produce the deduplicated, quality-filtered training
+set, as ONE declarative DataFrame plan.
+
+Stages (each shuffle-bounded, all JVM-side — no Python in the hot path):
+
+1. **Exact dedup** — hash the full text (md5), keep the min doc_id per
+   digest. One shuffle on the 16-byte digest, never on the text itself.
+2. **Near dedup** — MinHash signatures → banded LSH self-join →
+   connected components → keep each cluster's min id. Shuffle volume is
+   bands·|docs| bucket rows, not |docs|²; components converge in
+   O(cluster diameter) iterations.
+3. **Quality filter** — closed-form score (distinct-token ratio, length
+   saturation, token-length saturation), a pure projection.
+
+At 100 TB: stage 1 and the signature build stream over the corpus once;
+the LSH join's fan-out is bounded by band-bucket sizes (salt hot buckets
+if a boilerplate shingle dominates); the final anti-join broadcasts the
+drop list when it is small (usually ≪ corpus) or shuffles on the id
+otherwise — Spark's join planner chooses at runtime via AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .functions.text import quality_score, token_count
+from .operators.dedup import (
+    connected_components,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+
+
+def curate_corpus(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_size: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = ("lang",),
+) -> DataFrame:
+    """Curated corpus: exact dups dropped (keep min id), near-dup
+    clusters reduced to their min-id representative, then quality-
+    filtered. Returns (id, *keep_cols, n_tokens, quality) — quality is
+    the raw double; callers round for display.
+    """
+    ids = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("_k"))
+    keymin = ids.groupBy("_k").agg(F.min(id_col).alias("_keeper"))
+    exact_drop = (
+        ids.join(keymin, "_k")
+        .where(F.col(id_col) != F.col("_keeper"))
+        .select(F.col(id_col).alias("_drop_id"))
+    )
+
+    sig = minhash_signatures(
+        docs, text_col=text_col, id_col=id_col,
+        num_hashes=num_hashes, shingle_size=shingle_size,
+    )
+    pairs = lsh_candidate_pairs(sig, id_col=id_col, num_hashes=num_hashes, bands=bands)
+    cc = connected_components(pairs)
+    near_drop = (
+        cc.where(F.col("id") != F.col("cluster")).select(F.col("id").alias("_drop_id"))
+    )
+
+    drops = exact_drop.unionByName(near_drop).distinct()
+    survivors = docs.join(
+        drops, docs[id_col] == drops["_drop_id"], "left_anti"
+    )
+    return (
+        survivors.select(
+            F.col(id_col),
+            *[F.col(c) for c in keep_cols],
+            token_count(text_col).cast("long").alias("n_tokens"),
+            quality_score(text_col).alias("quality"),
+        )
+        .where(F.col("quality") >= F.lit(min_quality))
+    )

@@ -1,3 +1,9 @@
+from .layout import (  # noqa: F401
+    bucketed_table,
+    read_partitioned,
+    write_bucketed,
+    write_partitioned,
+)
 from .vector_io import (  # noqa: F401
     read_vectors,
     synthetic_vectors,

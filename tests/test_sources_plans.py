@@ -76,3 +76,60 @@ def test_scan_prunes_columns(spark):
     r = explain_report(df)
     assert any("l_quantity" in s for s in r.read_schemas)
     assert not any("l_extendedprice" in s for s in r.read_schemas)
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    """A filter on the partition column must become directory pruning
+    (PartitionFilters in the scan), not a post-scan filter."""
+    from pyspark.sql import functions as F
+
+    from faiss_metal_spark.sources import read_partitioned, write_partitioned
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    path = str(tmp_path / "orders_by_priority")
+    write_partitioned(o, path, ["o_orderpriority"])
+
+    back = read_partitioned(spark, path)
+    urgent = back.where(F.col("o_orderpriority") == "1-URGENT")
+    r = explain_report(urgent)
+    assert (
+        "PartitionFilters" in r.plan
+        and "o_orderpriority" in r.plan.split("PartitionFilters")[1][:200]
+    ), r.plan
+    want = o.where(F.col("o_orderpriority") == "1-URGENT").count()
+    assert urgent.count() == want and want > 0
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key join with ZERO shuffles —
+    the write-once-shuffle-never contract that makes repeated 100 TB
+    joins affordable."""
+    from faiss_metal_spark.sources import bucketed_table, write_bucketed
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    l = spark.read.parquet(f"{SF}/lineitem.parquet")
+    write_bucketed(o, "t_orders_b", "o_orderkey", 4, sort_col="o_orderkey",
+                   path=str(tmp_path / "orders_b"))
+    write_bucketed(l, "t_lineitem_b", "l_orderkey", 4, sort_col="l_orderkey",
+                   path=str(tmp_path / "lineitem_b"))
+    try:
+        ob, lb = bucketed_table(spark, "t_orders_b"), bucketed_table(spark, "t_lineitem_b")
+        # force the shuffle-join path so the assertion is about bucketing,
+        # not about the broadcast threshold hiding the shuffle
+        old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = lb.join(ob, lb["l_orderkey"] == ob["o_orderkey"]).select(
+                "l_orderkey", "o_totalprice"
+            )
+            n = j.count()
+            r = explain_report(j)
+            assert r.n_exchanges == 0, r.plan
+            assert r.n_sort_merge_joins >= 1, r.plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        plain = l.join(o, l["l_orderkey"] == o["o_orderkey"]).count()
+        assert n == plain and n > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")

@@ -159,3 +159,30 @@ def test_connected_components(spark):
     )
     out = {r["id"]: r["cluster"] for r in connected_components(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_curate_corpus_pipeline(spark):
+    """Exact dup, near-dup pair, and a junk doc all drop; the rest
+    survive with their quality scores."""
+    from faiss_metal_spark.pipeline import curate_corpus
+
+    rich = " ".join(f"distinctword{i} meaningful" for i in range(40))  # 80 tokens
+    near_a = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    near_b = near_a + "extra"
+    docs = spark.createDataFrame(
+        [
+            (0, rich, "en"),
+            (1, rich, "en"),                 # exact dup of 0 → dropped
+            (2, near_a.strip(), "en"),
+            (3, near_b.strip(), "en"),       # near dup of 2 → dropped
+            (4, "x x x x", "en"),            # repetitive junk → quality fail
+        ],
+        schema="doc_id long, text string, lang string",
+    )
+    out = curate_corpus(docs, min_quality=0.5)
+    survivors = {r["doc_id"] for r in out.collect()}
+    assert 0 in survivors and 1 not in survivors     # exact dedup keeps min id
+    assert 2 in survivors and 3 not in survivors     # near-dedup keeps min id
+    assert 4 not in survivors                        # quality filter
+    row = {r["doc_id"]: r for r in out.collect()}[0]
+    assert row["n_tokens"] == 80 and 0.0 <= row["quality"] <= 1.0
