@@ -1043,18 +1043,17 @@ GROUP BY 1
 
 def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding event-time windows (1 h length, 30 min slide): each event
-    lands in exactly two windows. Same op streams with a watermark;
-    the batch form is the oracle-checkable one."""
+    lands in exactly two windows. Same op streams with a watermark
+    (stream ≡ batch pinned by tests/test_streaming.py); the batch form
+    is the oracle-checkable one."""
+    from faiss_metal_spark.streaming import sliding_counts
+
     e = _events(spark, sf_dir)
-    return (
-        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), _norm(F.sum("value"), 2).alias("sum_value"))
-        .select(
-            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-            "event_type",
-            "n",
-            "sum_value",
-        )
+    return sliding_counts(e, length="1 hour", slide="30 minutes").select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+        _norm(F.col("sum_value"), 2).alias("sum_value"),
     )
 
 

@@ -283,7 +283,9 @@ def connected_components(
     )
     nodes = und.select(F.col("a").alias("id")).distinct()
     labels = nodes.withColumn("lbl", F.col("id")).persist()
-    labels.count()
+    # labels only ever decrease, so Σlbl strictly decreases on any
+    # change — a 1-row aggregate replaces the join-based change count
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
     und = und.persist()
 
     for _ in range(max_iter):
@@ -292,6 +294,9 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("lbl").alias("nlbl"))
         )
+        # plain neighbor-min (no pointer-jump shortcut: dup clusters are
+        # shallow, and an extra self-join per round measured slower than
+        # the 1-2 rounds it saves)
         new_labels = (
             labels.join(nbr, labels["id"] == nbr["a"], "left")
             .select(
@@ -300,16 +305,12 @@ def connected_components(
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     und.unpersist()
     return labels.select(F.col("id"), F.col("lbl").alias("cluster"))
 

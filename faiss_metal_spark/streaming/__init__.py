@@ -5,5 +5,6 @@ from .ops import (  # noqa: F401
     read_events_stream,
     run_to_memory,
     sessionize,
+    sliding_counts,
     user_running_totals,
 )

@@ -72,6 +72,29 @@ def hourly_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def sliding_counts(
+    events: DataFrame,
+    length: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding (overlapping) event-time windows per type: each event
+    contributes to length/slide windows. Streaming semantics identical
+    to :func:`hourly_counts` — watermark finalizes + evicts old windows.
+    """
+    e = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        e.groupBy(F.window("ts", length, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Per-user gap sessions: (user_id, session_start_us, n_events,
     sum_value). An event extends its user's session iff it arrives

@@ -155,3 +155,16 @@ def test_stream_stream_join_equals_batch(spark, batch_events, events_dir, tmp_pa
     g = _normalize(got[["l_event_id", "r_value"]])
     w = _normalize(want[["l_event_id", "r_value"]])
     pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_stream_sliding_equals_batch(spark, batch_events, events_dir, tmp_path):
+    from faiss_metal_spark.streaming import sliding_counts
+
+    run_to_memory(
+        sliding_counts(_stream(spark, events_dir)), "slide_t", str(tmp_path / "cp_sl")
+    )
+    got = _normalize(spark.table("slide_t").toPandas())
+    want = _normalize(sliding_counts(batch_events).toPandas())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # overlapping windows: every event lands in length/slide = 2 windows
+    assert int(got["n"].sum()) == 2 * batch_events.count()
