@@ -122,6 +122,12 @@ def _knn_oracle(metric: str, qlo: int, qhi: int, k: int) -> str:
             f" - 2 * {ip}, 0.0)"
         )
         order = "dist ASC, label ASC"
+    elif metric == "l1":
+        dist = (
+            "list_sum([abs(x[1] - x[2]) FOR x IN "
+            "list_zip(q.qv::DOUBLE[], v.embedding::DOUBLE[])])"
+        )
+        order = "dist ASC, label ASC"
     elif metric == "ip":
         dist = ip
         order = "dist DESC, label ASC"
@@ -1691,6 +1697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_l2": _knn_query("l2", 0, 8, 10, "gemm"),
         "knn_ip": _knn_query("ip", 0, 8, 10, "gemm"),
         "knn_cosine": _knn_query("cosine", 0, 8, 10, "gemm"),
+        "knn_l1": _knn_query("l1", 0, 8, 10, "gemm"),
         "knn_l2_sql": _knn_query("l2", 8, 16, 10, "sql"),
         "knn_highk": _knn_query("l2", 0, 4, 64, "gemm"),
         "knn_join": q_knn_join,
@@ -1758,6 +1765,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_l2": _knn_oracle("l2", 0, 8, 10),
         "knn_ip": _knn_oracle("ip", 0, 8, 10),
         "knn_cosine": _knn_oracle("cosine", 0, 8, 10),
+        "knn_l1": _knn_oracle("l1", 0, 8, 10),
         "knn_l2_sql": _knn_oracle("l2", 8, 16, 10),
         "knn_highk": _knn_oracle("l2", 0, 4, 64),
         "knn_join": _knn_oracle("l2", 0, 64, 10),

@@ -52,6 +52,15 @@ def l2sq(a: Column | str, b: Column | str) -> Column:
     return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def l1dist(a: Column | str, b: Column | str) -> Column:
+    """Manhattan distance Σ|aᵢ−bᵢ| (DOUBLE accumulate) — an extension
+    metric the reference's closed enum lacks (SURVEY §2.7)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    diffs = F.zip_with(ca, cb, lambda x, y: F.abs(x.cast("double") - y.cast("double")))
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
 def l2sq_decomp(norm_a: Column, norm_b: Column, dot_ab: Column) -> Column:
     """Decomposed ‖a‖² + ‖b‖² − 2·a·b given precomputed pieces."""
     return norm_a + norm_b - F.lit(2.0) * dot_ab

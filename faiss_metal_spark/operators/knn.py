@@ -55,9 +55,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from ..functions.vector import cosine_sim, dot, l2sq, sqnorm
+from ..functions.vector import cosine_sim, dot, l1dist, l2sq, sqnorm
 
-Metric = Literal["l2", "ip", "cosine"]
+Metric = Literal["l2", "ip", "cosine", "l1"]
 
 # Result schema of every kNN search (FIXTURES.md "Expected-output schema").
 RESULT_SCHEMA = T.StructType(
@@ -82,12 +82,12 @@ _MAX_BROADCAST_ELEMS = 8_000_000
 
 
 def _sentinel(metric: Metric) -> float:
-    # L2: smaller is better → pad +inf. IP/cosine: larger is better → pad −inf.
-    return math.inf if metric == "l2" else -math.inf
+    # L2/L1: smaller is better → pad +inf. IP/cosine: larger → pad −inf.
+    return math.inf if metric in ("l2", "l1") else -math.inf
 
 
 def _better_is_min(metric: Metric) -> bool:
-    return metric == "l2"
+    return metric in ("l2", "l1")
 
 
 # Below this row count the declarative path beats paying the Python
@@ -124,7 +124,7 @@ def knn_search(
     """
     if k <= 0:
         raise ValueError("k must be positive")  # ≙ MetalIndexFlat.mm:321
-    if metric not in ("l2", "ip", "cosine"):
+    if metric not in ("l2", "ip", "cosine", "l1"):
         raise ValueError(f"unknown metric {metric!r}")
 
     v = vectors.select(
@@ -157,6 +157,8 @@ def _distance_expr(metric: Metric, qvec: str, vvec: str):
         return l2sq(qvec, vvec)
     if metric == "ip":
         return dot(qvec, vvec)
+    if metric == "l1":
+        return l1dist(qvec, vvec)
     return cosine_sim(qvec, vvec)
 
 
@@ -245,19 +247,24 @@ def _gemm_candidates(
                 continue
             V = _decode_batch(pdf["vec"], vec_format)
             labels = pdf["id"].to_numpy(np.int64)
-            G = Q_ @ V.T  # BLAS — the reference's GEMM kernel family
-            if metric == "l2":
-                vn = (V * V).sum(axis=1)
-                D = qn[:, None] + vn[None, :] - 2.0 * G  # fused epilogue
-                np.maximum(D, 0.0, out=D)
-            elif metric == "cosine":
-                vnorm = np.sqrt((V * V).sum(axis=1))
-                qnorm_ = np.sqrt((Q_ * Q_).sum(axis=1))
-                denom = qnorm_[:, None] * vnorm[None, :]
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    D = np.where(denom > 0, G / denom, 0.0)
+            if metric == "l1":
+                # no GEMM decomposition exists for L1 — direct |q−v|
+                # broadcast, O(nq·batch·d) bounded by the Arrow batch
+                D = np.abs(Q_[:, None, :] - V[None, :, :]).sum(axis=-1)
             else:
-                D = G
+                G = Q_ @ V.T  # BLAS — the reference's GEMM kernel family
+                if metric == "l2":
+                    vn = (V * V).sum(axis=1)
+                    D = qn[:, None] + vn[None, :] - 2.0 * G  # fused epilogue
+                    np.maximum(D, 0.0, out=D)
+                elif metric == "cosine":
+                    vnorm = np.sqrt((V * V).sum(axis=1))
+                    qnorm_ = np.sqrt((Q_ * Q_).sum(axis=1))
+                    denom = qnorm_[:, None] * vnorm[None, :]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        D = np.where(denom > 0, G / denom, 0.0)
+                else:
+                    D = G
 
             cat_d = np.concatenate([best_d, sign * D], axis=1)
             cat_l = np.concatenate(

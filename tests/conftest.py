@@ -36,6 +36,9 @@ def numpy_oracle(V: np.ndarray, Q: np.ndarray, k: int, metric: str = "l2"):
     if metric == "l2":
         D = ((Qd[:, None, :] - Vd[None, :, :]) ** 2).sum(-1)
         order = np.argsort(D, axis=1, kind="stable")
+    elif metric == "l1":
+        D = np.abs(Qd[:, None, :] - Vd[None, :, :]).sum(-1)
+        order = np.argsort(D, axis=1, kind="stable")
     elif metric == "ip":
         D = Qd @ Vd.T
         order = np.argsort(-D, axis=1, kind="stable")

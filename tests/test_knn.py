@@ -37,12 +37,12 @@ def check_against_oracle(V, Q, k, D, L, metric="l2", rtol=1e-3):
     scale = np.maximum(np.abs(oD[:, :kk]), 1e-9)
     assert (np.abs(D[:, :kk] - oD[:, :kk]) / scale < rtol).all()
     # padded ranks: sentinel
-    sent = math.inf if metric == "l2" else -math.inf
+    sent = math.inf if metric in ("l2", "l1") else -math.inf
     assert (D[:, kk:] == sent).all()
     assert (L[:, kk:] == -1).all()
     # invariant 1: rank ordering monotone among real ranks
     diffs = np.diff(D[:, :kk], axis=1)
-    if metric == "l2":
+    if metric in ("l2", "l1"):
         assert (diffs >= -1e-12).all()
     else:
         assert (diffs <= 1e-12).all()
@@ -58,6 +58,7 @@ MATRIX = [
     ("l2_128d", 1000, 10, 128, 10, "l2"),
     ("l2_768d", 500, 5, 768, 5, "l2"),
     ("ip_128d", 1000, 10, 128, 10, "ip"),
+    ("l1_64d", 1000, 10, 64, 10, "l1"),
     ("edge_single", 100, 1, 32, 1, "l2"),
 ]
 
