@@ -1461,6 +1461,34 @@ FROM r WHERE rank < {_LSH_K}
 """
 
 
+def q_mllib_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib-trained IVF coarse quantizer (the north-star's 'MLlib for
+    batch index building'): distributed seeded k-means over the full
+    embedding table, then per-cell inventory. Rows-only check (MLlib's
+    kmeans|| init is engine-specific); assignment exactness is pinned by
+    tests/test_mllib_ann.py."""
+    from faiss_metal_spark.operators.mllib_ann import mllib_kmeans_ivf
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    _, assigned = mllib_kmeans_ivf(emb, n_cells=8)
+    return assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_mllib_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Euclidean near-dup pairs via MLlib BucketedRandomProjectionLSH
+    self-join (rows-only: seeded but engine-specific hash family;
+    no-false-positive + recall pinned by tests)."""
+    from faiss_metal_spark.operators.mllib_ann import mllib_lsh_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    pairs = mllib_lsh_pairs(emb, threshold=1.2, bucket_length=2.0, num_tables=3)
+    return pairs.select("id_a", "id_b", _norm(F.col("dist"), 4).alias("dist"))
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe search — iterative k-means training, rows-only check
     (correctness pinned by tests/test_similarity.py instead: exact at
@@ -1703,6 +1731,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": q_knn_join,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "mllib_kmeans_cells": q_mllib_kmeans_cells,
+        "mllib_lsh_pairs": q_mllib_lsh_pairs,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
