@@ -281,8 +281,15 @@ def connected_components(
     und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
-    nodes = und.select(F.col("a").alias("id")).distinct()
-    labels = nodes.withColumn("lbl", F.col("id")).persist()
+    # first propagation round fused into init: label₀ = min(id, min
+    # neighbor) comes straight off the symmetric edge list — one
+    # aggregation instead of a join round
+    labels = (
+        und.groupBy("a")
+        .agg(F.min("b").alias("_mb"))
+        .select(F.col("a").alias("id"), F.least("a", "_mb").alias("lbl"))
+        .persist()
+    )
     # labels only ever decrease, so Σlbl strictly decreases on any
     # change — a 1-row aggregate replaces the join-based change count
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
