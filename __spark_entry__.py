@@ -1075,6 +1075,20 @@ GROUP BY 1, 2
 """
 
 
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via Spark's KLL-style sketch
+    (percentile_approx) — the bounded-memory path where exact ordered
+    statistics would sort 100 TB. Deterministic for fixed input;
+    rows-only check (sketch values are engine-specific); accuracy vs
+    exact percentile pinned by tests/test_joins.py."""
+    e = _events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        _norm(F.percentile_approx("value", 0.5, 10000), 4).alias("p50_approx"),
+        _norm(F.percentile_approx("value", 0.95, 10000), 4).alias("p95_approx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct (the 100-TB path where exact DISTINCT
     shuffles too much). Deterministic for fixed input; rows-only check
@@ -1756,6 +1770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_balance": q_range_join_balance,
         "sliding_windows": q_sliding_windows,
         "approx_distinct_users": q_approx_distinct_users,
+        "approx_percentiles": q_approx_percentiles,
         "above_brand_avg": q_above_brand_avg,
         "top3_orders_per_customer": q_top3_orders_per_customer,
         "semi_join_heavy_orders": q_semi_join,

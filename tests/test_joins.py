@@ -76,3 +76,23 @@ def test_approx_distinct_close(spark):
     assert len(rows) == 3
     for r in rows:
         assert abs(r["est"] - r["exact"]) <= max(0.05 * r["exact"], 5)
+
+
+def test_approx_percentile_close(spark):
+    """percentile_approx stays within tight relative error of the exact
+    percentile at accuracy=10000 (backs the rows-only approx_percentiles
+    driver query)."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": rng.integers(0, 3, 6000), "v": rng.uniform(0, 1000, 6000)}),
+        schema="g long, v double",
+    )
+    rows = df.groupBy("g").agg(
+        F.percentile_approx("v", 0.5, 10000).alias("approx"),
+        F.percentile("v", F.lit(0.5)).alias("exact"),
+    ).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert abs(r["approx"] - r["exact"]) <= 0.01 * max(abs(r["exact"]), 1.0)
