@@ -278,9 +278,13 @@ def connected_components(
     GraphX-style pattern). Deterministic → exactly reproducible by a
     recursive-SQL oracle.
     """
+    # persist the symmetric edge list BEFORE the first action: edges
+    # usually sit on an expensive lineage (the whole LSH pipeline), and
+    # marking the cache after the init action would recompute that
+    # lineage once more in round 0 (measured: 2× the LSH cost)
     und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    )
+    ).persist()
     # first propagation round fused into init: label₀ = min(id, min
     # neighbor) comes straight off the symmetric edge list — one
     # aggregation instead of a join round
@@ -293,7 +297,6 @@ def connected_components(
     # labels only ever decrease, so Σlbl strictly decreases on any
     # change — a 1-row aggregate replaces the join-based change count
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
-    und = und.persist()
 
     for _ in range(max_iter):
         nbr = (
