@@ -637,8 +637,8 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q12 = """
 SELECT l_linestatus,
-  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
 GROUP BY l_linestatus
@@ -1348,7 +1348,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             _norm(F.avg(token_count("text")), 4).alias("avg_tokens"),
             _norm(F.avg("n_chars"), 4).alias("avg_chars"),
-            F.max(token_count("text")).alias("max_tokens"),
+            F.max(token_count("text")).cast("long").alias("max_tokens"),
         )
     )
 
@@ -1366,7 +1366,7 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        token_count("text").alias("n_tokens"),
+        token_count("text").cast("long").alias("n_tokens"),
         _norm(distinct_token_ratio("text"), 4).alias("distinct_ratio"),
         _norm(avg_token_len("text"), 4).alias("avg_token_len"),
         _norm(quality_score("text"), 4).alias("quality"),
