@@ -41,6 +41,13 @@ def get_spark(app_name: str = "faiss-metal-spark", cpus: int | None = None) -> S
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # one BLAS thread per Python worker: task-level parallelism
+        # already saturates the cores, and nested BLAS threading across
+        # 32 workers oversubscribes (measured: up to 1.5× tail latency
+        # on the 768/1536-dim GEMM benchmarks)
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     return builder.getOrCreate()
 
