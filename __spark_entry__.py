@@ -1306,11 +1306,28 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # exact-dup + near-dup drop set, then the doc_quality scoring formula —
-# stitched from the same CTEs the individual stage oracles use
+# stitched from the same CTEs the individual stage oracles use. Banding
+# candidates are verified with exact shingle-set Jaccard ≥ 0.5 before
+# becoming dedup edges (engine: curate_corpus verify_jaccard=0.5).
 _ORACLE_CURATE = f"""
 WITH RECURSIVE {_MINHASH_CTES},
-e AS (SELECT id_a AS a, id_b AS b FROM pairs
-      UNION ALL SELECT id_b, id_a FROM pairs),
+shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+szs AS (SELECT doc_id, COUNT(*) AS sz FROM shd GROUP BY doc_id),
+pinter AS (
+  SELECT p.id_a, p.id_b, COUNT(*) AS i
+  FROM pairs p
+  JOIN shd a ON a.doc_id = p.id_a
+  JOIN shd b ON b.doc_id = p.id_b AND b.sh = a.sh
+  GROUP BY 1, 2
+),
+vpairs AS (
+  SELECT i.id_a, i.id_b FROM pinter i
+  JOIN szs sa ON sa.doc_id = i.id_a
+  JOIN szs sb ON sb.doc_id = i.id_b
+  WHERE i.i / CAST(sa.sz + sb.sz - i.i AS DOUBLE) >= 0.5
+),
+e AS (SELECT id_a AS a, id_b AS b FROM vpairs
+      UNION ALL SELECT id_b, id_a FROM vpairs),
 nn AS (SELECT DISTINCT a AS id FROM e),
 r AS (
   SELECT id, id AS l FROM nn
@@ -1582,11 +1599,15 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_NGRAM_JACCARD = """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-sh AS (
+sh0 AS (
   SELECT doc_id,
          unnest(list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)])) AS sh
   FROM toks WHERE len(t) >= 3
 ),
+-- document-frequency cutoff (engine max_df=10000): boilerplate
+-- shingles leave the similarity definition on BOTH engines
+keep AS (SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) <= 10000),
+sh AS (SELECT sh0.doc_id, sh0.sh FROM sh0 JOIN keep USING (sh)),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i

@@ -213,6 +213,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_size: int = 3,
     threshold: float = 0.0,
+    max_df: int | None = 10_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs.
 
@@ -221,6 +222,17 @@ def ngram_jaccard_pairs(
     full cross product is ever formed, which is what makes this viable
     on large corpora).
     Returns (id_a, id_b, jaccard).
+
+    ``max_df`` caps the document frequency a shingle may have and still
+    participate: one boilerplate shingle shared by n docs would
+    otherwise contribute n² rows to the self-join — the quadratic
+    blowup that kills a 100 TB run. Shingles above the cutoff are
+    excluded from the similarity DEFINITION (both the intersection and
+    the per-doc set sizes), so the result is exactly the Jaccard of the
+    filtered shingle sets and any engine (see the SQL oracle) computes
+    the identical value. High-DF shingles carry almost no similarity
+    signal, so the filtered Jaccard tracks the unfiltered one closely.
+    ``max_df=None`` disables the cutoff.
 
     Shingle strings are hashed to int64 before the self-join: the
     shuffle moves 8-byte keys instead of n-word strings and the join
@@ -232,9 +244,29 @@ def ngram_jaccard_pairs(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(text_col, shingle_size))).alias("_s"),
     ).select(id_col, F.xxhash64("_s").alias("sh"))
+    if max_df is not None:
+        keep = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_df)
+            .select("sh")
+        )
+        sh = sh.join(keep, "sh")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
 
-    a, b = sh.alias("a"), sh.alias("b")
+    # With explicit candidates, only docs that appear in some candidate
+    # pair enter the self-join — the shared-shingle blowup is bounded by
+    # the (small) dup-suspect set, not the corpus.
+    sh_join = sh
+    if pair_candidates is not None:
+        cand_ids = (
+            pair_candidates.select(F.col("id_a").alias(id_col))
+            .unionByName(pair_candidates.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        sh_join = sh.join(cand_ids, id_col, "left_semi")
+
+    a, b = sh_join.alias("a"), sh_join.alias("b")
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
@@ -298,7 +330,7 @@ def connected_components(
     # change — a 1-row aggregate replaces the join-based change count
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
 
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr = (
             und.join(labels, und["b"] == labels["id"])
             .groupBy("a")
@@ -307,14 +339,18 @@ def connected_components(
         # plain neighbor-min (no pointer-jump shortcut: dup clusters are
         # shallow, and an extra self-join per round measured slower than
         # the 1-2 rounds it saves)
-        new_labels = (
-            labels.join(nbr, labels["id"] == nbr["a"], "left")
-            .select(
-                "id",
-                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
-            )
-            .persist()
+        new_labels = labels.join(nbr, labels["id"] == nbr["a"], "left").select(
+            "id",
+            F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
         )
+        if (it + 1) % 8 == 0:
+            # truncate lineage every few rounds: a deep graph would
+            # otherwise accumulate an unbounded plan (each round's plan
+            # embeds all previous rounds') and eventually stall the
+            # driver at 100× diameter
+            new_labels = new_labels.localCheckpoint()
+        else:
+            new_labels = new_labels.persist()
         new_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
         labels.unpersist()
         labels = new_labels

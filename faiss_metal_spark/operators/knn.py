@@ -109,6 +109,7 @@ def knn_search(
     qvec_col: str = "vec",
     nv_hint: int | None = None,
     vec_format: str = "array",
+    norm_col: str | None = None,
 ) -> DataFrame:
     """Top-k nearest neighbors of each query row among the vector rows.
 
@@ -127,9 +128,15 @@ def knn_search(
     if metric not in ("l2", "ip", "cosine", "l1"):
         raise ValueError(f"unknown metric {metric!r}")
 
-    v = vectors.select(
-        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
-    )
+    # Precomputed-norm numerics (MetalIndexFlat.mm:258-268): a quantized
+    # table's L2 decomposition uses norms from the UNQUANTIZED fp32
+    # input, threaded in via ``norm_col``; without it the gemm path
+    # recomputes norms from the stored vectors (identical for fp32).
+    vcols = [F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")]
+    use_norms = norm_col is not None and metric == "l2"
+    if use_norms:
+        vcols.append(F.col(norm_col).cast("double").alias("norm_sq"))
+    v = vectors.select(*vcols)
     q = queries.select(
         F.col(qid_col).cast("long").alias("qid"), F.col(qvec_col).alias("qvec")
     )
@@ -140,9 +147,9 @@ def knn_search(
         raise ValueError("compact binary vector storage requires the gemm path")
 
     if method == "gemm":
-        candidates = _gemm_candidates(v, q, k, metric, vec_format)
+        candidates = _gemm_candidates(v, q, k, metric, vec_format, use_norms)
     else:
-        candidates = _sql_candidates(v, q, k, metric)
+        candidates = _sql_candidates(v.select("id", "vec"), q, k, metric)
 
     return _finalize(q, candidates, k, metric)
 
@@ -219,7 +226,8 @@ def _decode_batch(col: pd.Series, vec_format: str) -> np.ndarray:
 
 
 def _gemm_candidates(
-    v: DataFrame, q: DataFrame, k: int, metric: Metric, vec_format: str = "array"
+    v: DataFrame, q: DataFrame, k: int, metric: Metric, vec_format: str = "array",
+    use_norms: bool = False,
 ) -> DataFrame:
     qids, Q = _collect_queries(q)
     nq = len(qids)
@@ -254,7 +262,13 @@ def _gemm_candidates(
             else:
                 G = Q_ @ V.T  # BLAS — the reference's GEMM kernel family
                 if metric == "l2":
-                    vn = (V * V).sum(axis=1)
+                    # stored fp32 norms when supplied (reference's
+                    # precomputed-norm policy); recompute otherwise
+                    vn = (
+                        pdf["norm_sq"].to_numpy(np.float64)
+                        if use_norms
+                        else (V * V).sum(axis=1)
+                    )
                     D = qn[:, None] + vn[None, :] - 2.0 * G  # fused epilogue
                     np.maximum(D, 0.0, out=D)
                 elif metric == "cosine":

@@ -34,7 +34,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from ..functions.vector import cosine_sim
-from .knn import RESULT_SCHEMA, _finalize, _sentinel
+from .knn import RESULT_SCHEMA, _finalize
 
 # ---------------------------------------------------------------------------
 # Random-hyperplane LSH (cosine)
@@ -80,7 +80,11 @@ def lsh_buckets(
     id_col: str = "id",
     vec_col: str = "vec",
 ) -> DataFrame:
-    """(id, vec, table, bucket) — one row per (row, table).
+    """(id, table, bucket) — one row per (row, table). IDS ONLY: the
+    vector payload deliberately does not ride through the bucket
+    explode/join — at corpus scale that would shuffle the whole
+    embedding table once per hash table. Callers join candidates back
+    to the vector table for the exact rerank.
 
     Bucket ids for ALL tables are computed in one Arrow-batched integer
     matmul: quantize the batch to int64, multiply by the (d × T·P)
@@ -102,7 +106,6 @@ def lsh_buckets(
     out_schema = T_.StructType(
         [
             T_.StructField("id", T_.LongType()),
-            T_.StructField("vec", df.schema[vec_col].dataType),
             T_.StructField("tbl", T_.IntegerType()),
             T_.StructField("bucket", T_.LongType()),
         ]
@@ -122,7 +125,6 @@ def lsh_buckets(
             yield pd.DataFrame(
                 {
                     "id": np.repeat(ids, n_tables),
-                    "vec": np.repeat(pdf["_v"].to_numpy(), n_tables),
                     "tbl": np.tile(np.arange(n_tables, dtype=np.int32), len(V)),
                     "bucket": buckets.ravel(),
                 }
@@ -149,20 +151,32 @@ def ann_lsh_search(
     sentinel padding; this is the approximate path, ``knn_search`` is
     the exact one). Candidates found in multiple tables are deduped
     before the rerank so each pair is scored once.
+
+    Shuffle discipline: the bucket join moves (id, tbl, bucket) triples
+    only — never vectors. The deduped candidate pair set (≪ corpus) then
+    equi-joins back to the vector table for the exact rerank, and the
+    query vectors (small by contract) broadcast in.
     """
     vb = lsh_buckets(vectors, planes, id_col, vec_col)
     qb = lsh_buckets(queries, planes, qid_col, qvec_col).withColumnRenamed("id", "qid")
 
-    cand = (
-        qb.alias("q")
-        .join(vb.alias("v"), ["tbl", "bucket"])
-        .select(
-            F.col("q.qid").alias("qid"),
-            F.col("v.id").alias("label"),
-            F.col("q.vec").alias("qvec"),
-            F.col("v.vec").alias("vvec"),
-        )
+    cand_ids = (
+        qb.join(vb, ["tbl", "bucket"])
+        .select(F.col("qid"), F.col("id").alias("label"))
         .dropDuplicates(["qid", "label"])
+    )
+    cand = cand_ids.join(
+        vectors.select(
+            F.col(id_col).cast("long").alias("label"), F.col(vec_col).alias("vvec")
+        ),
+        "label",
+    ).join(
+        F.broadcast(
+            queries.select(
+                F.col(qid_col).cast("long").alias("qid"), F.col(qvec_col).alias("qvec")
+            )
+        ),
+        "qid",
     )
     scored = cand.select(
         "qid", "label", cosine_sim("qvec", "vvec").alias("distance")
@@ -303,8 +317,12 @@ def ivf_train_centroids(
         raise ValueError(f"need ≥ {n_cells} vectors to train, got {len(X)}")
     C = X[:n_cells].copy()
     for _ in range(iters):
-        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
-        assign = d2.argmin(1)
+        # ‖c‖² − 2x·c decomposition (‖x‖² constant per row): one
+        # (sample × cells) matrix instead of the (sample × cells × d)
+        # broadcast — the same form ivf_assign uses, so trainer and
+        # assigner tie-break identically. 16384×256×1536 fits in <2 GB.
+        cn = (C * C).sum(1)
+        assign = (cn[None, :] - 2.0 * (X @ C.T)).argmin(1)
         for c in range(n_cells):
             m = assign == c
             if m.any():
@@ -362,51 +380,90 @@ def ivf_search(
 
     The cell filter is a plain ``isin`` — on a cell-partitioned table it
     becomes partition pruning; in memory it's still a single scan that
-    skips non-candidate rows before any distance math. Search within
-    the probed subset reuses the exact brute-force operator, so
+    skips non-candidate rows before any distance math.
+
+    Search runs PER CELL (``groupBy("cell").applyInPandas``): each cell
+    group scores exactly the queries that probed it (per-query probe map
+    broadcast to the executors), takes a local top-k, and the per-cell
+    winners merge in the same partial/final shape as ``knn_search``.
+    A query's candidates therefore come only from its own probed cells —
+    a dense foreign cell can never crowd out a sparse probed one — and
+    each query gets exactly min(k, |probed rows|) results.
     nprobe = n_cells degrades gracefully to exact search.
     """
-    from .knn import knn_search
+    from .knn import _PARTIAL_SCHEMA, _finalize
 
+    if metric not in ("l2", "ip", "cosine", "l1"):
+        raise ValueError(f"unknown metric {metric!r}")
     qpdf = queries.select(
         F.col(qid_col).cast("long").alias("qid"), F.col(qvec_col).alias("qvec")
     ).toPandas()
     if len(qpdf) == 0:
         return queries.sparkSession.createDataFrame([], RESULT_SCHEMA)
+    qids = qpdf["qid"].to_numpy(np.int64)
     Q = np.stack(qpdf["qvec"].to_numpy()).astype(np.float64)
     cn = (centroids * centroids).sum(1)
     order = (cn[None, :] - 2.0 * (Q @ centroids.T)).argsort(1, kind="stable")
     probe = order[:, :nprobe]
 
+    # cell → local indices of the queries that probe it
+    cell_to_qidx: dict[int, list[int]] = {}
+    for i, cells_i in enumerate(probe):
+        for c in cells_i:
+            cell_to_qidx.setdefault(int(c), []).append(i)
     spark = queries.sparkSession
-    pairs = spark.createDataFrame(
-        pd.DataFrame(
+    bc = spark.sparkContext.broadcast(
+        (qids, Q, {c: np.asarray(ix, dtype=np.int64) for c, ix in cell_to_qidx.items()})
+    )
+    want_min = metric in ("l2", "l1")
+    sign = 1.0 if want_min else -1.0
+
+    def cell_topk(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        qids_, Q_, c2q = bc.value
+        qidx = c2q.get(int(key[0]))
+        if qidx is None or len(pdf) == 0:
+            return pd.DataFrame({"qid": [], "label": [], "distance": []}).astype(
+                {"qid": np.int64, "label": np.int64, "distance": np.float64}
+            )
+        Qs = Q_[qidx]
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        labels = pdf[id_col].to_numpy(np.int64)
+        if metric == "l1":
+            D = np.abs(Qs[:, None, :] - V[None, :, :]).sum(-1)
+        else:
+            G = Qs @ V.T
+            if metric == "l2":
+                D = (Qs * Qs).sum(1)[:, None] + (V * V).sum(1)[None, :] - 2.0 * G
+                np.maximum(D, 0.0, out=D)
+            elif metric == "cosine":
+                denom = (
+                    np.sqrt((Qs * Qs).sum(1))[:, None]
+                    * np.sqrt((V * V).sum(1))[None, :]
+                )
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    D = np.where(denom > 0, G / denom, 0.0)
+            else:
+                D = G
+        kk = min(k, D.shape[1])
+        Ds = sign * D
+        idx = (
+            np.argpartition(Ds, kk - 1, axis=1)[:, :kk]
+            if kk < D.shape[1]
+            else np.argsort(Ds, axis=1)
+        )
+        return pd.DataFrame(
             {
-                "qid": np.repeat(qpdf["qid"].to_numpy(np.int64), nprobe),
-                "cell": probe.ravel().astype(np.int32),
+                "qid": np.repeat(qids_[qidx], idx.shape[1]),
+                "label": labels[idx.ravel()],
+                "distance": np.take_along_axis(D, idx, axis=1).ravel(),
             }
         )
-    )
-    cells = np.unique(probe.ravel())
-    subset = assigned.where(F.col("cell").isin([int(c) for c in cells]))
 
-    # Exact search over the union of probed cells, then drop hits whose
-    # cell wasn't probed for that particular query.
-    res = knn_search(
-        subset, queries, k * max(2, nprobe), metric=metric, method="gemm",
-        id_col=id_col, vec_col=vec_col, qid_col=qid_col, qvec_col=qvec_col,
-    ).where(F.col("label") >= 0)
-    cellmap = assigned.select(F.col(id_col).cast("long").alias("label"), "cell")
-    valid = (
-        res.join(cellmap, "label")
-        .join(pairs, ["qid", "cell"], "left_semi")
+    subset = assigned.where(
+        F.col("cell").isin([int(c) for c in sorted(cell_to_qidx)])
     )
-    asc = metric == "l2"
-    order_cols = [F.col("distance").asc() if asc else F.col("distance").desc(),
-                  F.col("label").asc()]
-    w = Window.partitionBy("qid").orderBy(*order_cols)
-    return (
-        valid.withColumn("rank", (F.row_number().over(w) - 1).cast("int"))
-        .where(F.col("rank") < k)
-        .select("qid", "rank", "label", "distance")
-    )
+    candidates = subset.groupBy("cell").applyInPandas(cell_topk, _PARTIAL_SCHEMA)
+    qdf = queries.select(F.col(qid_col).cast("long").alias("qid"))
+    # merge per-cell winners; drop the sentinel padding — the contract
+    # here (approximate path) is min(k, probed rows) real results
+    return _finalize(qdf, candidates, k, metric).where(F.col("label") >= 0)

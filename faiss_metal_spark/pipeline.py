@@ -10,9 +10,12 @@ Stages (each shuffle-bounded, all JVM-side — no Python in the hot path):
 1. **Exact dedup** — hash the full text (md5), keep the min doc_id per
    digest. One shuffle on the 16-byte digest, never on the text itself.
 2. **Near dedup** — MinHash signatures → banded LSH self-join →
-   connected components → keep each cluster's min id. Shuffle volume is
-   bands·|docs| bucket rows, not |docs|²; components converge in
-   O(cluster diameter) iterations.
+   exact-Jaccard verification of the banding candidates → connected
+   components → keep each cluster's min id. Shuffle volume is
+   bands·|docs| bucket rows, not |docs|²; the verify step re-scores
+   only the candidate pairs (banding false positives would otherwise
+   delete non-duplicate documents); components converge in O(cluster
+   diameter) iterations.
 3. **Quality filter** — closed-form score (distinct-token ratio, length
    saturation, token-length saturation), a pure projection.
 
@@ -33,6 +36,7 @@ from .operators.dedup import (
     connected_components,
     lsh_candidate_pairs,
     minhash_signatures,
+    ngram_jaccard_pairs,
 )
 
 
@@ -42,6 +46,7 @@ def curate_corpus(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_size: int = 3,
+    verify_jaccard: float | None = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
     keep_cols: tuple[str, ...] = ("lang",),
@@ -50,6 +55,12 @@ def curate_corpus(
     clusters reduced to their min-id representative, then quality-
     filtered. Returns (id, *keep_cols, n_tokens, quality) — quality is
     the raw double; callers round for display.
+
+    ``verify_jaccard``: banding candidates are re-scored with exact
+    n-gram Jaccard and only pairs ≥ the threshold become dedup edges —
+    a banding false positive (two docs agreeing on one band by chance)
+    must not delete a non-duplicate document. ``None`` trusts the
+    banding (the pre-verification behavior).
     """
     ids = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("_k"))
     keymin = ids.groupBy("_k").agg(F.min(id_col).alias("_keeper"))
@@ -64,6 +75,11 @@ def curate_corpus(
         num_hashes=num_hashes, shingle_size=shingle_size,
     )
     pairs = lsh_candidate_pairs(sig, id_col=id_col, num_hashes=num_hashes, bands=bands)
+    if verify_jaccard is not None:
+        pairs = ngram_jaccard_pairs(
+            docs, pair_candidates=pairs, text_col=text_col, id_col=id_col,
+            shingle_size=shingle_size, threshold=verify_jaccard, max_df=None,
+        ).select("id_a", "id_b")
     cc = connected_components(pairs)
     near_drop = (
         cc.where(F.col("id") != F.col("cluster")).select(F.col("id").alias("_drop_id"))

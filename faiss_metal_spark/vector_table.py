@@ -58,22 +58,46 @@ COMPACT_SCHEMA = T.StructType(
 class SearchToken:
     """Async-search handle (≙ MetalSearchToken, MetalIndexFlat.mm:17-78).
 
-    The plan is already submitted in the Spark sense (lazy DataFrame);
-    ``wait()`` runs the action and caches the result so repeated waits
-    return identical data, matching the reference's copy-once semantics.
+    The action runs on a background thread the moment the token is
+    created, so ``is_ready()`` genuinely polls in-flight state (the
+    reference's commandBuffer status poll, MetalIndexFlat.mm:74-78,
+    exercised with 3 concurrent tokens in tests/test_metal_flat.mm:349-401)
+    and several tokens can be in flight at once — Spark schedules
+    concurrent actions from separate driver threads on its own. ``wait()``
+    joins and caches the result, matching the copy-once semantics.
     """
 
-    def __init__(self, df: DataFrame):
+    def __init__(self, df: DataFrame, start: bool = True):
+        import threading
+
         self._df = df
         self._result: pd.DataFrame | None = None
+        self._error: BaseException | None = None
+        self._thread: threading.Thread | None = None
+        if start:
+            self._thread = threading.Thread(target=self._run, daemon=True)
+            self._thread.start()
+
+    def _run(self) -> None:
+        try:
+            self._result = self._df.toPandas()
+        except BaseException as e:  # surfaced on wait(), like a failed cmd buffer
+            self._error = e
 
     def dataframe(self) -> DataFrame:
         return self._df
 
     def is_ready(self) -> bool:
+        if self._thread is not None:
+            return not self._thread.is_alive()
         return self._result is not None
 
     def wait(self) -> pd.DataFrame:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            raise self._error
         if self._result is None:
             self._result = self._df.toPandas()
         return self._result
@@ -122,25 +146,52 @@ class VectorTable:
 
         Norms are computed from the incoming (unquantized) floats BEFORE
         the storage quantization is applied — MetalIndexFlat.mm:258-268.
+
+        Ids are assigned with a partition-offset scheme (count rows per
+        input partition, then ``row_number`` within each partition plus
+        its cumulative offset) — the zipWithIndex shape. Every partition
+        numbers its own rows in parallel; the only exchange is a hash
+        shuffle on the partition id, NOT the single-task global window
+        that would serialize a 100 TB ingest. Assumes the batch's
+        partitioning is deterministic under recomputation (same contract
+        ``zipWithIndex`` and ``monotonically_increasing_id`` rely on).
         """
         from .quantize import encode_col
 
         n_before = self._next_id
+        src = batch.select(F.col(vec_col).alias("_raw")).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+        counts = {
+            r["_pid"]: r["cnt"]
+            for r in src.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+        cnt = sum(counts.values())
+        if cnt == 0:
+            return self
+        offsets: dict[int, int] = {}
+        acc = 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        off_expr = F.element_at(
+            F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv]),
+            F.col("_pid"),
+        )
         store = (
             encode_col(F.col("_raw"), self.storage)
             if self.compact
             else quantize_col(F.col("_raw"), self.storage)
         )
-        new = (
-            batch.select(F.col(vec_col).alias("_raw"))
-            .withColumn("id", (F.row_number().over(_insertion_window()) - 1 + n_before).cast("long"))
-            .select(
-                "id",
-                store.alias("vec"),
-                sqnorm(F.col("_raw")).alias("norm_sq"),
-            )
+        w = _partition_local_window()
+        new = src.withColumn(
+            "id",
+            (F.row_number().over(w) - 1 + off_expr + F.lit(n_before)).cast("long"),
+        ).select(
+            "id",
+            store.alias("vec"),
+            sqnorm(F.col("_raw")).alias("norm_sq"),
         )
-        cnt = batch.count()
         self.df = self.df.unionByName(new)
         self._next_id += cnt
         return self
@@ -202,7 +253,9 @@ class VectorTable:
 
     def reset(self) -> "VectorTable":
         self.unpersist()
-        self.df = self.spark.createDataFrame([], VECTOR_SCHEMA)
+        self.df = self.spark.createDataFrame(
+            [], COMPACT_SCHEMA if self.compact else VECTOR_SCHEMA
+        )
         self._next_id = 0
         return self
 
@@ -260,6 +313,10 @@ class VectorTable:
         return knn_search(
             self.df, queries, k, metric=self.metric, method=method,
             qid_col=qid_col, qvec_col=qvec_col, vec_format=self._vec_format,
+            # quantized tables search with the precomputed fp32 norms
+            # (MetalIndexFlat.mm:258-268); fp32 tables recompute — the
+            # values are the same floats either way
+            norm_col="norm_sq" if self.storage != STORAGE_FP32 else None,
         )
 
     def search_numpy(self, x: np.ndarray, k: int, method: str = "auto") -> tuple[np.ndarray, np.ndarray]:
@@ -279,7 +336,9 @@ class VectorTable:
         return SearchToken(self.search(queries, k, method=method))
 
 
-def _insertion_window():
+def _partition_local_window():
+    """Rows numbered within their own input partition — the exchange is
+    ``hashpartitioning(_pid)`` (parallel), never ``SinglePartition``."""
     from pyspark.sql.window import Window
 
-    return Window.orderBy(F.monotonically_increasing_id())
+    return Window.partitionBy("_pid").orderBy(F.monotonically_increasing_id())

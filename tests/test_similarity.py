@@ -121,6 +121,29 @@ def test_ivf_matches_knn_on_probed_subset(spark, ivf_setup):
         assert apdf[r.label] == probe[r.qid]
 
 
+def test_ivf_no_probe_crowd_out(spark):
+    """Two queries probing disjoint cells of very different density must
+    EACH get exactly k results from their own cells (regression: the old
+    union-then-filter over-fetch let a dense foreign cell crowd a sparse
+    query's candidates out of the global top-k·nprobe)."""
+    rng = np.random.default_rng(3)
+    dense = rng.uniform(-0.1, 0.1, size=(300, 8)).astype(np.float32) + 5.0
+    sparse = rng.uniform(-0.1, 0.1, size=(12, 8)).astype(np.float32) - 5.0
+    V = np.concatenate([dense, sparse])
+    vdf = vectors_df(spark, V)
+    C = np.array([[5.0] * 8, [-5.0] * 8], dtype=np.float64)
+    assigned = ivf_assign(vdf, C)
+    # q0 probes the dense cell, q1 the sparse one (nprobe=1, disjoint)
+    Q = np.array([[5.0] * 8, [-5.0] * 8], dtype=np.float32)
+    res = ivf_search(assigned, C, queries_df(spark, Q), k=10, nprobe=1).toPandas()
+    per_q = res.groupby("qid").size()
+    assert per_q[0] == 10 and per_q[1] == 10
+    # and every hit came from the query's own probed cell
+    cells = assigned.select("id", "cell").toPandas().set_index("id")["cell"]
+    for r in res.itertuples():
+        assert cells[r.label] == r.qid  # cell 0 ↔ q0, cell 1 ↔ q1
+
+
 def test_ivf_write_partition_pruning(spark, ivf_setup, tmp_path):
     """A cell-partitioned inverted file turns the probe filter into
     parquet partition pruning — the scan must carry PartitionFilters on

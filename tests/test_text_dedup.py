@@ -84,6 +84,47 @@ def test_ngram_jaccard_bounds(spark):
     assert 0.0 < rows[(0, 2)] < 1.0
 
 
+def test_ngram_jaccard_df_cutoff(spark):
+    """A boilerplate shingle shared by every doc must not create n²
+    join rows: with max_df below the corpus size the hot shingle leaves
+    the similarity definition and pairs that share ONLY it disappear."""
+    boiler = "all rights reserved"
+    texts = [f"unique{i} tokens{i} here{i} {boiler}" for i in range(40)]
+    # without a cutoff every pair shares the boilerplate shingle chain
+    dense = ngram_jaccard_pairs(docs_df(spark, texts), shingle_size=3, max_df=None)
+    assert dense.count() == 40 * 39 // 2
+    # with the cutoff the hot shingles (df=40 > 10) drop out and only
+    # genuinely-similar pairs (none here) remain
+    sparse = ngram_jaccard_pairs(docs_df(spark, texts), shingle_size=3, max_df=10)
+    assert sparse.count() == 0
+    # identical docs still hit jaccard 1.0 under the cutoff
+    same = ngram_jaccard_pairs(docs_df(spark, [BASE, BASE]), shingle_size=3, max_df=10)
+    rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in same.collect()}
+    assert rows[(0, 1)] == pytest.approx(1.0)
+
+
+def test_curate_verify_kills_banding_false_positive(spark):
+    """Two non-duplicate docs that collide on one LSH band must NOT be
+    merged once candidates are verified with exact Jaccard."""
+    from faiss_metal_spark.pipeline import curate_corpus
+
+    rich_a = " ".join(f"worda{i} tokena{i}" for i in range(30))
+    rich_b = " ".join(f"wordb{i} tokenb{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(0, rich_a, "en"), (1, rich_b, "en")],
+        schema="doc_id long, text string, lang string",
+    )
+    # fabricate the collision by feeding the SAME candidate pair the
+    # banding would have produced on a false positive
+    from faiss_metal_spark.operators.dedup import ngram_jaccard_pairs as njp
+
+    cand = spark.createDataFrame([(0, 1)], schema="id_a long, id_b long")
+    verified = njp(docs, pair_candidates=cand, shingle_size=3, threshold=0.5, max_df=None)
+    assert verified.count() == 0  # jaccard ≈ 0 → edge rejected
+    out = curate_corpus(docs, min_quality=0.0)
+    assert {r["doc_id"] for r in out.collect()} == {0, 1}  # both survive
+
+
 def test_exact_dedup_keeper(spark):
     df = docs_df(spark, ["aa bb", "aa bb", "cc dd"])
     out = exact_dedup(df, F.col("text"), id_col="doc_id").collect()

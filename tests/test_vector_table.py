@@ -109,6 +109,19 @@ def test_incremental_add_ids(spark):
     assert (L[:, 0] == oL[:, 0]).all()
 
 
+def test_add_df_no_global_window(spark):
+    """Ingest id-assignment must stay parallel: the plan may hash-shuffle
+    on the partition id but must never collapse the batch into a single
+    task (Exchange SinglePartition) — the 100 TB ingest discipline."""
+    V, _ = make_fixture(300, 1, 16)
+    vt = build(spark, V)
+    plan = vt.df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    # ids are still dense insertion-order 0..n-1
+    ids = vt.df.select("id").toPandas()["id"].sort_values().to_numpy()
+    np.testing.assert_array_equal(ids, np.arange(300))
+
+
 def test_add_empty_and_bad_shape(spark):
     V, _ = make_fixture(10, 1, 8)
     vt = build(spark, V)
@@ -119,19 +132,30 @@ def test_add_empty_and_bad_shape(spark):
 
 
 def test_async_tokens_equal_sync(spark):
-    """Three in-flight tokens; results equal sync bit-exactly and waits
-    are order-independent (test_metal_flat.mm:309-401)."""
+    """Three concurrently in-flight tokens; results equal sync bit-exactly
+    and waits are order-independent (test_metal_flat.mm:309-401). The
+    tokens really run in the background: each is observed not-ready at
+    submission (polled before the action can finish) and ready after
+    wait() — the reference's commandBuffer status-poll semantics
+    (MetalIndexFlat.mm:74-78)."""
     V, Q = make_fixture(400, 6, 32)
     vt = build(spark, V).persist()
     sync = vt.search(queries_df(spark, Q), 5).orderBy("qid", "rank").toPandas()
-    toks = [vt.search_async(queries_df(spark, Q), 5) for _ in range(3)]
-    assert not toks[0].is_ready()
+    toks = []
+    seen_not_ready = 0
+    for _ in range(3):
+        t = vt.search_async(queries_df(spark, Q), 5)
+        seen_not_ready += int(not t.is_ready())  # polled in flight
+        toks.append(t)
+    # a Spark action takes well over the sub-ms gap to this poll; if all
+    # three finished before their first poll, is_ready isn't polling
+    assert seen_not_ready >= 1
     for t in reversed(toks):
         got = t.wait().sort_values(["qid", "rank"], ignore_index=True)
         pd.testing.assert_frame_equal(
             got, sync.sort_values(["qid", "rank"], ignore_index=True)
         )
-    assert toks[0].is_ready()
+    assert all(t.is_ready() for t in toks)
     vt.unpersist()
 
 
@@ -151,6 +175,22 @@ def test_introspection(spark):
     assert build(spark, V, storage=STORAGE_FP16).is_float16_storage()
     assert build(spark, V, storage=STORAGE_BF16).is_bfloat16_storage()
     assert build(spark, V).get_storage_type() == "fp32"
+
+
+def test_compact_reset_and_readd(spark):
+    """reset() must keep the compact BINARY schema so a re-add unions
+    cleanly (regression: reset used to recreate ARRAY<FLOAT>)."""
+    V, Q = make_fixture(50, 2, 16)
+    c = VectorTable(spark, d=16, storage=STORAGE_FP16, compact=True).add_numpy(V)
+    c.reset()
+    assert c.ntotal == 0
+    c.add_numpy(V)
+    assert c.ntotal == 50
+    D, L = c.search_numpy(Q, 3)
+    a = VectorTable(spark, d=16, storage=STORAGE_FP16).add_numpy(V)
+    Da, La = a.search_numpy(Q, 3)
+    np.testing.assert_array_equal(L, La)
+    np.testing.assert_array_equal(D, Da)
 
 
 @pytest.mark.parametrize("storage", [STORAGE_FP16, STORAGE_BF16])
