@@ -49,8 +49,11 @@ from faiss_metal_spark.operators.dedup import (  # noqa: E402
 )
 from faiss_metal_spark.operators.knn import knn_search  # noqa: E402
 from faiss_metal_spark.operators.multimodal import (  # noqa: E402
+    attach_audio_payload,
+    attach_image_payload,
     attach_payload,
     byte_stats,
+    decode_audio,
     decode_image,
     sample_frames,
 )
@@ -591,32 +594,6 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
-def q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user running Σvalue ordered by event time (unbounded-preceding
-    window) — ties broken by event_id so the frame is deterministic."""
-    from pyspark.sql.window import Window
-
-    e = _events(spark, sf_dir)
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return e.select(
-        "user_id",
-        "event_id",
-        _norm(F.sum("value").over(w), 2).alias("running_value"),
-    )
-
-
-ORACLE_RUNNING = """
-SELECT user_id, event_id,
-       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING), 2) + 0.0 AS running_value
-FROM events
-"""
-
-
 def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional aggregation (TPC-H Q12 shape adapted: priority-class
     counts per linestatus instead of shipmode)."""
@@ -916,31 +893,6 @@ SELECT doc_id, term AS top_term, ROUND(score, 4) + 0.0 AS tfidf FROM r WHERE rk 
 """
 
 
-def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag + bounded-frame moving average per user (4-row trailing
-    window), deterministic frame via (ts, event_id) ordering."""
-    from pyspark.sql.window import Window
-
-    e = _events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wm = w.rowsBetween(-3, Window.currentRow)
-    return e.select(
-        "user_id",
-        "event_id",
-        _norm(F.lag("value").over(w), 2).alias("prev_value"),
-        _norm(F.avg("value").over(wm), 4).alias("moving_avg"),
-    )
-
-
-ORACLE_MOVING_AVG = """
-SELECT user_id, event_id,
-  ROUND(lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) + 0.0 AS prev_value,
-  ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) + 0.0 AS moving_avg
-FROM events
-"""
-
-
 def q_order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile bucketing per status partition → per-quartile price stats."""
     from pyspark.sql.window import Window
@@ -1073,32 +1025,6 @@ FROM (
 )
 GROUP BY 1, 2
 """
-
-
-def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate percentiles via Spark's KLL-style sketch
-    (percentile_approx) — the bounded-memory path where exact ordered
-    statistics would sort 100 TB. Deterministic for fixed input;
-    rows-only check (sketch values are engine-specific); accuracy vs
-    exact percentile pinned by tests/test_joins.py."""
-    e = _events(spark, sf_dir)
-    return e.groupBy("event_type").agg(
-        _norm(F.percentile_approx("value", 0.5, 10000), 4).alias("p50_approx"),
-        _norm(F.percentile_approx("value", 0.95, 10000), 4).alias("p95_approx"),
-        F.count(F.lit(1)).alias("n"),
-    )
-
-
-def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ approximate distinct (the 100-TB path where exact DISTINCT
-    shuffles too much). Deterministic for fixed input; rows-only check
-    (no DuckDB oracle — sketch estimates differ across engines), exact
-    parity pinned by tests/test_joins.py::test_approx_distinct_close."""
-    e = _events(spark, sf_dir)
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
-        F.count(F.lit(1)).alias("n"),
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -1379,30 +1305,6 @@ FROM documents GROUP BY lang
 """
 
 
-def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        token_count("text").cast("long").alias("n_tokens"),
-        _norm(distinct_token_ratio("text"), 4).alias("distinct_ratio"),
-        _norm(avg_token_len("text"), 4).alias("avg_token_len"),
-        _norm(quality_score("text"), 4).alias("quality"),
-    )
-
-
-ORACLE_DOC_QUALITY = """
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-SELECT doc_id, len(toks) AS n_tokens,
-  ROUND(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 4) + 0.0 AS distinct_ratio,
-  ROUND(list_sum([length(x) FOR x IN toks]) / CAST(len(toks) AS DOUBLE), 4) + 0.0 AS avg_token_len,
-  ROUND(0.4 * (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE))
-      + 0.3 * LEAST(len(toks) / 64.0, 1.0)
-      + 0.3 * LEAST(list_sum([length(x) FOR x IN toks]) / CAST(len(toks) AS DOUBLE) / 8.0, 1.0),
-      4) + 0.0 AS quality
-FROM t
-"""
-
-
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     pairs = embedding_neardup_pairs(e, block_col="label", threshold=0.35)
@@ -1565,32 +1467,6 @@ sig AS (SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM s)
 """
 
 
-def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_signatures(_t(spark, sf_dir, "documents"))
-
-
-ORACLE_SIMHASH = f"WITH {_sql_simhash_sig()} SELECT doc_id, simhash FROM sig"
-
-
-def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = simhash_signatures(_t(spark, sf_dir, "documents"))
-    pairs = simhash_neardup_pairs(sig, bands=4, max_hamming=3)
-    return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
-
-
-ORACLE_SIMHASH_PAIRS = f"""
-WITH {_sql_simhash_sig()},
-bkt AS (
-  SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS bkey
-  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)
-)
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-FROM bkt a JOIN bkt b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-"""
-
-
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(d, shingle_size=3, threshold=0.1)
@@ -1643,26 +1519,6 @@ def _oracle_lang_id() -> str:
 WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
 p AS (SELECT lang, list_sort([{structs}])[1].lang AS predicted FROM t)
 SELECT lang, predicted, COUNT(*) AS n FROM p GROUP BY 1, 2
-"""
-
-
-def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        doc_fingerprint("text").alias("fp"),
-        bpe_token_count("text").cast("long").alias("n_bpe"),
-    )
-
-
-ORACLE_FINGERPRINT = f"""
-SELECT doc_id,
-  list_reduce(
-    list_prepend(0::BIGINT, [{_sql_hash32('x')} FOR x IN string_split(text, ' ')]),
-    (acc, v) -> (acc * 31 + v) % 2147483647
-  ) AS fp,
-  len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe
-FROM documents
 """
 
 
@@ -1734,15 +1590,392 @@ WHERE j * 16 < length(text)
 
 
 def q_mm_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return decode_image(_mm(spark, sf_dir), fake=True)
+    """REAL image decode: build spec-valid binary PGM (P5) payloads whose
+    16×8 raster is the doc's bytes cycled, then parse the header and
+    nearest-neighbor-resize to 16 thumbnail taps. Tap i reads raster
+    pixel 8i, i.e. text byte (8i mod len) — which is what the oracle
+    reproduces straight off the text column."""
+    d = _t(spark, sf_dir, "documents")
+    img = attach_image_payload(d, width=16, height=8)
+    return decode_image(img, fmt="pgm")
 
 
 ORACLE_MM_THUMBNAIL = """
 SELECT doc_id, CAST(i AS INTEGER) AS px_idx,
-       CAST(unicode(substr(text, CAST((i * length(text)) // 16 + 1 AS INTEGER), 1)) AS INTEGER) AS px
+       CAST(unicode(substr(text, CAST((i * 8) % length(text) + 1 AS INTEGER), 1)) AS INTEGER) AS px
 FROM documents CROSS JOIN (SELECT unnest(range(0, 16)) AS i)
 WHERE length(text) > 0
 """
+
+
+def q_mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: spec-valid RIFF/WAVE PCM16-mono payloads
+    (sample i = (byte_i − 128)·256), parsed back by the pure-numpy RIFF
+    reader into per-clip amplitude features."""
+    d = _t(spark, sf_dir, "documents")
+    wav = attach_audio_payload(d, sample_rate=8000)
+    out = decode_audio(wav)
+    return out.select(
+        "doc_id", "n_samples", "sample_rate",
+        _norm(F.col("mean_abs"), 4).alias("mean_abs"), "peak",
+    )
+
+
+ORACLE_MM_AUDIO = """
+WITH c AS (
+  SELECT doc_id, length(text) AS n,
+         [abs((unicode(substr(text, i, 1)) - 128) * 256) FOR i IN range(1, length(text) + 1)] AS amps
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_samples, CAST(8000 AS INTEGER) AS sample_rate,
+       ROUND(list_sum(amps) / CAST(n AS DOUBLE), 4) + 0.0 AS mean_abs,
+       CAST(list_max(amps) AS INTEGER) AS peak
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# Consolidated multi-operator queries.
+#
+# The driver's correctness gate hash-checks the first 50 queries() keys,
+# so redundant single-operator rows are merged (tagged unions / joint
+# projections) until every operator family fits inside the checked
+# window. Each merged query still verifies every constituent operator:
+# the tag column keeps the per-operator rows distinguishable and the
+# oracle reproduces the identical union.
+# ---------------------------------------------------------------------------
+
+
+def q_knn_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four kNN metrics (gemm path) in one tagged result — verifies
+    the L2/IP/cosine/L1 distance kernels and the shared top-k merge."""
+    out = None
+    for m in ("l2", "ip", "cosine", "l1"):
+        part = _knn_query(m, 0, 8, 10, "gemm")(spark, sf_dir).select(
+            F.lit(m).alias("metric"), "qid", "rank", "label", "distance"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _oracle_knn_metrics() -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT '{m}' AS metric, * FROM ({_knn_oracle(m, 0, 8, 10)})"
+        for m in ("l2", "ip", "cosine", "l1")
+    )
+
+
+def q_tpch_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four single-row TPC-H aggregates (Q6/Q14/Q17/Q19) as one
+    tagged scalar table."""
+    q6 = q_tpch_q6(spark, sf_dir).select(
+        F.lit("q6_revenue").alias("q"), F.col("revenue").alias("value")
+    )
+    q14 = q_tpch_q14(spark, sf_dir).select(
+        F.lit("q14_promo_pct").alias("q"), F.col("promo_revenue_pct").alias("value")
+    )
+    q17 = q_tpch_q17(spark, sf_dir).select(
+        F.lit("q17_avg_yearly").alias("q"), F.col("avg_yearly").alias("value")
+    )
+    q19 = q_tpch_q19(spark, sf_dir)
+    q19a = q19.select(F.lit("q19_revenue").alias("q"), F.col("revenue").alias("value"))
+    q19b = q19.select(
+        F.lit("q19_lines").alias("q"), F.col("n_lines").cast("double").alias("value")
+    )
+    return q6.unionByName(q14).unionByName(q17).unionByName(q19a).unionByName(q19b)
+
+
+ORACLE_TPCH_SCALARS = f"""
+SELECT 'q6_revenue' AS q, revenue AS value FROM ({ORACLE_Q6})
+UNION ALL SELECT 'q14_promo_pct', promo_revenue_pct FROM ({ORACLE_Q14})
+UNION ALL SELECT 'q17_avg_yearly', avg_yearly FROM ({ORACLE_Q17})
+UNION ALL SELECT 'q19_revenue', revenue FROM ({ORACLE_Q19})
+UNION ALL SELECT 'q19_lines', CAST(n_lines AS DOUBLE) FROM ({ORACLE_Q19})
+"""
+
+
+def q_tpch_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 (top orders) + Q10 (top customers) revenue rankings, tagged."""
+    q3 = q_tpch_q3(spark, sf_dir).select(
+        F.lit("q3").alias("q"),
+        F.col("o_orderkey").cast("long").alias("key"),
+        F.col("o_orderdate").alias("detail"),
+        F.lit("").alias("extra"),
+        "revenue",
+    )
+    q10 = q_tpch_q10(spark, sf_dir).select(
+        F.lit("q10").alias("q"),
+        F.col("c_custkey").cast("long").alias("key"),
+        F.col("c_name").alias("detail"),
+        F.col("n_name").alias("extra"),
+        "revenue",
+    )
+    return q3.unionByName(q10)
+
+
+ORACLE_TPCH_TOP_REVENUE = f"""
+SELECT 'q3' AS q, CAST(o_orderkey AS BIGINT) AS key, o_orderdate AS detail,
+       '' AS extra, revenue FROM ({ORACLE_Q3})
+UNION ALL
+SELECT 'q10', CAST(c_custkey AS BIGINT), c_name, n_name, revenue FROM ({ORACLE_Q10})
+"""
+
+
+def q_top_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group argmax (top supplier per nation) + per-group top-N
+    (top-3 orders per customer), tagged with generic columns."""
+    sup = q_top_supplier_per_nation(spark, sf_dir).select(
+        F.lit("supplier_by_nation").alias("src"),
+        F.col("n_name").alias("grp"),
+        F.col("s_name").alias("member"),
+        F.col("s_acctbal").cast("double").alias("val"),
+        F.lit(1).alias("rk"),
+    )
+    top3 = q_top3_orders_per_customer(spark, sf_dir).select(
+        F.lit("top3_orders").alias("src"),
+        F.col("o_custkey").cast("string").alias("grp"),
+        F.col("o_orderkey").cast("string").alias("member"),
+        F.col("o_totalprice").cast("double").alias("val"),
+        F.col("rk"),
+    )
+    return sup.unionByName(top3)
+
+
+ORACLE_TOP_RANKS = f"""
+SELECT 'supplier_by_nation' AS src, n_name AS grp, s_name AS member,
+       CAST(s_acctbal AS DOUBLE) AS val, CAST(1 AS INTEGER) AS rk
+FROM ({ORACLE_TOP_SUPPLIER})
+UNION ALL
+SELECT 'top3_orders', CAST(o_custkey AS VARCHAR), CAST(o_orderkey AS VARCHAR),
+       CAST(o_totalprice AS DOUBLE), rk
+FROM ({ORACLE_TOP3})
+"""
+
+
+def q_part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String processing over part: explode-name term stats + regexp
+    brand-number stats, tagged."""
+    terms = q_part_name_terms(spark, sf_dir).select(
+        F.lit("name_terms").alias("src"),
+        F.col("term").alias("key"),
+        F.col("n_parts").alias("n"),
+        F.col("n_brands").alias("n_distinct"),
+        F.lit(None).cast("double").alias("avg_price"),
+    )
+    brand = q_brand_number_stats(spark, sf_dir).select(
+        F.lit("brand_numbers").alias("src"),
+        F.col("brand_num").cast("string").alias("key"),
+        "n",
+        F.col("n_tags").alias("n_distinct"),
+        "avg_price",
+    )
+    return terms.unionByName(brand)
+
+
+ORACLE_PART_BRAND_STATS = f"""
+SELECT 'name_terms' AS src, term AS key, n_parts AS n, n_brands AS n_distinct,
+       CAST(NULL AS DOUBLE) AS avg_price
+FROM ({ORACLE_PART_TERMS})
+UNION ALL
+SELECT 'brand_numbers', CAST(brand_num AS VARCHAR), n, n_tags, avg_price
+FROM ({ORACLE_BRAND_NUM})
+"""
+
+
+def q_lang_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion counts joined with per-language corpus
+    stats — one row per (true lang, predicted lang)."""
+    return q_lang_id(spark, sf_dir).join(q_text_stats(spark, sf_dir), "lang")
+
+
+def _oracle_lang_text_stats() -> str:
+    return f"""
+SELECT li.lang, li.predicted, li.n, ts.n_docs, ts.avg_tokens, ts.avg_chars, ts.max_tokens
+FROM ({_oracle_lang_id()}) li JOIN ({ORACLE_TEXT_STATS}) ts USING (lang)
+"""
+
+
+def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text analysis in ONE scan: token counts, quality
+    scoring, rolling-hash fingerprint, BPE-ish token count."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_tokens"),
+        _norm(distinct_token_ratio("text"), 4).alias("distinct_ratio"),
+        _norm(avg_token_len("text"), 4).alias("avg_token_len"),
+        _norm(quality_score("text"), 4).alias("quality"),
+        doc_fingerprint("text").alias("fp"),
+        bpe_token_count("text").cast("long").alias("n_bpe"),
+    )
+
+
+ORACLE_DOC_PROFILE = f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id, len(toks) AS n_tokens,
+  ROUND(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 4) + 0.0 AS distinct_ratio,
+  ROUND(list_sum([length(x) FOR x IN toks]) / CAST(len(toks) AS DOUBLE), 4) + 0.0 AS avg_token_len,
+  ROUND(0.4 * (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE))
+      + 0.3 * LEAST(len(toks) / 64.0, 1.0)
+      + 0.3 * LEAST(list_sum([length(x) FOR x IN toks]) / CAST(len(toks) AS DOUBLE) / 8.0, 1.0),
+      4) + 0.0 AS quality,
+  list_reduce(
+    list_prepend(0::BIGINT, [{_sql_hash32('x')} FOR x IN toks]),
+    (acc, v) -> (acc * 31 + v) % 2147483647
+  ) AS fp,
+  len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe
+FROM t
+"""
+
+
+def q_simhash_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures AND banded near-dup pairs, tagged: 'sig' rows
+    carry (doc_id, signature), 'pair' rows carry (id_a, id_b, hamming)."""
+    d = _t(spark, sf_dir, "documents")
+    sig = simhash_signatures(d)
+    pairs = simhash_neardup_pairs(sig, bands=4, max_hamming=3)
+    srows = sig.select(
+        F.lit("sig").alias("kind"),
+        F.col("doc_id").alias("a"),
+        F.col("simhash").alias("b"),
+        F.lit(None).cast("int").alias("hamming"),
+    )
+    prows = pairs.select(
+        F.lit("pair").alias("kind"),
+        F.col("id_a").alias("a"),
+        F.col("id_b").alias("b"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )
+    return srows.unionByName(prows)
+
+
+def _oracle_simhash_all() -> str:
+    return f"""
+WITH {_sql_simhash_sig()},
+bkt AS (
+  SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS bkey
+  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)
+)
+SELECT 'sig' AS kind, doc_id AS a, simhash AS b, CAST(NULL AS INTEGER) AS hamming FROM sig
+UNION ALL
+SELECT 'pair', id_a, id_b, hamming FROM (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+  FROM bkt a JOIN bkt b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+)
+"""
+
+
+def q_window_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag + bounded-frame moving average + unbounded running total per
+    user, all in one window pass (deterministic (ts, event_id) frame)."""
+    from pyspark.sql.window import Window
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wm = w.rowsBetween(-3, Window.currentRow)
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "user_id",
+        "event_id",
+        _norm(F.lag("value").over(w), 2).alias("prev_value"),
+        _norm(F.avg("value").over(wm), 4).alias("moving_avg"),
+        _norm(F.sum("value").over(wr), 2).alias("running_value"),
+    )
+
+
+ORACLE_WINDOW_FUNCS = """
+SELECT user_id, event_id,
+  ROUND(lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) + 0.0 AS prev_value,
+  ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) + 0.0 AS moving_avg,
+  ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING), 2) + 0.0 AS running_value
+FROM events
+"""
+
+
+def q_setops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT + INTERSECT over the same year cohorts, tagged by op."""
+    exc = q_except_customers(spark, sf_dir).select(
+        F.lit("except").alias("op"), "o_custkey"
+    )
+    itc = q_intersect_customers(spark, sf_dir).select(
+        F.lit("intersect").alias("op"), "o_custkey"
+    )
+    return exc.unionByName(itc)
+
+
+ORACLE_SETOPS = f"""
+SELECT 'except' AS op, o_custkey FROM ({ORACLE_EXCEPT})
+UNION ALL
+SELECT 'intersect', o_custkey FROM ({ORACLE_INTERSECT})
+"""
+
+
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi (EXISTS) + left-anti (NOT EXISTS) joins, tagged."""
+    semi = q_semi_join(spark, sf_dir).select(
+        F.lit("semi_heavy_orders").alias("op"),
+        F.col("o_orderpriority").alias("grp"),
+        F.col("n_orders").alias("n"),
+    )
+    anti = q_anti_join(spark, sf_dir).select(
+        F.lit("anti_idle_customers").alias("op"),
+        F.col("c_mktsegment").alias("grp"),
+        F.col("n_customers").alias("n"),
+    )
+    return semi.unionByName(anti)
+
+
+ORACLE_SEMI_ANTI = f"""
+SELECT 'semi_heavy_orders' AS op, o_orderpriority AS grp, n_orders AS n
+FROM ({ORACLE_SEMI_JOIN})
+UNION ALL
+SELECT 'anti_idle_customers', c_mktsegment, n_customers FROM ({ORACLE_ANTI_JOIN})
+"""
+
+
+def q_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over lineitem + CUBE over orders, tagged."""
+    r = q_rollup(spark, sf_dir).select(
+        F.lit("lineitem_rollup").alias("src"),
+        F.col("returnflag").alias("k1"),
+        F.col("linestatus").alias("k2"),
+        "n",
+        F.col("sum_price").alias("agg"),
+    )
+    c = q_cube_orders(spark, sf_dir).select(
+        F.lit("orders_cube").alias("src"),
+        F.col("status").alias("k1"),
+        F.col("priority").alias("k2"),
+        "n",
+        F.col("total").alias("agg"),
+    )
+    return r.unionByName(c)
+
+
+ORACLE_ROLLUP_CUBE = f"""
+SELECT 'lineitem_rollup' AS src, returnflag AS k1, linestatus AS k2, n,
+       sum_price AS agg
+FROM ({ORACLE_ROLLUP})
+UNION ALL
+SELECT 'orders_cube', status, priority, n, total FROM ({ORACLE_CUBE})
+"""
+
+
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct + KLL-style percentile sketches in one aggregation
+    (rows-only: sketch estimates are engine-specific; accuracy bounds
+    pinned by tests/test_joins.py)."""
+    e = _events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        _norm(F.percentile_approx("value", 0.5, 10000), 4).alias("p50_approx"),
+        _norm(F.percentile_approx("value", 0.95, 10000), 4).alias("p95_approx"),
+        F.count(F.lit(1)).alias("n"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1756,11 +1989,29 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 keys — the size of the driver's checked window — in
+    risk-first order (novel pipeline operators, then similarity, then
+    relational). Consolidated keys verify several operators each; see
+    COVERAGE.md for the operator → query map."""
     return {
-        "knn_l2": _knn_query("l2", 0, 8, 10, "gemm"),
-        "knn_ip": _knn_query("ip", 0, 8, 10, "gemm"),
-        "knn_cosine": _knn_query("cosine", 0, 8, 10, "gemm"),
-        "knn_l1": _knn_query("l1", 0, 8, 10, "gemm"),
+        # -- dedup / text / multimodal pipeline operators ---------------
+        "dedup_exact": q_dedup_exact,
+        "dedup_clusters": q_dedup_clusters,
+        "curate_corpus": q_curate_corpus,
+        "minhash_lsh": q_minhash_lsh,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash_all": q_simhash_all,
+        "embedding_neardup": q_embedding_neardup,
+        "lang_text_stats": q_lang_text_stats,
+        "doc_profile": q_doc_profile,
+        "winnow_fingerprints": q_winnow,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "mm_byte_stats": q_mm_byte_stats,
+        "mm_frames": q_mm_frames,
+        "mm_thumbnail": q_mm_thumbnail,
+        "mm_audio": q_mm_audio,
+        # -- vector search (the reference's core) -----------------------
+        "knn_metrics": q_knn_metrics,
         "knn_l2_sql": _knn_query("l2", 8, 16, 10, "sql"),
         "knn_highk": _knn_query("l2", 0, 4, 64, "gemm"),
         "knn_join": q_knn_join,
@@ -1768,129 +2019,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "mllib_kmeans_cells": q_mllib_kmeans_cells,
         "mllib_lsh_pairs": q_mllib_lsh_pairs,
+        # -- relational / analytical ------------------------------------
         "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q10": q_tpch_q10,
         "tpch_q12": q_tpch_q12,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q17": q_tpch_q17,
         "tpch_q18": q_tpch_q18,
-        "tpch_q19": q_tpch_q19,
-        "top_supplier_per_nation": q_top_supplier_per_nation,
+        "tpch_scalars": q_tpch_scalars,
+        "tpch_top_revenue": q_tpch_top_revenue,
+        "top_ranks": q_top_ranks,
         "idle_rich_customers": q_idle_rich_customers,
         "orders_monthly": q_orders_monthly,
-        "part_name_terms": q_part_name_terms,
-        "brand_number_stats": q_brand_number_stats,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "events_moving_avg": q_events_moving_avg,
+        "part_brand_stats": q_part_brand_stats,
+        "window_funcs_events": q_window_funcs_events,
         "order_quartiles": q_order_quartiles,
-        "except_customers": q_except_customers,
+        "setops_customers": q_setops_customers,
         "grouping_sets_events": q_grouping_sets_events,
         "range_join_balance": q_range_join_balance,
         "sliding_windows": q_sliding_windows,
-        "approx_distinct_users": q_approx_distinct_users,
-        "approx_percentiles": q_approx_percentiles,
+        "approx_sketches": q_approx_sketches,
         "above_brand_avg": q_above_brand_avg,
-        "top3_orders_per_customer": q_top3_orders_per_customer,
-        "semi_join_heavy_orders": q_semi_join,
-        "anti_join_idle_customers": q_anti_join,
-        "rollup_lineitem": q_rollup,
-        "cube_orders": q_cube_orders,
+        "semi_anti_join": q_semi_anti_join,
+        "rollup_cube": q_rollup_cube,
         "pivot_events": q_pivot_events,
-        "intersect_customers": q_intersect_customers,
-        "running_totals": q_running_totals,
         "events_hourly": q_events_hourly,
         "events_json": q_events_json,
         "event_sessions": q_event_sessions,
         "value_percentiles": q_value_percentiles,
         "asof_last_purchase": q_asof_last_purchase,
         "join_within": q_join_within,
-        "dedup_exact": q_dedup_exact,
-        "dedup_clusters": q_dedup_clusters,
-        "curate_corpus": q_curate_corpus,
-        "minhash_lsh": q_minhash_lsh,
-        "text_stats": q_text_stats,
-        "doc_quality": q_doc_quality,
-        "embedding_neardup": q_embedding_neardup,
-        "simhash": q_simhash,
-        "simhash_pairs": q_simhash_pairs,
-        "ngram_jaccard": q_ngram_jaccard,
-        "lang_id": q_lang_id,
-        "doc_fingerprint": q_doc_fingerprint,
-        "winnow_fingerprints": q_winnow,
-        "mm_byte_stats": q_mm_byte_stats,
-        "mm_frames": q_mm_frames,
-        "mm_thumbnail": q_mm_thumbnail,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "knn_l2": _knn_oracle("l2", 0, 8, 10),
-        "knn_ip": _knn_oracle("ip", 0, 8, 10),
-        "knn_cosine": _knn_oracle("cosine", 0, 8, 10),
-        "knn_l1": _knn_oracle("l1", 0, 8, 10),
+        "dedup_exact": ORACLE_DEDUP_EXACT,
+        "dedup_clusters": _oracle_dedup_clusters(),
+        "curate_corpus": _ORACLE_CURATE,
+        "minhash_lsh": ORACLE_MINHASH_LSH,
+        "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+        "simhash_all": _oracle_simhash_all(),
+        "embedding_neardup": ORACLE_NEARDUP,
+        "lang_text_stats": _oracle_lang_text_stats(),
+        "doc_profile": ORACLE_DOC_PROFILE,
+        "winnow_fingerprints": ORACLE_WINNOW,
+        "tfidf_top_terms": ORACLE_TFIDF,
+        "mm_byte_stats": ORACLE_MM_BYTE_STATS,
+        "mm_frames": ORACLE_MM_FRAMES,
+        "mm_thumbnail": ORACLE_MM_THUMBNAIL,
+        "mm_audio": ORACLE_MM_AUDIO,
+        "knn_metrics": _oracle_knn_metrics(),
         "knn_l2_sql": _knn_oracle("l2", 8, 16, 10),
         "knn_highk": _knn_oracle("l2", 0, 4, 64),
         "knn_join": _knn_oracle("l2", 0, 64, 10),
         "ann_lsh": _oracle_ann_lsh(),
         # ann_ivf: no SQL oracle (iterative k-means) — rows-only check;
         # exactness at full probe is pinned in tests/test_similarity.py.
+        # mllib_*: rows-only (engine-specific hash families / kmeans||
+        # init); accuracy pinned in tests/test_mllib_ann.py.
+        # approx_sketches: rows-only (sketch estimates engine-specific);
+        # accuracy bounds pinned in tests/test_joins.py.
         "tpch_q1": ORACLE_Q1,
-        "tpch_q3": ORACLE_Q3,
         "tpch_q5": ORACLE_Q5,
-        "tpch_q6": ORACLE_Q6,
-        "tpch_q10": ORACLE_Q10,
         "tpch_q12": ORACLE_Q12,
-        "tpch_q14": ORACLE_Q14,
-        "tpch_q17": ORACLE_Q17,
         "tpch_q18": ORACLE_Q18,
-        "tpch_q19": ORACLE_Q19,
-        "top_supplier_per_nation": ORACLE_TOP_SUPPLIER,
+        "tpch_scalars": ORACLE_TPCH_SCALARS,
+        "tpch_top_revenue": ORACLE_TPCH_TOP_REVENUE,
+        "top_ranks": ORACLE_TOP_RANKS,
         "idle_rich_customers": ORACLE_IDLE_RICH,
         "orders_monthly": ORACLE_ORDERS_MONTHLY,
-        "part_name_terms": ORACLE_PART_TERMS,
-        "brand_number_stats": ORACLE_BRAND_NUM,
-        "tfidf_top_terms": ORACLE_TFIDF,
-        "events_moving_avg": ORACLE_MOVING_AVG,
+        "part_brand_stats": ORACLE_PART_BRAND_STATS,
+        "window_funcs_events": ORACLE_WINDOW_FUNCS,
         "order_quartiles": ORACLE_QUARTILES,
-        "except_customers": ORACLE_EXCEPT,
+        "setops_customers": ORACLE_SETOPS,
         "grouping_sets_events": ORACLE_GROUPING_SETS,
         "range_join_balance": ORACLE_RANGE_JOIN,
         "sliding_windows": ORACLE_SLIDING,
-        # approx_distinct_users: rows-only (HLL sketch estimate is
-        # engine-specific); accuracy pinned in tests instead.
         "above_brand_avg": ORACLE_ABOVE_BRAND_AVG,
-        "top3_orders_per_customer": ORACLE_TOP3,
-        "semi_join_heavy_orders": ORACLE_SEMI_JOIN,
-        "anti_join_idle_customers": ORACLE_ANTI_JOIN,
-        "rollup_lineitem": ORACLE_ROLLUP,
-        "cube_orders": ORACLE_CUBE,
+        "semi_anti_join": ORACLE_SEMI_ANTI,
+        "rollup_cube": ORACLE_ROLLUP_CUBE,
         "pivot_events": ORACLE_PIVOT,
-        "intersect_customers": ORACLE_INTERSECT,
-        "running_totals": ORACLE_RUNNING,
         "events_hourly": ORACLE_EVENTS_HOURLY,
         "events_json": ORACLE_EVENTS_JSON,
         "event_sessions": ORACLE_SESSIONS,
         "value_percentiles": ORACLE_PERCENTILES,
         "asof_last_purchase": ORACLE_ASOF,
         "join_within": ORACLE_JOIN_WITHIN,
-        "dedup_exact": ORACLE_DEDUP_EXACT,
-        "dedup_clusters": _oracle_dedup_clusters(),
-        "curate_corpus": _ORACLE_CURATE,
-        "minhash_lsh": ORACLE_MINHASH_LSH,
-        "text_stats": ORACLE_TEXT_STATS,
-        "doc_quality": ORACLE_DOC_QUALITY,
-        "embedding_neardup": ORACLE_NEARDUP,
-        "simhash": ORACLE_SIMHASH,
-        "simhash_pairs": ORACLE_SIMHASH_PAIRS,
-        "ngram_jaccard": ORACLE_NGRAM_JACCARD,
-        "lang_id": _oracle_lang_id(),
-        "doc_fingerprint": ORACLE_FINGERPRINT,
-        "winnow_fingerprints": ORACLE_WINNOW,
-        "mm_byte_stats": ORACLE_MM_BYTE_STATS,
-        "mm_frames": ORACLE_MM_FRAMES,
-        "mm_thumbnail": ORACLE_MM_THUMBNAIL,
     }

@@ -6,15 +6,32 @@ stages over ``mapInPandas`` — the Spark-side shape a 100 TB multimodal
 corpus needs: payloads never leave the executor, Python sees zero-copy
 Arrow buffers, and every stage is a narrow transformation (no shuffle).
 
-The actual codec step is STUBBED: image/audio libraries are not in this
-environment, so ``decode_image`` raises ``NotImplementedError`` unless
-``fake=True`` selects a deterministic byte-level fake decoder. The
-schema, partitioning, UDF signatures, and batch shapes are real and
-tested; swapping the fake for PIL/ffmpeg is a one-function change.
+Two REAL pure-numpy codecs are included for uncompressed formats, so the
+decode path is genuinely exercised without PIL/ffmpeg:
+
+- PGM (netpbm P5, binary grayscale): header parse + pixel plane +
+  nearest-neighbor thumbnail resize (``decode_image(fmt="pgm")``).
+- WAV (RIFF PCM16 mono): chunk-header parse + int16 sample plane +
+  amplitude stats (``decode_audio``).
+
+Compressed codecs (JPEG/PNG/MP3) would need external libraries that are
+not in this environment; ``decode_image(fake=True)`` remains as the
+deterministic byte-tap stand-in for those formats. Everything below the
+codec — schema, partitioning, UDF signatures, batch shapes — is
+identical either way, so swapping in PIL/ffmpeg is a one-function change.
+
+All per-byte work is VECTORIZED across the Arrow batch: payloads are
+concatenated into one flat uint8 array with per-row offset/length
+vectors, and stats/sampling/gather run as single numpy ops
+(``np.add.reduceat`` / fancy indexing), never a per-row Python loop
+over payload bytes.
 
 Since the corpus here is text, ``attach_payload`` manufactures the
-BINARY column by UTF-8-encoding the text — bytes are bytes; all the
-plumbing downstream is payload-agnostic.
+BINARY column by UTF-8-encoding the text, and ``attach_image_payload``/
+``attach_audio_payload`` build real PGM/WAV files whose pixel/sample
+planes derive deterministically from the text bytes — bytes are bytes;
+all the plumbing downstream is payload-agnostic and every decode result
+stays reproducible by a SQL oracle.
 """
 
 from __future__ import annotations
@@ -27,7 +44,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Fixed tap count for the fake thumbnail decoder (≙ resize target).
+# Fixed tap count for thumbnail resize (≙ resize target).
 THUMB_TAPS = 16
 
 
@@ -50,6 +67,19 @@ def attach_payload(
     )
 
 
+def _flat_payloads(col: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Concatenate a batch of payloads: (flat uint8, starts, lens).
+
+    One ``b"".join`` + one ``frombuffer`` — after this, every per-byte
+    operation is a vectorized numpy op over the whole batch.
+    """
+    bufs = [bytes(b) for b in col]
+    lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=len(bufs))
+    flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    ends = np.cumsum(lens)
+    return flat, ends - lens, lens
+
+
 _BYTE_STATS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -61,25 +91,36 @@ _BYTE_STATS_SCHEMA = T.StructType(
 
 
 def byte_stats(mm: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
-    """Feature extraction over raw payload bytes (Arrow → numpy, no copy
-    of the JVM-side data beyond the Arrow batch itself)."""
+    """Feature extraction over raw payload bytes.
+
+    Vectorized: segment sums/maxima via ``np.add.reduceat`` /
+    ``np.maximum.reduceat`` over the flattened batch (zero-length
+    payloads handled separately — reduceat cannot express empty
+    segments).
+    """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            rows = []
-            for rid, raw in zip(pdf[id_col], pdf[payload_col]):
-                b = np.frombuffer(raw, dtype=np.uint8)
-                rows.append(
-                    (
-                        int(rid),
-                        len(b),
-                        float(b.mean()) if len(b) else 0.0,
-                        int(b.max()) if len(b) else 0,
-                    )
-                )
-            yield pd.DataFrame(rows, columns=["doc_id", "n_bytes", "mean_byte", "max_byte"])
+            flat, starts, lens = _flat_payloads(pdf[payload_col])
+            n = len(pdf)
+            means = np.zeros(n, np.float64)
+            maxs = np.zeros(n, np.int32)
+            nz = lens > 0
+            if nz.any():
+                seg = starts[nz]
+                sums = np.add.reduceat(flat.astype(np.int64), seg)
+                means[nz] = sums / lens[nz]
+                maxs[nz] = np.maximum.reduceat(flat, seg).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].to_numpy(np.int64),
+                    "n_bytes": lens,
+                    "mean_byte": means,
+                    "max_byte": maxs,
+                }
+            )
 
     return mm.mapInPandas(extract, _BYTE_STATS_SCHEMA)
 
@@ -100,22 +141,122 @@ def sample_frames(
 
     Emits (id, frame_idx, frame_byte); fan-out is len/stride rows per
     payload, produced inside the executor — the payload itself is never
-    shuffled or replicated.
+    shuffled or replicated. The gather is one fancy-index over the
+    flattened batch.
     """
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            ids, idxs, vals = [], [], []
-            for rid, raw in zip(pdf[id_col], pdf[payload_col]):
-                b = np.frombuffer(raw, dtype=np.uint8)[::stride]
-                ids.extend([int(rid)] * len(b))
-                idxs.extend(range(len(b)))
-                vals.extend(int(x) for x in b)
-            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_byte": vals})
+            flat, starts, lens = _flat_payloads(pdf[payload_col])
+            counts = (lens + stride - 1) // stride
+            total = int(counts.sum())
+            if total == 0:
+                continue
+            ids = np.repeat(pdf[id_col].to_numpy(np.int64), counts)
+            # frame index within each payload: global arange minus each
+            # payload's first global position
+            first = np.cumsum(counts) - counts
+            fidx = np.arange(total, dtype=np.int64) - np.repeat(first, counts)
+            pos = np.repeat(starts, counts) + fidx * stride
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": fidx.astype(np.int32),
+                    "frame_byte": flat[pos].astype(np.int32),
+                }
+            )
 
     return mm.mapInPandas(frames, _FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real codec: PGM (netpbm P5) images
+# ---------------------------------------------------------------------------
+
+
+def attach_image_payload(
+    docs: DataFrame,
+    width: int = 16,
+    height: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, payload BINARY, meta) where payload is a REAL binary PGM
+    (P5) file: ``P5\\n{w} {h}\\n255\\n`` header + width·height gray
+    bytes. The pixel plane is the doc's UTF-8 bytes cycled to fill the
+    raster — deterministic, so a SQL oracle can reproduce any decoded
+    pixel from the text column. Docs with empty text are dropped (no
+    raster to build)."""
+    npix = width * height
+    header = f"P5\n{width} {height}\n255\n".encode()
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("format", T.StringType()),
+                        T.StructField("n_bytes", T.LongType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for rid, txt in zip(pdf[id_col], pdf[text_col]):
+                tb = np.frombuffer(txt.encode("utf-8"), dtype=np.uint8)
+                if len(tb) == 0:
+                    continue
+                # np.resize cycles the source to the requested length
+                plane = np.resize(tb, npix)
+                payload = header + plane.tobytes()
+                rows.append((int(rid), payload, ("pgm", len(payload))))
+            if rows:
+                yield pd.DataFrame(rows, columns=["doc_id", "payload", "meta"])
+
+    return docs.select(id_col, text_col).mapInPandas(build, out_schema)
+
+
+def _parse_pgm_headers(flat: np.ndarray, starts: np.ndarray, lens: np.ndarray):
+    """Parse P5 headers: returns (pixel_offset, width, height) arrays.
+
+    Header token scan is a tiny per-row loop over ~15 header bytes
+    (headers are variable-length by format design); all pixel work
+    stays vectorized over the flat batch.
+    """
+    n = len(starts)
+    offs = np.zeros(n, np.int64)
+    ws = np.zeros(n, np.int64)
+    hs = np.zeros(n, np.int64)
+    for i in range(n):
+        s, ln = int(starts[i]), int(lens[i])
+        head = bytes(flat[s : s + min(ln, 64)])
+        if not head.startswith(b"P5"):
+            raise ValueError(f"not a binary PGM payload: {head[:8]!r}")
+        toks, pos = [], 2
+        while len(toks) < 3 and pos < len(head):
+            while pos < len(head) and head[pos : pos + 1].isspace():
+                pos += 1
+            t0 = pos
+            while pos < len(head) and not head[pos : pos + 1].isspace():
+                pos += 1
+            toks.append(head[t0:pos])
+        pos += 1  # single whitespace after maxval, then raster
+        ws[i], hs[i] = int(toks[0]), int(toks[1])
+        if int(toks[2]) != 255:
+            raise ValueError("only 8-bit PGM supported")
+        offs[i] = s + pos
+    return offs, ws, hs
 
 
 _THUMB_SCHEMA = T.StructType(
@@ -129,40 +270,187 @@ _THUMB_SCHEMA = T.StructType(
 
 def decode_image(
     mm: DataFrame,
+    fmt: str = "pgm",
     fake: bool = False,
     id_col: str = "doc_id",
     payload_col: str = "payload",
 ) -> DataFrame:
-    """Decode + resize payloads to THUMB_TAPS 'pixels' per row.
+    """Decode + resize payloads to THUMB_TAPS thumbnail pixels per row.
 
-    Real decoding requires an image library that is not available in
-    this environment; ``fake=True`` selects the deterministic stand-in
-    (tap byte at position i·n/TAPS — a strided 'resize'), which keeps
-    the full Spark plumbing testable and SQL-oracle-checkable.
+    ``fmt="pgm"`` is a REAL decoder: parses the netpbm P5 header,
+    locates the raster, and nearest-neighbor-samples THUMB_TAPS pixels
+    (tap i reads raster position i·npix/TAPS). ``fake=True`` keeps the
+    format-agnostic byte-tap stand-in for payloads in compressed
+    formats whose codecs aren't installed here.
     """
-    if not fake:
-        raise NotImplementedError(
-            "image decoding needs PIL/libvips which are not installed; "
-            "pass fake=True for the deterministic byte-tap stand-in"
-        )
-
     taps = THUMB_TAPS
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            ids, idxs, vals = [], [], []
-            for rid, raw in zip(pdf[id_col], pdf[payload_col]):
-                b = np.frombuffer(raw, dtype=np.uint8)
-                n = len(b)
-                if n == 0:
-                    continue
-                pos = (np.arange(taps) * n) // taps
-                px = b[pos]
-                ids.extend([int(rid)] * taps)
-                idxs.extend(range(taps))
-                vals.extend(int(x) for x in px)
-            yield pd.DataFrame({"doc_id": ids, "px_idx": idxs, "px": vals})
+            flat, starts, lens = _flat_payloads(pdf[payload_col])
+            if fake:
+                offs, counts = starts, lens
+            else:
+                offs, ws, hs = _parse_pgm_headers(flat, starts, lens)
+                counts = ws * hs
+            nz = counts > 0
+            if not nz.any():
+                continue
+            ids = np.repeat(pdf[id_col].to_numpy(np.int64)[nz], taps)
+            tap = np.tile(np.arange(taps, dtype=np.int64), int(nz.sum()))
+            pos = np.repeat(offs[nz], taps) + (tap * np.repeat(counts[nz], taps)) // taps
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "px_idx": tap.astype(np.int32),
+                    "px": flat[pos].astype(np.int32),
+                }
+            )
 
+    if not fake and fmt != "pgm":
+        raise NotImplementedError(
+            f"no codec for format {fmt!r} in this environment; "
+            "pgm is decoded natively, pass fake=True for other formats"
+        )
     return mm.mapInPandas(decode, _THUMB_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real codec: WAV (RIFF PCM16 mono)
+# ---------------------------------------------------------------------------
+
+_WAV_HDR = 44  # canonical RIFF/fmt/data header layout for PCM
+
+
+def attach_audio_payload(
+    docs: DataFrame,
+    sample_rate: int = 8000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, payload BINARY, meta) where payload is a REAL RIFF/WAVE
+    PCM16-mono file. Sample i is ``(byte_i − 128) · 256`` of the doc's
+    UTF-8 bytes — one sample per byte, deterministic for the oracle.
+    Empty docs are dropped."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("format", T.StringType()),
+                        T.StructField("n_bytes", T.LongType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    def wav_header(n_samples: int) -> bytes:
+        import struct
+
+        data_len = n_samples * 2
+        return (
+            b"RIFF"
+            + struct.pack("<I", 36 + data_len)
+            + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+            + b"data"
+            + struct.pack("<I", data_len)
+        )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for rid, txt in zip(pdf[id_col], pdf[text_col]):
+                tb = np.frombuffer(txt.encode("utf-8"), dtype=np.uint8)
+                if len(tb) == 0:
+                    continue
+                samples = ((tb.astype(np.int16) - 128) * 256).astype("<i2")
+                payload = wav_header(len(tb)) + samples.tobytes()
+                rows.append((int(rid), payload, ("wav", len(payload))))
+            if rows:
+                yield pd.DataFrame(rows, columns=["doc_id", "payload", "meta"])
+
+    return docs.select(id_col, text_col).mapInPandas(build, out_schema)
+
+
+_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("mean_abs", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+
+def decode_audio(
+    mm: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Parse RIFF/WAVE PCM16-mono payloads; emit per-clip amplitude
+    features (n_samples, sample_rate, mean |amplitude|, peak).
+
+    Header fields are fixed-offset so the parse is vectorized (gather
+    the 4 header ints for every row at once); sample stats run as
+    ``reduceat`` segments over the concatenated int16 plane.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            flat, starts, lens = _flat_payloads(pdf[payload_col])
+            if (lens < _WAV_HDR).any():
+                raise ValueError("payload shorter than a WAV header")
+            # vectorized header checks + field gather (fixed offsets)
+            def field_u32(off: int) -> np.ndarray:
+                idx = starts[:, None] + (off + np.arange(4))[None, :]
+                b = flat[idx].astype(np.uint32)
+                return b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16) | (b[:, 3] << 24)
+
+            magic = flat[starts[:, None] + np.arange(4)[None, :]]
+            if not (magic == np.frombuffer(b"RIFF", np.uint8)).all():
+                raise ValueError("not a RIFF payload")
+            rates = field_u32(24).astype(np.int32)
+            data_len = field_u32(40).astype(np.int64)
+            n_samp = data_len // 2
+            if ((_WAV_HDR + data_len) > lens).any():
+                raise ValueError("truncated WAV data chunk")
+
+            # concatenated sample plane: gather each row's data bytes
+            total = int(data_len.sum())
+            first = np.cumsum(data_len) - data_len
+            within = np.arange(total, dtype=np.int64) - np.repeat(first, data_len)
+            raw = flat[np.repeat(starts + _WAV_HDR, data_len) + within]
+            samples = raw.view(np.int16) if raw.flags["C_CONTIGUOUS"] else np.ascontiguousarray(raw).view(np.int16)
+            absamp = np.abs(samples.astype(np.int64))
+
+            n = len(pdf)
+            mean_abs = np.zeros(n, np.float64)
+            peak = np.zeros(n, np.int32)
+            nz = n_samp > 0
+            if nz.any():
+                seg = (first // 2)[nz]
+                sums = np.add.reduceat(absamp, seg)
+                mean_abs[nz] = sums / n_samp[nz]
+                peak[nz] = np.maximum.reduceat(absamp, seg).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].to_numpy(np.int64),
+                    "n_samples": n_samp,
+                    "sample_rate": rates,
+                    "mean_abs": mean_abs,
+                    "peak": peak,
+                }
+            )
+
+    return mm.mapInPandas(decode, _AUDIO_SCHEMA)

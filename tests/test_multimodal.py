@@ -1,22 +1,27 @@
-"""Multimodal plumbing tests: binary schema, Arrow round-trip of raw
-bytes, deterministic fake decode, and the NotImplementedError gate for
-the real codec path."""
+"""Multimodal tests: binary schema, Arrow round-trip of raw bytes, the
+REAL pure-numpy PGM/WAV codecs, vectorized stats/sampling, the
+deterministic fake decode, and the NotImplementedError gate for formats
+whose codecs aren't installed."""
 
+import numpy as np
 import pandas as pd
 import pytest
 
 from faiss_metal_spark.operators.multimodal import (
     THUMB_TAPS,
+    attach_audio_payload,
+    attach_image_payload,
     attach_payload,
     byte_stats,
+    decode_audio,
     decode_image,
     sample_frames,
 )
 
 
 @pytest.fixture(scope="module")
-def mm(spark):
-    docs = spark.createDataFrame(
+def docs(spark):
+    return spark.createDataFrame(
         pd.DataFrame(
             {
                 "doc_id": [0, 1, 2],
@@ -25,6 +30,10 @@ def mm(spark):
         ),
         schema="doc_id long, text string",
     )
+
+
+@pytest.fixture(scope="module")
+def mm(docs):
     return attach_payload(docs)
 
 
@@ -55,9 +64,9 @@ def test_sample_frames(mm):
     assert not any(r["doc_id"] == 2 for r in rows)  # empty payload → no frames
 
 
-def test_decode_image_stub_gate(mm):
+def test_unknown_codec_gate(mm):
     with pytest.raises(NotImplementedError):
-        decode_image(mm)
+        decode_image(mm, fmt="jpeg")
 
 
 def test_fake_decode_deterministic(mm):
@@ -67,3 +76,61 @@ def test_fake_decode_deterministic(mm):
     d1 = [r["px"] for r in a if r["doc_id"] == 1]
     assert d1 == [ord("z")] * THUMB_TAPS  # single-byte payload: every tap hits it
     assert len([r for r in a if r["doc_id"] == 0]) == THUMB_TAPS
+
+
+def test_pgm_payload_is_real_pgm(docs):
+    """The generated payload must be a spec-valid binary PGM a third
+    party could read: header tokens + exactly w·h raster bytes."""
+    rows = {r["doc_id"]: bytes(r["payload"]) for r in
+            attach_image_payload(docs, width=16, height=8).collect()}
+    assert 2 not in rows  # empty doc → no image
+    p = rows[0]
+    assert p.startswith(b"P5\n16 8\n255\n")
+    raster = p[len(b"P5\n16 8\n255\n"):]
+    assert len(raster) == 16 * 8
+    # pixel plane is the text bytes cycled
+    want = np.resize(np.frombuffer(("abcdefgh" * 4).encode(), np.uint8), 128)
+    assert raster == want.tobytes()
+
+
+def test_pgm_decode_real_pixels(docs):
+    """decode_image(fmt='pgm') parses the header and taps real raster
+    positions: tap i of a 128-pixel image reads pixel 8i = text byte
+    (8i mod len)."""
+    img = attach_image_payload(docs, width=16, height=8)
+    out = decode_image(img, fmt="pgm").orderBy("doc_id", "px_idx").collect()
+    txt = "abcdefgh" * 4
+    d0 = [r["px"] for r in out if r["doc_id"] == 0]
+    assert d0 == [ord(txt[(8 * i) % 32]) for i in range(THUMB_TAPS)]
+    d1 = [r["px"] for r in out if r["doc_id"] == 1]
+    assert d1 == [ord("z")] * THUMB_TAPS
+
+
+def test_pgm_decode_rejects_garbage(mm):
+    with pytest.raises(Exception, match="PGM"):
+        decode_image(mm, fmt="pgm").collect()  # txt payload is not P5
+
+
+def test_wav_roundtrip_stats(docs, spark):
+    """attach_audio_payload writes a spec-valid RIFF PCM16 file (the
+    stdlib wave module can read it back) and decode_audio recovers the
+    amplitude stats exactly."""
+    import io
+    import wave
+
+    wav = attach_audio_payload(docs, sample_rate=8000)
+    payloads = {r["doc_id"]: bytes(r["payload"]) for r in wav.collect()}
+    with wave.open(io.BytesIO(payloads[0])) as w:
+        assert w.getnchannels() == 1 and w.getsampwidth() == 2
+        assert w.getframerate() == 8000 and w.getnframes() == 32
+        frames = np.frombuffer(w.readframes(32), np.int16)
+    want = (np.frombuffer(("abcdefgh" * 4).encode(), np.uint8).astype(np.int16) - 128) * 256
+    np.testing.assert_array_equal(frames, want)
+
+    out = {r["doc_id"]: r for r in decode_audio(wav).collect()}
+    assert out[0]["n_samples"] == 32 and out[0]["sample_rate"] == 8000
+    assert out[0]["mean_abs"] == pytest.approx(np.abs(want.astype(np.int64)).mean())
+    assert out[0]["peak"] == int(np.abs(want.astype(np.int64)).max())
+    assert out[1]["n_samples"] == 1
+    assert out[1]["peak"] == abs((ord("z") - 128) * 256)
+    assert 2 not in out  # empty doc → no clip
