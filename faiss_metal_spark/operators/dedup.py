@@ -313,17 +313,23 @@ def connected_components(
     # persist the symmetric edge list BEFORE the first action: edges
     # usually sit on an expensive lineage (the whole LSH pipeline), and
     # marking the cache after the init action would recompute that
-    # lineage once more in round 0 (measured: 2× the LSH cost)
-    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+    # lineage once more in round 0 (measured: 2× the LSH cost). Self-loop
+    # rows (v,v) fold the "own label" term into the neighbor set, so each
+    # round is one join + one aggregation (2 shuffles) instead of
+    # join + agg + label-realignment join (3 shuffles) — at 100× the
+    # graph, that third shuffle per round is the difference.
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    und = sym.unionByName(
+        sym.select("a").distinct().select("a", F.col("a").alias("b"))
     ).persist()
-    # first propagation round fused into init: label₀ = min(id, min
-    # neighbor) comes straight off the symmetric edge list — one
-    # aggregation instead of a join round
+    # first propagation round fused into init: label₀ = min over
+    # neighbors∪self of id comes straight off the self-looped edge list
     labels = (
         und.groupBy("a")
-        .agg(F.min("b").alias("_mb"))
-        .select(F.col("a").alias("id"), F.least("a", "_mb").alias("lbl"))
+        .agg(F.min("b").alias("lbl"))
+        .select(F.col("a").alias("id"), "lbl")
         .persist()
     )
     # labels only ever decrease, so Σlbl strictly decreases on any
@@ -331,17 +337,16 @@ def connected_components(
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
 
     for it in range(max_iter):
-        nbr = (
+        # lbl_new(v) = min over neighbors∪self of lbl — the self-loops
+        # make the plain neighbor-min already include v's own label, so
+        # no realignment join is needed. (No pointer-jump shortcut: dup
+        # clusters are shallow, and an extra self-join per round measured
+        # slower than the 1-2 rounds it saves.)
+        new_labels = (
             und.join(labels, und["b"] == labels["id"])
             .groupBy("a")
-            .agg(F.min("lbl").alias("nlbl"))
-        )
-        # plain neighbor-min (no pointer-jump shortcut: dup clusters are
-        # shallow, and an extra self-join per round measured slower than
-        # the 1-2 rounds it saves)
-        new_labels = labels.join(nbr, labels["id"] == nbr["a"], "left").select(
-            "id",
-            F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
+            .agg(F.min("lbl").alias("lbl"))
+            .select(F.col("a").alias("id"), "lbl")
         )
         if (it + 1) % 8 == 0:
             # truncate lineage every few rounds: a deep graph would
