@@ -312,41 +312,71 @@ FROM (
 """
 
 
-def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling (1 h) AND sliding (1 h length / 30 min slide) event-time
+    windows in one result, tagged by kind. The sliding form is the same
+    op that streams with a watermark (stream ≡ batch pinned by
+    tests/test_streaming.py); the batch form is the oracle-checkable
+    one."""
+    from faiss_metal_spark.streaming import sliding_counts
+
     e = _events(spark, sf_dir)
-    return (
-        e.groupBy(
-            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("hour"),
-            "event_type",
-        )
-        .agg(F.count(F.lit(1)).alias("n"), _norm(F.sum("value"), 2).alias("sum_value"))
+    tumble = e.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"), _norm(F.sum("value"), 2).alias("sum_value"))
+    slide = sliding_counts(e, length="1 hour", slide="30 minutes").select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+        _norm(F.col("sum_value"), 2).alias("sum_value"),
+    )
+    return tumble.select(F.lit("tumble").alias("kind"), "*").unionByName(
+        slide.select(F.lit("slide").alias("kind"), "*")
     )
 
 
-ORACLE_EVENTS_HOURLY = """
-SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, event_type,
-       COUNT(*) AS n, ROUND(SUM(value), 2) + 0.0 AS sum_value
-FROM events GROUP BY 1, 2
+ORACLE_EVENT_WINDOWS = """
+SELECT 'tumble' AS kind, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n, ROUND(SUM(value), 2) + 0.0 AS sum_value
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'slide' AS kind, strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n, ROUND(SUM(value), 2) + 0.0 AS sum_value
+FROM (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS ws,
+         event_type, value
+  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+)
+GROUP BY 2, 3
 """
 
 
-def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type profile in ONE aggregation pass: counts, stats of
+    the JSON-extracted props.k field, and exact linear-interpolated
+    percentiles (Spark percentile ≡ DuckDB quantile_cont)."""
     e = _events(spark, sf_dir)
     k = F.get_json_object("props", "$.k").cast("int")
-    return (
-        e.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            _norm(F.avg(k), 4).alias("avg_k"),
-            F.max(k).alias("max_k"),
-        )
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        _norm(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+        _norm(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        _norm(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+        _norm(F.max("value"), 4).alias("vmax"),
     )
 
 
-ORACLE_EVENTS_JSON = """
+ORACLE_EVENT_TYPE_PROFILE = """
 SELECT event_type, COUNT(*) AS n,
        ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) + 0.0 AS avg_k,
-       MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+       MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+       ROUND(quantile_cont(value, 0.5), 4) + 0.0 AS p50,
+       ROUND(quantile_cont(value, 0.95), 4) + 0.0 AS p95,
+       ROUND(MAX(value), 4) + 0.0 AS vmax
 FROM events GROUP BY event_type
 """
 
@@ -999,34 +1029,6 @@ GROUP BY 1
 """
 
 
-def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding event-time windows (1 h length, 30 min slide): each event
-    lands in exactly two windows. Same op streams with a watermark
-    (stream ≡ batch pinned by tests/test_streaming.py); the batch form
-    is the oracle-checkable one."""
-    from faiss_metal_spark.streaming import sliding_counts
-
-    e = _events(spark, sf_dir)
-    return sliding_counts(e, length="1 hour", slide="30 minutes").select(
-        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-        "event_type",
-        "n",
-        _norm(F.col("sum_value"), 2).alias("sum_value"),
-    )
-
-
-ORACLE_SLIDING = """
-SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
-       COUNT(*) AS n, ROUND(SUM(value), 2) + 0.0 AS sum_value
-FROM (
-  SELECT time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS ws,
-         event_type, value
-  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
-)
-GROUP BY 1, 2
-"""
-
-
 # ---------------------------------------------------------------------------
 # Dedup / text-analysis queries (north-star extensions)
 # ---------------------------------------------------------------------------
@@ -1084,26 +1086,6 @@ FROM events c JOIN events p
   ON c.user_id = p.user_id
  AND c.event_type = 'click' AND p.event_type = 'purchase'
  AND p.ts >= c.ts - INTERVAL 30 MINUTE AND p.ts <= c.ts
-"""
-
-
-def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact ordered-statistics aggregate (linear-interpolated
-    percentiles) per event type — Spark percentile ≡ quantile_cont."""
-    e = _events(spark, sf_dir)
-    return e.groupBy("event_type").agg(
-        _norm(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
-        _norm(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
-        _norm(F.max("value"), 4).alias("vmax"),
-    )
-
-
-ORACLE_PERCENTILES = """
-SELECT event_type,
-       ROUND(quantile_cont(value, 0.5), 4) + 0.0 AS p50,
-       ROUND(quantile_cont(value, 0.95), 4) + 0.0 AS p95,
-       ROUND(MAX(value), 4) + 0.0 AS vmax
-FROM events GROUP BY event_type
 """
 
 
@@ -1280,6 +1262,53 @@ q AS (
 )
 SELECT doc_id, lang, n_tokens, ROUND(quality, 4) + 0.0 AS quality
 FROM q WHERE quality >= 0.5
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 53 == 0 stand in
+    for the held-out benchmark suite; every other doc sharing ≥1 word
+    3-gram with it is flagged with its contaminated-n-gram count. The
+    eval shingle-hash set is broadcast — the corpus never shuffles."""
+    from faiss_metal_spark.pipeline import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    ev = d.where(F.col("doc_id") % 53 == 0)
+    tr = d.where(F.col("doc_id") % 53 != 0)
+    return decontaminate(tr, ev).select(F.col("id").alias("doc_id"), "n_shared")
+
+
+ORACLE_DECONTAM = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)])) AS s
+  FROM toks WHERE len(t) >= 3
+),
+ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 53 = 0),
+tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 53 <> 0)
+SELECT tr.doc_id AS doc_id, COUNT(*) AS n_shared
+FROM tr JOIN ev USING (s)
+GROUP BY 1
+"""
+
+
+def q_corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by md5(doc_id)
+    hex bucket — content-independent, engine-independent, shuffle-free
+    (a pure projection any pipeline stage can recompute)."""
+    from faiss_metal_spark.pipeline import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    return hash_split(d).select("doc_id", "split")
+
+
+ORACLE_SPLITS = """
+SELECT doc_id,
+  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
 """
 
 
@@ -1797,7 +1826,10 @@ FROM ({_oracle_lang_id()}) li JOIN ({ORACLE_TEXT_STATS}) ts USING (lang)
 
 def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text analysis in ONE scan: token counts, quality
-    scoring, rolling-hash fingerprint, BPE-ish token count."""
+    scoring, rolling-hash fingerprint, BPE-ish token count, repeated-
+    3-gram repetition ratio (the boilerplate/spam quality filter)."""
+    from faiss_metal_spark.functions.text import repetition_ratio
+
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
@@ -1807,11 +1839,17 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         _norm(quality_score("text"), 4).alias("quality"),
         doc_fingerprint("text").alias("fp"),
         bpe_token_count("text").cast("long").alias("n_bpe"),
+        _norm(repetition_ratio("text", 3), 4).alias("rep3"),
     )
 
 
 ORACLE_DOC_PROFILE = f"""
-WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks,
+         [array_to_string(string_split(text, ' ')[i:i+2], ' ')
+          FOR i IN range(1, len(string_split(text, ' ')) - 1)] AS grams
+  FROM documents
+)
 SELECT doc_id, len(toks) AS n_tokens,
   ROUND(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 4) + 0.0 AS distinct_ratio,
   ROUND(list_sum([length(x) FOR x IN toks]) / CAST(len(toks) AS DOUBLE), 4) + 0.0 AS avg_token_len,
@@ -1823,7 +1861,10 @@ SELECT doc_id, len(toks) AS n_tokens,
     list_prepend(0::BIGINT, [{_sql_hash32('x')} FOR x IN toks]),
     (acc, v) -> (acc * 31 + v) % 2147483647
   ) AS fp,
-  len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe
+  len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe,
+  ROUND(CASE WHEN len(toks) >= 3
+             THEN 1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE)
+             ELSE 0.0 END, 4) + 0.0 AS rep3
 FROM t
 """
 
@@ -1998,6 +2039,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_clusters": q_dedup_clusters,
         "curate_corpus": q_curate_corpus,
+        "decontaminate": q_decontaminate,
+        "corpus_splits": q_corpus_splits,
         "minhash_lsh": q_minhash_lsh,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash_all": q_simhash_all,
@@ -2035,16 +2078,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setops_customers": q_setops_customers,
         "grouping_sets_events": q_grouping_sets_events,
         "range_join_balance": q_range_join_balance,
-        "sliding_windows": q_sliding_windows,
+        "event_windows": q_event_windows,
         "approx_sketches": q_approx_sketches,
         "above_brand_avg": q_above_brand_avg,
         "semi_anti_join": q_semi_anti_join,
         "rollup_cube": q_rollup_cube,
         "pivot_events": q_pivot_events,
-        "events_hourly": q_events_hourly,
-        "events_json": q_events_json,
         "event_sessions": q_event_sessions,
-        "value_percentiles": q_value_percentiles,
+        "event_type_profile": q_event_type_profile,
         "asof_last_purchase": q_asof_last_purchase,
         "join_within": q_join_within,
     }
@@ -2055,6 +2096,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "dedup_clusters": _oracle_dedup_clusters(),
         "curate_corpus": _ORACLE_CURATE,
+        "decontaminate": ORACLE_DECONTAM,
+        "corpus_splits": ORACLE_SPLITS,
         "minhash_lsh": ORACLE_MINHASH_LSH,
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "simhash_all": _oracle_simhash_all(),
@@ -2093,15 +2136,13 @@ def oracle_sql() -> dict[str, str]:
         "setops_customers": ORACLE_SETOPS,
         "grouping_sets_events": ORACLE_GROUPING_SETS,
         "range_join_balance": ORACLE_RANGE_JOIN,
-        "sliding_windows": ORACLE_SLIDING,
+        "event_windows": ORACLE_EVENT_WINDOWS,
         "above_brand_avg": ORACLE_ABOVE_BRAND_AVG,
         "semi_anti_join": ORACLE_SEMI_ANTI,
         "rollup_cube": ORACLE_ROLLUP_CUBE,
         "pivot_events": ORACLE_PIVOT,
-        "events_hourly": ORACLE_EVENTS_HOURLY,
-        "events_json": ORACLE_EVENTS_JSON,
         "event_sessions": ORACLE_SESSIONS,
-        "value_percentiles": ORACLE_PERCENTILES,
+        "event_type_profile": ORACLE_EVENT_TYPE_PROFILE,
         "asof_last_purchase": ORACLE_ASOF,
         "join_within": ORACLE_JOIN_WITHIN,
     }

@@ -188,3 +188,16 @@ def shingles(text: Column | str, n: int = 3) -> Column:
         return F.transform(idx, lambda j: F.concat_ws(" ", F.slice(tt, j, n)))
 
     return F.get(F.transform(F.array(t), mk), 0)
+
+
+def repetition_ratio(text: Column | str, n: int = 3) -> Column:
+    """Within-document n-gram repetition: 1 − |distinct n-grams| /
+    |n-grams| (0 = no repeated n-gram, → 1 for highly repetitive
+    boilerplate). The standard repeated-n-gram quality filter for LLM
+    training corpora; docs shorter than n grams score 0.0."""
+    s = shingles(text, n)
+    return F.when(
+        F.size(s) > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct(s)).cast("double") / F.size(s).cast("double"),
+    ).otherwise(F.lit(0.0))

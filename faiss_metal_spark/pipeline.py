@@ -98,3 +98,67 @@ def curate_corpus(
         )
         .where(F.col("quality") >= F.lit(min_quality))
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: training docs that share ≥1 word
+    n-gram with an evaluation/benchmark set, with the overlap count.
+    Returns (id, n_shared) — n_shared = distinct contaminated n-grams.
+
+    The n-gram-overlap decontamination rule used for LLM training sets
+    (flag a training doc if any benchmark n-gram appears verbatim).
+    Scale shape: the corpus is shingled in one scan and hashed to int64
+    (8-byte join keys, never the raw n-gram strings); the eval side is
+    a benchmark suite — tiny next to a 100 TB corpus — so its distinct
+    shingle-hash set is broadcast and the corpus never shuffles.
+    """
+    from .functions.text import shingles
+
+    def sh(df: DataFrame, *keep: str) -> DataFrame:
+        return df.select(
+            *keep,
+            F.explode(
+                F.array_distinct(shingles(text_col, shingle_size))
+            ).alias("_s"),
+        ).select(*keep, F.xxhash64("_s").alias("sh"))
+
+    tr = sh(train.withColumnRenamed(id_col, "id"), "id")
+    ev = sh(eval_docs).select("sh").distinct()
+    return (
+        tr.join(F.broadcast(ev), "sh")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def hash_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    train_frac: float = 0.9,
+    val_frac: float = 0.05,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent
+    id hash: adds a ``split`` column. Stable across runs, partitionings
+    and engines — md5 of the id string, bucketed on the first two hex
+    chars (256 buckets compared lexicographically, so any SQL engine
+    reproduces the exact assignment without hex→int conversion).
+
+    A pure projection: no shuffle, no RNG, safe to recompute per stage
+    at any scale (the property a 100 TB pipeline needs — a sampled
+    split materialized once can never be joined consistently again).
+    """
+    b = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+    train_hi = format(int(round(train_frac * 256)), "02x")
+    val_hi = format(int(round((train_frac + val_frac) * 256)), "02x")
+    return docs.withColumn(
+        "split",
+        F.when(b < F.lit(train_hi), "train")
+        .when(b < F.lit(val_hi), "val")
+        .otherwise("test"),
+    )

@@ -227,3 +227,71 @@ def test_curate_corpus_pipeline(spark):
     assert 4 not in survivors                        # quality filter
     row = {r["doc_id"]: r for r in out.collect()}[0]
     assert row["n_tokens"] == 80 and 0.0 <= row["quality"] <= 1.0
+
+
+def test_decontaminate(spark):
+    """Docs sharing a 3-gram with the eval set are flagged with the
+    distinct shared-shingle count; clean docs are absent. The eval
+    shingle set must broadcast (the corpus never shuffles for the probe
+    join)."""
+    from faiss_metal_spark.pipeline import decontaminate
+    from faiss_metal_spark.plans.report import assert_plan
+
+    ev = docs_df(spark, ["alpha beta gamma delta epsilon"])
+    train = docs_df(
+        spark,
+        [
+            "alpha beta gamma unrelated tail here",   # shares 1 eval 3-gram
+            "beta gamma delta epsilon something",     # shares 2
+            "totally different words only here now",  # clean
+        ],
+    )
+    out = decontaminate(train, ev)
+    got = {r["id"]: r["n_shared"] for r in out.collect()}
+    assert got == {0: 1, 1: 2}
+    assert_plan(out, min_broadcasts=1)
+
+
+def test_hash_split_deterministic_and_shuffle_free(spark):
+    """Same id → same split on repeated/partition-shuffled input; split
+    fractions roughly honor 90/5/5; the plan has no Exchange at all."""
+    from faiss_metal_spark.pipeline import hash_split
+    from faiss_metal_spark.plans.report import assert_plan
+
+    ids = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s1 = hash_split(ids)
+    assert_plan(s1, max_shuffles=0)
+    a = {r["doc_id"]: r["split"] for r in s1.collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(ids.repartition(7)).collect()
+    }
+    assert a == b
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert set(c) == {"train", "val", "test"}
+    assert 0.85 < c["train"] / 2000 < 0.95
+    assert c["val"] / 2000 < 0.10 and c["test"] / 2000 < 0.10
+
+
+def test_repetition_ratio(spark):
+    """1 − distinct/total 3-grams: fully cyclic text ≈ high, all-unique
+    text = 0, docs shorter than the gram size = 0 (not null)."""
+    from faiss_metal_spark.functions.text import repetition_ratio
+
+    df = docs_df(
+        spark,
+        [
+            "a b c a b c a b c",      # 7 grams, 3 distinct → 4/7
+            "one two three four five",  # all unique → 0
+            "tiny doc",               # < 3 tokens → 0
+        ],
+    )
+    got = [
+        round(r["r"], 4)
+        for r in df.select(repetition_ratio("text", 3).alias("r"))
+        .orderBy("doc_id")
+        .collect()
+    ]
+    assert got == [round(4 / 7, 4), 0.0, 0.0]
