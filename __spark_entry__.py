@@ -1873,7 +1873,10 @@ def q_simhash_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signatures AND banded near-dup pairs, tagged: 'sig' rows
     carry (doc_id, signature), 'pair' rows carry (id_a, id_b, hamming)."""
     d = _t(spark, sf_dir, "documents")
-    sig = simhash_signatures(d)
+    # both union branches consume sig; materialize it once (the
+    # signature build is a full corpus scan — lazy reuse would run it
+    # twice, and union branches can race a plain cache)
+    sig = simhash_signatures(d).localCheckpoint()
     pairs = simhash_neardup_pairs(sig, bands=4, max_hamming=3)
     srows = sig.select(
         F.lit("sig").alias("kind"),

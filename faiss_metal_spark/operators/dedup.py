@@ -245,13 +245,18 @@ def ngram_jaccard_pairs(
         F.explode(F.array_distinct(shingles(text_col, shingle_size))).alias("_s"),
     ).select(id_col, F.xxhash64("_s").alias("sh"))
     if max_df is not None:
-        keep = (
+        # the BAN list (shingles above the cutoff) is tiny by
+        # construction — boilerplate is rare among distinct shingles —
+        # so broadcast it and anti-join; the complement ("keep") set is
+        # nearly the whole shingle vocabulary and would force a full
+        # shuffle join of the corpus against itself-sized state
+        ban = (
             sh.groupBy("sh")
             .agg(F.count(F.lit(1)).alias("_df"))
-            .where(F.col("_df") <= max_df)
+            .where(F.col("_df") > max_df)
             .select("sh")
         )
-        sh = sh.join(keep, "sh")
+        sh = sh.join(F.broadcast(ban), "sh", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
 
     # With explicit candidates, only docs that appear in some candidate
