@@ -11,11 +11,12 @@ north-star targets.
 
 from .quantize import STORAGE_BF16, STORAGE_FP16, STORAGE_FP32
 from .session import get_spark
-from .vector_table import SearchToken, VectorTable
+from .vector_table import SearchParams, SearchToken, VectorTable
 
 __all__ = [
     "VectorTable",
     "SearchToken",
+    "SearchParams",
     "get_spark",
     "STORAGE_FP32",
     "STORAGE_FP16",

@@ -104,6 +104,18 @@ class SearchToken:
 
 
 @dataclass
+class SearchParams:
+    """Per-call search overrides (≙ ``faiss::SearchParameters``: the
+    reference's ``search`` accepts the pointer and ignores it —
+    include/faiss-metal/MetalIndexFlat.h:52-57; honoring the overrides
+    makes this a strict superset of that contract). ``None`` fields
+    inherit the table's configuration."""
+
+    metric: Metric | None = None
+    method: str | None = None
+
+
+@dataclass
 class VectorTable:
     """``compact=True`` stores reduced-precision vectors as BINARY
     (2 bytes/element) instead of round-tripped ARRAY<FLOAT>: identical
@@ -307,11 +319,16 @@ class VectorTable:
     def search(
         self, queries: DataFrame, k: int, method: str = "auto",
         qid_col: str = "qid", qvec_col: str = "vec",
+        params: SearchParams | None = None,
     ) -> DataFrame:
+        metric = self.metric
+        if params is not None:
+            metric = params.metric or metric
+            method = params.method or method
         if self.compact and method == "auto":
             method = "gemm"
         return knn_search(
-            self.df, queries, k, metric=self.metric, method=method,
+            self.df, queries, k, metric=metric, method=method,
             qid_col=qid_col, qvec_col=qvec_col, vec_format=self._vec_format,
             # quantized tables search with the precomputed fp32 norms
             # (MetalIndexFlat.mm:258-268); fp32 tables recompute — the
@@ -319,21 +336,31 @@ class VectorTable:
             norm_col="norm_sq" if self.storage != STORAGE_FP32 else None,
         )
 
-    def search_numpy(self, x: np.ndarray, k: int, method: str = "auto") -> tuple[np.ndarray, np.ndarray]:
+    def search_numpy(
+        self, x: np.ndarray, k: int, method: str = "auto",
+        params: SearchParams | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
         """≙ search(n, x, k, distances, labels) with host arrays in/out."""
         x = np.asarray(x, dtype=np.float32)
         qdf = self.spark.createDataFrame(
             [(int(i), v.tolist()) for i, v in enumerate(x)],
             schema="qid long, vec array<float>",
         )
-        res = self.search(qdf, k, method=method).orderBy("qid", "rank").toPandas()
+        res = (
+            self.search(qdf, k, method=method, params=params)
+            .orderBy("qid", "rank")
+            .toPandas()
+        )
         nq = len(x)
         D = res["distance"].to_numpy(np.float64).reshape(nq, k)
         L = res["label"].to_numpy(np.int64).reshape(nq, k)
         return D.astype(np.float32), L
 
-    def search_async(self, queries: DataFrame, k: int, method: str = "auto") -> SearchToken:
-        return SearchToken(self.search(queries, k, method=method))
+    def search_async(
+        self, queries: DataFrame, k: int, method: str = "auto",
+        params: SearchParams | None = None,
+    ) -> SearchToken:
+        return SearchToken(self.search(queries, k, method=method, params=params))
 
 
 def _partition_local_window():

@@ -231,3 +231,26 @@ def test_compact_requires_reduced_precision(spark):
     c = VectorTable(spark, d=8, storage=STORAGE_FP16, compact=True).add_numpy(V)
     with pytest.raises(ValueError):
         c.search(queries_df(spark, Q), 2, method="sql")
+
+
+def test_search_params_override(spark):
+    """SearchParams (≙ faiss::SearchParameters, which the reference
+    accepts and ignores) — honored here: per-call metric/method override
+    without touching the table's configuration."""
+    import numpy as np
+
+    from faiss_metal_spark import SearchParams, VectorTable
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(50, 8)).astype(np.float32)
+    vt = VectorTable(spark, d=8, metric="l2").add_numpy(X)
+    ip_table = VectorTable(spark, d=8, metric="ip").add_numpy(X)
+
+    q = X[:3]
+    D_ov, L_ov = vt.search_numpy(q, k=5, params=SearchParams(metric="ip"))
+    D_ip, L_ip = ip_table.search_numpy(q, k=5)
+    assert (L_ov == L_ip).all() and np.allclose(D_ov, D_ip)
+    # table config untouched; None params inherit
+    D_l2, _ = vt.search_numpy(q, k=5, params=SearchParams())
+    D_plain, _ = vt.search_numpy(q, k=5)
+    assert vt.metric == "l2" and np.allclose(D_l2, D_plain)
