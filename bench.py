@@ -105,6 +105,21 @@ def _warmup(spark) -> None:
         p = os.path.join(SF_DIR, f"{t}.parquet")
         if os.path.exists(p):
             spark.read.parquet(p).count()
+    # compile the text/dedup codegen paths (md5 HOFs, shingle lambdas,
+    # iterative join+agg) on a 4-row corpus so the first timed query
+    # measures steady-state, not first-compile
+    from faiss_metal_spark.operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    tiny = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(4)],
+        schema="doc_id long, text string",
+    )
+    sig = minhash_signatures(tiny, num_hashes=8, shingle_size=3)
+    connected_components(lsh_candidate_pairs(sig, num_hashes=8, bands=4)).count()
     _ = pd.DataFrame()
 
 

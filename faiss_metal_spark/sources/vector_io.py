@@ -23,15 +23,17 @@ def read_vectors(
     id_col: str = "id",
     vec_col: str = "vec",
 ) -> DataFrame:
-    """Read a vector table from parquet / json-lines / csv.
+    """Read a vector table from parquet / orc / json-lines / csv.
 
-    parquet & json carry the array natively; csv stores the vector as a
+    parquet, orc & json carry the array natively; csv stores the vector as a
     ';'-joined string column (the only portable csv encoding) and is
     parsed back with a split+cast projection — still whole-stage
     codegen, no Python.
     """
     if fmt == "parquet":
         raw = spark.read.parquet(path)
+    elif fmt == "orc":
+        raw = spark.read.orc(path)
     elif fmt == "json":
         raw = spark.read.json(path)
     elif fmt == "csv":
@@ -52,6 +54,8 @@ def write_vectors(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "o
     """Write (id, vec[, ...]) out; csv flattens the vector to ';'-joined."""
     if fmt == "parquet":
         df.write.mode(mode).parquet(path)
+    elif fmt == "orc":
+        df.write.mode(mode).orc(path)
     elif fmt == "json":
         df.write.mode(mode).json(path)
     elif fmt == "csv":

@@ -17,7 +17,7 @@ from tests.conftest import make_fixture, vectors_df
 SF = "/root/testdata/sf0.001"
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "json", "csv"])
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
 def test_vector_io_roundtrip(spark, tmp_path, fmt):
     V, _ = make_fixture(nv=50, nq=1, d=8)
     df = vectors_df(spark, V)

@@ -101,6 +101,11 @@ def test_ngram_jaccard_df_cutoff(spark):
     same = ngram_jaccard_pairs(docs_df(spark, [BASE, BASE]), shingle_size=3, max_df=10)
     rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in same.collect()}
     assert rows[(0, 1)] == pytest.approx(1.0)
+    # the cutoff is applied as a broadcast anti-join against the small
+    # ban set, never a shuffle join against the near-vocabulary keep set
+    from faiss_metal_spark.plans.report import assert_plan
+
+    assert_plan(sparse, min_broadcasts=1)
 
 
 def test_curate_verify_kills_banding_false_positive(spark):
