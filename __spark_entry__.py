@@ -1295,20 +1295,40 @@ GROUP BY 1
 
 def q_corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 90/5/5 train/val/test assignment by md5(doc_id)
-    hex bucket — content-independent, engine-independent, shuffle-free
-    (a pure projection any pipeline stage can recompute)."""
-    from faiss_metal_spark.pipeline import hash_split
+    hex bucket (content-independent, shuffle-free projection) PLUS the
+    per-language stratified cap (≤30 docs/lang by md5 order — the
+    domain-mixing downsample), as an in_cap flag."""
+    from faiss_metal_spark.pipeline import hash_split, stratified_cap
 
     d = _t(spark, sf_dir, "documents")
-    return hash_split(d).select("doc_id", "split")
+    capped = stratified_cap(d, "lang", 30).select(
+        "doc_id", F.lit(1).alias("in_cap")
+    )
+    return (
+        hash_split(d)
+        .select("doc_id", "split")
+        .join(capped, "doc_id", "left")
+        .select(
+            "doc_id", "split", F.coalesce("in_cap", F.lit(0)).alias("in_cap")
+        )
+    )
 
 
 ORACLE_SPLITS = """
+WITH r AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+)
 SELECT doc_id,
   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
-       ELSE 'test' END AS split
-FROM documents
+       ELSE 'test' END AS split,
+  CASE WHEN rk <= 30 THEN 1 ELSE 0 END AS in_cap
+FROM r
 """
 
 

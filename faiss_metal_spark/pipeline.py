@@ -162,3 +162,37 @@ def hash_split(
         .when(b < F.lit(val_hi), "val")
         .otherwise("test"),
     )
+
+
+def stratified_cap(
+    docs: DataFrame,
+    group_col: str,
+    n_per_group: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-group downsample: keep at most ``n_per_group``
+    rows per group, chosen by md5(id) order — the domain-mixing cap a
+    training-data pipeline applies to over-represented sources. No RNG:
+    stable across runs, partitionings and engines (≡ one SQL
+    ROW_NUMBER() OVER (PARTITION BY g ORDER BY md5(id), id) ≤ n).
+
+    Two-phase selection (the partial/final shape of the kNN
+    block_select): rank within (input partition × group) first and keep
+    ≤ n, so the final per-group window sees at most n·partitions rows —
+    a hot group never funnels its full row count through one task, only
+    its bounded candidate set.
+    """
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.col(id_col).cast("string"))
+    w1 = Window.partitionBy("_pid", group_col).orderBy("_h", id_col)
+    w2 = Window.partitionBy(group_col).orderBy("_h", id_col)
+    return (
+        docs.withColumn("_h", h)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_rk", F.row_number().over(w1))
+        .where(F.col("_rk") <= n_per_group)
+        .withColumn("_rk", F.row_number().over(w2))
+        .where(F.col("_rk") <= n_per_group)
+        .drop("_h", "_pid", "_rk")
+    )

@@ -1,5 +1,6 @@
 from .knn_stream import read_query_stream, run_knn_stream  # noqa: F401
 from .ops import (  # noqa: F401
+    dedup_stream,
     hourly_counts,
     join_within,
     read_events_stream,

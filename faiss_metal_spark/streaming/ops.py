@@ -191,6 +191,32 @@ def user_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first-seen row per content digest
+    (md5 of ``text_col``), the incremental form of exact_dedup for a
+    continuously-ingested corpus.
+
+    With ``ts_col`` the state store only retains digests inside the
+    watermark horizon (``dropDuplicatesWithinWatermark``) — bounded
+    state, the only sane configuration for an unbounded 100 TB feed
+    where true global dedup belongs in the batch compaction pass.
+    Without it, state grows with the distinct-digest count (fine for
+    bounded backfills, documented so nobody ships it against a firehose).
+    The same transformation runs in batch (digest-distinct), which is
+    how equivalence is tested.
+    """
+    d = docs.withColumn("_digest", F.md5(F.col(text_col)))
+    if ts_col is not None and d.isStreaming:
+        d = d.withWatermark(ts_col, watermark)
+        return d.dropDuplicatesWithinWatermark(["_digest"])
+    return d.dropDuplicates(["_digest"])
+
+
 def run_to_memory(
     stream_df: DataFrame, name: str, checkpoint: str, output_mode: str = "complete"
 ) -> None:

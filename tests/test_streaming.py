@@ -168,3 +168,36 @@ def test_stream_sliding_equals_batch(spark, batch_events, events_dir, tmp_path):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     # overlapping windows: every event lands in length/slide = 2 windows
     assert int(got["n"].sum()) == 2 * batch_events.count()
+
+
+def test_dedup_stream_equals_batch(spark, tmp_path):
+    """Streaming digest-dedup drains to one row per distinct content;
+    the surviving digest set equals the batch form's."""
+    from faiss_metal_spark.streaming import dedup_stream
+
+    d = str(tmp_path / "docs_feed")
+    pdf_a = pd.DataFrame({"doc_id": [0, 1], "text": ["alpha beta", "gamma delta"]})
+    pdf_b = pd.DataFrame({"doc_id": [2, 3], "text": ["alpha beta", "epsilon zeta"]})
+    spark.createDataFrame(pdf_a).write.mode("overwrite").parquet(d)
+    spark.createDataFrame(pdf_b).write.mode("append").parquet(d)
+
+    batch = spark.read.parquet(d)
+    expect = {
+        r["_digest"]
+        for r in dedup_stream(batch).select("_digest").collect()
+    }
+    assert len(expect) == 3  # the cross-file dup collapsed
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    run_to_memory(
+        dedup_stream(stream), "dedup_t", str(tmp_path / "cp_dedup"), output_mode="append"
+    )
+    got = {
+        r["_digest"]
+        for r in spark.sql("SELECT _digest FROM dedup_t").collect()
+    }
+    assert got == expect

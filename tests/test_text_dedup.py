@@ -300,3 +300,31 @@ def test_repetition_ratio(spark):
         .collect()
     ]
     assert got == [round(4 / 7, 4), 0.0, 0.0]
+
+
+def test_stratified_cap(spark):
+    """≤ n rows kept per group; the keep set is exactly the single-
+    window md5-order top-n (the two-phase partial/final selection must
+    not change the result), stable under repartitioning."""
+    from pyspark.sql.window import Window
+
+    from faiss_metal_spark.pipeline import stratified_cap
+
+    rows = [(i, "big" if i < 80 else "small") for i in range(90)]
+    df = spark.createDataFrame(rows, schema="doc_id long, lang string")
+    out = stratified_cap(df, "lang", 10).toPandas()
+    assert out.groupby("lang")["doc_id"].count().max() <= 10
+    assert len(out[out["lang"] == "small"]) == 10
+
+    ref_w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ref = (
+        df.withColumn("_rk", F.row_number().over(ref_w))
+        .where(F.col("_rk") <= 10)
+        .select("doc_id")
+        .toPandas()
+    )
+    assert set(out["doc_id"]) == set(ref["doc_id"])
+    out2 = stratified_cap(df.repartition(13), "lang", 10).toPandas()
+    assert set(out2["doc_id"]) == set(out["doc_id"])
