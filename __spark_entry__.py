@@ -1443,32 +1443,54 @@ FROM r WHERE rank < {_LSH_K}
 """
 
 
-def q_mllib_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MLlib-trained IVF coarse quantizer (the north-star's 'MLlib for
-    batch index building'): distributed seeded k-means over the full
-    embedding table, then per-cell inventory. Rows-only check (MLlib's
-    kmeans|| init is engine-specific); assignment exactness is pinned by
-    tests/test_mllib_ann.py."""
-    from faiss_metal_spark.operators.mllib_ann import mllib_kmeans_ivf
+def q_mllib_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib batch index building (the north-star's 'MLlib for batch
+    index building'), both halves in one tagged result: 'cell' rows are
+    the distributed-k-means IVF coarse-quantizer inventory (a=cell,
+    b=count), 'pair' rows are BucketedRandomProjectionLSH near-dup
+    pairs (a=id_a, b=id_b, x=dist). Rows-only check — kmeans|| init and
+    the hash family are engine-specific; assignment exactness,
+    zero-false-positive and recall are pinned by tests/test_mllib_ann.py."""
+    from faiss_metal_spark.operators.mllib_ann import mllib_kmeans_ivf, mllib_lsh_pairs
 
     emb = _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
     )
     _, assigned = mllib_kmeans_ivf(emb, n_cells=8)
-    return assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    cells = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("cell").alias("kind"),
+        F.col("cell").cast("long").alias("a"),
+        F.col("n").cast("long").alias("b"),
+        F.lit(None).cast("double").alias("x"),
+    )
+    pairs = mllib_lsh_pairs(
+        emb, threshold=1.2, bucket_length=2.0, num_tables=3
+    ).select(
+        F.lit("pair").alias("kind"),
+        F.col("id_a").alias("a"),
+        F.col("id_b").alias("b"),
+        _norm(F.col("dist"), 4).alias("x"),
+    )
+    return cells.unionByName(pairs)
 
 
-def q_mllib_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Euclidean near-dup pairs via MLlib BucketedRandomProjectionLSH
-    self-join (rows-only: seeded but engine-specific hash family;
-    no-false-positive + recall pinned by tests)."""
-    from faiss_metal_spark.operators.mllib_ann import mllib_lsh_pairs
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC search over 8-byte codes (64-dim FP32
+    256 B → 8 B, 32×) — rows-only check (iterative codebook training);
+    lossless-on-centroids exactness and Recall@R are pinned by
+    tests/test_pq.py."""
+    from faiss_metal_spark.operators.pq import pq_encode, pq_search, pq_train
 
     emb = _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
     )
-    pairs = mllib_lsh_pairs(emb, threshold=1.2, bucket_length=2.0, num_tables=3)
-    return pairs.select("id_a", "id_b", _norm(F.col("dist"), 4).alias("dist"))
+    books = pq_train(emb, m=8, sample_size=4096, iters=6)
+    codes = pq_encode(emb, books)
+    queries = emb.where(F.col("id") < 8).select(F.col("id").alias("qid"), "vec")
+    res = pq_search(codes, books, queries, k=10)
+    return res.select(
+        "qid", "rank", "label", _norm(F.col("distance"), 4).alias("distance")
+    )
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2083,8 +2105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": q_knn_join,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
-        "mllib_kmeans_cells": q_mllib_kmeans_cells,
-        "mllib_lsh_pairs": q_mllib_lsh_pairs,
+        "mllib_index_build": q_mllib_index_build,
+        "ann_pq": q_ann_pq,
         # -- relational / analytical ------------------------------------
         "tpch_q1": q_tpch_q1,
         "tpch_q5": q_tpch_q5,

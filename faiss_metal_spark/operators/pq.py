@@ -1,0 +1,262 @@
+"""Product quantization (PQ) — FAISS ``IndexPQ`` semantics, Spark-first.
+
+Jégou/Douze/Schmid, "Product Quantization for Nearest Neighbor Search"
+(TPAMI 2011). The reference engine compresses storage along the element
+axis only (FP32→FP16/BF16, 2×; SURVEY §1.2,
+/root/reference/src/MetalIndexFlat.mm:192-256); PQ extends the same
+storage-compression axis much further: split each d-dim vector into
+``m`` subspaces, vector-quantize each against a 256-entry codebook, and
+store one byte per subspace — e.g. 128-dim FP32 512 B → 16 B at m=16.
+That is the compression level at which a 100 TB embedding corpus
+becomes cheap to cache and shuffle.
+
+Scale shape mirrors the flat kNN path exactly:
+
+- **train** on a deterministic driver-side sample (like
+  ``ivf_train_centroids`` — training is O(sample), encoding is the
+  distributed part);
+- **encode** is one scan (``mapInPandas``, no shuffle), emitting BINARY
+  codes that ride every downstream cache/shuffle/parquet at m bytes;
+- **search** broadcasts per-query ADC lookup tables (nq·m·256 doubles —
+  query-batch-sized, never corpus-sized) and streams the code table
+  through a running per-partition top-k (the ``_gemm_candidates``
+  pattern), then merges with the shared partial/final ``_finalize``.
+  Distances are sums of m table gathers — no decode, no FP vector ever
+  reconstructed in the hot path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .knn import _PARTIAL_SCHEMA, _finalize
+
+KSUB = 256  # 8-bit codes, the FAISS default and the only size stored in 1 byte
+
+CODE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("code", T.BinaryType(), False),
+    ]
+)
+
+
+def _check_dims(d: int, m: int) -> int:
+    if d % m != 0:
+        raise ValueError(f"d={d} not divisible by m={m}")
+    return d // m
+
+
+def pq_train(
+    vectors: DataFrame,
+    m: int,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    sample_size: int = 16384,
+    iters: int = 10,
+) -> np.ndarray:
+    """Train per-subspace codebooks → ``(m, 256, d/m)`` float64.
+
+    Deterministic: sample = first ``sample_size`` rows by id, init =
+    first 256 sample rows per subspace, Lloyd iterations with the
+    ``‖c‖²−2xc`` decomposition (same trainer discipline as
+    ``ivf_train_centroids``: train on a sample, never on the corpus).
+    """
+    pdf = (
+        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .orderBy("id")
+        .limit(sample_size)
+        .toPandas()
+    )
+    X = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+    n, d = X.shape
+    dsub = _check_dims(d, m)
+    if n < KSUB:
+        raise ValueError(f"need ≥ {KSUB} training vectors, got {n}")
+    books = np.empty((m, KSUB, dsub), dtype=np.float64)
+    for j in range(m):
+        Xj = X[:, j * dsub : (j + 1) * dsub]
+        C = Xj[:KSUB].copy()
+        for _ in range(iters):
+            cn = (C * C).sum(1)
+            assign = (cn[None, :] - 2.0 * (Xj @ C.T)).argmin(1)
+            for c in range(KSUB):
+                msk = assign == c
+                if msk.any():
+                    C[c] = Xj[msk].mean(0)
+        books[j] = C
+    return books
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Encode to ``(id, code BINARY)`` — one scan, no shuffle, m bytes
+    per vector through every downstream stage."""
+    m, ksub, dsub = codebooks.shape
+    spark = vectors.sparkSession
+    bc = spark.sparkContext.broadcast(codebooks)
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        books = bc.value
+        cns = [(books[j] * books[j]).sum(1) for j in range(m)]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = np.empty((len(V), m), dtype=np.uint8)
+            for j in range(m):
+                Vj = V[:, j * dsub : (j + 1) * dsub]
+                codes[:, j] = (cns[j][None, :] - 2.0 * (Vj @ books[j].T)).argmin(1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(np.int64),
+                    "code": [row.tobytes() for row in codes],
+                }
+            )
+
+    out = vectors.select(F.col(id_col), F.col(vec_col))
+    return out.mapInPandas(enc, CODE_SCHEMA)
+
+
+def pq_decode_np(codes: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Reconstruct ``(n, d)`` float64 from ``(n, m)`` uint8 codes — the
+    lossy inverse (≙ IndexPQ::reconstruct)."""
+    m, _, dsub = codebooks.shape
+    return np.concatenate(
+        [codebooks[j][codes[:, j]] for j in range(m)], axis=1
+    )
+
+
+def pq_reconstruct(
+    codes: DataFrame, codebooks: np.ndarray, id_col: str = "id"
+) -> DataFrame:
+    """Distributed decode: ``(id, vec ARRAY<FLOAT>)`` from the code
+    table (for rerank stages that need approximate float vectors)."""
+    m, _, dsub = codebooks.shape
+    spark = codes.sparkSession
+    bc = spark.sparkContext.broadcast(codebooks)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("vec", T.ArrayType(T.FloatType()), False),
+        ]
+    )
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        books = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.frombuffer(
+                b"".join(pdf["code"].tolist()), dtype=np.uint8
+            ).reshape(len(pdf), m)
+            V = pq_decode_np(C, books).astype(np.float32)
+            yield pd.DataFrame(
+                {"id": pdf[id_col].to_numpy(np.int64), "vec": list(V)}
+            )
+
+    return codes.mapInPandas(dec, schema)
+
+
+def pq_search(
+    codes: DataFrame,
+    codebooks: np.ndarray,
+    queries: DataFrame,
+    k: int,
+    metric: str = "l2",
+    qid_col: str = "qid",
+    qvec_col: str = "vec",
+) -> DataFrame:
+    """ADC top-k over the code table (≙ IndexPQ::search).
+
+    Per query and subspace, the distance to each of the 256 centroids
+    is precomputed into a lookup table; a stored vector's asymmetric
+    distance is the sum of m gathers — queries stay full-precision,
+    stored vectors stay 1 byte/subspace, and no vector is ever decoded.
+    L2 sums per-subspace squared distances exactly; IP sums per-subspace
+    dot products exactly (both decompose over the subspace partition).
+    Result contract matches ``knn_search`` (rank order, sentinel pad).
+    """
+    if metric not in ("l2", "ip"):
+        raise ValueError(f"pq_search supports l2/ip, got {metric!r}")
+    m, ksub, dsub = codebooks.shape
+    qpdf = queries.select(
+        F.col(qid_col).cast("long").alias("qid"), F.col(qvec_col).alias("qvec")
+    ).toPandas()
+    spark = codes.sparkSession
+    qids = qpdf["qid"].to_numpy(np.int64)
+    nq = len(qids)
+    if nq == 0:
+        from .knn import RESULT_SCHEMA
+
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    Q = np.stack(qpdf["qvec"].to_numpy()).astype(np.float64)
+    if Q.shape[1] != m * dsub:
+        raise ValueError(f"query dim {Q.shape[1]} != m·dsub {m * dsub}")
+
+    # ADC tables: (nq, m, 256). l2: ‖q_j − c‖²; ip: q_j·c
+    lut = np.empty((nq, m, ksub), dtype=np.float64)
+    for j in range(m):
+        Qj = Q[:, j * dsub : (j + 1) * dsub]
+        G = Qj @ codebooks[j].T
+        if metric == "l2":
+            lut[:, j, :] = (
+                (Qj * Qj).sum(1)[:, None]
+                + (codebooks[j] * codebooks[j]).sum(1)[None, :]
+                - 2.0 * G
+            )
+        else:
+            lut[:, j, :] = G
+    bc = spark.sparkContext.broadcast((qids, lut))
+    want_min = metric == "l2"
+    sign = 1.0 if want_min else -1.0
+
+    def partial_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, lut_ = bc.value
+        nq_ = len(qids_)
+        best_d = np.full((nq_, 0), 0.0)
+        best_l = np.full((nq_, 0), -1, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.frombuffer(
+                b"".join(pdf["code"].tolist()), dtype=np.uint8
+            ).reshape(len(pdf), m)
+            labels = pdf["id"].to_numpy(np.int64)
+            D = np.zeros((nq_, len(C)), dtype=np.float64)
+            for j in range(m):
+                # gather: (nq, 256)[:, codes_j] → (nq, batch)
+                D += lut_[:, j, :][:, C[:, j]]
+            cat_d = np.concatenate([best_d, sign * D], axis=1)
+            cat_l = np.concatenate(
+                [best_l, np.broadcast_to(labels, (nq_, len(labels)))], axis=1
+            )
+            if cat_d.shape[1] > k:
+                idx = np.argpartition(cat_d, k - 1, axis=1)[:, :k]
+            else:
+                idx = np.argsort(cat_d, axis=1)
+            best_d = np.take_along_axis(cat_d, idx, axis=1)
+            best_l = np.take_along_axis(cat_l, idx, axis=1)
+        n_have = best_d.shape[1]
+        if n_have:
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(qids_, n_have),
+                    "label": best_l.ravel(),
+                    "distance": (sign * best_d).ravel(),
+                }
+            )
+
+    candidates = codes.mapInPandas(partial_topk, _PARTIAL_SCHEMA)
+    qdf = queries.select(F.col(qid_col).cast("long").alias("qid"))
+    return _finalize(qdf, candidates, k, metric)

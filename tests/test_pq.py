@@ -1,0 +1,144 @@
+"""Product-quantization semantics: exactness on codebook points, ADC ≡
+decoded-distance equivalence, recall against the exact kNN oracle, and
+the compression contract."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from faiss_metal_spark.operators.knn import knn_search
+from faiss_metal_spark.operators.pq import (
+    pq_decode_np,
+    pq_encode,
+    pq_reconstruct,
+    pq_search,
+    pq_train,
+)
+
+
+def vectors_df(spark, V):
+    return spark.createDataFrame(
+        pd.DataFrame({"id": range(len(V)), "vec": [v.tolist() for v in V]}),
+        schema="id long, vec array<float>",
+    )
+
+
+def queries_df(spark, Q):
+    return spark.createDataFrame(
+        pd.DataFrame({"qid": range(len(Q)), "vec": [q.tolist() for q in Q]}),
+        schema="qid long, vec array<float>",
+    )
+
+
+@pytest.fixture(scope="module")
+def trained(spark):
+    """Clustered data (PQ's intended regime) + trained codebooks."""
+    rng = np.random.default_rng(11)
+    centers = rng.normal(0, 5, size=(32, 16)).astype(np.float32)
+    V = (centers[rng.integers(0, 32, 2000)] + rng.normal(0, 0.3, (2000, 16))).astype(
+        np.float32
+    )
+    vdf = vectors_df(spark, V).persist()
+    books = pq_train(vdf, m=4, sample_size=1024, iters=8)
+    codes = pq_encode(vdf, books).persist()
+    return V, vdf, books, codes
+
+
+def test_codebook_shape_and_code_bytes(trained):
+    V, vdf, books, codes = trained
+    assert books.shape == (4, 256, 4)
+    rows = codes.limit(5).collect()
+    assert all(len(r["code"]) == 4 for r in rows)  # m bytes per vector
+
+
+def test_roundtrip_bounded_and_reconstruct(spark, trained):
+    """Decoded vectors approximate the input far better than the data
+    spread (quantization actually quantizes), and the distributed
+    reconstruct matches the numpy decode bit-for-bit."""
+    V, vdf, books, codes = trained
+    pdf = codes.orderBy("id").toPandas()
+    C = np.frombuffer(b"".join(pdf["code"]), dtype=np.uint8).reshape(-1, 4)
+    R = pq_decode_np(C, books)
+    mse = ((R - V) ** 2).mean()
+    assert mse < 0.5, f"quantization error too high: {mse}"  # σ²=0.09/dim data
+    rec = pq_reconstruct(codes, books).orderBy("id").toPandas()
+    R2 = np.stack(rec["vec"].to_numpy()).astype(np.float64)
+    np.testing.assert_allclose(R2, R.astype(np.float32).astype(np.float64))
+
+
+def test_exact_on_codebook_points(spark):
+    """Vectors lying exactly on codebook centroids quantize losslessly,
+    and ADC search over them equals exact brute-force kNN."""
+    rng = np.random.default_rng(3)
+    V = rng.normal(size=(300, 8)).astype(np.float32)
+    vdf = vectors_df(spark, V)
+    books = pq_train(vdf, m=2, sample_size=300, iters=6)
+    # snap every vector onto its nearest codebook point per subspace
+    pdf = pq_encode(vdf, books).orderBy("id").toPandas()
+    C = np.frombuffer(b"".join(pdf["code"]), dtype=np.uint8).reshape(-1, 2)
+    S = pq_decode_np(C, books).astype(np.float32)
+    sdf = vectors_df(spark, S)
+    codes2 = pq_encode(sdf, books)
+    Q = S[:5]
+    got = (
+        pq_search(codes2, books, queries_df(spark, Q), k=3)
+        .orderBy("qid", "rank")
+        .toPandas()
+    )
+    exact = (
+        knn_search(sdf, queries_df(spark, Q), 3, metric="l2", method="gemm")
+        .orderBy("qid", "rank")
+        .toPandas()
+    )
+    # self is top-1 at distance 0 in both; distances agree exactly
+    assert (got["distance"].to_numpy()[::3] == 0).all()
+    np.testing.assert_allclose(
+        got["distance"].to_numpy(), exact["distance"].to_numpy(), atol=1e-6
+    )
+
+
+@pytest.mark.parametrize("metric", ["l2", "ip"])
+def test_recall_vs_exact(spark, trained, metric):
+    """Recall@R (Jégou et al. §5: fraction of queries whose TRUE nearest
+    neighbor appears in the ADC top-R) ≥ 0.75 at R=10 on clustered data
+    — the regime PQ is built for. (Top-10 set overlap is the wrong bar:
+    within a tight cluster the ranking below the true NN is dominated by
+    quantization noise by construction.)"""
+    V, vdf, books, codes = trained
+    rng = np.random.default_rng(5)
+    Q = V[rng.integers(0, len(V), 8)] + rng.normal(0, 0.05, (8, 16)).astype(
+        np.float32
+    )
+    qdf = queries_df(spark, Q.astype(np.float32))
+    approx = pq_search(codes, books, qdf, k=10, metric=metric).toPandas()
+    exact = knn_search(vdf, qdf, 1, metric=metric, method="gemm").toPandas()
+    hit = 0
+    for qid in range(8):
+        true_nn = exact[(exact["qid"] == qid) & (exact["rank"] == 0)]["label"].iloc[0]
+        hit += true_nn in set(approx[approx["qid"] == qid]["label"])
+    assert hit / 8 >= 0.75, f"Recall@10 = {hit / 8}"
+
+
+def test_sentinel_and_empty(spark, trained):
+    """k > ntotal pads with sentinels like knn_search; empty query set
+    returns an empty result with the right schema."""
+    V, vdf, books, codes = trained
+    few = pq_encode(vectors_df(spark, V[:2]), books)
+    out = (
+        pq_search(few, books, queries_df(spark, V[:1]), k=5)
+        .orderBy("rank")
+        .collect()
+    )
+    assert len(out) == 5
+    assert [r["label"] for r in out[2:]] == [-1, -1, -1]
+    empty = pq_search(codes, books, queries_df(spark, np.empty((0, 16))), k=3)
+    assert empty.count() == 0
+
+
+def test_dim_mismatch_raises(spark, trained):
+    V, vdf, books, codes = trained
+    with pytest.raises(ValueError):
+        pq_train(vdf, m=5)  # 16 % 5 != 0
+    with pytest.raises(ValueError):
+        pq_search(codes, books, queries_df(spark, np.zeros((1, 15))), k=1)
