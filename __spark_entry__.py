@@ -1475,22 +1475,37 @@ def q_mllib_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ADC search over 8-byte codes (64-dim FP32
-    256 B → 8 B, 32×) — rows-only check (iterative codebook training);
-    lossless-on-centroids exactness and Recall@R are pinned by
-    tests/test_pq.py."""
-    from faiss_metal_spark.operators.pq import pq_encode, pq_search, pq_train
+    """Product-quantization ANN, both architectures tagged in one
+    result: 'pq' rows are flat ADC over 8-byte codes (64-dim FP32
+    256 B → 8 B, 32×), 'ivfpq' rows add the coarse quantizer (probe 4
+    of 16 cells, residual ADC — FAISS IndexIVFPQ). Rows-only check
+    (iterative codebook training); lossless-on-centroids exactness,
+    Recall@R and probed-cell containment are pinned by tests/test_pq.py."""
+    from faiss_metal_spark.operators.pq import (
+        ivfpq_build,
+        ivfpq_search,
+        pq_encode,
+        pq_search,
+        pq_train,
+    )
 
     emb = _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
     )
-    books = pq_train(emb, m=8, sample_size=4096, iters=6)
-    codes = pq_encode(emb, books)
     queries = emb.where(F.col("id") < 8).select(F.col("id").alias("qid"), "vec")
-    res = pq_search(codes, books, queries, k=10)
-    return res.select(
-        "qid", "rank", "label", _norm(F.col("distance"), 4).alias("distance")
+
+    books = pq_train(emb, m=8, sample_size=2048, iters=4)
+    codes = pq_encode(emb, books)
+    flat = pq_search(codes, books, queries, k=10)
+
+    centroids, rbooks, rcodes = ivfpq_build(emb, n_cells=16, m=8, sample_size=2048, iters=4)
+    ivf = ivfpq_search(rcodes, centroids, rbooks, queries, k=10, nprobe=4)
+
+    out_cols = lambda kind, df: df.select(  # noqa: E731
+        F.lit(kind).alias("path"), "qid", "rank", "label",
+        _norm(F.col("distance"), 4).alias("distance"),
     )
+    return out_cols("pq", flat).unionByName(out_cols("ivfpq", ivf))
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -75,6 +75,11 @@ def pq_train(
         .toPandas()
     )
     X = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+    return train_books_np(X, m, iters)
+
+
+def train_books_np(X: np.ndarray, m: int, iters: int = 10) -> np.ndarray:
+    """Per-subspace Lloyd's on a host sample → ``(m, 256, d/m)``."""
     n, d = X.shape
     dsub = _check_dims(d, m)
     if n < KSUB:
@@ -86,10 +91,13 @@ def pq_train(
         for _ in range(iters):
             cn = (C * C).sum(1)
             assign = (cn[None, :] - 2.0 * (Xj @ C.T)).argmin(1)
-            for c in range(KSUB):
-                msk = assign == c
-                if msk.any():
-                    C[c] = Xj[msk].mean(0)
+            # vectorized centroid update (scatter-add + count); empty
+            # clusters keep their previous centroid
+            sums = np.zeros((KSUB, dsub), dtype=np.float64)
+            np.add.at(sums, assign, Xj)
+            counts = np.bincount(assign, minlength=KSUB).astype(np.float64)
+            nz = counts > 0
+            C[nz] = sums[nz] / counts[nz, None]
         books[j] = C
     return books
 
@@ -260,3 +268,177 @@ def pq_search(
     candidates = codes.mapInPandas(partial_topk, _PARTIAL_SCHEMA)
     qdf = queries.select(F.col(qid_col).cast("long").alias("qid"))
     return _finalize(qdf, candidates, k, metric)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: residual-quantized inverted file (≙ FAISS IndexIVFPQ) — the
+# composition that carries corpus-scale ANN: the coarse quantizer prunes
+# the scan to nprobe cells (partition pruning on disk), the PQ codes of
+# the RESIDUAL v − centroid(cell) keep per-vector storage at m bytes,
+# and residuals quantize far better than raw vectors because the coarse
+# step has already removed most of the variance.
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_build(
+    vectors: DataFrame,
+    n_cells: int,
+    m: int,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    sample_size: int = 16384,
+    iters: int = 10,
+):
+    """Train coarse + residual quantizers and encode the corpus.
+
+    Returns ``(centroids (n_cells, d), codebooks (m, 256, d/m),
+    codes DataFrame (id, cell, code BINARY))``. Training is O(sample)
+    on the driver (both quantizers), encoding is one scan: assign cell,
+    subtract its centroid, PQ-encode the residual — no shuffle.
+    """
+    from .similarity import ivf_assign, ivf_train_centroids
+
+    centroids = ivf_train_centroids(
+        vectors, n_cells, vec_col=vec_col, id_col=id_col,
+        sample_size=sample_size, iters=iters,
+    )
+    assigned = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
+
+    sample = (
+        assigned.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "cell")
+        .orderBy("id")
+        .limit(sample_size)
+        .toPandas()
+    )
+    V = np.stack(sample["vec"].to_numpy()).astype(np.float64)
+    R = V - centroids[sample["cell"].to_numpy(np.int64)]
+    books = train_books_np(R, m, iters)
+
+    spark = vectors.sparkSession
+    bc = spark.sparkContext.broadcast((centroids, books))
+    mm, ksub, dsub = books.shape
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("cell", T.IntegerType(), False),
+            T.StructField("code", T.BinaryType(), False),
+        ]
+    )
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C_, books_ = bc.value
+        cns = [(books_[j] * books_[j]).sum(1) for j in range(mm)]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V_ = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cells = pdf["cell"].to_numpy(np.int64)
+            Rr = V_ - C_[cells]
+            codes = np.empty((len(V_), mm), dtype=np.uint8)
+            for j in range(mm):
+                Rj = Rr[:, j * dsub : (j + 1) * dsub]
+                codes[:, j] = (cns[j][None, :] - 2.0 * (Rj @ books_[j].T)).argmin(1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(np.int64),
+                    "cell": cells.astype(np.int32),
+                    "code": [row.tobytes() for row in codes],
+                }
+            )
+
+    codes_df = assigned.mapInPandas(enc, schema)
+    return centroids, books, codes_df
+
+
+def ivfpq_search(
+    codes: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    queries: DataFrame,
+    k: int,
+    nprobe: int,
+    qid_col: str = "qid",
+    qvec_col: str = "vec",
+) -> DataFrame:
+    """Probe nprobe cells, residual-ADC within each (L2).
+
+    ‖q − v‖² ≈ ‖(q − c) − decode(code)‖² decomposes over subspaces of
+    the per-cell residual r = q − c, so each cell group builds its own
+    (queries-probing-it × m × 256) lookup tables from the broadcast
+    query batch and sums m gathers per stored code — the scan is pruned
+    to probed cells (partition pruning when the code table is written
+    ``partitionBy("cell")``), storage stays m bytes/vector, and a
+    query's candidates come only from its own probed cells (the same
+    per-cell contract as ``ivf_search``). Returns min(k, probed rows)
+    real results per query.
+    """
+    from .knn import RESULT_SCHEMA, _finalize
+
+    m, ksub, dsub = codebooks.shape
+    qpdf = queries.select(
+        F.col(qid_col).cast("long").alias("qid"), F.col(qvec_col).alias("qvec")
+    ).toPandas()
+    spark = codes.sparkSession
+    if len(qpdf) == 0:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    qids = qpdf["qid"].to_numpy(np.int64)
+    Q = np.stack(qpdf["qvec"].to_numpy()).astype(np.float64)
+    if Q.shape[1] != m * dsub:
+        raise ValueError(f"query dim {Q.shape[1]} != m·dsub {m * dsub}")
+
+    cn = (centroids * centroids).sum(1)
+    order = (cn[None, :] - 2.0 * (Q @ centroids.T)).argsort(1, kind="stable")
+    probe = order[:, :nprobe]
+    cell_to_qidx: dict[int, np.ndarray] = {}
+    for i, cells_i in enumerate(probe):
+        for c in cells_i:
+            cell_to_qidx.setdefault(int(c), []).append(i)  # type: ignore[arg-type]
+    cell_to_qidx = {c: np.asarray(ix, dtype=np.int64) for c, ix in cell_to_qidx.items()}
+    bc = spark.sparkContext.broadcast((qids, Q, centroids, codebooks, cell_to_qidx))
+
+    from .knn import _PARTIAL_SCHEMA
+
+    def cell_topk(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        qids_, Q_, C_, books_, c2q = bc.value
+        cell = int(key[0])
+        qidx = c2q.get(cell)
+        if qidx is None or len(pdf) == 0:
+            return pd.DataFrame({"qid": [], "label": [], "distance": []}).astype(
+                {"qid": np.int64, "label": np.int64, "distance": np.float64}
+            )
+        R = Q_[qidx] - C_[cell]  # (nq_c, d) per-cell query residuals
+        nq_c = len(qidx)
+        lut = np.empty((nq_c, m, ksub), dtype=np.float64)
+        for j in range(m):
+            Rj = R[:, j * dsub : (j + 1) * dsub]
+            lut[:, j, :] = (
+                (Rj * Rj).sum(1)[:, None]
+                + (books_[j] * books_[j]).sum(1)[None, :]
+                - 2.0 * (Rj @ books_[j].T)
+            )
+        Ccodes = np.frombuffer(
+            b"".join(pdf["code"].tolist()), dtype=np.uint8
+        ).reshape(len(pdf), m)
+        labels = pdf["id"].to_numpy(np.int64)
+        D = np.zeros((nq_c, len(Ccodes)), dtype=np.float64)
+        for j in range(m):
+            D += lut[:, j, :][:, Ccodes[:, j]]
+        np.maximum(D, 0.0, out=D)
+        kk = min(k, D.shape[1])
+        idx = (
+            np.argpartition(D, kk - 1, axis=1)[:, :kk]
+            if kk < D.shape[1]
+            else np.argsort(D, axis=1)
+        )
+        return pd.DataFrame(
+            {
+                "qid": np.repeat(qids_[qidx], idx.shape[1]),
+                "label": labels[idx.ravel()],
+                "distance": np.take_along_axis(D, idx, axis=1).ravel(),
+            }
+        )
+
+    subset = codes.where(F.col("cell").isin([int(c) for c in sorted(cell_to_qidx)]))
+    candidates = subset.groupBy("cell").applyInPandas(cell_topk, _PARTIAL_SCHEMA)
+    qdf = queries.select(F.col(qid_col).cast("long").alias("qid"))
+    return _finalize(qdf, candidates, k, "l2").where(F.col("label") >= 0)

@@ -142,3 +142,97 @@ def test_dim_mismatch_raises(spark, trained):
         pq_train(vdf, m=5)  # 16 % 5 != 0
     with pytest.raises(ValueError):
         pq_search(codes, books, queries_df(spark, np.zeros((1, 15))), k=1)
+
+
+def test_ivfpq_exact_when_zero_residual(spark):
+    """A corpus snapped onto the coarse centroids has zero residuals, so
+    the residual codebooks collapse to ~0 and full-probe IVF-PQ
+    distances equal exact L2 (labels tie among duplicated corpus rows —
+    distances are the invariant)."""
+    from faiss_metal_spark.operators.pq import ivfpq_build, ivfpq_search
+    from faiss_metal_spark.operators.similarity import ivf_train_centroids
+
+    rng = np.random.default_rng(17)
+    V = rng.normal(0, 5, size=(300, 8)).astype(np.float32)
+    cents = ivf_train_centroids(vectors_df(spark, V), 16, sample_size=300, iters=6)
+    snap = cents[
+        (
+            (cents * cents).sum(1)[None, :]
+            - 2.0 * (V.astype(np.float64) @ cents.T)
+        ).argmin(1)
+    ].astype(np.float32)
+    sdf = vectors_df(spark, snap)
+    centroids, books, codes = ivfpq_build(sdf, n_cells=16, m=2, sample_size=300, iters=4)
+    Q = snap[:4]
+    got = (
+        ivfpq_search(codes, centroids, books, queries_df(spark, Q), k=3, nprobe=16)
+        .orderBy("qid", "rank")
+        .toPandas()
+    )
+    exact = (
+        knn_search(sdf, queries_df(spark, Q), 3, metric="l2", method="gemm")
+        .orderBy("qid", "rank")
+        .toPandas()
+    )
+    assert (got[got["rank"] == 0]["distance"].to_numpy() < 1e-6).all()  # self hit
+    np.testing.assert_allclose(
+        got["distance"].to_numpy(), exact["distance"].to_numpy(), atol=1e-3
+    )
+
+
+def test_ivfpq_recall_and_cell_containment(spark, trained):
+    """Recall@10 ≥ 0.75 vs exact search at partial probe on clustered
+    data, and a probed-cells containment check: every result of a query
+    must come from that query's own probed cells."""
+    from faiss_metal_spark.operators.pq import ivfpq_build, ivfpq_search
+    from faiss_metal_spark.operators.similarity import ivf_assign
+
+    V, vdf, _, _ = trained
+    centroids, books, codes = ivfpq_build(vdf, n_cells=16, m=4, sample_size=1024, iters=6)
+    rng = np.random.default_rng(23)
+    Q = (V[rng.integers(0, len(V), 8)] + rng.normal(0, 0.05, (8, 16))).astype(np.float32)
+    qdf = queries_df(spark, Q)
+    got = ivfpq_search(codes, centroids, books, qdf, k=10, nprobe=6).toPandas()
+    exact = knn_search(vdf, qdf, 1, metric="l2", method="gemm").toPandas()
+    hit = 0
+    for qid in range(8):
+        true_nn = exact[(exact["qid"] == qid) & (exact["rank"] == 0)]["label"].iloc[0]
+        hit += true_nn in set(got[got["qid"] == qid]["label"])
+    assert hit / 8 >= 0.75, f"Recall@10 = {hit / 8}"
+
+    # containment: labels ⊆ vectors assigned to the query's probed cells
+    cn = (centroids * centroids).sum(1)
+    probe = (cn[None, :] - 2.0 * (Q.astype(np.float64) @ centroids.T)).argsort(1)[:, :6]
+    cell_of = {
+        r["id"]: r["cell"] for r in ivf_assign(vdf, centroids).select("id", "cell").collect()
+    }
+    for qid in range(8):
+        allowed = set(probe[qid].tolist())
+        for lbl in got[got["qid"] == qid]["label"]:
+            assert cell_of[lbl] in allowed
+
+
+def test_ivfpq_residuals_beat_raw_pq(spark, trained):
+    """On clustered data the residual quantizer must reconstruct better
+    than raw PQ at equal code budget — the reason IVF-PQ exists."""
+    from faiss_metal_spark.operators.pq import (
+        ivfpq_build,
+        pq_decode_np,
+        pq_encode,
+        pq_train,
+    )
+
+    V, vdf, _, _ = trained
+    Vd = V.astype(np.float64)
+
+    books_raw = pq_train(vdf, m=4, sample_size=1024, iters=6)
+    raw = pq_encode(vdf, books_raw).orderBy("id").toPandas()
+    Craw = np.frombuffer(b"".join(raw["code"]), dtype=np.uint8).reshape(-1, 4)
+    mse_raw = ((pq_decode_np(Craw, books_raw) - Vd) ** 2).mean()
+
+    centroids, books, codes = ivfpq_build(vdf, n_cells=16, m=4, sample_size=1024, iters=6)
+    pdf = codes.orderBy("id").toPandas()
+    Cres = np.frombuffer(b"".join(pdf["code"]), dtype=np.uint8).reshape(-1, 4)
+    R = pq_decode_np(Cres, books) + centroids[pdf["cell"].to_numpy(np.int64)]
+    mse_ivf = ((R - Vd) ** 2).mean()
+    assert mse_ivf < mse_raw, f"residual {mse_ivf} !< raw {mse_raw}"
