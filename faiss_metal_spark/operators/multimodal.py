@@ -256,6 +256,14 @@ def _parse_pgm_headers(flat: np.ndarray, starts: np.ndarray, lens: np.ndarray):
         if int(toks[2]) != 255:
             raise ValueError("only 8-bit PGM supported")
         offs[i] = s + pos
+        # A truncated (or header-inflated) raster would otherwise gather
+        # pixels from the NEXT row's payload in the flat batch buffer —
+        # same truncation discipline as decode_audio's data-chunk check.
+        if offs[i] + ws[i] * hs[i] > s + ln:
+            raise ValueError(
+                f"truncated PGM raster: header claims {ws[i]}x{hs[i]} pixels "
+                f"but payload has only {s + ln - offs[i]} raster bytes"
+            )
     return offs, ws, hs
 
 

@@ -198,6 +198,7 @@ def pq_search(
     if metric not in ("l2", "ip"):
         raise ValueError(f"pq_search supports l2/ip, got {metric!r}")
     m, ksub, dsub = codebooks.shape
+    from .knn import _MAX_BROADCAST_ELEMS
     qpdf = queries.select(
         F.col(qid_col).cast("long").alias("qid"), F.col(qvec_col).alias("qvec")
     ).toPandas()
@@ -211,6 +212,14 @@ def pq_search(
     Q = np.stack(qpdf["qvec"].to_numpy()).astype(np.float64)
     if Q.shape[1] != m * dsub:
         raise ValueError(f"query dim {Q.shape[1]} != m·dsub {m * dsub}")
+    # The broadcast here is the ADC LUT (nq·m·256 doubles) — 256× larger
+    # per query than the raw query matrix the gemm path broadcasts, so
+    # it gets the same ceiling discipline as _collect_queries.
+    if nq * m * ksub > _MAX_BROADCAST_ELEMS:
+        raise ValueError(
+            f"ADC LUT too large to broadcast ({nq * m * ksub} elems > "
+            f"{_MAX_BROADCAST_ELEMS}); use smaller query batches"
+        )
 
     # ADC tables: (nq, m, 256). l2: ‖q_j − c‖²; ip: q_j·c
     lut = np.empty((nq, m, ksub), dtype=np.float64)

@@ -154,12 +154,18 @@ def hash_split(
     split materialized once can never be joined consistently again).
     """
     b = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
-    train_hi = format(int(round(train_frac * 256)), "02x")
-    val_hi = format(int(round((train_frac + val_frac) * 256)), "02x")
+
+    def below(frac: float):
+        # Boundary 256 would render as '100' (three chars) and compare
+        # lexicographically BELOW every 2-char bucket — clamp it to an
+        # always-true predicate so fractions summing to 1.0 behave.
+        hi = min(int(round(frac * 256)), 256)
+        return F.lit(True) if hi >= 256 else b < F.lit(format(hi, "02x"))
+
     return docs.withColumn(
         "split",
-        F.when(b < F.lit(train_hi), "train")
-        .when(b < F.lit(val_hi), "val")
+        F.when(below(train_frac), "train")
+        .when(below(train_frac + val_frac), "val")
         .otherwise("test"),
     )
 

@@ -210,11 +210,14 @@ def dedup_stream(
     The same transformation runs in batch (digest-distinct), which is
     how equivalence is tested.
     """
-    d = docs.withColumn("_digest", F.md5(F.col(text_col)))
+    cols = docs.columns  # output schema == input schema (same as batch)
+    d = docs.withColumn("__fm_digest", F.md5(F.col(text_col)))
     if ts_col is not None and d.isStreaming:
         d = d.withWatermark(ts_col, watermark)
-        return d.dropDuplicatesWithinWatermark(["_digest"])
-    return d.dropDuplicates(["_digest"])
+        d = d.dropDuplicatesWithinWatermark(["__fm_digest"])
+    else:
+        d = d.dropDuplicates(["__fm_digest"])
+    return d.select(*cols)
 
 
 def run_to_memory(

@@ -190,6 +190,19 @@ class VectorTable:
             F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv]),
             F.col("_pid"),
         )
+        # Fail fast if the batch's partitioning drifted between the
+        # counts job and this (lazy) id-assignment job — a _pid absent
+        # from the collected counts would otherwise map to NULL and
+        # silently corrupt ids downstream.
+        off_expr = F.when(off_expr.isNotNull(), off_expr).otherwise(
+            F.raise_error(
+                F.lit(
+                    "add_df: input partitioning changed between the count job "
+                    "and id assignment (nondeterministic source?); "
+                    "persist/localCheckpoint the batch before add_df"
+                )
+            ).cast("long")
+        )
         store = (
             encode_col(F.col("_raw"), self.storage)
             if self.compact

@@ -111,6 +111,19 @@ def test_pgm_decode_rejects_garbage(mm):
         decode_image(mm, fmt="pgm").collect()  # txt payload is not P5
 
 
+def test_pgm_decode_rejects_truncated_raster(spark):
+    """A header that claims more raster bytes than the payload holds must
+    error, not silently bleed pixels from the next row's payload."""
+    good = b"P5\n4 2\n255\n" + bytes(range(8))
+    bad = b"P5\n16 8\n255\n" + bytes(range(8))  # claims 128, has 8
+    df = spark.createDataFrame(
+        [(0, bytearray(good), "x"), (1, bytearray(bad), "x")],
+        "doc_id long, payload binary, meta string",
+    )
+    with pytest.raises(Exception, match="truncated"):
+        decode_image(df, fmt="pgm").collect()
+
+
 def test_wav_roundtrip_stats(docs, spark):
     """attach_audio_payload writes a spec-valid RIFF PCM16 file (the
     stdlib wave module can read it back) and decode_audio recovers the

@@ -236,3 +236,17 @@ def test_ivfpq_residuals_beat_raw_pq(spark, trained):
     R = pq_decode_np(Cres, books) + centroids[pdf["cell"].to_numpy(np.int64)]
     mse_ivf = ((R - Vd) ** 2).mean()
     assert mse_ivf < mse_raw, f"residual {mse_ivf} !< raw {mse_raw}"
+
+
+def test_pq_search_lut_broadcast_ceiling(spark, trained):
+    """The ADC LUT broadcast (nq·m·256 doubles) gets the same ceiling
+    discipline as the gemm path's query broadcast: an oversized query
+    batch raises instead of OOMing executors."""
+    V, vdf, books, codes = trained
+    nq_too_many = 8_000_000 // (4 * 256) + 1
+    Q = spark.range(nq_too_many).select(
+        F.col("id").alias("qid"),
+        F.array(*[F.lit(0.0) for _ in range(16)]).alias("vec"),
+    )
+    with pytest.raises(ValueError, match="ADC LUT too large"):
+        pq_search(codes, books, Q, k=5)

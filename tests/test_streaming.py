@@ -182,10 +182,10 @@ def test_dedup_stream_equals_batch(spark, tmp_path):
     spark.createDataFrame(pdf_b).write.mode("append").parquet(d)
 
     batch = spark.read.parquet(d)
-    expect = {
-        r["_digest"]
-        for r in dedup_stream(batch).select("_digest").collect()
-    }
+    deduped = dedup_stream(batch)
+    # output schema == input schema: no internal digest column leaks
+    assert deduped.columns == batch.columns
+    expect = {r["text"] for r in deduped.collect()}
     assert len(expect) == 3  # the cross-file dup collapsed
 
     stream = (
@@ -196,8 +196,5 @@ def test_dedup_stream_equals_batch(spark, tmp_path):
     run_to_memory(
         dedup_stream(stream), "dedup_t", str(tmp_path / "cp_dedup"), output_mode="append"
     )
-    got = {
-        r["_digest"]
-        for r in spark.sql("SELECT _digest FROM dedup_t").collect()
-    }
+    got = {r["text"] for r in spark.sql("SELECT text FROM dedup_t").collect()}
     assert got == expect

@@ -280,6 +280,18 @@ def test_hash_split_deterministic_and_shuffle_free(spark):
     assert c["val"] / 2000 < 0.10 and c["test"] / 2000 < 0.10
 
 
+def test_hash_split_fractions_summing_to_one(spark):
+    """train+val = 1.0 must leave the test split empty (the 256 boundary
+    is clamped, not rendered as a 3-char hex string)."""
+    from faiss_metal_spark.pipeline import hash_split
+
+    ids = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    c = {r["split"] for r in hash_split(ids, train_frac=0.9, val_frac=0.1).collect()}
+    assert c == {"train", "val"}
+    c2 = {r["split"] for r in hash_split(ids, train_frac=1.0, val_frac=0.0).collect()}
+    assert c2 == {"train"}
+
+
 def test_repetition_ratio(spark):
     """1 − distinct/total 3-grams: fully cyclic text ≈ high, all-unique
     text = 0, docs shorter than the gram size = 0 (not null)."""
