@@ -65,10 +65,16 @@ def bench_grid(spark) -> dict[str, float]:
         results[label] = round(time.time() - t0, 3)
         assert n == nq * k, f"{label}: got {n} rows"
 
-        if label == "knn_medium_128d":
+        if label in ("knn_medium_128d", "knn_medium_768d", "knn_large_1536d"):
             # the reference's FP32-vs-FP16-storage comparison
-            # (bench_metal_flat.mm benches each config on both): same
-            # search over the 2-byte compact store
+            # (bench_metal_flat.mm benches every config on CPU / Metal
+            # FP32 / Metal FP16): same search over the 2-byte compact
+            # store. The +22–34% reference claim is for BANDWIDTH-BOUND
+            # workloads (/root/reference/README.md:12) — here that is
+            # the wide-vector configs (768d scans 307 MB for 10
+            # queries); the 128d config at this scale is bounded by
+            # per-job scheduling, not scan bandwidth, so its ratio
+            # reads ≈1.
             from pyspark.sql import functions as F
 
             from faiss_metal_spark.quantize import encode_col
@@ -80,7 +86,7 @@ def bench_grid(spark) -> dict[str, float]:
             knn_search(cvecs, qdf, k, vec_format="fp16_binary").count()
             t0 = time.time()
             n = knn_search(cvecs, qdf, k, vec_format="fp16_binary").count()
-            results["knn_medium_128d_fp16c"] = round(time.time() - t0, 3)
+            results[f"{label}_fp16c"] = round(time.time() - t0, 3)
             assert n == nq * k
             cvecs.unpersist()
         vecs.unpersist()

@@ -110,6 +110,7 @@ def knn_search(
     nv_hint: int | None = None,
     vec_format: str = "array",
     norm_col: str | None = None,
+    compute: Literal["auto", "f32", "f64"] = "auto",
 ) -> DataFrame:
     """Top-k nearest neighbors of each query row among the vector rows.
 
@@ -147,7 +148,16 @@ def knn_search(
         raise ValueError("compact binary vector storage requires the gemm path")
 
     if method == "gemm":
-        candidates = _gemm_candidates(v, q, k, metric, vec_format, use_norms)
+        # Accumulator precision follows the STORAGE precision, not the
+        # wire layout: reduced-precision tables (fp16/bf16, array or
+        # compact) compute in float32 like the reference's accumulators
+        # (simdgroup_gemm.metal:13-14) — sgemm, half the memory traffic —
+        # so both layouts of the same storage are bit-identical. FP32
+        # tables keep float64 for oracle-grade exactness.
+        if compute == "auto":
+            compute = "f64" if vec_format == "array" else "f32"
+        dtype = np.float64 if compute == "f64" else np.float32
+        candidates = _gemm_candidates(v, q, k, metric, vec_format, use_norms, dtype)
     else:
         candidates = _sql_candidates(v.select("id", "vec"), q, k, metric)
 
@@ -205,29 +215,32 @@ def _collect_queries(q: DataFrame) -> tuple[np.ndarray, np.ndarray]:
     return qids, Q
 
 
-def _decode_batch(col: pd.Series, vec_format: str) -> np.ndarray:
-    """Materialize an Arrow batch of vectors as an (n, d) float64 matrix.
+def _decode_batch(col: pd.Series, vec_format: str, dtype=np.float64) -> np.ndarray:
+    """Materialize an Arrow batch of vectors as an (n, d) ``dtype`` matrix.
 
     For compact BINARY layouts the decode happens HERE, inside the same
     Python stage as the GEMM — rows cross the JVM boundary at 2 bytes
     per element (the bandwidth the reference's FP16 storage buys,
     /root/reference/README.md Features) and never exist as float arrays
-    outside this function.
+    outside this function. The compact path decodes straight to float32
+    (no float64 widening): the GEMM then runs in sgemm at half the
+    memory traffic, matching the reference's float32 accumulators
+    (/root/reference/shaders/simdgroup_gemm.metal:13-14).
     """
     if vec_format == "array":
-        return np.stack(col.to_numpy()).astype(np.float64)
+        return np.stack(col.to_numpy()).astype(dtype)
     raw = b"".join(col)
     if vec_format == "fp16_binary":
-        return np.frombuffer(raw, dtype=np.float16).reshape(len(col), -1).astype(np.float64)
+        return np.frombuffer(raw, dtype=np.float16).reshape(len(col), -1).astype(dtype)
     if vec_format == "bf16_binary":
         u = np.frombuffer(raw, dtype=np.uint16).astype(np.uint32) << 16
-        return u.view(np.float32).reshape(len(col), -1).astype(np.float64)
+        return u.view(np.float32).reshape(len(col), -1).astype(dtype, copy=False)
     raise ValueError(f"unknown vec_format {vec_format!r}")
 
 
 def _gemm_candidates(
     v: DataFrame, q: DataFrame, k: int, metric: Metric, vec_format: str = "array",
-    use_norms: bool = False,
+    use_norms: bool = False, dtype=np.float64,
 ) -> DataFrame:
     qids, Q = _collect_queries(q)
     nq = len(qids)
@@ -244,16 +257,19 @@ def _gemm_candidates(
         # Running per-partition top-k: the reference's fused streaming
         # select — never materializes more than one (nq × batch) block.
         qids_, Q_ = bc.value
+        Q_ = Q_.astype(dtype, copy=False)
         qn = bc_qnorm.value
+        if qn is not None:
+            qn = qn.astype(dtype, copy=False)
         nq_ = Q_.shape[0]
-        best_d = np.full((nq_, 0), 0.0)  # grows to ≤ (nq, k)
+        best_d = np.full((nq_, 0), 0.0, dtype=dtype)  # grows to ≤ (nq, k)
         best_l = np.full((nq_, 0), -1, dtype=np.int64)
-        sign = 1.0 if want_min else -1.0  # minimize sign*distance
+        sign = dtype(1.0) if want_min else dtype(-1.0)  # minimize sign*distance
 
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            V = _decode_batch(pdf["vec"], vec_format)
+            V = _decode_batch(pdf["vec"], vec_format, dtype)
             labels = pdf["id"].to_numpy(np.int64)
             if metric == "l1":
                 # no GEMM decomposition exists for L1 — direct |q−v|
@@ -265,11 +281,11 @@ def _gemm_candidates(
                     # stored fp32 norms when supplied (reference's
                     # precomputed-norm policy); recompute otherwise
                     vn = (
-                        pdf["norm_sq"].to_numpy(np.float64)
+                        pdf["norm_sq"].to_numpy(dtype)
                         if use_norms
                         else (V * V).sum(axis=1)
                     )
-                    D = qn[:, None] + vn[None, :] - 2.0 * G  # fused epilogue
+                    D = qn[:, None] + vn[None, :] - dtype(2.0) * G  # fused epilogue
                     np.maximum(D, 0.0, out=D)
                 elif metric == "cosine":
                     vnorm = np.sqrt((V * V).sum(axis=1))
@@ -297,7 +313,7 @@ def _gemm_candidates(
                 {
                     "qid": np.repeat(qids_, n_have),
                     "label": best_l.ravel(),
-                    "distance": (sign * best_d).ravel(),
+                    "distance": (sign * best_d).ravel().astype(np.float64),
                 }
             )
 

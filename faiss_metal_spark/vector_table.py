@@ -347,6 +347,11 @@ class VectorTable:
             # (MetalIndexFlat.mm:258-268); fp32 tables recompute — the
             # values are the same floats either way
             norm_col="norm_sq" if self.storage != STORAGE_FP32 else None,
+            # reduced-precision tables accumulate in float32 like the
+            # reference's GEMM kernels, in BOTH layouts — so compact and
+            # array fp16 stores stay bit-identical while the compact
+            # path gets sgemm speed
+            compute="f32" if self.storage != STORAGE_FP32 else "auto",
         )
 
     def search_numpy(
