@@ -18,6 +18,8 @@ import os
 import sys
 from collections.abc import Callable
 
+import numpy as np
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1474,32 +1476,65 @@ def q_mllib_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.unionByName(pairs)
 
 
+# Fixed-quantizer discipline for the ANN oracle rows: the SEARCH stages
+# (cell assignment, probe selection, PQ encode, ADC gather, top-k merge)
+# are fully deterministic given the quantizers, so the quantizers are
+# taken from the data itself (first-n embedding rows — identical literals
+# on both engines) instead of iterative training, and the whole pipeline
+# hash-matches a DuckDB oracle. Training stays covered by
+# tests/test_pq.py / test_similarity.py / test_mllib_ann.py (recall and
+# exactness pins) — the reference applies the same split: deterministic
+# comparisons against CPU FAISS for search, accuracy bounds for training
+# (/root/reference/tests/test_metal_flat.mm:72-122).
+_PQ_M, _PQ_DSUB, _ANN_CELLS, _ANN_NPROBE = 8, 8, 16, 4
+
+
+def _fixed_quantizers(emb: DataFrame):
+    """(centroids (16, 64), flat codebooks (8, 256, 8), residual
+    codebooks (8, 256, 8)) — all derived from embedding rows id < 256."""
+    pdf = emb.where(F.col("id") < 256).orderBy("id").toPandas()
+    B = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+    if len(B) < 256:
+        raise ValueError(f"need 256 embedding rows for fixed codebooks, got {len(B)}")
+    centroids = B[:_ANN_CELLS].copy()
+    slices = [B[:, j * _PQ_DSUB : (j + 1) * _PQ_DSUB] for j in range(_PQ_M)]
+    books = np.stack(slices)
+    # residual codebook entries: the same 256 rows' residuals wrt their
+    # own nearest centroid (the assignment formula ivf_assign uses)
+    cn = (centroids * centroids).sum(1)
+    assign = (cn[None, :] - 2.0 * (B @ centroids.T)).argmin(1)
+    R = B - centroids[assign]
+    rbooks = np.stack([R[:, j * _PQ_DSUB : (j + 1) * _PQ_DSUB] for j in range(_PQ_M)])
+    return centroids, books, rbooks
+
+
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN, both architectures tagged in one
     result: 'pq' rows are flat ADC over 8-byte codes (64-dim FP32
     256 B → 8 B, 32×), 'ivfpq' rows add the coarse quantizer (probe 4
-    of 16 cells, residual ADC — FAISS IndexIVFPQ). Rows-only check
-    (iterative codebook training); lossless-on-centroids exactness,
-    Recall@R and probed-cell containment are pinned by tests/test_pq.py."""
+    of 16 cells, residual ADC — FAISS IndexIVFPQ). Codebooks are FIXED
+    (first-256 embedding rows / their residuals), so encode + ADC +
+    top-k hash-match the DuckDB oracle; iterative training is pinned
+    separately by tests/test_pq.py."""
     from faiss_metal_spark.operators.pq import (
-        ivfpq_build,
+        ivfpq_encode,
         ivfpq_search,
         pq_encode,
         pq_search,
-        pq_train,
     )
 
     emb = _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
     )
     queries = emb.where(F.col("id") < 8).select(F.col("id").alias("qid"), "vec")
+    centroids, books, rbooks = _fixed_quantizers(emb)
 
-    books = pq_train(emb, m=8, sample_size=2048, iters=4)
     codes = pq_encode(emb, books)
     flat = pq_search(codes, books, queries, k=10)
 
-    centroids, rbooks, rcodes = ivfpq_build(emb, n_cells=16, m=8, sample_size=2048, iters=4)
-    ivf = ivfpq_search(rcodes, centroids, rbooks, queries, k=10, nprobe=4)
+    assigned = ivf_assign(emb, centroids)
+    rcodes = ivfpq_encode(assigned, centroids, rbooks)
+    ivf = ivfpq_search(rcodes, centroids, rbooks, queries, k=10, nprobe=_ANN_NPROBE)
 
     out_cols = lambda kind, df: df.select(  # noqa: E731
         F.lit(kind).alias("path"), "qid", "rank", "label",
@@ -1509,19 +1544,176 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF probe search — iterative k-means training, rows-only check
-    (correctness pinned by tests/test_similarity.py instead: exact at
-    nprobe=n_cells, recall bound at partial probe)."""
+    """IVF probe search with FIXED centroids (first-16 embedding rows):
+    cell assignment, probe selection and per-cell exact search all
+    hash-match the DuckDB oracle. K-means training is pinned separately
+    (tests/test_similarity.py: exact at nprobe=n_cells, recall bound at
+    partial probe)."""
     emb = _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
     )
-    centroids = ivf_train_centroids(emb, n_cells=16)
+    centroids, _, _ = _fixed_quantizers(emb)
     assigned = ivf_assign(emb, centroids)
     queries = emb.where(F.col("id") < 8).select(
         F.col("id").alias("qid"), F.col("vec")
     )
-    res = ivf_search(assigned, centroids, queries, k=10, nprobe=4)
+    res = ivf_search(assigned, centroids, queries, k=10, nprobe=_ANN_NPROBE)
     return res.select("qid", "rank", "label", _norm(F.col("distance"), 4).alias("distance"))
+
+
+# -- DuckDB oracles for the fixed-quantizer ANN rows ------------------------
+# Shared CTE fragments: c = fixed centroids, q = queries, va = cell
+# assignment by the engine's own argmin decomposition ‖c‖² − 2·v·c.
+
+_SQL_ANN_COMMON = f"""
+c AS (
+  SELECT vec_id AS cell, embedding AS cv FROM embeddings WHERE vec_id < {_ANN_CELLS}
+),
+q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8
+),
+va AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT v.vec_id, v.embedding, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             list_inner_product(c.cv::DOUBLE[], c.cv::DOUBLE[])
+             - 2 * list_inner_product(v.embedding::DOUBLE[], c.cv::DOUBLE[]) ASC,
+             c.cell ASC) AS rn
+    FROM embeddings v CROSS JOIN c)
+  WHERE rn = 1
+),
+probe AS (
+  SELECT qid, cell FROM (
+    SELECT q.qid, c.cell,
+           row_number() OVER (PARTITION BY q.qid ORDER BY
+             list_inner_product(c.cv::DOUBLE[], c.cv::DOUBLE[])
+             - 2 * list_inner_product(q.qv::DOUBLE[], c.cv::DOUBLE[]) ASC,
+             c.cell ASC) AS rn
+    FROM q CROSS JOIN c)
+  WHERE rn <= {_ANN_NPROBE}
+)"""
+
+ORACLE_ANN_IVF = f"""
+WITH {_SQL_ANN_COMMON},
+d AS (
+  SELECT q.qid, va.vec_id AS label,
+         GREATEST(list_inner_product(q.qv::DOUBLE[], q.qv::DOUBLE[])
+           + list_inner_product(va.embedding::DOUBLE[], va.embedding::DOUBLE[])
+           - 2 * list_inner_product(q.qv::DOUBLE[], va.embedding::DOUBLE[]), 0.0) AS dist
+  FROM probe p
+  JOIN q ON q.qid = p.qid
+  JOIN va ON va.cell = p.cell
+),
+r AS (
+  SELECT qid, label, dist,
+         row_number() OVER (PARTITION BY qid ORDER BY dist ASC, label ASC) - 1 AS rank
+  FROM d
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS INTEGER) AS rank,
+       CAST(label AS BIGINT) AS label, ROUND(dist, 4) + 0.0 AS distance
+FROM r WHERE rank < 10
+"""
+
+
+def _oracle_ann_pq() -> str:
+    m, dsub = _PQ_M, _PQ_DSUB
+    return f"""
+WITH {_SQL_ANN_COMMON},
+sub AS (SELECT j FROM range({m}) t(j)),
+b AS (
+  SELECT vec_id AS ck, embedding AS bv FROM embeddings WHERE vec_id < 256
+),
+cs AS (  -- flat codebook entries: subspace slices of the first 256 rows
+  SELECT ck, j, list_slice(bv::DOUBLE[], j*{dsub} + 1, j*{dsub} + {dsub}) AS cj
+  FROM b CROSS JOIN sub
+),
+vs AS (
+  SELECT v.vec_id AS id, j,
+         list_slice(v.embedding::DOUBLE[], j*{dsub} + 1, j*{dsub} + {dsub}) AS vj
+  FROM embeddings v CROSS JOIN sub
+),
+enc AS (  -- per-subspace nearest codebook entry (engine's argmin form)
+  SELECT id, j, ck FROM (
+    SELECT vs.id, vs.j, cs.ck,
+           row_number() OVER (PARTITION BY vs.id, vs.j ORDER BY
+             list_inner_product(cs.cj, cs.cj)
+             - 2 * list_inner_product(vs.vj, cs.cj) ASC,
+             cs.ck ASC) AS rn
+    FROM vs JOIN cs ON vs.j = cs.j)
+  WHERE rn = 1
+),
+qs AS (
+  SELECT qid, j, list_slice(qv::DOUBLE[], j*{dsub} + 1, j*{dsub} + {dsub}) AS qj
+  FROM q CROSS JOIN sub
+),
+adc AS (  -- asymmetric distance: sum of per-subspace ‖q_j − c_code‖²
+  SELECT qs.qid, enc.id AS label,
+         SUM(list_inner_product(qs.qj, qs.qj) + list_inner_product(cs.cj, cs.cj)
+             - 2 * list_inner_product(qs.qj, cs.cj)) AS dist
+  FROM qs
+  JOIN enc ON enc.j = qs.j
+  JOIN cs ON cs.j = enc.j AND cs.ck = enc.ck
+  GROUP BY qs.qid, enc.id
+),
+rf AS (
+  SELECT qid, label, dist,
+         row_number() OVER (PARTITION BY qid ORDER BY dist ASC, label ASC) - 1 AS rank
+  FROM adc
+),
+vres AS (  -- residual of every vector wrt its own cell
+  SELECT va.vec_id, va.cell,
+         [x[1] - x[2] FOR x IN list_zip(va.embedding::DOUBLE[], c.cv::DOUBLE[])] AS rv
+  FROM va JOIN c ON c.cell = va.cell
+),
+rb AS (  -- residual codebook entries: slices of the first-256 residuals
+  SELECT vec_id AS ck, j, list_slice(rv, j*{dsub} + 1, j*{dsub} + {dsub}) AS cj
+  FROM vres CROSS JOIN sub WHERE vec_id < 256
+),
+renc AS (  -- residual codes for all vectors
+  SELECT id, j, ck FROM (
+    SELECT vr.vec_id AS id, rb.j, rb.ck,
+           row_number() OVER (PARTITION BY vr.vec_id, rb.j ORDER BY
+             list_inner_product(rb.cj, rb.cj)
+             - 2 * list_inner_product(
+                 list_slice(vr.rv, rb.j*{dsub} + 1, rb.j*{dsub} + {dsub}), rb.cj) ASC,
+             rb.ck ASC) AS rn
+    FROM vres vr CROSS JOIN rb)
+  WHERE rn = 1
+),
+qres AS (  -- per (query, probed cell) query residual
+  SELECT p.qid, p.cell,
+         [x[1] - x[2] FOR x IN list_zip(q.qv::DOUBLE[], c.cv::DOUBLE[])] AS rq
+  FROM probe p JOIN q ON q.qid = p.qid JOIN c ON c.cell = p.cell
+),
+radc AS (  -- residual ADC within probed cells, clamped at 0 like the engine
+  SELECT qres.qid, renc.id AS label,
+         GREATEST(SUM(
+           list_inner_product(
+             list_slice(qres.rq, renc.j*{dsub} + 1, renc.j*{dsub} + {dsub}),
+             list_slice(qres.rq, renc.j*{dsub} + 1, renc.j*{dsub} + {dsub}))
+           + list_inner_product(rb.cj, rb.cj)
+           - 2 * list_inner_product(
+               list_slice(qres.rq, renc.j*{dsub} + 1, renc.j*{dsub} + {dsub}), rb.cj)
+         ), 0.0) AS dist
+  FROM qres
+  JOIN va ON va.cell = qres.cell
+  JOIN renc ON renc.id = va.vec_id
+  JOIN rb ON rb.j = renc.j AND rb.ck = renc.ck
+  GROUP BY qres.qid, renc.id
+),
+ri AS (
+  SELECT qid, label, dist,
+         row_number() OVER (PARTITION BY qid ORDER BY dist ASC, label ASC) - 1 AS rank
+  FROM radc
+)
+SELECT 'pq' AS path, CAST(qid AS BIGINT) AS qid, CAST(rank AS INTEGER) AS rank,
+       CAST(label AS BIGINT) AS label, ROUND(dist, 4) + 0.0 AS distance
+FROM rf WHERE rank < 10
+UNION ALL
+SELECT 'ivfpq' AS path, CAST(qid AS BIGINT) AS qid, CAST(rank AS INTEGER) AS rank,
+       CAST(label AS BIGINT) AS label, ROUND(dist, 4) + 0.0 AS distance
+FROM ri WHERE rank < 10
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2175,10 +2367,12 @@ def oracle_sql() -> dict[str, str]:
         "knn_highk": _knn_oracle("l2", 0, 4, 64),
         "knn_join": _knn_oracle("l2", 0, 64, 10),
         "ann_lsh": _oracle_ann_lsh(),
-        # ann_ivf: no SQL oracle (iterative k-means) — rows-only check;
-        # exactness at full probe is pinned in tests/test_similarity.py.
-        # mllib_*: rows-only (engine-specific hash families / kmeans||
-        # init); accuracy pinned in tests/test_mllib_ann.py.
+        # ann_ivf / ann_pq: FIXED quantizers (first-n embedding rows),
+        # so assignment + probe + encode + ADC + top-k hash-match SQL.
+        "ann_ivf": ORACLE_ANN_IVF,
+        "ann_pq": _oracle_ann_pq(),
+        # mllib_index_build: rows-only (engine-specific hash families /
+        # kmeans|| init); accuracy pinned in tests/test_mllib_ann.py.
         # approx_sketches: rows-only (sketch estimates engine-specific);
         # accuracy bounds pinned in tests/test_joins.py.
         "tpch_q1": ORACLE_Q1,

@@ -323,16 +323,34 @@ def ivfpq_build(
     R = V - centroids[sample["cell"].to_numpy(np.int64)]
     books = train_books_np(R, m, iters)
 
-    spark = vectors.sparkSession
-    bc = spark.sparkContext.broadcast((centroids, books))
-    mm, ksub, dsub = books.shape
-    schema = T.StructType(
-        [
-            T.StructField("id", T.LongType(), False),
-            T.StructField("cell", T.IntegerType(), False),
-            T.StructField("code", T.BinaryType(), False),
-        ]
-    )
+    codes_df = ivfpq_encode(assigned, centroids, books, id_col=id_col, vec_col=vec_col)
+    return centroids, books, codes_df
+
+
+IVFPQ_CODE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("cell", T.IntegerType(), False),
+        T.StructField("code", T.BinaryType(), False),
+    ]
+)
+
+
+def ivfpq_encode(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """PQ-encode residuals ``v − centroid(cell)`` of a cell-assigned
+    table → ``(id, cell, code BINARY)``. One scan, no shuffle; usable
+    with trained OR externally fixed quantizers (the oracle-check path
+    searches against fixed literal codebooks, the discipline of
+    /root/reference/tests/test_metal_flat.mm:72-122)."""
+    spark = assigned.sparkSession
+    bc = spark.sparkContext.broadcast((centroids, codebooks))
+    mm, ksub, dsub = codebooks.shape
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         C_, books_ = bc.value
@@ -355,8 +373,7 @@ def ivfpq_build(
                 }
             )
 
-    codes_df = assigned.mapInPandas(enc, schema)
-    return centroids, books, codes_df
+    return assigned.mapInPandas(enc, IVFPQ_CODE_SCHEMA)
 
 
 def ivfpq_search(
