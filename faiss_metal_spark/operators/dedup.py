@@ -377,6 +377,7 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    max_block_rows: int = 4096,
 ) -> DataFrame:
     """Cosine near-duplicate pairs within blocking-key groups.
 
@@ -384,13 +385,23 @@ def embedding_neardup_pairs(
     key bounds the quadratic term; for unblocked corpora use LSH
     bucketing (similarity.py) to generate blocks first.
 
-    The pairwise math runs as one BLAS GEMM per block inside
-    ``applyInPandas`` (U·Uᵀ of the L2-normalized block matrix) instead
-    of a per-pair expression over an exploded self-join — the block's
-    vectors cross the Arrow boundary once, and the b² term is a C-speed
-    matrix multiply rather than b² row-wise aggregates. One shuffle
-    total (the groupBy on the block key). Per-task memory is b·d + b²
-    doubles, so the blocking key must bound b — that is its job.
+    The pairwise math runs as one BLAS GEMM per cell inside
+    ``applyInPandas`` (U·Uᵀ of the L2-normalized matrix) instead of a
+    per-pair expression over an exploded self-join — vectors cross the
+    Arrow boundary once, and the quadratic term is a C-speed matrix
+    multiply rather than row-wise aggregates.
+
+    Skew bound: a block larger than ``max_block_rows`` is gridded into
+    ``nsb = ceil(b / cap)`` hash sub-blocks and every unordered
+    sub-block pair (lo ≤ hi) becomes its own task (the
+    ``knn_join_blocked`` cell pattern, similarity.py) — so per-task
+    memory is capped at 2·cap·d + (2·cap)² doubles REGARDLESS of key
+    skew; one hot blocking key (empty titles, boilerplate labels — the
+    100 TB reality) fans out to nsb² bounded tasks instead of OOMing
+    one. Each row is replicated nsb times (b²/cap shuffled rows per
+    oversized block — proportional to the pair work itself); well-sized
+    blocks keep nsb = 1 and a single cell. Every unordered row pair
+    lands in exactly one cell: (sb_x, sb_y) sorted.
     """
     import numpy as np
     import pandas as pd
@@ -404,22 +415,46 @@ def embedding_neardup_pairs(
         ]
     )
 
-    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
-                {"id_a": np.int64, "id_b": np.int64, "cos": np.float64}
-            )
-        ids = pdf["_id"].to_numpy(np.int64)
+    def _unit_rows(pdf: pd.DataFrame, mask) -> tuple[np.ndarray, np.ndarray]:
+        ids = pdf["_id"].to_numpy(np.int64)[mask]
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
-        V = np.stack(pdf["_v"].to_numpy())[order].astype(np.float64)
+        V = np.stack(pdf["_v"].to_numpy()[mask])[order].astype(np.float64)
         nrm = np.linalg.norm(V, axis=1, keepdims=True)
         U = np.divide(V, nrm, out=np.zeros_like(V), where=nrm > 0)
-        S = U @ U.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        keep = S[ia, ib] >= threshold
+        return ids, U
+
+    def cell_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+            {"id_a": np.int64, "id_b": np.int64, "cos": np.float64}
+        )
+        if len(pdf) < 2:
+            return empty
+        lo, hi = int(key[1]), int(key[2])
+        sb = pdf["_sb"].to_numpy(np.int64)
+        if lo == hi:  # triangle within one sub-block
+            ids, U = _unit_rows(pdf, sb == lo)
+            if len(ids) < 2:
+                return empty
+            S = U @ U.T
+            ia, ib = np.triu_indices(len(ids), k=1)
+            keep = S[ia, ib] >= threshold
+            return pd.DataFrame(
+                {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cos": S[ia, ib][keep]}
+            )
+        ids_a, Ua = _unit_rows(pdf, sb == lo)
+        ids_b, Ub = _unit_rows(pdf, sb == hi)
+        if len(ids_a) == 0 or len(ids_b) == 0:
+            return empty
+        S = Ua @ Ub.T
+        ia, ib = np.nonzero(S >= threshold)
+        xa, xb = ids_a[ia], ids_b[ib]
         return pd.DataFrame(
-            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cos": S[ia, ib][keep]}
+            {
+                "id_a": np.minimum(xa, xb),
+                "id_b": np.maximum(xa, xb),
+                "cos": S[ia, ib],
+            }
         )
 
     blocks = emb.select(
@@ -427,6 +462,33 @@ def embedding_neardup_pairs(
         F.col(id_col).cast("long").alias("_id"),
         F.col(vec_col).alias("_v"),
     )
-    return blocks.groupBy("blk").applyInPandas(
-        lambda key, pdf: block_pairs(pdf), out_schema
+    counts = blocks.groupBy("blk").agg(F.count(F.lit(1)).alias("_bn"))
+    nsb = F.ceil(F.col("_bn") / F.lit(max_block_rows)).cast("int")
+    withsb = (
+        blocks.join(counts, "blk")
+        .withColumn("_nsb", nsb)
+        .withColumn("_sb", F.pmod(F.xxhash64("_id"), F.col("_nsb")).cast("int"))
+    )
+    # replicate each row into every grid cell its sub-block touches:
+    # (sb, t) for t ≥ sb plus (t, sb) for t < sb — nsb copies total
+    up = F.transform(
+        F.sequence(F.col("_sb"), F.col("_nsb") - 1),
+        lambda t: F.struct(F.col("_sb").alias("lo"), t.alias("hi")),
+    )
+    down = F.when(
+        F.col("_sb") > 0,
+        F.transform(
+            # guard: sequence(a, b) with a > b counts DOWN, so the
+            # _sb = 0 case must not evaluate this branch's sequence
+            F.sequence(F.lit(0), F.greatest(F.col("_sb") - 1, F.lit(0))),
+            lambda t: F.struct(t.alias("lo"), F.col("_sb").alias("hi")),
+        ),
+    ).otherwise(F.array().cast("array<struct<lo:int,hi:int>>"))
+    cells = F.concat(up, down)
+    exploded = withsb.withColumn("_cell", F.explode(cells)).select(
+        "blk", "_id", "_v", "_sb",
+        F.col("_cell.lo").alias("_lo"), F.col("_cell.hi").alias("_hi"),
+    )
+    return exploded.groupBy("blk", "_lo", "_hi").applyInPandas(
+        cell_pairs, out_schema
     )

@@ -340,3 +340,48 @@ def test_stratified_cap(spark):
     assert set(out["doc_id"]) == set(ref["doc_id"])
     out2 = stratified_cap(df.repartition(13), "lang", 10).toPandas()
     assert set(out2["doc_id"]) == set(out["doc_id"])
+
+
+def test_embedding_neardup_skew_bounded_grid(spark):
+    """A block holding ~90% of all rows is gridded into capped sub-block
+    cells: results must be IDENTICAL to the ungridded path and to a
+    numpy brute-force oracle, with no cell ever seeing more than
+    2*max_block_rows rows."""
+    import numpy as np
+    import pandas as pd
+
+    from faiss_metal_spark.operators.dedup import embedding_neardup_pairs
+
+    rng = np.random.default_rng(7)
+    n, d = 500, 16
+    V = rng.normal(size=(n, d)).astype(np.float32)
+    # make some near-dup pairs inside the hot block
+    for a, b in [(3, 400), (10, 250), (77, 78)]:
+        V[b] = V[a] + rng.normal(scale=0.02, size=d).astype(np.float32)
+    blocks = ["hot" if i < 450 else f"cold{i % 5}" for i in range(n)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(n), "embedding": [v.tolist() for v in V],
+                      "label": blocks}),
+        schema="vec_id long, embedding array<float>, label string",
+    )
+
+    def run(cap):
+        got = embedding_neardup_pairs(
+            df, block_col="label", threshold=0.8, max_block_rows=cap
+        ).collect()
+        return sorted((r["id_a"], r["id_b"], round(r["cos"], 9)) for r in got)
+
+    ungridded = run(100_000)  # nsb = 1 everywhere
+    gridded = run(64)  # hot block fans out to ceil(450/64)=8 sub-blocks
+    assert gridded == ungridded
+    # numpy oracle within blocks
+    U = V.astype(np.float64)
+    U /= np.linalg.norm(U, axis=1, keepdims=True)
+    S = U @ U.T
+    want = sorted(
+        (a, b, round(S[a, b], 9))
+        for a in range(n) for b in range(a + 1, n)
+        if blocks[a] == blocks[b] and S[a, b] >= 0.8
+    )
+    assert [(a, b) for a, b, _ in gridded] == [(a, b) for a, b, _ in want]
+    assert all(abs(x - y) < 1e-6 for (_, _, x), (_, _, y) in zip(gridded, want))
