@@ -1925,15 +1925,23 @@ FROM c
 
 
 def q_knn_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All four kNN metrics (gemm path) in one tagged result — verifies
-    the L2/IP/cosine/L1 distance kernels and the shared top-k merge."""
-    out = None
-    for m in ("l2", "ip", "cosine", "l1"):
-        part = _knn_query(m, 0, 8, 10, "gemm")(spark, sf_dir).select(
-            F.lit(m).alias("metric"), "qid", "rank", "label", "distance"
-        )
-        out = part if out is None else out.unionByName(part)
-    return out
+    """All four kNN metrics in one tagged result — verifies the
+    L2/IP/cosine/L1 distance kernels and the shared top-k merge. Fused:
+    ONE scan of the vector table, one GEMM per batch, all four metrics
+    derived from it (knn_search_multi) instead of four independent
+    scans."""
+    from faiss_metal_spark.operators.knn import knn_search_multi
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where((F.col("vec_id") >= 0) & (F.col("vec_id") < 8))
+    res = knn_search_multi(
+        emb, queries, 10, metrics=("l2", "ip", "cosine", "l1"),
+        id_col="vec_id", vec_col="embedding",
+        qid_col="vec_id", qvec_col="embedding",
+    )
+    return res.select(
+        "metric", "qid", "rank", "label", _norm(F.col("distance"), 4).alias("distance")
+    )
 
 
 def _oracle_knn_metrics() -> str:

@@ -80,6 +80,11 @@ _PARTIAL_SCHEMA = T.StructType(
 # Broadcast-side ceiling for the gemm path, in floats (≈ 64 MB of FP64).
 _MAX_BROADCAST_ELEMS = 8_000_000
 
+# Final-merge bound: above parts·k candidate structs per query, insert a
+# salted partial merge so no single task collects an unbounded array.
+_PREMERGE_PARTS_K = 65_536
+_PREMERGE_SALT = 64
+
 
 def _sentinel(metric: Metric) -> float:
     # L2/L1: smaller is better → pad +inf. IP/cosine: larger → pad −inf.
@@ -161,7 +166,22 @@ def knn_search(
     else:
         candidates = _sql_candidates(v.select("id", "vec"), q, k, metric)
 
-    return _finalize(q, candidates, k, metric)
+    # Two-level merge gate: the final per-qid group sees parts·k structs;
+    # past ~64k that single collect_list becomes the straggler (50k
+    # partitions × k=100 = 5M structs in one task at cluster scale), so
+    # a salted partial merge caps it at _PREMERGE_SALT·k first — the
+    # same partial/final shape block_select applies within a partition
+    # (/root/reference/shaders/block_select.metal phase 1/2), applied
+    # once more ACROSS partitions.
+    salt = None
+    if method == "gemm":
+        try:
+            parts = vectors.rdd.getNumPartitions()
+        except Exception:  # pragma: no cover — exotic plans; skip the gate
+            parts = None
+        if parts is not None and parts * k > _PREMERGE_PARTS_K:
+            salt = _PREMERGE_SALT
+    return _finalize(q, candidates, k, metric, premerge_salt=salt)
 
 
 # ---------------------------------------------------------------------------
@@ -325,7 +345,10 @@ def _gemm_candidates(
 # ---------------------------------------------------------------------------
 
 
-def _finalize(q: DataFrame, candidates: DataFrame, k: int, metric: Metric) -> DataFrame:
+def _finalize(
+    q: DataFrame, candidates: DataFrame, k: int, metric: Metric,
+    premerge_salt: int | None = None,
+) -> DataFrame:
     """Merge partial candidates, rank, and pad to exactly k rows per qid.
 
     One shuffle total: candidates groupBy(qid) → collect (≤ parts·k
@@ -336,12 +359,44 @@ def _finalize(q: DataFrame, candidates: DataFrame, k: int, metric: Metric) -> Da
     /root/reference/src/MetalIndexFlat.mm:328-334,387-399. Replaces the
     previous rank-scaffold construction, which cost two extra shuffles
     (window rank + scaffold equi-join) for the same result.
+
+    With ``premerge_salt`` set, a salted partial merge first reduces
+    each (qid, producing-partition mod salt) slice to its own top-k, so
+    the final per-qid collect sees ≤ salt·k structs no matter how many
+    scan partitions exist — the price is one extra (bounded) shuffle,
+    paid only above the parts·k gate in ``knn_search``.
     """
     asc = _better_is_min(metric)
     sent = float(_sentinel(metric))
     # sort key: minimize skey; struct comparison is field-lexicographic,
     # so (skey, label) gives distance-then-label ordering
     skey = F.col("distance") if asc else -F.col("distance")
+    if premerge_salt:
+        sgn = 1.0 if asc else -1.0
+        partial = (
+            candidates.withColumn(
+                "_salt", F.pmod(F.spark_partition_id(), F.lit(premerge_salt))
+            )
+            .groupBy("qid", "_salt")
+            .agg(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(skey.alias("s"), F.col("label").alias("l"))
+                        )
+                    ),
+                    1,
+                    k,
+                ).alias("_top")
+            )
+        )
+        candidates = partial.select(
+            "qid", F.explode("_top").alias("_e")
+        ).select(
+            "qid",
+            F.col("_e.l").alias("label"),
+            (F.col("_e.s") * F.lit(sgn)).alias("distance"),
+        )
     packed = candidates.groupBy("qid").agg(
         F.array_sort(
             F.collect_list(F.struct(skey.alias("s"), F.col("label").alias("l")))
@@ -369,3 +424,156 @@ def _finalize(q: DataFrame, candidates: DataFrame, k: int, metric: Metric) -> Da
         )
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# multi-metric search — all metrics from ONE scan / one GEMM per batch
+# ---------------------------------------------------------------------------
+
+_MULTI_PARTIAL_SCHEMA = T.StructType(
+    [
+        T.StructField("metric", T.StringType(), False),
+        T.StructField("qid", T.LongType(), False),
+        T.StructField("label", T.LongType(), False),
+        T.StructField("distance", T.DoubleType(), False),
+    ]
+)
+
+
+def knn_search_multi(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    metrics: tuple[Metric, ...] = ("l2", "ip", "cosine", "l1"),
+    id_col: str = "id",
+    vec_col: str = "vec",
+    qid_col: str = "qid",
+    qvec_col: str = "vec",
+) -> DataFrame:
+    """Top-k under SEVERAL metrics from one scan of the vector table.
+
+    (metric, qid, rank, label, distance) — per-metric semantics equal
+    to ``knn_search``. One GEMM per Arrow batch yields G = Q·Vᵀ, from
+    which l2 (qn + vn − 2G), ip (G) and cosine (G normalized) all
+    derive; only l1 needs its own |q − v| kernel. Four independent
+    searches would scan the table four times for the same G — this is
+    the fused form (the reference computes each metric as a distinct
+    kernel dispatch over the same resident buffer,
+    /root/reference/src/MetalDistance.mm; one scan is Spark's analog of
+    buffer residency).
+    """
+    for m in metrics:
+        if m not in ("l2", "ip", "cosine", "l1"):
+            raise ValueError(f"unknown metric {m!r}")
+    if k <= 0:
+        raise ValueError("k must be positive")
+    v = vectors.select(F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec"))
+    q = queries.select(
+        F.col(qid_col).cast("long").alias("qid"), F.col(qvec_col).alias("qvec")
+    )
+    qids, Q = _collect_queries(q)
+    nq = len(qids)
+    spark = v.sparkSession
+    metrics = tuple(metrics)
+
+    if nq == 0:
+        out = spark.createDataFrame([], RESULT_SCHEMA)
+        return out.withColumn("metric", F.lit("")).select(
+            "metric", "qid", "rank", "label", "distance"
+        )
+
+    bc = spark.sparkContext.broadcast((qids, Q))
+    need_gemm = any(m != "l1" for m in metrics)
+
+    def partial_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, Q_ = bc.value
+        nq_ = Q_.shape[0]
+        qn = (Q_ * Q_).sum(axis=1)
+        qrt = np.sqrt(qn)
+        signs = {m: (1.0 if _better_is_min(m) else -1.0) for m in metrics}
+        state = {
+            m: (np.full((nq_, 0), 0.0), np.full((nq_, 0), -1, dtype=np.int64))
+            for m in metrics
+        }
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            labels = pdf["id"].to_numpy(np.int64)
+            G = (Q_ @ V.T) if need_gemm else None
+            vn = (V * V).sum(axis=1) if ("l2" in metrics or "cosine" in metrics) else None
+            for m in metrics:
+                if m == "l2":
+                    D = qn[:, None] + vn[None, :] - 2.0 * G
+                    np.maximum(D, 0.0, out=D)
+                elif m == "ip":
+                    D = G
+                elif m == "cosine":
+                    denom = qrt[:, None] * np.sqrt(vn)[None, :]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        D = np.where(denom > 0, G / denom, 0.0)
+                else:  # l1 — no GEMM decomposition exists
+                    D = np.abs(Q_[:, None, :] - V[None, :, :]).sum(axis=-1)
+                best_d, best_l = state[m]
+                cat_d = np.concatenate([best_d, signs[m] * D], axis=1)
+                cat_l = np.concatenate(
+                    [best_l, np.broadcast_to(labels, (nq_, len(labels)))], axis=1
+                )
+                if cat_d.shape[1] > k:
+                    idx = np.argpartition(cat_d, k - 1, axis=1)[:, :k]
+                else:
+                    idx = np.argsort(cat_d, axis=1)
+                state[m] = (
+                    np.take_along_axis(cat_d, idx, axis=1),
+                    np.take_along_axis(cat_l, idx, axis=1),
+                )
+        frames = []
+        for m in metrics:
+            best_d, best_l = state[m]
+            n_have = best_d.shape[1]
+            if n_have:
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "metric": np.repeat(m, nq_ * n_have),
+                            "qid": np.repeat(qids_, n_have),
+                            "label": best_l.ravel(),
+                            "distance": (signs[m] * best_d).ravel(),
+                        }
+                    )
+                )
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
+
+    candidates = v.mapInPandas(partial_topk, _MULTI_PARTIAL_SCHEMA)
+
+    # per-row finalize expressions (asc-ness is a COLUMN here, not a
+    # python constant — the only difference from _finalize)
+    asc = F.col("metric").isin("l2", "l1")
+    skey = F.when(asc, F.col("distance")).otherwise(-F.col("distance"))
+    packed = candidates.groupBy("metric", "qid").agg(
+        F.array_sort(
+            F.collect_list(F.struct(skey.alias("s"), F.col("label").alias("l")))
+        ).alias("_cand")
+    )
+    pad = F.array_repeat(
+        F.struct(F.lit(None).cast("double").alias("s"), F.lit(-1).cast("long").alias("l")),
+        k,
+    )
+    topk = F.slice(F.concat(F.col("_cand"), pad), 1, k)
+    scaffold = q.select("qid").withColumn(
+        "metric", F.explode(F.array(*[F.lit(m) for m in metrics]))
+    )
+    sent = F.when(asc, F.lit(math.inf)).otherwise(F.lit(-math.inf))
+    sign = F.when(asc, F.lit(1.0)).otherwise(F.lit(-1.0))
+    return (
+        scaffold.join(packed, ["metric", "qid"], "left")
+        .select("metric", "qid", F.posexplode(F.coalesce(topk, pad)).alias("_r", "_c"))
+        .select(
+            "metric",
+            "qid",
+            F.col("_r").cast("int").alias("rank"),
+            F.col("_c.l").alias("label"),
+            F.coalesce(F.col("_c.s") * sign, sent).alias("distance"),
+        )
+    )

@@ -291,6 +291,37 @@ def knn_join_blocked(
 # ---------------------------------------------------------------------------
 
 
+def train_sample(
+    df: DataFrame,
+    sample_size: int,
+    id_col: str = "id",
+    extra_cols: tuple[str, ...] = (),
+) -> pd.DataFrame:
+    """Deterministic bounded trainer sample without a parts·n driver merge.
+
+    ``orderBy(id).limit(n)`` compiles to TakeOrdered — one pass, but the
+    driver merge still sees parts·n rows (50k partitions × 16k sample =
+    800M rows of driver traffic at cluster scale). Instead: one count,
+    then a hash-threshold filter that admits ~2n rows (md5 of the id —
+    content-independent, stable across runs/partitionings/engines, the
+    ``hash_split`` discipline), then an exact top-n by (hash, id) over
+    only the admitted rows — TakeOrdered's driver merge is now O(n).
+    The admitted count concentrates hard around 2n (Chernoff: admitting
+    < n at 2n expected is ~e^{-n/4}), so the sample is always full.
+    """
+    n_total = df.count()
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    base = df.select(
+        F.col(id_col).alias(id_col), *extra_cols, h.alias("_h")
+    )
+    if n_total > 2 * sample_size:
+        bound = int((2.0 * sample_size / n_total) * float(1 << 32))
+        base = base.where(F.col("_h") < F.lit(bound))
+    return base.orderBy("_h", id_col).limit(sample_size).drop("_h").toPandas()
+
+
 def ivf_train_centroids(
     vectors: DataFrame,
     n_cells: int,

@@ -138,3 +138,55 @@ def test_paths_agree(spark):
     Ds, Ls = run_engine(spark, V, Q, 7, "l2", "sql")
     assert (Lg == Ls).all()
     assert np.allclose(Dg, Ds, rtol=1e-9)
+
+
+def test_two_level_merge_at_extreme_partition_counts(spark):
+    """parts·k above the gate inserts a salted partial merge; results
+    must be identical to the single-level merge and the numpy oracle,
+    and the plan must show one extra aggregate only above the gate."""
+    from faiss_metal_spark.operators import knn as knn_mod
+
+    V, Q = make_fixture(4000, 5, 32)
+    vdf = vectors_df(spark, V).repartition(701).persist()  # 701*100 > 65536
+    qdf = queries_df(spark, Q)
+    try:
+        res = (
+            knn_search(vdf, qdf, 100, metric="l2", method="gemm")
+            .orderBy("qid", "rank")
+            .toPandas()
+        )
+        D = res["distance"].to_numpy(np.float64).reshape(5, 100)
+        L = res["label"].to_numpy(np.int64).reshape(5, 100)
+        check_against_oracle(V, Q, 100, D, L, "l2", 1e-3)
+        # the salted plan has two HashAggregate pairs on qid paths; the
+        # un-gated k=10 plan (701*10 < gate) has one partial stage less
+        gated = knn_search(vdf, qdf, 100, metric="l2", method="gemm")
+        plain = knn_search(vdf, qdf, 10, metric="l2", method="gemm")
+        assert "_salt" in gated._jdf.queryExecution().optimizedPlan().toString()
+        assert "_salt" not in plain._jdf.queryExecution().optimizedPlan().toString()
+    finally:
+        vdf.unpersist()
+
+
+def test_multi_metric_equals_per_metric(spark):
+    """knn_search_multi ≡ four independent knn_search calls, from ONE
+    scan (exactly one Arrow python-map node in the plan)."""
+    from faiss_metal_spark.operators.knn import knn_search_multi
+
+    V, Q = make_fixture(2000, 6, 48)
+    vdf, qdf = vectors_df(spark, V), queries_df(spark, Q)
+    multi = knn_search_multi(vdf, qdf, 7)
+    got = multi.orderBy("metric", "qid", "rank").toPandas()
+    for m in ("l2", "ip", "cosine", "l1"):
+        want = (
+            knn_search(vdf, qdf, 7, metric=m, method="gemm")
+            .orderBy("qid", "rank")
+            .toPandas()
+        )
+        sub = got[got["metric"] == m].reset_index(drop=True)
+        assert (sub["label"].to_numpy() == want["label"].to_numpy()).all(), m
+        np.testing.assert_allclose(
+            sub["distance"].to_numpy(), want["distance"].to_numpy(), rtol=1e-12
+        )
+    plan = multi._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
