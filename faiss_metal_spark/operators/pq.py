@@ -63,16 +63,18 @@ def pq_train(
 ) -> np.ndarray:
     """Train per-subspace codebooks → ``(m, 256, d/m)`` float64.
 
-    Deterministic: sample = first ``sample_size`` rows by id, init =
-    first 256 sample rows per subspace, Lloyd iterations with the
-    ``‖c‖²−2xc`` decomposition (same trainer discipline as
-    ``ivf_train_centroids``: train on a sample, never on the corpus).
+    Deterministic: sample = ``train_sample`` hash-thresholded rows
+    (O(n) driver merge, stable across partitionings), init = first 256
+    sample rows per subspace, Lloyd iterations with the ``‖c‖²−2xc``
+    decomposition (same trainer discipline as ``ivf_train_centroids``:
+    train on a sample, never on the corpus).
     """
-    pdf = (
-        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-        .orderBy("id")
-        .limit(sample_size)
-        .toPandas()
+    from .similarity import train_sample
+
+    pdf = train_sample(
+        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+        sample_size,
+        extra_cols=("vec",),
     )
     X = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
     return train_books_np(X, m, iters)
@@ -99,7 +101,10 @@ def train_books_np(X: np.ndarray, m: int, iters: int = 10) -> np.ndarray:
             nz = counts > 0
             C[nz] = sums[nz] / counts[nz, None]
         books[j] = C
-    return books
+    # FAISS stores codebooks in FP32 (ProductQuantizer::centroids is
+    # std::vector<float>); rounding to FP32-representable values keeps
+    # float64 math downstream while making decode→FP32→encode bit-exact
+    return books.astype(np.float32).astype(np.float64)
 
 
 def pq_encode(
@@ -221,19 +226,19 @@ def pq_search(
             f"{_MAX_BROADCAST_ELEMS}); use smaller query batches"
         )
 
-    # ADC tables: (nq, m, 256). l2: ‖q_j − c‖²; ip: q_j·c
+    # ADC tables: (nq, m, 256). l2: ‖q_j − c‖² computed as a direct
+    # squared difference — not the ‖q‖²+‖c‖²−2qc decomposition — so a
+    # query exactly on a codebook point gets distance exactly 0 (no
+    # cancellation residue); the LUT is query-batch-sized, so the extra
+    # temp over BLAS is irrelevant next to the code-table scan.
     lut = np.empty((nq, m, ksub), dtype=np.float64)
     for j in range(m):
         Qj = Q[:, j * dsub : (j + 1) * dsub]
-        G = Qj @ codebooks[j].T
         if metric == "l2":
-            lut[:, j, :] = (
-                (Qj * Qj).sum(1)[:, None]
-                + (codebooks[j] * codebooks[j]).sum(1)[None, :]
-                - 2.0 * G
-            )
+            diff = Qj[:, None, :] - codebooks[j][None, :, :]
+            lut[:, j, :] = np.einsum("ijk,ijk->ij", diff, diff)
         else:
-            lut[:, j, :] = G
+            lut[:, j, :] = Qj @ codebooks[j].T
     bc = spark.sparkContext.broadcast((qids, lut))
     want_min = metric == "l2"
     sign = 1.0 if want_min else -1.0
@@ -305,7 +310,7 @@ def ivfpq_build(
     on the driver (both quantizers), encoding is one scan: assign cell,
     subtract its centroid, PQ-encode the residual — no shuffle.
     """
-    from .similarity import ivf_assign, ivf_train_centroids
+    from .similarity import ivf_assign, ivf_train_centroids, train_sample
 
     centroids = ivf_train_centroids(
         vectors, n_cells, vec_col=vec_col, id_col=id_col,
@@ -313,11 +318,10 @@ def ivfpq_build(
     )
     assigned = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
 
-    sample = (
-        assigned.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "cell")
-        .orderBy("id")
-        .limit(sample_size)
-        .toPandas()
+    sample = train_sample(
+        assigned.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "cell"),
+        sample_size,
+        extra_cols=("vec", "cell"),
     )
     V = np.stack(sample["vec"].to_numpy()).astype(np.float64)
     R = V - centroids[sample["cell"].to_numpy(np.int64)]
@@ -374,6 +378,13 @@ def ivfpq_encode(
             )
 
     return assigned.mapInPandas(enc, IVFPQ_CODE_SCHEMA)
+
+
+def ivfpq_write(codes: DataFrame, path: str) -> None:
+    """Persist the IVFPQ code table: parquet partitioned by cell, so the
+    probe filter in :func:`ivfpq_search` prunes partitions at scan time
+    (same inverted-list layout discipline as ``ivf_write``)."""
+    codes.write.mode("overwrite").partitionBy("cell").parquet(path)
 
 
 def ivfpq_search(
@@ -436,12 +447,11 @@ def ivfpq_search(
         nq_c = len(qidx)
         lut = np.empty((nq_c, m, ksub), dtype=np.float64)
         for j in range(m):
+            # direct squared difference (see pq_search): exact 0 when
+            # the residual lands on a codebook point
             Rj = R[:, j * dsub : (j + 1) * dsub]
-            lut[:, j, :] = (
-                (Rj * Rj).sum(1)[:, None]
-                + (books_[j] * books_[j]).sum(1)[None, :]
-                - 2.0 * (Rj @ books_[j].T)
-            )
+            diff = Rj[:, None, :] - books_[j][None, :, :]
+            lut[:, j, :] = np.einsum("ijk,ijk->ij", diff, diff)
         Ccodes = np.frombuffer(
             b"".join(pdf["code"].tolist()), dtype=np.uint8
         ).reshape(len(pdf), m)

@@ -330,18 +330,18 @@ def ivf_train_centroids(
     sample_size: int = 16384,
     iters: int = 10,
 ) -> np.ndarray:
-    """Deterministic k-means centroids from an id-ordered sample.
+    """Deterministic k-means centroids from a hash-thresholded sample.
 
-    The sample is the first ``sample_size`` rows by id (stable across
-    runs and engines); init is the first n_cells sample rows; Lloyd
-    iterations run on the driver (the sample is small by construction —
-    training is O(sample), assignment is the distributed part).
+    The sample comes from ``train_sample`` (md5-threshold filter, O(n)
+    driver merge — stable across runs, partitionings and engines); init
+    is the first n_cells sample rows; Lloyd iterations run on the driver
+    (the sample is small by construction — training is O(sample),
+    assignment is the distributed part).
     """
-    pdf = (
-        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-        .orderBy("id")
-        .limit(sample_size)
-        .toPandas()
+    pdf = train_sample(
+        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+        sample_size,
+        extra_cols=("vec",),
     )
     X = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
     if len(X) < n_cells:

@@ -106,7 +106,12 @@ def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
         .select(
             "user_id",
-            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            # cast: the parquet ts may read as TIMESTAMP_NTZ
+            # (isAdjustedToUTC=0); with the UTC session timezone the cast
+            # is numerically identity, and unix_micros needs TIMESTAMP
+            F.unix_micros(F.col("sw.start").cast("timestamp")).alias(
+                "session_start_us"
+            ),
             "n_events",
             "sum_value",
         )

@@ -250,3 +250,39 @@ def test_pq_search_lut_broadcast_ceiling(spark, trained):
     )
     with pytest.raises(ValueError, match="ADC LUT too large"):
         pq_search(codes, books, Q, k=5)
+
+
+def test_ivfpq_write_partition_pruning(spark, trained, tmp_path):
+    """A cell-partitioned code table turns the probe filter inside
+    ivfpq_search into parquet partition pruning — the executed plan must
+    carry PartitionFilters on cell (the docstring promise of
+    ivfpq_search), and search over the reloaded table must match search
+    over the in-memory codes."""
+    from faiss_metal_spark.operators.pq import (
+        ivfpq_build,
+        ivfpq_search,
+        ivfpq_write,
+    )
+
+    V, vdf, _, _ = trained
+    centroids, books, codes = ivfpq_build(vdf, n_cells=16, m=4, sample_size=1024, iters=4)
+    path = str(tmp_path / "ivfpq")
+    ivfpq_write(codes, path)
+    back = spark.read.parquet(path)
+
+    rng = np.random.default_rng(31)
+    Q = (V[rng.integers(0, len(V), 4)] + rng.normal(0, 0.05, (4, 16))).astype(np.float32)
+    qdf = queries_df(spark, Q)
+
+    res = ivfpq_search(back, centroids, books, qdf, k=5, nprobe=4)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:120]
+
+    got = res.toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    want = (
+        ivfpq_search(codes, centroids, books, qdf, k=5, nprobe=4)
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
