@@ -1296,22 +1296,29 @@ GROUP BY 1
 
 
 def q_corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 90/5/5 train/val/test assignment by md5(doc_id)
-    hex bucket (content-independent, shuffle-free projection) PLUS the
-    per-language stratified cap (≤30 docs/lang by md5 order — the
-    domain-mixing downsample), as an in_cap flag."""
-    from faiss_metal_spark.pipeline import hash_split, stratified_cap
+    """The training-export trio in one result: deterministic 90/5/5
+    train/val/test assignment by md5(doc_id) hex bucket
+    (content-independent, shuffle-free projection), the per-language
+    stratified cap (≤30 docs/lang by md5 order — the domain-mixing
+    downsample) as an in_cap flag, and shard_pack's shard / in-shard
+    position / GPT-style concat-and-chunk sequence range (seq_len=512,
+    8 shards) — the columns a 100 TB corpus needs to be written out as
+    training shards."""
+    from faiss_metal_spark.pipeline import hash_split, shard_pack, stratified_cap
 
     d = _t(spark, sf_dir, "documents")
     capped = stratified_cap(d, "lang", 30).select(
         "doc_id", F.lit(1).alias("in_cap")
     )
+    packed = shard_pack(d, n_shards=8, seq_len=512)
     return (
         hash_split(d)
         .select("doc_id", "split")
         .join(capped, "doc_id", "left")
+        .join(packed, "doc_id")
         .select(
-            "doc_id", "split", F.coalesce("in_cap", F.lit(0)).alias("in_cap")
+            "doc_id", "split", F.coalesce("in_cap", F.lit(0)).alias("in_cap"),
+            "shard", "pos", "n_tok", "tok_off", "first_seq", "last_seq",
         )
     )
 
@@ -1324,13 +1331,33 @@ WITH r AS (
            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
          ) AS rk
   FROM documents
+), t AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tok,
+         md5(CAST(doc_id AS VARCHAR)) AS h,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 4))::BIGINT % 64 AS bucket
+  FROM documents
+), o AS (
+  SELECT doc_id, n_tok, shard,
+         ROW_NUMBER() OVER (PARTITION BY shard ORDER BY bucket, h, doc_id) - 1 AS pos,
+         COALESCE(SUM(n_tok) OVER (
+           PARTITION BY shard ORDER BY bucket, h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_off
+  FROM t
 )
-SELECT doc_id,
-  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
-       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+SELECT r.doc_id,
+  CASE WHEN substr(md5(CAST(r.doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+       WHEN substr(md5(CAST(r.doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
        ELSE 'test' END AS split,
-  CASE WHEN rk <= 30 THEN 1 ELSE 0 END AS in_cap
-FROM r
+  CASE WHEN r.rk <= 30 THEN 1 ELSE 0 END AS in_cap,
+  CAST(o.shard AS INTEGER) AS shard,
+  CAST(o.pos AS BIGINT) AS pos,
+  CAST(o.n_tok AS BIGINT) AS n_tok,
+  CAST(o.tok_off AS BIGINT) AS tok_off,
+  CAST(o.tok_off // 512 AS BIGINT) AS first_seq,
+  CAST((o.tok_off + GREATEST(o.n_tok, 1) - 1) // 512 AS BIGINT) AS last_seq
+FROM r JOIN o ON r.doc_id = o.doc_id
 """
 
 

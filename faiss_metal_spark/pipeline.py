@@ -202,3 +202,98 @@ def stratified_cap(
         .where(F.col("_rk") <= n_per_group)
         .drop("_h", "_pid", "_rk")
     )
+
+
+def shard_pack(
+    docs: DataFrame,
+    n_shards: int = 8,
+    seq_len: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic training-shard export + concat-and-chunk packing.
+
+    The last mile of an LLM data pipeline: place every document into a
+    training shard, give it a stable position inside that shard, and
+    map it onto fixed-length token sequences under GPT-style packing
+    (documents are concatenated in shard order and the stream is
+    chunked every ``seq_len`` tokens, so a document may span chunks).
+    Output per doc: ``shard``, ``pos`` (0-based dense rank in shard),
+    ``n_tok``, ``tok_off`` (tokens before it in its shard),
+    ``first_seq``/``last_seq`` (the chunk range it lands in).
+
+    Everything derives from md5(id) — content-independent and
+    engine-reproducible (the ``hash_split`` discipline): shard = first
+    8 hex digits mod n_shards, within-shard order = (sub-bucket, hash,
+    id). No RNG, stable across runs, partitionings and engines.
+
+    Scale shape: a naive ``ROW_NUMBER() OVER (PARTITION BY shard)``
+    funnels an entire shard (100 TB / n_shards) through one task. This
+    runs the partial/final split instead: per-(shard, sub-bucket)
+    windows bound task state to shard/(n_shards·n_buckets), then a
+    (n_shards·n_buckets)-row offset table — computed with a window over
+    buckets and broadcast back — lifts local ranks/cumsums to global
+    ones. One data shuffle (the partial window), one broadcast join.
+    """
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.col(id_col).cast("string"))
+    tok = token_count(text_col)
+    base = (
+        docs.select(
+            F.col(id_col),
+            tok.cast("long").alias("n_tok"),
+            h.alias("_h"),
+        )
+        .withColumn(
+            "shard",
+            F.pmod(F.conv(F.substring("_h", 1, 8), 16, 10).cast("long"),
+                   F.lit(n_shards)).cast("int"),
+        )
+        .withColumn(
+            "_bucket",
+            F.pmod(F.conv(F.substring("_h", 9, 4), 16, 10).cast("long"),
+                   F.lit(n_buckets)).cast("int"),
+        )
+    )
+
+    w = Window.partitionBy("shard", "_bucket").orderBy("_h", id_col)
+    part = base.withColumn("_rn", F.row_number().over(w) - F.lit(1)).withColumn(
+        "_ctok",
+        F.coalesce(
+            F.sum("n_tok").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+
+    # (n_shards · n_buckets)-row offset table: how many rows/tokens sit
+    # in earlier buckets of the same shard
+    wb = Window.partitionBy("shard").orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        base.groupBy("shard", "_bucket")
+        .agg(F.count(F.lit(1)).alias("_bn"), F.sum("n_tok").alias("_bt"))
+        .select(
+            "shard",
+            "_bucket",
+            F.coalesce(F.sum("_bn").over(wb), F.lit(0)).alias("_pos_off"),
+            F.coalesce(F.sum("_bt").over(wb), F.lit(0)).alias("_tok_off"),
+        )
+    )
+
+    out = part.join(F.broadcast(offsets), ["shard", "_bucket"])
+    tok_off = F.col("_tok_off") + F.col("_ctok")
+    last = (tok_off + F.greatest(F.col("n_tok"), F.lit(1)) - F.lit(1))
+    return out.select(
+        F.col(id_col),
+        "shard",
+        (F.col("_pos_off") + F.col("_rn")).cast("long").alias("pos"),
+        "n_tok",
+        tok_off.cast("long").alias("tok_off"),
+        F.floor(tok_off / F.lit(seq_len)).cast("long").alias("first_seq"),
+        F.floor(last / F.lit(seq_len)).cast("long").alias("last_seq"),
+    )

@@ -385,3 +385,72 @@ def test_embedding_neardup_skew_bounded_grid(spark):
     )
     assert [(a, b) for a, b, _ in gridded] == [(a, b) for a, b, _ in want]
     assert all(abs(x - y) < 1e-6 for (_, _, x), (_, _, y) in zip(gridded, want))
+
+
+def test_shard_pack_invariants(spark):
+    """shard_pack: positions are a dense 0..n-1 permutation per shard,
+    tok_off is the running token total in pos order, the chunk range
+    matches concat-and-chunk arithmetic, and the whole result is
+    invariant to input partitioning (the md5 discipline)."""
+    import pandas as pd
+
+    from faiss_metal_spark.pipeline import shard_pack
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(300),
+            "text": [
+                " ".join(f"w{j}" for j in range((i * 37) % 90 + 1))
+                for i in range(300)
+            ],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    out = shard_pack(docs, n_shards=4, seq_len=64, n_buckets=8).toPandas()
+
+    assert len(out) == 300
+    for shard, g in out.groupby("shard"):
+        g = g.sort_values("pos")
+        # dense permutation
+        assert g["pos"].tolist() == list(range(len(g)))
+        # running token totals
+        assert g["tok_off"].tolist() == [0] + g["n_tok"].cumsum().tolist()[:-1]
+    # concat-and-chunk arithmetic
+    assert (out["first_seq"] == out["tok_off"] // 64).all()
+    last = (out["tok_off"] + out["n_tok"].clip(lower=1) - 1) // 64
+    assert (out["last_seq"] == last).all()
+    # a doc spans >1 chunk iff its token range crosses a 64 boundary
+    spans = out["last_seq"] > out["first_seq"]
+    assert spans.any() and not spans.all()
+
+    # partition-invariance
+    out2 = (
+        shard_pack(docs.repartition(13), n_shards=4, seq_len=64, n_buckets=8)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True), out2
+    )
+
+
+def test_shard_pack_two_level_windows(spark):
+    """The plan must NOT contain a window partitioned by shard alone —
+    per-shard state is bounded by the (shard, sub-bucket) partial
+    windows plus the tiny offset table (the partial/final discipline)."""
+    from faiss_metal_spark.pipeline import shard_pack
+
+    docs = spark.range(0, 500).selectExpr(
+        "id as doc_id", "'a b c' as text"
+    )
+    plan = (
+        shard_pack(docs, n_shards=2, seq_len=32)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        if "shard" in spec:
+            assert "_bucket" in spec, f"shard-only window in plan: {spec}"
