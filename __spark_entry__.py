@@ -1384,18 +1384,68 @@ FROM documents GROUP BY lang
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, both shapes tagged in one result: 'pair'
+    rows are label-blocked cosine pairs (a=id_a, b=id_b, x=cos);
+    'sem' rows are SemDeDup semantic dedup over FIXED centroids
+    (first-16 embedding rows — the oracle-checkable coarse quantizer):
+    cell-local cosine pairs → connected groups → min-id representative
+    (a=id, b=group, x=cell; keep ⇔ a=b)."""
+    from faiss_metal_spark.operators.dedup import semantic_dedup
+
     e = _t(spark, sf_dir, "embeddings")
     pairs = embedding_neardup_pairs(e, block_col="label", threshold=0.35)
-    return pairs.select("id_a", "id_b", _norm(F.col("cos"), 4).alias("cos"))
+    p = pairs.select(
+        F.lit("pair").alias("kind"),
+        F.col("id_a").alias("a"),
+        F.col("id_b").alias("b"),
+        _norm(F.col("cos"), 4).alias("x"),
+    )
+    centroids, _, _ = _fixed_quantizers(
+        e.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    )
+    sem = semantic_dedup(e, centroids, threshold=0.35).select(
+        F.lit("sem").alias("kind"),
+        F.col("id").alias("a"),
+        F.col("group").alias("b"),
+        F.col("cell").cast("double").alias("x"),
+    )
+    return p.unionByName(sem)
 
 
 ORACLE_NEARDUP = """
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) + 0.0 AS cos
+WITH RECURSIVE
+c AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings WHERE vec_id < 16),
+va AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT v.vec_id, v.embedding, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             list_inner_product(c.cv::DOUBLE[], c.cv::DOUBLE[])
+             - 2 * list_inner_product(v.embedding::DOUBLE[], c.cv::DOUBLE[]) ASC,
+             c.cell ASC) AS rn
+    FROM embeddings v CROSS JOIN c)
+  WHERE rn = 1
+),
+p2 AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM va a JOIN va b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+),
+e2 AS (SELECT id_a AS s, id_b AS t FROM p2 UNION ALL SELECT id_b, id_a FROM p2),
+r AS (
+  SELECT s AS id, s AS l FROM (SELECT DISTINCT s FROM e2) n
+  UNION
+  SELECT e2.t AS id, r.l FROM r JOIN e2 ON e2.s = r.id
+),
+g AS (SELECT id, MIN(l) AS grp FROM r GROUP BY id)
+SELECT 'pair' AS kind, a.vec_id AS a, b.vec_id AS b,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) + 0.0 AS x
 FROM embeddings a JOIN embeddings b
   ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
-"""
+UNION ALL
+SELECT 'sem', va.vec_id, COALESCE(g.grp, va.vec_id), CAST(va.cell AS DOUBLE)
+FROM va LEFT JOIN g ON g.id = va.vec_id
+"""  # noqa: E501 — the 16 literal = _ANN_CELLS (defined below)
 
 
 # ---------------------------------------------------------------------------

@@ -492,3 +492,92 @@ def embedding_neardup_pairs(
     return exploded.groupBy("blk", "_lo", "_hi").applyInPandas(
         cell_pairs, out_schema
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    max_block_rows: int = 4096,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): coarse-cluster the embedding space, find
+    near-duplicate pairs by pairwise cosine WITHIN each cluster only,
+    connect them into groups, and keep one representative per group
+    (the deterministic min-id variant). Returns ``(id, cell, group,
+    keep)`` — keep = 1 iff the row is its group's representative;
+    singletons keep themselves.
+
+    Pure composition of existing scale-shaped operators: cell
+    assignment is one scan (``ivf_assign``), the quadratic term is
+    bounded per cell and skew-gridded (``embedding_neardup_pairs``),
+    grouping is min-label propagation (``connected_components``). At
+    100 TB the cluster count — not the corpus — bounds every task:
+    no all-pairs, no single hot task.
+    """
+    import pandas as pd
+
+    from .similarity import ivf_assign
+
+    assigned = ivf_assign(
+        emb.select(F.col(id_col), F.col(vec_col)),
+        centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).persist()
+    pairs = embedding_neardup_pairs(
+        assigned,
+        block_col="cell",
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        max_block_rows=max_block_rows,
+    )
+
+    # Near-dup edges cannot cross cells (pairs are generated within a
+    # cell), so components decompose per cell — a single-pass per-cell
+    # union-find replaces the iterative ``connected_components`` loop
+    # (no driver-side rounds, one shuffle of the pair list on cell).
+    # Per-task state is that cell's PAIR count — bounded by near-dup
+    # density, not cell size; the generic iterative CC remains the tool
+    # for graphs whose edges span blocks (dedup_clusters).
+    def _uf(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(pdf["id_a"], pdf["id_b"]):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                # min-label union ⇒ root = min id of the component
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        ids = {int(v) for c in ("id_a", "id_b") for v in pdf[c]}
+        return pd.DataFrame(
+            {"id": sorted(ids), "cluster": [find(i) for i in sorted(ids)]}
+        )
+
+    pairs_c = pairs.join(
+        assigned.select(F.col(id_col).alias("id_a"), "cell"), "id_a"
+    )
+    clusters = pairs_c.groupBy("cell").applyInPandas(
+        lambda pdf: _uf(pdf), "id long, cluster long"
+    )
+    return (
+        assigned.select(F.col(id_col).alias("id"), "cell")
+        .join(clusters.select("id", "cluster"), "id", "left")
+        .select(
+            "id",
+            "cell",
+            F.coalesce("cluster", F.col("id")).alias("group"),
+        )
+        .withColumn("keep", (F.col("group") == F.col("id")).cast("int"))
+    )

@@ -454,3 +454,64 @@ def test_shard_pack_two_level_windows(spark):
         spec = m.group(1)
         if "shard" in spec:
             assert "_bucket" in spec, f"shard-only window in plan: {spec}"
+
+
+def test_semantic_dedup_matches_naive(spark):
+    """semantic_dedup ≡ naive numpy SemDeDup (cell assignment →
+    in-cell cosine pairs → min-id components) on clustered data, keep
+    flags mark exactly one representative per group, and groups never
+    span cells."""
+    import numpy as np
+    import pandas as pd
+
+    from faiss_metal_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.default_rng(5)
+    C = rng.normal(0, 4, (6, 16))
+    base = C[rng.integers(0, 6, 120)] + rng.normal(0, 0.4, (120, 16))
+    # plant near-duplicates: rows 100.. are tiny perturbations of earlier rows
+    for i in range(100, 120):
+        base[i] = base[i - 100] + rng.normal(0, 1e-3, 16)
+    V = base.astype(np.float32)
+
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(120), "embedding": [v.tolist() for v in V]}),
+        schema="vec_id long, embedding array<float>",
+    )
+    th = 0.995
+    got = semantic_dedup(emb, C, threshold=th).toPandas().sort_values("id")
+
+    # naive reference
+    Vd = V.astype(np.float64)
+    cn = (C * C).sum(1)
+    cell = (cn[None, :] - 2.0 * (Vd @ C.T)).argmin(1)
+    U = Vd / np.linalg.norm(Vd, axis=1, keepdims=True)
+    S = U @ U.T
+    parent = list(range(120))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(120):
+        for j in range(i + 1, 120):
+            if cell[i] == cell[j] and S[i, j] >= th:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    lo, hi = min(ri, rj), max(ri, rj)
+                    parent[hi] = lo
+    want_group = [find(i) for i in range(120)]
+
+    assert got["cell"].tolist() == cell.tolist()
+    assert got["group"].tolist() == want_group
+    assert got["keep"].tolist() == [int(g == i) for i, g in enumerate(want_group)]
+    # planted dups actually deduplicate: some groups have >1 member
+    from collections import Counter
+
+    sizes = Counter(want_group)
+    assert max(sizes.values()) >= 2
+    # groups never span cells
+    gdf = got.groupby("group")["cell"].nunique()
+    assert (gdf == 1).all()
