@@ -1300,24 +1300,36 @@ def q_corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     train/val/test assignment by md5(doc_id) hex bucket
     (content-independent, shuffle-free projection), the per-language
     stratified cap (≤30 docs/lang by md5 order — the domain-mixing
-    downsample) as an in_cap flag, and shard_pack's shard / in-shard
-    position / GPT-style concat-and-chunk sequence range (seq_len=512,
-    8 shards) — the columns a 100 TB corpus needs to be written out as
-    training shards."""
-    from faiss_metal_spark.pipeline import hash_split, shard_pack, stratified_cap
+    downsample) as an in_cap flag, mixture_sample's per-source keep
+    rates (25 % default, 100 % src0, 50 % src1, 6.25 % src2) as an
+    in_mix flag, and shard_pack's shard / in-shard position / GPT-style
+    concat-and-chunk sequence range (seq_len=512, 8 shards) — the
+    columns a 100 TB corpus needs to be written out as training
+    shards."""
+    from faiss_metal_spark.pipeline import (
+        hash_split,
+        mixture_sample,
+        shard_pack,
+        stratified_cap,
+    )
 
     d = _t(spark, sf_dir, "documents")
     capped = stratified_cap(d, "lang", 30).select(
         "doc_id", F.lit(1).alias("in_cap")
     )
     packed = shard_pack(d, n_shards=8, seq_len=512)
+    mixed = mixture_sample(
+        d, {"src0": 1.0, "src1": 0.5, "src2": 0.0625}, default_rate=0.25
+    ).select("doc_id", "in_mix")
     return (
         hash_split(d)
         .select("doc_id", "split")
         .join(capped, "doc_id", "left")
+        .join(mixed, "doc_id")
         .join(packed, "doc_id")
         .select(
             "doc_id", "split", F.coalesce("in_cap", F.lit(0)).alias("in_cap"),
+            "in_mix",
             "shard", "pos", "n_tok", "tok_off", "first_seq", "last_seq",
         )
     )
@@ -1351,6 +1363,14 @@ SELECT r.doc_id,
        WHEN substr(md5(CAST(r.doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
        ELSE 'test' END AS split,
   CASE WHEN r.rk <= 30 THEN 1 ELSE 0 END AS in_cap,
+  CASE WHEN d.source = 'src0' THEN 1
+       WHEN d.source = 'src1' THEN
+         CASE WHEN substr(md5(CAST(r.doc_id AS VARCHAR)), 1, 2) < '80' THEN 1 ELSE 0 END
+       WHEN d.source = 'src2' THEN
+         CASE WHEN substr(md5(CAST(r.doc_id AS VARCHAR)), 1, 2) < '10' THEN 1 ELSE 0 END
+       ELSE
+         CASE WHEN substr(md5(CAST(r.doc_id AS VARCHAR)), 1, 2) < '40' THEN 1 ELSE 0 END
+  END AS in_mix,
   CAST(o.shard AS INTEGER) AS shard,
   CAST(o.pos AS BIGINT) AS pos,
   CAST(o.n_tok AS BIGINT) AS n_tok,
@@ -1358,6 +1378,7 @@ SELECT r.doc_id,
   CAST(o.tok_off // 512 AS BIGINT) AS first_seq,
   CAST((o.tok_off + GREATEST(o.n_tok, 1) - 1) // 512 AS BIGINT) AS last_seq
 FROM r JOIN o ON r.doc_id = o.doc_id
+JOIN documents d ON d.doc_id = r.doc_id
 """
 
 

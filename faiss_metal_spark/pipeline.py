@@ -297,3 +297,34 @@ def shard_pack(
         F.floor(tok_off / F.lit(seq_len)).cast("long").alias("first_seq"),
         F.floor(last / F.lit(seq_len)).cast("long").alias("last_seq"),
     )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic data-mixture downsample: adds ``in_mix`` = 1 iff
+    the row survives its group's target keep-rate — the per-domain
+    reweighting step of a training-data pipeline (e.g. keep 100 % of
+    books, 10 % of common-crawl).
+
+    Same md5 hex-bucket discipline as :func:`hash_split`: a row is kept
+    iff its 2-hex id bucket falls below round(rate·256). Content- and
+    partitioning-independent, shuffle-free (a pure projection), and
+    nested — the rate-0.3 sample is a subset of the rate-0.5 sample, so
+    mixtures can be re-weighted without resampling churn. Any SQL
+    engine reproduces the assignment with a string comparison.
+    """
+    b = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+
+    def below(frac: float):
+        hi = min(int(round(frac * 256)), 256)
+        return F.lit(True) if hi >= 256 else b < F.lit(format(hi, "02x"))
+
+    keep = below(default_rate)
+    for grp, frac in sorted(rates.items()):
+        keep = F.when(F.col(group_col) == grp, below(frac)).otherwise(keep)
+    return docs.withColumn("in_mix", keep.cast("int"))

@@ -515,3 +515,43 @@ def test_semantic_dedup_matches_naive(spark):
     # groups never span cells
     gdf = got.groupby("group")["cell"].nunique()
     assert (gdf == 1).all()
+
+
+def test_mixture_sample(spark):
+    """mixture_sample: per-group keep rates land near target, the plan
+    is shuffle-free, sampling is partition-invariant, and lower-rate
+    samples nest inside higher-rate ones."""
+    from faiss_metal_spark.pipeline import mixture_sample
+    from faiss_metal_spark.plans.report import assert_plan
+
+    docs = spark.range(0, 4000).selectExpr(
+        "id as doc_id", "concat('g', cast(id % 4 as string)) as source"
+    )
+    out = mixture_sample(
+        docs, {"g0": 1.0, "g1": 0.5, "g2": 0.0}, default_rate=0.25
+    )
+    assert_plan(out, max_shuffles=0)
+    pdf = out.toPandas()
+    rates = pdf.groupby("source")["in_mix"].mean()
+    assert rates["g0"] == 1.0
+    assert abs(rates["g1"] - 0.5) < 0.06
+    assert rates["g2"] == 0.0
+    assert abs(rates["g3"] - 0.25) < 0.06
+
+    # partition-invariance
+    pdf2 = (
+        mixture_sample(
+            docs.repartition(9), {"g0": 1.0, "g1": 0.5, "g2": 0.0}, default_rate=0.25
+        )
+        .toPandas()
+        .set_index("doc_id")["in_mix"]
+        .sort_index()
+    )
+    assert (pdf.set_index("doc_id")["in_mix"].sort_index() == pdf2).all()
+
+    # nesting: the 0.25 sample of g1 is a subset of its 0.5 sample
+    lo = mixture_sample(docs, {"g1": 0.25}, default_rate=0.0).toPandas()
+    hi = pdf
+    lo_ids = set(lo[lo["in_mix"] == 1]["doc_id"])
+    hi_ids = set(hi[(hi["source"] == "g1") & (hi["in_mix"] == 1)]["doc_id"])
+    assert lo_ids <= hi_ids
