@@ -116,6 +116,67 @@ def _knn_query(metric: str, qlo: int, qhi: int, k: int, method: str):
     return run
 
 
+def q_knn_l2_sql_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The declarative-path family in one tagged result: 'knn' rows are
+    sql-path top-10 L2 (rank 0..9); 'rng_sql' and 'rng_gemm' rows are
+    FAISS range_search (radius 1.3, strict <, rank −1) on BOTH physical
+    paths — the two plans must emit the identical pair set, and the
+    oracle checks them against the same SQL filter. range_search is a
+    strict-superset op: the reference inherits faiss::Index::range_search
+    but never overrides it."""
+    from faiss_metal_spark.operators.knn import range_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where((F.col("vec_id") >= 8) & (F.col("vec_id") < 16))
+    knn = _knn_query("l2", 8, 16, 10, "sql")(spark, sf_dir).select(
+        F.lit("knn").alias("kind"), "qid", "rank", "label", "distance"
+    )
+
+    def rng(method: str) -> DataFrame:
+        r = range_search(
+            emb, queries, radius=1.3, metric="l2", method=method,
+            id_col="vec_id", vec_col="embedding",
+            qid_col="vec_id", qvec_col="embedding",
+        )
+        return r.select(
+            F.lit(f"rng_{method}").alias("kind"),
+            "qid",
+            F.lit(-1).alias("rank"),
+            "label",
+            _norm(F.col("distance"), 4).alias("distance"),
+        )
+
+    return knn.unionByName(rng("sql")).unionByName(rng("gemm"))
+
+
+def _oracle_knn_l2_sql_range() -> str:
+    return """
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+  WHERE vec_id >= 8 AND vec_id < 16
+), d AS (
+  SELECT q.qid, v.vec_id AS label,
+         GREATEST(list_inner_product(q.qv::DOUBLE[], q.qv::DOUBLE[])
+           + list_inner_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[])
+           - 2 * list_inner_product(q.qv::DOUBLE[], v.embedding::DOUBLE[]), 0.0) AS dist
+  FROM q CROSS JOIN embeddings v
+), r AS (
+  SELECT qid, label, dist,
+         row_number() OVER (PARTITION BY qid ORDER BY dist ASC, label ASC) - 1 AS rank
+  FROM d
+), rng AS (
+  SELECT CAST(qid AS BIGINT) AS qid, CAST(-1 AS INTEGER) AS rank,
+         CAST(label AS BIGINT) AS label, ROUND(dist, 4) + 0.0 AS distance
+  FROM d WHERE dist < 1.3
+)
+SELECT 'knn' AS kind, CAST(qid AS BIGINT) AS qid, CAST(rank AS INTEGER) AS rank,
+       CAST(label AS BIGINT) AS label, ROUND(dist, 4) + 0.0 AS distance
+FROM r WHERE rank < 10
+UNION ALL SELECT 'rng_sql', * FROM rng
+UNION ALL SELECT 'rng_gemm', * FROM rng
+"""
+
+
 def _knn_oracle(metric: str, qlo: int, qhi: int, k: int) -> str:
     ip = (
         "list_inner_product(q.qv::DOUBLE[], v.embedding::DOUBLE[])"
@@ -2413,7 +2474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio": q_mm_audio,
         # -- vector search (the reference's core) -----------------------
         "knn_metrics": q_knn_metrics,
-        "knn_l2_sql": _knn_query("l2", 8, 16, 10, "sql"),
+        "knn_l2_sql": q_knn_l2_sql_range,
         "knn_highk": _knn_query("l2", 0, 4, 64, "gemm"),
         "knn_join": q_knn_join,
         "ann_lsh": q_ann_lsh,
@@ -2469,7 +2530,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_thumbnail": ORACLE_MM_THUMBNAIL,
         "mm_audio": ORACLE_MM_AUDIO,
         "knn_metrics": _oracle_knn_metrics(),
-        "knn_l2_sql": _knn_oracle("l2", 8, 16, 10),
+        "knn_l2_sql": _oracle_knn_l2_sql_range(),
         "knn_highk": _knn_oracle("l2", 0, 4, 64),
         "knn_join": _knn_oracle("l2", 0, 64, 10),
         "ann_lsh": _oracle_ann_lsh(),

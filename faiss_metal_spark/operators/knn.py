@@ -577,3 +577,108 @@ def knn_search_multi(
             F.coalesce(F.col("_c.s") * sign, sent).alias("distance"),
         )
     )
+
+
+RANGE_SCHEMA = T.StructType(
+    [
+        T.StructField("qid", T.LongType(), False),
+        T.StructField("label", T.LongType(), False),
+        T.StructField("distance", T.DoubleType(), False),
+    ]
+)
+
+
+def range_search(
+    vectors: DataFrame,
+    queries: DataFrame,
+    radius: float,
+    metric: Metric = "l2",
+    method: Literal["auto", "gemm", "sql"] = "auto",
+    id_col: str = "id",
+    vec_col: str = "vec",
+    qid_col: str = "qid",
+    qvec_col: str = "vec",
+    nv_hint: int | None = None,
+    vec_format: str = "array",
+) -> DataFrame:
+    """All neighbors within ``radius`` of each query — FAISS
+    ``Index::range_search`` semantics, which the reference inherits but
+    never implements (no override in
+    /root/reference/include/faiss-metal/MetalIndexFlat.h — the faiss
+    base class throws); this engine supports it as part of the strict
+    superset. Keep rule matches CPU FAISS: L2 keeps ``distance <
+    radius`` (strict), IP keeps ``distance > radius``; the l1/cosine
+    extensions follow their metric's better-direction. Returns
+    (qid, label, distance), unordered — no rank, no sentinel rows.
+
+    Physical shape: unlike top-k there is NO merge stage — the gemm
+    path is one scan of the vector table with a broadcast query batch,
+    each Arrow batch emitting its passing pairs; zero shuffles, output
+    volume bounded by the radius, not by nq·nv. The sql path is the
+    declarative twin (crossJoin + HOF distance + filter) that Catalyst
+    plans as BroadcastNestedLoopJoin.
+    """
+    if metric not in ("l2", "ip", "cosine", "l1"):
+        raise ValueError(f"unknown metric {metric!r}")
+    want_min = _better_is_min(metric)
+
+    v = vectors.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
+    )
+    q = queries.select(
+        F.col(qid_col).cast("long").alias("qid"), F.col(qvec_col).alias("qvec")
+    )
+    if method == "auto":
+        method = "sql" if (nv_hint is not None and nv_hint <= _SMALL_NV) else "gemm"
+    if vec_format != "array" and method != "gemm":
+        raise ValueError("compact binary vector storage requires the gemm path")
+
+    if method == "sql":
+        dist = _distance_expr(metric, "qvec", "vec").alias("distance")
+        pairs = (
+            F.broadcast(q)
+            .crossJoin(v)
+            .select("qid", F.col("id").alias("label"), dist)
+        )
+        pred = F.col("distance") < radius if want_min else F.col("distance") > radius
+        return pairs.where(pred)
+
+    qids, Q = _collect_queries(q)
+    spark = v.sparkSession
+    if len(qids) == 0:
+        return spark.createDataFrame([], RANGE_SCHEMA)
+    bc = spark.sparkContext.broadcast((qids, Q, (Q * Q).sum(axis=1)))
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, Q_, qn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _decode_batch(pdf["vec"], vec_format, np.float64)
+            labels = pdf["id"].to_numpy(np.int64)
+            if metric == "l1":
+                D = np.abs(Q_[:, None, :] - V[None, :, :]).sum(axis=-1)
+            else:
+                G = Q_ @ V.T
+                if metric == "l2":
+                    vn = (V * V).sum(axis=1)
+                    D = qn[:, None] + vn[None, :] - 2.0 * G
+                    np.maximum(D, 0.0, out=D)
+                elif metric == "cosine":
+                    denom = np.sqrt(qn)[:, None] * np.sqrt((V * V).sum(axis=1))[None, :]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        D = np.where(denom > 0, G / denom, 0.0)
+                else:
+                    D = G
+            mask = D < radius if want_min else D > radius
+            qi, vi = np.nonzero(mask)
+            if len(qi):
+                yield pd.DataFrame(
+                    {
+                        "qid": qids_[qi],
+                        "label": labels[vi],
+                        "distance": D[qi, vi].astype(np.float64),
+                    }
+                )
+
+    return v.mapInPandas(emit, RANGE_SCHEMA)

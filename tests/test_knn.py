@@ -190,3 +190,59 @@ def test_multi_metric_equals_per_metric(spark):
         )
     plan = multi._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInPandas") == 1
+
+
+@pytest.mark.parametrize("metric", ["l2", "ip", "cosine", "l1"])
+def test_range_search_paths_agree_and_match_numpy(spark, metric):
+    """range_search: gemm and sql paths emit the identical pair set,
+    matching a numpy reference with FAISS's strict keep rule (< radius
+    for min-metrics, > radius for max-metrics)."""
+    from faiss_metal_spark.operators.knn import range_search
+
+    V, Q = make_fixture(400, 5, 24)
+    vdf, qdf = vectors_df(spark, V), queries_df(spark, Q)
+
+    Vd, Qd = V.astype(np.float64), Q.astype(np.float64)
+    if metric == "l2":
+        D = np.maximum(
+            (Qd * Qd).sum(1)[:, None] + (Vd * Vd).sum(1)[None, :]
+            - 2.0 * (Qd @ Vd.T),
+            0.0,
+        )
+    elif metric == "ip":
+        D = Qd @ Vd.T
+    elif metric == "cosine":
+        U = Vd / np.linalg.norm(Vd, axis=1, keepdims=True)
+        W = Qd / np.linalg.norm(Qd, axis=1, keepdims=True)
+        D = W @ U.T
+    else:
+        D = np.abs(Qd[:, None, :] - Vd[None, :, :]).sum(-1)
+    want_min = metric in ("l2", "l1")
+    radius = float(np.quantile(D, 0.03)) if want_min else float(np.quantile(D, 0.97))
+    mask = D < radius if want_min else D > radius
+    want = {
+        (qi, vi): D[qi, vi] for qi, vi in zip(*np.nonzero(mask))
+    }
+    assert want, "radius produced no pairs — bad fixture"
+
+    for method in ("gemm", "sql"):
+        got = range_search(vdf, qdf, radius, metric=metric, method=method).toPandas()
+        got_pairs = {
+            (int(r.qid), int(r.label)): r.distance for r in got.itertuples()
+        }
+        assert set(got_pairs) == set(want), method
+        for kk in want:
+            assert abs(got_pairs[kk] - want[kk]) < 1e-9, (method, kk)
+
+
+def test_range_search_empty_and_shuffle_free(spark):
+    """Radius below every distance → zero rows (no sentinels — FAISS
+    range semantics); the gemm path plan has no shuffle at all."""
+    from faiss_metal_spark.operators.knn import range_search
+    from faiss_metal_spark.plans.report import assert_plan
+
+    V, Q = make_fixture(300, 3, 16)
+    vdf, qdf = vectors_df(spark, V), queries_df(spark, Q)
+    r = range_search(vdf, qdf, 1e-9, metric="l2", method="gemm")
+    assert r.count() == 0
+    assert_plan(r, max_shuffles=0)
