@@ -1671,15 +1671,18 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN, both architectures tagged in one
     result: 'pq' rows are flat ADC over 8-byte codes (64-dim FP32
     256 B → 8 B, 32×), 'ivfpq' rows add the coarse quantizer (probe 4
-    of 16 cells, residual ADC — FAISS IndexIVFPQ). Codebooks are FIXED
-    (first-256 embedding rows / their residuals), so encode + ADC +
-    top-k hash-match the DuckDB oracle; iterative training is pinned
-    separately by tests/test_pq.py."""
+    of 16 cells, residual ADC — FAISS IndexIVFPQ), 'refine' rows are
+    two-stage retrieval (FAISS IndexRefineFlat: flat-ADC top-40
+    candidates exactly rescored against the full vectors, re-ranked to
+    top-10). Codebooks are FIXED (first-256 embedding rows / their
+    residuals), so encode + ADC + top-k + rescore hash-match the DuckDB
+    oracle; iterative training is pinned separately by tests/test_pq.py."""
     from faiss_metal_spark.operators.pq import (
         ivfpq_encode,
         ivfpq_search,
         pq_encode,
         pq_search,
+        refine_search,
     )
 
     emb = _t(spark, sf_dir, "embeddings").select(
@@ -1695,11 +1698,17 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     rcodes = ivfpq_encode(assigned, centroids, rbooks)
     ivf = ivfpq_search(rcodes, centroids, rbooks, queries, k=10, nprobe=_ANN_NPROBE)
 
+    ref = refine_search(emb, codes, books, queries, k=10, refine_factor=4)
+
     out_cols = lambda kind, df: df.select(  # noqa: E731
         F.lit(kind).alias("path"), "qid", "rank", "label",
         _norm(F.col("distance"), 4).alias("distance"),
     )
-    return out_cols("pq", flat).unionByName(out_cols("ivfpq", ivf))
+    return (
+        out_cols("pq", flat)
+        .unionByName(out_cols("ivfpq", ivf))
+        .unionByName(out_cols("refine", ref))
+    )
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1864,6 +1873,20 @@ ri AS (
   SELECT qid, label, dist,
          row_number() OVER (PARTITION BY qid ORDER BY dist ASC, label ASC) - 1 AS rank
   FROM radc
+),
+rex AS (  -- IndexRefineFlat: exact rescore of the flat-ADC top-40
+  SELECT rf.qid, rf.label,
+         list_sum([(x[1] - x[2]) * (x[1] - x[2]) FOR x IN
+                   list_zip(q.qv::DOUBLE[], v.embedding::DOUBLE[])]) AS dist
+  FROM rf
+  JOIN q ON q.qid = rf.qid
+  JOIN embeddings v ON v.vec_id = rf.label
+  WHERE rf.rank < 40
+),
+rr AS (
+  SELECT qid, label, dist,
+         row_number() OVER (PARTITION BY qid ORDER BY dist ASC, label ASC) - 1 AS rank
+  FROM rex
 )
 SELECT 'pq' AS path, CAST(qid AS BIGINT) AS qid, CAST(rank AS INTEGER) AS rank,
        CAST(label AS BIGINT) AS label, ROUND(dist, 4) + 0.0 AS distance
@@ -1872,6 +1895,10 @@ UNION ALL
 SELECT 'ivfpq' AS path, CAST(qid AS BIGINT) AS qid, CAST(rank AS INTEGER) AS rank,
        CAST(label AS BIGINT) AS label, ROUND(dist, 4) + 0.0 AS distance
 FROM ri WHERE rank < 10
+UNION ALL
+SELECT 'refine' AS path, CAST(qid AS BIGINT) AS qid, CAST(rank AS INTEGER) AS rank,
+       CAST(label AS BIGINT) AS label, ROUND(dist, 4) + 0.0 AS distance
+FROM rr WHERE rank < 10
 """
 
 

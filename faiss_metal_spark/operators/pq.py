@@ -478,3 +478,62 @@ def ivfpq_search(
     candidates = subset.groupBy("cell").applyInPandas(cell_topk, _PARTIAL_SCHEMA)
     qdf = queries.select(F.col(qid_col).cast("long").alias("qid"))
     return _finalize(qdf, candidates, k, "l2").where(F.col("label") >= 0)
+
+
+def refine_search(
+    vectors: DataFrame,
+    codes: DataFrame,
+    codebooks: np.ndarray,
+    queries: DataFrame,
+    k: int,
+    refine_factor: int = 4,
+    metric: str = "l2",
+    id_col: str = "id",
+    vec_col: str = "vec",
+    qid_col: str = "qid",
+    qvec_col: str = "vec",
+) -> DataFrame:
+    """Two-stage retrieval — FAISS ``IndexRefineFlat`` semantics: ADC
+    search over the compressed codes fetches ``k·refine_factor``
+    candidates, then the full-precision vectors rescore exactly those
+    candidates and the top-k is re-ranked on exact distances. Same
+    result contract as ``knn_search`` (rank order, sentinel pad).
+
+    This is THE 100 TB retrieval shape: the corpus-sized scan touches m
+    bytes/vector (the code table); full-precision vectors are read only
+    for the nq·k·refine_factor candidate rows, fetched through a
+    broadcast semi-join on the candidate ids — the big table is never
+    shuffled, and AQE keeps the probe side broadcast-sized by
+    construction (candidates ≪ corpus).
+    """
+    from ..functions.vector import cosine_sim, dot, l2sq
+    from .knn import _finalize
+
+    if metric not in ("l2", "ip"):
+        raise ValueError(f"refine_search supports l2/ip, got {metric!r}")
+    cand = (
+        pq_search(
+            codes, codebooks, queries, k * refine_factor, metric,
+            qid_col=qid_col, qvec_col=qvec_col,
+        )
+        .where(F.col("label") >= 0)
+        .select("qid", "label")
+    )
+    vv = vectors.select(
+        F.col(id_col).cast("long").alias("label"), F.col(vec_col).alias("_vvec")
+    )
+    qq = queries.select(
+        F.col(qid_col).cast("long").alias("qid"), F.col(qvec_col).alias("_qvec")
+    )
+    dist = (
+        l2sq(F.col("_qvec"), F.col("_vvec"))
+        if metric == "l2"
+        else dot(F.col("_qvec"), F.col("_vvec"))
+    )
+    rescored = (
+        F.broadcast(cand)
+        .join(vv, "label")
+        .join(F.broadcast(qq), "qid")
+        .select("qid", "label", dist.alias("distance"))
+    )
+    return _finalize(qq.select("qid"), rescored, k, metric)

@@ -286,3 +286,58 @@ def test_ivfpq_write_partition_pruning(spark, trained, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_refine_search_exact_distances_and_recall(spark, trained):
+    """IndexRefineFlat semantics: refine_search returns EXACT distances
+    (they must agree with brute-force kNN on the same labels), its
+    recall@1 is at least raw ADC's, and with refine_factor covering the
+    whole table it equals exact kNN outright."""
+    from faiss_metal_spark.operators.pq import refine_search
+
+    V, vdf, books, codes = trained
+    rng = np.random.default_rng(41)
+    Q = (V[rng.integers(0, len(V), 6)] + rng.normal(0, 0.1, (6, 16))).astype(
+        np.float32
+    )
+    qdf = queries_df(spark, Q)
+
+    exact = knn_search(vdf, qdf, 10, metric="l2", method="gemm").toPandas()
+    ref = (
+        refine_search(vdf, codes, books, qdf, k=10, refine_factor=8)
+        .toPandas()
+        .sort_values(["qid", "rank"])
+    )
+    raw = pq_search(codes, books, qdf, k=10).toPandas()
+
+    # distances are exact: every (qid, label) refine returns must carry
+    # the brute-force distance for that pair
+    Vd, Qd = V.astype(np.float64), Q.astype(np.float64)
+    for r in ref.itertuples():
+        if r.label >= 0:
+            true = ((Qd[r.qid] - Vd[r.label]) ** 2).sum()
+            assert abs(r.distance - true) < 1e-9
+
+    def rec1(df):
+        hits = 0
+        for qid in range(6):
+            t = exact[(exact["qid"] == qid) & (exact["rank"] == 0)]["label"].iloc[0]
+            g = df[(df["qid"] == qid) & (df["rank"] == 0)]["label"].iloc[0]
+            hits += int(t == g)
+        return hits
+
+    assert rec1(ref) >= rec1(raw)
+
+    # refine_factor spanning the whole table ⇒ identical to exact kNN
+    full = (
+        refine_search(vdf, codes, books, qdf, k=5, refine_factor=len(V) // 5 + 1)
+        .orderBy("qid", "rank")
+        .toPandas()
+    )
+    want = knn_search(vdf, qdf, 5, metric="l2", method="gemm").orderBy(
+        "qid", "rank"
+    ).toPandas()
+    assert (full["label"].to_numpy() == want["label"].to_numpy()).all()
+    np.testing.assert_allclose(
+        full["distance"].to_numpy(), want["distance"].to_numpy(), atol=1e-9
+    )
