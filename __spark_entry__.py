@@ -1187,15 +1187,39 @@ FROM g GROUP BY user_id, sid
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup, batch + incremental tagged: 'full' rows are the
+    whole-corpus digest groupBy; 'incr' rows replay ingestion as a
+    delta — docs with doc_id ≥ 250 arrive against the digest index of
+    docs < 250, are deduped delta-internally, and anti-joined against
+    the index (the existing corpus is never rescanned)."""
+    from faiss_metal_spark.operators.dedup import incremental_dedup
+
     d = _t(spark, sf_dir, "documents")
     key = F.concat_ws(" ", F.slice(F.split("text", " "), 1, 3))
-    return exact_dedup(d, key, id_col="doc_id")
+    full = exact_dedup(d, key, id_col="doc_id").select(
+        F.lit("full").alias("kind"), "dup_key", "n_dups", "keeper"
+    )
+    seen = d.where(F.col("doc_id") < 250).select(key.alias("dup_key")).distinct()
+    incr = incremental_dedup(
+        d.where(F.col("doc_id") >= 250), seen, key, id_col="doc_id"
+    ).select(F.lit("incr").alias("kind"), "dup_key", "n_dups", "keeper")
+    return full.unionByName(incr)
 
 
 ORACLE_DEDUP_EXACT = """
-SELECT array_to_string(string_split(text, ' ')[1:3], ' ') AS dup_key,
+SELECT 'full' AS kind, array_to_string(string_split(text, ' ')[1:3], ' ') AS dup_key,
        COUNT(*) AS n_dups, MIN(doc_id) AS keeper
-FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+FROM documents GROUP BY 2 HAVING COUNT(*) > 1
+UNION ALL
+SELECT 'incr', dup_key, n_dups, keeper FROM (
+  SELECT array_to_string(string_split(text, ' ')[1:3], ' ') AS dup_key,
+         COUNT(*) AS n_dups, MIN(doc_id) AS keeper
+  FROM documents WHERE doc_id >= 250 GROUP BY 1
+) s
+WHERE s.dup_key NOT IN (
+  SELECT array_to_string(string_split(text, ' ')[1:3], ' ')
+  FROM documents WHERE doc_id < 250
+)
 """
 
 

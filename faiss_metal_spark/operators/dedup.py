@@ -581,3 +581,31 @@ def semantic_dedup(
         )
         .withColumn("keep", (F.col("group") == F.col("id")).cast("int"))
     )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    seen_keys: DataFrame,
+    key: Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Delta-batch exact dedup against an existing corpus digest index —
+    the incremental form of :func:`exact_dedup`. Dedupes the delta
+    internally (min id per key), then anti-joins the surviving keys
+    against ``seen_keys`` (one ``dup_key`` column — the digest index of
+    everything already ingested). Returns ``(dup_key, n_dups, keeper)``
+    for delta rows that are genuinely new; ``n_dups`` counts the
+    delta-internal collapse.
+
+    The 100 TB property: the existing corpus is NEVER rescanned — only
+    its digest index is touched, and the join runs digest-against-digest
+    (16-byte keys, never text). Keep the index bucketed on dup_key and
+    the anti-join is shuffle-free on the index side; a small delta
+    broadcasts instead (AQE picks at runtime).
+    """
+    delta = new_docs.select(key.alias("dup_key"), F.col(id_col).alias("_id"))
+    survivors = delta.groupBy("dup_key").agg(
+        F.count(F.lit(1)).alias("n_dups"), F.min("_id").alias("keeper")
+    )
+    seen = seen_keys.select(F.col(seen_keys.columns[0]).alias("dup_key"))
+    return survivors.join(seen, "dup_key", "left_anti")

