@@ -354,6 +354,28 @@ class VectorTable:
             compute="f32" if self.storage != STORAGE_FP32 else "auto",
         )
 
+    def range_search(
+        self, queries: DataFrame, radius: float, method: str = "auto",
+        qid_col: str = "qid", qvec_col: str = "vec",
+        params: SearchParams | None = None,
+    ) -> DataFrame:
+        """All neighbors within ``radius`` — faiss::Index::range_search,
+        which the reference inherits but never overrides (the base class
+        throws); first-class here. Returns (qid, label, distance),
+        unordered, no sentinels."""
+        from .operators.knn import range_search as _range_search
+
+        metric = self.metric
+        if params is not None:
+            metric = params.metric or metric
+            method = params.method or method
+        if self.compact and method == "auto":
+            method = "gemm"
+        return _range_search(
+            self.df, queries, radius, metric=metric, method=method,
+            qid_col=qid_col, qvec_col=qvec_col, vec_format=self._vec_format,
+        )
+
     def search_numpy(
         self, x: np.ndarray, k: int, method: str = "auto",
         params: SearchParams | None = None,

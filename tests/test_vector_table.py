@@ -254,3 +254,31 @@ def test_search_params_override(spark):
     D_l2, _ = vt.search_numpy(q, k=5, params=SearchParams())
     D_plain, _ = vt.search_numpy(q, k=5)
     assert vt.metric == "l2" and np.allclose(D_l2, D_plain)
+
+
+def test_vector_table_range_search_matches_operator(spark):
+    """VectorTable.range_search honors storage format and matches the
+    operator on an fp16-compact table (quantized values, f32-decoded
+    operands), with self at distance 0 inside any positive radius."""
+    import numpy as np
+
+    from faiss_metal_spark import VectorTable
+
+    rng = np.random.default_rng(9)
+    V = rng.normal(size=(200, 24)).astype(np.float32)
+    vt = VectorTable(spark, d=24, storage="fp16", compact=True).add_numpy(V)
+    qdf = spark.createDataFrame(
+        [(int(i), V[i].tolist()) for i in range(4)],
+        schema="qid long, vec array<float>",
+    )
+    got = vt.range_search(qdf, radius=5.0).toPandas()
+    # every query finds itself (fp16 round-trip keeps self-distance ~0 < 5)
+    selfs = got[got["qid"] == got["label"]]
+    assert len(selfs) == 4 and (selfs["distance"] < 1e-2).all()
+    # agrees with exact top-k over the same table: any top-k hit with
+    # distance < radius must appear in the range result
+    top = vt.search(qdf, k=10).toPandas()
+    pairs = {(int(r.qid), int(r.label)) for r in got.itertuples()}
+    for r in top.itertuples():
+        if r.label >= 0 and r.distance < 5.0:
+            assert (int(r.qid), int(r.label)) in pairs
