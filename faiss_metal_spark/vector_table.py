@@ -284,6 +284,57 @@ class VectorTable:
         self._next_id = 0
         return self
 
+    def remove_ids(self, ids) -> int:
+        """≙ faiss::IndexFlat::remove_ids with an IDSelectorBatch —
+        inherited-but-unusable in the reference (the base implementation
+        mutates CPU storage the Metal index does not read). FAISS
+        compaction semantics: surviving vectors keep their order and
+        ids above a removed slot shift down. Returns n_removed.
+
+        Scale shape: the removal list (an explicit batch, small by
+        construction — like FAISS's selector) broadcasts; the new id is
+        ``id − |{removed < id}|`` computed with an array HOF — a pure
+        projection over one scan, no window, no shuffle.
+        """
+        batch = sorted({int(i) for i in ids})
+        if not batch:
+            return 0
+        existing = self.df.where(
+            F.col("id").isin(batch)
+        ).count()
+        arr = F.array(*[F.lit(i) for i in batch])
+        shift = F.size(F.filter(arr, lambda x: x < F.col("id")))
+        self.unpersist()
+        self.df = (
+            self.df.where(~F.col("id").isin(batch))
+            .withColumn("id", (F.col("id") - shift).cast("long"))
+        )
+        self._next_id -= existing
+        return existing
+
+    def merge_from(self, other: "VectorTable") -> "VectorTable":
+        """≙ faiss::Index::merge_from: append the other index's vectors
+        (ids continue sequentially in the other's id order) and empty
+        it. Requires matching dimension/metric/storage. A pure union —
+        the other table's ids are re-based by a constant offset, no
+        shuffle, no window."""
+        if (other.d, other.metric, other.storage, other.compact) != (
+            self.d, self.metric, self.storage, self.compact
+        ):
+            raise ValueError("merge_from requires identical table configuration")
+        offset = self._next_id
+        moved = other.df.select(
+            (F.col("id") + F.lit(offset)).cast("long").alias("id"),
+            "vec",
+            "norm_sq",
+        )
+        n_other = other.ntotal
+        self.unpersist()
+        self.df = self.df.unionByName(moved)
+        self._next_id = offset + n_other
+        other.reset()
+        return self
+
     def reconstruct(self, key: int) -> np.ndarray:
         rows = self.df.where(F.col("id") == key).select("vec").collect()
         if not rows:

@@ -282,3 +282,51 @@ def test_vector_table_range_search_matches_operator(spark):
     for r in top.itertuples():
         if r.label >= 0 and r.distance < 5.0:
             assert (int(r.qid), int(r.label)) in pairs
+
+
+def test_remove_ids_compacts_like_faiss(spark):
+    """remove_ids shifts surviving ids down (IndexFlat compaction):
+    after removing {1, 3} from 6 vectors, old vector 2 is id 1, old 4
+    is id 2, old 5 is id 3; n_removed counts only existing ids; the
+    plan stays a windowless projection."""
+    import numpy as np
+
+    from faiss_metal_spark import VectorTable
+
+    V = np.arange(24, dtype=np.float32).reshape(6, 4)
+    vt = VectorTable(spark, d=4).add_numpy(V)
+    n = vt.remove_ids([1, 3, 99])
+    assert n == 2
+    assert vt.ntotal == 4
+    expect = {0: V[0], 1: V[2], 2: V[4], 3: V[5]}
+    for new_id, vec in expect.items():
+        np.testing.assert_array_equal(vt.reconstruct(new_id), vec)
+    # subsequent adds continue from the compacted count
+    vt.add_numpy(V[:1])
+    np.testing.assert_array_equal(vt.reconstruct(4), V[0])
+    assert vt.remove_ids([]) == 0
+
+
+def test_merge_from_moves_and_resets(spark):
+    """merge_from appends the other table's vectors with sequential ids
+    and empties it; mismatched configuration raises."""
+    import numpy as np
+    import pytest as _pytest
+
+    from faiss_metal_spark import VectorTable
+
+    A = np.random.default_rng(1).normal(size=(5, 8)).astype(np.float32)
+    B = np.random.default_rng(2).normal(size=(3, 8)).astype(np.float32)
+    ta = VectorTable(spark, d=8).add_numpy(A)
+    tb = VectorTable(spark, d=8).add_numpy(B)
+    ta.merge_from(tb)
+    assert ta.ntotal == 8 and tb.ntotal == 0
+    np.testing.assert_array_equal(ta.reconstruct(5), B[0])
+    np.testing.assert_array_equal(ta.reconstruct(7), B[2])
+    # search still self-consistent across the merge boundary
+    D, L = ta.search_numpy(np.vstack([A[0], B[1]]), k=1)
+    assert L[0, 0] == 0 and L[1, 0] == 6
+
+    tc = VectorTable(spark, d=8, storage="fp16")
+    with _pytest.raises(ValueError, match="identical table configuration"):
+        ta.merge_from(tc)
