@@ -1,0 +1,172 @@
+"""Continuous top-k: standing queries over a GROWING vector stream.
+
+The dual of ``knn_stream`` (stream of queries × static table): here the
+table is the stream — vectors arrive continuously (a corpus being
+ingested) and a fixed query set keeps its top-k current at every
+micro-batch. This is the reference's add()-then-search() loop
+(/root/reference/tests/test_metal_flat.mm add/search cycles) turned into
+one incremental dataflow: no re-scan of old vectors, ever.
+
+Two stages, both bounded:
+
+1. **stateless partial top-k** per micro-batch — the same broadcast-
+   queries + per-Arrow-batch GEMM + running top-k used by the batch gemm
+   path, emitting ≤ nq·k candidate rows per batch;
+2. **keyed state merge** — ``applyInPandasWithState`` folds each
+   batch's candidates into a per-qid value state holding exactly k
+   (label, distance) pairs. State size is nq·k·16 bytes regardless of
+   how much of the corpus has streamed by. (The Spark 4
+   ``transformWithStateInPandas`` API expresses the same processor;
+   this container's Python runtime lacks the protobuf stack its state
+   protocol needs, so the GroupState form is the portable choice.)
+
+Emitted rows carry ``n_seen`` (vectors folded into that qid's state so
+far) so a consumer — and the stream≡batch test — can identify the final
+snapshot.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ..operators.knn import _better_is_min, _collect_queries
+
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("qid", T.LongType()),
+        T.StructField("rank", T.IntegerType()),
+        T.StructField("label", T.LongType()),
+        T.StructField("distance", T.DoubleType()),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+_PARTIAL_SCHEMA = T.StructType(
+    [
+        T.StructField("qid", T.LongType()),
+        T.StructField("label", T.LongType()),
+        T.StructField("distance", T.DoubleType()),
+        T.StructField("chunk", T.StringType()),
+        T.StructField("n_chunk", T.LongType()),
+    ]
+)
+
+
+def continuous_topk(
+    vector_stream: DataFrame,
+    queries: DataFrame,
+    k: int,
+    metric: str = "l2",
+    id_col: str = "id",
+    vec_col: str = "vec",
+    qid_col: str = "qid",
+    qvec_col: str = "vec",
+) -> DataFrame:
+    """Wire a streaming vector DataFrame into per-query running top-k.
+
+    ``queries`` is a small static DataFrame (collected and broadcast —
+    the dim-table discipline of the batch gemm path). Returns a
+    streaming DataFrame of (qid, rank, label, distance, n_seen) in
+    update mode: each micro-batch emits the refreshed top-k for every
+    standing query.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if metric not in ("l2", "ip", "cosine", "l1"):
+        raise ValueError(f"unknown metric {metric!r}")
+    want_min = _better_is_min(metric)
+    q = queries.select(
+        F.col(qid_col).cast("long").alias("qid"), F.col(qvec_col).alias("qvec")
+    )
+    qids, Q = _collect_queries(q)
+    spark = vector_stream.sparkSession
+    bc = spark.sparkContext.broadcast((qids, Q))
+    sign = 1.0 if want_min else -1.0
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, Q_ = bc.value
+        qn = (Q_ * Q_).sum(axis=1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            labels = pdf[id_col].to_numpy(np.int64)
+            if metric == "l1":
+                D = np.abs(Q_[:, None, :] - V[None, :, :]).sum(axis=-1)
+            else:
+                G = Q_ @ V.T
+                if metric == "l2":
+                    D = qn[:, None] + (V * V).sum(axis=1)[None, :] - 2.0 * G
+                    np.maximum(D, 0.0, out=D)
+                elif metric == "cosine":
+                    denom = (
+                        np.sqrt(qn)[:, None]
+                        * np.sqrt((V * V).sum(axis=1))[None, :]
+                    )
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        D = np.where(denom > 0, G / denom, 0.0)
+                else:
+                    D = G
+            kk = min(k, D.shape[1])
+            idx = (
+                np.argpartition(sign * D, kk - 1, axis=1)[:, :kk]
+                if kk < D.shape[1]
+                else np.argsort(sign * D, axis=1)
+            )
+            # every nonempty chunk emits ≥1 row per query, so counting
+            # distinct chunk ids downstream counts every vector once
+            import uuid
+
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(qids_, idx.shape[1]),
+                    "label": labels[idx].ravel(),
+                    "distance": np.take_along_axis(D, idx, axis=1).ravel(),
+                    "chunk": uuid.uuid4().hex,
+                    "n_chunk": np.int64(len(labels)),
+                }
+            )
+
+    candidates = vector_stream.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias(vec_col)
+    ).mapInPandas(partial, _PARTIAL_SCHEMA)
+
+    def merge(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        prev = state.get if state.exists else None
+        lbl = np.asarray(prev[0], np.int64) if prev else np.empty(0, np.int64)
+        dst = np.asarray(prev[1], np.float64) if prev else np.empty(0, np.float64)
+        seen = int(prev[2]) if prev else 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            seen += int(pdf.drop_duplicates("chunk")["n_chunk"].sum())
+            lbl = np.concatenate([lbl, pdf["label"].to_numpy(np.int64)])
+            dst = np.concatenate([dst, pdf["distance"].to_numpy(np.float64)])
+        order = np.lexsort((lbl, sign * dst))[: min(k, len(lbl))]
+        lbl, dst = lbl[order], dst[order]
+        state.update((lbl.tolist(), dst.tolist(), seen))
+        yield pd.DataFrame(
+            {
+                "qid": np.repeat(np.int64(key[0]), len(lbl)),
+                "rank": np.arange(len(lbl), dtype=np.int32),
+                "label": lbl,
+                "distance": dst,
+                "n_seen": np.int64(seen),
+            }
+        )
+
+    return candidates.groupBy("qid").applyInPandasWithState(
+        merge,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType="labels array<bigint>, dists array<double>, n_seen bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -198,3 +198,56 @@ def test_dedup_stream_equals_batch(spark, tmp_path):
     )
     got = {r["text"] for r in spark.sql("SELECT text FROM dedup_t").collect()}
     assert got == expect
+
+
+def test_continuous_topk_equals_batch(spark, tmp_path):
+    """Standing queries over a growing vector stream: after the last
+    micro-batch, every query's state (rows with n_seen == nv) must
+    equal batch knn_search over the full table — the incremental
+    add-then-search loop with no re-scan."""
+    import numpy as np
+
+    from faiss_metal_spark.operators.knn import knn_search
+    from faiss_metal_spark.streaming.continuous_topk import continuous_topk
+    from faiss_metal_spark.streaming.ops import run_to_memory
+    from tests.conftest import make_fixture, queries_df, vectors_df
+
+    V, Q = make_fixture(nv=300, nq=6, d=16)
+    qdf = queries_df(spark, Q)
+
+    vdir = tmp_path / "vecs"
+    for i in range(3):
+        sl = slice(i * 100, (i + 1) * 100)
+        vectors_df(spark, V[sl]).withColumn(
+            "id", F.col("id") + F.lit(i * 100)
+        ).coalesce(1).write.mode("append").parquet(str(vdir))
+
+    stream = (
+        spark.readStream.schema("id long, vec array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(vdir))
+    )
+    out = continuous_topk(stream, qdf, k=5, metric="l2")
+    run_to_memory(
+        out, "ctopk", str(tmp_path / "cp_ctopk"), output_mode="update"
+    )
+    got = spark.sql("select * from ctopk").toPandas()
+    # intermediate snapshots exist (the stream emitted before the end)
+    assert (got["n_seen"] < 300).any()
+    final = (
+        got[got["n_seen"] == 300]
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    want = (
+        knn_search(vectors_df(spark, V), qdf, 5, metric="l2", method="gemm")
+        .orderBy("qid", "rank")
+        .toPandas()
+    )
+    assert len(final) == 6 * 5
+    np.testing.assert_array_equal(
+        final["label"].to_numpy(), want["label"].to_numpy()
+    )
+    np.testing.assert_allclose(
+        final["distance"].to_numpy(), want["distance"].to_numpy(), rtol=1e-12
+    )
