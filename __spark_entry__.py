@@ -116,6 +116,60 @@ def _knn_query(metric: str, qlo: int, qhi: int, k: int, method: str):
     return run
 
 
+def q_knn_highk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k>32 selection plus hybrid filtered search, tagged: 'highk' rows
+    are the k=64 gemm-path case (§2.4's warning case, value-checked);
+    'filtered' rows are metadata-predicate kNN — the corpus is
+    restricted to label ∈ {1, 3} BEFORE search, so the predicate prunes
+    the scan (Catalyst pushes it into the parquet reader under the
+    mapInPandas stage) and every result honors the filter."""
+    emb = _t(spark, sf_dir, "embeddings")
+    highk = _knn_query("l2", 0, 4, 64, "gemm")(spark, sf_dir).select(
+        F.lit("highk").alias("kind"), "qid", "rank", "label", "distance"
+    )
+    queries = emb.where(F.col("vec_id") < 4)
+    res = knn_search(
+        emb.where(F.col("label").isin(1, 3)), queries, 10,
+        metric="l2", method="gemm",
+        id_col="vec_id", vec_col="embedding",
+        qid_col="vec_id", qvec_col="embedding",
+    )
+    filt = res.select(
+        F.lit("filtered").alias("kind"), "qid", "rank", "label",
+        _norm(F.col("distance"), 4).alias("distance"),
+    )
+    return highk.unionByName(filt)
+
+
+def _oracle_knn_highk_filtered() -> str:
+    return """
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 4
+), d AS (
+  SELECT q.qid, v.vec_id AS label, v.label AS vlabel,
+         GREATEST(list_inner_product(q.qv::DOUBLE[], q.qv::DOUBLE[])
+           + list_inner_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[])
+           - 2 * list_inner_product(q.qv::DOUBLE[], v.embedding::DOUBLE[]), 0.0) AS dist
+  FROM q CROSS JOIN embeddings v
+), r AS (
+  SELECT qid, label, dist,
+         row_number() OVER (PARTITION BY qid ORDER BY dist ASC, label ASC) - 1 AS rank
+  FROM d
+), r2 AS (
+  SELECT qid, label, dist,
+         row_number() OVER (PARTITION BY qid ORDER BY dist ASC, label ASC) - 1 AS rank
+  FROM d WHERE vlabel IN (1, 3)
+)
+SELECT 'highk' AS kind, CAST(qid AS BIGINT) AS qid, CAST(rank AS INTEGER) AS rank,
+       CAST(label AS BIGINT) AS label, ROUND(dist, 4) + 0.0 AS distance
+FROM r WHERE rank < 64
+UNION ALL
+SELECT 'filtered', CAST(qid AS BIGINT), CAST(rank AS INTEGER),
+       CAST(label AS BIGINT), ROUND(dist, 4) + 0.0
+FROM r2 WHERE rank < 10
+"""
+
+
 def q_knn_l2_sql_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The declarative-path family in one tagged result: 'knn' rows are
     sql-path top-10 L2 (rank 0..9); 'rng_sql' and 'rng_gemm' rows are
@@ -2526,7 +2580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- vector search (the reference's core) -----------------------
         "knn_metrics": q_knn_metrics,
         "knn_l2_sql": q_knn_l2_sql_range,
-        "knn_highk": _knn_query("l2", 0, 4, 64, "gemm"),
+        "knn_highk": q_knn_highk_filtered,
         "knn_join": q_knn_join,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -2582,7 +2636,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_audio": ORACLE_MM_AUDIO,
         "knn_metrics": _oracle_knn_metrics(),
         "knn_l2_sql": _oracle_knn_l2_sql_range(),
-        "knn_highk": _knn_oracle("l2", 0, 4, 64),
+        "knn_highk": _oracle_knn_highk_filtered(),
         "knn_join": _knn_oracle("l2", 0, 64, 10),
         "ann_lsh": _oracle_ann_lsh(),
         # ann_ivf / ann_pq: FIXED quantizers (first-n embedding rows),

@@ -133,3 +133,34 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_filtered_knn_pushes_predicate(spark):
+    """Hybrid filtered search: a metadata predicate applied before
+    knn_search must reach the parquet scan as PushedFilters (the scan
+    prunes BEFORE the GEMM stage ever sees a row)."""
+    from pyspark.sql import functions as F
+
+    from faiss_metal_spark.operators.knn import knn_search
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 2)
+    res = knn_search(
+        emb.where(F.col("label").isin(1, 3)), queries, 5,
+        metric="l2", method="gemm",
+        id_col="vec_id", vec_col="embedding",
+        qid_col="vec_id", qvec_col="embedding",
+    )
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    pushed = [
+        seg for seg in plan.split("PushedFilters: ")[1:]
+        if "label" in seg.split("]")[0]
+    ]
+    assert pushed, f"label filter not pushed to scan:\n{plan[:2000]}"
+    got = res.toPandas()
+    lab = {
+        r["vec_id"]: r["label"]
+        for r in emb.select("vec_id", "label").collect()
+    }
+    real = got[got["label"] >= 0]
+    assert set(lab[l] for l in real["label"]) <= {1, 3}
