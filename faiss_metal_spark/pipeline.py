@@ -318,10 +318,15 @@ def mixture_sample(
     mixtures can be re-weighted without resampling churn. Any SQL
     engine reproduces the assignment with a string comparison.
     """
+    for name, frac in {"default_rate": default_rate, **rates}.items():
+        if not (0.0 <= frac <= 1.0):
+            raise ValueError(f"rate {name}={frac} outside [0, 1]")
     b = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
 
     def below(frac: float):
         hi = min(int(round(frac * 256)), 256)
+        if hi <= 0:
+            return F.lit(False)
         return F.lit(True) if hi >= 256 else b < F.lit(format(hi, "02x"))
 
     keep = below(default_rate)

@@ -593,3 +593,41 @@ def test_incremental_dedup(spark):
     } | {"d d d"}  # singleton groups aren't emitted by exact_dedup
     incr_keys = {r["dup_key"] for r in got} | {r["dup_key"] for r in seen.collect()}
     assert incr_keys >= full_keys
+
+
+def test_new_ops_edge_cases(spark):
+    """Empty/degenerate inputs for the round-5 operators: empty corpus
+    through shard_pack, pair-free semantic_dedup (every row keeps),
+    empty delta through incremental_dedup, and mixture_sample rate
+    validation."""
+    import numpy as np
+
+    from faiss_metal_spark.operators.dedup import incremental_dedup, semantic_dedup
+    from faiss_metal_spark.pipeline import mixture_sample, shard_pack
+
+    empty = spark.createDataFrame([], schema="doc_id long, text string")
+    assert shard_pack(empty, n_shards=4, seq_len=64).count() == 0
+    assert (
+        incremental_dedup(
+            empty, empty.select(F.col("text").alias("dup_key")), F.col("text")
+        ).count()
+        == 0
+    )
+
+    with pytest.raises(ValueError, match="outside"):
+        mixture_sample(empty, {"g": 1.5})
+    with pytest.raises(ValueError, match="outside"):
+        mixture_sample(empty, {}, default_rate=-0.1)
+
+    # orthogonal-ish vectors, high threshold -> zero pairs, all keep
+    rng = np.random.default_rng(7)
+    V = rng.normal(size=(40, 16)).astype("float32")
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(40), "embedding": [v.tolist() for v in V]}),
+        schema="vec_id long, embedding array<float>",
+    )
+    C = rng.normal(size=(4, 16))
+    out = semantic_dedup(emb, C, threshold=0.9999).toPandas()
+    assert len(out) == 40
+    assert (out["keep"] == 1).all()
+    assert (out["group"] == out["id"]).all()
