@@ -742,30 +742,148 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 
 
 def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Conditional aggregation (TPC-H Q12 shape adapted: priority-class
-    counts per linestatus instead of shipmode)."""
-    l = _t(spark, sf_dir, "lineitem").where(
+    """Four decision-support shapes in one melted (q, key, value)
+    result: 'q12_high'/'q12_low' are TPC-H Q12 conditional aggregation
+    (priority-class counts per linestatus); 'q4' is the Q4 shape —
+    EXISTS-correlated semi-join (orders with a line shipped after the
+    order date) counted per priority; 'q13' is the Q13 shape — left
+    outer join distribution (how many customers have how many 'F'
+    orders, including zero); 'q21' is the Q21 shape — exists +
+    not-exists correlation (suppliers solely 'blamed' — only supplier
+    with a returned line in a multi-supplier order), top 10."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+
+    l96 = l.where(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
     )
-    o = _t(spark, sf_dir, "orders")
     hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return (
-        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    q12 = (
+        l96.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_linestatus")
         .agg(
             F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
             F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
         )
     )
+    q12m = q12.selectExpr(
+        "stack(2, 'q12_high', l_linestatus, high_line_count,"
+        " 'q12_low', l_linestatus, low_line_count) as (q, key, value)"
+    )
+
+    q4 = (
+        o.join(
+            l,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "leftsemi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("value"))
+        .select(F.lit("q4").alias("q"), F.col("o_orderpriority").alias("key"), "value")
+    )
+
+    per_c = (
+        c.join(
+            o.where(F.col("o_orderstatus") == "F"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    q13 = (
+        per_c.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("value"))
+        .select(
+            F.lit("q13").alias("q"),
+            F.col("c_count").cast("string").alias("key"),
+            "value",
+        )
+    )
+
+    r = (
+        l.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    multi = (
+        l.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("ns"))
+        .where(F.col("ns") >= 2)
+        .select("l_orderkey")
+    )
+    r2 = r.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    sole = (
+        r.join(multi, "l_orderkey")
+        .join(
+            r2,
+            (F.col("o2") == F.col("l_orderkey"))
+            & (F.col("s2") != F.col("l_suppkey")),
+            "left_anti",
+        )
+    )
+    q21 = (
+        sole.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("value"))
+        .orderBy(F.col("value").desc(), F.col("s_name").asc())
+        .limit(10)
+        .select(F.lit("q21").alias("q"), F.col("s_name").alias("key"), "value")
+    )
+
+    return q12m.unionByName(q4).unionByName(q13).unionByName(q21)
 
 
 ORACLE_Q12 = """
-SELECT l_linestatus,
-  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
-FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
-GROUP BY l_linestatus
+WITH q12 AS (
+  SELECT l_linestatus,
+    CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS hi,
+    CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS lo
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_linestatus
+), q4 AS (
+  SELECT o_orderpriority AS key, CAST(COUNT(*) AS BIGINT) AS value
+  FROM orders
+  WHERE EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+  GROUP BY o_orderpriority
+), per_c AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+  GROUP BY c.c_custkey
+), q13 AS (
+  SELECT CAST(c_count AS VARCHAR) AS key, CAST(COUNT(*) AS BIGINT) AS value
+  FROM per_c GROUP BY c_count
+), r AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+), multi AS (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING COUNT(DISTINCT l_suppkey) >= 2
+), sole AS (
+  SELECT r.l_orderkey, r.l_suppkey FROM r JOIN multi USING (l_orderkey)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM r r2
+    WHERE r2.l_orderkey = r.l_orderkey AND r2.l_suppkey != r.l_suppkey)
+), q21 AS (
+  SELECT s_name AS key, CAST(COUNT(*) AS BIGINT) AS value
+  FROM sole JOIN supplier ON s_suppkey = l_suppkey
+  GROUP BY s_name
+  ORDER BY value DESC, s_name ASC
+  LIMIT 10
+)
+SELECT 'q12_high' AS q, l_linestatus AS key, hi AS value FROM q12
+UNION ALL SELECT 'q12_low', l_linestatus, lo FROM q12
+UNION ALL SELECT 'q4', key, value FROM q4
+UNION ALL SELECT 'q13', key, value FROM q13
+UNION ALL SELECT 'q21', key, value FROM q21
 """
 
 
