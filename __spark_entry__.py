@@ -2466,10 +2466,15 @@ FROM ({_oracle_lang_id()}) li JOIN ({ORACLE_TEXT_STATS}) ts USING (lang)
 def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text analysis in ONE scan: token counts, quality
     scoring, rolling-hash fingerprint, BPE-ish token count, repeated-
-    3-gram repetition ratio (the boilerplate/spam quality filter)."""
-    from faiss_metal_spark.functions.text import repetition_ratio
+    3-gram repetition ratio (the boilerplate/spam quality filter), and
+    the hashing-trick embedding's dominant lane + value (exercises the
+    text→vector bridge — lane assignment, signed fold — against the
+    SQL oracle; the dense array itself is pinned by pytest vs numpy)."""
+    from faiss_metal_spark.functions.text import hashed_embedding, repetition_ratio
 
     d = _t(spark, sf_dir, "documents")
+    emb = hashed_embedding("text", d=16, normalize=False)
+    top = F.array_max(emb)
     return d.select(
         "doc_id",
         token_count("text").cast("long").alias("n_tokens"),
@@ -2479,6 +2484,8 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_fingerprint("text").alias("fp"),
         bpe_token_count("text").cast("long").alias("n_bpe"),
         _norm(repetition_ratio("text", 3), 4).alias("rep3"),
+        F.array_position(emb, top).cast("long").alias("emb_lane"),
+        top.cast("long").alias("emb_top"),
     )
 
 
@@ -2488,8 +2495,23 @@ WITH t AS (
          [array_to_string(string_split(text, ' ')[i:i+2], ' ')
           FOR i IN range(1, len(string_split(text, ' ')) - 1)] AS grams
   FROM documents
+), hp AS (
+  SELECT doc_id, ({_sql_hash32('x')}) % 16 AS lane,
+         CASE WHEN CAST(FLOOR(({_sql_hash32('x')}) / 65536) AS BIGINT) % 2 = 1
+              THEN 1 ELSE -1 END AS sgn
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS x FROM documents)
+), lanes AS (
+  SELECT d.doc_id, r.lane, COALESCE(SUM(hp.sgn), 0) AS s
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  CROSS JOIN (SELECT unnest(range(16)) AS lane) r
+  LEFT JOIN hp ON hp.doc_id = d.doc_id AND hp.lane = r.lane
+  GROUP BY d.doc_id, r.lane
+), etop AS (
+  SELECT doc_id, lane, s,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lane ASC) AS rn
+  FROM lanes
 )
-SELECT doc_id, len(toks) AS n_tokens,
+SELECT t.doc_id, len(toks) AS n_tokens,
   ROUND(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 4) + 0.0 AS distinct_ratio,
   ROUND(list_sum([length(x) FOR x IN toks]) / CAST(len(toks) AS DOUBLE), 4) + 0.0 AS avg_token_len,
   ROUND(0.4 * (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE))
@@ -2503,8 +2525,10 @@ SELECT doc_id, len(toks) AS n_tokens,
   len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe,
   ROUND(CASE WHEN len(toks) >= 3
              THEN 1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE)
-             ELSE 0.0 END, 4) + 0.0 AS rep3
-FROM t
+             ELSE 0.0 END, 4) + 0.0 AS rep3,
+  CAST(etop.lane + 1 AS BIGINT) AS emb_lane,
+  CAST(etop.s AS BIGINT) AS emb_top
+FROM t JOIN etop ON etop.doc_id = t.doc_id AND etop.rn = 1
 """
 
 

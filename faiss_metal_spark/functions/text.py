@@ -201,3 +201,62 @@ def repetition_ratio(text: Column | str, n: int = 3) -> Column:
         F.lit(1.0)
         - F.size(F.array_distinct(s)).cast("double") / F.size(s).cast("double"),
     ).otherwise(F.lit(0.0))
+
+
+def hashed_embedding(
+    text: Column | str, d: int = 64, normalize: bool = True
+) -> Column:
+    """Dense hashing-trick text embedding (the oracle-able twin of
+    MLlib's HashingTF, signed like feature hashing): lane =
+    hash32(token) mod d, sign = bit 16 of the hash (independent of the
+    lane bits), vec[i] = Σ signs of tokens in lane i, optionally
+    L2-normalized.
+
+    A pure projection — no explode, no shuffle; O(d·T) codegen
+    arithmetic per row after ONE md5 pass per token. Every expensive
+    intermediate (the pair array, the raw vector, the norm) is bound
+    once as a lambda variable via the 1-element-array trick — the same
+    HOF re-evaluation hazard :func:`winnow_fingerprints` documents.
+    This is the bridge from the text stack to the vector stack:
+    documents become ``array<double>`` embeddings that every kNN / ANN
+    / dedup operator in the engine accepts directly.
+    """
+    t = tokens(text)
+
+    def mk(x: Column) -> Column:
+        v = token_hash32(x)
+        return F.struct(
+            F.pmod(v, F.lit(d)).cast("int").alias("lane"),
+            F.when(
+                F.shiftright(v, 16).bitwiseAND(F.lit(1)) == 1, F.lit(1.0)
+            ).otherwise(F.lit(-1.0)).alias("sign"),
+        )
+
+    pairs = F.transform(t, mk)
+
+    def fold(p: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(d - 1)),
+            lambda i: F.aggregate(
+                p,
+                F.lit(0.0),
+                lambda acc, x: acc
+                + F.when(x["lane"] == i.cast("int"), x["sign"]).otherwise(
+                    F.lit(0.0)
+                ),
+            ),
+        )
+
+    raw = F.get(F.transform(F.array(pairs), fold), 0)
+    if not normalize:
+        return raw
+
+    def normed(r: Column) -> Column:
+        nrm = F.sqrt(F.aggregate(r, F.lit(0.0), lambda a, v: a + v * v))
+
+        def with_n(nv: Column) -> Column:
+            return F.when(nv > 0, F.transform(r, lambda v: v / nv)).otherwise(r)
+
+        return F.get(F.transform(F.array(nrm), with_n), 0)
+
+    return F.get(F.transform(F.array(raw), normed), 0)

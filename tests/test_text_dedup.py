@@ -631,3 +631,66 @@ def test_new_ops_edge_cases(spark):
     assert len(out) == 40
     assert (out["keep"] == 1).all()
     assert (out["group"] == out["id"]).all()
+
+
+def test_hashed_embedding_matches_numpy_and_is_local(spark):
+    """hashed_embedding ≡ a numpy reference of the same hashing trick
+    (md5 lane + sign-bit fold), unit-norm when normalized, near-dup
+    texts land close in cosine while unrelated texts don't, and the
+    plan is a pure projection (zero shuffles)."""
+    import hashlib
+
+    import numpy as np
+
+    from faiss_metal_spark.functions.text import hashed_embedding
+    from faiss_metal_spark.plans.report import assert_plan
+
+    texts = [
+        BASE,
+        BASE.replace("lazy", "sleepy"),
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa mu nu",
+    ]
+    d = 32
+    df = docs_df(spark, texts).select(
+        "doc_id", hashed_embedding("text", d=d).alias("emb")
+    )
+    assert_plan(df, max_shuffles=0)
+    got = {r["doc_id"]: np.asarray(r["emb"]) for r in df.collect()}
+
+    def ref(text):
+        v = np.zeros(d)
+        for tok in text.split(" "):
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+            v[h % d] += 1.0 if (h >> 16) & 1 else -1.0
+        n = np.linalg.norm(v)
+        return v / n if n > 0 else v
+
+    for i, text in enumerate(texts):
+        np.testing.assert_allclose(got[i], ref(text), atol=1e-12)
+        assert abs(np.linalg.norm(got[i]) - 1.0) < 1e-9
+
+    cos = lambda a, b: float(a @ b)  # noqa: E731  (unit vectors)
+    assert cos(got[0], got[1]) > 0.8          # near-duplicate texts
+    assert cos(got[0], got[2]) < cos(got[0], got[1]) - 0.2  # unrelated
+
+
+def test_hashed_embedding_feeds_knn(spark):
+    """The text→vector bridge composes with the search stack: kNN over
+    hashed embeddings ranks the near-duplicate of a query text first."""
+    from faiss_metal_spark.functions.text import hashed_embedding
+    from faiss_metal_spark.operators.knn import knn_search
+
+    texts = [
+        BASE,
+        BASE.replace("lazy", "sleepy"),
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa mu nu",
+        "uno dos tres cuatro cinco seis siete ocho nueve diez once doce",
+    ]
+    emb = docs_df(spark, texts).select(
+        F.col("doc_id").alias("id"),
+        hashed_embedding("text", d=64).cast("array<float>").alias("vec"),
+    )
+    q = emb.where("id = 0").selectExpr("id as qid", "vec")
+    res = knn_search(emb, q, 2, metric="cosine", method="gemm").toPandas()
+    assert res[res["rank"] == 0]["label"].iloc[0] == 0  # self first
+    assert res[res["rank"] == 1]["label"].iloc[0] == 1  # near-dup second
