@@ -1130,14 +1130,33 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ndocs = d.agg(F.count(F.lit(1)).alias("n_docs"))
     score = F.col("tf") * F.log(F.col("n_docs") / F.col("df"))
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
-    return (
+    tfidf = (
         tf.join(dfreq, "term")
         .crossJoin(F.broadcast(ndocs))
         .withColumn("score", score)
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") == 1)
-        .select("doc_id", F.col("term").alias("top_term"), _norm(F.col("score"), 4).alias("tfidf"))
+        .select(
+            F.lit("tfidf").alias("kind"),
+            "doc_id",
+            F.col("term").alias("key"),
+            _norm(F.col("score"), 4).alias("x"),
+        )
     )
+    # BM25 relevance for a fixed query — the lexical/sparse half of
+    # hybrid retrieval, scored by operators/text_search.py
+    from faiss_metal_spark.operators.text_search import bm25_scores
+
+    bm = bm25_scores(d, _BM25_TERMS).select(
+        F.lit("bm25").alias("kind"),
+        "doc_id",
+        F.col("n_hit").cast("string").alias("key"),
+        _norm(F.col("score"), 4).alias("x"),
+    )
+    return tfidf.unionByName(bm)
+
+
+_BM25_TERMS = ["join", "query", "table"]
 
 
 ORACLE_TFIDF = """
@@ -1153,8 +1172,35 @@ r AS (
   SELECT doc_id, term, score,
          row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
   FROM s
+),
+dl AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents
+),
+avgdl AS (SELECT AVG(dl) AS a FROM dl),
+qt AS (SELECT unnest(['join', 'query', 'table']) AS term),
+btf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM toks JOIN qt USING (term) GROUP BY 1, 2
+),
+bdf AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM btf GROUP BY 1),
+bsc AS (
+  SELECT btf.doc_id, COUNT(*) AS n_hit,
+         SUM(
+           ln(1.0 + (n.n_docs - bdf.df + 0.5) / (bdf.df + 0.5))
+           * (btf.tf * 2.2)
+           / (btf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl.a))
+         ) AS score
+  FROM btf
+  JOIN bdf USING (term)
+  JOIN dl ON dl.doc_id = btf.doc_id
+  CROSS JOIN avgdl CROSS JOIN n
+  GROUP BY btf.doc_id
 )
-SELECT doc_id, term AS top_term, ROUND(score, 4) + 0.0 AS tfidf FROM r WHERE rk = 1
+SELECT 'tfidf' AS kind, doc_id, term AS key, ROUND(score, 4) + 0.0 AS x
+FROM r WHERE rk = 1
+UNION ALL
+SELECT 'bm25', doc_id, CAST(n_hit AS VARCHAR), ROUND(score, 4) + 0.0
+FROM bsc
 """
 
 

@@ -694,3 +694,45 @@ def test_hashed_embedding_feeds_knn(spark):
     res = knn_search(emb, q, 2, metric="cosine", method="gemm").toPandas()
     assert res[res["rank"] == 0]["label"].iloc[0] == 0  # self first
     assert res[res["rank"] == 1]["label"].iloc[0] == 1  # near-dup second
+
+
+def test_bm25_semantics(spark):
+    """BM25: non-matching docs are absent; rare terms outscore common
+    ones; more occurrences raise the score; longer docs are penalized
+    at equal tf; scores match a closed-form reference."""
+    import math
+
+    from faiss_metal_spark.operators.text_search import bm25_scores
+
+    texts = [
+        "rare word here",                 # 0: has 'rare'
+        "common stuff common filler",     # 1: has 'common'
+        "common things again",            # 2: has 'common'
+        "common common common yes",       # 3: 'common' x3
+        "totally unrelated text block",   # 4: matches nothing
+        "rare and common mixed content words padding padding padding",  # 5: both, longer
+    ]
+    out = {
+        r["doc_id"]: (r["n_hit"], r["score"])
+        for r in bm25_scores(docs_df(spark, texts), ["rare", "common"]).collect()
+    }
+    assert 4 not in out
+    assert out[5][0] == 2 and all(out[i][0] == 1 for i in (0, 1, 2, 3))
+
+    # closed-form reference
+    N, dls = 6, [3.0, 4.0, 3.0, 4.0, 4.0, 9.0]
+    avgdl = sum(len(t.split()) for t in texts) / N
+
+    def bm(tf, df, dl, k1=1.2, b=0.75):
+        idf = math.log(1 + (N - df + 0.5) / (df + 0.5))
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert abs(out[0][1] - bm(1, 2, 3.0)) < 1e-9            # rare: df=2
+    assert abs(out[3][1] - bm(3, 4, 4.0)) < 1e-9            # common x3: df=4
+    assert abs(out[5][1] - (bm(1, 2, 9.0) + bm(1, 4, 9.0))) < 1e-9
+    # rare (df=2) beats common (df=4) at identical tf and length
+    assert out[0][1] > out[2][1]
+    # higher tf beats lower tf for the same term
+    assert out[3][1] > out[1][1]
+    with pytest.raises(ValueError):
+        bm25_scores(docs_df(spark, texts), [])
