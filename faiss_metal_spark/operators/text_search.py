@@ -97,3 +97,38 @@ def bm25_scores(
         )
     )
     return scored
+
+
+def rrf_fuse(
+    a: DataFrame,
+    b: DataFrame,
+    k: int,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of two
+    ranked result sets — the standard glue of hybrid sparse+dense
+    retrieval (BM25 list + ANN list → one list).
+
+    Inputs carry ``(qid, rank, label)`` (rank 0-based best-first, extra
+    columns ignored; sentinel labels < 0 dropped). Score = Σ_lists
+    1/(c + rank + 1); output is ``(qid, rank, label, rrf)`` re-ranked
+    best-first with deterministic (score desc, label asc) tie-breaks.
+
+    Scale shape: both inputs are result sets (nq·k rows, not corpora) —
+    one union, one groupBy, one window over nq·2k rows.
+    """
+    from pyspark.sql.window import Window
+
+    def prep(df: DataFrame) -> DataFrame:
+        return df.select("qid", "rank", "label").where(F.col("label") >= 0)
+
+    both = prep(a).unionByName(prep(b))
+    scored = both.groupBy("qid", "label").agg(
+        F.sum(1.0 / (F.lit(float(c)) + F.col("rank") + 1.0)).alias("rrf")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("rrf").desc(), F.col("label").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w) - 1)
+        .where(F.col("rank") < k)
+        .select("qid", "rank", "label", "rrf")
+    )

@@ -736,3 +736,72 @@ def test_bm25_semantics(spark):
     assert out[3][1] > out[1][1]
     with pytest.raises(ValueError):
         bm25_scores(docs_df(spark, texts), [])
+
+
+def test_rrf_fuse_hybrid(spark):
+    """RRF fusion: a label ranked well by BOTH lists beats labels each
+    list ranks alone; scores match the closed form; sentinels drop."""
+    from faiss_metal_spark.operators.text_search import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(0, 0, 10), (0, 1, 11), (0, 2, 12), (0, 3, -1)],
+        schema="qid long, rank int, label long",
+    )
+    b = spark.createDataFrame(
+        [(0, 0, 20), (0, 1, 11), (0, 2, 21)],
+        schema="qid long, rank int, label long",
+    )
+    got = {
+        r["label"]: (r["rank"], r["rrf"])
+        for r in rrf_fuse(a, b, k=10).collect()
+    }
+    assert -1 not in got
+    # 11 appears in both lists (ranks 1 and 1) -> top fused result
+    assert got[11][0] == 0
+    assert abs(got[11][1] - 2 / 62) < 1e-12
+    assert abs(got[10][1] - 1 / 61) < 1e-12
+    # single-list entries ordered by their rank, ties by label
+    assert got[10][0] == 1 and got[20][0] == 2
+
+
+def test_hybrid_retrieval_end_to_end(spark):
+    """Full hybrid pipeline: BM25 (sparse) + kNN over hashed embeddings
+    (dense) fused with RRF. A doc that matches the query lexically AND
+    semantically outranks docs strong on only one axis."""
+    from faiss_metal_spark.functions.text import hashed_embedding
+    from faiss_metal_spark.operators.knn import knn_search
+    from faiss_metal_spark.operators.text_search import bm25_scores, rrf_fuse
+    from pyspark.sql.window import Window
+
+    texts = [
+        "spark query engine with fast join and shuffle",   # 0: both axes
+        "query engine internals",                          # 1: lexical only-ish
+        "spark shuffle service deep dive tuning guide",    # 2: semantic-ish
+        "cooking pasta with tomatoes and basil at home",   # 3: neither
+    ]
+    docs = docs_df(spark, texts)
+    qtext = "spark query engine join"
+
+    sparse = (
+        bm25_scores(docs, qtext.split())
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            ) - 1,
+        )
+        .select(F.lit(0).cast("long").alias("qid"), "rank", F.col("doc_id").alias("label"))
+    )
+    emb = docs.select(
+        F.col("doc_id").alias("id"),
+        hashed_embedding("text", d=64).cast("array<float>").alias("vec"),
+    )
+    qdf = spark.createDataFrame([(qtext,)], "text string").select(
+        F.lit(0).cast("long").alias("qid"),
+        hashed_embedding("text", d=64).cast("array<float>").alias("vec"),
+    )
+    dense = knn_search(emb, qdf, 4, metric="cosine", method="gemm")
+
+    fused = rrf_fuse(sparse, dense, k=4).orderBy("rank").toPandas()
+    assert fused["label"].iloc[0] == 0          # strong on both axes
+    assert fused["label"].iloc[-1] == 3         # strong on neither
