@@ -2229,12 +2229,31 @@ SELECT lang, predicted, COUNT(*) AS n FROM p GROUP BY 1, 2
 
 
 def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing (MOSS) fingerprint sets: k-gram hashes → window minima
-    → distinct; any shared run ≥ k+w−1 tokens yields a shared print."""
+    """Fingerprint family, tagged: 'winnow' rows are MOSS winnowing
+    fingerprint sets (k-gram hashes → window minima → distinct; any
+    shared run ≥ k+w−1 tokens yields a shared print, k2 = −1); 'chunk'
+    rows are the RAG-style passage chunking (32-token windows, overlap
+    8): k2 = chunk_id, fp = rolling fingerprint of the chunk text —
+    verifying chunk boundaries, short-tail handling AND per-chunk
+    content in one value."""
+    from faiss_metal_spark.functions.text import chunk_spans, doc_fingerprint
+
     d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", F.explode(winnow_fingerprints("text", k=4, w=5)).alias("fp")
+    winnow = d.select(
+        F.lit("winnow").alias("kind"),
+        "doc_id",
+        F.lit(-1).alias("k2"),
+        F.explode(winnow_fingerprints("text", k=4, w=5)).alias("fp"),
     )
+    ch = d.select(
+        "doc_id", F.explode(chunk_spans("text", chunk=32, overlap=8)).alias("c")
+    ).select(
+        F.lit("chunk").alias("kind"),
+        "doc_id",
+        F.col("c.chunk_id").cast("int").alias("k2"),
+        doc_fingerprint(F.col("c.chunk")).alias("fp"),
+    )
+    return winnow.unionByName(ch)
 
 
 ORACLE_WINNOW = f"""
@@ -2249,8 +2268,29 @@ wins AS (
   SELECT doc_id,
          list_distinct([list_min(hs[i:i+4]) FOR i IN range(1, len(hs) - 3)]) AS fps
   FROM h WHERE len(hs) >= 5
+),
+nch AS (
+  SELECT doc_id, t,
+         GREATEST(1, CAST(CEIL((len(t) - 8) / 24.0) AS INTEGER)) AS n_chunks
+  FROM toks
+),
+chunks AS (
+  SELECT doc_id, i AS k2,
+         array_to_string(t[i * 24 + 1 : i * 24 + 32], ' ') AS chunk
+  FROM nch, UNNEST(range(n_chunks)) AS u(i)
+),
+cfp AS (
+  SELECT doc_id, k2,
+         list_reduce(
+           list_prepend(0::BIGINT,
+             [{_sql_hash32('x')} FOR x IN string_split(chunk, ' ')]),
+           (acc, v) -> (acc * 31 + v) % 2147483647
+         ) AS fp
+  FROM chunks
 )
-SELECT doc_id, unnest(fps) AS fp FROM wins
+SELECT 'winnow' AS kind, doc_id, CAST(-1 AS INTEGER) AS k2, unnest(fps) AS fp FROM wins
+UNION ALL
+SELECT 'chunk', doc_id, CAST(k2 AS INTEGER), fp FROM cfp
 """
 
 

@@ -260,3 +260,44 @@ def hashed_embedding(
         return F.get(F.transform(F.array(nrm), with_n), 0)
 
     return F.get(F.transform(F.array(raw), normed), 0)
+
+
+def chunk_spans(
+    text: Column | str, chunk: int = 32, overlap: int = 8
+) -> Column:
+    """Sliding passage windows over the token stream — the chunking
+    step before embedding long documents (RAG / dense-retrieval
+    pipelines): chunk i covers tokens [i·stride, i·stride + chunk)
+    with stride = chunk − overlap; the last chunk may be short; every
+    document yields ≥ 1 chunk.
+
+    Returns ``array<struct<chunk_id int, n_tok int, chunk string>>`` —
+    explode it for a passage table. Pure Catalyst projection: no
+    shuffle, one tokenization pass (bound once, winnow-style).
+    """
+    if not (0 <= overlap < chunk):
+        raise ValueError(f"need 0 <= overlap < chunk, got {overlap}, {chunk}")
+    stride = chunk - overlap
+    t = tokens(text)
+
+    def mk(ts: Column) -> Column:
+        n_chunks = F.greatest(
+            F.lit(1),
+            F.ceil((F.size(ts) - F.lit(overlap)).cast("double") / F.lit(stride)).cast(
+                "int"
+            ),
+        )
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_id"),
+                F.least(
+                    F.lit(chunk), F.size(ts) - i * F.lit(stride)
+                ).cast("int").alias("n_tok"),
+                F.array_join(
+                    F.slice(ts, i * F.lit(stride) + 1, chunk), " "
+                ).alias("chunk"),
+            ),
+        )
+
+    return F.get(F.transform(F.array(t), mk), 0)

@@ -805,3 +805,34 @@ def test_hybrid_retrieval_end_to_end(spark):
     fused = rrf_fuse(sparse, dense, k=4).orderBy("rank").toPandas()
     assert fused["label"].iloc[0] == 0          # strong on both axes
     assert fused["label"].iloc[-1] == 3         # strong on neither
+
+
+def test_chunk_spans_boundaries(spark):
+    """Chunking invariants: stride = chunk − overlap, every token
+    covered, consecutive chunks overlap by exactly `overlap` (except a
+    short tail), short docs yield one chunk, and bad params raise."""
+    from faiss_metal_spark.functions.text import chunk_spans
+
+    txt = " ".join(f"t{i}" for i in range(50))
+    df = docs_df(spark, [txt, "short doc"]).select(
+        "doc_id", F.explode(chunk_spans("text", chunk=16, overlap=4)).alias("c")
+    ).select("doc_id", "c.chunk_id", "c.n_tok", "c.chunk")
+    rows = df.collect()
+    long = sorted(
+        ((r["chunk_id"], r["n_tok"], r["chunk"].split(" "))
+         for r in rows if r["doc_id"] == 0)
+    )
+    # n_chunks = ceil((50-4)/12) = 4
+    assert [c[0] for c in long] == [0, 1, 2, 3]
+    assert [c[1] for c in long] == [16, 16, 16, 14]
+    for cid, n, toks in long:
+        assert toks == [f"t{i}" for i in range(cid * 12, min(cid * 12 + 16, 50))]
+        assert len(toks) == n
+    # consecutive overlap = 4 tokens
+    assert long[0][2][-4:] == long[1][2][:4]
+    # short doc -> one chunk covering everything
+    short = [r for r in rows if r["doc_id"] == 1]
+    assert len(short) == 1 and short[0]["chunk"] == "short doc"
+
+    with pytest.raises(ValueError):
+        chunk_spans("text", chunk=8, overlap=8)
