@@ -284,6 +284,18 @@ class VectorTable:
         self._next_id = 0
         return self
 
+    def add_with_ids(self, x, ids) -> "VectorTable":
+        """≙ faiss::IndexFlat::add_with_ids — which REFUSES: flat
+        indexes define ids as insertion order ("add_with_ids not
+        implemented for this type of index"). Matching the refusal is
+        part of the contract; use an IDMap-style side table (a join on
+        the dense id) to carry external keys."""
+        raise NotImplementedError(
+            "add_with_ids not implemented for this type of index "
+            "(flat semantics: ids are insertion order); join external "
+            "keys against the dense id instead"
+        )
+
     def remove_ids(self, ids) -> int:
         """≙ faiss::IndexFlat::remove_ids with an IDSelectorBatch —
         inherited-but-unusable in the reference (the base implementation

@@ -330,3 +330,13 @@ def test_merge_from_moves_and_resets(spark):
     tc = VectorTable(spark, d=8, storage="fp16")
     with _pytest.raises(ValueError, match="identical table configuration"):
         ta.merge_from(tc)
+
+
+def test_add_with_ids_refuses_like_faiss(spark):
+    """Flat indexes define ids as insertion order; add_with_ids must
+    refuse exactly like faiss::IndexFlat."""
+    from faiss_metal_spark import VectorTable
+
+    vt = VectorTable(spark, d=4)
+    with pytest.raises(NotImplementedError, match="add_with_ids"):
+        vt.add_with_ids(np.zeros((2, 4), np.float32), [7, 9])
