@@ -804,28 +804,23 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    r = (
-        l.where(F.col("l_returnflag") == "R")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    multi = (
-        l.groupBy("l_orderkey")
-        .agg(F.countDistinct("l_suppkey").alias("ns"))
-        .where(F.col("ns") >= 2)
-        .select("l_orderkey")
-    )
-    r2 = r.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    # "sole supplier with a returned line in a multi-supplier order" ≡
+    # "order has ≥2 distinct suppliers and exactly 1 distinct R-flag
+    # supplier" — one scan + one aggregation; the exists/not-exists
+    # correlation folds into per-order set arithmetic (no self-join,
+    # no anti-join). The oracle keeps the textbook correlated form so
+    # the rewrite is value-checked against it.
+    per_order = l.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("ns"),
+        F.array_distinct(
+            F.collect_list(
+                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+            )
+        ).alias("rsupps"),
     )
     sole = (
-        r.join(multi, "l_orderkey")
-        .join(
-            r2,
-            (F.col("o2") == F.col("l_orderkey"))
-            & (F.col("s2") != F.col("l_suppkey")),
-            "left_anti",
-        )
+        per_order.where((F.col("ns") >= 2) & (F.size("rsupps") == 1))
+        .select(F.explode("rsupps").alias("l_suppkey"))
     )
     q21 = (
         sole.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))

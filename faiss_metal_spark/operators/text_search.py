@@ -67,10 +67,11 @@ def bm25_scores(
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
     )
 
-    n_total = docs.count()
     stats = docs.select(
-        F.avg(F.size(tokens(text_col))).alias("avgdl")
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size(tokens(text_col))).alias("avgdl"),
     ).collect()[0]
+    n_total = int(stats["n"])
     avgdl = float(stats["avgdl"] or 1.0)
 
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
