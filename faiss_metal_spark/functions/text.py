@@ -301,3 +301,43 @@ def chunk_spans(
         )
 
     return F.get(F.transform(F.array(t), mk), 0)
+
+
+# PII patterns (the C4/RefinedWeb-style scrub list): deliberately
+# simple classes so the same regexes run identically in any
+# RE2/PCRE-ish engine (no lookbehind, no backrefs). ORDER IS
+# PRECEDENCE — most specific first: an SSN or IP would otherwise also
+# match the looser phone class.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"),
+    ("phone", r"\+?[0-9][0-9()\- ]{7,}[0-9]"),
+]
+
+
+def pii_counts(text: Column | str) -> Column:
+    """Struct of per-class PII match counts — the audit half of the
+    scrub (run first at corpus scale to size the problem). Each class
+    is counted on the text with HIGHER-precedence classes already
+    redacted, so counts partition the matches exactly as
+    :func:`redact_pii` replaces them (an SSN is an ssn, never also a
+    phone). Pure Catalyst projection."""
+    c = F.col(text) if isinstance(text, str) else text
+    counts = []
+    for name, p in PII_PATTERNS:
+        counts.append(F.regexp_count(c, F.lit(p)).alias(name))
+        c = F.regexp_replace(c, p, f"<{name}>")
+    return F.struct(*counts)
+
+
+def redact_pii(text: Column | str, token: str = "<{name}>") -> Column:
+    """Replace every PII match with a class token (``<email>``,
+    ``<phone>``, …) — the redaction half, applied in the precedence
+    order of ``PII_PATTERNS``. A chain of ``regexp_replace``
+    projections — shuffle-free, whole-stage codegen."""
+    c = F.col(text) if isinstance(text, str) else text
+    out = c
+    for name, p in PII_PATTERNS:
+        out = F.regexp_replace(out, p, token.format(name=name))
+    return out

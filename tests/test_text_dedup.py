@@ -836,3 +836,38 @@ def test_chunk_spans_boundaries(spark):
 
     with pytest.raises(ValueError):
         chunk_spans("text", chunk=8, overlap=8)
+
+
+def test_pii_redaction(spark):
+    """Planted PII of every class is counted and redacted; clean text
+    passes through untouched; redaction is idempotent."""
+    from faiss_metal_spark.functions.text import pii_counts, redact_pii
+
+    dirty = (
+        "contact john.doe+spam@example.co.uk or call +1 (555) 123-4567 "
+        "from 192.168.1.100 ssn 123-45-6789 done"
+    )
+    clean = "no personal information in this sentence at all"
+    df = docs_df(spark, [dirty, clean]).select(
+        "doc_id",
+        pii_counts("text").alias("n"),
+        redact_pii("text").alias("red"),
+    )
+    rows = {r["doc_id"]: r for r in df.collect()}
+    n = rows[0]["n"]
+    assert (n["email"], n["phone"], n["ipv4"], n["ssn"]) == (1, 1, 1, 1)
+    red = rows[0]["red"]
+    for tok in ("<email>", "<phone>", "<ipv4>", "<ssn>"):
+        assert tok in red
+    assert "example.co.uk" not in red and "555" not in red
+    assert "192.168" not in red and "123-45-6789" not in red
+    assert rows[1]["red"] == clean
+    assert all(v == 0 for v in rows[1]["n"].asDict().values())
+
+    # idempotent: redacting redacted text changes nothing
+    again = (
+        df.select("doc_id", redact_pii("red").alias("r2"), "red")
+        .where(F.col("r2") != F.col("red"))
+        .count()
+    )
+    assert again == 0
