@@ -150,6 +150,15 @@ def continuous_topk(
             seen += int(pdf.drop_duplicates("chunk")["n_chunk"].sum())
             lbl = np.concatenate([lbl, pdf["label"].to_numpy(np.int64)])
             dst = np.concatenate([dst, pdf["distance"].to_numpy(np.float64)])
+        order = np.lexsort((lbl, sign * dst))
+        lbl, dst = lbl[order], dst[order]
+        # an at-least-once source can replay a vector id across
+        # micro-batches; keep each label's best slot so a replay can
+        # never occupy two of the k positions (best-first order makes
+        # "first occurrence" the best one)
+        _, first = np.unique(lbl, return_index=True)
+        keep = np.sort(first)
+        lbl, dst = lbl[keep], dst[keep]
         order = np.lexsort((lbl, sign * dst))[: min(k, len(lbl))]
         lbl, dst = lbl[order], dst[order]
         state.update((lbl.tolist(), dst.tolist(), seen))

@@ -251,3 +251,47 @@ def test_continuous_topk_equals_batch(spark, tmp_path):
     np.testing.assert_allclose(
         final["distance"].to_numpy(), want["distance"].to_numpy(), rtol=1e-12
     )
+
+
+def test_continuous_topk_dedups_replayed_vectors(spark, tmp_path):
+    """An at-least-once source replaying a whole micro-batch must not
+    let any vector occupy two top-k slots: labels stay unique per qid
+    and the final top-k equals batch kNN over the DISTINCT vectors."""
+    import numpy as np
+
+    from faiss_metal_spark.operators.knn import knn_search
+    from faiss_metal_spark.streaming.continuous_topk import continuous_topk
+    from faiss_metal_spark.streaming.ops import run_to_memory
+    from tests.conftest import make_fixture, queries_df, vectors_df
+
+    V, Q = make_fixture(nv=120, nq=4, d=8)
+    qdf = queries_df(spark, Q)
+    vdir = tmp_path / "vecs"
+    # batch 0: first 60; batch 1: REPLAY of first 60; batch 2: rest
+    for sl in (slice(0, 60), slice(0, 60), slice(60, 120)):
+        off = sl.start
+        vectors_df(spark, V[sl]).withColumn(
+            "id", F.col("id") + F.lit(off)
+        ).coalesce(1).write.mode("append").parquet(str(vdir))
+
+    stream = (
+        spark.readStream.schema("id long, vec array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(vdir))
+    )
+    run_to_memory(
+        continuous_topk(stream, qdf, k=5, metric="l2"),
+        "ctopk_replay", str(tmp_path / "cp"), output_mode="update",
+    )
+    got = spark.sql("select * from ctopk_replay").toPandas()
+    final = got[got["n_seen"] == 180].sort_values(["qid", "rank"])
+    assert len(final) == 4 * 5
+    for qid, g in final.groupby("qid"):
+        assert g["label"].is_unique
+    want = (
+        knn_search(vectors_df(spark, V), qdf, 5, metric="l2", method="gemm")
+        .orderBy("qid", "rank").toPandas()
+    )
+    np.testing.assert_array_equal(
+        final["label"].to_numpy(), want["label"].to_numpy()
+    )
