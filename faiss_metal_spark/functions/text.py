@@ -341,3 +341,41 @@ def redact_pii(text: Column | str, token: str = "<{name}>") -> Column:
     for name, p in PII_PATTERNS:
         out = F.regexp_replace(out, p, token.format(name=name))
     return out
+
+
+def gopher_flags(
+    text: Column | str,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_avg_len: float = 3.0,
+    max_avg_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_stopword_hits: int = 2,
+) -> Column:
+    """Gopher-style document quality rules (Rae et al. 2021, §A1.1) as
+    a struct of pass/fail flags plus the conjunction: token-count
+    bounds, mean-word-length bounds, symbol-to-word ratio (# and …
+    analog: non-alphanumeric tokens), and a minimum stopword presence
+    (fluency proxy). Thresholds are parameters; defaults follow the
+    paper where the simplified schema allows. One projection — compose
+    with ``quality_score`` and ``repetition_ratio`` for the full
+    filter."""
+    c = F.col(text) if isinstance(text, str) else text
+    t = tokens(c)
+    n = F.size(t)
+    avg = avg_token_len(c)
+    symbolish = F.size(
+        F.filter(t, lambda x: x.rlike("^[^a-zA-Z0-9]+$"))
+    )
+    stop_hits = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS_EN)))
+    n_ok = (n >= min_tokens) & (n <= max_tokens)
+    len_ok = (avg >= min_avg_len) & (avg <= max_avg_len)
+    sym_ok = symbolish.cast("double") / n.cast("double") <= max_symbol_ratio
+    stop_ok = stop_hits >= min_stopword_hits
+    return F.struct(
+        n_ok.alias("n_tokens_ok"),
+        len_ok.alias("avg_len_ok"),
+        sym_ok.alias("symbol_ok"),
+        stop_ok.alias("stopword_ok"),
+        (n_ok & len_ok & sym_ok & stop_ok).alias("keep"),
+    )

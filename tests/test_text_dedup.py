@@ -871,3 +871,27 @@ def test_pii_redaction(spark):
         .count()
     )
     assert again == 0
+
+
+def test_gopher_flags(spark):
+    """Each Gopher rule trips on its designed failure mode and the
+    conjunction keeps only the clean document."""
+    from faiss_metal_spark.functions.text import gopher_flags
+
+    good = " ".join(
+        ["the quick brown fox jumps over a lazy dog in the field"] * 5
+    )
+    too_short = "tiny doc"
+    long_words = " ".join(["pneumonoultramicroscopic"] * 60)
+    symbol_heavy = " ".join(["the and for"] * 20 + ["###", "$$$", "!!!", "%%%", "&&&", "***", "@@@", "^^^"])
+    no_stopwords = " ".join(f"w{i}xyz" for i in range(60))
+
+    df = docs_df(
+        spark, [good, too_short, long_words, symbol_heavy, no_stopwords]
+    ).select("doc_id", gopher_flags("text").alias("g"))
+    g = {r["doc_id"]: r["g"].asDict() for r in df.collect()}
+    assert g[0]["keep"]
+    assert not g[1]["n_tokens_ok"] and not g[1]["keep"]
+    assert not g[2]["avg_len_ok"] and not g[2]["keep"]
+    assert not g[3]["symbol_ok"] and not g[3]["keep"]
+    assert not g[4]["stopword_ok"] and not g[4]["keep"]
