@@ -497,7 +497,10 @@ def refine_search(
     search over the compressed codes fetches ``k·refine_factor``
     candidates, then the full-precision vectors rescore exactly those
     candidates and the top-k is re-ranked on exact distances. Same
-    result contract as ``knn_search`` (rank order, sentinel pad).
+    result contract as ``knn_search`` (rank order, sentinel pad; the
+    reference's flat index has no compressed tier at all —
+    /root/reference/include/faiss-metal/MetalIndexFlat.h:47 subclasses
+    faiss::Index directly — so this is superset surface).
 
     This is THE 100 TB retrieval shape: the corpus-sized scan touches m
     bytes/vector (the code table); full-precision vectors are read only

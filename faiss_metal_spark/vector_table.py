@@ -287,9 +287,12 @@ class VectorTable:
     def add_with_ids(self, x, ids) -> "VectorTable":
         """≙ faiss::IndexFlat::add_with_ids — which REFUSES: flat
         indexes define ids as insertion order ("add_with_ids not
-        implemented for this type of index"). Matching the refusal is
-        part of the contract; use an IDMap-style side table (a join on
-        the dense id) to carry external keys."""
+        implemented for this type of index"). The reference overrides
+        only add/search/reset/reconstruct
+        (/root/reference/include/faiss-metal/MetalIndexFlat.h:70-79),
+        so it inherits the same refusal. Matching it is part of the
+        contract; use an IDMap-style side table (a join on the dense
+        id) to carry external keys."""
         raise NotImplementedError(
             "add_with_ids not implemented for this type of index "
             "(flat semantics: ids are insertion order); join external "
@@ -298,8 +301,10 @@ class VectorTable:
 
     def remove_ids(self, ids) -> int:
         """≙ faiss::IndexFlat::remove_ids with an IDSelectorBatch —
-        inherited-but-unusable in the reference (the base implementation
-        mutates CPU storage the Metal index does not read). FAISS
+        inherited-but-unusable in the reference (no override in
+        /root/reference/include/faiss-metal/MetalIndexFlat.h:70-79; the
+        base implementation mutates CPU storage the Metal buffers never
+        read). FAISS
         compaction semantics: surviving vectors keep their order and
         ids above a removed slot shift down. Returns n_removed.
 
@@ -327,7 +332,9 @@ class VectorTable:
     def merge_from(self, other: "VectorTable") -> "VectorTable":
         """≙ faiss::Index::merge_from: append the other index's vectors
         (ids continue sequentially in the other's id order) and empty
-        it. Requires matching dimension/metric/storage. A pure union —
+        it — another no-override inherit in the reference
+        (/root/reference/include/faiss-metal/MetalIndexFlat.h:70-79).
+        Requires matching dimension/metric/storage. A pure union —
         the other table's ids are re-based by a constant offset, no
         shuffle, no window."""
         if (other.d, other.metric, other.storage, other.compact) != (
