@@ -316,18 +316,26 @@ class VectorTable:
         batch = sorted({int(i) for i in ids})
         if not batch:
             return 0
-        existing = self.df.where(
-            F.col("id").isin(batch)
-        ).count()
-        arr = F.array(*[F.lit(i) for i in batch])
+        # FAISS IDSelectorBatch ignores ids not present in the index —
+        # only ids that actually exist may shift survivors. (A negative
+        # or absent batch id must be a no-op, not an over-shift.)
+        present = sorted(
+            r[0]
+            for r in self.df.where(F.col("id").isin(batch))
+            .select("id")
+            .collect()
+        )
+        if not present:
+            return 0
+        arr = F.array(*[F.lit(i) for i in present])
         shift = F.size(F.filter(arr, lambda x: x < F.col("id")))
         self.unpersist()
         self.df = (
-            self.df.where(~F.col("id").isin(batch))
+            self.df.where(~F.col("id").isin(present))
             .withColumn("id", (F.col("id") - shift).cast("long"))
         )
-        self._next_id -= existing
-        return existing
+        self._next_id -= len(present)
+        return len(present)
 
     def merge_from(self, other: "VectorTable") -> "VectorTable":
         """≙ faiss::Index::merge_from: append the other index's vectors

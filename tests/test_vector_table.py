@@ -307,6 +307,31 @@ def test_remove_ids_compacts_like_faiss(spark):
     assert vt.remove_ids([]) == 0
 
 
+def test_remove_ids_ignores_absent_low_ids(spark):
+    """FAISS IDSelectorBatch ignores ids not present in the index: a
+    negative id or an absent id BELOW surviving ids must contribute
+    nothing to the compaction shift (regression: the shift was built
+    from the raw batch, so remove_ids([-1]) decremented every id)."""
+    import numpy as np
+
+    from faiss_metal_spark import VectorTable
+
+    V = np.arange(20, dtype=np.float32).reshape(5, 4)
+    vt = VectorTable(spark, d=4).add_numpy(V)
+    assert vt.remove_ids([-1]) == 0  # pure no-op
+    assert vt.ntotal == 5
+    for i in range(5):
+        np.testing.assert_array_equal(vt.reconstruct(i), V[i])
+    # absent low ids (-7, and 1 after it is already gone) mixed with a
+    # present one: only the present id shifts survivors
+    assert vt.remove_ids([1]) == 1
+    assert vt.remove_ids([-7, 1]) == 1  # "1" is now old vector 2
+    assert vt.ntotal == 3
+    expect = {0: V[0], 1: V[3], 2: V[4]}
+    for new_id, vec in expect.items():
+        np.testing.assert_array_equal(vt.reconstruct(new_id), vec)
+
+
 def test_merge_from_moves_and_resets(spark):
     """merge_from appends the other table's vectors with sequential ids
     and empties it; mismatched configuration raises."""
