@@ -17,7 +17,7 @@ Physical strategies (the §4 planner, chosen by ``method='auto'``):
   two-phase top-k select (/root/reference/shaders/simdgroup_gemm.metal,
   block_select.metal). Queries are small by contract (like the build
   side of a broadcast join): collected to a numpy (nq×d) matrix and
-  broadcast to every executor. A single ``mapInPandas`` pass over the
+  broadcast to every executor. A single ``mapInArrow`` pass over the
   vector partitions computes per-Arrow-batch distance blocks with BLAS
   (``Q @ V.T``) and folds them into a *running* per-partition top-k —
   the full (nq×nv) distance matrix is never materialized, which is
@@ -45,11 +45,9 @@ broadcast-join discipline; larger query sets should use
 from __future__ import annotations
 
 import math
-from collections.abc import Iterator
 from typing import Literal
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -235,27 +233,41 @@ def _collect_queries(q: DataFrame) -> tuple[np.ndarray, np.ndarray]:
     return qids, Q
 
 
-def _decode_batch(col: pd.Series, vec_format: str, dtype=np.float64) -> np.ndarray:
-    """Materialize an Arrow batch of vectors as an (n, d) ``dtype`` matrix.
+def _arrow_matrix(arr, vec_format: str, dtype=np.float64) -> np.ndarray:
+    """View one Arrow vector column as an (n, d) ``dtype`` matrix.
 
-    For compact BINARY layouts the decode happens HERE, inside the same
-    Python stage as the GEMM — rows cross the JVM boundary at 2 bytes
-    per element (the bandwidth the reference's FP16 storage buys,
+    Decode happens HERE, inside the same Python stage as the GEMM —
+    compact rows cross the JVM boundary at 2 bytes per element (the
+    bandwidth the reference's FP16 storage buys,
     /root/reference/README.md Features) and never exist as float arrays
-    outside this function. The compact path decodes straight to float32
-    (no float64 widening): the GEMM then runs in sgemm at half the
-    memory traffic, matching the reference's float32 accumulators
-    (/root/reference/shaders/simdgroup_gemm.metal:13-14).
+    outside this function. Zero-copy by construction: both the
+    ``list<float>`` child values buffer and the BINARY data buffer are
+    single contiguous runs (fixed d per table), so the matrix is a
+    numpy view of the Arrow buffer — no per-row Python objects, no
+    byte-join copy. The only copy left is the dtype widening the math
+    itself requires (fp16/bf16 → float32 sgemm operands, matching the
+    reference's float32 accumulators,
+    /root/reference/shaders/simdgroup_gemm.metal:13-14).
     """
+    n = len(arr)
     if vec_format == "array":
-        return np.stack(col.to_numpy()).astype(dtype)
-    raw = b"".join(col)
+        offs = arr.offsets.to_numpy()
+        flat = arr.values.to_numpy(zero_copy_only=True)
+        return flat[offs[0] : offs[-1]].reshape(n, -1).astype(dtype, copy=False)
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], np.int32, count=n + 1, offset=arr.offset * 4)
+    data = np.frombuffer(bufs[2], np.uint8)[offs[0] : offs[-1]]
     if vec_format == "fp16_binary":
-        return np.frombuffer(raw, dtype=np.float16).reshape(len(col), -1).astype(dtype)
+        return data.view(np.float16).reshape(n, -1).astype(dtype, copy=False)
     if vec_format == "bf16_binary":
-        u = np.frombuffer(raw, dtype=np.uint16).astype(np.uint32) << 16
-        return u.view(np.float32).reshape(len(col), -1).astype(dtype, copy=False)
+        u = data.view(np.uint16).reshape(n, -1).astype(np.uint32) << 16
+        return u.view(np.float32).astype(dtype, copy=False)
     raise ValueError(f"unknown vec_format {vec_format!r}")
+
+
+def _arrow_i64(arr) -> np.ndarray:
+    """int64 Arrow column → numpy view (non-null by table contract)."""
+    return arr.to_numpy(zero_copy_only=True)
 
 
 def _gemm_candidates(
@@ -273,9 +285,13 @@ def _gemm_candidates(
     qnorm = (Q * Q).sum(axis=1) if metric == "l2" else None
     bc_qnorm = spark.sparkContext.broadcast(qnorm)
 
-    def partial_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def partial_topk(batches):
         # Running per-partition top-k: the reference's fused streaming
         # select — never materializes more than one (nq × batch) block.
+        # Arrow batches in, Arrow batch out: the vector matrix is a
+        # buffer view (_arrow_matrix), not a pandas object column.
+        import pyarrow as pa
+
         qids_, Q_ = bc.value
         Q_ = Q_.astype(dtype, copy=False)
         qn = bc_qnorm.value
@@ -286,11 +302,11 @@ def _gemm_candidates(
         best_l = np.full((nq_, 0), -1, dtype=np.int64)
         sign = dtype(1.0) if want_min else dtype(-1.0)  # minimize sign*distance
 
-        for pdf in batches:
-            if len(pdf) == 0:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            V = _decode_batch(pdf["vec"], vec_format, dtype)
-            labels = pdf["id"].to_numpy(np.int64)
+            V = _arrow_matrix(batch.column("vec"), vec_format, dtype)
+            labels = _arrow_i64(batch.column("id"))
             if metric == "l1":
                 # no GEMM decomposition exists for L1 — direct |q−v|
                 # broadcast, O(nq·batch·d) bounded by the Arrow batch
@@ -301,7 +317,9 @@ def _gemm_candidates(
                     # stored fp32 norms when supplied (reference's
                     # precomputed-norm policy); recompute otherwise
                     vn = (
-                        pdf["norm_sq"].to_numpy(dtype)
+                        batch.column("norm_sq")
+                        .to_numpy(zero_copy_only=True)
+                        .astype(dtype, copy=False)
                         if use_norms
                         else (V * V).sum(axis=1)
                     )
@@ -329,15 +347,16 @@ def _gemm_candidates(
 
         n_have = best_d.shape[1]
         if n_have:
-            yield pd.DataFrame(
-                {
-                    "qid": np.repeat(qids_, n_have),
-                    "label": best_l.ravel(),
-                    "distance": (sign * best_d).ravel().astype(np.float64),
-                }
+            yield pa.record_batch(
+                [
+                    pa.array(np.repeat(qids_, n_have)),
+                    pa.array(best_l.ravel()),
+                    pa.array((sign * best_d).ravel().astype(np.float64)),
+                ],
+                names=["qid", "label", "distance"],
             )
 
-    return v.mapInPandas(partial_topk, _PARTIAL_SCHEMA)
+    return v.mapInArrow(partial_topk, _PARTIAL_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -485,7 +504,9 @@ def knn_search_multi(
     bc = spark.sparkContext.broadcast((qids, Q))
     need_gemm = any(m != "l1" for m in metrics)
 
-    def partial_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def partial_topk(batches):
+        import pyarrow as pa
+
         qids_, Q_ = bc.value
         nq_ = Q_.shape[0]
         qn = (Q_ * Q_).sum(axis=1)
@@ -495,11 +516,11 @@ def knn_search_multi(
             m: (np.full((nq_, 0), 0.0), np.full((nq_, 0), -1, dtype=np.int64))
             for m in metrics
         }
-        for pdf in batches:
-            if len(pdf) == 0:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            V = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
-            labels = pdf["id"].to_numpy(np.int64)
+            V = _arrow_matrix(batch.column("vec"), "array", np.float64)
+            labels = _arrow_i64(batch.column("id"))
             G = (Q_ @ V.T) if need_gemm else None
             vn = (V * V).sum(axis=1) if ("l2" in metrics or "cosine" in metrics) else None
             for m in metrics:
@@ -527,25 +548,27 @@ def knn_search_multi(
                     np.take_along_axis(cat_d, idx, axis=1),
                     np.take_along_axis(cat_l, idx, axis=1),
                 )
-        frames = []
+        mcol, qcol, lcol, dcol = [], [], [], []
         for m in metrics:
             best_d, best_l = state[m]
             n_have = best_d.shape[1]
             if n_have:
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "metric": np.repeat(m, nq_ * n_have),
-                            "qid": np.repeat(qids_, n_have),
-                            "label": best_l.ravel(),
-                            "distance": (signs[m] * best_d).ravel(),
-                        }
-                    )
-                )
-        if frames:
-            yield pd.concat(frames, ignore_index=True)
+                mcol.extend([m] * (nq_ * n_have))
+                qcol.append(np.repeat(qids_, n_have))
+                lcol.append(best_l.ravel())
+                dcol.append((signs[m] * best_d).ravel())
+        if mcol:
+            yield pa.record_batch(
+                [
+                    pa.array(mcol),
+                    pa.array(np.concatenate(qcol)),
+                    pa.array(np.concatenate(lcol)),
+                    pa.array(np.concatenate(dcol).astype(np.float64)),
+                ],
+                names=["metric", "qid", "label", "distance"],
+            )
 
-    candidates = v.mapInPandas(partial_topk, _MULTI_PARTIAL_SCHEMA)
+    candidates = v.mapInArrow(partial_topk, _MULTI_PARTIAL_SCHEMA)
 
     # per-row finalize expressions (asc-ness is a COLUMN here, not a
     # python constant — the only difference from _finalize)
@@ -649,13 +672,15 @@ def range_search(
         return spark.createDataFrame([], RANGE_SCHEMA)
     bc = spark.sparkContext.broadcast((qids, Q, (Q * Q).sum(axis=1)))
 
-    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def emit(batches):
+        import pyarrow as pa
+
         qids_, Q_, qn = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            V = _decode_batch(pdf["vec"], vec_format, np.float64)
-            labels = pdf["id"].to_numpy(np.int64)
+            V = _arrow_matrix(batch.column("vec"), vec_format, np.float64)
+            labels = _arrow_i64(batch.column("id"))
             if metric == "l1":
                 D = np.abs(Q_[:, None, :] - V[None, :, :]).sum(axis=-1)
             else:
@@ -673,12 +698,13 @@ def range_search(
             mask = D < radius if want_min else D > radius
             qi, vi = np.nonzero(mask)
             if len(qi):
-                yield pd.DataFrame(
-                    {
-                        "qid": qids_[qi],
-                        "label": labels[vi],
-                        "distance": D[qi, vi].astype(np.float64),
-                    }
+                yield pa.record_batch(
+                    [
+                        pa.array(qids_[qi]),
+                        pa.array(labels[vi]),
+                        pa.array(D[qi, vi].astype(np.float64)),
+                    ],
+                    names=["qid", "label", "distance"],
                 )
 
-    return v.mapInPandas(emit, RANGE_SCHEMA)
+    return v.mapInArrow(emit, RANGE_SCHEMA)

@@ -52,7 +52,13 @@ def explain_report(df: DataFrame) -> PlanReport:
         pushed_filters=[p for p in pushed if p.strip()],
         read_schemas=schemas,
         has_python_stage=any(
-            m in plan for m in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
+            m in plan
+            for m in (
+                "ArrowEvalPython",
+                "MapInPandas",
+                "MapInArrow",
+                "FlatMapGroupsInPandas",
+            )
         ),
     )
 

@@ -189,7 +189,7 @@ def test_multi_metric_equals_per_metric(spark):
             sub["distance"].to_numpy(), want["distance"].to_numpy(), rtol=1e-12
         )
     plan = multi._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("MapInPandas") == 1
+    assert plan.count("MapInArrow") == 1
 
 
 @pytest.mark.parametrize("metric", ["l2", "ip", "cosine", "l1"])
