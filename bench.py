@@ -35,9 +35,32 @@ def _gen_vectors(spark, nv: int, d: int, seed: int = 42):
     return synthetic_vectors(spark, nv, d, seed)
 
 
-def bench_grid(spark) -> dict[str, float]:
-    """BASELINE.md grid: (label, nv, nq, d, k)."""
+def bench_grid(spark) -> tuple[dict[str, float], dict[str, dict]]:
+    """BASELINE.md grid with the reference harness's own discipline:
+    warmup 3 / timed iters 10 per config, avg ms-per-search-call and QPS
+    (/root/reference/tests/bench_metal_flat.mm:16-23,51-54 — avg_ms =
+    total_ms/iters, qps = nq·iters/total_sec), every config benched on
+    FP32 array storage plus the fp16/bf16 2-byte compact stores (the
+    reference benches CPU / Metal FP32 / Metal FP16 per config; BF16
+    storage is first-class there too,
+    /root/reference/shaders/simdgroup_gemm_bf16.metal).
+
+    Each timed iteration is one complete search call: plan build +
+    scan + GEMM + merge + count. Returns (headline_secs, grid_stats):
+    headline_secs keeps the r5-comparable key set (7 fp32 + 3 wide
+    fp16c, avg sec/search); grid_stats carries
+    {label: {fmt: {ms_per_search, qps, iters}}} for every combo.
+
+    Reading the fp16c/fp32 ratio: compute for e.g. small_32d is
+    sub-millisecond, so its ms_per_search IS the engine's fixed
+    per-job overhead (scheduling + Python worker round-trip + final
+    merge) — subtract it before comparing against the reference's
+    bandwidth-bound +22-34% claim (/root/reference/README.md:12).
+    """
+    from pyspark.sql import functions as F
+
     from faiss_metal_spark.operators.knn import knn_search
+    from faiss_metal_spark.quantize import encode_col
 
     grid = [
         ("knn_small_32d", 10_000, 100, 32, 10),
@@ -47,50 +70,82 @@ def bench_grid(spark) -> dict[str, float]:
         ("knn_large_1536d", 10_000, 10, 1536, 10),
         ("knn_highk_128d", 10_000, 10, 128, 100),
         ("knn_latency_128d", 100_000, 1, 128, 10),
+        # bandwidth probe (ours, not in the reference grid): at 500k×768
+        # the fp32 scan is 1.5 GB/iteration, so scan bytes finally
+        # dominate the ~0.5 s fixed per-job overhead and the
+        # storage-format ratio becomes measurable. grid-stats only —
+        # kept out of the r5-comparable headline key set.
+        ("knn_xlarge_768d", 500_000, 10, 768, 10),
     ]
-    results = {}
+    # wide configs additionally bench fp32 storage with float32 compute:
+    # the reference's fp32 path computes fp32 too, so fp32_f32 vs
+    # fp16c/bf16c isolates STORAGE bandwidth (our fp32 default computes
+    # f64 for DuckDB-oracle-grade exactness, which conflates arithmetic
+    # width with scan width)
+    wide = {"knn_medium_768d", "knn_large_1536d", "knn_xlarge_768d"}
+    probe_only = {"knn_xlarge_768d"}
+    headline: dict[str, float] = {}
+    grid_stats: dict[str, dict] = {}
     for label, nv, nq, d, k in grid:
+        warmup, iters = (2, 5) if label in probe_only else (3, 10)
         vecs = _gen_vectors(spark, nv, d).persist()
         vecs.count()  # materialize the index (build ≠ search time)
         rng = np.random.default_rng(1042 + d)
         Q = rng.uniform(-1, 1, size=(nq, d)).astype(np.float32)
+        # pandas → Arrow single-batch query table (a Python-list source
+        # would cost ~300 ms of pickled-RDD task scheduling per call)
+        import pandas as pd
+
         qdf = spark.createDataFrame(
-            [(int(i), v.tolist()) for i, v in enumerate(Q)],
+            pd.DataFrame(
+                {
+                    "qid": np.arange(nq, dtype=np.int64),
+                    "vec": [v.tolist() for v in Q],
+                }
+            ),
             schema="qid long, vec array<float>",
         )
-        # warm-up (JIT, codegen, Python worker pool)
-        knn_search(vecs, qdf, k).count()
-        t0 = time.time()
-        n = knn_search(vecs, qdf, k).count()
-        results[label] = round(time.time() - t0, 3)
-        assert n == nq * k, f"{label}: got {n} rows"
-
-        if label in ("knn_medium_128d", "knn_medium_768d", "knn_large_1536d"):
-            # the reference's FP32-vs-FP16-storage comparison
-            # (bench_metal_flat.mm benches every config on CPU / Metal
-            # FP32 / Metal FP16): same search over the 2-byte compact
-            # store. The +22–34% reference claim is for BANDWIDTH-BOUND
-            # workloads (/root/reference/README.md:12) — here that is
-            # the wide-vector configs (768d scans 307 MB for 10
-            # queries); the 128d config at this scale is bounded by
-            # per-job scheduling, not scan bandwidth, so its ratio
-            # reads ≈1.
-            from pyspark.sql import functions as F
-
-            from faiss_metal_spark.quantize import encode_col
-
-            cvecs = vecs.select(
-                "id", encode_col(F.col("vec"), "fp16").alias("vec")
-            ).persist()
-            cvecs.count()
-            knn_search(cvecs, qdf, k, vec_format="fp16_binary").count()
-            t0 = time.time()
-            n = knn_search(cvecs, qdf, k, vec_format="fp16_binary").count()
-            results[f"{label}_fp16c"] = round(time.time() - t0, 3)
-            assert n == nq * k
-            cvecs.unpersist()
+        stats: dict[str, dict] = {}
+        fmts = ("fp32", "fp32_f32", "fp16c", "bf16c") if label in wide else (
+            "fp32", "fp16c", "bf16c"
+        )
+        for fmt in fmts:
+            if fmt == "fp32":
+                tbl, kwargs = vecs, {}
+            elif fmt == "fp32_f32":
+                tbl, kwargs = vecs, {"compute": "f32"}
+            else:
+                enc = "fp16" if fmt == "fp16c" else "bf16"
+                tbl = vecs.select(
+                    "id", encode_col(F.col("vec"), enc).alias("vec")
+                ).persist()
+                tbl.count()
+                kwargs = {"vec_format": f"{enc}_binary"}
+            for _ in range(warmup):
+                knn_search(tbl, qdf, k, **kwargs).count()
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                n = knn_search(tbl, qdf, k, **kwargs).count()
+            total = time.perf_counter() - t0
+            assert n == nq * k, f"{label}/{fmt}: got {n} rows"
+            stats[fmt] = {
+                "ms_per_search": round(total * 1000 / iters, 2),
+                "qps": round(nq * iters / total, 1),
+                "iters": iters,
+            }
+            if fmt == "fp32" and label not in probe_only:
+                headline[label] = round(total / iters, 3)
+            elif fmt == "fp16c" and label in (
+                "knn_medium_128d",
+                "knn_medium_768d",
+                "knn_large_1536d",
+            ):
+                headline[f"{label}_fp16c"] = round(total / iters, 3)
+            if fmt in ("fp16c", "bf16c"):
+                tbl.unpersist()
+        grid_stats[label] = stats
         vecs.unpersist()
-    return results
+    return headline, grid_stats
 
 
 def _warmup(spark) -> None:
@@ -151,7 +206,26 @@ def main() -> None:
     _warmup(spark)
     queries: dict[str, float] = {}
     queries.update(bench_headline(spark))
-    queries.update(bench_grid(spark))
+    grid_headline, grid_stats = bench_grid(spark)
+    queries.update(grid_headline)
+
+    # The reference's one numerically citable claim: +22-34% throughput
+    # from 2-byte storage on bandwidth-bound workloads
+    # (/root/reference/README.md:12). Compare against fp32 storage at
+    # the SAME arithmetic (fp32_f32) so the ratio isolates scan bytes.
+    storage_gain = {}
+    for label, stats in grid_stats.items():
+        base = stats.get("fp32_f32")
+        if not base:
+            continue
+        storage_gain[label] = {
+            fmt: round(
+                100.0 * (base["ms_per_search"] / stats[fmt]["ms_per_search"] - 1.0),
+                1,
+            )
+            for fmt in ("fp16c", "bf16c")
+            if fmt in stats
+        }
 
     sf = 0.1
     if "sf0.01" in SF_DIR:
@@ -168,6 +242,22 @@ def main() -> None:
                 "unit": "sec",
                 "queries": queries,
                 "sf": sf,
+                "grid": grid_stats,
+                "storage_gain_pct_vs_fp32_same_arith": storage_gain,
+                "grid_meta": {
+                    "warmup": 3,
+                    "iters": 10,
+                    "probe": "knn_xlarge_768d uses warmup 2 / iters 5",
+                    "definition": (
+                        "ms_per_search = avg wall ms per complete search "
+                        "call (plan build + scan + GEMM + merge); qps = "
+                        "nq*iters/total_sec — matching the reference "
+                        "harness bench_metal_flat.mm:51-54. small_32d "
+                        "fp32 ms_per_search ~= fixed per-job overhead "
+                        "(compute there is sub-ms); subtract it before "
+                        "reading storage-format ratios."
+                    ),
+                },
             }
         )
     )

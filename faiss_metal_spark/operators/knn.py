@@ -48,6 +48,7 @@ import math
 from typing import Literal
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -160,8 +161,12 @@ def knn_search(
         if compute == "auto":
             compute = "f64" if vec_format == "array" else "f32"
         dtype = np.float64 if compute == "f64" else np.float32
-        candidates = _gemm_candidates(v, q, k, metric, vec_format, use_norms, dtype)
+        qids, Q = _collect_queries(q)
+        candidates = _gemm_candidates(
+            v, qids, Q, k, metric, vec_format, use_norms, dtype
+        )
     else:
+        qids = None
         candidates = _sql_candidates(v.select("id", "vec"), q, k, metric)
 
     # Two-level merge gate: the final per-qid group sees parts·k structs;
@@ -179,7 +184,7 @@ def knn_search(
             parts = None
         if parts is not None and parts * k > _PREMERGE_PARTS_K:
             salt = _PREMERGE_SALT
-    return _finalize(q, candidates, k, metric, premerge_salt=salt)
+    return _finalize(q, candidates, k, metric, premerge_salt=salt, qids=qids)
 
 
 # ---------------------------------------------------------------------------
@@ -219,7 +224,14 @@ def _sql_candidates(v: DataFrame, q: DataFrame, k: int, metric: Metric) -> DataF
 
 
 def _collect_queries(q: DataFrame) -> tuple[np.ndarray, np.ndarray]:
-    """Queries are the broadcast side: small by contract, like a dim table."""
+    """Queries are the broadcast side: small by contract, like a dim table.
+
+    Collect cost scales with the query table's partition count, not its
+    rows: a 100-row batch created from a Python list is a pickled RDD
+    over defaultParallelism partitions (~350 ms of task scheduling on
+    local[32]). Callers that build query batches in Python should go
+    through ``spark.createDataFrame(pandas_df)`` — Arrow packs it into
+    one JVM-side batch and this collect is a single cheap task."""
     pdf = q.toPandas()
     qids = pdf["qid"].to_numpy(np.int64)
     if len(pdf) == 0:
@@ -271,10 +283,9 @@ def _arrow_i64(arr) -> np.ndarray:
 
 
 def _gemm_candidates(
-    v: DataFrame, q: DataFrame, k: int, metric: Metric, vec_format: str = "array",
-    use_norms: bool = False, dtype=np.float64,
+    v: DataFrame, qids: np.ndarray, Q: np.ndarray, k: int, metric: Metric,
+    vec_format: str = "array", use_norms: bool = False, dtype=np.float64,
 ) -> DataFrame:
-    qids, Q = _collect_queries(q)
     nq = len(qids)
     if nq == 0:
         return v.sparkSession.createDataFrame([], _PARTIAL_SCHEMA)
@@ -366,7 +377,7 @@ def _gemm_candidates(
 
 def _finalize(
     q: DataFrame, candidates: DataFrame, k: int, metric: Metric,
-    premerge_salt: int | None = None,
+    premerge_salt: int | None = None, qids: np.ndarray | None = None,
 ) -> DataFrame:
     """Merge partial candidates, rank, and pad to exactly k rows per qid.
 
@@ -430,9 +441,18 @@ def _finalize(
     sign = 1.0 if asc else -1.0
     # both join inputs are nq-scale after the groupBy (one row per qid),
     # so this join is trivial whatever strategy AQE picks; the only real
-    # shuffle in the merge is the groupBy above
+    # shuffle in the merge is the groupBy above. When the caller already
+    # collected the qids (gemm path), the scaffold is a LocalRelation —
+    # no tasks re-scan the query table just to enumerate its keys.
+    if qids is not None:
+        scaffold = q.sparkSession.createDataFrame(
+            pd.DataFrame({"qid": np.asarray(qids, dtype=np.int64)}),
+            schema="qid long",
+        )
+    else:
+        scaffold = q.select("qid")
     out = (
-        q.select("qid")
+        scaffold
         .join(packed, "qid", "left")
         .select("qid", F.posexplode(F.coalesce(topk, pad)).alias("_r", "_c"))
         .select(
@@ -584,9 +604,11 @@ def knn_search_multi(
         k,
     )
     topk = F.slice(F.concat(F.col("_cand"), pad), 1, k)
-    scaffold = q.select("qid").withColumn(
-        "metric", F.explode(F.array(*[F.lit(m) for m in metrics]))
-    )
+    # qids are already collected — a LocalRelation scaffold avoids
+    # re-scanning the query table just to enumerate (metric, qid) keys
+    scaffold = spark.createDataFrame(
+        pd.DataFrame({"qid": np.asarray(qids, dtype=np.int64)}), schema="qid long"
+    ).withColumn("metric", F.explode(F.array(*[F.lit(m) for m in metrics])))
     sent = F.when(asc, F.lit(math.inf)).otherwise(F.lit(-math.inf))
     sign = F.when(asc, F.lit(1.0)).otherwise(F.lit(-1.0))
     return (

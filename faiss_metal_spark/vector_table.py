@@ -228,9 +228,11 @@ class VectorTable:
             raise ValueError(f"expected (n, {self.d}) array, got {x.shape}")
         if len(x) == 0:
             return self
-        rows = [(v.tolist(),) for v in x]
         return self.add_df(
-            self.spark.createDataFrame(rows, schema="vec array<float>")
+            self.spark.createDataFrame(
+                pd.DataFrame({"vec": [v.tolist() for v in x]}),
+                schema="vec array<float>",
+            )
         )
 
     @classmethod
@@ -460,10 +462,23 @@ class VectorTable:
     ) -> tuple[np.ndarray, np.ndarray]:
         """≙ search(n, x, k, distances, labels) with host arrays in/out."""
         x = np.asarray(x, dtype=np.float32)
-        qdf = self.spark.createDataFrame(
-            [(int(i), v.tolist()) for i, v in enumerate(x)],
-            schema="qid long, vec array<float>",
-        )
+        # pandas input → Arrow packs one JVM-side batch; a Python list
+        # would become a pickled RDD over defaultParallelism partitions
+        # whose collect costs ~300 ms of task scheduling per search call
+        if len(x):
+            qdf = self.spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "qid": np.arange(len(x), dtype=np.int64),
+                        "vec": [v.tolist() for v in x],
+                    }
+                ),
+                schema="qid long, vec array<float>",
+            )
+        else:
+            qdf = self.spark.createDataFrame(
+                [], schema="qid long, vec array<float>"
+            )
         res = (
             self.search(qdf, k, method=method, params=params)
             .orderBy("qid", "rank")

@@ -207,6 +207,29 @@ def test_connected_components(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_paths_agree(spark):
+    """The collected union-find fast path and the iterative label
+    propagation (forced via small_graph_rows=0) give identical
+    clusterings on a random sparse graph."""
+    import random
+
+    from faiss_metal_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges], schema="id_a long, id_b long"
+    )
+    fast = {
+        r["id"]: r["cluster"] for r in connected_components(pairs).collect()
+    }
+    iterative = {
+        r["id"]: r["cluster"]
+        for r in connected_components(pairs, small_graph_rows=0).collect()
+    }
+    assert fast == iterative and len(fast) > 0
+
+
 def test_curate_corpus_pipeline(spark):
     """Exact dup, near-dup pair, and a junk doc all drop; the rest
     survive with their quality scores."""
