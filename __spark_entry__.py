@@ -1139,10 +1139,12 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # BM25 relevance for a fixed query — the lexical/sparse half of
-    # hybrid retrieval, scored by operators/text_search.py
-    from faiss_metal_spark.operators.text_search import bm25_scores
+    # hybrid retrieval, scored by operators/text_search.py. Corpus
+    # stats are precomputed (corpus_stats) so the scoring plan scans
+    # the corpus exactly once — the production shape at 100 TB.
+    from faiss_metal_spark.operators.text_search import bm25_scores, corpus_stats
 
-    bm = bm25_scores(d, _BM25_TERMS).select(
+    bm = bm25_scores(d, _BM25_TERMS, stats=corpus_stats(d)).select(
         F.lit("bm25").alias("kind"),
         "doc_id",
         F.col("n_hit").cast("string").alias("key"),

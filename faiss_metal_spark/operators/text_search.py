@@ -12,9 +12,10 @@ Scale shape (the inverted-index discipline without materializing one):
   (doc, term) rows but the broadcast semi-join on terms prunes the
   explosion to matching terms only, inside the same stage;
 - term frequencies are one groupBy (map-side combine applies);
-- document frequencies and the corpus length stats are computed on the
-  pruned/aggregated sides (df over the tf table, avgdl as a 1-row agg)
-  and broadcast back;
+- document frequency is a count window over the tf table (one shuffle
+  on term, no join-back — the tf lineage has a single consumer so the
+  corpus scans once); the corpus stats (N, avgdl) are precomputed
+  artifacts passed via ``stats=`` or a broadcast 1-row aggregate;
 - the idf·tf fold is a projection; final top-k is TakeOrdered (O(k)
   per partition + O(k·P) driver merge — k is a result page, not data).
 
@@ -30,6 +31,23 @@ from pyspark.sql import functions as F
 from ..functions.text import tokens
 
 
+def corpus_stats(
+    docs: DataFrame, text_col: str = "text"
+) -> tuple[int, float]:
+    """(N, avgdl) for a corpus — the two global scalars BM25 needs.
+
+    At scale these are precomputed artifacts maintained alongside the
+    corpus (exactly like the reference maintains precomputed L2 norms,
+    /root/reference/src/MetalIndexFlat.mm:258-268) — compute once, pass
+    to every ``bm25_scores`` call via ``stats=`` so each query plan
+    scans the corpus exactly once."""
+    row = docs.select(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size(tokens(text_col))).alias("avgdl"),
+    ).collect()[0]
+    return int(row["n"]), float(row["avgdl"] or 1.0)
+
+
 def bm25_scores(
     docs: DataFrame,
     query_terms: list[str],
@@ -37,6 +55,7 @@ def bm25_scores(
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    stats: tuple[int, float] | None = None,
 ) -> DataFrame:
     """Score every document matching ≥1 query term.
 
@@ -44,6 +63,13 @@ def bm25_scores(
     query terms the doc contains, score = Σ_terms idf(t) · tf·(k1+1) /
     (tf + k1·(1−b+b·dl/avgdl)) with the standard BM25+ idf
     ``ln(1 + (N−df+0.5)/(df+0.5))``.
+
+    The operator is fully lazy. With ``stats=(N, avgdl)`` (see
+    :func:`corpus_stats`) the plan scans the corpus exactly once — the
+    production shape. Without it, the global scalars are derived
+    in-plan by broadcast-cross-joining a 1-row aggregate, which adds a
+    second (tokenize-only) pass over the corpus at action time; there
+    is no eager work either way.
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
@@ -67,28 +93,38 @@ def bm25_scores(
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
     )
 
-    stats = docs.select(
-        F.count(F.lit(1)).alias("n"),
-        F.avg(F.size(tokens(text_col))).alias("avgdl"),
-    ).collect()[0]
-    n_total = int(stats["n"])
-    avgdl = float(stats["avgdl"] or 1.0)
+    if stats is not None:
+        n_col = F.lit(float(int(stats[0])))
+        avgdl_col = F.lit(float(stats[1]) or 1.0)
+    else:
+        sdf = docs.select(
+            F.count(F.lit(1)).cast("double").alias("_n"),
+            F.coalesce(
+                F.avg(F.size(tokens(text_col))), F.lit(1.0)
+            ).alias("_avgdl"),
+        )
+        tf = tf.crossJoin(F.broadcast(sdf))
+        n_col = F.col("_n")
+        avgdl_col = F.col("_avgdl")
 
-    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.lit(float(n_total)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
+    # document frequency as a COUNT WINDOW over the tf table rather
+    # than a groupBy re-joined back: the tf table then has exactly one
+    # consumer, so the corpus is scanned once (a groupBy+join-back
+    # plans the tf lineage twice). One shuffle on term; the window is
+    # count-only (no ordering), a single streaming pass per partition.
+    from pyspark.sql.window import Window
+
+    df_col = F.count(F.lit(1)).over(Window.partitionBy("term")).cast("double")
+    idf = F.log(F.lit(1.0) + (n_col - df_col + 0.5) / (df_col + 0.5))
 
     scored = (
-        tf.join(F.broadcast(df_t.select("term", idf.alias("idf"))), "term")
-        .withColumn(
+        tf.withColumn(
             "contrib",
-            F.col("idf")
+            idf
             * (F.col("tf") * (k1 + 1.0))
             / (
                 F.col("tf")
-                + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+                + k1 * (1.0 - b + b * F.col("dl") / avgdl_col)
             ),
         )
         .groupBy("doc_id")

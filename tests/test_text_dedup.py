@@ -761,6 +761,39 @@ def test_bm25_semantics(spark):
         bm25_scores(docs_df(spark, texts), [])
 
 
+def test_bm25_single_scan_with_precomputed_stats(spark, tmp_path):
+    """With stats=(N, avgdl) the scoring plan scans the corpus exactly
+    once (the production shape); the lazy in-plan default adds a second
+    tokenize-only pass and both give identical scores. No eager work
+    happens at operator construction either way."""
+    from faiss_metal_spark.operators.text_search import bm25_scores, corpus_stats
+
+    texts = [
+        "rare word here",
+        "common stuff common filler",
+        "common things again",
+        "rare and common mixed content",
+    ]
+    path = str(tmp_path / "docs.parquet")
+    docs_df(spark, texts).write.parquet(path)
+    docs = spark.read.parquet(path)
+
+    stats = corpus_stats(docs)
+    one_scan = bm25_scores(docs, ["rare", "common"], stats=stats)
+    plan1 = one_scan._jdf.queryExecution().executedPlan().toString()
+    assert plan1.count("Scan parquet") == 1
+    default = bm25_scores(docs, ["rare", "common"])
+    plan2 = default._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("Scan parquet") == 2  # documented lazy fallback
+
+    a = {r["doc_id"]: (r["n_hit"], r["score"]) for r in one_scan.collect()}
+    b = {r["doc_id"]: (r["n_hit"], r["score"]) for r in default.collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k][0] == b[k][0]
+        assert abs(a[k][1] - b[k][1]) < 1e-12
+
+
 def test_rrf_fuse_hybrid(spark):
     """RRF fusion: a label ranked well by BOTH lists beats labels each
     list ranks alone; scores match the closed form; sentinels drop."""
