@@ -22,7 +22,13 @@ Two stages, both bounded:
 
 Emitted rows carry ``n_seen`` (vectors folded into that qid's state so
 far) so a consumer — and the stream≡batch test — can identify the final
-snapshot.
+snapshot. Chunk identity is content-derived (hash of the chunk's label
+set) and a bounded window of recent chunk ids lives in the state, so an
+at-least-once source replaying chunks — within a micro-batch or across
+them — does not inflate ``n_seen``; only replays older than the window,
+or replays that re-batch the input, degrade it to an upper bound. The
+top-k labels themselves are replay-exact regardless (label-level dedup
+in the merge).
 """
 
 from __future__ import annotations
@@ -120,15 +126,25 @@ def continuous_topk(
                 else np.argsort(sign * D, axis=1)
             )
             # every nonempty chunk emits ≥1 row per query, so counting
-            # distinct chunk ids downstream counts every vector once
-            import uuid
+            # distinct chunk ids downstream counts every vector once.
+            # Chunk identity is CONTENT-derived (hash of the sorted
+            # label set — ids are unique in an append-only stream, so
+            # equal label sets ⇔ the same chunk replayed): partial
+            # output is deterministic across runs and a replayed chunk
+            # collapses in the merge instead of re-counting. n_seen is
+            # exact when replays preserve chunk boundaries; a source
+            # that re-batches on replay makes it an at-least-once
+            # upper bound (the top-k labels stay exact either way —
+            # label dedup below is independent of chunk identity).
+            import hashlib
 
+            chunk_id = hashlib.md5(np.sort(labels).tobytes()).hexdigest()
             yield pd.DataFrame(
                 {
                     "qid": np.repeat(qids_, idx.shape[1]),
                     "label": labels[idx].ravel(),
                     "distance": np.take_along_axis(D, idx, axis=1).ravel(),
-                    "chunk": uuid.uuid4().hex,
+                    "chunk": chunk_id,
                     "n_chunk": np.int64(len(labels)),
                 }
             )
@@ -137,6 +153,13 @@ def continuous_topk(
         F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias(vec_col)
     ).mapInPandas(partial, _PARTIAL_SCHEMA)
 
+    # recent-chunk window kept in state: a chunk id replayed within the
+    # window (the realistic post-failure replay horizon) is not
+    # re-counted into n_seen, even across micro-batches; replays older
+    # than the window degrade to at-least-once counting. 64 ids ≈ 2 KB
+    # per query — state stays O(nq·k), not O(stream).
+    _CHUNK_WINDOW = 64
+
     def merge(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -144,12 +167,20 @@ def continuous_topk(
         lbl = np.asarray(prev[0], np.int64) if prev else np.empty(0, np.int64)
         dst = np.asarray(prev[1], np.float64) if prev else np.empty(0, np.float64)
         seen = int(prev[2]) if prev else 0
+        recent = list(prev[3]) if prev else []
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            seen += int(pdf.drop_duplicates("chunk")["n_chunk"].sum())
+            for chunk, n_chunk in (
+                pdf.drop_duplicates("chunk")[["chunk", "n_chunk"]]
+                .itertuples(index=False)
+            ):
+                if chunk not in recent:
+                    seen += int(n_chunk)
+                    recent.append(chunk)
             lbl = np.concatenate([lbl, pdf["label"].to_numpy(np.int64)])
             dst = np.concatenate([dst, pdf["distance"].to_numpy(np.float64)])
+        recent = recent[-_CHUNK_WINDOW:]
         order = np.lexsort((lbl, sign * dst))
         lbl, dst = lbl[order], dst[order]
         # an at-least-once source can replay a vector id across
@@ -161,7 +192,7 @@ def continuous_topk(
         lbl, dst = lbl[keep], dst[keep]
         order = np.lexsort((lbl, sign * dst))[: min(k, len(lbl))]
         lbl, dst = lbl[order], dst[order]
-        state.update((lbl.tolist(), dst.tolist(), seen))
+        state.update((lbl.tolist(), dst.tolist(), seen, recent))
         yield pd.DataFrame(
             {
                 "qid": np.repeat(np.int64(key[0]), len(lbl)),
@@ -175,7 +206,10 @@ def continuous_topk(
     return candidates.groupBy("qid").applyInPandasWithState(
         merge,
         outputStructType=_OUT_SCHEMA,
-        stateStructType="labels array<bigint>, dists array<double>, n_seen bigint",
+        stateStructType=(
+            "labels array<bigint>, dists array<double>, n_seen bigint, "
+            "chunks array<string>"
+        ),
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

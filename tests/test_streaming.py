@@ -252,11 +252,32 @@ def test_continuous_topk_equals_batch(spark, tmp_path):
         final["distance"].to_numpy(), want["distance"].to_numpy(), rtol=1e-12
     )
 
+    # determinism: a second identical run (fresh checkpoint) emits the
+    # SAME rows — chunk ids are content-derived, not per-run randomness
+    stream2 = (
+        spark.readStream.schema("id long, vec array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(vdir))
+    )
+    run_to_memory(
+        continuous_topk(stream2, qdf, k=5, metric="l2"),
+        "ctopk_rerun", str(tmp_path / "cp_ctopk2"), output_mode="update",
+    )
+    got2 = spark.sql("select * from ctopk_rerun").toPandas()
+    cols = ["qid", "rank", "label", "distance", "n_seen"]
+    a = got.sort_values(cols).reset_index(drop=True)[cols]
+    b = got2.sort_values(cols).reset_index(drop=True)[cols]
+    pd_testing_assert = __import__("pandas").testing.assert_frame_equal
+    pd_testing_assert(a, b)
+
 
 def test_continuous_topk_dedups_replayed_vectors(spark, tmp_path):
     """An at-least-once source replaying a whole micro-batch must not
     let any vector occupy two top-k slots: labels stay unique per qid
-    and the final top-k equals batch kNN over the DISTINCT vectors."""
+    and the final top-k equals batch kNN over the DISTINCT vectors.
+    With content-derived chunk ids + the recent-chunk state window the
+    replayed chunk is also not re-counted: n_seen stays exact (120),
+    not the 180 an at-least-once counter would report."""
     import numpy as np
 
     from faiss_metal_spark.operators.knn import knn_search
@@ -284,7 +305,8 @@ def test_continuous_topk_dedups_replayed_vectors(spark, tmp_path):
         "ctopk_replay", str(tmp_path / "cp"), output_mode="update",
     )
     got = spark.sql("select * from ctopk_replay").toPandas()
-    final = got[got["n_seen"] == 180].sort_values(["qid", "rank"])
+    assert got["n_seen"].max() == 120  # replayed chunk not re-counted
+    final = got[got["n_seen"] == 120].sort_values(["qid", "rank"])
     assert len(final) == 4 * 5
     for qid, g in final.groupby("qid"):
         assert g["label"].is_unique
