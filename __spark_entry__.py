@@ -1567,6 +1567,72 @@ FROM q WHERE quality >= 0.5
 """
 
 
+def q_curate_sem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curate_corpus with the optional SemDeDup stage wired in: lexical
+    exact/near dedup PLUS semantic-group non-representatives (cosine ≥
+    0.35 within a fixed-centroid cell, min-id representative) dropped
+    in the same declarative plan. Embedding ids live in the document id
+    space; docs without an embedding row pass the semantic stage."""
+    from faiss_metal_spark.pipeline import curate_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    centroids, _, _ = _fixed_quantizers(
+        e.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    )
+    out = curate_corpus(
+        d,
+        min_quality=0.5,
+        embeddings=e,
+        centroids=centroids,
+        semantic_threshold=0.35,
+        emb_id_col="vec_id",
+        emb_vec_col="embedding",
+    )
+    return out.select(
+        "doc_id", "lang", "n_tokens", _norm(F.col("quality"), 4).alias("quality")
+    )
+
+
+# the SemDeDup drop set (same fixed-centroid cell assignment + in-cell
+# cosine pairs + recursive min-label closure as the 'sem' rows of
+# ORACLE_NEARDUP; 16 = _ANN_CELLS), spliced into the curate oracle's
+# drop union so both stay textually in sync with _ORACLE_CURATE.
+_SEM_DROP_CTES = """sc AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings WHERE vec_id < 16),
+sva AS (
+  SELECT vec_id, cell, embedding FROM (
+    SELECT v.vec_id, v.embedding, sc.cell,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             list_inner_product(sc.cv::DOUBLE[], sc.cv::DOUBLE[])
+             - 2 * list_inner_product(v.embedding::DOUBLE[], sc.cv::DOUBLE[]) ASC,
+             sc.cell ASC) AS rn
+    FROM embeddings v CROSS JOIN sc)
+  WHERE rn = 1
+),
+sp2 AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sva a JOIN sva b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+),
+se2 AS (SELECT id_a AS s, id_b AS t FROM sp2 UNION ALL SELECT id_b, id_a FROM sp2),
+sr AS (
+  SELECT s AS id, s AS l FROM (SELECT DISTINCT s FROM se2) sn
+  UNION
+  SELECT se2.t AS id, sr.l FROM sr JOIN se2 ON se2.s = sr.id
+),
+sg AS (SELECT id, MIN(l) AS grp FROM sr GROUP BY id),
+sem_drop AS (SELECT id FROM sg WHERE grp != id),
+"""  # noqa: E501
+
+_ORACLE_CURATE_SEM = _ORACLE_CURATE.replace(
+    "drops AS (SELECT id FROM near_drop UNION SELECT id FROM exact_drop),",
+    _SEM_DROP_CTES
+    + "drops AS (SELECT id FROM near_drop UNION SELECT id FROM exact_drop"
+    " UNION SELECT id FROM sem_drop),",
+)
+assert "sem_drop" in _ORACLE_CURATE_SEM  # splice anchor must exist
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: docs with doc_id % 53 == 0 stand in
     for the held-out benchmark suite; every other doc sharing ≥1 word
@@ -2788,6 +2854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_clusters": q_dedup_clusters,
         "curate_corpus": q_curate_corpus,
+        "curate_sem": q_curate_sem,
         "decontaminate": q_decontaminate,
         "corpus_splits": q_corpus_splits,
         "minhash_lsh": q_minhash_lsh,
@@ -2845,6 +2912,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "dedup_clusters": _oracle_dedup_clusters(),
         "curate_corpus": _ORACLE_CURATE,
+        "curate_sem": _ORACLE_CURATE_SEM,
         "decontaminate": ORACLE_DECONTAM,
         "corpus_splits": ORACLE_SPLITS,
         "minhash_lsh": ORACLE_MINHASH_LSH,

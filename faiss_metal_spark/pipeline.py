@@ -50,9 +50,15 @@ def curate_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     keep_cols: tuple[str, ...] = ("lang",),
+    embeddings: DataFrame | None = None,
+    centroids=None,
+    semantic_threshold: float = 0.95,
+    emb_id_col: str = "vec_id",
+    emb_vec_col: str = "embedding",
 ) -> DataFrame:
     """Curated corpus: exact dups dropped (keep min id), near-dup
-    clusters reduced to their min-id representative, then quality-
+    clusters reduced to their min-id representative, optionally
+    SemDeDup semantic near-dups reduced the same way, then quality-
     filtered. Returns (id, *keep_cols, n_tokens, quality) — quality is
     the raw double; callers round for display.
 
@@ -61,6 +67,16 @@ def curate_corpus(
     a banding false positive (two docs agreeing on one band by chance)
     must not delete a non-duplicate document. ``None`` trusts the
     banding (the pre-verification behavior).
+
+    ``embeddings``: optional ``(emb_id_col, emb_vec_col)`` table whose
+    ids live in the document id space. When given (``centroids``
+    required — the SemDeDup coarse quantizer), documents that are
+    non-representative members of a semantic group (cosine ≥
+    ``semantic_threshold`` within a cell, group representative = min
+    id) are dropped alongside the lexical dup drops — the full
+    SemDeDup stage (Abbas et al. 2023) wired into the one declarative
+    plan. Documents without an embedding row pass through the semantic
+    stage untouched.
     """
     ids = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("_k"))
     keymin = ids.groupBy("_k").agg(F.min(id_col).alias("_keeper"))
@@ -85,7 +101,24 @@ def curate_corpus(
         cc.where(F.col("id") != F.col("cluster")).select(F.col("id").alias("_drop_id"))
     )
 
-    drops = exact_drop.unionByName(near_drop).distinct()
+    drops = exact_drop.unionByName(near_drop)
+    if embeddings is not None:
+        if centroids is None:
+            raise ValueError("semantic dedup needs centroids (the coarse quantizer)")
+        from .operators.dedup import semantic_dedup
+
+        sem = semantic_dedup(
+            embeddings,
+            centroids,
+            id_col=emb_id_col,
+            vec_col=emb_vec_col,
+            threshold=semantic_threshold,
+        )
+        sem_drop = sem.where(F.col("keep") == 0).select(
+            F.col("id").alias("_drop_id")
+        )
+        drops = drops.unionByName(sem_drop)
+    drops = drops.distinct()
     survivors = docs.join(
         drops, docs[id_col] == drops["_drop_id"], "left_anti"
     )
