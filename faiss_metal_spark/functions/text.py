@@ -208,9 +208,15 @@ def hashed_embedding(
 ) -> Column:
     """Dense hashing-trick text embedding (the oracle-able twin of
     MLlib's HashingTF, signed like feature hashing): lane =
-    hash32(token) mod d, sign = bit 16 of the hash (independent of the
-    lane bits), vec[i] = Σ signs of tokens in lane i, optionally
-    L2-normalized.
+    hash32(token) mod d, sign = bit 16 of the hash, vec[i] = Σ signs of
+    tokens in lane i, optionally L2-normalized.
+
+    Sign/lane independence holds when ``d`` is a power of two ≤ 2^16:
+    the lane then uses only hash bits below bit 16 (``pmod`` reduces to
+    a mask), disjoint from the sign bit. For other ``d`` the modulus
+    mixes upper hash bits into the lane and the sign correlates with
+    it — acceptable for counting features, but prefer power-of-two
+    dimensions (the default 64 qualifies).
 
     A pure projection — no explode, no shuffle; O(d·T) codegen
     arithmetic per row after ONE md5 pass per token. Every expensive
