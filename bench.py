@@ -198,6 +198,10 @@ def bench_headline(spark) -> dict[str, float]:
 
 
 def main() -> None:
+    # the xlarge bandwidth probe persists ~2.3 GB of vector caches; the
+    # default 8g driver would evict them mid-measurement (a 5x outlier
+    # on whichever format benches last). Overridable via env.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     from faiss_metal_spark.session import get_spark
 
     spark = get_spark("faiss-metal-spark-bench")
@@ -206,6 +210,10 @@ def main() -> None:
     _warmup(spark)
     queries: dict[str, float] = {}
     queries.update(bench_headline(spark))
+    # grid isolation: headline queries leave persisted intermediates
+    # behind (pipelines cache what they reuse); the kNN grid measures
+    # the search engine, not leftover cache pressure
+    spark.catalog.clearCache()
     grid_headline, grid_stats = bench_grid(spark)
     queries.update(grid_headline)
 
@@ -254,8 +262,11 @@ def main() -> None:
                         "nq*iters/total_sec — matching the reference "
                         "harness bench_metal_flat.mm:51-54. small_32d "
                         "fp32 ms_per_search ~= fixed per-job overhead "
-                        "(compute there is sub-ms); subtract it before "
-                        "reading storage-format ratios."
+                        "(compute there is sub-ms); storage-format "
+                        "ratios are meaningful only where scan bytes "
+                        "dominate that overhead (medium_768d and the "
+                        "xlarge_768d probe) — elsewhere they read as "
+                        "±200 ms scheduling noise."
                     ),
                 },
             }
