@@ -15,8 +15,9 @@ Scale shape mirrors the flat kNN path exactly:
 - **train** on a deterministic driver-side sample (like
   ``ivf_train_centroids`` — training is O(sample), encoding is the
   distributed part);
-- **encode** is one scan (``mapInPandas``, no shuffle), emitting BINARY
-  codes that ride every downstream cache/shuffle/parquet at m bytes;
+- **encode** is one scan (``mapInArrow``, no shuffle, zero-copy
+  buffer-view decode), emitting BINARY codes that ride every
+  downstream cache/shuffle/parquet at m bytes;
 - **search** broadcasts per-query ADC lookup tables (nq·m·256 doubles —
   query-batch-sized, never corpus-sized) and streams the code table
   through a running per-partition top-k (the ``_gemm_candidates``
@@ -27,17 +28,38 @@ Scale shape mirrors the flat kNN path exactly:
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .knn import _PARTIAL_SCHEMA, _finalize
+from .knn import _PARTIAL_SCHEMA, _arrow_i64, _arrow_matrix, _finalize
 
 KSUB = 256  # 8-bit codes, the FAISS default and the only size stored in 1 byte
+
+
+def _arrow_codes(arr) -> np.ndarray:
+    """(n, m) uint8 view of an Arrow BinaryArray of fixed-width PQ
+    codes — same zero-copy discipline as the kNN vector decode."""
+    bufs = arr.buffers()
+    n = len(arr)
+    offs = np.frombuffer(bufs[1], np.int32, count=n + 1, offset=arr.offset * 4)
+    return np.frombuffer(bufs[2], np.uint8)[offs[0] : offs[-1]].reshape(n, -1)
+
+
+def _binary_array(codes: np.ndarray):
+    """Arrow BinaryArray over an (n, m) uint8 code matrix without
+    materializing n Python bytes objects."""
+    import pyarrow as pa
+
+    n, width = codes.shape
+    offs = np.arange(0, (n + 1) * width, width, dtype=np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(),
+        n,
+        [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(codes.tobytes())],
+    )
 
 CODE_SCHEMA = T.StructType(
     [
@@ -119,26 +141,26 @@ def pq_encode(
     spark = vectors.sparkSession
     bc = spark.sparkContext.broadcast(codebooks)
 
-    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def enc(batches):
+        import pyarrow as pa
+
         books = bc.value
         cns = [(books[j] * books[j]).sum(1) for j in range(m)]
-        for pdf in batches:
-            if len(pdf) == 0:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            V = _arrow_matrix(batch.column(vec_col), "array", np.float64)
             codes = np.empty((len(V), m), dtype=np.uint8)
             for j in range(m):
                 Vj = V[:, j * dsub : (j + 1) * dsub]
                 codes[:, j] = (cns[j][None, :] - 2.0 * (Vj @ books[j].T)).argmin(1)
-            yield pd.DataFrame(
-                {
-                    "id": pdf[id_col].to_numpy(np.int64),
-                    "code": [row.tobytes() for row in codes],
-                }
+            yield pa.record_batch(
+                [pa.array(_arrow_i64(batch.column(id_col))), _binary_array(codes)],
+                names=["id", "code"],
             )
 
     out = vectors.select(F.col(id_col), F.col(vec_col))
-    return out.mapInPandas(enc, CODE_SCHEMA)
+    return out.mapInArrow(enc, CODE_SCHEMA)
 
 
 def pq_decode_np(codes: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
@@ -165,20 +187,24 @@ def pq_reconstruct(
         ]
     )
 
-    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def dec(batches):
+        import pyarrow as pa
+
         books = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            C = np.frombuffer(
-                b"".join(pdf["code"].tolist()), dtype=np.uint8
-            ).reshape(len(pdf), m)
+            C = _arrow_codes(batch.column("code"))
             V = pq_decode_np(C, books).astype(np.float32)
-            yield pd.DataFrame(
-                {"id": pdf[id_col].to_numpy(np.int64), "vec": list(V)}
+            n, d = V.shape
+            offs = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32))
+            vec_arr = pa.ListArray.from_arrays(offs, pa.array(V.ravel()))
+            yield pa.record_batch(
+                [pa.array(_arrow_i64(batch.column(id_col))), vec_arr],
+                names=["id", "vec"],
             )
 
-    return codes.mapInPandas(dec, schema)
+    return codes.mapInArrow(dec, schema)
 
 
 def pq_search(
@@ -243,18 +269,18 @@ def pq_search(
     want_min = metric == "l2"
     sign = 1.0 if want_min else -1.0
 
-    def partial_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def partial_topk(batches):
+        import pyarrow as pa
+
         qids_, lut_ = bc.value
         nq_ = len(qids_)
         best_d = np.full((nq_, 0), 0.0)
         best_l = np.full((nq_, 0), -1, dtype=np.int64)
-        for pdf in batches:
-            if len(pdf) == 0:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            C = np.frombuffer(
-                b"".join(pdf["code"].tolist()), dtype=np.uint8
-            ).reshape(len(pdf), m)
-            labels = pdf["id"].to_numpy(np.int64)
+            C = _arrow_codes(batch.column("code"))
+            labels = _arrow_i64(batch.column("id"))
             D = np.zeros((nq_, len(C)), dtype=np.float64)
             for j in range(m):
                 # gather: (nq, 256)[:, codes_j] → (nq, batch)
@@ -271,15 +297,16 @@ def pq_search(
             best_l = np.take_along_axis(cat_l, idx, axis=1)
         n_have = best_d.shape[1]
         if n_have:
-            yield pd.DataFrame(
-                {
-                    "qid": np.repeat(qids_, n_have),
-                    "label": best_l.ravel(),
-                    "distance": (sign * best_d).ravel(),
-                }
+            yield pa.record_batch(
+                [
+                    pa.array(np.repeat(qids_, n_have)),
+                    pa.array(best_l.ravel()),
+                    pa.array((sign * best_d).ravel()),
+                ],
+                names=["qid", "label", "distance"],
             )
 
-    candidates = codes.mapInPandas(partial_topk, _PARTIAL_SCHEMA)
+    candidates = codes.mapInArrow(partial_topk, _PARTIAL_SCHEMA)
     qdf = queries.select(F.col(qid_col).cast("long").alias("qid"))
     return _finalize(qdf, candidates, k, metric)
 
@@ -356,28 +383,31 @@ def ivfpq_encode(
     bc = spark.sparkContext.broadcast((centroids, codebooks))
     mm, ksub, dsub = codebooks.shape
 
-    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def enc(batches):
+        import pyarrow as pa
+
         C_, books_ = bc.value
         cns = [(books_[j] * books_[j]).sum(1) for j in range(mm)]
-        for pdf in batches:
-            if len(pdf) == 0:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            V_ = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            cells = pdf["cell"].to_numpy(np.int64)
+            V_ = _arrow_matrix(batch.column(vec_col), "array", np.float64)
+            cells = batch.column("cell").to_numpy(zero_copy_only=True)
             Rr = V_ - C_[cells]
             codes = np.empty((len(V_), mm), dtype=np.uint8)
             for j in range(mm):
                 Rj = Rr[:, j * dsub : (j + 1) * dsub]
                 codes[:, j] = (cns[j][None, :] - 2.0 * (Rj @ books_[j].T)).argmin(1)
-            yield pd.DataFrame(
-                {
-                    "id": pdf[id_col].to_numpy(np.int64),
-                    "cell": cells.astype(np.int32),
-                    "code": [row.tobytes() for row in codes],
-                }
+            yield pa.record_batch(
+                [
+                    pa.array(_arrow_i64(batch.column(id_col))),
+                    pa.array(cells.astype(np.int32, copy=False)),
+                    _binary_array(codes),
+                ],
+                names=["id", "cell", "code"],
             )
 
-    return assigned.mapInPandas(enc, IVFPQ_CODE_SCHEMA)
+    return assigned.mapInArrow(enc, IVFPQ_CODE_SCHEMA)
 
 
 def ivfpq_write(codes: DataFrame, path: str) -> None:

@@ -112,26 +112,31 @@ def lsh_buckets(
     )
 
     def bucketize(batches):
+        import pyarrow as pa
+
+        from .knn import _arrow_i64, _arrow_matrix
+
         Pl = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            V = _arrow_matrix(batch.column("_v"), "array", np.float64)
             Vq = np.floor(V * 1000.0).astype(np.int64)
             proj = Vq @ Pl  # (n, T·P) exact int64
             bits = (proj > 0).reshape(len(V), n_tables, n_planes)
             buckets = (bits * pows).sum(axis=2)  # (n, T)
-            ids = pdf["_id"].to_numpy(np.int64)
-            yield pd.DataFrame(
-                {
-                    "id": np.repeat(ids, n_tables),
-                    "tbl": np.tile(np.arange(n_tables, dtype=np.int32), len(V)),
-                    "bucket": buckets.ravel(),
-                }
+            ids = _arrow_i64(batch.column("_id"))
+            yield pa.record_batch(
+                [
+                    pa.array(np.repeat(ids, n_tables)),
+                    pa.array(np.tile(np.arange(n_tables, dtype=np.int32), len(V))),
+                    pa.array(buckets.ravel()),
+                ],
+                names=["id", "tbl", "bucket"],
             )
 
     src = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    return src.mapInPandas(bucketize, out_schema)
+    return src.mapInArrow(bucketize, out_schema)
 
 
 def ann_lsh_search(
@@ -374,19 +379,25 @@ def ivf_assign(
 
     out_schema = T.StructType(list(fields) + [T.StructField("cell", T.IntegerType())])
 
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def assign(batches):
+        import pyarrow as pa
+
+        from .knn import _arrow_matrix
+
         C = bc.value
         cn = (C * C).sum(1)
-        for pdf in batches:
-            if len(pdf) == 0:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            V = _arrow_matrix(batch.column(vec_col), "array", np.float64)
             # argmin ‖v−c‖² = argmin ‖c‖²−2v·c  (‖v‖² constant per row)
-            pdf = pdf.copy()
-            pdf["cell"] = (cn[None, :] - 2.0 * (V @ C.T)).argmin(1).astype(np.int32)
-            yield pdf
+            cell = (cn[None, :] - 2.0 * (V @ C.T)).argmin(1).astype(np.int32)
+            yield pa.record_batch(
+                list(batch.columns) + [pa.array(cell)],
+                names=list(batch.schema.names) + ["cell"],
+            )
 
-    return vectors.mapInPandas(assign, out_schema)
+    return vectors.mapInArrow(assign, out_schema)
 
 
 def ivf_write(assigned: DataFrame, path: str) -> None:
