@@ -2207,6 +2207,143 @@ FROM rr WHERE rank < 10
 """
 
 
+def q_ann_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (sign-bit) vector index, both stages tagged in one result:
+    'hamming' rows are IndexBinaryFlat-style Hamming top-10 over codes
+    packed 32 dims per BIGINT word (1 bit/dim — 32× smaller than FP32,
+    extending the reference's FP32/FP16/BF16 storage family downward,
+    /root/reference/include/faiss-metal/MetalIndexFlat.h:47); 'refine'
+    rows prefilter top-40 by Hamming then exactly rescore the fetched
+    full vectors (IndexRefineFlat two-stage). Packing, popcount
+    distance and rescore are all Catalyst expressions; the DuckDB
+    oracle computes the same count without packing (bit w·32+j of the
+    word XOR is exactly the sign disagreement of dim w·32+j, so the
+    pack is verified through every distance it produces)."""
+    from faiss_metal_spark.operators.binary import hamming_knn, hamming_refine
+
+    d = _PQ_M * _PQ_DSUB
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    queries = emb.where(F.col("id") < 8).select(F.col("id").alias("qid"), "vec")
+    ham = hamming_knn(emb, queries, k=10, d=d)
+    ref = hamming_refine(emb, queries, k=10, d=d, refine_factor=4)
+    return ham.select(
+        F.lit("hamming").alias("path"), "qid", "rank", "label",
+        F.col("distance").cast("double").alias("distance"),
+    ).unionByName(
+        ref.select(
+            F.lit("refine").alias("path"), "qid", "rank", "label",
+            _norm(F.col("distance"), 4).alias("distance"),
+        )
+    )
+
+
+ORACLE_ANN_BINARY = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8
+),
+hd AS (  -- Hamming = count of sign-bit disagreements
+  SELECT q.qid, v.vec_id AS label,
+         list_sum([CASE WHEN (x[1] > 0) <> (x[2] > 0) THEN 1 ELSE 0 END
+                   FOR x IN list_zip(q.qv, v.embedding)]) AS dist
+  FROM q CROSS JOIN embeddings v
+),
+hr AS (
+  SELECT qid, label, dist,
+         row_number() OVER (PARTITION BY qid ORDER BY dist ASC, label ASC) - 1 AS rank
+  FROM hd
+),
+rex AS (  -- exact rescore of the Hamming top-40
+  SELECT hr.qid, hr.label,
+         list_sum([(x[1] - x[2]) * (x[1] - x[2]) FOR x IN
+                   list_zip(q.qv::DOUBLE[], v.embedding::DOUBLE[])]) AS dist
+  FROM hr
+  JOIN q ON q.qid = hr.qid
+  JOIN embeddings v ON v.vec_id = hr.label
+  WHERE hr.rank < 40
+),
+rr AS (
+  SELECT qid, label, dist,
+         row_number() OVER (PARTITION BY qid ORDER BY dist ASC, label ASC) - 1 AS rank
+  FROM rex
+)
+SELECT 'hamming' AS path, CAST(qid AS BIGINT) AS qid, CAST(rank AS INTEGER) AS rank,
+       CAST(label AS BIGINT) AS label, CAST(dist AS DOUBLE) AS distance
+FROM hr WHERE rank < 10
+UNION ALL
+SELECT 'refine' AS path, CAST(qid AS BIGINT) AS qid, CAST(rank AS INTEGER) AS rank,
+       CAST(label AS BIGINT) AS label, ROUND(dist, 4) + 0.0 AS distance
+FROM rr WHERE rank < 10
+"""
+
+
+def q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantizer index (faiss::IndexScalarQuantizer QT_8bit
+    semantics, endpoints-exact reconstruct — operators/sq.py): train
+    per-dim min/max in one distributed pass, encode every vector to
+    uint8 codes, search asymmetrically (exact query vs reconstructed
+    codes). Encode arithmetic is double-precision Catalyst kept
+    operation-for-operation identical to the SQL oracle, so code
+    assignment, reconstruction and distances all hash-match. Training
+    is an action by nature (params become plan literals); the collect
+    is d rows, not the corpus."""
+    from faiss_metal_spark.operators.sq import sq8_encode, sq8_search, sq8_train
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    vmin, vmax = sq8_train(emb)
+    codes = sq8_encode(emb, vmin, vmax)
+    queries = emb.where(F.col("id") < 8).select(F.col("id").alias("qid"), "vec")
+    res = sq8_search(codes, vmin, vmax, queries, k=10)
+    return res.select(
+        "qid", "rank", "label", _norm(F.col("distance"), 4).alias("distance")
+    )
+
+
+def _oracle_ann_sq8() -> str:
+    d = _PQ_M * _PQ_DSUB
+    return f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8
+),
+mm AS (  -- train: per-dim min/max (RS_minmax)
+  SELECT j, MIN(embedding[j+1]::DOUBLE) AS vmin, MAX(embedding[j+1]::DOUBLE) AS vmax
+  FROM embeddings CROSS JOIN range({d}) t(j)
+  GROUP BY j
+),
+enc AS (  -- encode: clamp(floor((x-vmin)/(vmax-vmin)*255 + 0.5))
+  SELECT v.vec_id AS id, mm.j,
+         CASE WHEN mm.vmax = mm.vmin THEN 0
+              ELSE CAST(LEAST(255.0, GREATEST(0.0,
+                   FLOOR((v.embedding[mm.j+1]::DOUBLE - mm.vmin)
+                         / (mm.vmax - mm.vmin) * 255.0 + 0.5))) AS INTEGER)
+         END AS code
+  FROM embeddings v CROSS JOIN mm
+),
+rec AS (  -- reconstruct: vmin + code*(vmax-vmin)/255
+  SELECT enc.id, enc.j,
+         mm.vmin + enc.code * ((mm.vmax - mm.vmin) / 255.0) AS r
+  FROM enc JOIN mm ON mm.j = enc.j
+),
+dd AS (  -- asymmetric distance: exact query vs reconstruction
+  SELECT q.qid, rec.id AS label,
+         SUM((q.qv[rec.j+1]::DOUBLE - rec.r) * (q.qv[rec.j+1]::DOUBLE - rec.r)) AS dist
+  FROM q CROSS JOIN rec
+  GROUP BY q.qid, rec.id
+),
+r AS (
+  SELECT qid, label, dist,
+         row_number() OVER (PARTITION BY qid ORDER BY dist ASC, label ASC) - 1 AS rank
+  FROM dd
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS INTEGER) AS rank,
+       CAST(label AS BIGINT) AS label, ROUND(dist, 4) + 0.0 AS distance
+FROM r WHERE rank < 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # SimHash / Jaccard / language-ID / fingerprint (training-data pipeline ops)
 # ---------------------------------------------------------------------------
@@ -2878,6 +3015,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "mllib_index_build": q_mllib_index_build,
         "ann_pq": q_ann_pq,
+        "ann_binary": q_ann_binary,
+        "ann_sq8": q_ann_sq8,
         # -- relational / analytical ------------------------------------
         "tpch_q1": q_tpch_q1,
         "tpch_q5": q_tpch_q5,
@@ -2936,6 +3075,8 @@ def oracle_sql() -> dict[str, str]:
         # so assignment + probe + encode + ADC + top-k hash-match SQL.
         "ann_ivf": ORACLE_ANN_IVF,
         "ann_pq": _oracle_ann_pq(),
+        "ann_binary": ORACLE_ANN_BINARY,
+        "ann_sq8": _oracle_ann_sq8(),
         # mllib_index_build: rows-only (engine-specific hash families /
         # kmeans|| init); accuracy pinned in tests/test_mllib_ann.py.
         # approx_sketches: rows-only (sketch estimates engine-specific);

@@ -1,0 +1,172 @@
+"""Binary (Hamming) index and SQ8 scalar quantizer — numpy-pinned.
+
+Both operators are Catalyst-only paths whose driver-gate oracle lives in
+__spark_entry__ (ann_binary / ann_sq8); these tests pin the semantics
+against independent numpy reimplementations on random data, including
+the edge shapes the oracle queries don't reach (d not a multiple of 32,
+constant dimensions, k > ntotal candidates in the refine prefilter).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from faiss_metal_spark.operators.binary import (
+    binarize,
+    hamming_knn,
+    hamming_refine,
+)
+from faiss_metal_spark.operators.sq import (
+    sq8_encode,
+    sq8_encode_binary,
+    sq8_decode_binary,
+    sq8_search,
+    sq8_train,
+)
+
+from conftest import make_fixture
+
+
+def _dfs(spark, V, Q):
+    vdf = spark.createDataFrame(
+        pd.DataFrame({"id": np.arange(len(V)), "vec": [v.tolist() for v in V]}),
+        "id long, vec array<float>",
+    )
+    qdf = spark.createDataFrame(
+        pd.DataFrame({"qid": np.arange(len(Q)), "vec": [v.tolist() for v in Q]}),
+        "qid long, vec array<float>",
+    )
+    return vdf, qdf
+
+
+def _hamming_np(V, Q):
+    return ((Q > 0)[:, None, :] != (V > 0)[None, :, :]).sum(-1)
+
+
+@pytest.mark.parametrize("d", [32, 45, 64])  # 45: NULL tail in last word
+def test_hamming_knn_matches_numpy(spark, d):
+    V, Q = make_fixture(150, 6, d, seed=11 + d)
+    vdf, qdf = _dfs(spark, V, Q)
+    k = 12
+    res = hamming_knn(vdf, qdf, k, d).toPandas().sort_values(["qid", "rank"])
+    H = _hamming_np(V, Q)
+    for q in range(len(Q)):
+        order = np.lexsort((np.arange(len(V)), H[q]))[:k]
+        got = res[res.qid == q]
+        assert (got.label.to_numpy() == order).all()
+        assert (got.distance.to_numpy() == H[q][order]).all()
+
+
+def test_hamming_packed_store_equals_on_the_fly(spark):
+    d = 45
+    V, Q = make_fixture(120, 4, d, seed=3)
+    vdf, qdf = _dfs(spark, V, Q)
+    direct = hamming_knn(vdf, qdf, 8, d).toPandas()
+    packed = binarize(vdf, d)
+    # stored words are non-negative 32-bit packs (DuckDB-expressible)
+    wp = packed.select(F.explode("words").alias("w")).toPandas()["w"]
+    assert (wp >= 0).all() and (wp < 2**32).all()
+    via_store = hamming_knn(
+        packed, qdf, 8, d, vec_col="words", packed=True
+    ).toPandas()
+    key = ["qid", "rank"]
+    assert (
+        direct.sort_values(key).reset_index(drop=True)
+        == via_store.sort_values(key).reset_index(drop=True)
+    ).all().all()
+
+
+def test_hamming_refine_rescores_exactly(spark):
+    d, k, factor = 64, 5, 4
+    V, Q = make_fixture(200, 5, d, seed=9)
+    vdf, qdf = _dfs(spark, V, Q)
+    res = (
+        hamming_refine(vdf, qdf, k, d, refine_factor=factor)
+        .toPandas()
+        .sort_values(["qid", "rank"])
+    )
+    H = _hamming_np(V, Q)
+    for q in range(len(Q)):
+        cand = np.lexsort((np.arange(len(V)), H[q]))[: k * factor]
+        l2 = ((Q[q].astype(np.float64) - V[cand].astype(np.float64)) ** 2).sum(-1)
+        order = cand[np.lexsort((cand, l2))][:k]
+        got = res[res.qid == q]
+        assert (got.label.to_numpy() == order).all()
+        assert np.allclose(got.distance.to_numpy(), l2[np.lexsort((cand, l2))][:k])
+
+
+def _sq8_np(V):
+    Vd = V.astype(np.float64)
+    vmin, vmax = Vd.min(0), Vd.max(0)
+    rng = vmax - vmin
+    safe = np.where(rng == 0.0, 1.0, rng)
+    codes = np.clip(np.floor((Vd - vmin) / safe * 255.0 + 0.5), 0, 255)
+    codes[:, rng == 0.0] = 0.0
+    return vmin, vmax, codes.astype(np.int64)
+
+
+def test_sq8_train_encode_match_numpy(spark):
+    V, _ = make_fixture(250, 1, 24, seed=21)
+    V[:, 7] = 0.5  # constant dim must encode 0 / reconstruct exactly
+    vdf, _ = _dfs(spark, V, V[:1])
+    vmin, vmax = sq8_train(vdf)
+    nvmin, nvmax, ncodes = _sq8_np(V)
+    assert np.array_equal(vmin, nvmin) and np.array_equal(vmax, nvmax)
+    got = np.stack(
+        sq8_encode(vdf, vmin, vmax).toPandas().sort_values("id")["code"].to_numpy()
+    )
+    assert (got == ncodes).all()
+
+
+def test_sq8_binary_layout_roundtrip(spark):
+    """BINARY store: codes identical to the Catalyst array codes; decode
+    reconstructs within half a quantization step everywhere."""
+    V, _ = make_fixture(100, 1, 16, seed=5)
+    vdf, _ = _dfs(spark, V, V[:1])
+    vmin, vmax = sq8_train(vdf)
+    _, _, ncodes = _sq8_np(V)
+    pdf = vdf.select(
+        "id",
+        sq8_encode_binary("vec", vmin, vmax).alias("b"),
+        sq8_decode_binary(sq8_encode_binary("vec", vmin, vmax), vmin, vmax).alias("r"),
+    ).toPandas().sort_values("id")
+    packed = np.stack([np.frombuffer(b, np.uint8) for b in pdf["b"]])
+    assert (packed == ncodes).all()
+    recon = np.stack(pdf["r"].to_numpy())
+    step = (vmax - vmin) / 255.0
+    assert (np.abs(recon - V.astype(np.float64)) <= step / 2 + 1e-12).all()
+
+
+def test_sq8_search_matches_numpy(spark):
+    V, Q = make_fixture(300, 6, 24, seed=33)
+    vdf, qdf = _dfs(spark, V, Q)
+    k = 10
+    vmin, vmax = sq8_train(vdf)
+    codes = sq8_encode(vdf, vmin, vmax)
+    res = sq8_search(codes, vmin, vmax, qdf, k).toPandas().sort_values(["qid", "rank"])
+    _, _, ncodes = _sq8_np(V)
+    R = vmin + ncodes * ((vmax - vmin) / 255.0)
+    D = ((Q.astype(np.float64)[:, None, :] - R[None, :, :]) ** 2).sum(-1)
+    for q in range(len(Q)):
+        order = np.lexsort((np.arange(len(V)), D[q]))[:k]
+        got = res[res.qid == q]
+        assert (got.label.to_numpy() == order).all()
+        assert np.allclose(got.distance.to_numpy(), D[q][order])
+
+
+def test_sq8_quantization_error_bounded(spark):
+    """End-to-end sanity: SQ8 top-1 of a stored vector queried by itself
+    is itself, with distance ≤ d·(step/2)² (sum of per-dim max error²)."""
+    V, _ = make_fixture(120, 1, 32, seed=8)
+    vdf, _ = _dfs(spark, V, V[:1])
+    vmin, vmax = sq8_train(vdf)
+    codes = sq8_encode(vdf, vmin, vmax)
+    qdf = spark.createDataFrame(
+        pd.DataFrame({"qid": [17], "vec": [V[17].tolist()]}),
+        "qid long, vec array<float>",
+    )
+    top = sq8_search(codes, vmin, vmax, qdf, 1).toPandas()
+    assert top.label[0] == 17
+    bound = (((vmax - vmin) / 255.0 / 2.0) ** 2).sum() + 1e-12
+    assert top.distance[0] <= bound
