@@ -1438,12 +1438,6 @@ WHERE s.dup_key NOT IN (
 """
 
 
-def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    sig = minhash_signatures(d, num_hashes=8, shingle_size=3)
-    return lsh_candidate_pairs(sig, num_hashes=8, bands=4)
-
-
 # Shared CTE chain producing the LSH candidate pairs (used by both the
 # pair query's oracle and the recursive clusters oracle).
 _MINHASH_CTES = """
@@ -1474,9 +1468,6 @@ pairs AS (
 )
 """
 
-ORACLE_MINHASH_LSH = f"WITH {_MINHASH_CTES} SELECT id_a, id_b FROM pairs"
-
-
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: MinHash-LSH candidate pairs → connected
     components (min-label propagation ≡ recursive-CTE closure)."""
@@ -1504,15 +1495,36 @@ SELECT id, MIN(l) AS cluster FROM r GROUP BY id
 
 
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship pipeline: exact dedup + MinHash-LSH near-dedup (cluster
-    representative = min id) + quality filter, one declarative plan."""
+    """Flagship pipeline, both configurations tagged: 'lex' rows are
+    exact dedup + MinHash-LSH near-dedup (cluster representative =
+    min id) + quality filter in one declarative plan; 'sem' rows add
+    the optional SemDeDup stage — semantic-group non-representatives
+    (cosine ≥ 0.35 within a fixed-centroid cell, min-id
+    representative) dropped in the same plan. Embedding ids live in
+    the document id space; docs without an embedding row pass the
+    semantic stage."""
     from faiss_metal_spark.pipeline import curate_corpus
 
     d = _t(spark, sf_dir, "documents")
-    out = curate_corpus(d, min_quality=0.5)
-    return out.select(
-        "doc_id", "lang", "n_tokens", _norm(F.col("quality"), 4).alias("quality")
+    e = _t(spark, sf_dir, "embeddings")
+    centroids, _, _ = _fixed_quantizers(
+        e.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
     )
+    cols = lambda v, df: df.select(  # noqa: E731
+        F.lit(v).alias("variant"), "doc_id", "lang", "n_tokens",
+        _norm(F.col("quality"), 4).alias("quality"),
+    )
+    lex = curate_corpus(d, min_quality=0.5)
+    sem = curate_corpus(
+        d,
+        min_quality=0.5,
+        embeddings=e,
+        centroids=centroids,
+        semantic_threshold=0.35,
+        emb_id_col="vec_id",
+        emb_vec_col="embedding",
+    )
+    return cols("lex", lex).unionByName(cols("sem", sem))
 
 
 # exact-dup + near-dup drop set, then the doc_quality scoring formula —
@@ -1567,33 +1579,6 @@ FROM q WHERE quality >= 0.5
 """
 
 
-def q_curate_sem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """curate_corpus with the optional SemDeDup stage wired in: lexical
-    exact/near dedup PLUS semantic-group non-representatives (cosine ≥
-    0.35 within a fixed-centroid cell, min-id representative) dropped
-    in the same declarative plan. Embedding ids live in the document id
-    space; docs without an embedding row pass the semantic stage."""
-    from faiss_metal_spark.pipeline import curate_corpus
-
-    d = _t(spark, sf_dir, "documents")
-    e = _t(spark, sf_dir, "embeddings")
-    centroids, _, _ = _fixed_quantizers(
-        e.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
-    )
-    out = curate_corpus(
-        d,
-        min_quality=0.5,
-        embeddings=e,
-        centroids=centroids,
-        semantic_threshold=0.35,
-        emb_id_col="vec_id",
-        emb_vec_col="embedding",
-    )
-    return out.select(
-        "doc_id", "lang", "n_tokens", _norm(F.col("quality"), 4).alias("quality")
-    )
-
-
 # the SemDeDup drop set (same fixed-centroid cell assignment + in-cell
 # cosine pairs + recursive min-label closure as the 'sem' rows of
 # ORACLE_NEARDUP; 16 = _ANN_CELLS), spliced into the curate oracle's
@@ -1631,6 +1616,13 @@ _ORACLE_CURATE_SEM = _ORACLE_CURATE.replace(
     " UNION SELECT id FROM sem_drop),",
 )
 assert "sem_drop" in _ORACLE_CURATE_SEM  # splice anchor must exist
+
+# one variant-tagged key runs both configurations (the driver checks a
+# 50-query window; lex/sem stay independently hash-checked via the tag)
+_ORACLE_CURATE_TAGGED = (
+    "SELECT 'lex' AS variant, lq.* FROM (" + _ORACLE_CURATE + ") lq"
+    " UNION ALL SELECT 'sem' AS variant, sq.* FROM (" + _ORACLE_CURATE_SEM + ") sq"
+)
 
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2344,6 +2336,27 @@ FROM r WHERE rank < 10
 """
 
 
+def q_ann_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compact-storage index family in one path-tagged result:
+    'hamming' + 'refine' rows from the binary sign-bit index
+    (q_ann_binary) and 'sq8' rows from the scalar quantizer
+    (q_ann_sq8) — the two storage tiers below the FP16/BF16 compact
+    stores (1 bit/dim and 1 byte/dim respectively)."""
+    sq8 = q_ann_sq8(spark, sf_dir).select(
+        F.lit("sq8").alias("path"), "qid", "rank", "label", "distance"
+    )
+    return q_ann_binary(spark, sf_dir).unionByName(sq8)
+
+
+def _oracle_ann_compact() -> str:
+    return (
+        ORACLE_ANN_BINARY
+        + " UNION ALL SELECT 'sq8' AS path, sq.* FROM ("
+        + _oracle_ann_sq8()
+        + ") sq"
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash / Jaccard / language-ID / fingerprint (training-data pipeline ops)
 # ---------------------------------------------------------------------------
@@ -2435,8 +2448,13 @@ def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows are the RAG-style passage chunking (32-token windows, overlap
     8): k2 = chunk_id, fp = rolling fingerprint of the chunk text —
     verifying chunk boundaries, short-tail handling AND per-chunk
-    content in one value."""
+    content in one value; 'dupspan' rows are exact-substring-dedup
+    spans (Lee et al. 2022 style, operators/corpus_quality.py): maximal
+    token runs covered by a word 8-gram occurring ≥2× corpus-wide,
+    k2 = span start, fp = span end (0-based inclusive token indices —
+    the spans a substring-dedup pass would cut)."""
     from faiss_metal_spark.functions.text import chunk_spans, doc_fingerprint
+    from faiss_metal_spark.operators.corpus_quality import duplicate_spans
 
     d = _t(spark, sf_dir, "documents")
     winnow = d.select(
@@ -2453,7 +2471,13 @@ def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.chunk_id").cast("int").alias("k2"),
         doc_fingerprint(F.col("c.chunk")).alias("fp"),
     )
-    return winnow.unionByName(ch)
+    sp = duplicate_spans(d, n=8, min_count=2).select(
+        F.lit("dupspan").alias("kind"),
+        "doc_id",
+        F.col("span_start").cast("int").alias("k2"),
+        F.col("span_end").cast("long").alias("fp"),
+    )
+    return winnow.unionByName(ch).unionByName(sp)
 
 
 ORACLE_WINNOW = f"""
@@ -2487,10 +2511,40 @@ cfp AS (
            (acc, v) -> (acc * 31 + v) % 2147483647
          ) AS fp
   FROM chunks
+),
+g8 AS (  -- word 8-grams with 0-based start positions
+  SELECT doc_id,
+         unnest(range(0, len(t) - 7)) AS pos,
+         unnest([array_to_string(t[i:i+7], ' ') FOR i IN range(1, len(t) - 6)]) AS g
+  FROM toks WHERE len(t) >= 8
+),
+dupg AS (SELECT g FROM g8 GROUP BY g HAVING COUNT(*) >= 2),
+cov AS (
+  SELECT DISTINCT g8.doc_id, g8.pos + off AS p
+  FROM g8 JOIN dupg USING (g)
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS off) o
+),
+isl AS (
+  SELECT doc_id, p,
+         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) = 1
+              THEN 0 ELSE 1 END AS brk
+  FROM cov
+),
+isl2 AS (
+  SELECT doc_id, p,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS UNBOUNDED PRECEDING) AS grp
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, MIN(p) AS span_start, MAX(p) AS span_end
+  FROM isl2 GROUP BY doc_id, grp
 )
 SELECT 'winnow' AS kind, doc_id, CAST(-1 AS INTEGER) AS k2, unnest(fps) AS fp FROM wins
 UNION ALL
 SELECT 'chunk', doc_id, CAST(k2 AS INTEGER), fp FROM cfp
+UNION ALL
+SELECT 'dupspan', doc_id, CAST(span_start AS INTEGER), CAST(span_end AS BIGINT) FROM spans
 """
 
 
@@ -2750,18 +2804,28 @@ FROM ({_oracle_lang_id()}) li JOIN ({ORACLE_TEXT_STATS}) ts USING (lang)
 
 
 def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document text analysis in ONE scan: token counts, quality
-    scoring, rolling-hash fingerprint, BPE-ish token count, repeated-
-    3-gram repetition ratio (the boilerplate/spam quality filter), and
-    the hashing-trick embedding's dominant lane + value (exercises the
+    """Per-document text analysis: token counts, quality scoring,
+    rolling-hash fingerprint, BPE-ish token count, repeated-3-gram
+    repetition ratio (the boilerplate/spam quality filter), the
+    hashing-trick embedding's dominant lane + value (exercises the
     text→vector bridge — lane assignment, signed fold — against the
-    SQL oracle; the dense array itself is pinned by pytest vs numpy)."""
+    SQL oracle; the dense array itself is pinned by pytest vs numpy),
+    PLUS the Gopher repetition rules (top-{2,3,4}-gram fraction and
+    duplicated-5-gram position coverage, operators/corpus_quality.py
+    ::repetition_profile) and the DSIR hashed-unigram importance
+    weight toward the lang='en' target domain (::dsir_weights) — one
+    projection scan joined with two explode-aggregate passes on
+    doc_id."""
     from faiss_metal_spark.functions.text import hashed_embedding, repetition_ratio
+    from faiss_metal_spark.operators.corpus_quality import (
+        dsir_weights,
+        repetition_profile,
+    )
 
     d = _t(spark, sf_dir, "documents")
     emb = hashed_embedding("text", d=16, normalize=False)
     top = F.array_max(emb)
-    return d.select(
+    base = d.select(
         "doc_id",
         token_count("text").cast("long").alias("n_tokens"),
         _norm(distinct_token_ratio("text"), 4).alias("distinct_ratio"),
@@ -2773,6 +2837,17 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_position(emb, top).cast("long").alias("emb_lane"),
         top.cast("long").alias("emb_top"),
     )
+    rep = repetition_profile(d).select(
+        "doc_id",
+        _norm(F.col("top2_frac"), 4).alias("top2_frac"),
+        _norm(F.col("top3_frac"), 4).alias("top3_frac"),
+        _norm(F.col("top4_frac"), 4).alias("top4_frac"),
+        _norm(F.col("dup5_frac"), 4).alias("dup5_frac"),
+    )
+    dsir = dsir_weights(d, F.col("lang") == "en", buckets=64).select(
+        "doc_id", _norm(F.col("weight"), 4).alias("dsir_en")
+    )
+    return base.join(rep, "doc_id").join(dsir, "doc_id")
 
 
 ORACLE_DOC_PROFILE = f"""
@@ -2796,6 +2871,48 @@ WITH t AS (
   SELECT doc_id, lane, s,
          row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lane ASC) AS rn
   FROM lanes
+), rg AS (  -- tagged n-grams with positions, n in {{2,3,4,5}}
+  SELECT doc_id, n,
+         unnest(range(0, len(toks) - n + 1)) AS pos,
+         unnest([array_to_string(toks[i:i+n-1], ' ')
+                 FOR i IN range(1, len(toks) - n + 2)]) AS g,
+         len(toks) AS nt
+  FROM t CROSS JOIN (SELECT unnest([2, 3, 4, 5]) AS n) ns
+  WHERE len(toks) >= n
+), rc AS (
+  SELECT doc_id, n, g, COUNT(*) AS cnt, MAX(nt) AS nt FROM rg GROUP BY doc_id, n, g
+), rtop AS (
+  SELECT doc_id, n, MAX(cnt) AS maxc, MAX(nt) AS nt
+  FROM rc WHERE n IN (2, 3, 4) GROUP BY doc_id, n
+), rcov AS (  -- positions covered by within-doc duplicated 5-grams
+  SELECT doc_id, COUNT(*) AS cov FROM (
+    SELECT DISTINCT rg.doc_id, rg.pos + off AS p
+    FROM rg
+    JOIN (SELECT doc_id, g FROM rc WHERE n = 5 AND cnt >= 2) d5
+      ON d5.doc_id = rg.doc_id AND d5.g = rg.g
+    CROSS JOIN (SELECT unnest(range(0, 5)) AS off) o
+    WHERE rg.n = 5
+  ) GROUP BY doc_id
+), rep AS (
+  SELECT t.doc_id,
+    COALESCE(MAX(CASE WHEN rtop.n = 2 THEN (rtop.maxc * 2)::DOUBLE / rtop.nt END), 0) AS top2,
+    COALESCE(MAX(CASE WHEN rtop.n = 3 THEN (rtop.maxc * 3)::DOUBLE / rtop.nt END), 0) AS top3,
+    COALESCE(MAX(CASE WHEN rtop.n = 4 THEN (rtop.maxc * 4)::DOUBLE / rtop.nt END), 0) AS top4
+  FROM t LEFT JOIN rtop ON rtop.doc_id = t.doc_id
+  GROUP BY t.doc_id
+), dtok AS (  -- DSIR hashed-unigram buckets (64), target = lang 'en'
+  SELECT doc_id, lang = 'en' AS ist, ({_sql_hash32('x')}) % 64 AS b
+  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS x FROM documents)
+), dstats AS (
+  SELECT b, SUM(CASE WHEN ist THEN 1 ELSE 0 END) AS tc, COUNT(*) AS rc FROM dtok GROUP BY b
+), dtot AS (
+  SELECT SUM(CASE WHEN ist THEN 1 ELSE 0 END) AS tt, COUNT(*) AS rt FROM dtok
+), dsir AS (
+  SELECT doc_id,
+         SUM(ln((s.tc + 1)::DOUBLE) - ln((dtot.tt + 64)::DOUBLE)
+             - ln((s.rc + 1)::DOUBLE) + ln((dtot.rt + 64)::DOUBLE)) AS w
+  FROM dtok JOIN dstats s USING (b) CROSS JOIN dtot
+  GROUP BY doc_id
 )
 SELECT t.doc_id, len(toks) AS n_tokens,
   ROUND(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 4) + 0.0 AS distinct_ratio,
@@ -2813,20 +2930,40 @@ SELECT t.doc_id, len(toks) AS n_tokens,
              THEN 1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE)
              ELSE 0.0 END, 4) + 0.0 AS rep3,
   CAST(etop.lane + 1 AS BIGINT) AS emb_lane,
-  CAST(etop.s AS BIGINT) AS emb_top
-FROM t JOIN etop ON etop.doc_id = t.doc_id AND etop.rn = 1
+  CAST(etop.s AS BIGINT) AS emb_top,
+  ROUND(rep.top2, 4) + 0.0 AS top2_frac,
+  ROUND(rep.top3, 4) + 0.0 AS top3_frac,
+  ROUND(rep.top4, 4) + 0.0 AS top4_frac,
+  ROUND(COALESCE(rcov.cov, 0)::DOUBLE / len(toks), 4) + 0.0 AS dup5_frac,
+  ROUND(dsir.w, 4) + 0.0 AS dsir_en
+FROM t
+JOIN etop ON etop.doc_id = t.doc_id AND etop.rn = 1
+JOIN rep ON rep.doc_id = t.doc_id
+LEFT JOIN rcov ON rcov.doc_id = t.doc_id
+JOIN dsir ON dsir.doc_id = t.doc_id
 """
 
 
 def q_simhash_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures AND banded near-dup pairs, tagged: 'sig' rows
-    carry (doc_id, signature), 'pair' rows carry (id_a, id_b, hamming)."""
+    """Banded-LSH near-dup family, tagged: 'sig' rows carry the SimHash
+    signatures (doc_id, signature), 'pair' rows the SimHash banded
+    near-dup pairs (id_a, id_b, hamming), and 'mh' rows the
+    MinHash-LSH candidate pairs (8 hashes, 4 bands — the banding
+    engine behind curate_corpus, checked standalone here; hamming is
+    NULL for them)."""
     d = _t(spark, sf_dir, "documents")
     # both union branches consume sig; materialize it once (the
     # signature build is a full corpus scan — lazy reuse would run it
     # twice, and union branches can race a plain cache)
     sig = simhash_signatures(d).localCheckpoint()
     pairs = simhash_neardup_pairs(sig, bands=4, max_hamming=3)
+    mh_sig = minhash_signatures(d, num_hashes=8, shingle_size=3)
+    mh = lsh_candidate_pairs(mh_sig, num_hashes=8, bands=4).select(
+        F.lit("mh").alias("kind"),
+        F.col("id_a").alias("a"),
+        F.col("id_b").alias("b"),
+        F.lit(None).cast("int").alias("hamming"),
+    )
     srows = sig.select(
         F.lit("sig").alias("kind"),
         F.col("doc_id").alias("a"),
@@ -2839,7 +2976,7 @@ def q_simhash_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").alias("b"),
         F.col("hamming").cast("int").alias("hamming"),
     )
-    return srows.unionByName(prows)
+    return srows.unionByName(prows).unionByName(mh)
 
 
 def _oracle_simhash_all() -> str:
@@ -2857,6 +2994,9 @@ SELECT 'pair', id_a, id_b, hamming FROM (
   FROM bkt a JOIN bkt b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
   WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 )
+UNION ALL
+SELECT 'mh', id_a, id_b, CAST(NULL AS INTEGER)
+FROM (WITH {_MINHASH_CTES} SELECT id_a, id_b FROM pairs) mhp
 """
 
 
@@ -2991,10 +3131,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_clusters": q_dedup_clusters,
         "curate_corpus": q_curate_corpus,
-        "curate_sem": q_curate_sem,
         "decontaminate": q_decontaminate,
         "corpus_splits": q_corpus_splits,
-        "minhash_lsh": q_minhash_lsh,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash_all": q_simhash_all,
         "embedding_neardup": q_embedding_neardup,
@@ -3015,8 +3153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "mllib_index_build": q_mllib_index_build,
         "ann_pq": q_ann_pq,
-        "ann_binary": q_ann_binary,
-        "ann_sq8": q_ann_sq8,
+        "ann_compact": q_ann_compact,
         # -- relational / analytical ------------------------------------
         "tpch_q1": q_tpch_q1,
         "tpch_q5": q_tpch_q5,
@@ -3050,11 +3187,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "dedup_clusters": _oracle_dedup_clusters(),
-        "curate_corpus": _ORACLE_CURATE,
-        "curate_sem": _ORACLE_CURATE_SEM,
+        "curate_corpus": _ORACLE_CURATE_TAGGED,
         "decontaminate": ORACLE_DECONTAM,
         "corpus_splits": ORACLE_SPLITS,
-        "minhash_lsh": ORACLE_MINHASH_LSH,
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "simhash_all": _oracle_simhash_all(),
         "embedding_neardup": ORACLE_NEARDUP,
@@ -3075,8 +3210,7 @@ def oracle_sql() -> dict[str, str]:
         # so assignment + probe + encode + ADC + top-k hash-match SQL.
         "ann_ivf": ORACLE_ANN_IVF,
         "ann_pq": _oracle_ann_pq(),
-        "ann_binary": ORACLE_ANN_BINARY,
-        "ann_sq8": _oracle_ann_sq8(),
+        "ann_compact": _oracle_ann_compact(),
         # mllib_index_build: rows-only (engine-specific hash families /
         # kmeans|| init); accuracy pinned in tests/test_mllib_ann.py.
         # approx_sketches: rows-only (sketch estimates engine-specific);

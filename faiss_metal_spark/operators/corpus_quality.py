@@ -1,0 +1,267 @@
+"""Corpus-quality operators for LLM training-data pipelines.
+
+Three operators the reference engine has no analog for (its §2 surface
+is vector search; these extend the training-data side the same way the
+dedup family does), all pure Catalyst and all ANSI-SQL-expressible so
+the driver's DuckDB gate hash-checks them end-to-end:
+
+- :func:`repetition_profile` — per-document n-gram repetition metrics
+  in the shape of the Gopher repetition rules (Rae et al. 2021,
+  "Scaling Language Models", Table A1): fraction of the document
+  accounted for by its most frequent {2,3,4}-gram, and the fraction of
+  token positions covered by any 5-gram that occurs more than once in
+  the document. Documents dominated by boilerplate/loops score high
+  and get filtered before training.
+- :func:`duplicate_spans` — cross-document duplicated-substring spans
+  (the word-granular form of exact substring deduplication, Lee et
+  al. 2022 "Deduplicating Training Data Makes Language Models
+  Better"): every maximal run of token positions covered by an n-gram
+  occurring ≥ ``min_count`` times corpus-wide, as (doc, start, end)
+  spans ready to cut out of the training text.
+- :func:`dsir_weights` — hashed-n-gram importance weights (Xie et
+  al. 2023, "Data Selection for Language Models via Importance
+  Resampling"): per-document Σ log(p_target(b)/p_raw(b)) over hashed
+  token buckets with add-1 smoothing, where *target* is a caller-given
+  predicate (the domain to up-sample toward) and *raw* is the whole
+  corpus.
+
+Scale notes (100 TB discipline):
+
+- Everything explodes to at most O(total tokens) rows, immediately
+  aggregated with map-side combine; no operator holds a whole document
+  set in one task.
+- ``duplicate_spans`` shuffles 8-byte xxhash64 gram keys, never gram
+  strings (the DuckDB oracle joins on the raw strings — a collision
+  would surface as a hash-gate mismatch, same contract as
+  ``ngram_jaccard_pairs``).
+- ``dsir_weights``'s bucket statistics table is ``buckets`` rows —
+  broadcast to the token join by construction; corpus totals are a
+  1-row aggregate cross-joined in. One corpus scan computes target and
+  raw counts together (conditional aggregation), one more scores docs.
+- Windows partition by doc_id only in the island merge of
+  ``duplicate_spans``, where the partition is one document's covered
+  positions (≤ its token count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import token_hash32
+
+
+def _tok_col(text_col: str | Column) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(c, " ")
+
+
+def _gram_structs(tt: Column, n: int) -> Column:
+    """array<struct<pos int, g string>> of word n-grams with 0-based
+    start positions; empty when the doc has fewer than n tokens
+    (guarded — Spark's sequence(0, negative) would count downward)."""
+    return F.when(
+        F.size(tt) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tt) - n),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.concat_ws(" ", F.slice(tt, i + 1, n)).alias("g"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,g:string>>"))
+
+
+def repetition_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_n: int = 5,
+) -> DataFrame:
+    """Per-doc repetition metrics: ``top{n}_frac`` = (count of the most
+    frequent n-gram)·n / n_tokens for each n in ``top_ns`` (the Gopher
+    "fraction in most common n-gram" rule, token-granular), and
+    ``dup{dup_n}_frac`` = fraction of token positions covered by some
+    dup_n-gram occurring ≥2× within the doc (the Gopher "fraction in
+    duplicated n-grams" rule — positions counted once, not per gram).
+
+    One explode serves every n (grams are tagged), one more join
+    resolves coverage; all aggregations combine map-side.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), _tok_col(text_col).alias("tt")
+    ).select("doc_id", "tt", F.size("tt").alias("n_tokens"))
+
+    def _tag(n: int):
+        # single-parameter lambda: a two-arg lambda would be read by
+        # F.transform as (element, index) and shadow the closed-over n
+        return lambda s: F.struct(
+            F.lit(n).alias("n"), s["pos"].alias("pos"), s["g"].alias("g")
+        )
+
+    tagged = F.flatten(
+        F.array(
+            *[
+                F.transform(_gram_structs(F.col("tt"), n), _tag(n))
+                for n in (*top_ns, dup_n)
+            ]
+        )
+    )
+    grams = base.select(
+        "doc_id", "n_tokens", F.explode(tagged).alias("s")
+    ).select("doc_id", "n_tokens", "s.n", "s.pos", "s.g")
+
+    counts = grams.groupBy("doc_id", "n", "g").agg(
+        F.count(F.lit(1)).alias("cnt"), F.first("n_tokens").alias("n_tokens")
+    )
+    top = (
+        counts.where(F.col("n").isin(list(top_ns)))
+        .groupBy("doc_id", "n")
+        .agg(F.max("cnt").alias("maxc"), F.first("n_tokens").alias("n_tokens"))
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_tokens").alias("n_tokens"),
+            *[
+                F.max(
+                    F.when(
+                        F.col("n") == n,
+                        (F.col("maxc") * n).cast("double") / F.col("n_tokens"),
+                    )
+                ).alias(f"top{n}_frac")
+                for n in top_ns
+            ],
+        )
+    )
+    dup_grams = counts.where((F.col("n") == dup_n) & (F.col("cnt") >= 2)).select(
+        "doc_id", "g"
+    )
+    covered = (
+        grams.where(F.col("n") == dup_n)
+        .join(dup_grams, ["doc_id", "g"], "left_semi")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + dup_n - 1)).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("cov"))
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(top.drop("n_tokens"), "doc_id", "left")
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            *[
+                F.coalesce(F.col(f"top{n}_frac"), F.lit(0.0)).alias(f"top{n}_frac")
+                for n in top_ns
+            ],
+            (
+                F.coalesce(F.col("cov"), F.lit(0)).cast("double") / F.col("n_tokens")
+            ).alias(f"dup{dup_n}_frac"),
+        )
+    )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal duplicated-substring spans, word-granular: token
+    positions covered by any n-gram whose corpus-wide occurrence count
+    is ≥ ``min_count`` are merged into maximal runs per document.
+    Returns (doc_id, span_start, span_end, span_tokens) with 0-based
+    inclusive token indices — the spans exact-substring dedup would cut.
+
+    The corpus-wide gram count groups on xxhash64 keys (8 bytes on the
+    shuffle); the island merge is a per-doc window over covered
+    positions (gaps-and-islands: a break wherever the previous covered
+    position isn't pos−1).
+    """
+    grams = (
+        docs.select(F.col(id_col).alias("doc_id"), _tok_col(text_col).alias("tt"))
+        .select("doc_id", F.explode(_gram_structs(F.col("tt"), n)).alias("s"))
+        .select("doc_id", F.col("s.pos").alias("pos"), F.xxhash64("s.g").alias("gh"))
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+        .select("gh")
+    )
+    covered = (
+        grams.join(dup, "gh", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("p"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    islands = covered.withColumn(
+        "brk", F.when(F.col("p") - F.lag("p", 1).over(w) == 1, 0).otherwise(1)
+    ).withColumn("isl", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return islands.groupBy("doc_id", "isl").agg(
+        F.min("p").alias("span_start"),
+        F.max("p").alias("span_end"),
+        (F.max("p") - F.min("p") + 1).alias("span_tokens"),
+    ).drop("isl")
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: Column,
+    buckets: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashed-unigram DSIR importance weights: each token hashes to one
+    of ``buckets`` buckets (md5-based :func:`token_hash32` mod B —
+    cross-engine stable); bucket unigram models with add-1 smoothing
+    are fit for the ``target`` subset and the whole corpus in ONE
+    conditional aggregation pass; each document scores
+    Σ_tokens log(p̂_target(b) / p̂_raw(b)). Returns
+    (doc_id, n_tok, weight). Positive weight ⇒ the doc looks more like
+    the target domain than the corpus average — resample ∝ exp(weight).
+
+    The bucket-stats side is B rows (broadcast join); totals ride in a
+    1-row cross join. Lazy end to end: no action until the caller's.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        target.alias("_is_target"),
+        F.explode(_tok_col(text_col)).alias("t"),
+    ).select(
+        "doc_id",
+        "_is_target",
+        F.pmod(token_hash32(F.col("t")), F.lit(buckets)).alias("b"),
+    )
+    stats = tok.groupBy("b").agg(
+        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("tc"),
+        F.count(F.lit(1)).alias("rc"),
+    )
+    totals = tok.agg(
+        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("tt"),
+        F.count(F.lit(1)).alias("rt"),
+    )
+    scored = (
+        tok.join(F.broadcast(stats), "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            (
+                F.log((F.coalesce(F.col("tc"), F.lit(0)) + F.lit(1)).cast("double"))
+                - F.log((F.col("tt") + F.lit(buckets)).cast("double"))
+                - F.log((F.coalesce(F.col("rc"), F.lit(0)) + F.lit(1)).cast("double"))
+                + F.log((F.col("rt") + F.lit(buckets)).cast("double"))
+            ).alias("lr"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"), F.sum("lr").alias("weight")
+    )
