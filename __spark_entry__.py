@@ -2813,11 +2813,13 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     PLUS the Gopher repetition rules (top-{2,3,4}-gram fraction and
     duplicated-5-gram position coverage, operators/corpus_quality.py
     ::repetition_profile) and the DSIR hashed-unigram importance
-    weight toward the lang='en' target domain (::dsir_weights) — one
-    projection scan joined with two explode-aggregate passes on
-    doc_id."""
+    weight toward the lang='en' target domain (::dsir_weights), and the
+    CCNet-style bigram-LM cross-entropy (::bigram_lm_scores, add-1
+    smoothing, self-trained — the model-based quality filter) — one
+    projection scan joined with explode-aggregate passes on doc_id."""
     from faiss_metal_spark.functions.text import hashed_embedding, repetition_ratio
     from faiss_metal_spark.operators.corpus_quality import (
+        bigram_lm_scores,
         dsir_weights,
         repetition_profile,
     )
@@ -2847,7 +2849,12 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     dsir = dsir_weights(d, F.col("lang") == "en", buckets=64).select(
         "doc_id", _norm(F.col("weight"), 4).alias("dsir_en")
     )
-    return base.join(rep, "doc_id").join(dsir, "doc_id")
+    lm = bigram_lm_scores(d).select(
+        "doc_id", _norm(F.col("cross_entropy"), 4).alias("bigram_ce")
+    )
+    return (
+        base.join(rep, "doc_id").join(dsir, "doc_id").join(lm, "doc_id", "left")
+    )
 
 
 ORACLE_DOC_PROFILE = f"""
@@ -2913,6 +2920,21 @@ WITH t AS (
              - ln((s.rc + 1)::DOUBLE) + ln((dtot.rt + 64)::DOUBLE)) AS w
   FROM dtok JOIN dstats s USING (b) CROSS JOIN dtot
   GROUP BY doc_id
+), bg AS (  -- bigram stream (parallel unnests zip positionally)
+  SELECT doc_id,
+         unnest(toks[1:len(toks)-1]) AS a,
+         unnest(toks[2:len(toks)]) AS b
+  FROM t WHERE len(toks) >= 2
+), c2 AS (SELECT a, b, COUNT(*) AS c2 FROM bg GROUP BY a, b),
+c1 AS (SELECT a, SUM(c2) AS c1 FROM c2 GROUP BY a),
+vv AS (
+  SELECT COUNT(DISTINCT x) AS v
+  FROM (SELECT unnest(string_split(text, ' ')) AS x FROM documents)
+), lm AS (  -- add-1-smoothed bigram cross-entropy (CCNet-style filter)
+  SELECT bg.doc_id,
+         -AVG(ln(c2.c2 + 1.0) - ln(c1.c1 + 1.0 * vv.v)) AS ce
+  FROM bg JOIN c2 USING (a, b) JOIN c1 USING (a) CROSS JOIN vv
+  GROUP BY bg.doc_id
 )
 SELECT t.doc_id, len(toks) AS n_tokens,
   ROUND(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 4) + 0.0 AS distinct_ratio,
@@ -2935,12 +2957,14 @@ SELECT t.doc_id, len(toks) AS n_tokens,
   ROUND(rep.top3, 4) + 0.0 AS top3_frac,
   ROUND(rep.top4, 4) + 0.0 AS top4_frac,
   ROUND(COALESCE(rcov.cov, 0)::DOUBLE / len(toks), 4) + 0.0 AS dup5_frac,
-  ROUND(dsir.w, 4) + 0.0 AS dsir_en
+  ROUND(dsir.w, 4) + 0.0 AS dsir_en,
+  ROUND(lm.ce, 4) + 0.0 AS bigram_ce
 FROM t
 JOIN etop ON etop.doc_id = t.doc_id AND etop.rn = 1
 JOIN rep ON rep.doc_id = t.doc_id
 LEFT JOIN rcov ON rcov.doc_id = t.doc_id
 JOIN dsir ON dsir.doc_id = t.doc_id
+LEFT JOIN lm ON lm.doc_id = t.doc_id
 """
 
 

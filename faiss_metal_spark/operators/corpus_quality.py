@@ -265,3 +265,86 @@ def dsir_weights(
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tok"), F.sum("lr").alias("weight")
     )
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    train: DataFrame | None = None,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bigram-LM cross-entropy per document — the model-based quality
+    filter of CCNet (Wenzek et al. 2020: score each doc under an LM
+    trained on a reference corpus; high perplexity ⇒ off-distribution
+    junk). The LM here is an add-α-smoothed bigram model:
+
+        p(b|a) = (c(a,b) + α) / (c(a,·) + α·V)
+
+    trained on ``train`` (default: ``docs`` itself — self-scoring
+    flags a doc's divergence from its own corpus), where V is the
+    train vocabulary size and c(a,·) counts token *a* as a bigram
+    context. Returns (doc_id, n_bigrams, cross_entropy) with
+    cross_entropy = −mean log p over the doc's bigrams (perplexity =
+    exp(cross_entropy)); docs with < 2 tokens have no bigrams and are
+    absent from the result (left-join on the caller side if needed).
+
+    Scale shape: bigram counts aggregate map-side into the distinct-
+    bigram table (the LM — this is the one corpus-scale state, keyed
+    by bigram, shuffled once at train and joined once at score);
+    context counts derive from the same aggregation (no second scan);
+    V and the α terms travel in a 1-row cross join. All double math,
+    ANSI-SQL-expressible end to end.
+    """
+    if train is None:
+        train = docs
+
+    def _bigrams(df: DataFrame, keep_id: bool) -> DataFrame:
+        tt = _tok_col(text_col)
+        pairs = F.when(
+            F.size(tt) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(tt) - 2),
+                lambda i: F.struct(
+                    F.element_at(tt, i + 1).alias("a"),
+                    F.element_at(tt, i + 2).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        cols = [F.col(id_col).alias("doc_id")] if keep_id else []
+        return df.select(*cols, F.explode(pairs).alias("p")).select(
+            *(["doc_id"] if keep_id else []),
+            F.col("p.a").alias("a"),
+            F.col("p.b").alias("b"),
+        )
+
+    c2 = _bigrams(train, keep_id=False).groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    c1 = c2.groupBy("a").agg(F.sum("c2").alias("c1"))
+    vocab = train.select(
+        F.explode(_tok_col(text_col)).alias("t")
+    ).agg(F.countDistinct("t").alias("v"))
+
+    scored = (
+        _bigrams(docs, keep_id=True)
+        .join(c2, ["a", "b"], "left")
+        .join(c1, "a", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(float(alpha)))
+                )
+                - F.log(
+                    F.coalesce(F.col("c1"), F.lit(0))
+                    + F.lit(float(alpha)) * F.col("v")
+                )
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (-F.avg("lp")).alias("cross_entropy"),
+    )

@@ -17,6 +17,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from faiss_metal_spark.operators.corpus_quality import (
+    bigram_lm_scores,
     dsir_weights,
     duplicate_spans,
     repetition_profile,
@@ -121,6 +122,45 @@ def test_dsir_weights_match_pandas(spark, corpus):
         )
         assert abs(got.loc[did].weight - exp) < 1e-9
         assert got.loc[did].n_tok == len(text.split(" "))
+
+
+def test_bigram_lm_matches_pandas(spark, corpus):
+    docs, df = corpus
+    c2, c1 = Counter(), Counter()
+    vocab = set()
+    for _, text, _ in docs:
+        tt = text.split(" ")
+        vocab.update(tt)
+        for a, b in zip(tt, tt[1:]):
+            c2[(a, b)] += 1
+            c1[a] += 1
+    V = len(vocab)
+    got = bigram_lm_scores(df).toPandas().set_index("doc_id")
+    for did, text, _ in docs:
+        tt = text.split(" ")
+        if len(tt) < 2:
+            assert did not in got.index
+            continue
+        lps = [
+            math.log(c2[(a, b)] + 1.0) - math.log(c1[a] + 1.0 * V)
+            for a, b in zip(tt, tt[1:])
+        ]
+        assert got.loc[did].n_bigrams == len(lps)
+        assert abs(got.loc[did].cross_entropy - (-sum(lps) / len(lps))) < 1e-9
+
+
+def test_bigram_lm_flags_off_distribution_docs(spark):
+    """A doc whose bigrams never occur in the train corpus must score a
+    strictly higher cross-entropy than in-distribution docs (the CCNet
+    filtering property), and a 1-token doc is absent from the result."""
+    rows = [(i, "the quick brown fox jumps over the lazy dog", "en") for i in range(10)]
+    rows.append((97, "zzz qqq www rrr zzz qqq www rrr", "en"))
+    rows.append((98, "solo", "en"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    train = df.where(F.col("doc_id") < 10)
+    got = bigram_lm_scores(df, train=train).toPandas().set_index("doc_id")
+    assert 98 not in got.index
+    assert got.loc[97].cross_entropy > got.loc[0].cross_entropy
 
 
 def test_dsir_target_docs_score_higher(spark):
