@@ -1514,15 +1514,22 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(v).alias("variant"), "doc_id", "lang", "n_tokens",
         _norm(F.col("quality"), 4).alias("quality"),
     )
-    lex = curate_corpus(d, min_quality=0.5)
-    sem = curate_corpus(
-        d,
-        min_quality=0.5,
-        embeddings=e,
-        centroids=centroids,
-        semantic_threshold=0.35,
-        emb_id_col="vec_id",
-        emb_vec_col="embedding",
+    # the semantic stage only ADDS drops and the quality filter is
+    # per-doc, so sem ≡ lex minus the SemDeDup drop set — materialize
+    # the expensive lexical pipeline once and derive the sem rows by
+    # anti-join instead of running exact+LSH+CC+verify twice
+    from faiss_metal_spark.operators.dedup import semantic_dedup
+
+    lex = curate_corpus(d, min_quality=0.5).localCheckpoint(eager=False)
+    sem_drop = (
+        semantic_dedup(
+            e, centroids, id_col="vec_id", vec_col="embedding", threshold=0.35
+        )
+        .where(F.col("keep") == 0)
+        .select(F.col("id").alias("_sem_drop"))
+    )
+    sem = lex.join(
+        sem_drop, lex["doc_id"] == F.col("_sem_drop"), "left_anti"
     )
     return cols("lex", lex).unionByName(cols("sem", sem))
 

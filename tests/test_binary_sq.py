@@ -155,6 +155,22 @@ def test_sq8_search_matches_numpy(spark):
         assert np.allclose(got.distance.to_numpy(), D[q][order])
 
 
+def test_binary_sq8_plans_stay_jvm_side(spark):
+    """Plan discipline: both compact-index search paths are pure
+    Catalyst — broadcast query side, no Python stage anywhere, and the
+    only shuffle is the per-qid top-k window."""
+    from faiss_metal_spark.plans.report import assert_plan
+
+    V, Q = make_fixture(100, 4, 32, seed=2)
+    vdf, qdf = _dfs(spark, V, Q)
+    r = assert_plan(hamming_knn(vdf, qdf, 5, 32), min_broadcasts=1)
+    assert not r.has_python_stage
+    vmin, vmax = sq8_train(vdf)
+    codes = sq8_encode(vdf, vmin, vmax)
+    r = assert_plan(sq8_search(codes, vmin, vmax, qdf, 5), min_broadcasts=1)
+    assert not r.has_python_stage
+
+
 def test_sq8_quantization_error_bounded(spark):
     """End-to-end sanity: SQ8 top-1 of a stored vector queried by itself
     is itself, with distance ≤ d·(step/2)² (sum of per-dim max error²)."""

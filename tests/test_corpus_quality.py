@@ -163,6 +163,19 @@ def test_bigram_lm_flags_off_distribution_docs(spark):
     assert got.loc[97].cross_entropy > got.loc[0].cross_entropy
 
 
+def test_corpus_quality_plans_stay_jvm_side(spark, corpus):
+    """Plan discipline: every corpus_quality operator is pure Catalyst
+    (no Python stage); dsir broadcasts its bucket stats + totals."""
+    from faiss_metal_spark.plans.report import assert_plan, explain_report
+
+    _, df = corpus
+    assert not explain_report(repetition_profile(df)).has_python_stage
+    assert not explain_report(duplicate_spans(df, n=8)).has_python_stage
+    assert not explain_report(bigram_lm_scores(df)).has_python_stage
+    r = assert_plan(dsir_weights(df, F.col("lang") == "en"), min_broadcasts=2)
+    assert not r.has_python_stage
+
+
 def test_dsir_target_docs_score_higher(spark):
     """Directional sanity: docs drawn from the target domain's
     vocabulary must score a higher per-token weight than off-domain
