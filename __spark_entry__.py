@@ -2597,21 +2597,57 @@ WHERE j * 16 < length(text)
 
 
 def q_mm_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode: build spec-valid binary PGM (P5) payloads whose
-    16×8 raster is the doc's bytes cycled, then parse the header and
-    nearest-neighbor-resize to 16 thumbnail taps. Tap i reads raster
-    pixel 8i, i.e. text byte (8i mod len) — which is what the oracle
-    reproduces straight off the text column."""
+    """REAL image decode plus perceptual dedup, three row kinds in one
+    schema: px_idx ≥ 0 rows are the decoded thumbnail taps (spec-valid
+    binary PGM (P5) payloads whose 16×8 raster is the doc's bytes
+    cycled; tap i reads raster pixel 8i = text byte (8i mod len), which
+    the oracle reproduces straight off the text column); px_idx = −1
+    rows carry each image's 16-bit average-hash (aHash — bit i set iff
+    tap i exceeds the image's mean tap, tap 0 as MSB); px_idx = −2 rows
+    are the exact perceptual-dup groups (keeper doc, px = group size) —
+    the image analog of exact text dedup, operators/multimodal.py
+    ::image_ahash/ahash_dup_groups."""
+    from faiss_metal_spark.operators.multimodal import ahash_dup_groups, image_ahash
+
     d = _t(spark, sf_dir, "documents")
     img = attach_image_payload(d, width=16, height=8)
-    return decode_image(img, fmt="pgm")
+    taps = decode_image(img, fmt="pgm")
+    hashes = image_ahash(taps).localCheckpoint()
+    groups = ahash_dup_groups(hashes)
+    h_rows = hashes.select(
+        "doc_id", F.lit(-1).cast("int").alias("px_idx"), F.col("ahash").cast("int").alias("px")
+    )
+    g_rows = groups.select(
+        F.col("keeper").alias("doc_id"),
+        F.lit(-2).cast("int").alias("px_idx"),
+        F.col("n_dups").cast("int").alias("px"),
+    )
+    return taps.unionByName(h_rows).unionByName(g_rows)
 
 
 ORACLE_MM_THUMBNAIL = """
-SELECT doc_id, CAST(i AS INTEGER) AS px_idx,
-       CAST(unicode(substr(text, CAST((i * 8) % length(text) + 1 AS INTEGER), 1)) AS INTEGER) AS px
-FROM documents CROSS JOIN (SELECT unnest(range(0, 16)) AS i)
-WHERE length(text) > 0
+WITH taps AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS px_idx,
+         CAST(unicode(substr(text, CAST((i * 8) % length(text) + 1 AS INTEGER), 1)) AS INTEGER) AS px
+  FROM documents CROSS JOIN (SELECT unnest(range(0, 16)) AS i)
+  WHERE length(text) > 0
+),
+m AS (SELECT doc_id, AVG(px::DOUBLE) AS mean FROM taps GROUP BY doc_id),
+h AS (
+  SELECT t.doc_id,
+         CAST(SUM(CASE WHEN t.px::DOUBLE > m.mean
+                       THEN 1::BIGINT << (15 - t.px_idx) ELSE 0 END) AS INTEGER) AS ahash
+  FROM taps t JOIN m USING (doc_id) GROUP BY t.doc_id
+),
+g AS (
+  SELECT ahash, COUNT(*) AS n_dups, MIN(doc_id) AS keeper
+  FROM h GROUP BY ahash HAVING COUNT(*) > 1
+)
+SELECT doc_id, px_idx, px FROM taps
+UNION ALL
+SELECT doc_id, CAST(-1 AS INTEGER), ahash FROM h
+UNION ALL
+SELECT keeper, CAST(-2 AS INTEGER), CAST(n_dups AS INTEGER) FROM g
 """
 
 

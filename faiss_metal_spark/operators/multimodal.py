@@ -462,3 +462,59 @@ def decode_audio(
             )
 
     return mm.mapInPandas(decode, _AUDIO_SCHEMA)
+
+
+def image_ahash(
+    decoded: DataFrame,
+    id_col: str = "doc_id",
+    idx_col: str = "px_idx",
+    px_col: str = "px",
+) -> DataFrame:
+    """Average-hash perceptual fingerprint per image (the classic aHash:
+    bit i = thumbnail tap i brighter than the image's mean tap), packed
+    tap-0-as-MSB into one non-negative BIGINT — THUMB_TAPS=16 bits, so
+    the pack is ANSI-SQL-expressible and two visually identical images
+    collide exactly. Input is :func:`decode_image` output; the whole
+    computation is a per-image aggregation + Catalyst fold (no Python).
+
+    At scale: groupBy(image id) combines map-side (taps-per-image rows,
+    bounded); the hash is the 8-byte key downstream dedup groups on —
+    the image twin of exact text dedup's digest, and the input format
+    for :mod:`.binary`'s Hamming machinery when a tolerance is wanted.
+    """
+    taps = (
+        decoded.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(idx_col), F.col(px_col)))
+            ).alias("_t")
+        )
+        .select(
+            F.col(id_col),
+            F.transform("_t", lambda s: s[px_col].cast("double")).alias("_px"),
+        )
+    )
+    mean = (
+        F.aggregate(F.col("_px"), F.lit(0.0), lambda a, x: a + x)
+        / F.size("_px")
+    )
+    with_mean = taps.select(id_col, "_px", mean.alias("_mean"))
+    ahash = F.aggregate(
+        F.col("_px"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc * 2
+        + F.when(x > F.col("_mean"), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return with_mean.select(F.col(id_col), ahash.alias("ahash"))
+
+
+def ahash_dup_groups(hashes: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exact perceptual-dup groups: images sharing an aHash, keeper =
+    min id (the image analog of exact_dedup's digest groupBy)."""
+    return (
+        hashes.groupBy("ahash")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("keeper")
+        )
+        .where(F.col("n_dups") > 1)
+    )

@@ -147,3 +147,35 @@ def test_wav_roundtrip_stats(docs, spark):
     assert out[1]["n_samples"] == 1
     assert out[1]["peak"] == abs((ord("z") - 128) * 256)
     assert 2 not in out  # empty doc → no clip
+
+
+def test_image_ahash_and_dup_groups(docs, spark):
+    """aHash packs (tap > mean) bits MSB-first; identical images (same
+    text bytes) land in one dup group with keeper = min id."""
+    from faiss_metal_spark.operators.multimodal import (
+        ahash_dup_groups,
+        attach_image_payload,
+        decode_image,
+        image_ahash,
+    )
+
+    img = attach_image_payload(docs, width=16, height=8)
+    taps = decode_image(img, fmt="pgm")
+    tp = taps.toPandas()
+    hp = image_ahash(taps).toPandas().set_index("doc_id")
+    for did, grp in tp.groupby("doc_id"):
+        px = grp.sort_values("px_idx").px.to_numpy(np.float64)
+        exp = 0
+        mean = px.sum() / len(px)
+        for v in px:
+            exp = exp * 2 + (1 if v > mean else 0)
+        assert hp.loc[did].ahash == exp
+    # plant two identical images → one group, keeper = min id
+    dup = spark.createDataFrame(
+        [(100, "same bytes here"), (200, "same bytes here"), (300, "different")],
+        "doc_id long, text string",
+    )
+    g = ahash_dup_groups(
+        image_ahash(decode_image(attach_image_payload(dup, 16, 8), fmt="pgm"))
+    ).toPandas()
+    assert len(g) == 1 and g.keeper[0] == 100 and g.n_dups[0] == 2
