@@ -1909,14 +1909,19 @@ FROM r WHERE rank < {_LSH_K}
 
 
 def q_mllib_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MLlib batch index building (the north-star's 'MLlib for batch
-    index building'), both halves in one tagged result: 'cell' rows are
-    the distributed-k-means IVF coarse-quantizer inventory (a=cell,
-    b=count), 'pair' rows are BucketedRandomProjectionLSH near-dup
-    pairs (a=id_a, b=id_b, x=dist). Rows-only check — kmeans|| init and
-    the hash family are engine-specific; assignment exactness,
-    zero-false-positive and recall are pinned by tests/test_mllib_ann.py."""
+    """Engine-specific index building, four iterative trainers in one
+    tagged result (rows-only check — kmeans|| init, the LSH hash
+    family, NN-Descent's and OPQ's alternating optimizations are all
+    engine-specific; exactness/recall properties are pinned by
+    tests/test_mllib_ann.py, test_knn_graph.py, test_opq.py): 'cell'
+    rows are the distributed-k-means IVF coarse-quantizer inventory
+    (a=cell, b=count), 'pair' rows BucketedRandomProjectionLSH near-dup
+    pairs (a=id_a, b=id_b, x=dist), 'nng' rows the NN-Descent kNN-graph
+    edges (a=id, b=nbr, x=dist), 'opq' rows learned-rotation ADC search
+    results (a=qid, b=label, x=distance)."""
+    from faiss_metal_spark.operators.knn_graph import nn_descent
     from faiss_metal_spark.operators.mllib_ann import mllib_kmeans_ivf, mllib_lsh_pairs
+    from faiss_metal_spark.operators.opq import opq_encode, opq_search, opq_train
 
     emb = _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
@@ -1936,7 +1941,23 @@ def q_mllib_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").alias("b"),
         _norm(F.col("dist"), 4).alias("x"),
     )
-    return cells.unionByName(pairs)
+    nng = nn_descent(emb, k=5, iters=3).select(
+        F.lit("nng").alias("kind"),
+        F.col("id").alias("a"),
+        F.col("nbr").alias("b"),
+        _norm(F.col("dist"), 4).alias("x"),
+    )
+    R, books = opq_train(emb, m=8, iters=3, pq_iters=3)
+    opq = opq_search(
+        opq_encode(emb, R, books), R, books,
+        emb.where(F.col("id") < 8).select(F.col("id").alias("qid"), "vec"), k=10,
+    ).select(
+        F.lit("opq").alias("kind"),
+        F.col("qid").alias("a"),
+        F.col("label").alias("b"),
+        _norm(F.col("distance"), 4).alias("x"),
+    )
+    return cells.unionByName(pairs).unionByName(nng).unionByName(opq)
 
 
 # Fixed-quantizer discipline for the ANN oracle rows: the SEARCH stages
@@ -2654,13 +2675,15 @@ SELECT keeper, CAST(-2 AS INTEGER), CAST(n_dups AS INTEGER) FROM g
 def q_mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode: spec-valid RIFF/WAVE PCM16-mono payloads
     (sample i = (byte_i − 128)·256), parsed back by the pure-numpy RIFF
-    reader into per-clip amplitude features."""
+    reader into per-clip amplitude features plus a 32-bit delta-energy
+    fingerprint (bit j = |s[j+1]| > |s[j]|, MSB-first — the clip-level
+    perceptual-dup key, audio twin of mm_thumbnail's aHash)."""
     d = _t(spark, sf_dir, "documents")
     wav = attach_audio_payload(d, sample_rate=8000)
     out = decode_audio(wav)
     return out.select(
         "doc_id", "n_samples", "sample_rate",
-        _norm(F.col("mean_abs"), 4).alias("mean_abs"), "peak",
+        _norm(F.col("mean_abs"), 4).alias("mean_abs"), "peak", "afp",
     )
 
 
@@ -2672,7 +2695,10 @@ WITH c AS (
 )
 SELECT doc_id, CAST(n AS BIGINT) AS n_samples, CAST(8000 AS INTEGER) AS sample_rate,
        ROUND(list_sum(amps) / CAST(n AS DOUBLE), 4) + 0.0 AS mean_abs,
-       CAST(list_max(amps) AS INTEGER) AS peak
+       CAST(list_max(amps) AS INTEGER) AS peak,
+       CAST(COALESCE(list_sum(
+         [CASE WHEN amps[j+2] > amps[j+1] THEN (1::BIGINT << (31 - j)) ELSE 0 END
+          FOR j IN range(0, LEAST(n, 33) - 1)]), 0) AS BIGINT) AS afp
 FROM c
 """
 

@@ -390,6 +390,8 @@ def attach_audio_payload(
     return docs.select(id_col, text_col).mapInPandas(build, out_schema)
 
 
+_AFP_BITS = 32  # delta-energy fingerprint width (see decode_audio)
+
 _AUDIO_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -397,6 +399,7 @@ _AUDIO_SCHEMA = T.StructType(
         T.StructField("sample_rate", T.IntegerType()),
         T.StructField("mean_abs", T.DoubleType()),
         T.StructField("peak", T.IntegerType()),
+        T.StructField("afp", T.LongType()),
     ]
 )
 
@@ -451,6 +454,23 @@ def decode_audio(
                 sums = np.add.reduceat(absamp, seg)
                 mean_abs[nz] = sums / n_samp[nz]
                 peak[nz] = np.maximum.reduceat(absamp, seg).astype(np.int32)
+            # delta-energy fingerprint (classic audio-fingerprinting
+            # shape, Haitsma-Kalker style at clip granularity): bit j
+            # set iff |s[j+1]| > |s[j]|, first 33 samples, MSB-first —
+            # a 32-bit perceptual key for exact-dup clip grouping.
+            # Vectorized: clipped gather into an (n, 33) window + mask.
+            col = np.arange(_AFP_BITS + 1, dtype=np.int64)
+            win = np.minimum(n_samp, _AFP_BITS + 1)
+            if len(absamp):
+                idx = np.minimum(
+                    (first // 2)[:, None] + col[None, :], len(absamp) - 1
+                )
+                A = np.where(col[None, :] < win[:, None], absamp[idx], 0)
+            else:
+                A = np.zeros((n, _AFP_BITS + 1), np.int64)
+            bits = (A[:, 1:] > A[:, :-1]) & (col[None, 1:] < win[:, None])
+            weights = (np.int64(1) << (_AFP_BITS - 1 - np.arange(_AFP_BITS)))
+            afp = (bits * weights[None, :]).sum(1)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].to_numpy(np.int64),
@@ -458,6 +478,7 @@ def decode_audio(
                     "sample_rate": rates,
                     "mean_abs": mean_abs,
                     "peak": peak,
+                    "afp": afp,
                 }
             )
 

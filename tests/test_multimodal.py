@@ -179,3 +179,17 @@ def test_image_ahash_and_dup_groups(docs, spark):
         image_ahash(decode_image(attach_image_payload(dup, 16, 8), fmt="pgm"))
     ).toPandas()
     assert len(g) == 1 and g.keeper[0] == 100 and g.n_dups[0] == 2
+
+
+def test_audio_fingerprint_bits(docs, spark):
+    """afp packs |s[j+1]|>|s[j]| MSB-first over the first 33 samples; a
+    1-sample clip fingerprints to 0; identical clips collide exactly."""
+    wav = attach_audio_payload(docs, sample_rate=8000)
+    out = {r["doc_id"]: r for r in decode_audio(wav).collect()}
+    amps = np.abs((np.frombuffer(("abcdefgh" * 4).encode(), np.uint8).astype(np.int64) - 128) * 256)
+    exp = 0
+    for j in range(min(len(amps), 33) - 1):
+        exp = (exp << 1) | (1 if amps[j + 1] > amps[j] else 0)
+    exp <<= 32 - (min(len(amps), 33) - 1)
+    assert out[0]["afp"] == exp
+    assert out[1]["afp"] == 0  # single sample, no deltas
