@@ -22,7 +22,8 @@ actually materializes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_partitioned(
@@ -68,3 +69,57 @@ def write_bucketed(
 
 def bucketed_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def zorder_key(cols: list[Column | str], bits: int = 16) -> Column:
+    """Z-order (Morton) key: interleave the low ``bits`` bits of each
+    column round-robin (col 0 contributes the most-significant bit of
+    each group). Callers pass RANK-NORMALIZED or otherwise uniformly
+    scaled non-negative ints — the curve preserves locality only in
+    that space. Pure Catalyst fold: for bit b from high to low, append
+    one bit from every column. len(cols)·bits must stay ≤ 62 so the
+    key fits a non-negative BIGINT.
+
+    This is the multi-dimensional clustering trick behind Delta/Iceberg
+    OPTIMIZE ZORDER: sort-by-key + range-partitioned write gives every
+    file a bounded bounding box in ALL keyed dimensions, so a filter on
+    ANY subset of them prunes most files — single-column sorts only
+    prune their own column.
+    """
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    if len(cs) * bits > 62:
+        raise ValueError(f"{len(cs)} cols x {bits} bits exceeds a BIGINT")
+    key = F.lit(0).cast("long")
+    for b in range(bits - 1, -1, -1):
+        for c in cs:
+            key = key * F.lit(2) + F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    n_files: int = 8,
+    fmt: str = "parquet",
+) -> None:
+    """Write ``df`` clustered along the Z-curve of ``cols``:
+    repartitionByRange on the Morton key (range boundaries from Spark's
+    reservoir sampling — at scale this is the same shuffle a global
+    sort costs, once, at write time) then sort within partitions, so
+    each output file covers a compact curve segment = a bounded
+    hyper-box in every clustered dimension. Readers filtering on any
+    clustered column touch the few files whose box intersects —
+    demonstrated by tests/test_sources_plans.py::test_zorder_file_pruning
+    counting distinct input files per box query."""
+    key = zorder_key([F.col(c) for c in cols], bits)
+    (
+        df.withColumn("_zkey", key)
+        .repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .format(fmt)
+        .save(path)
+    )

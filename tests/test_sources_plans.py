@@ -9,6 +9,7 @@ the suite fails even though results stay correct.
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from faiss_metal_spark.plans import assert_plan, explain_report
 from faiss_metal_spark.sources import read_vectors, synthetic_vectors, write_vectors
@@ -164,3 +165,61 @@ def test_filtered_knn_pushes_predicate(spark):
     }
     real = got[got["label"] >= 0]
     assert set(lab[l] for l in real["label"]) <= {1, 3}
+
+
+def test_zorder_key_is_morton_interleave(spark):
+    from faiss_metal_spark.sources.layout import zorder_key
+
+    rows = [(x, y) for x in (0, 1, 5, 127, 255) for y in (0, 3, 200, 255)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", zorder_key(["x", "y"], bits=8).alias("z")).collect()
+    }
+    for x, y in rows:
+        k = 0
+        for b in range(7, -1, -1):
+            k = (k << 1) | ((x >> b) & 1)
+            k = (k << 1) | ((y >> b) & 1)
+        assert got[(x, y)] == k
+
+
+def test_zorder_file_pruning(spark, tmp_path):
+    """The property the layout exists for: a small box query on BOTH
+    dimensions touches few z-ordered files, while a layout sorted on
+    one column alone spreads the same box across ~every file."""
+    import numpy as np
+    import pandas as pd
+
+    from faiss_metal_spark.sources.layout import write_zordered
+
+    rng = np.random.default_rng(7)
+    n = 20_000
+    pdf = pd.DataFrame(
+        {"x": rng.integers(0, 256, n), "y": rng.integers(0, 256, n), "v": np.arange(n)}
+    )
+    df = spark.createDataFrame(pdf, "x long, y long, v long")
+    zpath, lpath = str(tmp_path / "z"), str(tmp_path / "lin")
+    write_zordered(df, zpath, ["x", "y"], bits=8, n_files=8)
+    # strawman: range-partition + sort on x only
+    (
+        df.repartitionByRange(8, "x").sortWithinPartitions("x")
+        .write.mode("overwrite").parquet(lpath)
+    )
+
+    def files_touched(path):
+        d = spark.read.parquet(path).where(
+            "x >= 96 and x < 128 and y >= 96 and y < 128"
+        )
+        return d.select(F.input_file_name()).distinct().count()
+
+    zf, lf = files_touched(zpath), files_touched(lpath)
+    # x-sorted layout prunes on x (1/8 of the range → ~1-2 files) but a
+    # Y-side box can't prune at all; flip the box to y-major to show it
+    def files_touched_y(path):
+        d = spark.read.parquet(path).where("y >= 96 and y < 128")
+        return d.select(F.input_file_name()).distinct().count()
+
+    assert zf <= 4, f"z-order touched {zf}/8 files"
+    assert files_touched_y(lpath) == 8  # single-col sort: no y pruning
+    assert files_touched_y(zpath) <= 6  # curve still bounds y alone
