@@ -240,3 +240,38 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def curate_stream(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+    redact: bool = True,
+) -> DataFrame:
+    """Streaming corpus curation: the per-document stages of
+    ``pipeline.curate_corpus`` on a live feed, one continuous plan —
+    exact dedup inside the watermark horizon (:func:`dedup_stream`),
+    quality scoring + filter (score computed on the ORIGINAL text,
+    before any redaction touches it), and PII redaction of the emitted
+    text. Cross-document stages that need corpus-wide state (LSH
+    near-dedup, SemDeDup) deliberately stay in the batch/incremental
+    compaction pass (``incremental_dedup``): their streaming state
+    would grow with the corpus, not the watermark.
+
+    Output: input columns (text redacted in place when ``redact``)
+    plus (n_tokens, quality). The same transformation runs on a batch
+    frame, which is how stream ≡ batch is pinned.
+    """
+    from ..functions.text import quality_score, redact_pii, token_count
+
+    d = dedup_stream(docs, text_col=text_col, ts_col=ts_col, watermark=watermark)
+    scored = d.select(
+        "*",
+        token_count(text_col).cast("long").alias("n_tokens"),
+        quality_score(text_col).alias("quality"),
+    ).where(F.col("quality") >= F.lit(min_quality))
+    if redact:
+        scored = scored.withColumn(text_col, redact_pii(F.col(text_col)))
+    return scored

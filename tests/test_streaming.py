@@ -317,3 +317,59 @@ def test_continuous_topk_dedups_replayed_vectors(spark, tmp_path):
     np.testing.assert_array_equal(
         final["label"].to_numpy(), want["label"].to_numpy()
     )
+
+
+def test_curate_stream_equals_batch(spark, tmp_path):
+    """Streaming curation = dedup + quality gate + PII redaction in one
+    continuous plan; the surviving (doc_id, text) set matches the batch
+    form, low-quality rows are dropped, and emails never reach the sink
+    while quality is still scored on the ORIGINAL text."""
+    from faiss_metal_spark.streaming import curate_stream
+
+    d = str(tmp_path / "curate_feed")
+    good = (
+        "the quick brown fox jumps over the lazy dog near the quiet river "
+        "bank while seven wise owls watch from tall green trees above"
+    )
+    pdf_a = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": [good, "spam spam spam spam spam spam spam spam"],
+        }
+    )
+    pdf_b = pd.DataFrame(
+        {
+            "doc_id": [2, 3],
+            "text": [good, good + " contact me at alice@example.com today"],
+        }
+    )
+    spark.createDataFrame(pdf_a).write.mode("overwrite").parquet(d)
+    spark.createDataFrame(pdf_b).write.mode("append").parquet(d)
+
+    batch = curate_stream(spark.read.parquet(d), min_quality=0.5).collect()
+    by_id = {r["doc_id"]: r for r in batch}
+    # exact dup group {0, 2} collapses to ONE survivor (dropDuplicates
+    # keeps an arbitrary member — don't pin which)
+    assert len({0, 2} & set(by_id)) == 1
+    assert 1 not in by_id  # repetitive spam fails the quality gate
+    assert 3 in by_id
+    assert "alice@example.com" not in by_id[3]["text"]  # redacted
+    assert "<email>" in by_id[3]["text"] or "@" not in by_id[3]["text"]
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    run_to_memory(
+        curate_stream(stream, min_quality=0.5),
+        "curate_t",
+        str(tmp_path / "cp_curate"),
+        output_mode="append",
+    )
+    # surviving TEXT set must match (the dup group's surviving doc_id
+    # is arbitrary on each side, so compare content, not ids)
+    got = {r["text"] for r in spark.sql("SELECT text FROM curate_t").collect()}
+    assert got == {r["text"] for r in batch}
+    n = spark.sql("SELECT COUNT(*) FROM curate_t").collect()[0][0]
+    assert n == len(batch)
