@@ -246,3 +246,35 @@ def test_range_search_empty_and_shuffle_free(spark):
     r = range_search(vdf, qdf, 1e-9, metric="l2", method="gemm")
     assert r.count() == 0
     assert_plan(r, max_shuffles=0)
+
+
+def test_chunked_queries_exact_and_beats_broadcast_ceiling(spark, monkeypatch):
+    """chunked_queries(fn) over disjoint query chunks equals the
+    single-shot search row-for-row, and succeeds where the query
+    broadcast guard makes the single shot refuse."""
+    from faiss_metal_spark.operators import knn as knn_mod
+    from faiss_metal_spark.operators.chunked import chunked_queries
+    from faiss_metal_spark.operators.knn import knn_search
+
+    V, Q = make_fixture(300, 24, 16)
+    vdf, qdf = vectors_df(spark, V), queries_df(spark, Q)
+    key = ["qid", "rank"]
+
+    def norm(df):
+        return df.sort_values(key).reset_index(drop=True)
+
+    def same(a, b):
+        # labels/ranks exact; distances to fp tolerance (per-chunk GEMM
+        # blocking differs from the full batch at the last ulp)
+        a, b = norm(a), norm(b)
+        assert (a[["qid", "rank", "label"]].values == b[["qid", "rank", "label"]].values).all()
+        assert np.allclose(a.distance.values, b.distance.values)
+
+    single = knn_search(vdf, qdf, 5).toPandas()
+    same(single, chunked_queries(qdf, 7, lambda c: knn_search(vdf, c, 5)).toPandas())
+
+    # force the ceiling low enough that 24 queries x 16 dims exceed it
+    monkeypatch.setattr(knn_mod, "_MAX_BROADCAST_ELEMS", 200)
+    with pytest.raises(ValueError, match="too large to broadcast"):
+        knn_search(vdf, qdf, 5).count()
+    same(single, chunked_queries(qdf, 10, lambda c: knn_search(vdf, c, 5)).toPandas())
