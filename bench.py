@@ -56,6 +56,10 @@ def bench_grid(spark) -> tuple[dict[str, float], dict[str, dict]]:
     per-job overhead (scheduling + Python worker round-trip + final
     merge) — subtract it before comparing against the reference's
     bandwidth-bound +22-34% claim (/root/reference/README.md:12).
+
+    Formats are timed interleaved within each round and the storage
+    ratio is the median of per-round paired ratios — see grid_meta in
+    the output for why (shared-host load drift).
     """
     from pyspark.sql import functions as F
 
@@ -109,27 +113,46 @@ def bench_grid(spark) -> tuple[dict[str, float], dict[str, dict]]:
         fmts = ("fp32", "fp32_f32", "fp16c", "bf16c") if label in wide else (
             "fp32", "fp16c", "bf16c"
         )
+        # Build every format's table up front (all resident: the caches
+        # are modest — 500k×768 floats ≈ 2 GB deserialized + two 0.9 GB
+        # compact stores — the 24g driver holds them comfortably), then
+        # time formats INTERLEAVED, one call each per round. This host
+        # is shared and its load drifts on the minute scale — run A/B
+        # showed the same config moving 2×, flipping sequential-timing
+        # format ratios sign-to-sign. Pairing each format within the
+        # same round makes drift hit all formats equally, and the
+        # storage-gain ratio is the MEDIAN of per-round ratios, robust
+        # to a spike landing in one round.
+        tables: dict[str, tuple] = {}
         for fmt in fmts:
             if fmt == "fp32":
-                tbl, kwargs = vecs, {}
+                tables[fmt] = (vecs, {})
             elif fmt == "fp32_f32":
-                tbl, kwargs = vecs, {"compute": "f32"}
+                tables[fmt] = (vecs, {"compute": "f32"})
             else:
                 enc = "fp16" if fmt == "fp16c" else "bf16"
                 tbl = vecs.select(
                     "id", encode_col(F.col("vec"), enc).alias("vec")
                 ).persist()
                 tbl.count()
-                kwargs = {"vec_format": f"{enc}_binary"}
+                tables[fmt] = (tbl, {"vec_format": f"{enc}_binary"})
+        times: dict[str, list] = {f: [] for f in fmts}
+        for fmt in fmts:
+            tbl, kwargs = tables[fmt]
             for _ in range(warmup):
-                knn_search(tbl, qdf, k, **kwargs).count()
-            t0 = time.perf_counter()
-            for _ in range(iters):
                 n = knn_search(tbl, qdf, k, **kwargs).count()
-            total = time.perf_counter() - t0
-            assert n == nq * k, f"{label}/{fmt}: got {n} rows"
+                assert n == nq * k, f"{label}/{fmt}: got {n} rows"
+        for _ in range(iters):
+            for fmt in fmts:
+                tbl, kwargs = tables[fmt]
+                t0 = time.perf_counter()
+                knn_search(tbl, qdf, k, **kwargs).count()
+                times[fmt].append(time.perf_counter() - t0)
+        for fmt in fmts:
+            total = sum(times[fmt])
             stats[fmt] = {
                 "ms_per_search": round(total * 1000 / iters, 2),
+                "ms_median": round(float(np.median(times[fmt])) * 1000, 2),
                 "qps": round(nq * iters / total, 1),
                 "iters": iters,
             }
@@ -141,8 +164,19 @@ def bench_grid(spark) -> tuple[dict[str, float], dict[str, dict]]:
                 "knn_large_1536d",
             ):
                 headline[f"{label}_fp16c"] = round(total / iters, 3)
-            if fmt in ("fp16c", "bf16c"):
-                tbl.unpersist()
+        if "fp32_f32" in fmts:
+            base = times["fp32_f32"]
+            stats["paired_gain_pct_vs_fp32_same_arith"] = {
+                fmt: round(
+                    100.0
+                    * (float(np.median([b / t for b, t in zip(base, times[fmt])])) - 1.0),
+                    1,
+                )
+                for fmt in ("fp16c", "bf16c")
+            }
+        for fmt in ("fp16c", "bf16c"):
+            if fmt in tables:
+                tables[fmt][0].unpersist()
         grid_stats[label] = stats
         vecs.unpersist()
     return headline, grid_stats
@@ -223,17 +257,11 @@ def main() -> None:
     # the SAME arithmetic (fp32_f32) so the ratio isolates scan bytes.
     storage_gain = {}
     for label, stats in grid_stats.items():
-        base = stats.get("fp32_f32")
-        if not base:
-            continue
-        storage_gain[label] = {
-            fmt: round(
-                100.0 * (base["ms_per_search"] / stats[fmt]["ms_per_search"] - 1.0),
-                1,
-            )
-            for fmt in ("fp16c", "bf16c")
-            if fmt in stats
-        }
+        paired = stats.get("paired_gain_pct_vs_fp32_same_arith")
+        if paired:
+            # median of per-round paired ratios (formats interleaved
+            # within a round) — robust to this host's load drift
+            storage_gain[label] = paired
 
     sf = 0.1
     if "sf0.01" in SF_DIR:
@@ -260,13 +288,17 @@ def main() -> None:
                         "ms_per_search = avg wall ms per complete search "
                         "call (plan build + scan + GEMM + merge); qps = "
                         "nq*iters/total_sec — matching the reference "
-                        "harness bench_metal_flat.mm:51-54. small_32d "
-                        "fp32 ms_per_search ~= fixed per-job overhead "
-                        "(compute there is sub-ms); storage-format "
-                        "ratios are meaningful only where scan bytes "
-                        "dominate that overhead (medium_768d and the "
-                        "xlarge_768d probe) — elsewhere they read as "
-                        "±200 ms scheduling noise."
+                        "harness bench_metal_flat.mm:51-54. Formats are "
+                        "timed INTERLEAVED (one call each per round) and "
+                        "storage_gain_pct is the MEDIAN of per-round "
+                        "paired ratios vs fp32 storage at float32 "
+                        "arithmetic — this host's background load drifts "
+                        "2x on the minute scale, which sequential timing "
+                        "turns into sign-flipping ratios. small_32d fp32 "
+                        "ms_per_search ~= fixed per-job overhead (compute "
+                        "there is sub-ms); storage ratios are meaningful "
+                        "only where scan bytes dominate that overhead "
+                        "(medium_768d and the xlarge_768d probe)."
                     ),
                 },
             }
