@@ -9,6 +9,7 @@ operator extensions (dedup, similarity join, text analysis) the
 north-star targets.
 """
 
+from .compact_index import BinaryIndex, SQ8Index
 from .quantize import STORAGE_BF16, STORAGE_FP16, STORAGE_FP32
 from .session import get_spark
 from .vector_table import SearchParams, SearchToken, VectorTable
@@ -17,6 +18,8 @@ __all__ = [
     "VectorTable",
     "SearchToken",
     "SearchParams",
+    "SQ8Index",
+    "BinaryIndex",
     "get_spark",
     "STORAGE_FP32",
     "STORAGE_FP16",

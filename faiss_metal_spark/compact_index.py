@@ -1,0 +1,174 @@
+"""Compact derived indexes — SQ8 and binary tiers built FROM a
+VectorTable.
+
+FAISS users downscale a flat index by training a compressed one from
+it (``index_factory("SQ8")`` / ``IndexBinaryFlat`` fed by
+``train``/``add``); the reference's table has no compressed tier at
+all (/root/reference/include/faiss-metal/MetalIndexFlat.h:47). These
+facades give the same one-call workflow over the standalone operators
+(``operators/sq.py``, ``operators/binary.py``): derive the compact
+index from a :class:`~faiss_metal_spark.vector_table.VectorTable`,
+then search it with the table's host-array contract
+(``search_numpy`` → (D, L), ascending, ties by label).
+
+Deliberately NOT a ``VectorTable`` storage mode: the flat table's
+add/remove/merge/reconstruct contract is FAISS-exact and
+oracle-pinned; a derived read-only index keeps those semantics
+untouched while covering the "train a compressed tier from my flat
+index" workflow. Rebuild after mutating the source table (cheap: one
+scan), exactly like FAISS re-adds into a freshly trained quantizer.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _float_view(vt) -> DataFrame:
+    """(id, vec ARRAY<FLOAT>) view of a VectorTable — decodes the
+    compact BINARY layout when present."""
+    df = vt.df.select("id", "vec")
+    if getattr(vt, "compact", False):
+        from .quantize import decode_col
+
+        df = df.select("id", decode_col("vec", vt.storage).alias("vec"))
+    return df
+
+
+def _query_df(spark: SparkSession, x: np.ndarray) -> DataFrame:
+    x = np.asarray(x, dtype=np.float32)
+    if len(x):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "qid": np.arange(len(x), dtype=np.int64),
+                    "vec": [v.tolist() for v in x],
+                }
+            ),
+            schema="qid long, vec array<float>",
+        )
+    return spark.createDataFrame([], schema="qid long, vec array<float>")
+
+
+def _host_result(res: DataFrame, nq: int, k: int) -> tuple[np.ndarray, np.ndarray]:
+    pdf = res.orderBy("qid", "rank").toPandas()
+    if nq == 0:
+        return np.zeros((0, k), np.float64), np.zeros((0, k), np.int64)
+    # pad to exactly k per query (sentinels) like VectorTable.search_numpy
+    D = np.full((nq, k), np.inf, np.float64)
+    L = np.full((nq, k), -1, np.int64)
+    q = pdf["qid"].to_numpy(np.int64)
+    r = pdf["rank"].to_numpy(np.int64)
+    D[q, r] = pdf["distance"].to_numpy(np.float64)
+    L[q, r] = pdf["label"].to_numpy(np.int64)
+    return D, L
+
+
+@dataclass
+class SQ8Index:
+    """Read-only SQ8 tier derived from a VectorTable: per-dim min/max
+    trained on the table's FP32 reconstruction, 1-byte/dim codes,
+    asymmetric search (exact query vs reconstructed codes)."""
+
+    spark: SparkSession
+    d: int
+    vmin: np.ndarray
+    vmax: np.ndarray
+    codes: DataFrame
+    _n: int = field(default=-1, repr=False)
+
+    @classmethod
+    def from_table(cls, vt) -> "SQ8Index":
+        from .operators.sq import sq8_encode, sq8_train
+
+        base = _float_view(vt)
+        vmin, vmax = sq8_train(base)
+        codes = sq8_encode(base, vmin, vmax).persist()
+        n = codes.count()
+        return cls(vt.spark, vt.d, vmin, vmax, codes, n)
+
+    @property
+    def ntotal(self) -> int:
+        return self._n if self._n >= 0 else self.codes.count()
+
+    def search(self, queries: DataFrame, k: int) -> DataFrame:
+        from .operators.sq import sq8_search
+
+        return sq8_search(self.codes, self.vmin, self.vmax, queries, k)
+
+    def search_numpy(self, x: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+        return _host_result(
+            self.search(_query_df(self.spark, x), k), len(np.atleast_2d(x)), k
+        )
+
+    def reconstruct(self, key: int) -> np.ndarray:
+        from .operators.sq import sq8_reconstruct_col
+
+        row = (
+            self.codes.where(F.col("id") == int(key))
+            .select(sq8_reconstruct_col("code", self.vmin, self.vmax).alias("r"))
+            .collect()
+        )
+        if not row:
+            raise KeyError(f"id {key} not in index")
+        return np.asarray(row[0]["r"], np.float64)
+
+    def release(self) -> None:
+        self.codes.unpersist()
+
+
+@dataclass
+class BinaryIndex:
+    """Read-only sign-bit tier derived from a VectorTable: 1 bit/dim
+    packed words, Hamming search, optional exact-rescore refine against
+    the SOURCE table's full vectors."""
+
+    spark: SparkSession
+    d: int
+    words: DataFrame
+    _source: DataFrame = field(repr=False, default=None)
+    _n: int = field(default=-1, repr=False)
+
+    @classmethod
+    def from_table(cls, vt) -> "BinaryIndex":
+        from .operators.binary import binarize
+
+        base = _float_view(vt)
+        words = binarize(base, vt.d).persist()
+        n = words.count()
+        return cls(vt.spark, vt.d, words, base, n)
+
+    @property
+    def ntotal(self) -> int:
+        return self._n if self._n >= 0 else self.words.count()
+
+    def search(self, queries: DataFrame, k: int) -> DataFrame:
+        from .operators.binary import hamming_knn
+
+        return hamming_knn(self.words, queries, k, self.d, vec_col="words", packed=True)
+
+    def search_numpy(self, x: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+        return _host_result(
+            self.search(_query_df(self.spark, x), k), len(np.atleast_2d(x)), k
+        )
+
+    def refine_search_numpy(
+        self, x: np.ndarray, k: int, refine_factor: int = 4
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Hamming prefilter + exact L2 rescore against the source
+        table's full vectors (IndexBinaryFlat → IndexRefineFlat)."""
+        from .operators.binary import hamming_refine
+
+        res = hamming_refine(
+            self._source, _query_df(self.spark, x), k, self.d,
+            refine_factor=refine_factor,
+        )
+        return _host_result(res, len(np.atleast_2d(x)), k)
+
+    def release(self) -> None:
+        self.words.unpersist()

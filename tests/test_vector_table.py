@@ -365,3 +365,66 @@ def test_add_with_ids_refuses_like_faiss(spark):
     vt = VectorTable(spark, d=4)
     with pytest.raises(NotImplementedError, match="add_with_ids"):
         vt.add_with_ids(np.zeros((2, 4), np.float32), [7, 9])
+
+
+def test_sq8_index_from_table(spark):
+    """SQ8Index derives from a VectorTable: self-query top-1 is self
+    within the quantization bound, reconstruct within half a step, and
+    missing ids raise."""
+    import numpy as np
+
+    from faiss_metal_spark import SQ8Index, VectorTable
+
+    rng = np.random.default_rng(12)
+    V = rng.uniform(-2, 2, (150, 12)).astype(np.float32)
+    vt = VectorTable(spark, d=12).add_numpy(V)
+    idx = SQ8Index.from_table(vt)
+    assert idx.ntotal == 150
+    D, L = idx.search_numpy(V[:4], k=3)
+    assert (L[:, 0] == np.arange(4)).all()
+    step = (idx.vmax - idx.vmin) / 255.0
+    assert (D[:, 0] <= (step / 2) ** 2 @ np.ones(12) + 1e-9).all()
+    r = idx.reconstruct(7)
+    assert (np.abs(r - V[7].astype(np.float64)) <= step / 2 + 1e-12).all()
+    with pytest.raises(KeyError):
+        idx.reconstruct(10_000)
+    idx.release()
+
+
+def test_binary_index_from_table_and_refine(spark):
+    """BinaryIndex from a VectorTable: Hamming self-distance 0, packed
+    store sizes right, refine returns exact-L2-rescored top-k."""
+    import numpy as np
+
+    from faiss_metal_spark import BinaryIndex, VectorTable
+
+    rng = np.random.default_rng(3)
+    V = rng.uniform(-1, 1, (120, 40)).astype(np.float32)  # 40: tail word
+    vt = VectorTable(spark, d=40).add_numpy(V)
+    idx = BinaryIndex.from_table(vt)
+    assert idx.ntotal == 120
+    D, L = idx.search_numpy(V[:3], k=5)
+    assert (L[:, 0] == np.arange(3)).all() and (D[:, 0] == 0).all()
+    Dr, Lr = idx.refine_search_numpy(V[:3], k=2, refine_factor=5)
+    assert (Lr[:, 0] == np.arange(3)).all()
+    assert np.allclose(Dr[:, 0], 0.0)
+    idx.release()
+
+
+def test_compact_table_feeds_derived_indexes(spark):
+    """Derived indexes decode a compact (BINARY fp16) source table
+    transparently — the float view is the dequantized storage."""
+    import numpy as np
+
+    from faiss_metal_spark import BinaryIndex, SQ8Index, VectorTable
+
+    rng = np.random.default_rng(9)
+    V = rng.uniform(-1, 1, (80, 16)).astype(np.float32)
+    vt = VectorTable(spark, d=16, storage="fp16", compact=True).add_numpy(V)
+    b = BinaryIndex.from_table(vt)
+    _, L = b.search_numpy(V[:2], k=1)
+    assert (L[:, 0] == np.arange(2)).all()
+    s = SQ8Index.from_table(vt)
+    _, L2 = s.search_numpy(V[:2], k=1)
+    assert (L2[:, 0] == np.arange(2)).all()
+    b.release(); s.release()
