@@ -1853,31 +1853,45 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-ANN, single-probe and multiprobe tagged: 'sp' rows are the
+    plain bucket-join search; 'mp' rows probe 3 buckets per table on
+    the query side (base + the 2 least-|margin| sign bits flipped, Lv
+    et al. 2007) — more candidates, higher recall, the corpus bucketing
+    untouched. Integer-exact projections make probe selection
+    engine-exact, so both variants hash-match the SQL oracle."""
     emb = _t(spark, sf_dir, "embeddings")
     planes = lsh_planes(_LSH_D, _LSH_PLANES, _LSH_TABLES, _LSH_SEED)
     queries = emb.where(F.col("vec_id") < 8)
-    res = ann_lsh_search(
+    cols = lambda kind, df: df.select(  # noqa: E731
+        F.lit(kind).alias("kind"), "qid", "rank", "label",
+        _norm(F.col("distance"), 4).alias("distance"),
+    )
+    sp = ann_lsh_search(
         emb, queries, k=_LSH_K, planes=planes,
         id_col="vec_id", vec_col="embedding", qid_col="vec_id", qvec_col="embedding",
     )
-    return res.select("qid", "rank", "label", _norm(F.col("distance"), 4).alias("distance"))
+    mp = ann_lsh_search(
+        emb, queries, k=_LSH_K, planes=planes,
+        id_col="vec_id", vec_col="embedding", qid_col="vec_id", qvec_col="embedding",
+        n_probes=3,
+    )
+    return cols("sp", sp).unionByName(cols("mp", mp))
 
 
 def _oracle_ann_lsh() -> str:
     planes = lsh_planes(_LSH_D, _LSH_PLANES, _LSH_TABLES, _LSH_SEED)
 
-    def bucket_sql(t: int) -> str:
-        terms = []
+    def prj_structs(t: int) -> str:
+        items = []
         for p in range(_LSH_PLANES):
             lits = ", ".join(f"{int(w)}.0" for w in planes[t][p])
-            terms.append(
-                f"CASE WHEN list_inner_product(qv::DOUBLE[], [{lits}]) > 0 "
-                f"THEN {2 ** p} ELSE 0 END"
+            items.append(
+                f"{{'p': {p}, 'prj': CAST(list_inner_product(qv::DOUBLE[], [{lits}]) AS BIGINT)}}"
             )
-        return " + ".join(terms)
+        return "[" + ", ".join(items) + "]"
 
     tables = "\nUNION ALL\n".join(
-        f"SELECT vec_id, {t} AS tbl, CAST({bucket_sql(t)} AS BIGINT) AS bucket FROM vq"
+        f"SELECT vec_id, {t} AS tbl, unnest({prj_structs(t)}, recursive := true) FROM vq"
         for t in range(_LSH_TABLES)
     )
     return f"""
@@ -1886,24 +1900,50 @@ WITH vq AS (
          list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
   FROM embeddings
 ),
-bkt AS ({tables}),
-cand AS (
+prj AS ({tables}),
+bkt AS (  -- base bucket per (row, table): packed sign bits
+  SELECT vec_id, tbl,
+         SUM(CASE WHEN prj > 0 THEN 1::BIGINT << p ELSE 0 END) AS bucket
+  FROM prj GROUP BY vec_id, tbl
+),
+flips AS (  -- multiprobe order: |margin| asc, ties by plane index
+  SELECT vec_id, tbl, p,
+         row_number() OVER (PARTITION BY vec_id, tbl ORDER BY abs(prj), p) AS rn
+  FROM prj
+),
+qprobe AS (  -- query probe set: base + 2 least-confident flips
+  SELECT vec_id, tbl, bucket FROM bkt WHERE vec_id < 8
+  UNION ALL
+  SELECT f.vec_id, f.tbl, xor(b.bucket, 1::BIGINT << f.p)
+  FROM flips f JOIN bkt b ON b.vec_id = f.vec_id AND b.tbl = f.tbl
+  WHERE f.vec_id < 8 AND f.rn <= 2
+),
+cand_sp AS (
   SELECT DISTINCT q.vec_id AS qid, v.vec_id AS label
   FROM bkt q JOIN bkt v ON q.tbl = v.tbl AND q.bucket = v.bucket
   WHERE q.vec_id < 8
 ),
+cand_mp AS (
+  SELECT DISTINCT q.vec_id AS qid, v.vec_id AS label
+  FROM qprobe q JOIN bkt v ON q.tbl = v.tbl AND q.bucket = v.bucket
+),
 scored AS (
-  SELECT cand.qid AS qid, cand.label AS label,
+  SELECT 'sp' AS kind, qid, label FROM cand_sp
+  UNION ALL
+  SELECT 'mp', qid, label FROM cand_mp
+),
+sc2 AS (
+  SELECT s.kind, s.qid, s.label,
          list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS dist
-  FROM cand JOIN embeddings a ON a.vec_id = cand.qid
-  JOIN embeddings b ON b.vec_id = cand.label
+  FROM scored s JOIN embeddings a ON a.vec_id = s.qid
+  JOIN embeddings b ON b.vec_id = s.label
 ),
 r AS (
-  SELECT qid, label, dist,
-         row_number() OVER (PARTITION BY qid ORDER BY dist DESC, label ASC) - 1 AS rank
-  FROM scored
+  SELECT kind, qid, label, dist,
+         row_number() OVER (PARTITION BY kind, qid ORDER BY dist DESC, label ASC) - 1 AS rank
+  FROM sc2
 )
-SELECT qid, CAST(rank AS INTEGER) AS rank, label, ROUND(dist, 4) + 0.0 AS distance
+SELECT kind, qid, CAST(rank AS INTEGER) AS rank, label, ROUND(dist, 4) + 0.0 AS distance
 FROM r WHERE rank < {_LSH_K}
 """
 

@@ -79,6 +79,7 @@ def lsh_buckets(
     planes: np.ndarray,
     id_col: str = "id",
     vec_col: str = "vec",
+    n_flip: int = 0,
 ) -> DataFrame:
     """(id, table, bucket) — one row per (row, table). IDS ONLY: the
     vector payload deliberately does not ride through the bucket
@@ -93,6 +94,14 @@ def lsh_buckets(
     (``_bucket_expr``, kept as the oracle-shaped reference form) and to
     the SQL oracle — at T·P·d ≈ 768 multiplies per row the BLAS batch
     beats per-row HOF evaluation by an order of magnitude.
+
+    ``n_flip`` > 0 adds MULTIPROBE rows (Lv et al., VLDB 2007): per
+    (row, table), also the ``n_flip`` buckets obtained by flipping the
+    sign bit whose projection has the smallest margin |proj| (ties by
+    plane index — deterministic, and the integer projections make the
+    margin order engine-exact too). Query-side multiprobe buys the
+    recall of more hash tables without re-bucketing the corpus — the
+    standard memory/recall trade at index scale.
     """
     import pandas as pd
     from pyspark.sql import types as T_
@@ -123,14 +132,30 @@ def lsh_buckets(
             V = _arrow_matrix(batch.column("_v"), "array", np.float64)
             Vq = np.floor(V * 1000.0).astype(np.int64)
             proj = Vq @ Pl  # (n, T·P) exact int64
-            bits = (proj > 0).reshape(len(V), n_tables, n_planes)
+            proj3 = proj.reshape(len(V), n_tables, n_planes)
+            bits = proj3 > 0
             buckets = (bits * pows).sum(axis=2)  # (n, T)
             ids = _arrow_i64(batch.column("_id"))
+            out_ids = [np.repeat(ids, n_tables)]
+            out_tbl = [np.tile(np.arange(n_tables, dtype=np.int32), len(V))]
+            out_bkt = [buckets.ravel()]
+            if n_flip > 0:
+                # planes ranked by margin |proj| ascending, ties by
+                # plane index (stable sort) — flip the j-th least
+                # confident bit for probe j
+                order = np.argsort(np.abs(proj3), axis=2, kind="stable")
+                for j in range(min(n_flip, n_planes)):
+                    flip = pows[order[:, :, j]]  # (n, T)
+                    out_ids.append(np.repeat(ids, n_tables))
+                    out_tbl.append(
+                        np.tile(np.arange(n_tables, dtype=np.int32), len(V))
+                    )
+                    out_bkt.append((buckets ^ flip).ravel())
             yield pa.record_batch(
                 [
-                    pa.array(np.repeat(ids, n_tables)),
-                    pa.array(np.tile(np.arange(n_tables, dtype=np.int32), len(V))),
-                    pa.array(buckets.ravel()),
+                    pa.array(np.concatenate(out_ids)),
+                    pa.array(np.concatenate(out_tbl)),
+                    pa.array(np.concatenate(out_bkt)),
                 ],
                 names=["id", "tbl", "bucket"],
             )
@@ -148,6 +173,7 @@ def ann_lsh_search(
     vec_col: str = "vec",
     qid_col: str = "qid",
     qvec_col: str = "vec",
+    n_probes: int = 1,
 ) -> DataFrame:
     """Approximate cosine top-k via bucket join + exact rerank.
 
@@ -155,7 +181,10 @@ def ann_lsh_search(
     — queries whose buckets are empty yield fewer than k rows (no
     sentinel padding; this is the approximate path, ``knn_search`` is
     the exact one). Candidates found in multiple tables are deduped
-    before the rerank so each pair is scored once.
+    before the rerank so each pair is scored once. ``n_probes`` > 1
+    enables query-side multiprobe (the n_probes−1 least-confident sign
+    bits flip per table — see :func:`lsh_buckets`): more candidates,
+    higher recall, corpus bucketing untouched.
 
     Shuffle discipline: the bucket join moves (id, tbl, bucket) triples
     only — never vectors. The deduped candidate pair set (≪ corpus) then
@@ -163,7 +192,9 @@ def ann_lsh_search(
     query vectors (small by contract) broadcast in.
     """
     vb = lsh_buckets(vectors, planes, id_col, vec_col)
-    qb = lsh_buckets(queries, planes, qid_col, qvec_col).withColumnRenamed("id", "qid")
+    qb = lsh_buckets(
+        queries, planes, qid_col, qvec_col, n_flip=max(0, n_probes - 1)
+    ).withColumnRenamed("id", "qid")
 
     cand_ids = (
         qb.join(vb, ["tbl", "bucket"])

@@ -214,3 +214,50 @@ def test_recall_at_k_evaluation(spark):
     assert r[1]["n_hit"] == 0 and r[1]["recall"] == 0.0
     assert mean_recall(approx, exact, k=4) == pytest.approx(0.25)
     assert mean_recall(exact, exact, k=4) == 1.0
+
+
+def test_multiprobe_lsh_recall_dominates_single_probe(spark):
+    """Query-side multiprobe must produce a candidate superset of the
+    single-probe search (same planes, same corpus bucketing), hence
+    recall vs exact cosine top-k that is >= single-probe — and on this
+    fixture strictly more candidates overall."""
+    import numpy as np
+    import pandas as pd
+
+    from faiss_metal_spark.functions.evaluate import mean_recall
+    from faiss_metal_spark.operators.similarity import ann_lsh_search, lsh_planes
+
+    rng = np.random.default_rng(42)
+    V = rng.normal(size=(400, 16)).astype(np.float32)
+    vdf = spark.createDataFrame(
+        pd.DataFrame({"id": np.arange(400), "vec": [v.tolist() for v in V]}),
+        "id long, vec array<float>",
+    )
+    qdf = spark.createDataFrame(
+        pd.DataFrame({"qid": np.arange(8), "vec": [v.tolist() for v in V[:8]]}),
+        "qid long, vec array<float>",
+    )
+    planes = lsh_planes(16, 8, 2, seed=5)
+    k = 10
+    sp = ann_lsh_search(vdf, qdf, k, planes)
+    mp = ann_lsh_search(vdf, qdf, k, planes, n_probes=4)
+
+    # exact cosine top-k (numpy)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = Vn[:8] @ Vn.T
+    rows = []
+    for q in range(8):
+        order = np.lexsort((np.arange(400), -S[q]))[:k]
+        rows += [(q, r, int(l), 0.0) for r, l in enumerate(order)]
+    exact = spark.createDataFrame(rows, "qid long, rank int, label long, distance double")
+
+    r_sp = mean_recall(sp, exact)
+    r_mp = mean_recall(mp, exact)
+    assert r_mp >= r_sp
+    assert mp.count() >= sp.count()
+    # multiprobe candidates are a superset per query
+    sp_set = {(r["qid"], r["label"]) for r in sp.collect()}
+    mp_all = ann_lsh_search(vdf, qdf, 400, planes, n_probes=4)
+    mp_set = {(r["qid"], r["label"]) for r in mp_all.collect()}
+    sp_all = ann_lsh_search(vdf, qdf, 400, planes)
+    assert {(r["qid"], r["label"]) for r in sp_all.collect()} <= mp_set
