@@ -9,9 +9,10 @@ operator extensions (dedup, similarity join, text analysis) the
 north-star targets.
 """
 
-from .compact_index import BinaryIndex, SQ8Index
+from .compact_index import BinaryIndex, IVFIndex, IVFPQIndex, OPQIndex, SQ8Index
 from .quantize import STORAGE_BF16, STORAGE_FP16, STORAGE_FP32
 from .session import get_spark
+from .sources.index_io import read_index, write_index
 from .vector_table import SearchParams, SearchToken, VectorTable
 
 __all__ = [
@@ -20,6 +21,11 @@ __all__ = [
     "SearchParams",
     "SQ8Index",
     "BinaryIndex",
+    "IVFIndex",
+    "IVFPQIndex",
+    "OPQIndex",
+    "write_index",
+    "read_index",
     "get_spark",
     "STORAGE_FP32",
     "STORAGE_FP16",

@@ -172,3 +172,171 @@ class BinaryIndex:
 
     def release(self) -> None:
         self.words.unpersist()
+
+
+@dataclass
+class IVFIndex:
+    """Coarse-quantized tier derived from a VectorTable: k-means cells,
+    cell-pruned exact search within probed cells (IndexIVFFlat built by
+    ``train``/``add`` from a flat index's vectors). ``assigned`` is the
+    inverted file — (table columns + cell); persisting it via
+    ``write_index`` keeps the ``partitionBy("cell")`` layout, so probes
+    prune partitions at scan time after reload."""
+
+    spark: SparkSession
+    d: int
+    metric: str
+    centroids: np.ndarray
+    assigned: DataFrame
+    _n: int = field(default=-1, repr=False)
+
+    @classmethod
+    def from_table(
+        cls,
+        vt,
+        n_cells: int,
+        sample_size: int = 16384,
+        iters: int = 10,
+    ) -> "IVFIndex":
+        from .operators.similarity import ivf_assign, ivf_train_centroids
+
+        base = _float_view(vt)
+        C = ivf_train_centroids(base, n_cells, sample_size=sample_size, iters=iters)
+        assigned = ivf_assign(base, C).persist()
+        n = assigned.count()
+        return cls(vt.spark, vt.d, vt.metric, C, assigned, n)
+
+    @property
+    def nlist(self) -> int:
+        return len(self.centroids)
+
+    @property
+    def ntotal(self) -> int:
+        return self._n if self._n >= 0 else self.assigned.count()
+
+    def search(self, queries: DataFrame, k: int, nprobe: int = 8) -> DataFrame:
+        from .operators.similarity import ivf_search
+
+        return ivf_search(
+            self.assigned, self.centroids, queries, k, nprobe, metric=self.metric
+        )
+
+    def search_numpy(
+        self, x: np.ndarray, k: int, nprobe: int = 8
+    ) -> tuple[np.ndarray, np.ndarray]:
+        return _host_result(
+            self.search(_query_df(self.spark, x), k, nprobe),
+            len(np.atleast_2d(x)),
+            k,
+        )
+
+    def release(self) -> None:
+        self.assigned.unpersist()
+
+
+@dataclass
+class IVFPQIndex:
+    """IVF + product-quantized residuals (IndexIVFPQ): m-byte codes,
+    per-cell ADC against broadcast query LUTs, L2 only. Codes persist
+    ``partitionBy("cell")`` — the inverted-list layout — via
+    ``write_index``."""
+
+    spark: SparkSession
+    d: int
+    centroids: np.ndarray
+    codebooks: np.ndarray
+    codes: DataFrame
+    _n: int = field(default=-1, repr=False)
+
+    @classmethod
+    def from_table(
+        cls,
+        vt,
+        n_cells: int,
+        m: int,
+        sample_size: int = 16384,
+        iters: int = 10,
+    ) -> "IVFPQIndex":
+        from .operators.pq import ivfpq_build
+
+        base = _float_view(vt)
+        centroids, books, codes = ivfpq_build(
+            base, n_cells, m, sample_size=sample_size, iters=iters
+        )
+        codes = codes.persist()
+        n = codes.count()
+        return cls(vt.spark, vt.d, centroids, books, codes, n)
+
+    @property
+    def nlist(self) -> int:
+        return len(self.centroids)
+
+    @property
+    def ntotal(self) -> int:
+        return self._n if self._n >= 0 else self.codes.count()
+
+    def search(self, queries: DataFrame, k: int, nprobe: int = 8) -> DataFrame:
+        from .operators.pq import ivfpq_search
+
+        return ivfpq_search(
+            self.codes, self.centroids, self.codebooks, queries, k, nprobe
+        )
+
+    def search_numpy(
+        self, x: np.ndarray, k: int, nprobe: int = 8
+    ) -> tuple[np.ndarray, np.ndarray]:
+        return _host_result(
+            self.search(_query_df(self.spark, x), k, nprobe),
+            len(np.atleast_2d(x)),
+            k,
+        )
+
+    def release(self) -> None:
+        self.codes.unpersist()
+
+
+@dataclass
+class OPQIndex:
+    """Learned-rotation PQ (IndexPreTransform(OPQMatrix, IndexPQ)):
+    queries rotate once on the broadcast side, ADC runs in rotated
+    space (operators/opq.py, Ge et al. 2013)."""
+
+    spark: SparkSession
+    d: int
+    rotation: np.ndarray
+    codebooks: np.ndarray
+    codes: DataFrame
+    _n: int = field(default=-1, repr=False)
+
+    @classmethod
+    def from_table(
+        cls,
+        vt,
+        m: int,
+        iters: int = 8,
+        sample_size: int = 16384,
+    ) -> "OPQIndex":
+        from .operators.opq import opq_encode, opq_train
+
+        base = _float_view(vt)
+        R, books = opq_train(base, m, iters=iters, sample_size=sample_size)
+        codes = opq_encode(base, R, books).persist()
+        n = codes.count()
+        return cls(vt.spark, vt.d, R, books, codes, n)
+
+    @property
+    def ntotal(self) -> int:
+        return self._n if self._n >= 0 else self.codes.count()
+
+    def search(self, queries: DataFrame, k: int) -> DataFrame:
+        from .operators.opq import opq_search
+
+        return opq_search(self.codes, self.rotation, self.codebooks, queries, k)
+
+    def search_numpy(self, x: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+        return _host_result(
+            self.search(_query_df(self.spark, x), k), len(np.atleast_2d(x)), k
+        )
+
+    def release(self) -> None:
+        self.codes.unpersist()

@@ -1,3 +1,7 @@
+from .index_io import (  # noqa: F401
+    read_index,
+    write_index,
+)
 from .layout import (  # noqa: F401
     bucketed_table,
     read_partitioned,

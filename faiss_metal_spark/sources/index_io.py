@@ -1,0 +1,259 @@
+"""``write_index`` / ``read_index`` — FAISS-parity index persistence.
+
+FAISS serializes complete index state with ``faiss::write_index`` /
+``read_index`` so a reloaded index searches identically; the reference
+inherits that surface by subclassing ``faiss::Index``
+(/root/reference/include/faiss-metal/MetalIndexFlat.h:47) and its users
+round-trip indexes through ``index_cpu_to_metal`` after a CPU-side
+``read_index``. This module is the engine's equivalent, Spark-first:
+nothing is written from the driver's local filesystem — every artifact
+is a dataset under ``path`` on whatever Hadoop-compatible FS Spark is
+pointed at, so the same call works on a laptop and a 1000-executor
+cluster writing to object storage.
+
+Layout under ``path``::
+
+    _meta/      single-row JSON header: kind, dims, params, array shapes
+    arrays/     trained artifacts (centroids, codebooks, rotations,
+                scalar ranges) as (name, i, data ARRAY<DOUBLE>) rows —
+                small by construction (O(cells·d) / O(256·d) doubles)
+    <frame>/    each large table (vectors / codes / words) as parquet;
+                cell-keyed frames are ``partitionBy("cell")`` so a
+                reloaded index keeps partition-pruned probes (the
+                inverted-list layout of ``ivf_write`` / ``ivfpq_write``)
+
+Supported kinds: ``VectorTable`` (flat, incl. fp16/bf16 compact),
+``SQ8Index``, ``BinaryIndex``, ``IVFIndex``, ``IVFPQIndex``,
+``OPQIndex``. ``read_index`` returns the same type that was written and
+search results are value-identical pre/post round-trip
+(``tests/test_index_io.py``).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_META_VERSION = 1
+
+
+# ---------------------------------------------------------------------------
+# artifact store
+# ---------------------------------------------------------------------------
+
+
+def _write_meta(spark: SparkSession, path: str, meta: dict) -> None:
+    meta = dict(meta, version=_META_VERSION)
+    spark.createDataFrame(
+        [(json.dumps(meta, sort_keys=True),)], "j string"
+    ).coalesce(1).write.mode("overwrite").text(f"{path}/_meta")
+
+
+def _read_meta(spark: SparkSession, path: str) -> dict:
+    rows = spark.read.text(f"{path}/_meta").collect()
+    if len(rows) != 1:
+        raise ValueError(f"corrupt index meta at {path}: {len(rows)} rows")
+    return json.loads(rows[0][0])
+
+
+def _write_arrays(spark: SparkSession, path: str, arrays: dict[str, np.ndarray]) -> dict:
+    """Persist small trained arrays; returns {name: shape} for the meta."""
+    shapes = {}
+    rows = []
+    for name, a in arrays.items():
+        a = np.asarray(a, np.float64)
+        shapes[name] = list(a.shape)
+        flat = a.reshape(a.shape[0] if a.ndim > 1 else 1, -1)
+        rows.extend((name, int(i), flat[i].tolist()) for i in range(len(flat)))
+    spark.createDataFrame(
+        rows, "name string, i int, data array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/arrays")
+    return shapes
+
+
+def _read_arrays(spark: SparkSession, path: str, shapes: dict) -> dict[str, np.ndarray]:
+    if not shapes:
+        return {}
+    pdf = spark.read.parquet(f"{path}/arrays").toPandas()
+    out = {}
+    for name, shape in shapes.items():
+        sub = pdf[pdf["name"] == name].sort_values("i")
+        out[name] = np.stack(
+            [np.asarray(r, np.float64) for r in sub["data"]]
+        ).reshape(shape)
+    return out
+
+
+def _write_frame(df: DataFrame, path: str, partition_by: str | None = None) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by is not None:
+        w = w.partitionBy(partition_by)
+    w.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# dispatch
+# ---------------------------------------------------------------------------
+
+
+def write_index(index, path: str) -> None:
+    """Serialize any engine index under ``path`` (faiss write_index)."""
+    from ..compact_index import BinaryIndex, IVFIndex, IVFPQIndex, OPQIndex, SQ8Index
+    from ..vector_table import VectorTable
+
+    if isinstance(index, VectorTable):
+        _write_frame(index.df, f"{path}/vectors")
+        _write_meta(
+            index.spark,
+            path,
+            {
+                "kind": "vector_table",
+                "d": index.d,
+                "metric": index.metric,
+                "storage": index.storage,
+                "compact": index.compact,
+                "next_id": index._next_id,
+            },
+        )
+    elif isinstance(index, SQ8Index):
+        _write_frame(index.codes, f"{path}/codes")
+        shapes = _write_arrays(
+            index.spark, path, {"vmin": index.vmin, "vmax": index.vmax}
+        )
+        _write_meta(
+            index.spark,
+            path,
+            {"kind": "sq8", "d": index.d, "ntotal": index.ntotal, "shapes": shapes},
+        )
+    elif isinstance(index, BinaryIndex):
+        _write_frame(index.words, f"{path}/words")
+        has_source = index._source is not None
+        if has_source:
+            # the refine tier needs the full-precision vectors; persist
+            # them so refine_search works after reload
+            _write_frame(index._source, f"{path}/source")
+        _write_meta(
+            index.spark,
+            path,
+            {
+                "kind": "binary",
+                "d": index.d,
+                "ntotal": index.ntotal,
+                "has_source": has_source,
+            },
+        )
+    elif isinstance(index, IVFIndex):
+        _write_frame(index.assigned, f"{path}/assigned", partition_by="cell")
+        shapes = _write_arrays(index.spark, path, {"centroids": index.centroids})
+        _write_meta(
+            index.spark,
+            path,
+            {
+                "kind": "ivf",
+                "d": index.d,
+                "metric": index.metric,
+                "ntotal": index.ntotal,
+                "shapes": shapes,
+            },
+        )
+    elif isinstance(index, IVFPQIndex):
+        _write_frame(index.codes, f"{path}/codes", partition_by="cell")
+        shapes = _write_arrays(
+            index.spark,
+            path,
+            {"centroids": index.centroids, "codebooks": index.codebooks},
+        )
+        _write_meta(
+            index.spark,
+            path,
+            {"kind": "ivfpq", "d": index.d, "ntotal": index.ntotal, "shapes": shapes},
+        )
+    elif isinstance(index, OPQIndex):
+        _write_frame(index.codes, f"{path}/codes")
+        shapes = _write_arrays(
+            index.spark, path, {"rotation": index.rotation, "codebooks": index.codebooks}
+        )
+        _write_meta(
+            index.spark,
+            path,
+            {"kind": "opq", "d": index.d, "ntotal": index.ntotal, "shapes": shapes},
+        )
+    else:
+        raise TypeError(f"write_index: unsupported index type {type(index).__name__}")
+
+
+def read_index(spark: SparkSession, path: str):
+    """Reload an index written by :func:`write_index` (faiss read_index).
+
+    Returns the same type that was written; searches on the reloaded
+    index are value-identical. Cell-keyed kinds (ivf / ivfpq) come back
+    partition-pruned: the probe ``isin`` filter lands on the parquet
+    partition key exactly as with ``ivf_write``.
+    """
+    from ..compact_index import BinaryIndex, IVFIndex, IVFPQIndex, OPQIndex, SQ8Index
+    from ..vector_table import VectorTable
+
+    meta = _read_meta(spark, path)
+    kind = meta["kind"]
+    if kind == "vector_table":
+        return VectorTable(
+            spark,
+            meta["d"],
+            metric=meta["metric"],
+            storage=meta["storage"],
+            compact=meta["compact"],
+            df=spark.read.parquet(f"{path}/vectors"),
+            _next_id=meta["next_id"],
+        )
+    arrays = _read_arrays(spark, path, meta.get("shapes", {}))
+    if kind == "sq8":
+        return SQ8Index(
+            spark,
+            meta["d"],
+            arrays["vmin"],
+            arrays["vmax"],
+            spark.read.parquet(f"{path}/codes"),
+            meta["ntotal"],
+        )
+    if kind == "binary":
+        source = (
+            spark.read.parquet(f"{path}/source") if meta["has_source"] else None
+        )
+        return BinaryIndex(
+            spark,
+            meta["d"],
+            spark.read.parquet(f"{path}/words"),
+            source,
+            meta["ntotal"],
+        )
+    if kind == "ivf":
+        return IVFIndex(
+            spark,
+            meta["d"],
+            meta["metric"],
+            arrays["centroids"],
+            spark.read.parquet(f"{path}/assigned"),
+            meta["ntotal"],
+        )
+    if kind == "ivfpq":
+        return IVFPQIndex(
+            spark,
+            meta["d"],
+            arrays["centroids"],
+            arrays["codebooks"],
+            spark.read.parquet(f"{path}/codes"),
+            meta["ntotal"],
+        )
+    if kind == "opq":
+        return OPQIndex(
+            spark,
+            meta["d"],
+            arrays["rotation"],
+            arrays["codebooks"],
+            spark.read.parquet(f"{path}/codes"),
+            meta["ntotal"],
+        )
+    raise ValueError(f"read_index: unknown index kind {kind!r} at {path}")

@@ -1,0 +1,96 @@
+"""Continuous index ingest — ``add()`` on an inverted file, as a stream.
+
+FAISS's ``IndexIVF::add`` appends each new vector to the inverted list
+of its nearest (fixed, already-trained) centroid; the reference's flat
+table has no IVF tier at all, but its add path is the same
+append-without-retrain discipline (/root/reference/src/
+MetalIndexFlat.mm:185-311 — add never touches existing rows). The
+Structured-Streaming generalization: a stream of ``(id, vec)`` rows is
+cell-assigned with the broadcast trained centroids (one ``mapInArrow``
+projection per micro-batch — no shuffle, no state) and appended to the
+cell-partitioned parquet store that ``ivf_search`` / ``IVFIndex`` read.
+
+The store is the index: readers open ``spark.read.parquet(path)`` at
+any time and get a consistent, probe-prunable inverted list containing
+every committed micro-batch — exactly-once via the parquet sink's
+transaction log. Retraining (centroid drift) is a batch concern by
+design: retrain offline with ``ivf_train_centroids`` and start a new
+store, like FAISS re-adds into a freshly trained quantizer.
+
+At 100 TB: the ingest plan is a stateless per-batch projection — cost
+scales with the delta, never the corpus; the store's partition count is
+``nlist``, constant in corpus size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..operators.similarity import ivf_assign
+
+VECTOR_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("vec", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def read_vector_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    reader = spark.readStream.schema(VECTOR_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def run_ivf_ingest(
+    vector_stream: DataFrame,
+    centroids: np.ndarray,
+    index_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """Continuously grow a cell-partitioned inverted file at
+    ``index_path`` from ``vector_stream``. Pure append: each micro-batch
+    is assigned against the fixed ``centroids`` and lands in its cells'
+    partitions; no existing file is ever rewritten."""
+    assigned = ivf_assign(vector_stream, centroids)
+    q = (
+        assigned.writeStream.format("parquet")
+        .option("path", index_path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("cell")
+        .outputMode("append")
+    )
+    q = (
+        q.trigger(availableNow=True)
+        if available_now
+        else q.trigger(processingTime="1 second")
+    )
+    handle = q.start()
+    if available_now:
+        handle.awaitTermination()
+    return handle
+
+
+def ivf_store_search(
+    spark: SparkSession,
+    index_path: str,
+    centroids: np.ndarray,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 8,
+    metric: str = "l2",
+) -> DataFrame:
+    """Search the growing store as of now — one pruned scan over the
+    probed cells' partitions, identical semantics to ``ivf_search``
+    over a batch-built inverted file."""
+    from ..operators.similarity import ivf_search
+
+    return ivf_search(
+        spark.read.parquet(index_path), centroids, queries, k, nprobe, metric=metric
+    )

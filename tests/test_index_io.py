@@ -1,0 +1,152 @@
+"""write_index / read_index round-trips — faiss persistence parity.
+
+Contract: a reloaded index is the same type, carries the same metadata,
+and searches value-identically (faiss::write_index/read_index, which the
+reference inherits via its faiss::Index base —
+/root/reference/include/faiss-metal/MetalIndexFlat.h:47). Cell-keyed
+kinds must come back with the inverted-list parquet layout so probes
+still prune partitions.
+"""
+
+import numpy as np
+import pytest
+
+from faiss_metal_spark import (
+    BinaryIndex,
+    IVFIndex,
+    IVFPQIndex,
+    OPQIndex,
+    SQ8Index,
+    VectorTable,
+    read_index,
+    write_index,
+)
+
+from conftest import make_fixture, queries_df
+
+
+def _table(spark, V, **kw) -> VectorTable:
+    vt = VectorTable(spark, V.shape[1], **kw)
+    return vt.add_numpy(V)
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {},
+        {"storage": "fp16"},
+        {"storage": "bf16", "compact": True},
+    ],
+    ids=["fp32", "fp16", "bf16_compact"],
+)
+def test_vector_table_roundtrip(spark, tmp_path, kw):
+    V, Q = make_fixture(200, 5, 16)
+    vt = _table(spark, V, **kw)
+    D0, L0 = vt.search_numpy(Q, 10)
+
+    write_index(vt, str(tmp_path / "idx"))
+    vt2 = read_index(spark, str(tmp_path / "idx"))
+
+    assert isinstance(vt2, VectorTable)
+    assert (vt2.d, vt2.metric, vt2.storage, vt2.compact) == (
+        vt.d,
+        vt.metric,
+        vt.storage,
+        vt.compact,
+    )
+    D1, L1 = vt2.search_numpy(Q, 10)
+    np.testing.assert_array_equal(L0, L1)
+    np.testing.assert_array_equal(D0, D1)
+
+
+def test_vector_table_roundtrip_continues_ids(spark, tmp_path):
+    """next_id survives the round-trip: adds after reload keep
+    appending, never reuse ids (the faiss add contract)."""
+    V, _ = make_fixture(50, 1, 8)
+    vt = _table(spark, V)
+    write_index(vt, str(tmp_path / "idx"))
+    vt2 = read_index(spark, str(tmp_path / "idx"))
+    vt2.add_numpy(V[:7])
+    ids = sorted(r["id"] for r in vt2.df.select("id").collect())
+    assert ids == list(range(57))
+
+
+def test_sq8_roundtrip(spark, tmp_path):
+    V, Q = make_fixture(300, 4, 12, seed=3)
+    idx = SQ8Index.from_table(_table(spark, V))
+    D0, L0 = idx.search_numpy(Q, 8)
+    write_index(idx, str(tmp_path / "sq8"))
+    idx2 = read_index(spark, str(tmp_path / "sq8"))
+    assert isinstance(idx2, SQ8Index) and idx2.ntotal == 300
+    np.testing.assert_array_equal(idx.vmin, idx2.vmin)
+    np.testing.assert_array_equal(idx.vmax, idx2.vmax)
+    D1, L1 = idx2.search_numpy(Q, 8)
+    np.testing.assert_array_equal(L0, L1)
+    np.testing.assert_array_equal(D0, D1)
+
+
+def test_binary_roundtrip_with_refine(spark, tmp_path):
+    V, Q = make_fixture(300, 4, 32, seed=5)
+    idx = BinaryIndex.from_table(_table(spark, V))
+    D0, L0 = idx.search_numpy(Q, 8)
+    R0 = idx.refine_search_numpy(Q, 5)
+    write_index(idx, str(tmp_path / "bin"))
+    idx2 = read_index(spark, str(tmp_path / "bin"))
+    assert isinstance(idx2, BinaryIndex) and idx2.ntotal == 300
+    D1, L1 = idx2.search_numpy(Q, 8)
+    np.testing.assert_array_equal(L0, L1)
+    np.testing.assert_array_equal(D0, D1)
+    # the persisted source table keeps the refine tier alive
+    R1 = idx2.refine_search_numpy(Q, 5)
+    np.testing.assert_array_equal(R0[1], R1[1])
+    np.testing.assert_array_equal(R0[0], R1[0])
+
+
+def test_ivf_roundtrip_prunes_partitions(spark, tmp_path):
+    V, Q = make_fixture(600, 6, 16, seed=7)
+    idx = IVFIndex.from_table(_table(spark, V), n_cells=8, sample_size=600)
+    D0, L0 = idx.search_numpy(Q, 8, nprobe=3)
+    write_index(idx, str(tmp_path / "ivf"))
+    idx2 = read_index(spark, str(tmp_path / "ivf"))
+    assert isinstance(idx2, IVFIndex)
+    assert (idx2.nlist, idx2.metric, idx2.ntotal) == (8, idx.metric, 600)
+    np.testing.assert_allclose(idx.centroids, idx2.centroids)
+    D1, L1 = idx2.search_numpy(Q, 8, nprobe=3)
+    np.testing.assert_array_equal(L0, L1)
+    np.testing.assert_array_equal(D0, D1)
+    # the reloaded inverted file keeps the partitioned layout: the probe
+    # filter must reach the scan as a PartitionFilters entry on cell
+    plan = idx2.search(queries_df(spark, Q), 8, nprobe=3)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters")[1][:160]
+
+
+def test_ivfpq_roundtrip(spark, tmp_path):
+    V, Q = make_fixture(600, 6, 16, seed=9)
+    idx = IVFPQIndex.from_table(_table(spark, V), n_cells=4, m=4, sample_size=600)
+    D0, L0 = idx.search_numpy(Q, 8, nprobe=2)
+    write_index(idx, str(tmp_path / "ivfpq"))
+    idx2 = read_index(spark, str(tmp_path / "ivfpq"))
+    assert isinstance(idx2, IVFPQIndex) and idx2.ntotal == 600
+    np.testing.assert_allclose(idx.codebooks, idx2.codebooks)
+    D1, L1 = idx2.search_numpy(Q, 8, nprobe=2)
+    np.testing.assert_array_equal(L0, L1)
+    np.testing.assert_array_equal(D0, D1)
+
+
+def test_opq_roundtrip(spark, tmp_path):
+    V, Q = make_fixture(400, 4, 16, seed=11)
+    idx = OPQIndex.from_table(_table(spark, V), m=4, iters=2, sample_size=400)
+    D0, L0 = idx.search_numpy(Q, 6)
+    write_index(idx, str(tmp_path / "opq"))
+    idx2 = read_index(spark, str(tmp_path / "opq"))
+    assert isinstance(idx2, OPQIndex) and idx2.ntotal == 400
+    np.testing.assert_allclose(idx.rotation, idx2.rotation)
+    D1, L1 = idx2.search_numpy(Q, 6)
+    np.testing.assert_array_equal(L0, L1)
+    np.testing.assert_array_equal(D0, D1)
+
+
+def test_write_index_rejects_unknown(spark, tmp_path):
+    with pytest.raises(TypeError):
+        write_index(object(), str(tmp_path / "nope"))

@@ -373,3 +373,66 @@ def test_curate_stream_equals_batch(spark, tmp_path):
     assert got == {r["text"] for r in batch}
     n = spark.sql("SELECT COUNT(*) FROM curate_t").collect()[0][0]
     assert n == len(batch)
+
+
+def test_ivf_ingest_stream_equals_batch(spark, tmp_path):
+    """Streaming IVF ingest (fixed centroids, append-only cell
+    partitions) produces the same inverted file — and therefore the
+    same search results — as batch ivf_assign over the full corpus."""
+    import numpy as np
+
+    from faiss_metal_spark.operators.similarity import (
+        ivf_assign,
+        ivf_search,
+        ivf_train_centroids,
+    )
+    from faiss_metal_spark.streaming.index_ingest import (
+        ivf_store_search,
+        read_vector_stream,
+        run_ivf_ingest,
+    )
+    from tests.conftest import make_fixture, queries_df, vectors_df
+
+    V, Q = make_fixture(nv=600, nq=6, d=16, seed=13)
+    vdf = vectors_df(spark, V)
+    C = ivf_train_centroids(vdf, 8, sample_size=600)
+
+    # stage the corpus as three parquet files -> three micro-batches
+    src = tmp_path / "vecs"
+    for i in range(3):
+        vectors_df(spark, V[i * 200 : (i + 1) * 200]).withColumn(
+            "id", F.col("id") + F.lit(i * 200)
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    store = str(tmp_path / "ivf_store")
+    run_ivf_ingest(
+        read_vector_stream(spark, str(src), max_files_per_trigger=1),
+        C,
+        store,
+        checkpoint=str(tmp_path / "cp_ivf"),
+    )
+
+    # the grown store IS the batch inverted file
+    got = spark.read.parquet(store).select("id", "cell").orderBy("id").toPandas()
+    want = ivf_assign(vdf, C).select("id", "cell").orderBy("id").toPandas()
+    np.testing.assert_array_equal(got["id"].to_numpy(), want["id"].to_numpy())
+    np.testing.assert_array_equal(got["cell"].to_numpy(), want["cell"].to_numpy())
+
+    # and searches against it equal batch IVF search
+    qdf = queries_df(spark, Q)
+    got_s = (
+        ivf_store_search(spark, store, C, qdf, 5, nprobe=3)
+        .orderBy("qid", "rank")
+        .toPandas()
+    )
+    want_s = (
+        ivf_search(ivf_assign(vdf, C), C, qdf, 5, nprobe=3)
+        .orderBy("qid", "rank")
+        .toPandas()
+    )
+    np.testing.assert_array_equal(
+        got_s["label"].to_numpy(), want_s["label"].to_numpy()
+    )
+    np.testing.assert_allclose(
+        got_s["distance"].to_numpy(), want_s["distance"].to_numpy(), rtol=1e-12
+    )
