@@ -9,7 +9,15 @@ operator extensions (dedup, similarity join, text analysis) the
 north-star targets.
 """
 
-from .compact_index import BinaryIndex, IVFIndex, IVFPQIndex, OPQIndex, SQ8Index
+from .compact_index import (
+    BinaryIndex,
+    IVFIndex,
+    IVFPQIndex,
+    OPQIndex,
+    PQIndex,
+    SQ8Index,
+    index_factory,
+)
 from .quantize import STORAGE_BF16, STORAGE_FP16, STORAGE_FP32
 from .session import get_spark
 from .sources.index_io import read_index, write_index
@@ -24,6 +32,8 @@ __all__ = [
     "IVFIndex",
     "IVFPQIndex",
     "OPQIndex",
+    "PQIndex",
+    "index_factory",
     "write_index",
     "read_index",
     "get_spark",

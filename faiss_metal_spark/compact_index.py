@@ -340,3 +340,100 @@ class OPQIndex:
 
     def release(self) -> None:
         self.codes.unpersist()
+
+
+@dataclass
+class PQIndex:
+    """Plain product quantization (IndexPQ): m-byte codes over the whole
+    vector (no coarse quantizer), ADC search via broadcast LUTs."""
+
+    spark: SparkSession
+    d: int
+    codebooks: np.ndarray
+    codes: DataFrame
+    _n: int = field(default=-1, repr=False)
+
+    @classmethod
+    def from_table(
+        cls,
+        vt,
+        m: int,
+        iters: int = 10,
+        sample_size: int = 16384,
+    ) -> "PQIndex":
+        from .operators.pq import pq_encode, pq_train
+
+        base = _float_view(vt)
+        books = pq_train(base, m, iters=iters, sample_size=sample_size)
+        codes = pq_encode(base, books).persist()
+        n = codes.count()
+        return cls(vt.spark, vt.d, books, codes, n)
+
+    @property
+    def ntotal(self) -> int:
+        return self._n if self._n >= 0 else self.codes.count()
+
+    def search(self, queries: DataFrame, k: int) -> DataFrame:
+        from .operators.pq import pq_search
+
+        return pq_search(self.codes, self.codebooks, queries, k)
+
+    def search_numpy(self, x: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+        return _host_result(
+            self.search(_query_df(self.spark, x), k), len(np.atleast_2d(x)), k
+        )
+
+    def release(self) -> None:
+        self.codes.unpersist()
+
+
+def index_factory(vt, spec: str, **train_kw):
+    """FAISS ``index_factory`` twin over the derived-tier workflow.
+
+    FAISS builds an empty index from a spec string, then ``train``/
+    ``add`` populate it; here the flat :class:`VectorTable` IS the
+    trained+populated source, so the factory derives the requested tier
+    from it in one call (same semantics, Spark-first ordering).
+
+    Supported specs (the reference's users' common vocabulary):
+
+    - ``"Flat"``            → the table itself (brute-force search)
+    - ``"SQ8"``             → :class:`SQ8Index`
+    - ``"BFlat"``           → :class:`BinaryIndex` (index_binary_factory)
+    - ``"PQ16"``            → :class:`PQIndex` (m=16)
+    - ``"IVF256"`` / ``"IVF256,Flat"`` → :class:`IVFIndex` (nlist=256)
+    - ``"IVF256,PQ16"``     → :class:`IVFPQIndex`
+    - ``"OPQ16"`` / ``"OPQ16,PQ16"`` → :class:`OPQIndex` (the OPQ
+      pretransform trains its own PQ; a mismatched pair raises)
+
+    ``train_kw`` forwards to the tier's ``from_table`` (``sample_size``,
+    ``iters``...). Unknown specs raise ``ValueError`` like FAISS.
+    """
+    import re
+
+    s = spec.strip().replace(" ", "")
+    if s == "Flat":
+        return vt
+    if s == "SQ8":
+        return SQ8Index.from_table(vt, **train_kw)
+    if s == "BFlat":
+        return BinaryIndex.from_table(vt, **train_kw)
+    m = re.fullmatch(r"PQ(\d+)", s)
+    if m:
+        return PQIndex.from_table(vt, m=int(m.group(1)), **train_kw)
+    m = re.fullmatch(r"IVF(\d+)(?:,Flat)?", s)
+    if m:
+        return IVFIndex.from_table(vt, n_cells=int(m.group(1)), **train_kw)
+    m = re.fullmatch(r"IVF(\d+),PQ(\d+)", s)
+    if m:
+        return IVFPQIndex.from_table(
+            vt, n_cells=int(m.group(1)), m=int(m.group(2)), **train_kw
+        )
+    m = re.fullmatch(r"OPQ(\d+)(?:,PQ(\d+))?", s)
+    if m:
+        if m.group(2) is not None and m.group(2) != m.group(1):
+            raise ValueError(
+                f"index_factory: OPQ{m.group(1)} must pair with PQ{m.group(1)}"
+            )
+        return OPQIndex.from_table(vt, m=int(m.group(1)), **train_kw)
+    raise ValueError(f"index_factory: unsupported spec {spec!r}")

@@ -101,7 +101,14 @@ def _write_frame(df: DataFrame, path: str, partition_by: str | None = None) -> N
 
 def write_index(index, path: str) -> None:
     """Serialize any engine index under ``path`` (faiss write_index)."""
-    from ..compact_index import BinaryIndex, IVFIndex, IVFPQIndex, OPQIndex, SQ8Index
+    from ..compact_index import (
+        BinaryIndex,
+        IVFIndex,
+        IVFPQIndex,
+        OPQIndex,
+        PQIndex,
+        SQ8Index,
+    )
     from ..vector_table import VectorTable
 
     if isinstance(index, VectorTable):
@@ -171,6 +178,14 @@ def write_index(index, path: str) -> None:
             path,
             {"kind": "ivfpq", "d": index.d, "ntotal": index.ntotal, "shapes": shapes},
         )
+    elif isinstance(index, PQIndex):
+        _write_frame(index.codes, f"{path}/codes")
+        shapes = _write_arrays(index.spark, path, {"codebooks": index.codebooks})
+        _write_meta(
+            index.spark,
+            path,
+            {"kind": "pq", "d": index.d, "ntotal": index.ntotal, "shapes": shapes},
+        )
     elif isinstance(index, OPQIndex):
         _write_frame(index.codes, f"{path}/codes")
         shapes = _write_arrays(
@@ -193,7 +208,14 @@ def read_index(spark: SparkSession, path: str):
     partition-pruned: the probe ``isin`` filter lands on the parquet
     partition key exactly as with ``ivf_write``.
     """
-    from ..compact_index import BinaryIndex, IVFIndex, IVFPQIndex, OPQIndex, SQ8Index
+    from ..compact_index import (
+        BinaryIndex,
+        IVFIndex,
+        IVFPQIndex,
+        OPQIndex,
+        PQIndex,
+        SQ8Index,
+    )
     from ..vector_table import VectorTable
 
     meta = _read_meta(spark, path)
@@ -243,6 +265,14 @@ def read_index(spark: SparkSession, path: str):
             spark,
             meta["d"],
             arrays["centroids"],
+            arrays["codebooks"],
+            spark.read.parquet(f"{path}/codes"),
+            meta["ntotal"],
+        )
+    if kind == "pq":
+        return PQIndex(
+            spark,
+            meta["d"],
             arrays["codebooks"],
             spark.read.parquet(f"{path}/codes"),
             meta["ntotal"],

@@ -150,3 +150,50 @@ def test_opq_roundtrip(spark, tmp_path):
 def test_write_index_rejects_unknown(spark, tmp_path):
     with pytest.raises(TypeError):
         write_index(object(), str(tmp_path / "nope"))
+
+
+def test_pq_roundtrip(spark, tmp_path):
+    from faiss_metal_spark import PQIndex
+
+    V, Q = make_fixture(400, 4, 16, seed=15)
+    idx = PQIndex.from_table(_table(spark, V), m=4, iters=3, sample_size=400)
+    D0, L0 = idx.search_numpy(Q, 6)
+    write_index(idx, str(tmp_path / "pq"))
+    idx2 = read_index(spark, str(tmp_path / "pq"))
+    assert isinstance(idx2, PQIndex) and idx2.ntotal == 400
+    D1, L1 = idx2.search_numpy(Q, 6)
+    np.testing.assert_array_equal(L0, L1)
+    np.testing.assert_array_equal(D0, D1)
+
+
+def test_index_factory_specs(spark):
+    """index_factory maps the FAISS spec vocabulary onto the derived
+    tiers; every tier self-queries sanely (top-1 = self for the exact
+    tiers) and unknown specs raise like FAISS."""
+    from faiss_metal_spark import (
+        IVFIndex,
+        IVFPQIndex,
+        OPQIndex,
+        PQIndex,
+        index_factory,
+    )
+
+    V, _ = make_fixture(300, 1, 16, seed=17)
+    vt = _table(spark, V)
+    kw = {"sample_size": 300}
+    assert index_factory(vt, "Flat") is vt
+    assert isinstance(index_factory(vt, "SQ8"), SQ8Index)
+    assert isinstance(index_factory(vt, "BFlat"), BinaryIndex)
+    assert isinstance(index_factory(vt, "PQ4", iters=2, **kw), PQIndex)
+    ivf = index_factory(vt, "IVF8,Flat", **kw)
+    assert isinstance(ivf, IVFIndex) and ivf.nlist == 8
+    assert isinstance(index_factory(vt, "IVF4,PQ4", **kw), IVFPQIndex)
+    assert isinstance(index_factory(vt, "OPQ4,PQ4", iters=2, **kw), OPQIndex)
+    # exact-tier self query: top-1 is self
+    D, L = ivf.search_numpy(V[:3], 1, nprobe=8)
+    np.testing.assert_array_equal(L[:, 0], np.arange(3))
+    np.testing.assert_allclose(D[:, 0], 0, atol=1e-9)
+    with pytest.raises(ValueError):
+        index_factory(vt, "HNSW32")
+    with pytest.raises(ValueError):
+        index_factory(vt, "OPQ4,PQ8")
