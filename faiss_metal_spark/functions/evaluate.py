@@ -62,3 +62,52 @@ def mean_recall(approx: DataFrame, exact: DataFrame, k: int | None = None) -> fl
     per_q = recall_at_k(approx, exact, k)
     row = per_q.agg(F.avg("recall")).collect()[0]
     return float(row[0]) if row[0] is not None else 0.0
+
+
+def tune_nprobe(
+    index,
+    queries: DataFrame,
+    k: int,
+    target_recall: float = 0.95,
+    nprobes: list[int] | None = None,
+) -> dict:
+    """Pick the smallest nprobe meeting ``target_recall`` — the
+    ParameterSpace/OperatingPoints workflow FAISS users run before
+    deploying an IVF index, over this repo's IVFIndex/IVFPQIndex.
+
+    The baseline is the index's own full probe (``nprobe = nlist``):
+    for IVFFlat that is exact search; for IVFPQ it is the ADC ceiling,
+    so the sweep isolates exactly the loss nprobe controls (coarse-
+    quantizer misses), not the quantization error nprobe cannot fix.
+
+    Sweeps doubling nprobe values (or the given list, ascending),
+    stopping at the first that meets the target; the full-probe
+    baseline runs once. Returns ``{"nprobe": chosen, "points":
+    [{"nprobe": p, "recall": r}, ...]}`` — the measured operating
+    curve, so callers can log it. Cost: one search per probed point
+    over the (sampled) query set — run it on a query sample, not the
+    production feed.
+    """
+    nlist = index.nlist
+    if nprobes is None:
+        nprobes, p = [], 1
+        while p < nlist:
+            nprobes.append(p)
+            p *= 2
+    nprobes = sorted(set(int(p) for p in nprobes if 1 <= p < nlist))
+    exact = index.search(queries, k, nprobe=nlist).persist()
+    exact.count()
+    points = []
+    chosen = nlist
+    try:
+        for p in nprobes:
+            r = mean_recall(index.search(queries, k, nprobe=p), exact)
+            points.append({"nprobe": p, "recall": r})
+            if r >= target_recall:
+                chosen = p
+                break
+        else:
+            points.append({"nprobe": nlist, "recall": 1.0})
+    finally:
+        exact.unpersist()
+    return {"nprobe": chosen, "points": points}

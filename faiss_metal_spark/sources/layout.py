@@ -123,3 +123,47 @@ def write_zordered(
         .format(fmt)
         .save(path)
     )
+
+
+def compact_store(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    partition_col: str = "cell",
+    target_rows_per_file: int = 1_000_000,
+) -> None:
+    """Compact a partitioned store's small files (Delta/Iceberg
+    ``OPTIMIZE`` analog, minus the transactional swap).
+
+    Continuous ingest (``streaming/index_ingest.py``) appends one file
+    per micro-batch per touched partition; after days of small batches
+    a cell holds thousands of tiny files and every probe pays their
+    open/footer cost. This rewrites the store with
+    ``ceil(partition_rows / target_rows_per_file)`` files per
+    partition: one pass, shuffle bounded by the store size, partition
+    layout (and therefore probe pruning) preserved.
+
+    The compacted copy lands at ``dst_path`` — pointing readers at it /
+    swapping directories atomically is a table-format concern
+    (Delta/Iceberg) deliberately out of scope; a plain-parquet
+    in-place rewrite would race concurrent readers.
+    """
+    df = spark.read.parquet(src_path)
+    if partition_col not in df.columns:
+        raise ValueError(f"{src_path} has no {partition_col!r} column")
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(partition_col).count().collect()
+    }
+    max_files = max(
+        -(-n // target_rows_per_file) for n in counts.values()
+    ) if counts else 1
+    # repartition on (partition, uniform sub-key) so each partition
+    # lands in at most max_files write tasks without a global sort
+    sub = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(max_files))
+    (
+        df.repartition(max(len(counts), 1) * max_files, F.col(partition_col), sub)
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(dst_path)
+    )

@@ -10,6 +10,7 @@ still prune partitions.
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from faiss_metal_spark import (
     BinaryIndex,
@@ -197,3 +198,61 @@ def test_index_factory_specs(spark):
         index_factory(vt, "HNSW32")
     with pytest.raises(ValueError):
         index_factory(vt, "OPQ4,PQ8")
+
+
+def test_tune_nprobe_operating_points(spark):
+    """tune_nprobe sweeps doubling nprobe values against the index's
+    full-probe baseline and returns the smallest meeting the target;
+    recall along the sweep is achievable and the full-probe point is
+    exact by construction."""
+    from faiss_metal_spark import IVFIndex
+    from faiss_metal_spark.functions.evaluate import tune_nprobe
+
+    V, Q = make_fixture(800, 10, 16, seed=21)
+    idx = IVFIndex.from_table(_table(spark, V), n_cells=16, sample_size=800)
+    out = tune_nprobe(idx, queries_df(spark, Q), k=5, target_recall=0.9)
+    assert 1 <= out["nprobe"] <= idx.nlist
+    assert out["points"][-1]["recall"] >= 0.9
+    # a loose target is met by a small probe count; an impossible-to-
+    # beat-early target falls back to the exact full probe
+    strict = tune_nprobe(idx, queries_df(spark, Q), k=5, target_recall=1.01)
+    assert strict["nprobe"] == idx.nlist
+    assert strict["points"][-1] == {"nprobe": idx.nlist, "recall": 1.0}
+    idx.release()
+
+
+def test_compact_store_bounds_files_and_preserves_pruning(spark, tmp_path):
+    """compact_store rewrites a many-small-files partitioned store into
+    ceil(rows/target) files per partition with identical contents and
+    intact partition pruning."""
+    import glob
+
+    from faiss_metal_spark.sources.layout import compact_store
+
+    src = str(tmp_path / "src")
+    # simulate 6 tiny ingest batches over 3 cells -> many small files
+    for i in range(6):
+        spark.createDataFrame(
+            [(i * 10 + j, i % 3, float(j)) for j in range(10)],
+            "id long, cell int, val double",
+        ).coalesce(2).write.mode("append").partitionBy("cell").parquet(src)
+    n_src_files = len(glob.glob(f"{src}/cell=*/*.parquet"))
+    assert n_src_files >= 12
+
+    dst = str(tmp_path / "dst")
+    compact_store(spark, src, dst, target_rows_per_file=1_000_000)
+    n_dst_files = len(glob.glob(f"{dst}/cell=*/*.parquet"))
+    assert n_dst_files == 3  # one file per cell at this size
+
+    import pandas as pd
+
+    a = spark.read.parquet(src).orderBy("id").toPandas()
+    b = spark.read.parquet(dst).orderBy("id").toPandas()
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True)[sorted(a.columns)],
+        b.reset_index(drop=True)[sorted(b.columns)],
+    )
+    probed = spark.read.parquet(dst).where(F.col("cell") == 1)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters")[1][:120]
