@@ -80,13 +80,16 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*minhash_signature_cols(F.col("sh"), num_hashes))
 
 
-def lsh_candidate_pairs(
+def lsh_band_buckets(
     signatures: DataFrame, id_col: str = "doc_id", num_hashes: int = 8, bands: int = 2
 ) -> DataFrame:
-    """Distinct candidate pairs (a < b) sharing at least one LSH band.
+    """(id, band, bkey) band-bucket projection of a signature table.
 
     Band key = md5 of the concatenated signature slice, so the join key
-    is a fixed-width digest regardless of H.
+    is a fixed-width digest regardless of H. This is also the persisted
+    LSH state for incremental dedup: keep it as the corpus's band index
+    (bucketed/partitioned on ``bkey``) and daily deltas join against it
+    without recomputing a single corpus signature.
     """
     rows_per_band = num_hashes // bands
     band_structs = []
@@ -95,9 +98,16 @@ def lsh_candidate_pairs(
         band_structs.append(
             F.struct(F.lit(b).alias("band"), F.md5(F.concat(*cols)).alias("bkey"))
         )
-    buckets = signatures.select(
+    return signatures.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str = "doc_id", num_hashes: int = 8, bands: int = 2
+) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing at least one LSH band."""
+    buckets = lsh_band_buckets(signatures, id_col, num_hashes, bands)
 
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -667,3 +677,74 @@ def incremental_dedup(
             f"column); got {seen_keys.columns}"
         )
     return survivors.join(seen, "dup_key", "left_anti")
+
+
+def incremental_lsh_dedup(
+    new_docs: DataFrame,
+    band_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 2,
+    shingle_size: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Delta-batch NEAR-dedup against a persisted LSH band index — the
+    incremental form of :func:`lsh_candidate_pairs`, completing the
+    delta story :func:`incremental_dedup` starts for exact dedup.
+
+    ``band_index`` is the corpus's ``(id, band, bkey)`` state from
+    :func:`lsh_band_buckets` (same ``num_hashes``/``bands``/
+    ``shingle_size`` — the keys are meaningless across configs).
+    Returns ``(pairs, delta_bands)``:
+
+    - ``pairs``: distinct candidate pairs (id_a < id_b) involving at
+      least one delta doc — delta×corpus collisions via one equi-join
+      on (band, bkey) against the index, plus delta-internal collisions
+      via the standard self-join. Equals the batch
+      ``lsh_candidate_pairs`` over corpus ∪ delta restricted to pairs
+      touching the delta (pinned by test).
+    - ``delta_bands``: the delta's band rows — append them to the index
+      and it IS ``lsh_band_buckets`` of corpus ∪ delta, ready for the
+      next delta.
+
+    The 100 TB property: corpus text is never rescanned and corpus
+    signatures are never recomputed — the corpus side of the join is
+    its (id, band, 32-hex-key) index only. Keep the index bucketed on
+    ``bkey`` and the delta side (small) broadcasts; candidate volume is
+    driven by real collisions, exactly as in the batch operator.
+    """
+    sig = minhash_signatures(
+        new_docs,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        shingle_size=shingle_size,
+    )
+    delta_bands = lsh_band_buckets(sig, id_col, num_hashes, bands)
+
+    d = delta_bands.alias("d")
+    c = band_index.alias("c")
+    cross = (
+        d.join(
+            c,
+            (F.col("d.band") == F.col("c.band"))
+            & (F.col("d.bkey") == F.col("c.bkey"))
+            & (F.col(f"d.{id_col}") != F.col(f"c.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"d.{id_col}"), F.col(f"c.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"d.{id_col}"), F.col(f"c.{id_col}")).alias("id_b"),
+        )
+    )
+    within = (
+        d.join(
+            delta_bands.alias("e"),
+            (F.col("d.band") == F.col("e.band"))
+            & (F.col("d.bkey") == F.col("e.bkey"))
+            & (F.col(f"d.{id_col}") < F.col(f"e.{id_col}")),
+        )
+        .select(
+            F.col(f"d.{id_col}").alias("id_a"), F.col(f"e.{id_col}").alias("id_b")
+        )
+    )
+    return cross.unionByName(within).distinct(), delta_bands

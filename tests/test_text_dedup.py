@@ -951,3 +951,62 @@ def test_gopher_flags(spark):
     assert not g[2]["avg_len_ok"] and not g[2]["keep"]
     assert not g[3]["symbol_ok"] and not g[3]["keep"]
     assert not g[4]["stopword_ok"] and not g[4]["keep"]
+
+
+def test_incremental_lsh_dedup_equals_batch(spark):
+    """Delta-vs-index near-dedup equals batch lsh_candidate_pairs over
+    corpus ∪ delta restricted to pairs touching the delta, and the
+    appended index equals the batch band index of corpus ∪ delta."""
+    from faiss_metal_spark.operators.dedup import (
+        incremental_lsh_dedup,
+        lsh_band_buckets,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "pack my box with five dozen liquor jugs right now",
+        "sphinx of black quartz judge my vow said the king",
+        "how vexingly quick daft zebras jump over fences",
+    ]
+    corpus_rows = [(i, base[i % 4] + f" tail{i // 4}") for i in range(24)]
+    # delta: near-dups of corpus docs + an internal dup pair + a novel doc
+    delta_rows = [
+        (100, base[0] + " tail0"),            # exact dup of doc 0
+        (101, base[1] + " tail1 extra word"), # near-dup of doc 5
+        (102, "completely novel text about distributed quantized search engines"),
+        (103, "completely novel text about distributed quantized search engines"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    delta = spark.createDataFrame(delta_rows, "doc_id long, text string")
+
+    H, B = 8, 4
+    index = lsh_band_buckets(
+        minhash_signatures(corpus, num_hashes=H), num_hashes=H, bands=B
+    )
+    pairs, delta_bands = incremental_lsh_dedup(
+        delta, index, num_hashes=H, bands=B
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+
+    both = corpus.unionByName(delta)
+    batch = lsh_candidate_pairs(
+        minhash_signatures(both, num_hashes=H), num_hashes=H, bands=B
+    )
+    delta_ids = {r[0] for r in delta_rows}
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in batch.collect()
+        if r["id_a"] in delta_ids or r["id_b"] in delta_ids
+    }
+    assert got == want and (100, 103) not in got and (102, 103) in got
+
+    # index ∪ delta_bands == batch band index of corpus ∪ delta
+    merged = index.unionByName(delta_bands)
+    full = lsh_band_buckets(
+        minhash_signatures(both, num_hashes=H), num_hashes=H, bands=B
+    )
+    a = {tuple(r) for r in merged.collect()}
+    b = {tuple(r) for r in full.collect()}
+    assert a == b
