@@ -3087,7 +3087,10 @@ def q_simhash_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup pairs (id_a, id_b, hamming), and 'mh' rows the
     MinHash-LSH candidate pairs (8 hashes, 4 bands — the banding
     engine behind curate_corpus, checked standalone here; hamming is
-    NULL for them)."""
+    NULL for them), and 'imh' rows the INCREMENTAL MinHash-LSH pairs
+    (docs >= 400 arrive as a delta against the persisted band index of
+    docs < 400 — delta-vs-corpus + delta-internal collisions only,
+    corpus text never rescanned)."""
     d = _t(spark, sf_dir, "documents")
     # both union branches consume sig; materialize it once (the
     # signature build is a full corpus scan — lazy reuse would run it
@@ -3097,6 +3100,32 @@ def q_simhash_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     mh_sig = minhash_signatures(d, num_hashes=8, shingle_size=3)
     mh = lsh_candidate_pairs(mh_sig, num_hashes=8, bands=4).select(
         F.lit("mh").alias("kind"),
+        F.col("id_a").alias("a"),
+        F.col("id_b").alias("b"),
+        F.lit(None).cast("int").alias("hamming"),
+    )
+    # 'imh' rows: the incremental form — docs ≥ 400 arrive as a delta
+    # against the persisted band index of docs < 400; equals the batch
+    # pairs restricted to delta-touching ones (the invariant
+    # test_incremental_lsh_dedup_equals_batch pins), which is exactly
+    # what the SQL oracle states.
+    from faiss_metal_spark.operators.dedup import (
+        incremental_lsh_dedup,
+        lsh_band_buckets,
+    )
+
+    idx = lsh_band_buckets(
+        minhash_signatures(
+            d.where(F.col("doc_id") < 400), num_hashes=8, shingle_size=3
+        ),
+        num_hashes=8,
+        bands=4,
+    )
+    ipairs, _ = incremental_lsh_dedup(
+        d.where(F.col("doc_id") >= 400), idx, num_hashes=8, bands=4
+    )
+    imh = ipairs.select(
+        F.lit("imh").alias("kind"),
         F.col("id_a").alias("a"),
         F.col("id_b").alias("b"),
         F.lit(None).cast("int").alias("hamming"),
@@ -3113,7 +3142,7 @@ def q_simhash_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").alias("b"),
         F.col("hamming").cast("int").alias("hamming"),
     )
-    return srows.unionByName(prows).unionByName(mh)
+    return srows.unionByName(prows).unionByName(mh).unionByName(imh)
 
 
 def _oracle_simhash_all() -> str:
@@ -3134,6 +3163,10 @@ SELECT 'pair', id_a, id_b, hamming FROM (
 UNION ALL
 SELECT 'mh', id_a, id_b, CAST(NULL AS INTEGER)
 FROM (WITH {_MINHASH_CTES} SELECT id_a, id_b FROM pairs) mhp
+UNION ALL
+SELECT 'imh', id_a, id_b, CAST(NULL AS INTEGER)
+FROM (WITH {_MINHASH_CTES} SELECT id_a, id_b FROM pairs) imhp
+WHERE id_a >= 400 OR id_b >= 400
 """
 
 
