@@ -374,6 +374,42 @@ class VectorTable:
             return DECODERS[self.storage](bytes(rows[0][0]))
         return np.asarray(rows[0][0], dtype=np.float32)
 
+    def reconstruct_n(self, start: int, n: int) -> np.ndarray:
+        """(n, d) FP32 block [start, start+n) — faiss
+        ``Index::reconstruct_n`` (the reference inherits it alongside
+        ``reconstruct``, MetalIndexFlat.h:47). Raises KeyError if any
+        id in the range is absent, like per-id ``reconstruct``."""
+        return self.reconstruct_batch(np.arange(start, start + n, dtype=np.int64))
+
+    def reconstruct_batch(self, ids) -> np.ndarray:
+        """(len(ids), d) FP32 rows in the given id order — faiss
+        ``Index::reconstruct_batch``. One pruned scan for the whole
+        batch instead of len(ids) point lookups."""
+        ids = np.asarray(ids, dtype=np.int64)
+        if len(ids) == 0:
+            return np.zeros((0, self.d), dtype=np.float32)
+        rows = (
+            self.df.where(F.col("id").isin([int(i) for i in set(ids)]))
+            .select("id", "vec")
+            .collect()
+        )
+        byid = {r["id"]: r["vec"] for r in rows}
+        missing = [int(i) for i in ids if i not in byid]
+        if missing:
+            raise KeyError(f"ids {missing[:5]} out of range")
+        if self.compact:
+            from .quantize import DECODERS
+
+            dec = DECODERS[self.storage]
+            return np.stack([dec(bytes(byid[i])) for i in ids]).astype(np.float32)
+        return np.stack([np.asarray(byid[i], np.float32) for i in ids])
+
+    def assign(self, x: np.ndarray, k: int = 1) -> np.ndarray:
+        """(nq, k) nearest labels only — faiss ``Index::assign`` (the
+        labels-without-distances convenience over ``search``)."""
+        _, labels = self.search_numpy(x, k)
+        return labels
+
     def to_pandas(self) -> pd.DataFrame:
         """≙ index_metal_to_cpu — export (FP32-decoded either layout)."""
         pdf = self.df.orderBy("id").toPandas()

@@ -428,3 +428,34 @@ def test_compact_table_feeds_derived_indexes(spark):
     _, L2 = s.search_numpy(V[:2], k=1)
     assert (L2[:, 0] == np.arange(2)).all()
     b.release(); s.release()
+
+
+def test_reconstruct_n_batch_assign(spark):
+    """reconstruct_n / reconstruct_batch / assign — the faiss
+    convenience surface over reconstruct + search."""
+    import numpy as np
+
+    from conftest import make_fixture
+    from faiss_metal_spark import VectorTable
+
+    V, Q = make_fixture(60, 4, 8, seed=23)
+    vt = VectorTable(spark, 8).add_numpy(V)
+    np.testing.assert_allclose(vt.reconstruct_n(10, 5), V[10:15], rtol=1e-6)
+    ids = [7, 3, 3, 59]
+    np.testing.assert_allclose(vt.reconstruct_batch(ids), V[ids], rtol=1e-6)
+    assert vt.reconstruct_batch([]).shape == (0, 8)
+    import pytest as _pt
+
+    with _pt.raises(KeyError):
+        vt.reconstruct_batch([3, 60])
+    with _pt.raises(KeyError):
+        vt.reconstruct_n(58, 5)
+    # assign = labels of search, exact top-1 is self on stored rows
+    lab = vt.assign(V[:5], k=1)
+    np.testing.assert_array_equal(lab[:, 0], np.arange(5))
+    D, L = vt.search_numpy(Q, 3)
+    np.testing.assert_array_equal(vt.assign(Q, 3), L)
+
+    # compact storage decodes through the same path
+    vt16 = VectorTable(spark, 8, storage="fp16", compact=True).add_numpy(V)
+    np.testing.assert_allclose(vt16.reconstruct_n(0, 4), V[:4], atol=2e-3)
