@@ -3088,8 +3088,8 @@ def q_simhash_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash-LSH candidate pairs (8 hashes, 4 bands — the banding
     engine behind curate_corpus, checked standalone here; hamming is
     NULL for them), and 'imh' rows the INCREMENTAL MinHash-LSH pairs
-    (docs >= 400 arrive as a delta against the persisted band index of
-    docs < 400 — delta-vs-corpus + delta-internal collisions only,
+    (docs < 400 arrive as a delta against the persisted band index of
+    the rest — delta-vs-corpus + delta-internal collisions only,
     corpus text never rescanned)."""
     d = _t(spark, sf_dir, "documents")
     # both union branches consume sig; materialize it once (the
@@ -3097,32 +3097,34 @@ def q_simhash_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     # twice, and union branches can race a plain cache)
     sig = simhash_signatures(d).localCheckpoint()
     pairs = simhash_neardup_pairs(sig, bands=4, max_hamming=3)
-    mh_sig = minhash_signatures(d, num_hashes=8, shingle_size=3)
+    # consumed by BOTH the 'mh' batch branch and the 'imh' index side —
+    # materialize once (same reasoning as sig above)
+    mh_sig = minhash_signatures(d, num_hashes=8, shingle_size=3).localCheckpoint()
     mh = lsh_candidate_pairs(mh_sig, num_hashes=8, bands=4).select(
         F.lit("mh").alias("kind"),
         F.col("id_a").alias("a"),
         F.col("id_b").alias("b"),
         F.lit(None).cast("int").alias("hamming"),
     )
-    # 'imh' rows: the incremental form — docs ≥ 400 arrive as a delta
-    # against the persisted band index of docs < 400; equals the batch
+    # 'imh' rows: the incremental form — docs < 400 arrive as a delta
+    # against the persisted band index of the rest; equals the batch
     # pairs restricted to delta-touching ones (the invariant
     # test_incremental_lsh_dedup_equals_batch pins), which is exactly
-    # what the SQL oracle states.
+    # what the SQL oracle states. The index side REUSES mh_sig (a
+    # doc's signature is independent of other docs, so the corpus
+    # subset of the batch signature table IS the persisted index —
+    # that reuse is the operator's whole point: only the constant-size
+    # delta pays text→signature work here, at every sf).
     from faiss_metal_spark.operators.dedup import (
         incremental_lsh_dedup,
         lsh_band_buckets,
     )
 
     idx = lsh_band_buckets(
-        minhash_signatures(
-            d.where(F.col("doc_id") < 400), num_hashes=8, shingle_size=3
-        ),
-        num_hashes=8,
-        bands=4,
+        mh_sig.where(F.col("doc_id") >= 400), num_hashes=8, bands=4
     )
     ipairs, _ = incremental_lsh_dedup(
-        d.where(F.col("doc_id") >= 400), idx, num_hashes=8, bands=4
+        d.where(F.col("doc_id") < 400), idx, num_hashes=8, bands=4
     )
     imh = ipairs.select(
         F.lit("imh").alias("kind"),
@@ -3166,7 +3168,7 @@ FROM (WITH {_MINHASH_CTES} SELECT id_a, id_b FROM pairs) mhp
 UNION ALL
 SELECT 'imh', id_a, id_b, CAST(NULL AS INTEGER)
 FROM (WITH {_MINHASH_CTES} SELECT id_a, id_b FROM pairs) imhp
-WHERE id_a >= 400 OR id_b >= 400
+WHERE id_a < 400 OR id_b < 400
 """
 
 

@@ -110,6 +110,30 @@ def main() -> None:
         f"lsh-mp={mean_recall(lsh, exact):.2f}"
     )
     sq8.release(); binx.release()
+
+    # 7. day-2 operations: factory build, tune, persist/reload, deltas
+    import tempfile
+
+    from faiss_metal_spark import index_factory, read_index, write_index
+    from faiss_metal_spark.functions.evaluate import tune_nprobe
+    from faiss_metal_spark.operators import incremental_lsh_dedup, lsh_band_buckets
+    from faiss_metal_spark.operators.dedup import minhash_signatures
+
+    tmp = tempfile.mkdtemp(prefix="fms_demo_")
+    ivf = index_factory(vt, "IVF8,Flat", sample_size=500)
+    tuned = tune_nprobe(ivf, qdf, k=5, target_recall=0.95)
+    write_index(ivf, f"{tmp}/ivf")
+    ivf2 = read_index(spark, f"{tmp}/ivf")
+    _, Lr = ivf2.search_numpy(Q, 5, nprobe=tuned["nprobe"])
+    print(
+        f"[day2]     ivf nprobe tuned to {tuned['nprobe']}/{ivf.nlist}; "
+        f"reloaded-index self top-1: {Lr[:, 0].tolist()}"
+    )
+    band_index = lsh_band_buckets(minhash_signatures(docs), bands=4)
+    delta = docs.limit(3).select((F.col("doc_id") + 10**6).alias("doc_id"), "text")
+    pairs, _ = incremental_lsh_dedup(delta, band_index, bands=4)
+    print(f"[day2]     delta near-dedup vs persisted band index: {pairs.count()} pairs")
+    ivf.release()
     print("OK")
 
 
