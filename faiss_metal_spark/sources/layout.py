@@ -143,10 +143,12 @@ def compact_store(
     partition: one pass, shuffle bounded by the store size, partition
     layout (and therefore probe pruning) preserved.
 
-    The compacted copy lands at ``dst_path`` — pointing readers at it /
-    swapping directories atomically is a table-format concern
-    (Delta/Iceberg) deliberately out of scope; a plain-parquet
-    in-place rewrite would race concurrent readers.
+    The compacted copy lands at ``dst_path`` — an in-place rewrite
+    would race concurrent readers. Use the versioned-store helpers for
+    the swap: ``compact_store(spark, current_store_path(spark, base),
+    next_store_version_path(spark, base))`` makes the compacted copy
+    the new current version atomically-on-commit (see
+    :func:`store_versions`).
     """
     df = spark.read.parquet(src_path)
     if partition_col not in df.columns:
@@ -167,3 +169,64 @@ def compact_store(
         .partitionBy(partition_col)
         .parquet(dst_path)
     )
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    uri = jvm.java.net.URI.create(path)
+    return jvm.org.apache.hadoop.fs.FileSystem.get(
+        uri, spark._jsc.hadoopConfiguration()
+    )
+
+
+def store_versions(spark: SparkSession, base_path: str) -> list[int]:
+    """Committed version numbers under ``base_path`` (ascending).
+
+    A version is the directory ``_v<N>`` and counts as committed only
+    once its writer's success marker exists — ``_SUCCESS`` for batch
+    writes, ``_spark_metadata`` for streaming sinks. Spark's output
+    committer materializes the marker only after every task commit, so
+    a crashed or in-flight write is invisible to readers by
+    construction: that, plus never rewriting an existing version, is
+    what makes :func:`current_store_path` an atomic pointer without a
+    transaction log (the Delta/Iceberg log generalizes exactly this).
+    """
+    import re
+
+    fs = _hadoop_fs(spark, base_path)
+    jvm = spark._jvm
+    base = jvm.org.apache.hadoop.fs.Path(base_path)
+    if not fs.exists(base):
+        return []
+    out = []
+    for st in fs.listStatus(base):
+        name = st.getPath().getName()
+        m = re.fullmatch(r"_v(\d+)", name)
+        if not m or not st.isDirectory():
+            continue
+        committed = fs.exists(
+            jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+        ) or fs.exists(
+            jvm.org.apache.hadoop.fs.Path(st.getPath(), "_spark_metadata")
+        )
+        if committed:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def current_store_path(spark: SparkSession, base_path: str) -> str:
+    """Resolve the newest committed version — what readers open."""
+    vs = store_versions(spark, base_path)
+    if not vs:
+        raise FileNotFoundError(f"no committed store version under {base_path}")
+    return f"{base_path}/_v{vs[-1]}"
+
+
+def next_store_version_path(spark: SparkSession, base_path: str) -> str:
+    """Path for the next version — what writers (ingest bootstrap,
+    :func:`compact_store`) target. Versions are append-only: a rewrite
+    lands in a NEW directory and becomes current only when its success
+    marker commits, so concurrent readers of the old version are never
+    disturbed and a failed rewrite changes nothing."""
+    vs = store_versions(spark, base_path)
+    return f"{base_path}/_v{(vs[-1] + 1) if vs else 1}"

@@ -256,3 +256,45 @@ def test_compact_store_bounds_files_and_preserves_pruning(spark, tmp_path):
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "cell" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_versioned_store_pointer(spark, tmp_path):
+    """Versioned stores: writers target next_store_version_path, readers
+    resolve current_store_path; a version without its success marker is
+    invisible (a crashed rewrite changes nothing)."""
+    import os
+
+    from faiss_metal_spark.sources.layout import (
+        compact_store,
+        current_store_path,
+        next_store_version_path,
+        store_versions,
+    )
+
+    base = str(tmp_path / "store")
+    assert store_versions(spark, base) == []
+    with pytest.raises(FileNotFoundError):
+        current_store_path(spark, base)
+
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)], "id long, cell int, val double"
+    )
+    v1 = next_store_version_path(spark, base)
+    assert v1.endswith("_v1")
+    df.write.partitionBy("cell").parquet(v1)
+    assert store_versions(spark, base) == [1]
+    assert current_store_path(spark, base) == v1
+
+    # compact current -> next; the pointer flips only after commit
+    v2 = next_store_version_path(spark, base)
+    assert v2.endswith("_v2")
+    compact_store(spark, current_store_path(spark, base), v2)
+    assert current_store_path(spark, base) == v2
+    assert spark.read.parquet(v2).count() == 30
+
+    # an uncommitted version directory (no _SUCCESS) is ignored
+    os.makedirs(f"{base}/_v3/cell=0", exist_ok=True)
+    with open(f"{base}/_v3/cell=0/part-junk.parquet", "wb") as f:
+        f.write(b"")
+    assert store_versions(spark, base) == [1, 2]
+    assert current_store_path(spark, base) == v2
