@@ -156,14 +156,17 @@ def bench_grid(spark) -> tuple[dict[str, float], dict[str, dict]]:
                 "qps": round(nq * iters / total, 1),
                 "iters": iters,
             }
+            # headline keys carry the MEDIAN iteration (ms_median/1000):
+            # a single load spike in one of 10 iterations should not
+            # read as a regression of the key
             if fmt == "fp32" and label not in probe_only:
-                headline[label] = round(total / iters, 3)
+                headline[label] = round(float(np.median(times[fmt])), 3)
             elif fmt == "fp16c" and label in (
                 "knn_medium_128d",
                 "knn_medium_768d",
                 "knn_large_1536d",
             ):
-                headline[f"{label}_fp16c"] = round(total / iters, 3)
+                headline[f"{label}_fp16c"] = round(float(np.median(times[fmt])), 3)
         if "fp32_f32" in fmts:
             base = times["fp32_f32"]
             stats["paired_gain_pct_vs_fp32_same_arith"] = {
@@ -219,21 +222,27 @@ def _warmup(spark) -> None:
 
 
 def bench_headline(spark) -> dict[str, float]:
-    """Each query timed end-to-end, then the session's cache state is
-    reset (clearCache + gc of checkpointed lineages) before the next.
+    """Each query runs warmup 1 + timed 1 (the reference's own harness
+    discipline, bench_metal_flat.mm:118, applied to the whole suite,
+    not just the kNN grid), and the session's cache state is reset
+    (clearCache + gc of checkpointed lineages) between queries.
 
-    Without the reset, heavy keys late in the suite absorb the
-    accumulated executor-cache/GC pressure of everything before them —
-    measured r6: dedup_clusters 16.1s inside the unisolated suite vs
-    3.2s isolated, identical code and output. Per-key numbers here mean
-    'steady-state, isolated query on a warm session', matching how the
-    correctness gate runs them."""
+    Both rules exist because they were measured to matter (r6):
+    without the reset, heavy keys late in the suite absorb the
+    accumulated executor-cache/GC pressure of everything before them
+    (dedup_clusters 16.1s unisolated vs 3.2s isolated, identical code
+    and output); without the warmup, a key's number mixes steady-state
+    cost with its first-compile codegen/JIT (simhash_all 5.6s cold vs
+    3.5s warm). Per-key numbers mean 'steady-state, isolated query'."""
     import gc
 
     import __spark_entry__ as entry_mod
 
     out = {}
     for name, fn in entry_mod.queries().items():
+        fn(spark, SF_DIR).count()  # warmup: compile + JIT, discarded
+        spark.catalog.clearCache()
+        gc.collect()
         t0 = time.time()
         df = fn(spark, SF_DIR)
         n = df.count()
