@@ -2916,6 +2916,12 @@ FROM ({_oracle_lang_id()}) li JOIN ({ORACLE_TEXT_STATS}) ts USING (lang)
 """
 
 
+# fixed weights for the oracle-checked quality-model scorer: w_i =
+# (-1)^i · (1 + i/16) over the 16 hashed-embedding lanes, bias 0.1 —
+# identical literals rendered in the DuckDB oracle (qs CTE)
+_QM_WEIGHTS = [((-1) ** i) * (1.0 + i / 16.0) for i in range(16)] + [0.1]
+
+
 def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text analysis: token counts, quality scoring,
     rolling-hash fingerprint, BPE-ish token count, repeated-3-gram
@@ -2936,6 +2942,7 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsir_weights,
         repetition_profile,
     )
+    from faiss_metal_spark.operators.quality_model import quality_model_score
 
     d = _t(spark, sf_dir, "documents")
     emb = hashed_embedding("text", d=16, normalize=False)
@@ -2951,6 +2958,12 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         _norm(repetition_ratio("text", 3), 4).alias("rep3"),
         F.array_position(emb, top).cast("long").alias("emb_lane"),
         top.cast("long").alias("emb_top"),
+        # learned-quality scorer (operators/quality_model.py) under
+        # FIXED literal weights: training is engine-specific (LBFGS),
+        # but the scorer itself — normalized hashed embedding → dot →
+        # sigmoid — is deterministic and SQL-renderable, so it gets a
+        # hash check like every other projection here
+        _norm(quality_model_score(_QM_WEIGHTS, "text"), 4).alias("mq_score"),
     )
     rep = repetition_profile(d).select(
         "doc_id",
@@ -2991,6 +3004,12 @@ WITH t AS (
   SELECT doc_id, lane, s,
          row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lane ASC) AS rn
   FROM lanes
+), qs AS (  -- fixed-weight quality-model score over NORMALIZED lanes
+  SELECT doc_id,
+         SQRT(SUM(s * s)) AS nrm,
+         SUM((CASE WHEN lane % 2 = 0 THEN 1.0 ELSE -1.0 END)
+             * (1.0 + lane / 16.0) * s) AS dot
+  FROM lanes GROUP BY doc_id
 ), rg AS (  -- tagged n-grams with positions, n in {{2,3,4,5}}
   SELECT doc_id, n,
          unnest(range(0, len(toks) - n + 1)) AS pos,
@@ -3066,6 +3085,8 @@ SELECT t.doc_id, len(toks) AS n_tokens,
              ELSE 0.0 END, 4) + 0.0 AS rep3,
   CAST(etop.lane + 1 AS BIGINT) AS emb_lane,
   CAST(etop.s AS BIGINT) AS emb_top,
+  ROUND(1.0 / (1.0 + exp(-(0.1 + CASE WHEN qs.nrm > 0 THEN qs.dot / qs.nrm
+                                      ELSE 0.0 END))), 4) + 0.0 AS mq_score,
   ROUND(rep.top2, 4) + 0.0 AS top2_frac,
   ROUND(rep.top3, 4) + 0.0 AS top3_frac,
   ROUND(rep.top4, 4) + 0.0 AS top4_frac,
@@ -3074,6 +3095,7 @@ SELECT t.doc_id, len(toks) AS n_tokens,
   ROUND(lm.ce, 4) + 0.0 AS bigram_ce
 FROM t
 JOIN etop ON etop.doc_id = t.doc_id AND etop.rn = 1
+JOIN qs ON qs.doc_id = t.doc_id
 JOIN rep ON rep.doc_id = t.doc_id
 LEFT JOIN rcov ON rcov.doc_id = t.doc_id
 JOIN dsir ON dsir.doc_id = t.doc_id
