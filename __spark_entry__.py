@@ -348,28 +348,109 @@ FROM (
 
 
 def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H multi-join decision-support family, tagged by shape
+    (adapted to the synthetic dimension values — NATION_i etc.):
+    'q5' local-supplier volume (region-gated 6-table join), 'q7'
+    volume shipping between a nation pair (bidirectional pair filter,
+    ship-year rollup), 'q8' national market share (conditional share
+    of a region's volume per order-year), 'q9' product-type profit by
+    nation and order-year (partsupp is absent from the synthetic
+    schema, so profit = revenue — the join/rollup shape is q9's).
+    Uniform schema (shape, k1, k2, yr, val)."""
     r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     n = _t(spark, sf_dir, "nation")
     c = _t(spark, sf_dir, "customer")
     s = _t(spark, sf_dir, "supplier")
-    o = _t(spark, sf_dir, "orders").where(
+    o = _t(spark, sf_dir, "orders")
+    o5 = o.where(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
     )
     l = _t(spark, sf_dir, "lineitem")
-    return (
-        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+    def row(shape, k1, k2, yr, val):
+        return [
+            F.lit(shape).alias("shape"),
+            k1.alias("k1"),
+            k2.alias("k2"),
+            yr.cast("long").alias("yr"),
+            val.alias("val"),
+        ]
+
+    q5 = (
+        l.join(o5, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(c), (F.col("o_custkey") == F.col("c_custkey"))
               & (F.col("c_nationkey") == F.col("s_nationkey")))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(_norm(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(_norm(F.sum(rev), 2).alias("revenue"))
+        .select(*row("q5", F.col("n_name"), F.lit(None).cast("string"),
+                     F.lit(None), F.col("revenue")))
     )
+    # q7: bidirectional nation-pair volume by ship year
+    ns = n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+    nc = n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))
+    q7 = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("sk"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("ck"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(_norm(F.sum(rev), 2).alias("revenue"))
+        .select(*row("q7", F.col("supp_nation"), F.col("cust_nation"),
+                     F.col("l_year"), F.col("revenue")))
+    )
+    # q8: NATION_5's share of ASIA's ECONOMY-part volume per order year
+    n2r = n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")).select(
+        F.col("n_nationkey").alias("ck")
+    )
+    ns8 = n.select(F.col("n_nationkey").alias("sk8"), F.col("n_name").alias("nat8"))
+    q8 = (
+        l.join(F.broadcast(p.where(F.col("p_type") == "ECONOMY")),
+               F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2r), F.col("c_nationkey") == F.col("ck"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(ns8), F.col("s_nationkey") == F.col("sk8"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            _norm(
+                F.sum(F.when(F.col("nat8") == "NATION_5", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("mkt_share")
+        )
+        .select(*row("q8", F.lit(None).cast("string"), F.lit(None).cast("string"),
+                     F.col("o_year"), F.col("mkt_share")))
+    )
+    # q9: profit by supplier nation and order year over a part-name slice
+    q9 = (
+        l.join(F.broadcast(p.where(F.col("p_name").like("%1%"))),
+               F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name"), F.year("o_orderdate").alias("o_year"))
+        .agg(_norm(F.sum(rev), 2).alias("profit"))
+        .select(*row("q9", F.col("n_name"), F.lit(None).cast("string"),
+                     F.col("o_year"), F.col("profit")))
+    )
+    return q5.unionByName(q7).unionByName(q8).unionByName(q9)
 
 
 ORACLE_Q5 = """
-SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) + 0.0 AS revenue
+SELECT 'q5' AS shape, n_name AS k1, CAST(NULL AS VARCHAR) AS k2,
+       CAST(NULL AS BIGINT) AS yr,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) + 0.0 AS val
 FROM customer, orders, lineitem, supplier, nation, region
 WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -378,6 +459,46 @@ WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY n_name
+UNION ALL
+SELECT 'q7', supp_nation, cust_nation, l_year,
+       ROUND(SUM(volume), 2) + 0.0
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+    AND c_nationkey = n2.n_nationkey
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+UNION ALL
+SELECT 'q8', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), o_year,
+       ROUND(SUM(CASE WHEN nat = 'NATION_5' THEN volume ELSE 0 END)
+             / SUM(volume), 4) + 0.0
+FROM (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS nat
+  FROM part, lineitem, orders, customer, nation n1, region, supplier, nation n2
+  WHERE p_partkey = l_partkey AND l_orderkey = o_orderkey
+    AND o_custkey = c_custkey AND c_nationkey = n1.n_nationkey
+    AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+    AND l_suppkey = s_suppkey AND s_nationkey = n2.n_nationkey
+    AND p_type = 'ECONOMY'
+) all_nations
+GROUP BY o_year
+UNION ALL
+SELECT 'q9', n_name, CAST(NULL AS VARCHAR),
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT),
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) + 0.0
+FROM lineitem, part, orders, supplier, nation
+WHERE p_partkey = l_partkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+  AND p_name LIKE '%1%'
+GROUP BY n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)
 """
 
 
