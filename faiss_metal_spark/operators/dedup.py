@@ -168,6 +168,27 @@ def simhash_signatures(
     return sums.select(F.col(id_col), sim.cast("long").alias("simhash"))
 
 
+def simhash_band_buckets(
+    signatures: DataFrame, id_col: str = "doc_id", bits: int = 32, bands: int = 4
+) -> DataFrame:
+    """(id, simhash, band, bkey) bit-slice buckets of a SimHash table —
+    the persisted SimHash state for incremental dedup (the signature
+    rides along so delta joins can verify exact Hamming distance
+    without refetching the corpus)."""
+    bw = bits // bands
+    mask = (1 << bw) - 1
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright("simhash", b * bw).bitwiseAND(F.lit(mask)).alias("bkey"),
+        )
+        for b in range(bands)
+    ]
+    return signatures.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+
+
 def simhash_neardup_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -185,18 +206,7 @@ def simhash_neardup_pairs(
     product is ever formed; the join key is a small int, and skew only
     appears for genuinely duplicate-heavy corpora (AQE handles it).
     """
-    bw = bits // bands
-    mask = (1 << bw) - 1
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.shiftright("simhash", b * bw).bitwiseAND(F.lit(mask)).alias("bkey"),
-        )
-        for b in range(bands)
-    ]
-    buckets = signatures.select(
-        F.col(id_col), F.col("simhash"), F.explode(F.array(*band_structs)).alias("bb")
-    ).select(id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    buckets = simhash_band_buckets(signatures, id_col, bits, bands)
 
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
@@ -747,4 +757,58 @@ def incremental_lsh_dedup(
             F.col(f"d.{id_col}").alias("id_a"), F.col(f"e.{id_col}").alias("id_b")
         )
     )
+    return cross.unionByName(within).distinct(), delta_bands
+
+
+def incremental_simhash_dedup(
+    new_docs: DataFrame,
+    band_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """Delta-batch SimHash near-dedup against a persisted bit-slice
+    index — the third leg of the incremental family
+    (:func:`incremental_dedup` exact, :func:`incremental_lsh_dedup`
+    MinHash-Jaccard, this one Hamming).
+
+    ``band_index`` is the corpus's ``(id, simhash, band, bkey)`` state
+    from :func:`simhash_band_buckets` (same ``bits``/``bands``).
+    Returns ``(pairs, delta_bands)``: pairs are (id_a < id_b, hamming ≤
+    max_hamming) involving at least one delta doc — one (band, bkey)
+    equi-join against the index plus the delta self-join, Hamming
+    verified from the signatures both sides carry; delta_bands appended
+    to the index reproduces ``simhash_band_buckets`` of corpus ∪ delta.
+
+    100 TB property: identical to the MinHash form — corpus text is
+    never rescanned and signatures never recomputed; the index rows are
+    (id, 2 ints, small int) and the delta side broadcasts.
+    """
+    sig = simhash_signatures(new_docs, text_col=text_col, id_col=id_col, bits=bits)
+    delta_bands = simhash_band_buckets(sig, id_col, bits, bands)
+
+    def _pairs(left: DataFrame, right: DataFrame, strict: bool) -> DataFrame:
+        a, b = left.alias("a"), right.alias("b")
+        cond = (
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+        )
+        cond = cond & (
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+            if strict
+            else F.col(f"a.{id_col}") != F.col(f"b.{id_col}")
+        )
+        sel = a.join(b, cond).select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        return sel.where(F.col("hamming") <= max_hamming)
+
+    cross = _pairs(delta_bands, band_index, strict=False)
+    within = _pairs(delta_bands, delta_bands, strict=True)
     return cross.unionByName(within).distinct(), delta_bands

@@ -1010,3 +1010,50 @@ def test_incremental_lsh_dedup_equals_batch(spark):
     a = {tuple(r) for r in merged.collect()}
     b = {tuple(r) for r in full.collect()}
     assert a == b
+
+
+def test_incremental_simhash_dedup_equals_batch(spark):
+    """Delta-vs-index SimHash near-dedup equals batch
+    simhash_neardup_pairs over corpus ∪ delta restricted to pairs
+    touching the delta; appended index equals the batch band index."""
+    from faiss_metal_spark.operators.dedup import (
+        incremental_simhash_dedup,
+        simhash_band_buckets,
+        simhash_neardup_pairs,
+        simhash_signatures,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog tonight again",
+        "pack my box with five dozen liquor jugs right now please",
+        "sphinx of black quartz judge my vow said the old king",
+    ]
+    corpus_rows = [(i, base[i % 3] + f" tail{i // 3}") for i in range(18)]
+    delta_rows = [
+        (100, base[0] + " tail0"),                 # exact dup of doc 0
+        (101, base[1] + " tail1 extra"),           # near-dup of doc 4
+        (102, "utterly different content entirely novel material here"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    delta = spark.createDataFrame(delta_rows, "doc_id long, text string")
+
+    index = simhash_band_buckets(simhash_signatures(corpus))
+    pairs, delta_bands = incremental_simhash_dedup(delta, index, max_hamming=3)
+    got = {(r["id_a"], r["id_b"], r["hamming"]) for r in pairs.collect()}
+
+    both = corpus.unionByName(delta)
+    batch = simhash_neardup_pairs(simhash_signatures(both), max_hamming=3)
+    delta_ids = {r[0] for r in delta_rows}
+    want = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in batch.collect()
+        if r["id_a"] in delta_ids or r["id_b"] in delta_ids
+    }
+    assert got == want and any(a == 0 and b == 100 for a, b, _ in got)
+
+    merged = {tuple(r) for r in index.unionByName(delta_bands).collect()}
+    full = {
+        tuple(r)
+        for r in simhash_band_buckets(simhash_signatures(both)).collect()
+    }
+    assert merged == full
