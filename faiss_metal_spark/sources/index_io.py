@@ -99,8 +99,53 @@ def _write_frame(df: DataFrame, path: str, partition_by: str | None = None) -> N
 # ---------------------------------------------------------------------------
 
 
+def _index_versions(spark: SparkSession, path: str) -> list[int]:
+    """Committed version numbers under an index path (ascending).
+
+    A version ``_v<N>`` counts as committed only once ``_meta/_SUCCESS``
+    exists; every :func:`write_index` branch writes ``_meta`` LAST, so
+    a crashed or in-flight write is invisible to readers by
+    construction (same append-only pointer discipline as
+    ``layout.store_versions``).
+    """
+    import re
+
+    from .layout import _hadoop_fs
+
+    fs = _hadoop_fs(spark, path)
+    jvm = spark._jvm
+    base = jvm.org.apache.hadoop.fs.Path(path)
+    if not fs.exists(base):
+        return []
+    out = []
+    for st in fs.listStatus(base):
+        m = re.fullmatch(r"_v(\d+)", st.getPath().getName())
+        if not m or not st.isDirectory():
+            continue
+        if fs.exists(
+            jvm.org.apache.hadoop.fs.Path(st.getPath(), "_meta/_SUCCESS")
+        ):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
 def write_index(index, path: str) -> None:
-    """Serialize any engine index under ``path`` (faiss write_index)."""
+    """Serialize any engine index under ``path`` (faiss write_index).
+
+    Atomic under rewrite and crash: each call writes a fresh
+    ``_v<N>`` directory (never touching previous versions) and commits
+    it by writing ``_meta`` last — a reader concurrent with a rewrite
+    keeps resolving the old version, and a write that dies mid-flight
+    leaves no committed version behind. FAISS gets this for free from
+    single-file POSIX rename; on an object store the append-only
+    version pointer is the equivalent.
+    """
+    spark = index.spark
+    vs = _index_versions(spark, path)
+    _write_payload(index, f"{path}/_v{(vs[-1] + 1) if vs else 1}")
+
+
+def _write_payload(index, path: str) -> None:
     from ..compact_index import (
         BinaryIndex,
         IVFIndex,
@@ -218,6 +263,10 @@ def read_index(spark: SparkSession, path: str):
     )
     from ..vector_table import VectorTable
 
+    vs = _index_versions(spark, path)
+    if vs:
+        path = f"{path}/_v{vs[-1]}"
+    # else: flat pre-versioned layout (round-6 stores) — read in place
     meta = _read_meta(spark, path)
     kind = meta["kind"]
     if kind == "vector_table":

@@ -157,14 +157,31 @@ def compact_store(
         r[0]: r[1]
         for r in df.groupBy(partition_col).count().collect()
     }
-    max_files = max(
-        -(-n // target_rows_per_file) for n in counts.values()
-    ) if counts else 1
-    # repartition on (partition, uniform sub-key) so each partition
-    # lands in at most max_files write tasks without a global sort
-    sub = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(max_files))
+    # Per-PARTITION sub-key modulus, not the global max: under skew
+    # (one hot cell forcing a high file count) a global modulus splits
+    # every small cell into that many tiny files — recreating exactly
+    # the small-files problem this function exists to fix. Each cell
+    # gets ceil(its_rows / target) sub-buckets via a broadcast-joined
+    # per-cell count (a literal map would bloat the plan for stores
+    # with many cells; the broadcast join is size-independent).
+    files_for = {
+        cell: -(-n // target_rows_per_file) for cell, n in counts.items()
+    }
+    total_files = sum(files_for.values()) or 1
+    data_cols = df.columns
+    from pyspark.sql.types import IntegerType
+
+    files_df = spark.createDataFrame(
+        [(c, int(nf)) for c, nf in files_for.items()] or [(None, 1)],
+        schema=df.select(partition_col).schema.add("_nfiles", IntegerType()),
+    )
+    sub = F.pmod(
+        F.xxhash64(*[F.col(c) for c in data_cols]), F.col("_nfiles")
+    )
     (
-        df.repartition(max(len(counts), 1) * max_files, F.col(partition_col), sub)
+        df.join(F.broadcast(files_df), partition_col, "left")
+        .repartition(total_files, F.col(partition_col), sub)
+        .select(*data_cols)
         .write.mode("overwrite")
         .partitionBy(partition_col)
         .parquet(dst_path)

@@ -258,6 +258,39 @@ def test_compact_store_bounds_files_and_preserves_pruning(spark, tmp_path):
     assert "cell" in plan.split("PartitionFilters")[1][:120]
 
 
+def test_compact_store_skewed_partitions(spark, tmp_path):
+    """Under partition skew the sub-key modulus must be PER cell, not
+    the global max: a hot cell needing many files must not drag every
+    small cell into that many tiny files (that would recreate the
+    small-files problem compaction exists to fix)."""
+    import glob
+
+    from faiss_metal_spark.sources.layout import compact_store
+
+    src = str(tmp_path / "skew_src")
+    rows = [(i, 0, float(i)) for i in range(500)]  # hot cell: 500 rows
+    rows += [(1000 + i, 1, float(i)) for i in range(10)]  # cold: 10
+    rows += [(2000 + i, 2, float(i)) for i in range(10)]  # cold: 10
+    spark.createDataFrame(
+        rows, "id long, cell int, val double"
+    ).repartition(8).write.partitionBy("cell").parquet(src)
+
+    dst = str(tmp_path / "skew_dst")
+    compact_store(spark, src, dst, target_rows_per_file=100)
+    per_cell = {
+        c: len(glob.glob(f"{dst}/cell={c}/*.parquet")) for c in (0, 1, 2)
+    }
+    # hot cell: ceil(500/100) = 5 files; cold cells: exactly 1 each —
+    # the pre-fix behavior gave the cold cells up to 5 tiny files too
+    assert per_cell[1] == 1 and per_cell[2] == 1
+    assert 1 <= per_cell[0] <= 5
+    # contents identical
+    assert spark.read.parquet(dst).count() == 520
+    a = spark.read.parquet(src).orderBy("id").toPandas()
+    b = spark.read.parquet(dst).orderBy("id").toPandas()
+    assert (a["id"].to_numpy() == b["id"].to_numpy()).all()
+
+
 def test_versioned_store_pointer(spark, tmp_path):
     """Versioned stores: writers target next_store_version_path, readers
     resolve current_store_path; a version without its success marker is
