@@ -104,10 +104,14 @@ def _knn_query(metric: str, qlo: int, qhi: int, k: int, method: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = _t(spark, sf_dir, "embeddings")
         queries = emb.where((F.col("vec_id") >= qlo) & (F.col("vec_id") < qhi))
+        # compute="f64" pins DuckDB-oracle hash-grade exactness; the
+        # library DEFAULT is f32 accumulators (the reference's width —
+        # the fast path benched by BENCH_GRID's fp32 keys)
         res = knn_search(
             emb, queries, k, metric=metric, method=method,
             id_col="vec_id", vec_col="embedding",
             qid_col="vec_id", qvec_col="embedding",
+            compute="f64",
         )
         return res.select(
             "qid", "rank", "label", _norm(F.col("distance"), 4).alias("distance")
@@ -133,6 +137,7 @@ def q_knn_highk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         metric="l2", method="gemm",
         id_col="vec_id", vec_col="embedding",
         qid_col="vec_id", qvec_col="embedding",
+        compute="f64",  # oracle hash-exactness (library default: f32)
     )
     filt = res.select(
         F.lit("filtered").alias("kind"), "qid", "rank", "label",
@@ -191,6 +196,7 @@ def q_knn_l2_sql_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb, queries, radius=1.3, metric="l2", method=method,
             id_col="vec_id", vec_col="embedding",
             qid_col="vec_id", qvec_col="embedding",
+            compute="f64",  # oracle hash-exactness (library default: f32)
         )
         return r.select(
             F.lit(f"rng_{method}").alias("kind"),
@@ -2894,6 +2900,7 @@ def q_knn_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, 10, metrics=("l2", "ip", "cosine", "l1"),
         id_col="vec_id", vec_col="embedding",
         qid_col="vec_id", qvec_col="embedding",
+        compute="f64",  # oracle hash-exactness (library default: f32)
     )
     return res.select(
         "metric", "qid", "rank", "label", _norm(F.col("distance"), 4).alias("distance")

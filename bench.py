@@ -86,11 +86,10 @@ def bench_grid(spark) -> tuple[dict[str, float], dict[str, dict]]:
         # kept out of the r5-comparable headline key set.
         ("knn_xlarge_768d", 500_000, 10, 768, 10),
     ]
-    # wide configs additionally bench fp32 storage with float32 compute:
-    # the reference's fp32 path computes fp32 too, so fp32_f32 vs
-    # fp16c/bf16c isolates STORAGE bandwidth (our fp32 default computes
-    # f64 for DuckDB-oracle-grade exactness, which conflates arithmetic
-    # width with scan width)
+    # wide configs additionally bench the opt-in f64 compute mode
+    # (DuckDB-oracle-grade exactness): the library default is now f32
+    # accumulators (the reference's width), so plain fp32 == the fast
+    # path and fp32_f64 quantifies what the exactness opt-in costs
     wide = {"knn_medium_768d", "knn_large_1536d", "knn_xlarge_768d"}
     probe_only = {"knn_xlarge_768d"}
     headline: dict[str, float] = {}
@@ -115,7 +114,7 @@ def bench_grid(spark) -> tuple[dict[str, float], dict[str, dict]]:
             schema="qid long, vec array<float>",
         )
         stats: dict[str, dict] = {}
-        fmts = ("fp32", "fp32_f32", "fp16c", "bf16c") if label in wide else (
+        fmts = ("fp32", "fp32_f64", "fp16c", "bf16c") if label in wide else (
             "fp32", "fp16c", "bf16c"
         )
         # Build every format's table up front (all resident: the caches
@@ -132,8 +131,8 @@ def bench_grid(spark) -> tuple[dict[str, float], dict[str, dict]]:
         for fmt in fmts:
             if fmt == "fp32":
                 tables[fmt] = (vecs, {})
-            elif fmt == "fp32_f32":
-                tables[fmt] = (vecs, {"compute": "f32"})
+            elif fmt == "fp32_f64":
+                tables[fmt] = (vecs, {"compute": "f64"})
             else:
                 enc = "fp16" if fmt == "fp16c" else "bf16"
                 tbl = vecs.select(
@@ -172,16 +171,18 @@ def bench_grid(spark) -> tuple[dict[str, float], dict[str, dict]]:
                 "knn_large_1536d",
             ):
                 headline[f"{label}_fp16c"] = round(float(np.median(times[fmt])), 3)
-        if "fp32_f32" in fmts:
-            base = times["fp32_f32"]
-            stats["paired_gain_pct_vs_fp32_same_arith"] = {
-                fmt: round(
-                    100.0
-                    * (float(np.median([b / t for b, t in zip(base, times[fmt])])) - 1.0),
-                    1,
-                )
-                for fmt in ("fp16c", "bf16c")
-            }
+        # fp32 now computes f32 by default, so plain fp32 IS the
+        # same-arithmetic base — the paired ratio isolates scan bytes
+        # for every config, not just the wide ones
+        base = times["fp32"]
+        stats["paired_gain_pct_vs_fp32_same_arith"] = {
+            fmt: round(
+                100.0
+                * (float(np.median([b / t for b, t in zip(base, times[fmt])])) - 1.0),
+                1,
+            )
+            for fmt in ("fp16c", "bf16c")
+        }
         for fmt in ("fp16c", "bf16c"):
             if fmt in tables:
                 tables[fmt][0].unpersist()
@@ -290,7 +291,7 @@ def main() -> None:
     # The reference's one numerically citable claim: +22-34% throughput
     # from 2-byte storage on bandwidth-bound workloads
     # (/root/reference/README.md:12). Compare against fp32 storage at
-    # the SAME arithmetic (fp32_f32) so the ratio isolates scan bytes.
+    # the SAME arithmetic (fp32 default = f32) to isolate scan bytes.
     storage_gain = {}
     for label, stats in grid_stats.items():
         paired = stats.get("paired_gain_pct_vs_fp32_same_arith")

@@ -138,7 +138,7 @@ def knn_search(
     # input, threaded in via ``norm_col``; without it the gemm path
     # recomputes norms from the stored vectors (identical for fp32).
     vcols = [F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")]
-    use_norms = norm_col is not None and metric == "l2"
+    use_norms = norm_col is not None and metric in ("l2", "cosine")
     if use_norms:
         vcols.append(F.col(norm_col).cast("double").alias("norm_sq"))
     v = vectors.select(*vcols)
@@ -152,14 +152,16 @@ def knn_search(
         raise ValueError("compact binary vector storage requires the gemm path")
 
     if method == "gemm":
-        # Accumulator precision follows the STORAGE precision, not the
-        # wire layout: reduced-precision tables (fp16/bf16, array or
-        # compact) compute in float32 like the reference's accumulators
-        # (simdgroup_gemm.metal:13-14) — sgemm, half the memory traffic —
-        # so both layouts of the same storage are bit-identical. FP32
-        # tables keep float64 for oracle-grade exactness.
+        # Accumulator precision: ``auto`` = float32, the reference's
+        # accumulator width (simdgroup_gemm.metal:13-14) — sgemm runs at
+        # 2× dgemm FLOPS with half the memory traffic, which at 100 TB
+        # is the difference between the right plan and a 2-4× slower
+        # one (measured 1.8-3.6× on the 768d grid keys). ``f64`` is the
+        # opt-in exactness mode for oracle-grade hash comparisons
+        # (DuckDB computes in double); callers that diff against a
+        # float64 oracle pin ``compute="f64"`` explicitly.
         if compute == "auto":
-            compute = "f64" if vec_format == "array" else "f32"
+            compute = "f32"
         dtype = np.float64 if compute == "f64" else np.float32
         qids, Q = _collect_queries(q)
         candidates = _gemm_candidates(
@@ -293,7 +295,7 @@ def _gemm_candidates(
     spark = v.sparkSession
     bc = spark.sparkContext.broadcast((qids, Q))
     want_min = _better_is_min(metric)
-    qnorm = (Q * Q).sum(axis=1) if metric == "l2" else None
+    qnorm = (Q * Q).sum(axis=1) if metric in ("l2", "cosine") else None
     bc_qnorm = spark.sparkContext.broadcast(qnorm)
 
     def partial_topk(batches):
@@ -308,6 +310,9 @@ def _gemm_candidates(
         qn = bc_qnorm.value
         if qn is not None:
             qn = qn.astype(dtype, copy=False)
+        # cosine's query norms are a query-batch constant: hoisted out
+        # of the per-Arrow-batch loop (computed once per task)
+        qrt = np.sqrt(qn) if (qn is not None and metric == "cosine") else None
         nq_ = Q_.shape[0]
         best_d = np.full((nq_, 0), 0.0, dtype=dtype)  # grows to ≤ (nq, k)
         best_l = np.full((nq_, 0), -1, dtype=np.int64)
@@ -337,9 +342,16 @@ def _gemm_candidates(
                     D = qn[:, None] + vn[None, :] - dtype(2.0) * G  # fused epilogue
                     np.maximum(D, 0.0, out=D)
                 elif metric == "cosine":
-                    vnorm = np.sqrt((V * V).sum(axis=1))
-                    qnorm_ = np.sqrt((Q_ * Q_).sum(axis=1))
-                    denom = qnorm_[:, None] * vnorm[None, :]
+                    # stored fp32 norms when supplied (same
+                    # precomputed-norm policy as l2); recompute otherwise
+                    vnorm = np.sqrt(
+                        batch.column("norm_sq")
+                        .to_numpy(zero_copy_only=True)
+                        .astype(dtype, copy=False)
+                        if use_norms
+                        else (V * V).sum(axis=1)
+                    )
+                    denom = qrt[:, None] * vnorm[None, :]
                     with np.errstate(divide="ignore", invalid="ignore"):
                         D = np.where(denom > 0, G / denom, 0.0)
                 else:
@@ -488,6 +500,7 @@ def knn_search_multi(
     vec_col: str = "vec",
     qid_col: str = "qid",
     qvec_col: str = "vec",
+    compute: Literal["auto", "f32", "f64"] = "auto",
 ) -> DataFrame:
     """Top-k under SEVERAL metrics from one scan of the vector table.
 
@@ -521,31 +534,35 @@ def knn_search_multi(
             "metric", "qid", "rank", "label", "distance"
         )
 
-    bc = spark.sparkContext.broadcast((qids, Q))
+    if compute == "auto":
+        compute = "f32"  # reference accumulator width — see knn_search
+    dtype = np.float64 if compute == "f64" else np.float32
+    bc = spark.sparkContext.broadcast((qids, Q, (Q * Q).sum(axis=1)))
     need_gemm = any(m != "l1" for m in metrics)
 
     def partial_topk(batches):
         import pyarrow as pa
 
-        qids_, Q_ = bc.value
+        qids_, Q_, qn = bc.value
+        Q_ = Q_.astype(dtype, copy=False)
+        qn = qn.astype(dtype, copy=False)
         nq_ = Q_.shape[0]
-        qn = (Q_ * Q_).sum(axis=1)
         qrt = np.sqrt(qn)
-        signs = {m: (1.0 if _better_is_min(m) else -1.0) for m in metrics}
+        signs = {m: (dtype(1.0) if _better_is_min(m) else dtype(-1.0)) for m in metrics}
         state = {
-            m: (np.full((nq_, 0), 0.0), np.full((nq_, 0), -1, dtype=np.int64))
+            m: (np.full((nq_, 0), 0.0, dtype=dtype), np.full((nq_, 0), -1, dtype=np.int64))
             for m in metrics
         }
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            V = _arrow_matrix(batch.column("vec"), "array", np.float64)
+            V = _arrow_matrix(batch.column("vec"), "array", dtype)
             labels = _arrow_i64(batch.column("id"))
             G = (Q_ @ V.T) if need_gemm else None
             vn = (V * V).sum(axis=1) if ("l2" in metrics or "cosine" in metrics) else None
             for m in metrics:
                 if m == "l2":
-                    D = qn[:, None] + vn[None, :] - 2.0 * G
+                    D = qn[:, None] + vn[None, :] - dtype(2.0) * G
                     np.maximum(D, 0.0, out=D)
                 elif m == "ip":
                     D = G
@@ -645,6 +662,7 @@ def range_search(
     qvec_col: str = "vec",
     nv_hint: int | None = None,
     vec_format: str = "array",
+    compute: Literal["auto", "f32", "f64"] = "auto",
 ) -> DataFrame:
     """All neighbors within ``radius`` of each query — FAISS
     ``Index::range_search`` semantics, which the reference inherits but
@@ -688,6 +706,9 @@ def range_search(
         pred = F.col("distance") < radius if want_min else F.col("distance") > radius
         return pairs.where(pred)
 
+    if compute == "auto":
+        compute = "f32"  # reference accumulator width — see knn_search
+    dtype = np.float64 if compute == "f64" else np.float32
     qids, Q = _collect_queries(q)
     spark = v.sparkSession
     if len(qids) == 0:
@@ -698,10 +719,13 @@ def range_search(
         import pyarrow as pa
 
         qids_, Q_, qn = bc.value
+        Q_ = Q_.astype(dtype, copy=False)
+        qn = qn.astype(dtype, copy=False)
+        qrt = np.sqrt(qn) if metric == "cosine" else None
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            V = _arrow_matrix(batch.column("vec"), vec_format, np.float64)
+            V = _arrow_matrix(batch.column("vec"), vec_format, dtype)
             labels = _arrow_i64(batch.column("id"))
             if metric == "l1":
                 D = np.abs(Q_[:, None, :] - V[None, :, :]).sum(axis=-1)
@@ -709,10 +733,10 @@ def range_search(
                 G = Q_ @ V.T
                 if metric == "l2":
                     vn = (V * V).sum(axis=1)
-                    D = qn[:, None] + vn[None, :] - 2.0 * G
+                    D = qn[:, None] + vn[None, :] - dtype(2.0) * G
                     np.maximum(D, 0.0, out=D)
                 elif metric == "cosine":
-                    denom = np.sqrt(qn)[:, None] * np.sqrt((V * V).sum(axis=1))[None, :]
+                    denom = qrt[:, None] * np.sqrt((V * V).sum(axis=1))[None, :]
                     with np.errstate(divide="ignore", invalid="ignore"):
                         D = np.where(denom > 0, G / denom, 0.0)
                 else:

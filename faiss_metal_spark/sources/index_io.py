@@ -129,7 +129,7 @@ def _index_versions(spark: SparkSession, path: str) -> list[int]:
     return sorted(out)
 
 
-def write_index(index, path: str) -> None:
+def write_index(index, path: str, keep_versions: int = 2) -> None:
     """Serialize any engine index under ``path`` (faiss write_index).
 
     Atomic under rewrite and crash: each call writes a fresh
@@ -139,10 +139,52 @@ def write_index(index, path: str) -> None:
     leaves no committed version behind. FAISS gets this for free from
     single-file POSIX rename; on an object store the append-only
     version pointer is the equivalent.
+
+    Single-writer assumption: like faiss's write_index (and any
+    rename-committed layout), concurrent WRITERS to the same path are
+    not coordinated — two simultaneous writers can pick the same
+    ``_v<N>``. Readers concurrent with one writer are always safe.
+
+    ``keep_versions`` bounds storage growth under repeated rewrites:
+    after a successful commit, committed versions older than the newest
+    ``keep_versions`` are pruned (the default keeps N−1 for readers
+    still resolving the previous version mid-scan).
     """
+    if not _is_engine_index(index):
+        raise TypeError(
+            f"write_index: unsupported index type {type(index).__name__}"
+        )
     spark = index.spark
     vs = _index_versions(spark, path)
-    _write_payload(index, f"{path}/_v{(vs[-1] + 1) if vs else 1}")
+    new_v = (vs[-1] + 1) if vs else 1
+    _write_payload(index, f"{path}/_v{new_v}")
+    # prune: only versions strictly older than the keep window, and only
+    # after the new version committed (write above is synchronous)
+    stale = [v for v in vs if v <= new_v - keep_versions]
+    if stale:
+        from .layout import _hadoop_fs
+
+        fs = _hadoop_fs(spark, path)
+        jvm = spark._jvm
+        for v in stale:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/_v{v}"), True)
+
+
+def _is_engine_index(index) -> bool:
+    from ..compact_index import (
+        BinaryIndex,
+        IVFIndex,
+        IVFPQIndex,
+        OPQIndex,
+        PQIndex,
+        SQ8Index,
+    )
+    from ..vector_table import VectorTable
+
+    return isinstance(
+        index,
+        (VectorTable, SQ8Index, BinaryIndex, IVFIndex, IVFPQIndex, PQIndex, OPQIndex),
+    )
 
 
 def _write_payload(index, path: str) -> None:

@@ -113,6 +113,7 @@ class SearchParams:
 
     metric: Metric | None = None
     method: str | None = None
+    compute: str | None = None  # 'f32' (default path) | 'f64' (oracle-exact)
 
 
 @dataclass
@@ -448,14 +449,21 @@ class VectorTable:
     def search(
         self, queries: DataFrame, k: int, method: str = "auto",
         qid_col: str = "qid", qvec_col: str = "vec",
-        params: SearchParams | None = None,
+        params: SearchParams | None = None, compute: str = "auto",
     ) -> DataFrame:
         metric = self.metric
         if params is not None:
             metric = params.metric or metric
             method = params.method or method
+            compute = params.compute or compute
         if self.compact and method == "auto":
             method = "gemm"
+        if compute == "auto" and self.storage != STORAGE_FP32:
+            # reduced-precision tables accumulate in float32 like the
+            # reference's GEMM kernels, in BOTH layouts — so compact and
+            # array fp16 stores stay bit-identical while the compact
+            # path gets sgemm speed
+            compute = "f32"
         return knn_search(
             self.df, queries, k, metric=metric, method=method,
             qid_col=qid_col, qvec_col=qvec_col, vec_format=self._vec_format,
@@ -463,17 +471,13 @@ class VectorTable:
             # (MetalIndexFlat.mm:258-268); fp32 tables recompute — the
             # values are the same floats either way
             norm_col="norm_sq" if self.storage != STORAGE_FP32 else None,
-            # reduced-precision tables accumulate in float32 like the
-            # reference's GEMM kernels, in BOTH layouts — so compact and
-            # array fp16 stores stay bit-identical while the compact
-            # path gets sgemm speed
-            compute="f32" if self.storage != STORAGE_FP32 else "auto",
+            compute=compute,
         )
 
     def range_search(
         self, queries: DataFrame, radius: float, method: str = "auto",
         qid_col: str = "qid", qvec_col: str = "vec",
-        params: SearchParams | None = None,
+        params: SearchParams | None = None, compute: str = "auto",
     ) -> DataFrame:
         """All neighbors within ``radius`` — faiss::Index::range_search,
         which the reference inherits but never overrides (the base class
@@ -485,11 +489,15 @@ class VectorTable:
         if params is not None:
             metric = params.metric or metric
             method = params.method or method
+            compute = params.compute or compute
         if self.compact and method == "auto":
             method = "gemm"
+        if compute == "auto" and self.storage != STORAGE_FP32:
+            compute = "f32"
         return _range_search(
             self.df, queries, radius, metric=metric, method=method,
             qid_col=qid_col, qvec_col=qvec_col, vec_format=self._vec_format,
+            compute=compute,
         )
 
     def search_numpy(

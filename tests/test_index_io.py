@@ -331,3 +331,39 @@ def test_versioned_store_pointer(spark, tmp_path):
         f.write(b"")
     assert store_versions(spark, base) == [1, 2]
     assert current_store_path(spark, base) == v2
+
+
+def test_write_index_prunes_old_versions(spark, tmp_path):
+    """Repeated rewrites keep only the newest ``keep_versions``
+    committed versions (default 2: current + one for concurrent
+    readers) — storage stays bounded where faiss overwrites in place."""
+    from faiss_metal_spark.sources.index_io import _index_versions
+
+    V, Q = make_fixture(60, 3, 8, seed=91)
+    vt = _table(spark, V)
+    p = str(tmp_path / "idx")
+    for _ in range(4):
+        write_index(vt, p)
+    assert _index_versions(spark, p) == [3, 4]
+    reload = read_index(spark, p)
+    D0, L0 = vt.search_numpy(Q, 4)
+    D1, L1 = reload.search_numpy(Q, 4)
+    np.testing.assert_array_equal(L0, L1)
+    np.testing.assert_array_equal(D0, D1)
+    # keep_versions=1 prunes everything but the newest
+    write_index(vt, p, keep_versions=1)
+    assert _index_versions(spark, p) == [5]
+
+
+def test_write_index_empty_table_roundtrip(spark, tmp_path):
+    """A fresh empty VectorTable round-trips: ntotal 0, searches emit
+    all-sentinel rows (MetalIndexFlat.mm:328-334 semantics preserved
+    across persistence)."""
+    vt = VectorTable(spark, d=8)
+    p = str(tmp_path / "empty_idx")
+    write_index(vt, p)
+    reload = read_index(spark, p)
+    assert reload.ntotal == 0
+    D, L = reload.search_numpy(np.zeros((2, 8), np.float32), 3)
+    assert (L == -1).all()
+    assert np.isinf(D).all()

@@ -132,12 +132,30 @@ def test_k_zero_raises(spark):
 def test_paths_agree(spark):
     """gemm and sql physical paths produce identical labels and close
     distances (≙ default-vs-forced-MPS cross-check,
-    test_metal_distance.mm:233-337)."""
+    test_metal_distance.mm:233-337). The f64 gemm run pins exactness
+    against the declarative (double HOF) path; the default f32 run pins
+    that the fast path keeps identical labels at fp32 tolerance."""
     V, Q = make_fixture(800, 8, 48)
-    Dg, Lg = run_engine(spark, V, Q, 7, "l2", "gemm")
-    Ds, Ls = run_engine(spark, V, Q, 7, "l2", "sql")
-    assert (Lg == Ls).all()
-    assert np.allclose(Dg, Ds, rtol=1e-9)
+    vdf, qdf = vectors_df(spark, V), queries_df(spark, Q)
+
+    def run(method, compute):
+        res = (
+            knn_search(vdf, qdf, 7, metric="l2", method=method, compute=compute)
+            .orderBy("qid", "rank")
+            .toPandas()
+        )
+        return (
+            res["distance"].to_numpy(np.float64).reshape(8, 7),
+            res["label"].to_numpy(np.int64).reshape(8, 7),
+        )
+
+    Ds, Ls = run("sql", "auto")
+    Dg64, Lg64 = run("gemm", "f64")
+    assert (Lg64 == Ls).all()
+    assert np.allclose(Dg64, Ds, rtol=1e-9)
+    Dg32, Lg32 = run("gemm", "auto")  # library default = f32 accumulators
+    assert (Lg32 == Ls).all()
+    assert np.allclose(Dg32, Ds, rtol=1e-4)
 
 
 def test_two_level_merge_at_extreme_partition_counts(spark):
@@ -226,13 +244,26 @@ def test_range_search_paths_agree_and_match_numpy(spark, metric):
     assert want, "radius produced no pairs — bad fixture"
 
     for method in ("gemm", "sql"):
-        got = range_search(vdf, qdf, radius, metric=metric, method=method).toPandas()
+        # f64 pins exact pair-set equality with the double oracle (the
+        # boundary pairs are precision-sensitive by construction)
+        got = range_search(
+            vdf, qdf, radius, metric=metric, method=method, compute="f64"
+        ).toPandas()
         got_pairs = {
             (int(r.qid), int(r.label)): r.distance for r in got.itertuples()
         }
         assert set(got_pairs) == set(want), method
         for kk in want:
             assert abs(got_pairs[kk] - want[kk]) < 1e-9, (method, kk)
+
+    # default f32 path: distances at fp32 tolerance; pair set may only
+    # differ on pairs within fp32 eps of the radius boundary
+    got32 = range_search(vdf, qdf, radius, metric=metric, method="gemm").toPandas()
+    for r in got32.itertuples():
+        true_d = D[int(r.qid), int(r.label)]
+        assert abs(r.distance - true_d) <= 1e-3 * max(1.0, abs(true_d))
+        edge = abs(true_d - radius) <= 1e-3 * max(1.0, abs(radius))
+        assert ((int(r.qid), int(r.label)) in want) or edge
 
 
 def test_range_search_empty_and_shuffle_free(spark):

@@ -105,7 +105,7 @@ def test_range_search_invariants_random_shapes(nv, nq, d, q_radius, metric, seed
     for method in ("gemm", "sql"):
         got = range_search(
             vectors_df(spark, V), queries_df(spark, Q), radius,
-            metric=metric, method=method,
+            metric=metric, method=method, compute="f64",
         ).toPandas()
         pairs = {(int(r.qid), int(r.label)) for r in got.itertuples()}
         assert pairs == want, (method, len(pairs), len(want))

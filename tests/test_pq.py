@@ -87,7 +87,8 @@ def test_exact_on_codebook_points(spark):
         .toPandas()
     )
     exact = (
-        knn_search(sdf, queries_df(spark, Q), 3, metric="l2", method="gemm")
+        knn_search(sdf, queries_df(spark, Q), 3, metric="l2", method="gemm",
+                   compute="f64")
         .orderBy("qid", "rank")
         .toPandas()
     )
@@ -170,7 +171,8 @@ def test_ivfpq_exact_when_zero_residual(spark):
         .toPandas()
     )
     exact = (
-        knn_search(sdf, queries_df(spark, Q), 3, metric="l2", method="gemm")
+        knn_search(sdf, queries_df(spark, Q), 3, metric="l2", method="gemm",
+                   compute="f64")
         .orderBy("qid", "rank")
         .toPandas()
     )
@@ -334,9 +336,10 @@ def test_refine_search_exact_distances_and_recall(spark, trained):
         .orderBy("qid", "rank")
         .toPandas()
     )
-    want = knn_search(vdf, qdf, 5, metric="l2", method="gemm").orderBy(
-        "qid", "rank"
-    ).toPandas()
+    # refine distances are double-precision — compare vs the f64 mode
+    want = knn_search(
+        vdf, qdf, 5, metric="l2", method="gemm", compute="f64"
+    ).orderBy("qid", "rank").toPandas()
     assert (full["label"].to_numpy() == want["label"].to_numpy()).all()
     np.testing.assert_allclose(
         full["distance"].to_numpy(), want["distance"].to_numpy(), atol=1e-9

@@ -239,8 +239,13 @@ def test_continuous_topk_equals_batch(spark, tmp_path):
         .sort_values(["qid", "rank"])
         .reset_index(drop=True)
     )
+    # continuous_topk accumulates in float64 — compare against the
+    # batch path's f64 exactness mode (library default is f32)
     want = (
-        knn_search(vectors_df(spark, V), qdf, 5, metric="l2", method="gemm")
+        knn_search(
+            vectors_df(spark, V), qdf, 5, metric="l2", method="gemm",
+            compute="f64",
+        )
         .orderBy("qid", "rank")
         .toPandas()
     )
