@@ -362,8 +362,13 @@ def emit(queries, grid_stats, storage_gain, sf) -> str:
             },
         },
     }
-    receipt_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_GRID.json"
+    # Receipt path is injectable (SPARK_GRAFT_GRID_PATH) so tests write
+    # to a tmp dir instead of clobbering/deleting the round's real
+    # receipt at the repo root (the exact data-loss mode this file
+    # exists to prevent).
+    receipt_path = os.environ.get(
+        "SPARK_GRAFT_GRID_PATH",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_GRID.json"),
     )
     with open(receipt_path, "w") as f:
         json.dump(grid_receipt, f, indent=1)

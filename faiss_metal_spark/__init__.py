@@ -21,10 +21,11 @@ from .compact_index import (
 from .quantize import STORAGE_BF16, STORAGE_FP16, STORAGE_FP32
 from .session import get_spark
 from .sources.index_io import read_index, write_index
-from .vector_table import SearchParams, SearchToken, VectorTable
+from .vector_table import IDMapVectorTable, SearchParams, SearchToken, VectorTable
 
 __all__ = [
     "VectorTable",
+    "IDMapVectorTable",
     "SearchToken",
     "SearchParams",
     "SQ8Index",

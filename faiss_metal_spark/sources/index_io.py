@@ -199,12 +199,16 @@ def _write_payload(index, path: str) -> None:
     from ..vector_table import VectorTable
 
     if isinstance(index, VectorTable):
+        from ..vector_table import IDMapVectorTable
+
         _write_frame(index.df, f"{path}/vectors")
         _write_meta(
             index.spark,
             path,
             {
-                "kind": "vector_table",
+                "kind": "idmap_vector_table"
+                if isinstance(index, IDMapVectorTable)
+                else "vector_table",
                 "d": index.d,
                 "metric": index.metric,
                 "storage": index.storage,
@@ -311,8 +315,11 @@ def read_index(spark: SparkSession, path: str):
     # else: flat pre-versioned layout (round-6 stores) — read in place
     meta = _read_meta(spark, path)
     kind = meta["kind"]
-    if kind == "vector_table":
-        return VectorTable(
+    if kind in ("vector_table", "idmap_vector_table"):
+        from ..vector_table import IDMapVectorTable
+
+        cls = IDMapVectorTable if kind == "idmap_vector_table" else VectorTable
+        return cls(
             spark,
             meta["d"],
             metric=meta["metric"],

@@ -175,11 +175,21 @@ def compact_store(
         [(c, int(nf)) for c, nf in files_for.items()] or [(None, 1)],
         schema=df.select(partition_col).schema.add("_nfiles", IntegerType()),
     )
+    # eqNullSafe: a NULL partition value is a legitimate cell — the
+    # plain name-join's null != null would leave it _nfiles=null and
+    # collapse all its rows into one file regardless of target size.
+    # coalesce(_nfiles, 1) backstops any key that still misses.
     sub = F.pmod(
-        F.xxhash64(*[F.col(c) for c in data_cols]), F.col("_nfiles")
+        F.xxhash64(*[F.col(c) for c in data_cols]),
+        F.coalesce(F.col("_nfiles"), F.lit(1)),
     )
     (
-        df.join(F.broadcast(files_df), partition_col, "left")
+        df.join(
+            F.broadcast(files_df),
+            df[partition_col].eqNullSafe(files_df[partition_col]),
+            "left",
+        )
+        .drop(files_df[partition_col])
         .repartition(total_files, F.col(partition_col), sub)
         .select(*data_cols)
         .write.mode("overwrite")

@@ -298,8 +298,8 @@ class VectorTable:
         id) to carry external keys."""
         raise NotImplementedError(
             "add_with_ids not implemented for this type of index "
-            "(flat semantics: ids are insertion order); join external "
-            "keys against the dense id instead"
+            "(flat semantics: ids are insertion order); wrap in "
+            "IDMapVectorTable (faiss IndexIDMap) to carry external ids"
         )
 
     def remove_ids(self, ids) -> int:
@@ -538,6 +538,104 @@ class VectorTable:
         params: SearchParams | None = None,
     ) -> SearchToken:
         return SearchToken(self.search(queries, k, method=method, params=params))
+
+
+@dataclass
+class IDMapVectorTable(VectorTable):
+    """≙ ``faiss::IndexIDMap`` — the wrapper faiss users reach for when
+    the flat index refuses ``add_with_ids``. faiss keeps a dense
+    sub-index plus an ``id_map`` vector translating positions to
+    caller-supplied ids; Spark-first, the translation table is
+    unnecessary — the ``id`` column simply HOLDS the external id, so
+    search/reconstruct/range_search return caller ids with zero extra
+    joins (at 100 TB a dense→external join would rescan an index-sized
+    map per query batch).
+
+    Contract parity with faiss IndexIDMap:
+    - ``add`` refuses ("add does not make sense with IndexIDMap") —
+      every insert must state its ids.
+    - ``add_with_ids`` appends with caller ids (duplicates are the
+      caller's responsibility, as in faiss).
+    - ``remove_ids`` drops matching ids WITHOUT renumbering survivors
+      (ids are opaque keys here, not positions — unlike the flat
+      table's shift-down compaction).
+    """
+
+    def add_df(self, batch: DataFrame, vec_col: str = "vec") -> "VectorTable":
+        raise NotImplementedError(
+            "add does not make sense with IndexIDMap, use add_with_ids"
+        )
+
+    def add_numpy(self, x: np.ndarray) -> "VectorTable":
+        raise NotImplementedError(
+            "add does not make sense with IndexIDMap, use add_with_ids"
+        )
+
+    def add_with_ids(self, x, ids) -> "IDMapVectorTable":
+        """Ingest a host array with caller ids (faiss add_with_ids)."""
+        x = np.asarray(x, dtype=np.float32)
+        ids = np.asarray(ids, dtype=np.int64)
+        if x.ndim != 2 or x.shape[1] != self.d:
+            raise ValueError(f"expected (n, {self.d}) array, got {x.shape}")
+        if ids.shape != (len(x),):
+            raise ValueError(
+                f"ids must be 1-d of length {len(x)}, got {ids.shape}"
+            )
+        if len(x) == 0:
+            return self
+        return self.add_with_ids_df(
+            self.spark.createDataFrame(
+                pd.DataFrame({"id": ids, "vec": [v.tolist() for v in x]}),
+                schema="id long, vec array<float>",
+            )
+        )
+
+    def add_with_ids_df(
+        self, batch: DataFrame, id_col: str = "id", vec_col: str = "vec"
+    ) -> "IDMapVectorTable":
+        """Append a DataFrame of (id, vec) rows — the scale path: a
+        pure projection, no window, no shuffle, no driver round-trip
+        (the flat table's id-assignment machinery is exactly what this
+        wrapper exists to skip)."""
+        from .quantize import encode_col
+
+        store = (
+            encode_col(F.col(vec_col), self.storage)
+            if self.compact
+            else quantize_col(F.col(vec_col), self.storage)
+        )
+        new = batch.select(
+            F.col(id_col).cast("long").alias("id"),
+            store.alias("vec"),
+            sqnorm(F.col(vec_col)).alias("norm_sq"),
+        )
+        self.df = self.df.unionByName(new)
+        return self
+
+    def remove_ids(self, ids) -> int:
+        """Drop matching external ids; survivors keep their ids (no
+        positional shift — IndexIDMap semantics). Returns n_removed."""
+        batch = sorted({int(i) for i in ids})
+        if not batch:
+            return 0
+        n_present = self.df.where(F.col("id").isin(batch)).count()
+        if n_present == 0:
+            return 0
+        self.unpersist()
+        self.df = self.df.where(~F.col("id").isin(batch))
+        return n_present
+
+    def merge_from(self, other: "VectorTable") -> "VectorTable":
+        """IDMap merge keeps the other table's external ids verbatim
+        (no offset re-base — ids are keys, not positions)."""
+        if (other.d, other.metric, other.storage, other.compact) != (
+            self.d, self.metric, self.storage, self.compact
+        ):
+            raise ValueError("merge_from requires identical table configuration")
+        self.unpersist()
+        self.df = self.df.unionByName(other.df.select("id", "vec", "norm_sq"))
+        other.reset()
+        return self
 
 
 def _partition_local_window():

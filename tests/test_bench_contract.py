@@ -5,7 +5,12 @@ line grew to ~8 KB while the driver captures only the last 2,000 bytes
 of stdout ("parsed": null in BENCH_r06.json). These tests guarantee
 that can never recur: the compact line must stay under 1,900 bytes at
 full payload size, parse as one JSON object with the driver's expected
-keys, and the full grid detail must land in BENCH_GRID.json instead.
+keys, and the full grid detail must land in the grid receipt instead.
+
+Every test redirects the receipt via SPARK_GRAFT_GRID_PATH to a tmp
+file — running pytest must never overwrite or delete the round's REAL
+BENCH_GRID.json at the repo root (that would be the same data-loss
+mode these tests exist to prevent).
 
 No SparkSession needed — bench.emit() is pure apart from the receipt
 file write.
@@ -15,9 +20,17 @@ import json
 import os
 import sys
 
+import pytest
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import bench
+
+
+@pytest.fixture(autouse=True)
+def _redirect_receipt(tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_GRID_PATH", str(tmp_path / "BENCH_GRID.json"))
+    yield
 
 
 def _full_size_payload():
@@ -33,7 +46,7 @@ def _full_size_payload():
                 "qps": 99.9,
                 "iters": 10,
             }
-            for fmt in ("fp32", "fp32_f32", "fp16c", "bf16c")
+            for fmt in ("fp32", "fp32_f64", "fp16c", "bf16c")
         }
         for i in range(8)
     }
@@ -45,7 +58,7 @@ def _full_size_payload():
     return queries, grid_stats, gain
 
 
-def test_line_fits_driver_capture(tmp_path, monkeypatch):
+def test_line_fits_driver_capture():
     queries, grid_stats, gain = _full_size_payload()
     line = bench.emit(queries, grid_stats, gain, 0.1)
     assert len(line) < 1900
@@ -85,14 +98,26 @@ def test_line_parses_with_driver_keys():
     assert abs(d["value"] - round(sum(queries.values()), 3)) < 1e-6
 
 
-def test_receipt_file_carries_full_grid():
+def test_receipt_file_carries_full_grid(tmp_path):
     queries, grid_stats, gain = _full_size_payload()
     bench.emit(queries, grid_stats, gain, 0.1)
-    path = os.path.join(os.path.dirname(bench.__file__), "BENCH_GRID.json")
-    with open(path) as f:
+    with open(tmp_path / "BENCH_GRID.json") as f:
         receipt = json.load(f)
     assert receipt["grid"] == grid_stats
     assert receipt["storage_gain_pct_vs_fp32_same_arith"] == gain
     assert receipt["queries_sec"] == queries  # unrounded in the receipt
     assert "headline" in receipt["method"] and "grid" in receipt["method"]
-    os.remove(path)  # synthetic receipt — the real bench run rewrites it
+
+
+def test_tests_never_touch_real_receipt():
+    """The repo-root receipt must be untouched by any emit() under
+    pytest: the autouse fixture redirects it. Pin by writing a marker
+    file at the real path and checking emit leaves it alone."""
+    real = os.path.join(os.path.dirname(bench.__file__), "BENCH_GRID.json")
+    existed = os.path.exists(real)
+    before = open(real).read() if existed else None
+    bench.emit({"k": 1.0}, {}, {}, 0.1)
+    if existed:
+        assert open(real).read() == before
+    else:
+        assert not os.path.exists(real)

@@ -221,6 +221,30 @@ def test_tune_nprobe_operating_points(spark):
     idx.release()
 
 
+def test_tune_nprobe_ivfpq(spark):
+    """tune_nprobe over IVFPQIndex: the full-probe baseline is the ADC
+    ceiling (recall 1.0 vs itself by construction), so the sweep
+    isolates coarse-quantizer loss — the knob nprobe actually controls
+    — not PQ quantization error."""
+    from faiss_metal_spark import IVFPQIndex
+    from faiss_metal_spark.functions.evaluate import tune_nprobe
+
+    V, Q = make_fixture(600, 8, 16, seed=33)
+    idx = IVFPQIndex.from_table(
+        _table(spark, V), n_cells=8, m=4, sample_size=600, iters=3
+    )
+    out = tune_nprobe(idx, queries_df(spark, Q), k=5, target_recall=0.8)
+    assert 1 <= out["nprobe"] <= idx.nlist
+    # sweep is monotone-ascending in nprobe and ends meeting the target
+    probes = [pt["nprobe"] for pt in out["points"]]
+    assert probes == sorted(probes)
+    assert out["points"][-1]["recall"] >= 0.8
+    # impossible target → full probe, which is exact vs the ADC ceiling
+    strict = tune_nprobe(idx, queries_df(spark, Q), k=5, target_recall=1.01)
+    assert strict["nprobe"] == idx.nlist
+    assert strict["points"][-1] == {"nprobe": idx.nlist, "recall": 1.0}
+
+
 def test_compact_store_bounds_files_and_preserves_pruning(spark, tmp_path):
     """compact_store rewrites a many-small-files partitioned store into
     ceil(rows/target) files per partition with identical contents and
@@ -367,3 +391,30 @@ def test_write_index_empty_table_roundtrip(spark, tmp_path):
     D, L = reload.search_numpy(np.zeros((2, 8), np.float32), 3)
     assert (L == -1).all()
     assert np.isinf(D).all()
+
+
+def test_compact_store_null_partition_cell(spark, tmp_path):
+    """A NULL-keyed partition cell is a legitimate cell: it must split
+    into ceil(rows/target) files like any other, not collapse into one
+    file because the per-cell file-count join missed it (null != null
+    under a plain equi-join; the join is eqNullSafe)."""
+    import glob
+
+    from faiss_metal_spark.sources.layout import compact_store
+
+    src = str(tmp_path / "null_src")
+    rows = [(i, None, float(i)) for i in range(300)]  # null cell: 300
+    rows += [(1000 + i, 1, float(i)) for i in range(10)]
+    spark.createDataFrame(
+        rows, "id long, cell int, val double"
+    ).repartition(4).write.partitionBy("cell").parquet(src)
+
+    dst = str(tmp_path / "null_dst")
+    compact_store(spark, src, dst, target_rows_per_file=100)
+    null_files = glob.glob(f"{dst}/cell=__HIVE_DEFAULT_PARTITION__/*.parquet")
+    assert 2 <= len(null_files) <= 3  # ceil(300/100), not 1
+    assert len(glob.glob(f"{dst}/cell=1/*.parquet")) == 1
+    a = spark.read.parquet(src).orderBy("id").toPandas()
+    b = spark.read.parquet(dst).orderBy("id").toPandas()
+    assert (a["id"].to_numpy() == b["id"].to_numpy()).all()
+    assert b["cell"].isna().sum() == 300
