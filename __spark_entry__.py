@@ -1655,8 +1655,14 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("keep") == 0)
         .select(F.col("id").alias("_sem_drop"))
     )
+    # SHUFFLE_HASH: the drop set is corpus-proportional at full scale
+    # (semantic-dup fraction of all docs) — too big to broadcast — and
+    # the default SMJ would sort both sides; a shuffled hash anti-join
+    # builds on the (always-smaller) drop side with no sorts
     sem = lex.join(
-        sem_drop, lex["doc_id"] == F.col("_sem_drop"), "left_anti"
+        sem_drop.hint("SHUFFLE_HASH"),
+        lex["doc_id"] == F.col("_sem_drop"),
+        "left_anti",
     )
     return cols("lex", lex).unionByName(cols("sem", sem))
 

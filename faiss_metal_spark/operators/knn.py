@@ -451,11 +451,14 @@ def _finalize(
     topk = F.slice(F.concat(F.col("_cand"), pad), 1, k)
 
     sign = 1.0 if asc else -1.0
-    # both join inputs are nq-scale after the groupBy (one row per qid),
-    # so this join is trivial whatever strategy AQE picks; the only real
-    # shuffle in the merge is the groupBy above. When the caller already
-    # collected the qids (gemm path), the scaffold is a LocalRelation —
-    # no tasks re-scan the query table just to enumerate its keys.
+    # packed is nq-scale after the groupBy (one row per qid, nq bounded
+    # by the query-broadcast guard) — broadcast it explicitly so the
+    # scaffold join is a BroadcastHashJoin, never a SortMergeJoin: at
+    # cluster scale an SMJ here adds two sorts + an exchange on the
+    # scaffold side for a join whose build side always fits in memory.
+    # When the caller already collected the qids (gemm path), the
+    # scaffold is a LocalRelation — no tasks re-scan the query table
+    # just to enumerate its keys.
     if qids is not None:
         scaffold = q.sparkSession.createDataFrame(
             pd.DataFrame({"qid": np.asarray(qids, dtype=np.int64)}),
@@ -465,7 +468,7 @@ def _finalize(
         scaffold = q.select("qid")
     out = (
         scaffold
-        .join(packed, "qid", "left")
+        .join(F.broadcast(packed), "qid", "left")
         .select("qid", F.posexplode(F.coalesce(topk, pad)).alias("_r", "_c"))
         .select(
             "qid",
@@ -629,7 +632,7 @@ def knn_search_multi(
     sent = F.when(asc, F.lit(math.inf)).otherwise(F.lit(-math.inf))
     sign = F.when(asc, F.lit(1.0)).otherwise(F.lit(-1.0))
     return (
-        scaffold.join(packed, ["metric", "qid"], "left")
+        scaffold.join(F.broadcast(packed), ["metric", "qid"], "left")
         .select("metric", "qid", F.posexplode(F.coalesce(topk, pad)).alias("_r", "_c"))
         .select(
             "metric",

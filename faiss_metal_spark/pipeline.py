@@ -21,9 +21,9 @@ Stages (each shuffle-bounded, all JVM-side — no Python in the hot path):
 
 At 100 TB: stage 1 and the signature build stream over the corpus once;
 the LSH join's fan-out is bounded by band-bucket sizes (salt hot buckets
-if a boilerplate shingle dominates); the final anti-join broadcasts the
-drop list when it is small (usually ≪ corpus) or shuffles on the id
-otherwise — Spark's join planner chooses at runtime via AQE.
+if a boilerplate shingle dominates); the final anti-join is a shuffled
+hash join built on the drop side (corpus-proportional under realistic
+duplicate rates, so never broadcast; never sorted either).
 """
 
 from __future__ import annotations
@@ -119,8 +119,15 @@ def curate_corpus(
         )
         drops = drops.unionByName(sem_drop)
     drops = drops.distinct()
+    # SHUFFLE_HASH on the drop side: in a web-scale corpus the
+    # duplicate fraction is routinely 30-50%, so the drop set is
+    # corpus-proportional — too big to broadcast — and the default SMJ
+    # fallback would sort BOTH sides. A shuffled hash anti-join builds
+    # on the (always-smaller) drop side with no sorts. The hint fixes
+    # the strategy, trading away AQE's broadcast upgrade for small drop
+    # sets — the right trade for the scale this pipeline targets.
     survivors = docs.join(
-        drops, docs[id_col] == drops["_drop_id"], "left_anti"
+        drops.hint("SHUFFLE_HASH"), docs[id_col] == drops["_drop_id"], "left_anti"
     )
     return (
         survivors.select(
