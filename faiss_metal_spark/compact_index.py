@@ -121,6 +121,31 @@ class SQ8Index:
     def release(self) -> None:
         self.codes.unpersist()
 
+    # -- standalone codec (faiss ScalarQuantizer sa_encode/sa_decode) ------
+
+    @property
+    def sa_code_size(self) -> int:
+        return self.d  # 1 byte/dim
+
+    def sa_encode(self, x: np.ndarray) -> np.ndarray:
+        """(n, d) FP32 → n d-byte strings, the SAME arithmetic as the
+        stored ``sq8_code_col`` (floor(norm·255 + 0.5), clipped)."""
+        x = np.asarray(x, dtype=np.float64)
+        if x.ndim != 2 or x.shape[1] != self.d:
+            raise ValueError(f"expected (n, {self.d}) array, got {x.shape}")
+        rng = self.vmax - self.vmin
+        norm = np.where(rng == 0, 0.0, (x - self.vmin) / np.where(rng == 0, 1.0, rng))
+        codes = np.clip(np.floor(norm * 255.0 + 0.5), 0.0, 255.0).astype(np.uint8)
+        return np.array([row.tobytes() for row in codes], dtype=object)
+
+    def sa_decode(self, codes) -> np.ndarray:
+        """n d-byte strings → (n, d) FP32: r = vmin + code·Δ/255."""
+        rows = [np.frombuffer(c, dtype=np.uint8).astype(np.float64) for c in codes]
+        if not rows:
+            return np.zeros((0, self.d), dtype=np.float32)
+        C = np.stack(rows)
+        return (self.vmin + C * (self.vmax - self.vmin) / 255.0).astype(np.float32)
+
 
 @dataclass
 class BinaryIndex:
@@ -385,6 +410,36 @@ class PQIndex:
 
     def release(self) -> None:
         self.codes.unpersist()
+
+    # -- standalone codec (faiss IndexPQ sa_encode/sa_decode) --------------
+
+    @property
+    def sa_code_size(self) -> int:
+        return self.codebooks.shape[0]  # m bytes/vector
+
+    def sa_encode(self, x: np.ndarray) -> np.ndarray:
+        """(n, d) FP32 → n m-byte strings: per-subspace nearest
+        codeword, the same assignment ``pq_encode`` stores."""
+        x = np.asarray(x, dtype=np.float64)
+        if x.ndim != 2 or x.shape[1] != self.d:
+            raise ValueError(f"expected (n, {self.d}) array, got {x.shape}")
+        m, ksub, dsub = self.codebooks.shape
+        codes = np.empty((len(x), m), dtype=np.uint8)
+        for j in range(m):
+            Xj = x[:, j * dsub : (j + 1) * dsub]
+            cn = (self.codebooks[j] * self.codebooks[j]).sum(1)
+            codes[:, j] = (cn[None, :] - 2.0 * (Xj @ self.codebooks[j].T)).argmin(1)
+        return np.array([row.tobytes() for row in codes], dtype=object)
+
+    def sa_decode(self, codes) -> np.ndarray:
+        """n m-byte strings → (n, d) FP32 codeword concatenation
+        (≙ IndexPQ::sa_decode / reconstruct)."""
+        from .operators.pq import pq_decode_np
+
+        rows = [np.frombuffer(c, dtype=np.uint8) for c in codes]
+        if not rows:
+            return np.zeros((0, self.d), dtype=np.float32)
+        return pq_decode_np(np.stack(rows), self.codebooks).astype(np.float32)
 
 
 def index_factory(vt, spec: str, **train_kw):

@@ -411,6 +411,83 @@ class VectorTable:
         _, labels = self.search_numpy(x, k)
         return labels
 
+    # -- standalone codec (faiss sa_encode / sa_decode) --------------------
+
+    @property
+    def sa_code_size(self) -> int:
+        """Bytes per encoded vector — faiss ``Index::sa_code_size``:
+        4·d for fp32 (raw float bytes, like IndexFlat), 2·d for the
+        reduced-precision storages."""
+        return self.d * (4 if self.storage == STORAGE_FP32 else 2)
+
+    def sa_encode(self, x: np.ndarray) -> np.ndarray:
+        """(n, d) FP32 → n byte-strings in the table's storage codec —
+        faiss ``Index::sa_encode`` (encode WITHOUT adding; the
+        standalone-codec API). fp32 emits raw little-endian float32
+        bytes exactly like faiss IndexFlat; fp16/bf16 emit the same
+        2-byte codes the compact store holds."""
+        from .quantize import ENCODERS
+
+        x = np.asarray(x, dtype=np.float32)
+        if x.ndim != 2 or x.shape[1] != self.d:
+            raise ValueError(f"expected (n, {self.d}) array, got {x.shape}")
+        if self.storage == STORAGE_FP32:
+            return np.array([row.tobytes() for row in x], dtype=object)
+        return ENCODERS[self.storage](x)
+
+    def sa_decode(self, codes) -> np.ndarray:
+        """n byte-strings → (n, d) FP32 — faiss ``Index::sa_decode``,
+        the exact inverse of :meth:`sa_encode` up to the storage's
+        quantization (identity for fp32)."""
+        from .quantize import DECODERS
+
+        if self.storage == STORAGE_FP32:
+            rows = [np.frombuffer(c, dtype=np.float32) for c in codes]
+        else:
+            rows = [DECODERS[self.storage](c) for c in codes]
+        if not rows:
+            return np.zeros((0, self.d), dtype=np.float32)
+        out = np.stack(rows).astype(np.float32)
+        if out.shape[1] != self.d:
+            raise ValueError(f"code length implies d={out.shape[1]}, table d={self.d}")
+        return out
+
+    def search_and_reconstruct(
+        self, queries: DataFrame, k: int, method: str = "auto",
+        qid_col: str = "qid", qvec_col: str = "vec",
+        params: SearchParams | None = None, compute: str = "auto",
+    ) -> DataFrame:
+        """≙ faiss ``Index::search_and_reconstruct`` — top-k results
+        with each hit's stored vector attached (already-dequantized
+        FP32, like ``reconstruct``). Returns
+        (qid, rank, label, distance, vec); sentinel rows carry NULL vec.
+
+        Scale shape: the result set (nq·k rows, bounded by the query
+        broadcast guard) is the BROADCAST side of an inner join back to
+        the vector table — the corpus never shuffles and is scanned
+        once more for the fetch (faiss pays the same second pass over
+        its flat storage). Sentinel rows are spliced back by union, not
+        by outer join, so the broadcast stays on the small side.
+        """
+        res = self.search(
+            queries, k, method=method, qid_col=qid_col, qvec_col=qvec_col,
+            params=params, compute=compute,
+        )
+        vec_expr = F.col("vec")
+        if self.compact:
+            from .quantize import decode_col
+
+            vec_expr = decode_col(F.col("vec"), self.storage)
+        vecs = self.df.select(
+            F.col("id").alias("label"), vec_expr.alias("vec")
+        )
+        real = F.broadcast(res.where(F.col("label") >= 0)).join(vecs, "label")
+        sent = res.where(F.col("label") < 0).withColumn(
+            "vec", F.lit(None).cast("array<float>")
+        )
+        cols = ["qid", "rank", "label", "distance", "vec"]
+        return real.select(*cols).unionByName(sent.select(*cols))
+
     def to_pandas(self) -> pd.DataFrame:
         """≙ index_metal_to_cpu — export (FP32-decoded either layout)."""
         pdf = self.df.orderBy("id").toPandas()

@@ -539,3 +539,99 @@ def test_idmap_merge_keeps_external_ids(spark):
     ids = sorted(r[0] for r in a.df.select("id").collect())
     assert ids == list(range(100, 110)) + list(range(9000, 9010))
     assert b.ntotal == 0
+
+
+# ---------------------------------------------------------------------------
+# standalone codec (sa_encode / sa_decode) + search_and_reconstruct
+# ---------------------------------------------------------------------------
+
+
+def test_sa_codec_vector_table(spark):
+    """faiss standalone-codec parity: fp32 encodes raw float bytes
+    (lossless); fp16 codes equal the compact store's bytes and decode
+    to the quantized values."""
+    from faiss_metal_spark import VectorTable
+
+    V, _ = make_fixture(20, 1, 16)
+    vt = VectorTable(spark, d=16)
+    assert vt.sa_code_size == 64
+    codes = vt.sa_encode(V)
+    assert all(len(c) == 64 for c in codes)
+    np.testing.assert_array_equal(vt.sa_decode(codes), V)
+
+    vt16 = VectorTable(spark, d=16, storage="fp16", compact=True).add_numpy(V)
+    assert vt16.sa_code_size == 32
+    codes16 = vt16.sa_encode(V)
+    # codes equal the compact store's bytes row-for-row
+    stored = vt16.df.orderBy("id").toPandas()["vec"]
+    for got, want in zip(codes16, stored):
+        assert bytes(got) == bytes(want)
+    np.testing.assert_array_equal(vt16.sa_decode(codes16), fp16_roundtrip_np(V))
+
+
+def test_sa_codec_sq8_and_pq(spark):
+    """SQ8/PQ standalone codecs match the stored code tables exactly
+    and decode with the index's own reconstruction arithmetic."""
+    from faiss_metal_spark import PQIndex, SQ8Index, VectorTable
+
+    rng = np.random.default_rng(17)
+    V = rng.normal(size=(300, 16)).astype(np.float32)
+    vt = VectorTable(spark, d=16).add_numpy(V)
+
+    sq = SQ8Index.from_table(vt)
+    assert sq.sa_code_size == 16
+    codes = sq.sa_encode(V)
+    stored = sq.codes.orderBy("id").toPandas()["code"]
+    for got, want in zip(codes, stored):
+        assert list(np.frombuffer(got, np.uint8)) == list(want)
+    rec = sq.sa_decode(codes)
+    assert rec.shape == (300, 16)
+    assert np.abs(rec - V).max() <= ((sq.vmax - sq.vmin).max() / 255.0) * 0.51
+
+    pq = PQIndex.from_table(vt, m=4, iters=3, sample_size=300)
+    assert pq.sa_code_size == 4
+    pcodes = pq.sa_encode(V)
+    pstored = pq.codes.orderBy("id").toPandas()["code"]
+    for got, want in zip(pcodes, pstored):
+        assert bytes(got) == bytes(want)
+    # decode returns each vector's codeword concatenation
+    dec = pq.sa_decode(pcodes)
+    assert dec.shape == (300, 16)
+    sq.release(); pq.release()
+
+
+def test_search_and_reconstruct(spark):
+    """Hits carry the stored vector (dequantized floats); sentinel rows
+    carry NULL vec; the corpus side is never shuffled (no exchange on
+    the vector-table branch beyond the search's own plan)."""
+    from faiss_metal_spark import VectorTable
+
+    V, Q = make_fixture(30, 2, 8)
+    vt = VectorTable(spark, d=8).add_numpy(V)
+    res = (
+        vt.search_and_reconstruct(queries_df(spark, Q), k=40)
+        .orderBy("qid", "rank")
+        .toPandas()
+    )
+    assert len(res) == 2 * 40
+    real = res[res["label"] >= 0]
+    assert len(real) == 2 * 30
+    for r in real.itertuples():
+        np.testing.assert_allclose(
+            np.asarray(r.vec, np.float32), V[r.label], rtol=1e-6
+        )
+    sent = res[res["label"] < 0]
+    assert sent["vec"].isna().all()
+    assert np.isinf(sent["distance"]).all()
+
+    # compact table: vec comes back dequantized (fp16 values)
+    vt16 = VectorTable(spark, d=8, storage="fp16", compact=True).add_numpy(V)
+    r16 = (
+        vt16.search_and_reconstruct(queries_df(spark, Q), k=3)
+        .orderBy("qid", "rank")
+        .toPandas()
+    )
+    for r in r16.itertuples():
+        np.testing.assert_array_equal(
+            np.asarray(r.vec, np.float32), fp16_roundtrip_np(V)[r.label]
+        )
