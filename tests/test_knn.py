@@ -309,3 +309,26 @@ def test_chunked_queries_exact_and_beats_broadcast_ceiling(spark, monkeypatch):
     with pytest.raises(ValueError, match="too large to broadcast"):
         knn_search(vdf, qdf, 5).count()
     same(single, chunked_queries(qdf, 10, lambda c: knn_search(vdf, c, 5)).toPandas())
+
+
+def test_compute_default_is_f32(spark):
+    """The library default (compute='auto') must stay float32 — the
+    reference's accumulator width and the 100 TB fast path. Pin: on a
+    wide fixture the auto run is bitwise-identical to an explicit f32
+    run and NOT bitwise-identical to f64 (if someone flips the default
+    back to f64, auto ≡ f64 and this fails)."""
+    V, Q = make_fixture(500, 4, 256)
+    vdf, qdf = vectors_df(spark, V), queries_df(spark, Q)
+
+    def run(compute):
+        return (
+            knn_search(vdf, qdf, 5, metric="l2", method="gemm", compute=compute)
+            .orderBy("qid", "rank")
+            .toPandas()["distance"]
+            .to_numpy(np.float64)
+        )
+
+    auto, f32, f64 = run("auto"), run("f32"), run("f64")
+    np.testing.assert_array_equal(auto, f32)
+    assert not np.array_equal(auto, f64)
+    np.testing.assert_allclose(auto, f64, rtol=1e-4)
