@@ -128,23 +128,25 @@ class SQ8Index:
         return self.d  # 1 byte/dim
 
     def sa_encode(self, x: np.ndarray) -> np.ndarray:
-        """(n, d) FP32 → n d-byte strings, the SAME arithmetic as the
-        stored ``sq8_code_col`` (floor(norm·255 + 0.5), clipped)."""
+        """(n, d) FP32 → n d-byte strings via the shared
+        :func:`~.operators.sq.sq8_encode_np` — one statement of the SQ8
+        arithmetic for stored codes and standalone codec alike."""
+        from .operators.sq import sq8_encode_np
+
         x = np.asarray(x, dtype=np.float64)
         if x.ndim != 2 or x.shape[1] != self.d:
             raise ValueError(f"expected (n, {self.d}) array, got {x.shape}")
-        rng = self.vmax - self.vmin
-        norm = np.where(rng == 0, 0.0, (x - self.vmin) / np.where(rng == 0, 1.0, rng))
-        codes = np.clip(np.floor(norm * 255.0 + 0.5), 0.0, 255.0).astype(np.uint8)
+        codes = sq8_encode_np(x, self.vmin, self.vmax)
         return np.array([row.tobytes() for row in codes], dtype=object)
 
     def sa_decode(self, codes) -> np.ndarray:
         """n d-byte strings → (n, d) FP32: r = vmin + code·Δ/255."""
-        rows = [np.frombuffer(c, dtype=np.uint8).astype(np.float64) for c in codes]
+        from .operators.sq import sq8_decode_np
+
+        rows = [np.frombuffer(c, dtype=np.uint8) for c in codes]
         if not rows:
             return np.zeros((0, self.d), dtype=np.float32)
-        C = np.stack(rows)
-        return (self.vmin + C * (self.vmax - self.vmin) / 255.0).astype(np.float32)
+        return sq8_decode_np(np.stack(rows), self.vmin, self.vmax).astype(np.float32)
 
 
 @dataclass
@@ -418,17 +420,15 @@ class PQIndex:
         return self.codebooks.shape[0]  # m bytes/vector
 
     def sa_encode(self, x: np.ndarray) -> np.ndarray:
-        """(n, d) FP32 → n m-byte strings: per-subspace nearest
-        codeword, the same assignment ``pq_encode`` stores."""
+        """(n, d) FP32 → n m-byte strings via the shared
+        :func:`~.operators.pq.pq_assign_np` — the exact assignment
+        ``pq_encode`` stores, by construction."""
+        from .operators.pq import pq_assign_np
+
         x = np.asarray(x, dtype=np.float64)
         if x.ndim != 2 or x.shape[1] != self.d:
             raise ValueError(f"expected (n, {self.d}) array, got {x.shape}")
-        m, ksub, dsub = self.codebooks.shape
-        codes = np.empty((len(x), m), dtype=np.uint8)
-        for j in range(m):
-            Xj = x[:, j * dsub : (j + 1) * dsub]
-            cn = (self.codebooks[j] * self.codebooks[j]).sum(1)
-            codes[:, j] = (cn[None, :] - 2.0 * (Xj @ self.codebooks[j].T)).argmin(1)
+        codes = pq_assign_np(x, self.codebooks)
         return np.array([row.tobytes() for row in codes], dtype=object)
 
     def sa_decode(self, codes) -> np.ndarray:

@@ -84,6 +84,10 @@ _MAX_BROADCAST_ELEMS = 8_000_000
 _PREMERGE_PARTS_K = 65_536
 _PREMERGE_SALT = 64
 
+# Broadcast the packed merge side only below this nq·k (≈ 16-byte
+# structs → well under Spark's 8 GB broadcast ceiling with margin).
+_BROADCAST_MERGE_ELEMS = 8_000_000
+
 
 def _sentinel(metric: Metric) -> float:
     # L2/L1: smaller is better → pad +inf. IP/cosine: larger → pad −inf.
@@ -293,9 +297,17 @@ def _gemm_candidates(
         return v.sparkSession.createDataFrame([], _PARTIAL_SCHEMA)
 
     spark = v.sparkSession
-    bc = spark.sparkContext.broadcast((qids, Q))
+    # Cast ONCE on the driver: the f32 default halves the broadcast
+    # bytes and saves every task a fresh astype copy of the query
+    # matrix. Norms are computed in f64 first, THEN cast — identical
+    # values to a per-task cast of the f64 broadcast.
+    bc = spark.sparkContext.broadcast((qids, Q.astype(dtype, copy=False)))
     want_min = _better_is_min(metric)
-    qnorm = (Q * Q).sum(axis=1) if metric in ("l2", "cosine") else None
+    qnorm = (
+        (Q * Q).sum(axis=1).astype(dtype, copy=False)
+        if metric in ("l2", "cosine")
+        else None
+    )
     bc_qnorm = spark.sparkContext.broadcast(qnorm)
 
     def partial_topk(batches):
@@ -306,10 +318,7 @@ def _gemm_candidates(
         import pyarrow as pa
 
         qids_, Q_ = bc.value
-        Q_ = Q_.astype(dtype, copy=False)
         qn = bc_qnorm.value
-        if qn is not None:
-            qn = qn.astype(dtype, copy=False)
         # cosine's query norms are a query-batch constant: hoisted out
         # of the per-Arrow-batch loop (computed once per task)
         qrt = np.sqrt(qn) if (qn is not None and metric == "cosine") else None
@@ -451,24 +460,29 @@ def _finalize(
     topk = F.slice(F.concat(F.col("_cand"), pad), 1, k)
 
     sign = 1.0 if asc else -1.0
-    # packed is nq-scale after the groupBy (one row per qid, nq bounded
-    # by the query-broadcast guard) — broadcast it explicitly so the
-    # scaffold join is a BroadcastHashJoin, never a SortMergeJoin: at
-    # cluster scale an SMJ here adds two sorts + an exchange on the
-    # scaffold side for a join whose build side always fits in memory.
-    # When the caller already collected the qids (gemm path), the
-    # scaffold is a LocalRelation — no tasks re-scan the query table
-    # just to enumerate its keys.
+    # packed is nq-scale after the groupBy (one row per qid) —
+    # broadcast it explicitly so the scaffold join is a
+    # BroadcastHashJoin, never a SortMergeJoin (an SMJ here adds two
+    # sorts + an exchange for a join whose build side fits in memory).
+    # Gated on nq·k: an extreme batch (1M low-d queries × k=1000 is
+    # ~16 GB of structs) must fall back to the planner's choice instead
+    # of a hard broadcast failure. When the caller already collected
+    # the qids (gemm path), the scaffold is a LocalRelation — no tasks
+    # re-scan the query table just to enumerate its keys.
     if qids is not None:
         scaffold = q.sparkSession.createDataFrame(
             pd.DataFrame({"qid": np.asarray(qids, dtype=np.int64)}),
             schema="qid long",
         )
+        small = len(qids) * k <= _BROADCAST_MERGE_ELEMS
     else:
+        # sql path: q itself was broadcast upstream, so nq is modest —
+        # gate on k alone
         scaffold = q.select("qid")
+        small = k <= 10_000
     out = (
         scaffold
-        .join(F.broadcast(packed), "qid", "left")
+        .join(F.broadcast(packed) if small else packed, "qid", "left")
         .select("qid", F.posexplode(F.coalesce(topk, pad)).alias("_r", "_c"))
         .select(
             "qid",
@@ -540,15 +554,17 @@ def knn_search_multi(
     if compute == "auto":
         compute = "f32"  # reference accumulator width — see knn_search
     dtype = np.float64 if compute == "f64" else np.float32
-    bc = spark.sparkContext.broadcast((qids, Q, (Q * Q).sum(axis=1)))
+    # driver-side cast: halves broadcast bytes under the f32 default
+    bc = spark.sparkContext.broadcast(
+        (qids, Q.astype(dtype, copy=False),
+         (Q * Q).sum(axis=1).astype(dtype, copy=False))
+    )
     need_gemm = any(m != "l1" for m in metrics)
 
     def partial_topk(batches):
         import pyarrow as pa
 
         qids_, Q_, qn = bc.value
-        Q_ = Q_.astype(dtype, copy=False)
-        qn = qn.astype(dtype, copy=False)
         nq_ = Q_.shape[0]
         qrt = np.sqrt(qn)
         signs = {m: (dtype(1.0) if _better_is_min(m) else dtype(-1.0)) for m in metrics}
@@ -632,7 +648,13 @@ def knn_search_multi(
     sent = F.when(asc, F.lit(math.inf)).otherwise(F.lit(-math.inf))
     sign = F.when(asc, F.lit(1.0)).otherwise(F.lit(-1.0))
     return (
-        scaffold.join(F.broadcast(packed), ["metric", "qid"], "left")
+        scaffold.join(
+            F.broadcast(packed)
+            if nq * k * len(metrics) <= _BROADCAST_MERGE_ELEMS
+            else packed,
+            ["metric", "qid"],
+            "left",
+        )
         .select("metric", "qid", F.posexplode(F.coalesce(topk, pad)).alias("_r", "_c"))
         .select(
             "metric",
@@ -716,14 +738,16 @@ def range_search(
     spark = v.sparkSession
     if len(qids) == 0:
         return spark.createDataFrame([], RANGE_SCHEMA)
-    bc = spark.sparkContext.broadcast((qids, Q, (Q * Q).sum(axis=1)))
+    # driver-side cast: halves broadcast bytes under the f32 default
+    bc = spark.sparkContext.broadcast(
+        (qids, Q.astype(dtype, copy=False),
+         (Q * Q).sum(axis=1).astype(dtype, copy=False))
+    )
 
     def emit(batches):
         import pyarrow as pa
 
         qids_, Q_, qn = bc.value
-        Q_ = Q_.astype(dtype, copy=False)
-        qn = qn.astype(dtype, copy=False)
         qrt = np.sqrt(qn) if metric == "cosine" else None
         for batch in batches:
             if batch.num_rows == 0:

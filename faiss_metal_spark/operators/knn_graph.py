@@ -106,68 +106,41 @@ def nn_descent(
     for _ in range(iters):
         fwd = graph.select("id", "nbr")
         rev = graph.select(F.col("nbr").alias("id"), F.col("id").alias("nbr"))
-        # Neighborhood LISTS, one shuffle: per node, the union of its
-        # forward and reverse edges capped at 2k members in
-        # deterministic hash order (reverse lists of hub nodes would
-        # otherwise be unbounded). collect_set bounds per-node state at
-        # the in-degree cap, and the slice keeps the paper's ρ=1
-        # reverse sampling budget.
-        nbhd = (
-            fwd.unionByName(rev)
-            .groupBy("id")
-            .agg(
-                F.slice(
-                    F.array_sort(
-                        F.collect_set(
-                            F.struct(
-                                F.xxhash64("id", "nbr", F.lit(seed)).alias("h"),
-                                F.col("nbr").alias("n"),
-                            )
-                        )
-                    ),
-                    1,
-                    2 * kk,
-                ).alias("_gen")
-            )
-            .select("id", F.transform("_gen", lambda s: s["n"]).alias("_gen"))
+        # Cap each node's general neighborhood at 2k members in
+        # deterministic hash order (the paper's ρ=1 reverse sampling) —
+        # a WINDOW, not a collect: the reverse list of a hub node can
+        # approach N, and row_number over a spilling external sort
+        # streams past it, where a collect-based cap would buffer the
+        # whole group in one aggregation buffer before slicing.
+        wcap = Window.partitionBy("id").orderBy(
+            F.xxhash64("id", "nbr", F.lit(seed)), F.col("nbr")
         )
+        capped = (
+            fwd.unionByName(rev)
+            .distinct()
+            .withColumn("_rn", F.row_number().over(wcap))
+            .where(F.col("_rn") <= 2 * kk)
+            .drop("_rn")
+        )
+        # Neighborhood LISTS from the capped rows: same id partitioning
+        # as the window, so this groupBy adds no exchange, and every
+        # group is ≤ 2k rows by construction — bounded collect.
+        nbhd = capped.groupBy("id").agg(F.collect_list("nbr").alias("_gen"))
         # Candidate generation is ARRAY-LOCAL (the paper's local join):
         # every two members of one node's neighborhood propose each
-        # other via a double explode — no self-join, no extra shuffle;
-        # per-node fanout ≤ (2k)² rows exactly as before.
+        # other via a double explode — no self-join shuffle; per-node
+        # fanout ≤ (2k)² rows exactly as before.
         prop = (
             nbhd.select(F.explode("_gen").alias("id"), "_gen")
             .select("id", F.explode("_gen").alias("nbr"))
         )
         merged = graph.select("id", "nbr", "dist").unionByName(_score(prop))
-        # Fold dedup + top-k into ONE groupBy: distances are a pure
-        # function of the pair, so duplicate (id, nbr) rows carry equal
-        # dists and sort adjacently — the aggregate HOF drops adjacent
-        # duplicates while slicing the k best.
-        packed = merged.groupBy("id").agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("dist").alias("d"), F.col("nbr").alias("n")))
-            ).alias("_cand")
-        )
-        topk = F.slice(
-            F.aggregate(
-                F.col("_cand"),
-                F.array().cast("array<struct<d:double,n:bigint>>"),
-                lambda acc, s: F.when(
-                    (F.size(acc) >= kk)
-                    | (F.size(acc) > 0) & (F.element_at(acc, -1)["n"] == s["n"])
-                    & (F.element_at(acc, -1)["d"] == s["d"]),
-                    acc,
-                ).otherwise(F.concat(acc, F.array(s))),
-            ),
-            1,
-            kk,
-        )
-        graph = (
-            packed.select("id", F.explode(topk).alias("_s"))
-            .select("id", F.col("_s.n").alias("nbr"), F.col("_s.d").alias("dist"))
-            .localCheckpoint(eager=True)
-        )
+        # distinct before top-k: a pair can arrive from many proposers.
+        # Groups here are (id, nbr) pairs — tiny; the top-k is the same
+        # spilling window as the cap above (a hub's candidate list is
+        # unbounded, so no collect on it).
+        dedup = merged.groupBy("id", "nbr").agg(F.min("dist").alias("dist"))
+        graph = _topk(dedup, kk).localCheckpoint(eager=True)
 
     v.unpersist()
     return graph

@@ -145,15 +145,11 @@ def pq_encode(
         import pyarrow as pa
 
         books = bc.value
-        cns = [(books[j] * books[j]).sum(1) for j in range(m)]
         for batch in batches:
             if batch.num_rows == 0:
                 continue
             V = _arrow_matrix(batch.column(vec_col), "array", np.float64)
-            codes = np.empty((len(V), m), dtype=np.uint8)
-            for j in range(m):
-                Vj = V[:, j * dsub : (j + 1) * dsub]
-                codes[:, j] = (cns[j][None, :] - 2.0 * (Vj @ books[j].T)).argmin(1)
+            codes = pq_assign_np(V, books)
             yield pa.record_batch(
                 [pa.array(_arrow_i64(batch.column(id_col))), _binary_array(codes)],
                 names=["id", "code"],
@@ -161,6 +157,21 @@ def pq_encode(
 
     out = vectors.select(F.col(id_col), F.col(vec_col))
     return out.mapInArrow(enc, CODE_SCHEMA)
+
+
+def pq_assign_np(X: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(n, d) float → (n, m) uint8 nearest-codeword assignment — the
+    ONE statement of PQ encoding (argmin over ‖x_j − c‖² via the
+    cn − 2·X@Cᵀ decomposition, first-index tie-break), shared by
+    ``pq_encode``, ``ivfpq_encode`` (on residuals) and
+    ``PQIndex.sa_encode`` so the assignment can never drift."""
+    m, ksub, dsub = codebooks.shape
+    codes = np.empty((len(X), m), dtype=np.uint8)
+    for j in range(m):
+        Xj = X[:, j * dsub : (j + 1) * dsub]
+        cn = (codebooks[j] * codebooks[j]).sum(1)
+        codes[:, j] = (cn[None, :] - 2.0 * (Xj @ codebooks[j].T)).argmin(1)
+    return codes
 
 
 def pq_decode_np(codes: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
@@ -387,17 +398,12 @@ def ivfpq_encode(
         import pyarrow as pa
 
         C_, books_ = bc.value
-        cns = [(books_[j] * books_[j]).sum(1) for j in range(mm)]
         for batch in batches:
             if batch.num_rows == 0:
                 continue
             V_ = _arrow_matrix(batch.column(vec_col), "array", np.float64)
             cells = batch.column("cell").to_numpy(zero_copy_only=True)
-            Rr = V_ - C_[cells]
-            codes = np.empty((len(V_), mm), dtype=np.uint8)
-            for j in range(mm):
-                Rj = Rr[:, j * dsub : (j + 1) * dsub]
-                codes[:, j] = (cns[j][None, :] - 2.0 * (Rj @ books_[j].T)).argmin(1)
+            codes = pq_assign_np(V_ - C_[cells], books_)
             yield pa.record_batch(
                 [
                     pa.array(_arrow_i64(batch.column(id_col))),

@@ -178,26 +178,40 @@ def sq8_search(
 # -- compact BINARY layout: the actual 1-byte-per-dim store -----------------
 
 
+def sq8_encode_np(x: np.ndarray, vmin: np.ndarray, vmax: np.ndarray) -> np.ndarray:
+    """(n, d) float → (n, d) uint8 codes — the ONE numpy statement of
+    the SQ8 arithmetic (floor(norm·255 + 0.5), clipped, zero-range dims
+    → 0), shared by the BINARY column encoder and ``SQ8Index.sa_encode``
+    so the quantizer can never drift between the two."""
+    x = np.atleast_2d(np.asarray(x, np.float64))
+    vmin_ = np.asarray(vmin, np.float64)
+    rng = np.asarray(vmax, np.float64) - vmin_
+    safe = np.where(rng == 0.0, 1.0, rng)
+    t = np.floor((x - vmin_) / safe * 255.0 + 0.5)
+    c = np.clip(t, 0.0, 255.0)
+    c[:, rng == 0.0] = 0.0
+    return c.astype(np.uint8)
+
+
+def sq8_decode_np(codes: np.ndarray, vmin: np.ndarray, vmax: np.ndarray) -> np.ndarray:
+    """(n, d) uint8 → (n, d) float64: r = vmin + code·Δ/255."""
+    vmin_ = np.asarray(vmin, np.float64)
+    scale = (np.asarray(vmax, np.float64) - vmin_) / 255.0
+    return vmin_ + codes.astype(np.float64) * scale
+
+
 def sq8_encode_binary(
     vec: Column | str, vmin: np.ndarray, vmax: np.ndarray
 ) -> Column:
     """array<float> → BINARY(d): same codes as :func:`sq8_code_col`,
     packed one uint8 per dim (Arrow-vectorized; the parquet/shuffle
     footprint is d bytes/vector)."""
-    vmin_ = np.asarray(vmin, np.float64)
-    rng = np.asarray(vmax, np.float64) - vmin_
-    safe = np.where(rng == 0.0, 1.0, rng)
 
     @pandas_udf(T.BinaryType())
     def enc(s: pd.Series) -> pd.Series:
-        out = []
-        for arr in s:
-            x = np.asarray(arr, np.float64)
-            t = np.floor((x - vmin_) / safe * 255.0 + 0.5)
-            c = np.clip(t, 0.0, 255.0)
-            c[rng == 0.0] = 0.0
-            out.append(c.astype(np.uint8).tobytes())
-        return pd.Series(out)
+        return pd.Series(
+            [sq8_encode_np(np.asarray(arr), vmin, vmax)[0].tobytes() for arr in s]
+        )
 
     return enc(F.col(vec) if isinstance(vec, str) else vec)
 
@@ -207,14 +221,13 @@ def sq8_decode_binary(
 ) -> Column:
     """BINARY(d) → array<double> reconstruction (inverse of
     :func:`sq8_encode_binary` up to quantization error)."""
-    vmin_ = np.asarray(vmin, np.float64)
-    scale = (np.asarray(vmax, np.float64) - vmin_) / 255.0
-
     @pandas_udf(T.ArrayType(T.DoubleType()))
     def dec(s: pd.Series) -> pd.Series:
         return pd.Series(
             [
-                (vmin_ + np.frombuffer(b, np.uint8).astype(np.float64) * scale).tolist()
+                sq8_decode_np(
+                    np.frombuffer(b, np.uint8)[None, :], vmin, vmax
+                )[0].tolist()
                 for b in s
             ]
         )

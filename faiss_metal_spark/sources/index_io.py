@@ -148,7 +148,12 @@ def write_index(index, path: str, keep_versions: int = 2) -> None:
     ``keep_versions`` bounds storage growth under repeated rewrites:
     after a successful commit, committed versions older than the newest
     ``keep_versions`` are pruned (the default keeps N−1 for readers
-    still resolving the previous version mid-scan).
+    still resolving the previous version mid-scan). Caveat: an index
+    HANDLE from ``read_index`` is lazy — it keeps reading its resolved
+    ``_v<N>`` on every action, so a handle held across ``keep_versions``
+    or more subsequent rewrites of the same path sees its files pruned
+    (faiss's overwrite-in-place breaks such handles on the FIRST
+    rewrite; raise ``keep_versions`` or re-``read_index`` to pin).
     """
     if not _is_engine_index(index):
         raise TypeError(

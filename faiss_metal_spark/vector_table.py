@@ -348,6 +348,14 @@ class VectorTable:
         Requires matching dimension/metric/storage. A pure union —
         the other table's ids are re-based by a constant offset, no
         shuffle, no window."""
+        if type(other) is not type(self):
+            # dense positional ids and external IDMap keys have
+            # incompatible semantics — faiss refuses cross-type
+            # merge_from too; silently re-basing would corrupt labels
+            raise ValueError(
+                f"merge_from requires the same index type "
+                f"({type(self).__name__} != {type(other).__name__})"
+            )
         if (other.d, other.metric, other.storage, other.compact) != (
             self.d, self.metric, self.storage, self.compact
         ):
@@ -481,8 +489,11 @@ class VectorTable:
         vecs = self.df.select(
             F.col("id").alias("label"), vec_expr.alias("vec")
         )
-        real = F.broadcast(res.where(F.col("label") >= 0)).join(vecs, "label")
-        sent = res.where(F.col("label") < 0).withColumn(
+        # sentinel is EXACTLY -1 (the reserved faiss padding label, which
+        # IDMapVectorTable.add_with_ids refuses as an external id) — any
+        # other negative label is a legitimate external id and fetches
+        real = F.broadcast(res.where(F.col("label") != -1)).join(vecs, "label")
+        sent = res.where(F.col("label") == -1).withColumn(
             "vec", F.lit(None).cast("array<float>")
         )
         cols = ["qid", "rank", "label", "distance", "vec"]
@@ -535,12 +546,6 @@ class VectorTable:
             compute = params.compute or compute
         if self.compact and method == "auto":
             method = "gemm"
-        if compute == "auto" and self.storage != STORAGE_FP32:
-            # reduced-precision tables accumulate in float32 like the
-            # reference's GEMM kernels, in BOTH layouts — so compact and
-            # array fp16 stores stay bit-identical while the compact
-            # path gets sgemm speed
-            compute = "f32"
         return knn_search(
             self.df, queries, k, metric=metric, method=method,
             qid_col=qid_col, qvec_col=qvec_col, vec_format=self._vec_format,
@@ -569,8 +574,6 @@ class VectorTable:
             compute = params.compute or compute
         if self.compact and method == "auto":
             method = "gemm"
-        if compute == "auto" and self.storage != STORAGE_FP32:
-            compute = "f32"
         return _range_search(
             self.df, queries, radius, metric=metric, method=method,
             qid_col=qid_col, qvec_col=qvec_col, vec_format=self._vec_format,
@@ -612,9 +615,11 @@ class VectorTable:
 
     def search_async(
         self, queries: DataFrame, k: int, method: str = "auto",
-        params: SearchParams | None = None,
+        params: SearchParams | None = None, compute: str = "auto",
     ) -> SearchToken:
-        return SearchToken(self.search(queries, k, method=method, params=params))
+        return SearchToken(
+            self.search(queries, k, method=method, params=params, compute=compute)
+        )
 
 
 @dataclass
@@ -658,6 +663,11 @@ class IDMapVectorTable(VectorTable):
             raise ValueError(
                 f"ids must be 1-d of length {len(x)}, got {ids.shape}"
             )
+        if (ids == -1).any():
+            # -1 is the reserved faiss sentinel label (padding rows in
+            # search results); allowing it as a key would make real
+            # hits indistinguishable from sentinels
+            raise ValueError("id -1 is reserved (faiss sentinel label)")
         if len(x) == 0:
             return self
         return self.add_with_ids_df(
@@ -673,7 +683,10 @@ class IDMapVectorTable(VectorTable):
         """Append a DataFrame of (id, vec) rows — the scale path: a
         pure projection, no window, no shuffle, no driver round-trip
         (the flat table's id-assignment machinery is exactly what this
-        wrapper exists to skip)."""
+        wrapper exists to skip). id -1 is reserved (faiss sentinel
+        label); a validating scan would defeat the zero-pass shape, so
+        the contract is documented rather than enforced here — the
+        numpy path does enforce it."""
         from .quantize import encode_col
 
         store = (
@@ -704,7 +717,13 @@ class IDMapVectorTable(VectorTable):
 
     def merge_from(self, other: "VectorTable") -> "VectorTable":
         """IDMap merge keeps the other table's external ids verbatim
-        (no offset re-base — ids are keys, not positions)."""
+        (no offset re-base — ids are keys, not positions). Refuses a
+        plain VectorTable: its dense positional ids are not keys."""
+        if type(other) is not type(self):
+            raise ValueError(
+                f"merge_from requires the same index type "
+                f"({type(self).__name__} != {type(other).__name__})"
+            )
         if (other.d, other.metric, other.storage, other.compact) != (
             self.d, self.metric, self.storage, self.compact
         ):

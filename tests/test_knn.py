@@ -332,3 +332,19 @@ def test_compute_default_is_f32(spark):
     np.testing.assert_array_equal(auto, f32)
     assert not np.array_equal(auto, f64)
     np.testing.assert_allclose(auto, f64, rtol=1e-4)
+
+
+def test_finalize_broadcast_gate(spark, monkeypatch):
+    """Below the nq·k gate the merge join broadcasts the packed side;
+    above it the hint is withheld (planner's choice — never a hard
+    broadcast failure) with identical results."""
+    from faiss_metal_spark.operators import knn as knn_mod
+
+    V, Q = make_fixture(300, 6, 16)
+    vdf, qdf = vectors_df(spark, V), queries_df(spark, Q)
+    small = knn_search(vdf, qdf, 5).orderBy("qid", "rank").toPandas()
+    monkeypatch.setattr(knn_mod, "_BROADCAST_MERGE_ELEMS", 10)  # 6*5 > 10
+    big = knn_search(vdf, qdf, 5).orderBy("qid", "rank").toPandas()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(small, big)

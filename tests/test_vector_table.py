@@ -635,3 +635,28 @@ def test_search_and_reconstruct(spark):
         np.testing.assert_array_equal(
             np.asarray(r.vec, np.float32), fp16_roundtrip_np(V)[r.label]
         )
+
+
+def test_idmap_guards(spark):
+    """Cross-type merge refuses (dense positions vs external keys);
+    id -1 refuses (reserved sentinel label)."""
+    import pytest as _pytest
+
+    from faiss_metal_spark import IDMapVectorTable, VectorTable
+
+    V, _ = make_fixture(10, 1, 8)
+    plain = VectorTable(spark, d=8).add_numpy(V)
+    idmap = IDMapVectorTable(spark, d=8)
+    idmap.add_with_ids(V, np.arange(10, dtype=np.int64))
+    with _pytest.raises(ValueError, match="same index type"):
+        idmap.merge_from(plain)
+    with _pytest.raises(ValueError, match="same index type"):
+        plain.merge_from(idmap)
+    with _pytest.raises(ValueError, match="reserved"):
+        idmap.add_with_ids(V[:2], np.array([-1, 5]))
+    # negative ids other than -1 are legal keys and reconstruct real vecs
+    neg = IDMapVectorTable(spark, d=8)
+    neg.add_with_ids(V, -(np.arange(10, dtype=np.int64) + 2))
+    res = neg.search_and_reconstruct(queries_df(spark, V[:1]), k=2).toPandas()
+    assert (res["label"] < -1).all()
+    assert res["vec"].notna().all()
