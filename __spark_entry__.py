@@ -1981,6 +1981,7 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = knn_join_blocked(
         emb, queries, k=10, metric="l2", num_qblocks=4, num_vblocks=4,
         id_col="vec_id", vec_col="embedding", qid_col="vec_id", qvec_col="embedding",
+        compute="f64",  # oracle hash-exactness (library default: f32)
     )
     return res.select("qid", "rank", "label", _norm(F.col("distance"), 4).alias("distance"))
 

@@ -23,7 +23,7 @@ def test_knn_join_blocked_exact(spark):
     res = (
         knn_join_blocked(
             vectors_df(spark, V), queries_df(spark, Q), k=5,
-            metric="l2", num_qblocks=3, num_vblocks=4,
+            metric="l2", num_qblocks=3, num_vblocks=4, compute="f64",
         )
         .orderBy("qid", "rank")
         .toPandas()
@@ -39,7 +39,7 @@ def test_knn_join_blocked_ip(spark):
     V, Q = make_fixture(nv=150, nq=11, d=8)
     res = (
         knn_join_blocked(
-            vectors_df(spark, V), queries_df(spark, Q), k=3, metric="ip",
+            vectors_df(spark, V), queries_df(spark, Q), k=3, metric="ip", compute="f64",
         )
         .orderBy("qid", "rank")
         .toPandas()
@@ -261,3 +261,20 @@ def test_multiprobe_lsh_recall_dominates_single_probe(spark):
     mp_set = {(r["qid"], r["label"]) for r in mp_all.collect()}
     sp_all = ann_lsh_search(vdf, qdf, 400, planes)
     assert {(r["qid"], r["label"]) for r in sp_all.collect()} <= mp_set
+
+
+def test_knn_join_blocked_f32_default(spark):
+    """The default (auto→f32) ships array<float> through the grid
+    shuffle and keeps labels identical to the f64 run at fp32 distance
+    tolerance — the same default-width policy as knn_search."""
+    from faiss_metal_spark.operators.similarity import knn_join_blocked
+
+    V, Q = make_fixture(nv=200, nq=9, d=16)
+    vdf, qdf = vectors_df(spark, V), queries_df(spark, Q)
+    f32 = knn_join_blocked(vdf, qdf, k=4).orderBy("qid", "rank").toPandas()
+    f64 = knn_join_blocked(vdf, qdf, k=4, compute="f64").orderBy("qid", "rank").toPandas()
+    np.testing.assert_array_equal(f32["label"].to_numpy(), f64["label"].to_numpy())
+    np.testing.assert_allclose(f32["distance"].to_numpy(), f64["distance"].to_numpy(), rtol=1e-4)
+    # the replicated vectors really ride the shuffle as array<float>
+    plan = knn_join_blocked(vdf, qdf, k=4)._jdf.queryExecution().analyzed().toString()
+    assert "array<float>" in plan and "array<double>" not in plan
