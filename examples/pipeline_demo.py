@@ -134,6 +134,23 @@ def main() -> None:
     pairs, _ = incremental_lsh_dedup(delta, band_index, bands=4)
     print(f"[day2]     delta near-dedup vs persisted band index: {pairs.count()} pairs")
     ivf.release()
+
+    # 8. external keys + standalone codec (the faiss IndexIDMap /
+    #    sa_encode workflow, Spark-first: ids live IN the id column)
+    from faiss_metal_spark import IDMapVectorTable
+
+    idmap = IDMapVectorTable(spark, d=64)
+    idmap.add_with_ids_df(
+        emb.select((10_000 + F.col("vec_id") * 7).alias("id"),
+                   F.col("embedding").alias("vec"))
+    )
+    snr = idmap.search_and_reconstruct(qdf, k=1).orderBy("qid").toPandas()
+    codes = vt.sa_encode(Q[:2])
+    print(
+        f"[idmap]    top-1 external ids: {snr['label'].tolist()[:4]} "
+        f"(vectors attached: {snr['vec'].notna().all()}); "
+        f"sa_encode {len(codes)} codes x {vt.sa_code_size} bytes"
+    )
     print("OK")
 
 
