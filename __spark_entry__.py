@@ -2100,7 +2100,11 @@ def q_mllib_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
     )
-    _, assigned = mllib_kmeans_ivf(emb, n_cells=8)
+    # max_iter=4: like NN-Descent's iters=2 below, the rows-only key
+    # exercises the distributed trainer's shape, not its convergence —
+    # the nearest-centroid assignment property (test_mllib_ann) holds
+    # at any iteration count; full-iters quality is the tests' job
+    _, assigned = mllib_kmeans_ivf(emb, n_cells=8, max_iter=4)
     cells = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).select(
         F.lit("cell").alias("kind"),
         F.col("cell").cast("long").alias("a"),
