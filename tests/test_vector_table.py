@@ -660,3 +660,56 @@ def test_idmap_guards(spark):
     res = neg.search_and_reconstruct(queries_df(spark, V[:1]), k=2).toPandas()
     assert (res["label"] < -1).all()
     assert res["vec"].notna().all()
+
+
+def test_idmap_from_parquet_and_compact(spark, tmp_path):
+    """IDMapVectorTable composes with the other table features: the
+    parquet source connector with an explicit id column keeps external
+    ids; compact fp16 storage searches/round-trips; chunked_queries
+    splits a batch identically to the single shot."""
+    import pandas as pd
+
+    from faiss_metal_spark import IDMapVectorTable, read_index, write_index
+    from faiss_metal_spark.operators.chunked import chunked_queries
+
+    V, Q = make_fixture(60, 6, 16)
+    ext = np.arange(60, dtype=np.int64) * 3 + 7
+    src = str(tmp_path / "src.parquet")
+    spark.createDataFrame(
+        pd.DataFrame({"ext_id": ext, "vec": [v.tolist() for v in V]})
+    ).write.parquet(src)
+
+    # parquet source with explicit ids (classmethod inherited from the
+    # flat table — the id_col path never calls the refused add_df)
+    idx = IDMapVectorTable.from_parquet(
+        spark, src, d=16, id_col="ext_id", vec_col="vec"
+    )
+    assert idx.ntotal == 60
+    D, L = idx.search_numpy(Q, k=4)
+    oD, oL = numpy_oracle(V, Q, 4, "l2")
+    np.testing.assert_array_equal(L, ext[oL])
+
+    # compact fp16 IDMap: quantized search + persistence round-trip
+    c = IDMapVectorTable(spark, d=16, storage="fp16", compact=True)
+    c.add_with_ids(V, ext)
+    Dc, Lc = c.search_numpy(Q, k=4)
+    _, oLc = numpy_oracle(fp16_roundtrip_np(V), Q, 4, "l2")
+    np.testing.assert_array_equal(Lc[:, 0], ext[oLc][:, 0])
+    p = str(tmp_path / "cidx")
+    write_index(c, p)
+    r = read_index(spark, p)
+    assert type(r).__name__ == "IDMapVectorTable" and r.compact
+    np.testing.assert_array_equal(r.search_numpy(Q, 4)[1], Lc)
+
+    # chunked queries equal the single shot on external ids
+    qdf = queries_df(spark, Q)
+    single = idx.search(qdf, 4).toPandas().sort_values(["qid", "rank"])
+    chunked = (
+        chunked_queries(qdf, 2, lambda part: idx.search(part, 4))
+        .toPandas()
+        .sort_values(["qid", "rank"])
+    )
+    assert (
+        single[["qid", "rank", "label"]].values
+        == chunked[["qid", "rank", "label"]].values
+    ).all()
