@@ -343,6 +343,14 @@ def emit(queries, grid_stats, storage_gain, sf) -> str:
                 "warmup": 3,
                 "iters": 10,
                 "probe": "knn_xlarge_768d uses warmup 2 / iters 5",
+                "latency_note": (
+                    "knn_latency_128d runs the grid's standard "
+                    "warmup 3 / iters 10 rather than the reference "
+                    "harness's 10/100 for that config — at ~0.4 s per "
+                    "single-query call the full 110 runs would add "
+                    "~45 s to every per-round bench; the median-of-10 "
+                    "is the same steady-state estimator"
+                ),
                 "definition": (
                     "ms_per_search = avg wall ms per complete search "
                     "call (plan build + scan + GEMM + merge); qps = "
