@@ -186,6 +186,51 @@ def bench_grid(spark) -> tuple[dict[str, float], dict[str, dict]]:
         for fmt in ("fp16c", "bf16c"):
             if fmt in tables:
                 tables[fmt][0].unpersist()
+        # Single-node RESIDENT baseline (the reference's unified-memory
+        # GPU engine analog): numpy f32 brute force over the same data,
+        # same warmup/iters discipline, array already in RAM — no scan,
+        # no Arrow hop, no merge. spark_over_numpy is the honest "how
+        # far is a distributed scan-per-query engine from a resident
+        # single-node one at this SF" ratio the BASELINE gate asks
+        # about; the collect is outside the timed region.
+        if label not in probe_only:
+            Vn = np.stack(
+                vecs.orderBy("id").toPandas()["vec"].to_numpy()
+            ).astype(np.float32)
+            Qn = Q.astype(np.float32)
+            qn = (Qn * Qn).sum(1)
+
+            def np_search():
+                vn = (Vn * Vn).sum(1)
+                D = qn[:, None] + vn[None, :] - np.float32(2.0) * (Qn @ Vn.T)
+                kk = min(k, D.shape[1])
+                idx = (
+                    np.argpartition(D, kk - 1, axis=1)[:, :kk]
+                    if kk < D.shape[1]
+                    else np.argsort(D, axis=1)
+                )
+                part = np.take_along_axis(D, idx, axis=1)
+                order = np.argsort(part, axis=1)
+                return np.take_along_axis(idx, order, axis=1)
+
+            for _ in range(warmup):
+                np_search()
+            np_times = []
+            for _ in range(iters):
+                t0 = time.perf_counter()
+                np_search()
+                np_times.append(time.perf_counter() - t0)
+            np_med = float(np.median(np_times))
+            stats["numpy_f32_resident"] = {
+                "ms_per_search": round(sum(np_times) * 1000 / iters, 2),
+                "ms_median": round(np_med * 1000, 2),
+                "qps": round(nq * iters / sum(np_times), 1),
+                "iters": iters,
+            }
+            stats["spark_over_numpy"] = round(
+                float(np.median(times["fp32"])) / max(np_med, 1e-9), 1
+            )
+            del Vn
         grid_stats[label] = stats
         vecs.unpersist()
     return headline, grid_stats
@@ -343,6 +388,21 @@ def emit(queries, grid_stats, storage_gain, sf) -> str:
                 "warmup": 3,
                 "iters": 10,
                 "probe": "knn_xlarge_768d uses warmup 2 / iters 5",
+                "numpy_baseline_note": (
+                    "numpy_f32_resident is a single-node RESIDENT "
+                    "brute force (array in RAM, no scan/serialization "
+                    "/merge) — the closest runnable analog of the "
+                    "reference's unified-memory GPU engine. "
+                    "spark_over_numpy at sub-second configs is "
+                    "dominated by the engine's fixed per-job cost "
+                    "(~0.4-0.5 s on local[32]: scheduling + Python "
+                    "worker round-trip), which is constant in data "
+                    "size — the compute-bound configs (medium_768d) "
+                    "are the meaningful comparison, and the ratio "
+                    "amortizes toward 1 as nv grows past what a "
+                    "resident single node can hold (the regime this "
+                    "engine exists for)."
+                ),
                 "latency_note": (
                     "knn_latency_128d runs the grid's standard "
                     "warmup 3 / iters 10 rather than the reference "
