@@ -300,15 +300,19 @@ def _gemm_candidates(
     # Cast ONCE on the driver: the f32 default halves the broadcast
     # bytes and saves every task a fresh astype copy of the query
     # matrix. Norms are computed in f64 first, THEN cast — identical
-    # values to a per-task cast of the f64 broadcast.
-    bc = spark.sparkContext.broadcast((qids, Q.astype(dtype, copy=False)))
+    # values to a per-task cast of the f64 broadcast. ONE broadcast
+    # for the whole query state (ids + matrix + norms): each
+    # sparkContext.broadcast is a driver round-trip on every search
+    # call, and a second one buys nothing.
     want_min = _better_is_min(metric)
     qnorm = (
         (Q * Q).sum(axis=1).astype(dtype, copy=False)
         if metric in ("l2", "cosine")
         else None
     )
-    bc_qnorm = spark.sparkContext.broadcast(qnorm)
+    bc = spark.sparkContext.broadcast(
+        (qids, Q.astype(dtype, copy=False), qnorm)
+    )
 
     def partial_topk(batches):
         # Running per-partition top-k: the reference's fused streaming
@@ -317,8 +321,7 @@ def _gemm_candidates(
         # buffer view (_arrow_matrix), not a pandas object column.
         import pyarrow as pa
 
-        qids_, Q_ = bc.value
-        qn = bc_qnorm.value
+        qids_, Q_, qn = bc.value
         # cosine's query norms are a query-batch constant: hoisted out
         # of the per-Arrow-batch loop (computed once per task)
         qrt = np.sqrt(qn) if (qn is not None and metric == "cosine") else None
