@@ -2105,11 +2105,22 @@ def q_mllib_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the nearest-centroid assignment property (test_mllib_ann) holds
     # at any iteration count; full-iters quality is the tests' job
     _, assigned = mllib_kmeans_ivf(emb, n_cells=8, max_iter=4)
-    cells = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).select(
-        F.lit("cell").alias("kind"),
-        F.col("cell").cast("long").alias("a"),
-        F.col("n").cast("long").alias("b"),
-        F.lit(None).cast("double").alias("x"),
+    # scaffold all 8 cells so the row COUNT is iteration/SF-invariant
+    # (k-means can leave a cell empty; an empty cell is a 0-count row,
+    # not a missing row — the rows-only check compares counts)
+    cells = (
+        spark.range(8).select(F.col("id").cast("int").alias("cell"))
+        .join(
+            assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n")),
+            "cell",
+            "left",
+        )
+        .select(
+            F.lit("cell").alias("kind"),
+            F.col("cell").cast("long").alias("a"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("b"),
+            F.lit(None).cast("double").alias("x"),
+        )
     )
     pairs = mllib_lsh_pairs(
         emb, threshold=1.2, bucket_length=2.0, num_tables=3

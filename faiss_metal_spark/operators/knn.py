@@ -166,6 +166,8 @@ def knn_search(
         # float64 oracle pin ``compute="f64"`` explicitly.
         if compute == "auto":
             compute = "f32"
+        if compute not in ("f32", "f64"):
+            raise ValueError(f"unknown compute {compute!r} (auto/f32/f64)")
         dtype = np.float64 if compute == "f64" else np.float32
         qids, Q = _collect_queries(q)
         candidates = _gemm_candidates(
@@ -556,6 +558,8 @@ def knn_search_multi(
 
     if compute == "auto":
         compute = "f32"  # reference accumulator width — see knn_search
+    if compute not in ("f32", "f64"):
+        raise ValueError(f"unknown compute {compute!r} (auto/f32/f64)")
     dtype = np.float64 if compute == "f64" else np.float32
     # driver-side cast: halves broadcast bytes under the f32 default
     bc = spark.sparkContext.broadcast(
@@ -736,6 +740,8 @@ def range_search(
 
     if compute == "auto":
         compute = "f32"  # reference accumulator width — see knn_search
+    if compute not in ("f32", "f64"):
+        raise ValueError(f"unknown compute {compute!r} (auto/f32/f64)")
     dtype = np.float64 if compute == "f64" else np.float32
     qids, Q = _collect_queries(q)
     spark = v.sparkSession

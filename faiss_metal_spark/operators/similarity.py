@@ -264,6 +264,8 @@ def knn_join_blocked(
         raise ValueError(f"unknown metric {metric!r}")
     if compute == "auto":
         compute = "f32"
+    if compute not in ("f32", "f64"):
+        raise ValueError(f"unknown compute {compute!r} (auto/f32/f64)")
     wire = "array<float>" if compute == "f32" else "array<double>"
     dt = np.float32 if compute == "f32" else np.float64
     spark = vectors.sparkSession

@@ -653,6 +653,23 @@ class IDMapVectorTable(VectorTable):
             "add does not make sense with IndexIDMap, use add_with_ids"
         )
 
+    @classmethod
+    def from_parquet(cls, spark, path, d, metric="l2", storage=STORAGE_FP32,
+                     id_col=None, vec_col="vec", compact=False):
+        """Parquet source for an IDMap table — ``id_col`` is REQUIRED
+        (external ids are the point of the wrapper; without them the
+        inherited path would fall into the refused ``add_df`` with a
+        misleading error long after the read)."""
+        if id_col is None:
+            raise ValueError(
+                "IDMapVectorTable.from_parquet requires id_col (the "
+                "external-id column); use VectorTable for insertion-order ids"
+            )
+        return super().from_parquet(
+            spark, path, d, metric=metric, storage=storage,
+            id_col=id_col, vec_col=vec_col, compact=compact,
+        )
+
     def add_with_ids(self, x, ids) -> "IDMapVectorTable":
         """Ingest a host array with caller ids (faiss add_with_ids)."""
         x = np.asarray(x, dtype=np.float32)
