@@ -277,11 +277,15 @@ def ngram_jaccard_pairs(
             .select("sh")
         )
         sh = sh.join(F.broadcast(ban), "sh", "left_anti")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
 
     # With explicit candidates, only docs that appear in some candidate
     # pair enter the self-join — the shared-shingle blowup is bounded by
-    # the (small) dup-suspect set, not the corpus.
+    # the (small) dup-suspect set, not the corpus. Set sizes are ALSO
+    # computed over the restricted rows: the semi-join filters by doc
+    # id, not by shingle, so a candidate doc's filtered shingle set is
+    # intact — and the full-corpus shingle groupBy (a second complete
+    # explode+shuffle whose non-candidate rows the final inner joins
+    # would discard anyway) never runs.
     sh_join = sh
     if pair_candidates is not None:
         cand_ids = (
@@ -290,6 +294,7 @@ def ngram_jaccard_pairs(
             .distinct()
         )
         sh_join = sh.join(cand_ids, id_col, "left_semi")
+    sizes = sh_join.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
 
     a, b = sh_join.alias("a"), sh_join.alias("b")
     inter = (
