@@ -7,6 +7,18 @@ and order-insensitive exact value match (rows sorted, floats compared
 bit-wise after the queries' own rounding). Usage:
 
     python tools/check_oracle.py [sf_dir] [query ...]
+
+Known artifact at sf > 0.01: a handful of rows (~0.1%) in the
+quality-scored keys differ in the 4th decimal because the engines
+ROUND the same double differently at representation boundaries:
+for x = 0.53874999999999995 (the double just below .53875) Spark's
+round goes through the double's SHORTEST DECIMAL STRING ("0.53875",
+then HALF_UP → .5388) while DuckDB rounds the true binary value
+(→ .5387). Verified at sf0.1: every mismatching row's unrounded
+doubles are bit-identical across engines (5 docs / 5000 in
+doc_profile). The driver's gate runs at sf0.01 where no value lands
+on a boundary — and the artifact is two correct round functions
+disagreeing about ties, not an engine error.
 """
 
 from __future__ import annotations
