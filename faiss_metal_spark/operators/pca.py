@@ -1,0 +1,152 @@
+"""PCA dimensionality reduction — faiss ``PCAMatrix`` / ``VectorTransform``.
+
+FAISS-family superset surface: faiss ships ``PCAMatrix(d_in, d_out)``
+(train on a sample, then ``apply`` projects every vector) and
+``NormalizationTransform`` as pre-transforms chained before an index
+(``IndexPreTransform``). The reference's flat index has no transform
+stage at all (/root/reference/include/faiss-metal/MetalIndexFlat.h:47);
+this module supplies the equivalents Spark-first, because a training-
+data pipeline compresses its embedding columns constantly (3072-d →
+256-d before ANN indexing is the standard shape).
+
+Training is the repo's standard trainer discipline (``train_sample``
+hash-thresholded rows to the driver, one d×d eigendecomposition there —
+trivial for embedding dims); the corpus only ever sees the learned
+components ONCE, as an Arrow-batched GEMM projection (the same
+boundary the kNN gemm path and OPQ's rotate use). Both are pure
+projections: one scan, zero shuffles.
+
+Like faiss PCAMatrix:
+- components come from the eigendecomposition of the sample covariance
+  (descending eigenvalue order, mean-centered);
+- ``apply`` maps x → W(x − μ); ``reverse`` (≙ faiss reverse_transform)
+  maps back via Wᵀy + μ — exact iff d_out = d_in, least-squares
+  reconstruction otherwise;
+- optional ``whiten`` divides each component by √eigenvalue
+  (faiss's eigen_power = −0.5).
+
+Pinned by tests/test_pca.py: orthonormal components, projection ≡
+numpy PCA on the sample, reconstruction MSE ≤ dropped-eigenvalue
+energy, distributed apply ≡ host apply, and the normalize transform's
+unit norms.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..functions.vector import sqnorm
+
+
+def pca_train(
+    vectors: DataFrame,
+    d_out: int,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    sample_size: int = 16384,
+    whiten: bool = False,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Train a PCA projection on a sample — faiss ``PCAMatrix::train``.
+
+    Returns ``(mean (d,), components (d_out, d), eigvals (d,))``;
+    components are orthonormal rows in descending-eigenvalue order
+    (scaled by λ^-1/2 when ``whiten`` — then rows are orthogonal, not
+    unit). Deterministic for fixed input: ``eigh`` of the exact sample
+    covariance with a sign convention (largest-|coef| coordinate of
+    each component is made positive, the sklearn/LAPACK-stable choice).
+    """
+    from .similarity import train_sample
+
+    pdf = train_sample(
+        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+        sample_size,
+        extra_cols=("vec",),
+    )
+    X = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+    n, d = X.shape
+    if not (1 <= d_out <= d):
+        raise ValueError(f"d_out must be in [1, {d}], got {d_out}")
+    if n < 2:
+        raise ValueError(f"need ≥ 2 training vectors, got {n}")
+    mu = X.mean(axis=0)
+    Xc = X - mu
+    cov = (Xc.T @ Xc) / (n - 1)
+    eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(eigvals)[::-1]
+    eigvals = np.maximum(eigvals[order], 0.0)
+    W = eigvecs[:, order].T[:d_out]  # (d_out, d) orthonormal rows
+    # deterministic sign: flip each component so its largest-|coef|
+    # coordinate is positive (eigh's signs are arbitrary)
+    flips = np.sign(W[np.arange(d_out), np.abs(W).argmax(axis=1)])
+    flips[flips == 0] = 1.0
+    W = W * flips[:, None]
+    if whiten:
+        W = W / np.sqrt(np.maximum(eigvals[:d_out], 1e-12))[:, None]
+    return mu, W, eigvals
+
+
+def pca_apply_np(X: np.ndarray, mean: np.ndarray, components: np.ndarray) -> np.ndarray:
+    """(n, d) → (n, d_out) host-side apply — faiss PCAMatrix::apply."""
+    return (np.asarray(X, np.float64) - mean) @ components.T
+
+
+def pca_reverse_np(Y: np.ndarray, mean: np.ndarray, components: np.ndarray) -> np.ndarray:
+    """(n, d_out) → (n, d) least-squares reconstruction — faiss
+    ``reverse_transform`` (exact iff d_out = d and no whitening)."""
+    return np.asarray(Y, np.float64) @ components + mean
+
+
+def pca_project_col(vec: Column | str, mean: np.ndarray, components: np.ndarray) -> Column:
+    """array<float/double> → projected array<float>: one numpy GEMM per
+    Arrow batch (μ and W ride the closure — broadcast by construction).
+    Output is float: the projection feeds storage/ANN tiers, which all
+    ingest fp32 (faiss applies transforms in float too)."""
+    mu = np.asarray(mean, np.float64)
+    Wt = np.ascontiguousarray(np.asarray(components, np.float64).T)
+
+    @pandas_udf(T.ArrayType(T.FloatType()))
+    def proj(s: pd.Series) -> pd.Series:
+        if len(s) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack(s.to_numpy()).astype(np.float64)
+        return pd.Series(list(((X - mu) @ Wt).astype(np.float32)))
+
+    return proj(F.col(vec) if isinstance(vec, str) else vec)
+
+
+def pca_apply(
+    df: DataFrame, mean: np.ndarray, components: np.ndarray,
+    id_col: str = "id", vec_col: str = "vec",
+) -> DataFrame:
+    """Distributed apply: (id, vec d) → (id, vec d_out). Pure
+    projection — one scan, zero shuffles; partitioning preserved."""
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        pca_project_col(vec_col, mean, components).alias("vec"),
+    )
+
+
+def normalize_col(vec: Column | str, eps: float = 0.0) -> Column:
+    """L2-normalize — faiss ``NormalizationTransform`` (norm=2), as a
+    pure Catalyst HOF (no Python): x → x/‖x‖₂, zero vectors pass
+    through unchanged (faiss divides only when norm > 0)."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    nrm = F.sqrt(sqnorm(v) + F.lit(float(eps)))
+    return F.when(
+        nrm > 0, F.transform(v, lambda x: (x.cast("double") / nrm).cast("float"))
+    ).otherwise(v.cast("array<float>"))
+
+
+def normalize_vectors(
+    df: DataFrame, id_col: str = "id", vec_col: str = "vec"
+) -> DataFrame:
+    """Distributed NormalizationTransform: (id, vec) → unit-norm vec."""
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        normalize_col(vec_col).alias("vec"),
+    )

@@ -1,0 +1,122 @@
+"""PCA / normalization transforms — faiss PCAMatrix + NormalizationTransform
+parity pins (the VectorTransform family; see operators/pca.py docstring).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import make_fixture, vectors_df
+from faiss_metal_spark.operators.pca import (
+    normalize_vectors,
+    pca_apply,
+    pca_apply_np,
+    pca_reverse_np,
+    pca_train,
+)
+
+
+def _correlated(n, d, seed=5):
+    """Low-rank-plus-noise data where PCA genuinely concentrates energy."""
+    rng = np.random.default_rng(seed)
+    basis = rng.normal(size=(4, d))
+    X = rng.normal(size=(n, 4)) @ basis + 0.05 * rng.normal(size=(n, d))
+    return X.astype(np.float32)
+
+
+def test_pca_matches_numpy_and_is_orthonormal(spark):
+    X = _correlated(400, 16)
+    vdf = vectors_df(spark, X)
+    mu, W, eigvals = pca_train(vdf, d_out=4, sample_size=400)
+    # orthonormal rows
+    np.testing.assert_allclose(W @ W.T, np.eye(4), atol=1e-9)
+    # eigvals descending, non-negative
+    assert (np.diff(eigvals) <= 1e-9).all() and (eigvals >= 0).all()
+    # projection matches a from-scratch numpy PCA up to the shared sign
+    # convention (components are identical because the trainer saw the
+    # full 400-row table as its sample)
+    Xc = X.astype(np.float64) - X.astype(np.float64).mean(0)
+    _, _, Vt = np.linalg.svd(Xc, full_matrices=False)
+    Vt = Vt[:4]
+    flips = np.sign(Vt[np.arange(4), np.abs(Vt).argmax(1)])
+    np.testing.assert_allclose(W, Vt * flips[:, None], atol=1e-6)
+
+
+def test_pca_distributed_apply_equals_host(spark):
+    X = _correlated(300, 12)
+    vdf = vectors_df(spark, X)
+    mu, W, _ = pca_train(vdf, d_out=5, sample_size=300)
+    got = pca_apply(vdf, mu, W).orderBy("id").toPandas()
+    Y = np.stack(got["vec"].to_numpy())
+    want = pca_apply_np(X, mu, W).astype(np.float32)
+    np.testing.assert_allclose(Y, want, atol=1e-5)
+    assert Y.shape == (300, 5)
+    # pure projection: no shuffle in the plan
+    plan = pca_apply(vdf, mu, W)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_pca_reconstruction_error_bounded_by_dropped_energy(spark):
+    """MSE of reverse(apply(x)) ≤ mean dropped-eigenvalue energy (the
+    PCA optimality property), and d_out = d reconstructs exactly."""
+    X = _correlated(500, 16)
+    vdf = vectors_df(spark, X)
+    mu, W, eigvals = pca_train(vdf, d_out=6, sample_size=500)
+    rec = pca_reverse_np(pca_apply_np(X, mu, W), mu, W)
+    mse = ((rec - X.astype(np.float64)) ** 2).sum(1).mean()
+    dropped = eigvals[6:].sum()
+    assert mse <= dropped * 1.05 + 1e-9
+    mu2, W2, _ = pca_train(vdf, d_out=16, sample_size=500)
+    rec2 = pca_reverse_np(pca_apply_np(X, mu2, W2), mu2, W2)
+    np.testing.assert_allclose(rec2, X.astype(np.float64), atol=1e-6)
+
+
+def test_pca_whiten_unit_variance(spark):
+    X = _correlated(600, 10)
+    vdf = vectors_df(spark, X)
+    mu, W, _ = pca_train(vdf, d_out=3, sample_size=600, whiten=True)
+    Y = pca_apply_np(X, mu, W)
+    np.testing.assert_allclose(Y.var(axis=0, ddof=1), 1.0, rtol=0.05)
+
+
+def test_pca_validates_dout(spark):
+    X = _correlated(50, 8)
+    with pytest.raises(ValueError):
+        pca_train(vectors_df(spark, X), d_out=9, sample_size=50)
+    with pytest.raises(ValueError):
+        pca_train(vectors_df(spark, X), d_out=0, sample_size=50)
+
+
+def test_normalize_transform(spark):
+    """Unit norms; zero vectors pass through; all-Catalyst (no Python
+    stage in the plan)."""
+    V, _ = make_fixture(40, 1, 8)
+    V[7] = 0.0
+    vdf = vectors_df(spark, V)
+    out = normalize_vectors(vdf).orderBy("id").toPandas()
+    U = np.stack(out["vec"].to_numpy())
+    norms = np.linalg.norm(U, axis=1)
+    mask = np.arange(40) != 7
+    np.testing.assert_allclose(norms[mask], 1.0, rtol=1e-5)
+    assert norms[7] == 0.0
+    # direction preserved
+    cos = (U[mask] * V[mask]).sum(1) / (
+        np.linalg.norm(V[mask], axis=1) * norms[mask]
+    )
+    np.testing.assert_allclose(cos, 1.0, rtol=1e-5)
+    plan = normalize_vectors(vdf)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_pca_feeds_knn_pipeline(spark):
+    """The standard compress-then-index shape: PCA to d_out, search in
+    reduced space — top-1 self-hit survives the projection."""
+    from faiss_metal_spark.operators.knn import knn_search
+
+    X = _correlated(200, 24, seed=11)
+    vdf = vectors_df(spark, X)
+    mu, W, _ = pca_train(vdf, d_out=8, sample_size=200)
+    red = pca_apply(vdf, mu, W)
+    queries = red.limit(5).select(F.col("id").alias("qid"), "vec")
+    res = knn_search(red, queries, k=1).toPandas()
+    assert (res["qid"].to_numpy() == res["label"].to_numpy()).all()
