@@ -131,6 +131,77 @@ def pca_apply(
     )
 
 
+class PreTransformIndex:
+    """≙ ``faiss::IndexPreTransform`` — bind a trained PCA to an inner
+    index so QUERIES go through the identical transform the stored
+    vectors did (the footgun this class exists to remove: searching raw
+    queries against a projected table returns garbage silently).
+
+    ``inner`` is anything with the engine's search surface (VectorTable,
+    IDMapVectorTable, any derived tier exposing ``search``); build one
+    with :func:`pretransform_table` to project + index in one call.
+    """
+
+    def __init__(self, mean: np.ndarray, components: np.ndarray, inner):
+        self.mean = np.asarray(mean, np.float64)
+        self.components = np.asarray(components, np.float64)
+        self.inner = inner
+
+    @property
+    def d_in(self) -> int:
+        return self.components.shape[1]
+
+    @property
+    def ntotal(self) -> int:
+        return self.inner.ntotal
+
+    def search(self, queries: DataFrame, k: int, qid_col: str = "qid",
+               qvec_col: str = "vec", **kw) -> DataFrame:
+        projected = queries.select(
+            F.col(qid_col).alias("qid"),
+            pca_project_col(qvec_col, self.mean, self.components).alias("vec"),
+        )
+        return self.inner.search(projected, k, **kw)
+
+    def search_numpy(self, x: np.ndarray, k: int, **kw):
+        x = np.asarray(x, np.float32)
+        if x.ndim != 2 or x.shape[1] != self.d_in:
+            raise ValueError(f"expected (n, {self.d_in}) array, got {x.shape}")
+        y = pca_apply_np(x, self.mean, self.components).astype(np.float32)
+        return self.inner.search_numpy(y, k, **kw)
+
+
+def pretransform_table(
+    vectors: DataFrame,
+    d_out: int,
+    spark=None,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    metric: str = "l2",
+    sample_size: int = 16384,
+    whiten: bool = False,
+) -> PreTransformIndex:
+    """Train PCA on the table, project it, and wrap the projected flat
+    index — the ``IndexPreTransform(PCAMatrix, IndexFlat)`` one-liner.
+    The projection runs once over the corpus (zero shuffles); queries
+    are projected per batch inside :meth:`PreTransformIndex.search`."""
+    from ..vector_table import VectorTable
+
+    spark = spark or vectors.sparkSession
+    mean, W, _ = pca_train(
+        vectors, d_out, id_col=id_col, vec_col=vec_col, sample_size=sample_size,
+        whiten=whiten,
+    )
+    projected = pca_apply(vectors, mean, W, id_col=id_col, vec_col=vec_col)
+    inner = VectorTable(
+        spark, d=d_out, metric=metric,
+        df=projected.select(
+            "id", F.col("vec"), sqnorm(F.col("vec")).alias("norm_sq")
+        ),
+    )
+    return PreTransformIndex(mean, W, inner)
+
+
 def normalize_col(vec: Column | str, eps: float = 0.0) -> Column:
     """L2-normalize — faiss ``NormalizationTransform`` (norm=2), as a
     pure Catalyst HOF (no Python): x → x/‖x‖₂, zero vectors pass

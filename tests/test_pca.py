@@ -120,3 +120,36 @@ def test_pca_feeds_knn_pipeline(spark):
     queries = red.limit(5).select(F.col("id").alias("qid"), "vec")
     res = knn_search(red, queries, k=1).toPandas()
     assert (res["qid"].to_numpy() == res["label"].to_numpy()).all()
+
+
+def test_pretransform_index(spark):
+    """IndexPreTransform parity: queries are projected through the SAME
+    trained transform as the stored vectors; results equal a manual
+    project-both-sides search; host and DataFrame paths agree."""
+    from faiss_metal_spark.operators.knn import knn_search
+    from faiss_metal_spark.operators.pca import pca_apply, pretransform_table
+
+    X = _correlated(250, 20, seed=3)
+    vdf = vectors_df(spark, X)
+    idx = pretransform_table(vdf, d_out=6, sample_size=250)
+    assert idx.ntotal == 250 and idx.d_in == 20
+
+    D, L = idx.search_numpy(X[:4], k=3)
+    assert (L[:, 0] == np.arange(4)).all()  # self top-1 survives
+    np.testing.assert_allclose(D[:, 0], 0.0, atol=1e-4)
+
+    # equals a manual both-sides projection
+    red = pca_apply(vdf, idx.mean, idx.components)
+    q = red.where(F.col("id") < 4).select(F.col("id").alias("qid"), "vec")
+    want = (
+        knn_search(red, q, k=3).orderBy("qid", "rank").toPandas()
+    )
+    np.testing.assert_array_equal(L.ravel(), want["label"].to_numpy())
+
+    # DataFrame query path (raw d_in queries in, projected internally)
+    qraw = vdf.where(F.col("id") < 4).select(F.col("id").alias("qid"), "vec")
+    got = idx.search(qraw, k=3).orderBy("qid", "rank").toPandas()
+    np.testing.assert_array_equal(got["label"].to_numpy(), want["label"].to_numpy())
+
+    with pytest.raises(ValueError):
+        idx.search_numpy(np.zeros((2, 6), np.float32), k=1)  # wrong d_in
