@@ -2501,21 +2501,29 @@ def q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment, reconstruction and distances all hash-match. Training
     is an action by nature (params become plan literals); the collect
     is d rows, not the corpus."""
-    from faiss_metal_spark.operators.sq import sq8_encode, sq8_search, sq8_train
+    return _q_ann_sq(spark, sf_dir, bits=8)
+
+
+def _q_ann_sq(spark: SparkSession, sf_dir: str, bits: int) -> DataFrame:
+    """Shared b-bit SQ lane (operators/sq.py): one min/max training
+    pass (bit-width-independent), Catalyst encode at L = 2^bits − 1
+    levels, asymmetric search. bits=4 is the QT_4bit half-byte tier —
+    same SQL-oracle-exact arithmetic with 15.0 in place of 255.0."""
+    from faiss_metal_spark.operators.sq import sq_encode, sq_search, sq_train
 
     emb = _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
     )
-    vmin, vmax = sq8_train(emb)
-    codes = sq8_encode(emb, vmin, vmax)
+    vmin, vmax = sq_train(emb)
+    codes = sq_encode(emb, vmin, vmax, bits)
     queries = emb.where(F.col("id") < 8).select(F.col("id").alias("qid"), "vec")
-    res = sq8_search(codes, vmin, vmax, queries, k=10)
+    res = sq_search(codes, vmin, vmax, queries, k=10, bits=bits)
     return res.select(
         "qid", "rank", "label", _norm(F.col("distance"), 4).alias("distance")
     )
 
 
-def _oracle_ann_sq8() -> str:
+def _oracle_ann_sq8(levels: float = 255.0) -> str:
     d = _PQ_M * _PQ_DSUB
     return f"""
 WITH q AS (
@@ -2529,15 +2537,15 @@ mm AS (  -- train: per-dim min/max (RS_minmax)
 enc AS (  -- encode: clamp(floor((x-vmin)/(vmax-vmin)*255 + 0.5))
   SELECT v.vec_id AS id, mm.j,
          CASE WHEN mm.vmax = mm.vmin THEN 0
-              ELSE CAST(LEAST(255.0, GREATEST(0.0,
+              ELSE CAST(LEAST({levels}, GREATEST(0.0,
                    FLOOR((v.embedding[mm.j+1]::DOUBLE - mm.vmin)
-                         / (mm.vmax - mm.vmin) * 255.0 + 0.5))) AS INTEGER)
+                         / (mm.vmax - mm.vmin) * {levels} + 0.5))) AS INTEGER)
          END AS code
   FROM embeddings v CROSS JOIN mm
 ),
 rec AS (  -- reconstruct: vmin + code*(vmax-vmin)/255
   SELECT enc.id, enc.j,
-         mm.vmin + enc.code * ((mm.vmax - mm.vmin) / 255.0) AS r
+         mm.vmin + enc.code * ((mm.vmax - mm.vmin) / {levels}) AS r
   FROM enc JOIN mm ON mm.j = enc.j
 ),
 dd AS (  -- asymmetric distance: exact query vs reconstruction
@@ -2560,13 +2568,17 @@ FROM r WHERE rank < 10
 def q_ann_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compact-storage index family in one path-tagged result:
     'hamming' + 'refine' rows from the binary sign-bit index
-    (q_ann_binary) and 'sq8' rows from the scalar quantizer
-    (q_ann_sq8) — the two storage tiers below the FP16/BF16 compact
-    stores (1 bit/dim and 1 byte/dim respectively)."""
+    (q_ann_binary), 'sq8' rows from the scalar quantizer (q_ann_sq8)
+    and 'sq4' rows from its half-byte QT_4bit sibling — the storage
+    tiers below the FP16/BF16 compact stores (1 bit/dim, 1 byte/dim
+    and 4 bits/dim respectively)."""
     sq8 = q_ann_sq8(spark, sf_dir).select(
         F.lit("sq8").alias("path"), "qid", "rank", "label", "distance"
     )
-    return q_ann_binary(spark, sf_dir).unionByName(sq8)
+    sq4 = _q_ann_sq(spark, sf_dir, bits=4).select(
+        F.lit("sq4").alias("path"), "qid", "rank", "label", "distance"
+    )
+    return q_ann_binary(spark, sf_dir).unionByName(sq8).unionByName(sq4)
 
 
 def _oracle_ann_compact() -> str:
@@ -2574,7 +2586,9 @@ def _oracle_ann_compact() -> str:
         ORACLE_ANN_BINARY
         + " UNION ALL SELECT 'sq8' AS path, sq.* FROM ("
         + _oracle_ann_sq8()
-        + ") sq"
+        + ") sq UNION ALL SELECT 'sq4' AS path, s4.* FROM ("
+        + _oracle_ann_sq8(levels=15.0)
+        + ") s4"
     )
 
 

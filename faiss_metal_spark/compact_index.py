@@ -71,9 +71,11 @@ def _host_result(res: DataFrame, nq: int, k: int) -> tuple[np.ndarray, np.ndarra
 
 @dataclass
 class SQ8Index:
-    """Read-only SQ8 tier derived from a VectorTable: per-dim min/max
-    trained on the table's FP32 reconstruction, 1-byte/dim codes,
-    asymmetric search (exact query vs reconstructed codes)."""
+    """Read-only scalar-quantizer tier derived from a VectorTable:
+    per-dim min/max trained on the table's FP32 reconstruction, b-bit
+    codes (``bits`` = 8 / 6 / 4 ≙ faiss QT_8bit / QT_6bit / QT_4bit;
+    named for its 8-bit default), asymmetric search (exact query vs
+    reconstructed codes)."""
 
     spark: SparkSession
     d: int
@@ -81,25 +83,26 @@ class SQ8Index:
     vmax: np.ndarray
     codes: DataFrame
     _n: int = field(default=-1, repr=False)
+    bits: int = 8
 
     @classmethod
-    def from_table(cls, vt) -> "SQ8Index":
-        from .operators.sq import sq8_encode, sq8_train
+    def from_table(cls, vt, bits: int = 8) -> "SQ8Index":
+        from .operators.sq import sq_encode, sq_train
 
         base = _float_view(vt)
-        vmin, vmax = sq8_train(base)
-        codes = sq8_encode(base, vmin, vmax).persist()
+        vmin, vmax = sq_train(base)
+        codes = sq_encode(base, vmin, vmax, bits).persist()
         n = codes.count()
-        return cls(vt.spark, vt.d, vmin, vmax, codes, n)
+        return cls(vt.spark, vt.d, vmin, vmax, codes, n, bits)
 
     @property
     def ntotal(self) -> int:
         return self._n if self._n >= 0 else self.codes.count()
 
     def search(self, queries: DataFrame, k: int) -> DataFrame:
-        from .operators.sq import sq8_search
+        from .operators.sq import sq_search
 
-        return sq8_search(self.codes, self.vmin, self.vmax, queries, k)
+        return sq_search(self.codes, self.vmin, self.vmax, queries, k, self.bits)
 
     def search_numpy(self, x: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
         return _host_result(
@@ -107,11 +110,13 @@ class SQ8Index:
         )
 
     def reconstruct(self, key: int) -> np.ndarray:
-        from .operators.sq import sq8_reconstruct_col
+        from .operators.sq import sq_reconstruct_col
 
         row = (
             self.codes.where(F.col("id") == int(key))
-            .select(sq8_reconstruct_col("code", self.vmin, self.vmax).alias("r"))
+            .select(
+                sq_reconstruct_col("code", self.vmin, self.vmax, self.bits).alias("r")
+            )
             .collect()
         )
         if not row:
@@ -125,28 +130,34 @@ class SQ8Index:
 
     @property
     def sa_code_size(self) -> int:
-        return self.d  # 1 byte/dim
+        from .operators.sq import sq_code_size
+
+        return sq_code_size(self.d, self.bits)  # ceil(d·bits/8) bytes
 
     def sa_encode(self, x: np.ndarray) -> np.ndarray:
-        """(n, d) FP32 → n d-byte strings via the shared
-        :func:`~.operators.sq.sq8_encode_np` — one statement of the SQ8
-        arithmetic for stored codes and standalone codec alike."""
-        from .operators.sq import sq8_encode_np
+        """(n, d) FP32 → n packed byte strings via the shared
+        :func:`~.operators.sq.sq_encode_np` + :func:`sq_pack_np` — one
+        statement of the SQ arithmetic for stored codes and standalone
+        codec alike."""
+        from .operators.sq import sq_encode_np, sq_pack_np
 
         x = np.asarray(x, dtype=np.float64)
         if x.ndim != 2 or x.shape[1] != self.d:
             raise ValueError(f"expected (n, {self.d}) array, got {x.shape}")
-        codes = sq8_encode_np(x, self.vmin, self.vmax)
+        codes = sq_pack_np(sq_encode_np(x, self.vmin, self.vmax, self.bits), self.bits)
         return np.array([row.tobytes() for row in codes], dtype=object)
 
     def sa_decode(self, codes) -> np.ndarray:
-        """n d-byte strings → (n, d) FP32: r = vmin + code·Δ/255."""
-        from .operators.sq import sq8_decode_np
+        """n packed byte strings → (n, d) FP32: r = vmin + code·Δ/L."""
+        from .operators.sq import sq_decode_np, sq_unpack_np
 
         rows = [np.frombuffer(c, dtype=np.uint8) for c in codes]
         if not rows:
             return np.zeros((0, self.d), dtype=np.float32)
-        return sq8_decode_np(np.stack(rows), self.vmin, self.vmax).astype(np.float32)
+        unpacked = sq_unpack_np(np.stack(rows), self.d, self.bits)
+        return sq_decode_np(unpacked, self.vmin, self.vmax, self.bits).astype(
+            np.float32
+        )
 
 
 @dataclass
@@ -453,7 +464,10 @@ def index_factory(vt, spec: str, **train_kw):
     Supported specs (the reference's users' common vocabulary):
 
     - ``"Flat"``            → the table itself (brute-force search)
-    - ``"SQ8"``             → :class:`SQ8Index`
+    - ``"SQ8"`` / ``"SQ6"`` / ``"SQ4"`` → :class:`SQ8Index` (QT_8bit /
+      QT_6bit / QT_4bit bit widths)
+    - ``"SQfp16"`` / ``"SQbf16"`` → compact half-precision
+      :class:`VectorTable` (faiss QT_fp16: half codes, asymmetric search)
     - ``"BFlat"``           → :class:`BinaryIndex` (index_binary_factory)
     - ``"PQ16"``            → :class:`PQIndex` (m=16)
     - ``"IVF256"`` / ``"IVF256,Flat"`` → :class:`IVFIndex` (nlist=256)
@@ -471,6 +485,18 @@ def index_factory(vt, spec: str, **train_kw):
         return vt
     if s == "SQ8":
         return SQ8Index.from_table(vt, **train_kw)
+    if s in ("SQ6", "SQ4"):
+        return SQ8Index.from_table(vt, bits=int(s[2]), **train_kw)
+    if s in ("SQfp16", "SQbf16"):
+        # faiss QT_fp16 stores IEEE half codes and searches them
+        # asymmetrically — exactly the compact half-precision
+        # VectorTable (quantize.py codecs); derive one from the source.
+        from .vector_table import VectorTable
+
+        tier = VectorTable(
+            vt.spark, d=vt.d, metric=vt.metric, storage=s[2:], compact=True
+        )
+        return tier.add_df(_float_view(vt))
     if s == "BFlat":
         return BinaryIndex.from_table(vt, **train_kw)
     m = re.fullmatch(r"PQ(\d+)", s)

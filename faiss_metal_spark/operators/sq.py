@@ -1,22 +1,24 @@
-"""Scalar-quantized (SQ8) vector storage + asymmetric-distance search.
+"""Scalar-quantized (SQ8 / SQ6 / SQ4) vector storage + asymmetric search.
 
 FAISS-family superset surface (``faiss::IndexScalarQuantizer`` /
-``ScalarQuantizer::QT_8bit`` semantics re-expressed on Spark): the
-reference's flat index stores FP32/FP16/BF16 only
-(/root/reference/include/faiss-metal/MetalIndexFlat.h:47), so uint8
-codes extend its storage family to 1 byte/dim (4× smaller than FP32,
-2× smaller than the FP16/BF16 compact stores in ``quantize.py``).
+``ScalarQuantizer::QT_8bit`` / ``QT_6bit`` / ``QT_4bit`` semantics
+re-expressed on Spark): the reference's flat index stores FP32/FP16/
+BF16 only (/root/reference/include/faiss-metal/MetalIndexFlat.h:47),
+so b-bit codes extend its storage family down to 1 byte/dim (SQ8, 4×
+smaller than FP32), 0.75 bytes/dim (SQ6) and 0.5 bytes/dim (SQ4).
 
-Semantics (ours, documented where they diverge from FAISS):
+Semantics (ours, documented where they diverge from FAISS); writing
+``L = 2^bits − 1`` (255 / 63 / 15):
 
 - train: per-dimension ``vmin_i`` / ``vmax_i`` over the corpus (FAISS
   ``RangeStat::RS_minmax``). One distributed pass: posexplode →
   groupBy(dim) min/max — nv·d rows combine map-side into d groups, so
   the shuffle carries O(partitions · d) partial rows, not the corpus.
-- encode: ``code_i = clamp(floor((x_i − vmin_i)/(vmax_i − vmin_i)·255
-  + 0.5), 0, 255)``, double arithmetic; a constant dimension
+  Training is bit-width-independent: one pass serves every tier.
+- encode: ``code_i = clamp(floor((x_i − vmin_i)/(vmax_i − vmin_i)·L
+  + 0.5), 0, L)``, double arithmetic; a constant dimension
   (vmax = vmin) encodes 0.
-- reconstruct: ``r_i = vmin_i + code_i·(vmax_i − vmin_i)/255`` — exact
+- reconstruct: ``r_i = vmin_i + code_i·(vmax_i − vmin_i)/L`` — exact
   at both range endpoints (FAISS QT_8bit reconstructs bin midpoints,
   ``(code+0.5)/256``; endpoints-exact is the variant its docs call
   QT_8bit_direct-style and is easier to reason about for parity).
@@ -25,16 +27,16 @@ Semantics (ours, documented where they diverge from FAISS):
 
 Both the encode and the search are pure Catalyst expressions (double
 math, whole-stage codegen), so the whole path is ANSI-SQL-expressible
-and oracle-checked. Trained params travel as plan literals (arrays of
-d doubles) — broadcast by construction, no join against a params
-table. ``sq8_encode_binary`` / ``sq8_decode_binary`` additionally give
-the honest 1-byte/dim BINARY layout for storage (Arrow-vectorized,
-one numpy op per batch), pinned by a roundtrip test against the
-Catalyst codes.
+and oracle-checked at every bit width. Trained params travel as plan
+literals (arrays of d doubles) — broadcast by construction, no join
+against a params table. ``sq_encode_binary`` / ``sq_decode_binary``
+additionally give the honest bit-packed BINARY layout
+(ceil(d·bits/8) bytes/vector; Arrow-vectorized, a few numpy ops per
+batch), pinned by a roundtrip test against the Catalyst codes.
 
 Scale shape: identical to ``knn_search``'s declarative path —
-broadcast query batch, one scan of the code table (d bytes/row),
-per-partition partial top-k under the window; no vector shuffle.
+broadcast query batch, one scan of the code table, per-partition
+partial top-k under the window; no vector shuffle.
 """
 
 from __future__ import annotations
@@ -47,11 +49,18 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 
-def sq8_train(
+def _levels(bits: int) -> int:
+    if bits not in (4, 6, 8):
+        raise ValueError(f"unsupported SQ bit width {bits} (4/6/8)")
+    return (1 << bits) - 1
+
+
+def sq_train(
     df: DataFrame, vec_col: str = "vec"
 ) -> tuple[np.ndarray, np.ndarray]:
     """Per-dimension (vmin, vmax) over the corpus — one pass, map-side
-    combined. Returns float64 arrays of length d."""
+    combined. Returns float64 arrays of length d. Bit-width-independent
+    (FAISS trains RS_minmax once regardless of QT_*bit)."""
     mm = (
         df.select(F.posexplode(vec_col).alias("j", "x"))
         .groupBy("j")
@@ -65,15 +74,21 @@ def sq8_train(
     return mm["vmin"].to_numpy(np.float64), mm["vmax"].to_numpy(np.float64)
 
 
+# FAISS name for the 8-bit path (kept: pinned by tests + SQL oracles)
+sq8_train = sq_train
+
+
 def _lit_arr(vals: np.ndarray) -> Column:
     return F.array(*[F.lit(float(v)) for v in vals])
 
 
-def sq8_code_col(
-    vec: Column | str, vmin: np.ndarray, vmax: np.ndarray
+def sq_code_col(
+    vec: Column | str, vmin: np.ndarray, vmax: np.ndarray, bits: int = 8
 ) -> Column:
-    """Catalyst SQ8 encode: array<int> codes (see module docstring for
-    the exact arithmetic — kept bit-identical to the SQL oracle)."""
+    """Catalyst b-bit SQ encode: array<int> codes in [0, 2^bits−1]
+    (see module docstring for the exact arithmetic — kept bit-identical
+    to the SQL oracle)."""
+    lv = float(_levels(bits))
     v = F.col(vec) if isinstance(vec, str) else vec
     vmin_l, vmax_l = _lit_arr(vmin), _lit_arr(vmax)
     return F.transform(
@@ -83,7 +98,7 @@ def sq8_code_col(
         )
         .otherwise(
             F.least(
-                F.lit(255.0),
+                F.lit(lv),
                 F.greatest(
                     F.lit(0.0),
                     F.floor(
@@ -92,7 +107,7 @@ def sq8_code_col(
                             F.element_at(vmax_l, i + 1)
                             - F.element_at(vmin_l, i + 1)
                         )
-                        * F.lit(255.0)
+                        * F.lit(lv)
                         + F.lit(0.5)
                     ),
                 ),
@@ -102,10 +117,17 @@ def sq8_code_col(
     )
 
 
-def sq8_reconstruct_col(
-    codes: Column | str, vmin: np.ndarray, vmax: np.ndarray
+def sq8_code_col(
+    vec: Column | str, vmin: np.ndarray, vmax: np.ndarray
 ) -> Column:
-    """Decode codes back to array<double>: r_i = vmin_i + code_i·Δ_i/255."""
+    return sq_code_col(vec, vmin, vmax, bits=8)
+
+
+def sq_reconstruct_col(
+    codes: Column | str, vmin: np.ndarray, vmax: np.ndarray, bits: int = 8
+) -> Column:
+    """Decode codes back to array<double>: r_i = vmin_i + code_i·Δ_i/L."""
+    lv = float(_levels(bits))
     c = F.col(codes) if isinstance(codes, str) else codes
     vmin_l, vmax_l = _lit_arr(vmin), _lit_arr(vmax)
     return F.transform(
@@ -114,8 +136,29 @@ def sq8_reconstruct_col(
         + x.cast("double")
         * (
             (F.element_at(vmax_l, i + 1) - F.element_at(vmin_l, i + 1))
-            / F.lit(255.0)
+            / F.lit(lv)
         ),
+    )
+
+
+def sq8_reconstruct_col(
+    codes: Column | str, vmin: np.ndarray, vmax: np.ndarray
+) -> Column:
+    return sq_reconstruct_col(codes, vmin, vmax, bits=8)
+
+
+def sq_encode(
+    df: DataFrame,
+    vmin: np.ndarray,
+    vmax: np.ndarray,
+    bits: int = 8,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """(id, vec) → (id, code: array<int>) — the stored index form."""
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        sq_code_col(vec_col, vmin, vmax, bits).alias("code"),
     )
 
 
@@ -126,26 +169,23 @@ def sq8_encode(
     id_col: str = "id",
     vec_col: str = "vec",
 ) -> DataFrame:
-    """(id, vec) → (id, code: array<int>) — the stored index form."""
-    return df.select(
-        F.col(id_col).cast("long").alias("id"),
-        sq8_code_col(vec_col, vmin, vmax).alias("code"),
-    )
+    return sq_encode(df, vmin, vmax, 8, id_col, vec_col)
 
 
-def sq8_search(
+def sq_search(
     codes: DataFrame,
     vmin: np.ndarray,
     vmax: np.ndarray,
     queries: DataFrame,
     k: int,
+    bits: int = 8,
     id_col: str = "id",
     code_col: str = "code",
     qid_col: str = "qid",
     qvec_col: str = "vec",
 ) -> DataFrame:
-    """Asymmetric SQ8 top-k: exact query vs reconstructed codes, L2²
-    ascending, ties by label. Returns (qid, rank, label, distance).
+    """Asymmetric b-bit SQ top-k: exact query vs reconstructed codes,
+    L2² ascending, ties by label. Returns (qid, rank, label, distance).
 
     The reconstruct is a projection on the scan side — decoded once per
     stored row, then reused across the broadcast query batch inside the
@@ -156,7 +196,7 @@ def sq8_search(
 
     v = codes.select(
         F.col(id_col).cast("long").alias("label"),
-        sq8_reconstruct_col(code_col, vmin, vmax).alias("_rvec"),
+        sq_reconstruct_col(code_col, vmin, vmax, bits).alias("_rvec"),
     )
     q = queries.select(
         F.col(qid_col).cast("long").alias("qid"),
@@ -175,61 +215,143 @@ def sq8_search(
     )
 
 
-# -- compact BINARY layout: the actual 1-byte-per-dim store -----------------
+def sq8_search(
+    codes: DataFrame,
+    vmin: np.ndarray,
+    vmax: np.ndarray,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "id",
+    code_col: str = "code",
+    qid_col: str = "qid",
+    qvec_col: str = "vec",
+) -> DataFrame:
+    return sq_search(
+        codes, vmin, vmax, queries, k, 8, id_col, code_col, qid_col, qvec_col
+    )
 
 
-def sq8_encode_np(x: np.ndarray, vmin: np.ndarray, vmax: np.ndarray) -> np.ndarray:
+# -- compact BINARY layout: the actual bit-packed store ---------------------
+
+
+def sq_encode_np(
+    x: np.ndarray, vmin: np.ndarray, vmax: np.ndarray, bits: int = 8
+) -> np.ndarray:
     """(n, d) float → (n, d) uint8 codes — the ONE numpy statement of
-    the SQ8 arithmetic (floor(norm·255 + 0.5), clipped, zero-range dims
-    → 0), shared by the BINARY column encoder and ``SQ8Index.sa_encode``
-    so the quantizer can never drift between the two."""
+    the b-bit SQ arithmetic (floor(norm·L + 0.5), clipped, zero-range
+    dims → 0), shared by the BINARY column encoder and
+    ``SQ8Index.sa_encode`` so the quantizer can never drift between the
+    two."""
+    lv = float(_levels(bits))
     x = np.atleast_2d(np.asarray(x, np.float64))
     vmin_ = np.asarray(vmin, np.float64)
     rng = np.asarray(vmax, np.float64) - vmin_
     safe = np.where(rng == 0.0, 1.0, rng)
-    t = np.floor((x - vmin_) / safe * 255.0 + 0.5)
-    c = np.clip(t, 0.0, 255.0)
+    t = np.floor((x - vmin_) / safe * lv + 0.5)
+    c = np.clip(t, 0.0, lv)
     c[:, rng == 0.0] = 0.0
     return c.astype(np.uint8)
 
 
-def sq8_decode_np(codes: np.ndarray, vmin: np.ndarray, vmax: np.ndarray) -> np.ndarray:
-    """(n, d) uint8 → (n, d) float64: r = vmin + code·Δ/255."""
+def sq_decode_np(
+    codes: np.ndarray, vmin: np.ndarray, vmax: np.ndarray, bits: int = 8
+) -> np.ndarray:
+    """(n, d) uint8 → (n, d) float64: r = vmin + code·Δ/L."""
     vmin_ = np.asarray(vmin, np.float64)
-    scale = (np.asarray(vmax, np.float64) - vmin_) / 255.0
+    scale = (np.asarray(vmax, np.float64) - vmin_) / float(_levels(bits))
     return vmin_ + codes.astype(np.float64) * scale
+
+
+def sq8_encode_np(x: np.ndarray, vmin: np.ndarray, vmax: np.ndarray) -> np.ndarray:
+    return sq_encode_np(x, vmin, vmax, bits=8)
+
+
+def sq8_decode_np(codes: np.ndarray, vmin: np.ndarray, vmax: np.ndarray) -> np.ndarray:
+    return sq_decode_np(codes, vmin, vmax, bits=8)
+
+
+def sq_code_size(d: int, bits: int = 8) -> int:
+    """Bytes per packed vector: ceil(d·bits/8) (faiss
+    ``ScalarQuantizer::code_size`` for QT_8bit/6bit/4bit)."""
+    _levels(bits)
+    return (d * bits + 7) // 8
+
+
+def sq_pack_np(codes: np.ndarray, bits: int = 8) -> np.ndarray:
+    """(n, d) uint8 codes (< 2^bits) → (n, ceil(d·bits/8)) uint8 packed
+    rows: each code contributes its ``bits`` low bits MSB-first into a
+    contiguous per-row bitstream (the SQ4 layout is two codes per byte,
+    high nibble first; SQ6 packs 4 codes into 3 bytes; SQ8 is the
+    identity). Pure vectorized numpy — no per-element Python."""
+    _levels(bits)
+    codes = np.ascontiguousarray(np.atleast_2d(codes), np.uint8)
+    if bits == 8:
+        return codes
+    n, d = codes.shape
+    # per-code 8-bit planes → keep the low `bits` (MSB-first slice)
+    bitplanes = np.unpackbits(codes[:, :, None], axis=2, bitorder="big")
+    stream = bitplanes[:, :, 8 - bits :].reshape(n, d * bits)
+    return np.packbits(stream, axis=1, bitorder="big")
+
+
+def sq_unpack_np(packed: np.ndarray, d: int, bits: int = 8) -> np.ndarray:
+    """Inverse of :func:`sq_pack_np`: (n, ceil(d·bits/8)) → (n, d)."""
+    _levels(bits)
+    packed = np.ascontiguousarray(np.atleast_2d(packed), np.uint8)
+    if bits == 8:
+        return packed[:, :d]
+    n = packed.shape[0]
+    stream = np.unpackbits(packed, axis=1, bitorder="big")[:, : d * bits]
+    groups = stream.reshape(n, d, bits)
+    pad = np.zeros((n, d, 8 - bits), np.uint8)
+    return np.packbits(np.concatenate([pad, groups], axis=2), axis=2, bitorder="big")[
+        :, :, 0
+    ]
+
+
+def sq_encode_binary(
+    vec: Column | str, vmin: np.ndarray, vmax: np.ndarray, bits: int = 8
+) -> Column:
+    """array<float> → BINARY(ceil(d·bits/8)): same codes as
+    :func:`sq_code_col`, bit-packed (Arrow-vectorized; the
+    parquet/shuffle footprint is d·bits/8 bytes/vector)."""
+
+    @pandas_udf(T.BinaryType())
+    def enc(s: pd.Series) -> pd.Series:
+        if not len(s):
+            return pd.Series([], dtype=object)
+        x = np.asarray([np.asarray(a, np.float64) for a in s])
+        packed = sq_pack_np(sq_encode_np(x, vmin, vmax, bits), bits)
+        return pd.Series([row.tobytes() for row in packed])
+
+    return enc(F.col(vec) if isinstance(vec, str) else vec)
+
+
+def sq_decode_binary(
+    bin_col: Column | str, vmin: np.ndarray, vmax: np.ndarray, bits: int = 8
+) -> Column:
+    """BINARY → array<double> reconstruction (inverse of
+    :func:`sq_encode_binary` up to quantization error)."""
+    d = len(np.asarray(vmin))
+
+    @pandas_udf(T.ArrayType(T.DoubleType()))
+    def dec(s: pd.Series) -> pd.Series:
+        if not len(s):
+            return pd.Series([], dtype=object)
+        packed = np.asarray([np.frombuffer(b, np.uint8) for b in s])
+        codes = sq_unpack_np(packed, d, bits)
+        return pd.Series([row.tolist() for row in sq_decode_np(codes, vmin, vmax, bits)])
+
+    return dec(F.col(bin_col) if isinstance(bin_col, str) else bin_col)
 
 
 def sq8_encode_binary(
     vec: Column | str, vmin: np.ndarray, vmax: np.ndarray
 ) -> Column:
-    """array<float> → BINARY(d): same codes as :func:`sq8_code_col`,
-    packed one uint8 per dim (Arrow-vectorized; the parquet/shuffle
-    footprint is d bytes/vector)."""
-
-    @pandas_udf(T.BinaryType())
-    def enc(s: pd.Series) -> pd.Series:
-        return pd.Series(
-            [sq8_encode_np(np.asarray(arr), vmin, vmax)[0].tobytes() for arr in s]
-        )
-
-    return enc(F.col(vec) if isinstance(vec, str) else vec)
+    return sq_encode_binary(vec, vmin, vmax, bits=8)
 
 
 def sq8_decode_binary(
     bin_col: Column | str, vmin: np.ndarray, vmax: np.ndarray
 ) -> Column:
-    """BINARY(d) → array<double> reconstruction (inverse of
-    :func:`sq8_encode_binary` up to quantization error)."""
-    @pandas_udf(T.ArrayType(T.DoubleType()))
-    def dec(s: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                sq8_decode_np(
-                    np.frombuffer(b, np.uint8)[None, :], vmin, vmax
-                )[0].tolist()
-                for b in s
-            ]
-        )
-
-    return dec(F.col(bin_col) if isinstance(bin_col, str) else bin_col)
+    return sq_decode_binary(bin_col, vmin, vmax, bits=8)

@@ -229,7 +229,13 @@ def _write_payload(index, path: str) -> None:
         _write_meta(
             index.spark,
             path,
-            {"kind": "sq8", "d": index.d, "ntotal": index.ntotal, "shapes": shapes},
+            {
+                "kind": "sq8",
+                "d": index.d,
+                "ntotal": index.ntotal,
+                "bits": index.bits,
+                "shapes": shapes,
+            },
         )
     elif isinstance(index, BinaryIndex):
         _write_frame(index.words, f"{path}/words")
@@ -342,6 +348,7 @@ def read_index(spark: SparkSession, path: str):
             arrays["vmax"],
             spark.read.parquet(f"{path}/codes"),
             meta["ntotal"],
+            meta.get("bits", 8),  # round-7 stores predate b-bit tiers
         )
     if kind == "binary":
         source = (

@@ -186,3 +186,130 @@ def test_sq8_quantization_error_bounded(spark):
     assert top.label[0] == 17
     bound = (((vmax - vmin) / 255.0 / 2.0) ** 2).sum() + 1e-12
     assert top.distance[0] <= bound
+
+
+# -- b-bit generalization: SQ4 / SQ6 (faiss QT_4bit / QT_6bit) --------------
+
+from faiss_metal_spark.operators.sq import (  # noqa: E402
+    sq_code_size,
+    sq_decode_binary,
+    sq_decode_np,
+    sq_encode,
+    sq_encode_binary,
+    sq_encode_np,
+    sq_pack_np,
+    sq_search,
+    sq_train,
+    sq_unpack_np,
+)
+
+
+@pytest.mark.parametrize("bits", [4, 6, 8])
+@pytest.mark.parametrize("d", [1, 7, 8, 33])
+def test_sq_pack_unpack_roundtrip(bits, d):
+    """Bit-packing is lossless at every width × ragged tail shape, and
+    the packed row is exactly ceil(d·bits/8) bytes (faiss code_size)."""
+    rng = np.random.default_rng(bits * 100 + d)
+    codes = rng.integers(0, 1 << bits, size=(9, d)).astype(np.uint8)
+    packed = sq_pack_np(codes, bits)
+    assert packed.shape == (9, sq_code_size(d, bits))
+    assert np.array_equal(sq_unpack_np(packed, d, bits), codes)
+
+
+@pytest.mark.parametrize("bits", [4, 6])
+def test_sq_bbit_search_matches_numpy(spark, bits):
+    """Asymmetric b-bit search ≡ numpy: L = 2^bits − 1 levels, exact
+    query vs reconstructed codes, ties by label."""
+    V, Q = make_fixture(200, 5, 16, seed=40 + bits)
+    V[:, 3] = -0.25  # constant dim: encodes 0, reconstructs exactly
+    vdf, qdf = _dfs(spark, V, Q)
+    k = 8
+    vmin, vmax = sq_train(vdf)
+    codes = sq_encode(vdf, vmin, vmax, bits)
+    res = (
+        sq_search(codes, vmin, vmax, qdf, k, bits)
+        .toPandas()
+        .sort_values(["qid", "rank"])
+    )
+    ncodes = sq_encode_np(V, vmin, vmax, bits)
+    R = sq_decode_np(ncodes, vmin, vmax, bits)
+    assert (ncodes < (1 << bits)).all()
+    assert np.allclose(R[:, 3], -0.25)
+    D = ((Q.astype(np.float64)[:, None, :] - R[None, :, :]) ** 2).sum(-1)
+    for q in range(len(Q)):
+        order = np.lexsort((np.arange(len(V)), D[q]))[:k]
+        got = res[res.qid == q]
+        assert (got.label.to_numpy() == order).all()
+        assert np.allclose(got.distance.to_numpy(), D[q][order])
+
+
+@pytest.mark.parametrize("bits", [4, 6])
+def test_sq_bbit_binary_layout_roundtrip(spark, bits):
+    """Packed BINARY store: bytes ≡ numpy pack of the Catalyst codes;
+    decode reconstructs within half a quantization step."""
+    d = 21  # ragged at both widths (21·4 = 84 bits, 21·6 = 126 bits)
+    V, _ = make_fixture(80, 1, d, seed=bits)
+    vdf, _ = _dfs(spark, V, V[:1])
+    vmin, vmax = sq_train(vdf)
+    enc = sq_encode_binary("vec", vmin, vmax, bits)
+    pdf = (
+        vdf.select("id", enc.alias("b"), sq_decode_binary(enc, vmin, vmax, bits).alias("r"))
+        .toPandas()
+        .sort_values("id")
+    )
+    expect = sq_pack_np(sq_encode_np(V, vmin, vmax, bits), bits)
+    got = np.stack([np.frombuffer(b, np.uint8) for b in pdf["b"]])
+    assert got.shape[1] == sq_code_size(d, bits)
+    assert np.array_equal(got, expect)
+    recon = np.stack(pdf["r"].to_numpy())
+    step = (vmax - vmin) / float((1 << bits) - 1)
+    assert (np.abs(recon - V.astype(np.float64)) <= step / 2 + 1e-12).all()
+
+
+def test_sq_error_shrinks_with_bits():
+    """Mean reconstruction error strictly improves with width — the
+    accuracy/footprint dial the tiers exist for."""
+    rng = np.random.default_rng(77)
+    X = rng.normal(size=(500, 32))
+    vmin, vmax = X.min(0), X.max(0)
+    errs = {
+        b: np.abs(sq_decode_np(sq_encode_np(X, vmin, vmax, b), vmin, vmax, b) - X).mean()
+        for b in (4, 6, 8)
+    }
+    assert errs[8] < errs[6] < errs[4]
+
+
+def test_sq_bbit_index_factory_and_io_roundtrip(spark, tmp_path):
+    """index_factory('SQ4'/'SQ6'/'SQfp16') → the right tier; the b-bit
+    SQ index round-trips through write_index/read_index (bits survives)
+    with value-identical search; sa codec honors the packed code size."""
+    from faiss_metal_spark import SQ8Index, VectorTable, index_factory
+    from faiss_metal_spark.sources.index_io import read_index, write_index
+
+    V, Q = make_fixture(150, 4, 12, seed=9)
+    vt = VectorTable.from_pandas(
+        spark,
+        pd.DataFrame({"vec": [v.tolist() for v in V]}),
+        d=12,
+    )
+    idx = index_factory(vt, "SQ4")
+    assert isinstance(idx, SQ8Index) and idx.bits == 4
+    assert index_factory(vt, "SQ6").bits == 6
+    half = index_factory(vt, "SQfp16")
+    assert isinstance(half, VectorTable) and half.compact and half.storage == "fp16"
+    assert half.ntotal == 150
+
+    assert idx.sa_code_size == sq_code_size(12, 4)
+    codes = idx.sa_encode(V[:5].astype(np.float64))
+    assert all(len(c) == idx.sa_code_size for c in codes)
+    back = idx.sa_decode(codes)
+    step = (idx.vmax - idx.vmin) / 15.0
+    assert (np.abs(back - V[:5].astype(np.float64)) <= step / 2 + 1e-6).all()
+
+    p = str(tmp_path / "sq4_idx")
+    write_index(idx, p)
+    idx2 = read_index(spark, p)
+    assert isinstance(idx2, SQ8Index) and idx2.bits == 4
+    D1, L1 = idx.search_numpy(Q, 6)
+    D2, L2 = idx2.search_numpy(Q, 6)
+    assert np.array_equal(L1, L2) and np.allclose(D1, D2)
