@@ -582,7 +582,7 @@ class VectorTable:
 
     def search_numpy(
         self, x: np.ndarray, k: int, method: str = "auto",
-        params: SearchParams | None = None,
+        params: SearchParams | None = None, compute: str = "auto",
     ) -> tuple[np.ndarray, np.ndarray]:
         """≙ search(n, x, k, distances, labels) with host arrays in/out."""
         x = np.asarray(x, dtype=np.float32)
@@ -604,7 +604,7 @@ class VectorTable:
                 [], schema="qid long, vec array<float>"
             )
         res = (
-            self.search(qdf, k, method=method, params=params)
+            self.search(qdf, k, method=method, params=params, compute=compute)
             .orderBy("qid", "rank")
             .toPandas()
         )

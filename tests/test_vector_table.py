@@ -256,6 +256,26 @@ def test_search_params_override(spark):
     assert vt.metric == "l2" and np.allclose(D_l2, D_plain)
 
 
+def test_search_numpy_threads_compute(spark):
+    """search_numpy forwards compute= like search: f64 self-distance is
+    summation-order exact (≤1e-12), f32 default carries accumulator
+    rounding, and labels agree."""
+    import numpy as np
+
+    from faiss_metal_spark import VectorTable
+
+    rng = np.random.default_rng(12)
+    X = rng.normal(size=(80, 16)).astype(np.float32)
+    vt = VectorTable(spark, d=16, metric="l2").add_numpy(X)
+    q = X[:4]
+    D32, L32 = vt.search_numpy(q, k=3)
+    D64, L64 = vt.search_numpy(q, k=3, compute="f64")
+    assert (L32 == L64).all()
+    assert (L64[:, 0] == np.arange(4)).all()
+    assert (np.abs(D64[:, 0]) <= 1e-12).all()
+    assert np.allclose(D32, D64, atol=1e-4)
+
+
 def test_vector_table_range_search_matches_operator(spark):
     """VectorTable.range_search honors storage format and matches the
     operator on an fp16-compact table (quantized values, f32-decoded
