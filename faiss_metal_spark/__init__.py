@@ -21,6 +21,7 @@ from .compact_index import (
 from .quantize import STORAGE_BF16, STORAGE_FP16, STORAGE_FP32
 from .session import get_spark
 from .sources.index_io import read_index, write_index
+from .sharded import ShardedIndex
 from .vector_table import IDMapVectorTable, SearchParams, SearchToken, VectorTable
 
 __all__ = [
@@ -28,6 +29,7 @@ __all__ = [
     "IDMapVectorTable",
     "SearchToken",
     "SearchParams",
+    "ShardedIndex",
     "SQ8Index",
     "BinaryIndex",
     "IVFIndex",

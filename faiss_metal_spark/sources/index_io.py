@@ -184,11 +184,21 @@ def _is_engine_index(index) -> bool:
         PQIndex,
         SQ8Index,
     )
+    from ..sharded import ShardedIndex
     from ..vector_table import VectorTable
 
     return isinstance(
         index,
-        (VectorTable, SQ8Index, BinaryIndex, IVFIndex, IVFPQIndex, PQIndex, OPQIndex),
+        (
+            VectorTable,
+            SQ8Index,
+            BinaryIndex,
+            IVFIndex,
+            IVFPQIndex,
+            PQIndex,
+            OPQIndex,
+            ShardedIndex,
+        ),
     )
 
 
@@ -299,7 +309,29 @@ def _write_payload(index, path: str) -> None:
             {"kind": "opq", "d": index.d, "ntotal": index.ntotal, "shapes": shapes},
         )
     else:
-        raise TypeError(f"write_index: unsupported index type {type(index).__name__}")
+        from ..sharded import ShardedIndex
+
+        if not isinstance(index, ShardedIndex):
+            raise TypeError(
+                f"write_index: unsupported index type {type(index).__name__}"
+            )
+        # composite: member payloads first (each a self-describing
+        # dataset with its own _meta), composite _meta LAST so a
+        # crashed member write leaves no committed composite behind —
+        # the same commit discipline as the _v<N> pointer one level up.
+        for i, member in enumerate(index.shards):
+            _write_payload(member, f"{path}/shard_{i}")
+        _write_meta(
+            index.spark,
+            path,
+            {
+                "kind": "shards",
+                "d": index.d,
+                "metric": index.metric,
+                "n_shards": len(index.shards),
+                "successive_ids": index.successive_ids,
+            },
+        )
 
 
 def read_index(spark: SparkSession, path: str):
@@ -310,6 +342,14 @@ def read_index(spark: SparkSession, path: str):
     partition-pruned: the probe ``isin`` filter lands on the parquet
     partition key exactly as with ``ivf_write``.
     """
+    vs = _index_versions(spark, path)
+    if vs:
+        path = f"{path}/_v{vs[-1]}"
+    # else: flat pre-versioned layout (round-6 stores) — read in place
+    return _read_payload(spark, path)
+
+
+def _read_payload(spark: SparkSession, path: str):
     from ..compact_index import (
         BinaryIndex,
         IVFIndex,
@@ -320,12 +360,18 @@ def read_index(spark: SparkSession, path: str):
     )
     from ..vector_table import VectorTable
 
-    vs = _index_versions(spark, path)
-    if vs:
-        path = f"{path}/_v{vs[-1]}"
-    # else: flat pre-versioned layout (round-6 stores) — read in place
     meta = _read_meta(spark, path)
     kind = meta["kind"]
+    if kind == "shards":
+        from ..sharded import ShardedIndex
+
+        members = [
+            _read_payload(spark, f"{path}/shard_{i}")
+            for i in range(meta["n_shards"])
+        ]
+        return ShardedIndex.from_indexes(
+            *members, successive_ids=meta["successive_ids"]
+        )
     if kind in ("vector_table", "idmap_vector_table"):
         from ..vector_table import IDMapVectorTable
 
