@@ -71,3 +71,67 @@ def test_nn_descent_small_n_clamps_k(spark):
     g = nn_descent(_vdf(spark, V), k=10, iters=2).toPandas()
     # k clamps to n-1 = 3 and every node reaches everyone: exact graph
     assert (g.groupby("id").size() == 3).all()
+
+
+# -- graph_search: beam search over the built graph (NSW-style serving) -----
+
+from faiss_metal_spark.operators.knn_graph import graph_search  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+def _qdf(spark, Q):
+    return spark.createDataFrame(
+        pd.DataFrame({"qid": range(len(Q)), "vec": [v.tolist() for v in Q]}),
+        "qid long, vec array<float>",
+    )
+
+
+def test_graph_search_recall_and_exact_distances(spark):
+    """Beam search over the NN-Descent graph: recall@10 ≥ 0.9 vs the
+    exact answer, and every returned distance is the true f64 L2² of
+    its (query, label) pair — the beam approximates WHICH neighbors
+    surface, never their distances."""
+    V, Q = make_fixture(400, 8, 16, seed=61)
+    vdf, qdf = _vdf(spark, V), _qdf(spark, Q)
+    g = nn_descent(vdf, k=10, iters=4)
+    res = graph_search(vdf, g, qdf, k=10).toPandas()
+    D = ((Q.astype(np.float64)[:, None] - V.astype(np.float64)[None]) ** 2).sum(-1)
+    hits = 0
+    for qi in range(len(Q)):
+        exact = set(np.argsort(D[qi])[:10])
+        got = res[(res.qid == qi) & (res.label != -1)]
+        hits += len(exact & set(got.label))
+        assert np.allclose(
+            got.distance.to_numpy(), D[qi][got.label.to_numpy()], rtol=1e-10
+        )
+        # best-first within the beam's answer
+        assert (np.diff(got.sort_values("rank").distance.to_numpy()) >= 0).all()
+    assert hits / (len(Q) * 10) >= 0.9
+
+
+def test_graph_search_deterministic(spark):
+    V, Q = make_fixture(250, 4, 12, seed=13)
+    vdf, qdf = _vdf(spark, V), _qdf(spark, Q)
+    g = nn_descent(vdf, k=8, iters=3)
+    a = graph_search(vdf, g, qdf, k=8).toPandas().sort_values(["qid", "rank"])
+    b = graph_search(vdf, g, qdf, k=8).toPandas().sort_values(["qid", "rank"])
+    assert (a.reset_index(drop=True) == b.reset_index(drop=True)).all().all()
+
+
+def test_graph_search_sentinels_and_validation(spark):
+    V, Q = make_fixture(6, 2, 8, seed=2)
+    vdf, qdf = _vdf(spark, V), _qdf(spark, Q)
+    g = nn_descent(vdf, k=3, iters=2)
+    res = graph_search(vdf, g, qdf, k=10, n_seeds=6).toPandas()
+    for qi in range(2):
+        got = res[res.qid == qi].sort_values("rank")
+        assert len(got) == 10
+        # all 6 vectors reachable (seeds cover the corpus) + 4 sentinels
+        assert (got.label.to_numpy()[:6] != -1).all()
+        assert (got.label.to_numpy()[6:] == -1).all()
+        assert np.isinf(got.distance.to_numpy()[6:]).all()
+    with pytest.raises(ValueError, match="beam"):
+        graph_search(vdf, g, qdf, k=10, beam=5)
+    with pytest.raises(ValueError, match="k must be positive"):
+        graph_search(vdf, g, qdf, k=0)
