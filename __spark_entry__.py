@@ -2504,17 +2504,21 @@ def q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _q_ann_sq(spark, sf_dir, bits=8)
 
 
-def _q_ann_sq(spark: SparkSession, sf_dir: str, bits: int) -> DataFrame:
-    """Shared b-bit SQ lane (operators/sq.py): one min/max training
-    pass (bit-width-independent), Catalyst encode at L = 2^bits − 1
-    levels, asymmetric search. bits=4 is the QT_4bit half-byte tier —
-    same SQL-oracle-exact arithmetic with 15.0 in place of 255.0."""
+def _q_ann_sq(
+    spark: SparkSession, sf_dir: str, bits: int, trained=None
+) -> DataFrame:
+    """Shared b-bit SQ lane (operators/sq.py): min/max training is
+    bit-width-independent, so callers composing several widths pass
+    ``trained=(vmin, vmax)`` and pay ONE training pass total; Catalyst
+    encode at L = 2^bits − 1 levels, asymmetric search. bits=4 is the
+    QT_4bit half-byte tier — same SQL-oracle-exact arithmetic with
+    15.0 in place of 255.0."""
     from faiss_metal_spark.operators.sq import sq_encode, sq_search, sq_train
 
     emb = _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
     )
-    vmin, vmax = sq_train(emb)
+    vmin, vmax = trained if trained is not None else sq_train(emb)
     codes = sq_encode(emb, vmin, vmax, bits)
     queries = emb.where(F.col("id") < 8).select(F.col("id").alias("qid"), "vec")
     res = sq_search(codes, vmin, vmax, queries, k=10, bits=bits)
@@ -2572,10 +2576,16 @@ def q_ann_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     and 'sq4' rows from its half-byte QT_4bit sibling — the storage
     tiers below the FP16/BF16 compact stores (1 bit/dim, 1 byte/dim
     and 4 bits/dim respectively)."""
-    sq8 = q_ann_sq8(spark, sf_dir).select(
+    from faiss_metal_spark.operators.sq import sq_train
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    trained = sq_train(emb)  # one pass serves both widths
+    sq8 = _q_ann_sq(spark, sf_dir, bits=8, trained=trained).select(
         F.lit("sq8").alias("path"), "qid", "rank", "label", "distance"
     )
-    sq4 = _q_ann_sq(spark, sf_dir, bits=4).select(
+    sq4 = _q_ann_sq(spark, sf_dir, bits=4, trained=trained).select(
         F.lit("sq4").alias("path"), "qid", "rank", "label", "distance"
     )
     return q_ann_binary(spark, sf_dir).unionByName(sq8).unionByName(sq4)
