@@ -221,3 +221,44 @@ def normalize_vectors(
         F.col(id_col).cast("long").alias("id"),
         normalize_col(vec_col).alias("vec"),
     )
+
+
+def random_rotation(d_in: int, d_out: int | None = None, seed: int = 42) -> np.ndarray:
+    """Orthonormal random rotation rows — faiss ``RandomRotationMatrix``.
+
+    Returns ``components (d_out, d_in)`` to plug into the same
+    ``pca_apply`` / :class:`PreTransformIndex` machinery with a zero
+    mean: QR of a seeded Gaussian with the R-diagonal sign fix, so the
+    distribution is Haar and the result deterministic per seed. With
+    ``d_out = d_in`` the map is an isometry (L2 distances and kNN
+    results preserved exactly up to float rounding) — faiss uses it to
+    decorrelate dimensions ahead of PQ/SQ the way OPQ does, minus the
+    training."""
+    d_out = d_in if d_out is None else d_out
+    if not (0 < d_out <= d_in):
+        raise ValueError(f"need 0 < d_out({d_out}) <= d_in({d_in})")
+    rng = np.random.default_rng(seed)
+    A = rng.normal(size=(d_in, d_in))
+    Q, R = np.linalg.qr(A)
+    Q = Q * np.sign(np.diag(R))  # unique, uniform over O(d)
+    return np.ascontiguousarray(Q.T[:d_out])
+
+
+def remap_dimensions(d_in: int, out_dims) -> np.ndarray:
+    """Dimension selection/padding rows — faiss
+    ``RemapDimensionsTransform``.
+
+    ``out_dims`` lists, per output coordinate, the input coordinate to
+    copy (or −1 for a zero pad — faiss's "uniform" spreading uses −1
+    fills too). Returns a 0/1 ``components (len(out_dims), d_in)``
+    matrix for the shared apply path, so remapping composes with
+    indexes and storage tiers like every other transform."""
+    out_dims = list(out_dims)
+    W = np.zeros((len(out_dims), d_in), np.float64)
+    for i, j in enumerate(out_dims):
+        if j == -1:
+            continue
+        if not 0 <= j < d_in:
+            raise ValueError(f"out_dims[{i}]={j} outside [0, {d_in})")
+        W[i, j] = 1.0
+    return W

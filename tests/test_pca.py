@@ -153,3 +153,55 @@ def test_pretransform_index(spark):
 
     with pytest.raises(ValueError):
         idx.search_numpy(np.zeros((2, 6), np.float32), k=1)  # wrong d_in
+
+
+def test_random_rotation_is_isometry(spark):
+    """faiss RandomRotationMatrix: Haar-seeded orthonormal rows; at
+    d_out = d_in the distributed apply preserves pairwise L2 exactly
+    (to float rounding), so kNN through the rotation ≡ kNN raw."""
+    import pandas as pd
+
+    from faiss_metal_spark.operators.knn import knn_search
+    from faiss_metal_spark.operators.pca import pca_apply, random_rotation
+
+    rng = np.random.default_rng(4)
+    X = rng.normal(size=(80, 12)).astype(np.float32)
+    vdf = spark.createDataFrame(
+        pd.DataFrame({"id": range(80), "vec": [v.tolist() for v in X]}),
+        "id long, vec array<float>",
+    )
+    Q = random_rotation(12, seed=7)
+    assert np.allclose(Q @ Q.T, np.eye(12), atol=1e-12)
+    assert np.array_equal(Q, random_rotation(12, seed=7))  # deterministic
+    rot = pca_apply(vdf, np.zeros(12), Q)
+    q_raw = vdf.where(F.col("id") < 5).select(F.col("id").alias("qid"), "vec")
+    q_rot = rot.where(F.col("id") < 5).select(F.col("id").alias("qid"), "vec")
+    a = knn_search(vdf, q_raw, k=6, compute="f64").orderBy("qid", "rank").toPandas()
+    b = knn_search(rot, q_rot, k=6, compute="f64").orderBy("qid", "rank").toPandas()
+    np.testing.assert_array_equal(a["label"].to_numpy(), b["label"].to_numpy())
+    np.testing.assert_allclose(
+        a["distance"].to_numpy(), b["distance"].to_numpy(), atol=1e-9
+    )
+
+
+def test_remap_dimensions_selects_and_pads(spark):
+    """faiss RemapDimensionsTransform as a 0/1 components matrix over
+    the shared apply path: selection, reorder and −1 zero-pads."""
+    import pandas as pd
+
+    from faiss_metal_spark.operators.pca import pca_apply, remap_dimensions
+
+    vdf = spark.createDataFrame(
+        pd.DataFrame({"id": [0, 1], "vec": [[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]]}),
+        "id long, vec array<float>",
+    )
+    W = remap_dimensions(3, [2, 0, -1, 1])
+    out = pca_apply(vdf, np.zeros(3), W).orderBy("id").toPandas()
+    assert out["vec"][0] == pytest.approx([3.0, 1.0, 0.0, 2.0])
+    assert out["vec"][1] == pytest.approx([6.0, 4.0, 0.0, 5.0])
+    with pytest.raises(ValueError):
+        remap_dimensions(3, [3])
+    with pytest.raises(ValueError):
+        from faiss_metal_spark.operators.pca import random_rotation
+
+        random_rotation(4, 5)
