@@ -268,6 +268,23 @@ class IVFIndex:
             k,
         )
 
+    def range_search(
+        self, queries: DataFrame, radius: float, nprobe: int = 8
+    ) -> DataFrame:
+        """faiss ``IndexIVF::range_search``: radius filter over the
+        probed cells — exact within cell coverage, (qid, label,
+        distance) unordered like the flat range_search."""
+        from .operators.similarity import ivf_range_search
+
+        return ivf_range_search(
+            self.assigned,
+            self.centroids,
+            queries,
+            radius,
+            nprobe,
+            metric=self.metric,
+        )
+
     def release(self) -> None:
         self.assigned.unpersist()
 

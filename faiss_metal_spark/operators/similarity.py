@@ -451,6 +451,36 @@ def ivf_write(assigned: DataFrame, path: str) -> None:
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
 
 
+def _collect_probe(
+    queries: DataFrame,
+    centroids: np.ndarray,
+    nprobe: int,
+    qid_col: str,
+    qvec_col: str,
+):
+    """Collect the query batch and build the cell→query probe map
+    (nearest-centroid order, L2 over the coarse quantizer — faiss
+    probes L2-nearest cells for every metric). Returns (qids, Q,
+    {cell: query-local-indices}) or None for an empty batch."""
+    qpdf = queries.select(
+        F.col(qid_col).cast("long").alias("qid"), F.col(qvec_col).alias("qvec")
+    ).toPandas()
+    if len(qpdf) == 0:
+        return None
+    qids = qpdf["qid"].to_numpy(np.int64)
+    Q = np.stack(qpdf["qvec"].to_numpy()).astype(np.float64)
+    cn = (centroids * centroids).sum(1)
+    order = (cn[None, :] - 2.0 * (Q @ centroids.T)).argsort(1, kind="stable")
+    probe = order[:, :nprobe]
+
+    # cell → local indices of the queries that probe it
+    cell_to_qidx: dict[int, list[int]] = {}
+    for i, cells_i in enumerate(probe):
+        for c in cells_i:
+            cell_to_qidx.setdefault(int(c), []).append(i)
+    return qids, Q, cell_to_qidx
+
+
 def ivf_search(
     assigned: DataFrame,
     centroids: np.ndarray,
@@ -482,22 +512,10 @@ def ivf_search(
 
     if metric not in ("l2", "ip", "cosine", "l1"):
         raise ValueError(f"unknown metric {metric!r}")
-    qpdf = queries.select(
-        F.col(qid_col).cast("long").alias("qid"), F.col(qvec_col).alias("qvec")
-    ).toPandas()
-    if len(qpdf) == 0:
+    collected = _collect_probe(queries, centroids, nprobe, qid_col, qvec_col)
+    if collected is None:
         return queries.sparkSession.createDataFrame([], RESULT_SCHEMA)
-    qids = qpdf["qid"].to_numpy(np.int64)
-    Q = np.stack(qpdf["qvec"].to_numpy()).astype(np.float64)
-    cn = (centroids * centroids).sum(1)
-    order = (cn[None, :] - 2.0 * (Q @ centroids.T)).argsort(1, kind="stable")
-    probe = order[:, :nprobe]
-
-    # cell → local indices of the queries that probe it
-    cell_to_qidx: dict[int, list[int]] = {}
-    for i, cells_i in enumerate(probe):
-        for c in cells_i:
-            cell_to_qidx.setdefault(int(c), []).append(i)
+    qids, Q, cell_to_qidx = collected
     spark = queries.sparkSession
     bc = spark.sparkContext.broadcast(
         (qids, Q, {c: np.asarray(ix, dtype=np.int64) for c, ix in cell_to_qidx.items()})
@@ -554,3 +572,86 @@ def ivf_search(
     # merge per-cell winners; drop the sentinel padding — the contract
     # here (approximate path) is min(k, probed rows) real results
     return _finalize(qdf, candidates, k, metric).where(F.col("label") >= 0)
+
+
+def ivf_range_search(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    queries: DataFrame,
+    radius: float,
+    nprobe: int,
+    metric: str = "l2",
+    id_col: str = "id",
+    vec_col: str = "vec",
+    qid_col: str = "qid",
+    qvec_col: str = "vec",
+) -> DataFrame:
+    """All probed neighbors within ``radius`` — faiss
+    ``IndexIVF::range_search``: the same nprobe coarse probe as
+    :func:`ivf_search`, then a radius FILTER instead of a top-k, so
+    results are exact over the probed cells (faiss's contract: range
+    recall is bounded by cell coverage, nprobe = n_cells degrades to
+    the exact flat answer). Keep rule matches CPU faiss and the flat
+    ``range_search``: L2/L1 keep ``distance < radius`` strict, IP and
+    cosine keep ``distance > radius``.
+
+    Returns (qid, label, distance) UNORDERED, no rank / sentinels —
+    the flat range_search contract. Physical shape: one pruned scan
+    (cell ``isin`` → partition pruning on an ``ivf_write`` store), the
+    per-cell Arrow stage emits passing pairs directly; with each vector
+    living in exactly ONE cell there is nothing to merge, so unlike
+    ``ivf_search`` there is no finalize shuffle at all — output volume
+    is bounded by the radius, not nq·nv.
+    """
+    if metric not in ("l2", "ip", "cosine", "l1"):
+        raise ValueError(f"unknown metric {metric!r}")
+    want_min = metric in ("l2", "l1")
+    schema_df = queries.sparkSession
+    collected = _collect_probe(queries, centroids, nprobe, qid_col, qvec_col)
+    out_schema = "qid long, label long, distance double"
+    if collected is None:
+        return schema_df.createDataFrame([], out_schema)
+    qids, Q, cell_to_qidx = collected
+    bc = schema_df.sparkContext.broadcast(
+        (qids, Q, {c: np.asarray(ix, dtype=np.int64) for c, ix in cell_to_qidx.items()})
+    )
+
+    def cell_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        qids_, Q_, c2q = bc.value
+        qidx = c2q.get(int(key[0]))
+        empty = pd.DataFrame({"qid": [], "label": [], "distance": []}).astype(
+            {"qid": np.int64, "label": np.int64, "distance": np.float64}
+        )
+        if qidx is None or len(pdf) == 0:
+            return empty
+        Qs = Q_[qidx]
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        labels = pdf[id_col].to_numpy(np.int64)
+        if metric == "l1":
+            D = np.abs(Qs[:, None, :] - V[None, :, :]).sum(-1)
+        else:
+            G = Qs @ V.T
+            if metric == "l2":
+                D = (Qs * Qs).sum(1)[:, None] + (V * V).sum(1)[None, :] - 2.0 * G
+                np.maximum(D, 0.0, out=D)
+            elif metric == "cosine":
+                denom = (
+                    np.sqrt((Qs * Qs).sum(1))[:, None]
+                    * np.sqrt((V * V).sum(1))[None, :]
+                )
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    D = np.where(denom > 0, G / denom, 0.0)
+            else:
+                D = G
+        mask = D < radius if want_min else D > radius
+        qi, vi = np.nonzero(mask)
+        if len(qi) == 0:
+            return empty
+        return pd.DataFrame(
+            {"qid": qids_[qidx][qi], "label": labels[vi], "distance": D[qi, vi]}
+        )
+
+    subset = assigned.where(
+        F.col("cell").isin([int(c) for c in sorted(cell_to_qidx)])
+    )
+    return subset.groupBy("cell").applyInPandas(cell_range, out_schema)

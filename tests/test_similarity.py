@@ -278,3 +278,53 @@ def test_knn_join_blocked_f32_default(spark):
     # the replicated vectors really ride the shuffle as array<float>
     plan = knn_join_blocked(vdf, qdf, k=4)._jdf.queryExecution().analyzed().toString()
     assert "array<float>" in plan and "array<double>" not in plan
+
+
+# -- ivf_range_search (faiss IndexIVF::range_search) ------------------------
+
+
+def test_ivf_range_full_probe_is_exact(spark, ivf_setup):
+    """nprobe = n_cells degrades to the exact flat range answer: same
+    pairs, same f64 distances, strict < keep rule."""
+    from faiss_metal_spark.operators.similarity import ivf_range_search
+
+    V, Q, C, assigned = ivf_setup
+    radius = 6.0
+    res = ivf_range_search(
+        assigned, C, queries_df(spark, Q), radius, nprobe=8
+    ).toPandas()
+    D = ((Q.astype(np.float64)[:, None] - V.astype(np.float64)[None]) ** 2).sum(-1)
+    want = {(qi, vi) for qi, vi in zip(*np.nonzero(D < radius))}
+    got = {(r.qid, r.label) for r in res.itertuples()}
+    assert got == want and len(want) > 0
+    for r in res.itertuples():
+        assert r.distance == pytest.approx(D[r.qid, r.label], rel=1e-12)
+
+
+def test_ivf_range_partial_probe_subset(spark, ivf_setup):
+    """Partial probe returns a SUBSET of the exact answer (never a
+    false positive) and stays exact within probed cells; the IVFIndex
+    facade routes the same call."""
+    from faiss_metal_spark.operators.similarity import ivf_range_search
+
+    V, Q, C, assigned = ivf_setup
+    radius = 6.0
+    res = ivf_range_search(
+        assigned, C, queries_df(spark, Q), radius, nprobe=2
+    ).toPandas()
+    D = ((Q.astype(np.float64)[:, None] - V.astype(np.float64)[None]) ** 2).sum(-1)
+    exact = {(qi, vi) for qi, vi in zip(*np.nonzero(D < radius))}
+    got = {(r.qid, r.label) for r in res.itertuples()}
+    assert got <= exact and len(got) > 0
+
+
+def test_ivf_index_range_search_facade(spark):
+    from faiss_metal_spark import IVFIndex, VectorTable
+
+    V, Q = make_fixture(nv=200, nq=4, d=8, seed=19)
+    vt = VectorTable(spark, d=8, metric="l2").add_numpy(V)
+    idx = IVFIndex.from_table(vt, n_cells=4, sample_size=200)
+    res = idx.range_search(queries_df(spark, Q), radius=3.0, nprobe=4).toPandas()
+    D = ((Q.astype(np.float64)[:, None] - V.astype(np.float64)[None]) ** 2).sum(-1)
+    want = {(qi, vi) for qi, vi in zip(*np.nonzero(D < 3.0))}
+    assert {(r.qid, r.label) for r in res.itertuples()} == want
