@@ -38,6 +38,11 @@ from .functions.vector import sqnorm
 from .operators.knn import Metric, knn_search
 from .quantize import STORAGE_FP32, STORAGE_TYPES, quantize_col
 
+# IDSelectorBatch literal-IN ceiling: above this the selector rides a
+# broadcast semi-join instead of an IN list (a plan with millions of
+# literals costs more to analyze than the join it replaces)
+_SEL_ISIN_MAX = 10_000
+
 VECTOR_SCHEMA = T.StructType(
     [
         T.StructField("id", T.LongType(), False),
@@ -114,6 +119,14 @@ class SearchParams:
     metric: Metric | None = None
     method: str | None = None
     compute: str | None = None  # 'f32' (default path) | 'f64' (oracle-exact)
+    # ≙ faiss SearchParameters::sel (IDSelector): restrict the search
+    # to a subset of stored ids. A (lo, hi) tuple is IDSelectorRange
+    # (hi exclusive); any other iterable is IDSelectorBatch. Applied
+    # as a Catalyst predicate BEFORE the distance stage, so the scan
+    # prunes rows exactly like a metadata filter (and pushes to
+    # parquet on a persisted table); excluded ids simply never appear,
+    # sentinel padding fills short results — faiss semantics.
+    sel: object = None
 
 
 @dataclass
@@ -534,6 +547,25 @@ class VectorTable:
 
     # -- search ------------------------------------------------------------
 
+    def _sel_view(self, params: "SearchParams | None") -> DataFrame:
+        """Stored rows restricted by ``params.sel`` (faiss IDSelector):
+        a 2-tuple is a [lo, hi) range predicate; other iterables become
+        an IN-list under ``_SEL_ISIN_MAX`` ids and a broadcast semi-join
+        above it (an IN of millions of literals would bloat the plan)."""
+        sel = getattr(params, "sel", None) if params is not None else None
+        if sel is None:
+            return self.df
+        if isinstance(sel, tuple) and len(sel) == 2:
+            lo, hi = int(sel[0]), int(sel[1])
+            return self.df.where((F.col("id") >= lo) & (F.col("id") < hi))
+        ids = [int(i) for i in np.asarray(list(sel), dtype=np.int64).ravel()]
+        if len(ids) <= _SEL_ISIN_MAX:
+            return self.df.where(F.col("id").isin(ids))
+        sel_df = self.spark.createDataFrame(
+            pd.DataFrame({"id": np.asarray(ids, dtype=np.int64)}), "id long"
+        )
+        return self.df.join(F.broadcast(sel_df), "id", "left_semi")
+
     def search(
         self, queries: DataFrame, k: int, method: str = "auto",
         qid_col: str = "qid", qvec_col: str = "vec",
@@ -547,7 +579,7 @@ class VectorTable:
         if self.compact and method == "auto":
             method = "gemm"
         return knn_search(
-            self.df, queries, k, metric=metric, method=method,
+            self._sel_view(params), queries, k, metric=metric, method=method,
             qid_col=qid_col, qvec_col=qvec_col, vec_format=self._vec_format,
             # quantized tables search with the precomputed fp32 norms
             # (MetalIndexFlat.mm:258-268); fp32 tables recompute — the
@@ -575,7 +607,7 @@ class VectorTable:
         if self.compact and method == "auto":
             method = "gemm"
         return _range_search(
-            self.df, queries, radius, metric=metric, method=method,
+            self._sel_view(params), queries, radius, metric=metric, method=method,
             qid_col=qid_col, qvec_col=qvec_col, vec_format=self._vec_format,
             compute=compute,
         )

@@ -733,3 +733,42 @@ def test_idmap_from_parquet_and_compact(spark, tmp_path):
         single[["qid", "rank", "label"]].values
         == chunked[["qid", "rank", "label"]].values
     ).all()
+
+
+def test_search_params_id_selector(spark):
+    """SearchParams.sel ≙ faiss IDSelector: a (lo, hi) tuple restricts
+    like IDSelectorRange (hi exclusive), an iterable like
+    IDSelectorBatch — results equal a search over the subsetted corpus,
+    excluded ids never appear, sentinels fill short results."""
+    import numpy as np
+
+    from faiss_metal_spark import SearchParams, VectorTable
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(60, 8)).astype(np.float32)
+    vt = VectorTable(spark, d=8, metric="l2").add_numpy(X)
+    q = X[:3]
+
+    # range selector ≡ search over the subset table
+    sub = VectorTable(spark, d=8, metric="l2").add_numpy(X[10:40])
+    D_r, L_r = vt.search_numpy(q, k=5, params=SearchParams(sel=(10, 40)))
+    D_s, L_s = sub.search_numpy(q, k=5)
+    assert np.array_equal(L_r - 10, L_s) and np.allclose(D_r, D_s)
+    assert ((L_r >= 10) & (L_r < 40)).all()
+
+    # batch selector: only listed ids may surface; k > |sel| pads
+    ids = [4, 7, 19, 57]
+    D_b, L_b = vt.search_numpy(q, k=6, params=SearchParams(sel=ids))
+    assert set(L_b.ravel()) <= set(ids) | {-1}
+    assert (L_b[:, 4:] == -1).all() and np.isinf(D_b[:, 4:]).all()
+    assert (L_b[:, :4] != -1).all()
+
+    # range_search honors the selector too
+    res = vt.range_search(
+        spark.createDataFrame(
+            [(0, q[0].tolist())], "qid long, vec array<float>"
+        ),
+        radius=1e9,
+        params=SearchParams(sel=(0, 5)),
+    ).toPandas()
+    assert set(res.label) == {0, 1, 2, 3, 4}
