@@ -13,6 +13,7 @@ from .compact_index import (
     BinaryIndex,
     IVFIndex,
     IVFPQIndex,
+    IVFSQIndex,
     OPQIndex,
     PQIndex,
     SQ8Index,
@@ -34,6 +35,7 @@ __all__ = [
     "BinaryIndex",
     "IVFIndex",
     "IVFPQIndex",
+    "IVFSQIndex",
     "OPQIndex",
     "PQIndex",
     "index_factory",

@@ -290,6 +290,128 @@ class IVFIndex:
 
 
 @dataclass
+class IVFSQIndex:
+    """IVF cells over scalar-quantized codes — faiss
+    ``IndexIVFScalarQuantizer`` (``index_factory("IVF<n>,SQ8")``):
+    k-means coarse cells, b-bit SQ codes stored IN the inverted lists,
+    asymmetric search (exact query vs decoded codes) within probed
+    cells. The reference's flat index has neither tier
+    (/root/reference/include/faiss-metal/MetalIndexFlat.h:47); this is
+    the standard faiss memory/recall point between IVF,Flat (4 bytes/
+    dim) and IVF,PQ (sub-byte/dim).
+
+    One SQ range train serves the whole corpus (faiss trains the
+    ScalarQuantizer on the train set once, not per-list); codes persist
+    ``partitionBy("cell")`` via ``write_index`` so probes prune
+    partitions at scan time, exactly like :class:`IVFIndex`. With
+    nprobe = nlist the result is value-identical to the flat
+    :class:`SQ8Index` over the same ranges (pinned by test)."""
+
+    spark: SparkSession
+    d: int
+    metric: str
+    centroids: np.ndarray
+    vmin: np.ndarray
+    vmax: np.ndarray
+    codes: DataFrame
+    _n: int = field(default=-1, repr=False)
+    bits: int = 8
+
+    @classmethod
+    def from_table(
+        cls,
+        vt,
+        n_cells: int,
+        bits: int = 8,
+        sample_size: int = 16384,
+        iters: int = 10,
+    ) -> "IVFSQIndex":
+        from .operators.similarity import ivf_assign, ivf_train_centroids
+        from .operators.sq import sq_code_col, sq_train
+
+        base = _float_view(vt)
+        vmin, vmax = sq_train(base)
+        C = ivf_train_centroids(base, n_cells, sample_size=sample_size, iters=iters)
+        # one scan: cell assignment (Arrow stage) then the Catalyst
+        # encode projection — vectors never leave the executors
+        codes = (
+            ivf_assign(base, C)
+            .select(
+                F.col("id").cast("long").alias("id"),
+                sq_code_col("vec", vmin, vmax, bits).alias("code"),
+                "cell",
+            )
+            .persist()
+        )
+        n = codes.count()
+        return cls(vt.spark, vt.d, vt.metric, C, vmin, vmax, codes, n, bits)
+
+    @property
+    def nlist(self) -> int:
+        return len(self.centroids)
+
+    @property
+    def ntotal(self) -> int:
+        return self._n if self._n >= 0 else self.codes.count()
+
+    def _decode(self):
+        from .operators.sq import sq_decode_np
+
+        vmin, vmax, bits = self.vmin, self.vmax, self.bits
+
+        def dec(pdf: pd.DataFrame) -> np.ndarray:
+            codes = np.stack(pdf["code"].to_numpy()).astype(np.uint8)
+            return sq_decode_np(codes, vmin, vmax, bits)
+
+        return dec
+
+    def search(self, queries: DataFrame, k: int, nprobe: int = 8) -> DataFrame:
+        from .operators.similarity import ivf_search
+
+        return ivf_search(
+            self.codes,
+            self.centroids,
+            queries,
+            k,
+            nprobe,
+            metric=self.metric,
+            vec_col="code",
+            decode=self._decode(),
+        )
+
+    def search_numpy(
+        self, x: np.ndarray, k: int, nprobe: int = 8
+    ) -> tuple[np.ndarray, np.ndarray]:
+        return _host_result(
+            self.search(_query_df(self.spark, x), k, nprobe),
+            len(np.atleast_2d(x)),
+            k,
+        )
+
+    def range_search(
+        self, queries: DataFrame, radius: float, nprobe: int = 8
+    ) -> DataFrame:
+        """faiss ``IndexIVFScalarQuantizer`` inherits
+        ``IndexIVF::range_search``; radius applies to the asymmetric
+        (decoded-code) distance."""
+        from .operators.similarity import ivf_range_search
+
+        return ivf_range_search(
+            self.codes,
+            self.centroids,
+            queries,
+            radius,
+            nprobe,
+            metric=self.metric,
+            vec_col="code",
+            decode=self._decode(),
+        )
+
+    def release(self) -> None:
+        self.codes.unpersist()
+
+
+@dataclass
 class IVFPQIndex:
     """IVF + product-quantized residuals (IndexIVFPQ): m-byte codes,
     per-cell ADC against broadcast query LUTs, L2 only. Codes persist
@@ -489,6 +611,7 @@ def index_factory(vt, spec: str, **train_kw):
     - ``"PQ16"``            → :class:`PQIndex` (m=16)
     - ``"IVF256"`` / ``"IVF256,Flat"`` → :class:`IVFIndex` (nlist=256)
     - ``"IVF256,PQ16"``     → :class:`IVFPQIndex`
+    - ``"IVF256,SQ8"`` / ``",SQ6"`` / ``",SQ4"`` → :class:`IVFSQIndex`
     - ``"OPQ16"`` / ``"OPQ16,PQ16"`` → :class:`OPQIndex` (the OPQ
       pretransform trains its own PQ; a mismatched pair raises)
 
@@ -526,6 +649,11 @@ def index_factory(vt, spec: str, **train_kw):
     if m:
         return IVFPQIndex.from_table(
             vt, n_cells=int(m.group(1)), m=int(m.group(2)), **train_kw
+        )
+    m = re.fullmatch(r"IVF(\d+),SQ([468])", s)
+    if m:
+        return IVFSQIndex.from_table(
+            vt, n_cells=int(m.group(1)), bits=int(m.group(2)), **train_kw
         )
     m = re.fullmatch(r"OPQ(\d+)(?:,PQ(\d+))?", s)
     if m:

@@ -492,8 +492,15 @@ def ivf_search(
     vec_col: str = "vec",
     qid_col: str = "qid",
     qvec_col: str = "vec",
+    decode=None,
 ) -> DataFrame:
     """Probe the nprobe nearest cells per query, exact search within.
+
+    ``decode``: optional callable ``pdf -> (n, d) float64`` that turns a
+    cell group's stored rows into the float matrix to score (used by
+    the SQ-coded inverted file, :class:`~..compact_index.IVFSQIndex` —
+    faiss ``IndexIVFScalarQuantizer`` scores codes in-list the same
+    way). Default reads ``vec_col`` as a float array column.
 
     The cell filter is a plain ``isin`` — on a cell-partitioned table it
     becomes partition pruning; in memory it's still a single scan that
@@ -531,7 +538,11 @@ def ivf_search(
                 {"qid": np.int64, "label": np.int64, "distance": np.float64}
             )
         Qs = Q_[qidx]
-        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        V = (
+            decode(pdf)
+            if decode is not None
+            else np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        )
         labels = pdf[id_col].to_numpy(np.int64)
         if metric == "l1":
             D = np.abs(Qs[:, None, :] - V[None, :, :]).sum(-1)
@@ -585,6 +596,7 @@ def ivf_range_search(
     vec_col: str = "vec",
     qid_col: str = "qid",
     qvec_col: str = "vec",
+    decode=None,
 ) -> DataFrame:
     """All probed neighbors within ``radius`` — faiss
     ``IndexIVF::range_search``: the same nprobe coarse probe as
@@ -625,7 +637,11 @@ def ivf_range_search(
         if qidx is None or len(pdf) == 0:
             return empty
         Qs = Q_[qidx]
-        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        V = (
+            decode(pdf)
+            if decode is not None
+            else np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        )
         labels = pdf[id_col].to_numpy(np.int64)
         if metric == "l1":
             D = np.abs(Qs[:, None, :] - V[None, :, :]).sum(-1)

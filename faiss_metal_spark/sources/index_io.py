@@ -180,6 +180,7 @@ def _is_engine_index(index) -> bool:
         BinaryIndex,
         IVFIndex,
         IVFPQIndex,
+        IVFSQIndex,
         OPQIndex,
         PQIndex,
         SQ8Index,
@@ -195,6 +196,7 @@ def _is_engine_index(index) -> bool:
             BinaryIndex,
             IVFIndex,
             IVFPQIndex,
+            IVFSQIndex,
             PQIndex,
             OPQIndex,
             ShardedIndex,
@@ -207,6 +209,7 @@ def _write_payload(index, path: str) -> None:
         BinaryIndex,
         IVFIndex,
         IVFPQIndex,
+        IVFSQIndex,
         OPQIndex,
         PQIndex,
         SQ8Index,
@@ -290,6 +293,25 @@ def _write_payload(index, path: str) -> None:
             path,
             {"kind": "ivfpq", "d": index.d, "ntotal": index.ntotal, "shapes": shapes},
         )
+    elif isinstance(index, IVFSQIndex):
+        _write_frame(index.codes, f"{path}/codes", partition_by="cell")
+        shapes = _write_arrays(
+            index.spark,
+            path,
+            {"centroids": index.centroids, "vmin": index.vmin, "vmax": index.vmax},
+        )
+        _write_meta(
+            index.spark,
+            path,
+            {
+                "kind": "ivfsq",
+                "d": index.d,
+                "metric": index.metric,
+                "ntotal": index.ntotal,
+                "bits": index.bits,
+                "shapes": shapes,
+            },
+        )
     elif isinstance(index, PQIndex):
         _write_frame(index.codes, f"{path}/codes")
         shapes = _write_arrays(index.spark, path, {"codebooks": index.codebooks})
@@ -354,6 +376,7 @@ def _read_payload(spark: SparkSession, path: str):
         BinaryIndex,
         IVFIndex,
         IVFPQIndex,
+        IVFSQIndex,
         OPQIndex,
         PQIndex,
         SQ8Index,
@@ -415,6 +438,18 @@ def _read_payload(spark: SparkSession, path: str):
             arrays["centroids"],
             spark.read.parquet(f"{path}/assigned"),
             meta["ntotal"],
+        )
+    if kind == "ivfsq":
+        return IVFSQIndex(
+            spark,
+            meta["d"],
+            meta["metric"],
+            arrays["centroids"],
+            arrays["vmin"],
+            arrays["vmax"],
+            spark.read.parquet(f"{path}/codes"),
+            meta["ntotal"],
+            meta["bits"],
         )
     if kind == "ivfpq":
         return IVFPQIndex(

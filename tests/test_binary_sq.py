@@ -313,3 +313,73 @@ def test_sq_bbit_index_factory_and_io_roundtrip(spark, tmp_path):
     D1, L1 = idx.search_numpy(Q, 6)
     D2, L2 = idx2.search_numpy(Q, 6)
     assert np.array_equal(L1, L2) and np.allclose(D1, D2)
+
+
+# ---------------------------------------------------------------------------
+# IVFSQ: IVF cells over SQ codes (faiss IndexIVFScalarQuantizer)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_ivfsq_full_probe_equals_flat_sq(spark, bits):
+    """nprobe = nlist degrades IVFSQ to the flat SQ answer exactly: the
+    SQ range train is deterministic over the same corpus, so the codes
+    are identical — only the cell routing differs, and a full probe
+    makes it a no-op (faiss's own IVF degradation contract)."""
+    from faiss_metal_spark import IVFSQIndex, SQ8Index, VectorTable
+
+    V, Q = make_fixture(500, 6, 16, seed=23)
+    vt = VectorTable(spark, 16).add_numpy(V)
+    flat = SQ8Index.from_table(vt, bits=bits)
+    ivfsq = IVFSQIndex.from_table(vt, n_cells=8, bits=bits, sample_size=500)
+    np.testing.assert_array_equal(flat.vmin, ivfsq.vmin)
+    np.testing.assert_array_equal(flat.vmax, ivfsq.vmax)
+    D0, L0 = flat.search_numpy(Q, 10)
+    D1, L1 = ivfsq.search_numpy(Q, 10, nprobe=ivfsq.nlist)
+    np.testing.assert_array_equal(L0, L1)
+    np.testing.assert_allclose(D0, D1, rtol=0, atol=1e-9)
+    # partial probe: results are a subset of the corpus with correctly
+    # computed asymmetric distances (never a false distance)
+    D2, L2 = ivfsq.search_numpy(Q, 10, nprobe=2)
+    from faiss_metal_spark.operators.sq import sq_decode_np, sq_encode_np
+
+    R = sq_decode_np(sq_encode_np(V, ivfsq.vmin, ivfsq.vmax, bits),
+                     ivfsq.vmin, ivfsq.vmax, bits)
+    for qi in range(len(Q)):
+        for j in range(10):
+            lbl = L2[qi, j]
+            if lbl < 0:
+                continue
+            exact = ((Q[qi].astype(np.float64) - R[lbl]) ** 2).sum()
+            assert abs(D2[qi, j] - exact) <= 1e-9
+    flat.release()
+    ivfsq.release()
+
+
+def test_ivfsq_range_search_full_probe_exact(spark):
+    """Full-probe IVFSQ range_search returns exactly the pairs whose
+    asymmetric (decoded-code) distance beats the radius."""
+    from faiss_metal_spark import IVFSQIndex, VectorTable
+    from faiss_metal_spark.operators.sq import sq_decode_np, sq_encode_np
+
+    V, Q = make_fixture(300, 5, 12, seed=29)
+    vt = VectorTable(spark, 12).add_numpy(V)
+    idx = IVFSQIndex.from_table(vt, n_cells=4, sample_size=300)
+    R = sq_decode_np(sq_encode_np(V, idx.vmin, idx.vmax, 8), idx.vmin, idx.vmax, 8)
+    D = ((Q.astype(np.float64)[:, None, :] - R[None, :, :]) ** 2).sum(-1)
+    radius = float(np.quantile(D, 0.1))
+    want = {(qi, vi) for qi, vi in zip(*np.nonzero(D < radius))}
+
+    qdf = _dfs(spark, V, Q)[1]
+    got_rows = idx.range_search(qdf, radius, nprobe=idx.nlist).collect()
+    got = {(int(r["qid"]), int(r["label"])) for r in got_rows}
+    assert got == want
+    for r in got_rows:
+        assert abs(r["distance"] - D[int(r["qid"]), int(r["label"])]) <= 1e-9
+    # partial probe: subset, never a false positive
+    sub = {
+        (int(r["qid"]), int(r["label"]))
+        for r in idx.range_search(qdf, radius, nprobe=1).collect()
+    }
+    assert sub <= want
+    idx.release()

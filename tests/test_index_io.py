@@ -135,6 +135,37 @@ def test_ivfpq_roundtrip(spark, tmp_path):
     np.testing.assert_array_equal(D0, D1)
 
 
+def test_ivfsq_roundtrip_prunes_partitions(spark, tmp_path):
+    from faiss_metal_spark import IVFSQIndex
+
+    V, Q = make_fixture(600, 6, 16, seed=13)
+    idx = IVFSQIndex.from_table(_table(spark, V), n_cells=8, sample_size=600)
+    D0, L0 = idx.search_numpy(Q, 8, nprobe=3)
+    write_index(idx, str(tmp_path / "ivfsq"))
+    idx2 = read_index(spark, str(tmp_path / "ivfsq"))
+    assert isinstance(idx2, IVFSQIndex)
+    assert (idx2.nlist, idx2.metric, idx2.ntotal, idx2.bits) == (
+        8,
+        idx.metric,
+        600,
+        8,
+    )
+    np.testing.assert_array_equal(idx.vmin, idx2.vmin)
+    np.testing.assert_array_equal(idx.vmax, idx2.vmax)
+    D1, L1 = idx2.search_numpy(Q, 8, nprobe=3)
+    np.testing.assert_array_equal(L0, L1)
+    np.testing.assert_array_equal(D0, D1)
+    # reloaded inverted file keeps the cell-partitioned layout
+    plan = (
+        idx2.search(queries_df(spark, Q), 8, nprobe=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters")[1][:160]
+
+
 def test_opq_roundtrip(spark, tmp_path):
     V, Q = make_fixture(400, 4, 16, seed=11)
     idx = OPQIndex.from_table(_table(spark, V), m=4, iters=2, sample_size=400)
@@ -189,6 +220,10 @@ def test_index_factory_specs(spark):
     ivf = index_factory(vt, "IVF8,Flat", **kw)
     assert isinstance(ivf, IVFIndex) and ivf.nlist == 8
     assert isinstance(index_factory(vt, "IVF4,PQ4", **kw), IVFPQIndex)
+    from faiss_metal_spark import IVFSQIndex
+
+    ivfsq = index_factory(vt, "IVF4,SQ4", **kw)
+    assert isinstance(ivfsq, IVFSQIndex) and ivfsq.bits == 4
     assert isinstance(index_factory(vt, "OPQ4,PQ4", iters=2, **kw), OPQIndex)
     # exact-tier self query: top-1 is self
     D, L = ivf.search_numpy(V[:3], 1, nprobe=8)
