@@ -2575,20 +2575,58 @@ def q_ann_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q_ann_binary), 'sq8' rows from the scalar quantizer (q_ann_sq8)
     and 'sq4' rows from its half-byte QT_4bit sibling — the storage
     tiers below the FP16/BF16 compact stores (1 bit/dim, 1 byte/dim
-    and 4 bits/dim respectively)."""
-    from faiss_metal_spark.operators.sq import sq_train
+    and 4 bits/dim respectively) — plus 'ivfsq' rows: the SAME SQ8
+    codes routed through cell-partitioned inverted lists (faiss
+    IndexIVFScalarQuantizer, the compact_index.IVFSQIndex machinery)
+    with a FULL probe, which by the IVF degradation contract must
+    equal the flat sq8 answer exactly — so one SQL oracle hash-checks
+    the per-cell decode+search path too (partial-probe routing is
+    pinned by tests/test_binary_sq.py)."""
+    from faiss_metal_spark.operators.similarity import ivf_assign, ivf_search
+    from faiss_metal_spark.operators.sq import (
+        sq_code_col,
+        sq_decode_np,
+        sq_train,
+    )
 
     emb = _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
     )
-    trained = sq_train(emb)  # one pass serves both widths
+    trained = sq_train(emb)  # one pass serves every width
     sq8 = _q_ann_sq(spark, sf_dir, bits=8, trained=trained).select(
         F.lit("sq8").alias("path"), "qid", "rank", "label", "distance"
     )
     sq4 = _q_ann_sq(spark, sf_dir, bits=4, trained=trained).select(
         F.lit("sq4").alias("path"), "qid", "rank", "label", "distance"
     )
-    return q_ann_binary(spark, sf_dir).unionByName(sq8).unionByName(sq4)
+    # ivfsq lane: fixed centroids (first rows — deterministic, like
+    # q_ann_pq's fixed codebooks), Catalyst SQ8 encode into the cells
+    vmin, vmax = trained
+    cpdf = emb.where(F.col("id") < _ANN_CELLS).orderBy("id").toPandas()
+    centroids = np.stack(cpdf["vec"].to_numpy()).astype(np.float64)
+    inv = ivf_assign(emb, centroids).select(
+        "id", sq_code_col("vec", vmin, vmax, 8).alias("code"), "cell"
+    )
+
+    def _dec(pdf):
+        return sq_decode_np(
+            np.stack(pdf["code"].to_numpy()).astype(np.uint8), vmin, vmax, 8
+        )
+
+    queries = emb.where(F.col("id") < 8).select(F.col("id").alias("qid"), "vec")
+    ivfsq = ivf_search(
+        inv, centroids, queries, k=10, nprobe=_ANN_CELLS,
+        vec_col="code", decode=_dec,
+    ).select(
+        F.lit("ivfsq").alias("path"), "qid", "rank", "label",
+        _norm(F.col("distance"), 4).alias("distance"),
+    )
+    return (
+        q_ann_binary(spark, sf_dir)
+        .unionByName(sq8)
+        .unionByName(sq4)
+        .unionByName(ivfsq)
+    )
 
 
 def _oracle_ann_compact() -> str:
@@ -2598,7 +2636,9 @@ def _oracle_ann_compact() -> str:
         + _oracle_ann_sq8()
         + ") sq UNION ALL SELECT 'sq4' AS path, s4.* FROM ("
         + _oracle_ann_sq8(levels=15.0)
-        + ") s4"
+        + ") s4 UNION ALL SELECT 'ivfsq' AS path, s8b.* FROM ("
+        + _oracle_ann_sq8()
+        + ") s8b"
     )
 
 
