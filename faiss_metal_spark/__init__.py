@@ -11,6 +11,7 @@ north-star targets.
 
 from .compact_index import (
     BinaryIndex,
+    GraphIndex,
     IVFIndex,
     IVFPQIndex,
     IVFSQIndex,
@@ -33,6 +34,7 @@ __all__ = [
     "ShardedIndex",
     "SQ8Index",
     "BinaryIndex",
+    "GraphIndex",
     "IVFIndex",
     "IVFPQIndex",
     "IVFSQIndex",

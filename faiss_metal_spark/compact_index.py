@@ -592,6 +592,83 @@ class PQIndex:
         return pq_decode_np(np.stack(rows), self.codebooks).astype(np.float32)
 
 
+@dataclass
+class GraphIndex:
+    """Graph-ANN tier — the faiss ``IndexHNSWFlat`` workflow
+    (``index_factory("HNSW32")``) served by a flat navigable kNN graph:
+    build = distributed NN-Descent (operators/knn_graph.py, Dong et
+    al. 2011), search = beam search over the graph (NSW-style greedy
+    expansion — HNSW's own layer-0 procedure; the hierarchy is an
+    entry-point accelerator, replaced here by hash-deterministic
+    multi-seeding). Flat-graph + multi-seed is the pynndescent serving
+    design; recall scales with ``ef`` exactly as HNSW's efSearch.
+
+    L2 only (like IndexHNSWFlat's default metric). Read-only derived
+    tier: rebuild after mutating the source table. ``M`` is the graph
+    degree (edges per node), ``ef_search`` the default beam width.
+    """
+
+    spark: SparkSession
+    d: int
+    vectors: DataFrame
+    graph: DataFrame
+    M: int = 16
+    ef_search: int = 64
+    _n: int = field(default=-1, repr=False)
+
+    @classmethod
+    def from_table(
+        cls,
+        vt,
+        M: int = 16,
+        iters: int = 4,
+        seed: int = 42,
+        ef_search: int = 64,
+    ) -> "GraphIndex":
+        from .operators.knn_graph import nn_descent
+
+        base = _float_view(vt).persist()
+        n = base.count()
+        graph = nn_descent(base, k=M, iters=iters, seed=seed).persist()
+        graph.count()  # materialize the build (faiss builds eagerly on add)
+        return cls(vt.spark, vt.d, base, graph, M, ef_search, n)
+
+    @property
+    def ntotal(self) -> int:
+        return self._n if self._n >= 0 else self.vectors.count()
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int,
+        ef: int | None = None,
+        iters: int = 3,
+    ) -> DataFrame:
+        from .operators.knn_graph import graph_search
+
+        return graph_search(
+            self.vectors,
+            self.graph,
+            queries,
+            k,
+            beam=max(ef if ef is not None else self.ef_search, k),
+            iters=iters,
+        )
+
+    def search_numpy(
+        self, x: np.ndarray, k: int, ef: int | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        return _host_result(
+            self.search(_query_df(self.spark, x), k, ef),
+            len(np.atleast_2d(x)),
+            k,
+        )
+
+    def release(self) -> None:
+        self.vectors.unpersist()
+        self.graph.unpersist()
+
+
 def index_factory(vt, spec: str, **train_kw):
     """FAISS ``index_factory`` twin over the derived-tier workflow.
 
@@ -612,6 +689,9 @@ def index_factory(vt, spec: str, **train_kw):
     - ``"IVF256"`` / ``"IVF256,Flat"`` → :class:`IVFIndex` (nlist=256)
     - ``"IVF256,PQ16"``     → :class:`IVFPQIndex`
     - ``"IVF256,SQ8"`` / ``",SQ6"`` / ``",SQ4"`` → :class:`IVFSQIndex`
+    - ``"HNSW32"`` / ``"HNSW32,Flat"`` → :class:`GraphIndex` (M=32;
+      flat navigable graph — see the class docstring for the honest
+      HNSW-vs-NSW mapping)
     - ``"OPQ16"`` / ``"OPQ16,PQ16"`` → :class:`OPQIndex` (the OPQ
       pretransform trains its own PQ; a mismatched pair raises)
 
@@ -655,6 +735,9 @@ def index_factory(vt, spec: str, **train_kw):
         return IVFSQIndex.from_table(
             vt, n_cells=int(m.group(1)), bits=int(m.group(2)), **train_kw
         )
+    m = re.fullmatch(r"HNSW(\d+)(?:,Flat)?", s)
+    if m:
+        return GraphIndex.from_table(vt, M=int(m.group(1)), **train_kw)
     m = re.fullmatch(r"OPQ(\d+)(?:,PQ(\d+))?", s)
     if m:
         if m.group(2) is not None and m.group(2) != m.group(1):

@@ -178,6 +178,7 @@ def write_index(index, path: str, keep_versions: int = 2) -> None:
 def _is_engine_index(index) -> bool:
     from ..compact_index import (
         BinaryIndex,
+        GraphIndex,
         IVFIndex,
         IVFPQIndex,
         IVFSQIndex,
@@ -194,6 +195,7 @@ def _is_engine_index(index) -> bool:
             VectorTable,
             SQ8Index,
             BinaryIndex,
+            GraphIndex,
             IVFIndex,
             IVFPQIndex,
             IVFSQIndex,
@@ -207,6 +209,7 @@ def _is_engine_index(index) -> bool:
 def _write_payload(index, path: str) -> None:
     from ..compact_index import (
         BinaryIndex,
+        GraphIndex,
         IVFIndex,
         IVFPQIndex,
         IVFSQIndex,
@@ -293,6 +296,20 @@ def _write_payload(index, path: str) -> None:
             path,
             {"kind": "ivfpq", "d": index.d, "ntotal": index.ntotal, "shapes": shapes},
         )
+    elif isinstance(index, GraphIndex):
+        _write_frame(index.vectors, f"{path}/vectors")
+        _write_frame(index.graph, f"{path}/graph")
+        _write_meta(
+            index.spark,
+            path,
+            {
+                "kind": "graph",
+                "d": index.d,
+                "ntotal": index.ntotal,
+                "M": index.M,
+                "ef_search": index.ef_search,
+            },
+        )
     elif isinstance(index, IVFSQIndex):
         _write_frame(index.codes, f"{path}/codes", partition_by="cell")
         shapes = _write_arrays(
@@ -374,6 +391,7 @@ def read_index(spark: SparkSession, path: str):
 def _read_payload(spark: SparkSession, path: str):
     from ..compact_index import (
         BinaryIndex,
+        GraphIndex,
         IVFIndex,
         IVFPQIndex,
         IVFSQIndex,
@@ -437,6 +455,16 @@ def _read_payload(spark: SparkSession, path: str):
             meta["metric"],
             arrays["centroids"],
             spark.read.parquet(f"{path}/assigned"),
+            meta["ntotal"],
+        )
+    if kind == "graph":
+        return GraphIndex(
+            spark,
+            meta["d"],
+            spark.read.parquet(f"{path}/vectors"),
+            spark.read.parquet(f"{path}/graph"),
+            meta["M"],
+            meta["ef_search"],
             meta["ntotal"],
         )
     if kind == "ivfsq":

@@ -230,7 +230,7 @@ def test_index_factory_specs(spark):
     np.testing.assert_array_equal(L[:, 0], np.arange(3))
     np.testing.assert_allclose(D[:, 0], 0, atol=1e-9)
     with pytest.raises(ValueError):
-        index_factory(vt, "HNSW32")
+        index_factory(vt, "LSH32,Zn")
     with pytest.raises(ValueError):
         index_factory(vt, "OPQ4,PQ8")
 
@@ -453,3 +453,32 @@ def test_compact_store_null_partition_cell(spark, tmp_path):
     b = spark.read.parquet(dst).orderBy("id").toPandas()
     assert (a["id"].to_numpy() == b["id"].to_numpy()).all()
     assert b["cell"].isna().sum() == 300
+
+
+def test_graph_index_build_search_roundtrip(spark, tmp_path):
+    """GraphIndex (faiss IndexHNSWFlat workflow): factory spec HNSW<M>
+    builds the NN-Descent graph tier; beam search finds self as top-1
+    for this fixture/config (approximate search — not a universal
+    guarantee, but deterministic for a fixed seed, so a change here is
+    a routing regression); write_index round-trips the graph + vectors
+    with value-identical search."""
+    from faiss_metal_spark import GraphIndex, index_factory
+
+    V, Q = make_fixture(300, 4, 16, seed=19)
+    vt = _table(spark, V)
+    idx = index_factory(vt, "HNSW8", iters=2, ef_search=32)
+    assert isinstance(idx, GraphIndex) and idx.M == 8 and idx.ntotal == 300
+
+    D0, L0 = idx.search_numpy(V[:4], 5)
+    np.testing.assert_array_equal(L0[:, 0], np.arange(4))
+    np.testing.assert_allclose(D0[:, 0], 0.0, atol=1e-9)
+
+    write_index(idx, str(tmp_path / "graph"))
+    idx2 = read_index(spark, str(tmp_path / "graph"))
+    assert isinstance(idx2, GraphIndex)
+    assert (idx2.M, idx2.ef_search, idx2.ntotal) == (8, 32, 300)
+    Dq, Lq = idx.search_numpy(Q, 5)
+    D1, L1 = idx2.search_numpy(Q, 5)
+    np.testing.assert_array_equal(Lq, L1)
+    np.testing.assert_array_equal(Dq, D1)
+    idx.release()
