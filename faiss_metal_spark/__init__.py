@@ -20,9 +20,10 @@ from .compact_index import (
     SQ8Index,
     index_factory,
 )
+from .operators.kmeans import Kmeans
 from .quantize import STORAGE_BF16, STORAGE_FP16, STORAGE_FP32
 from .session import get_spark
-from .sources.index_io import read_index, write_index
+from .sources.index_io import clone_index, read_index, write_index
 from .sharded import ShardedIndex
 from .vector_table import IDMapVectorTable, SearchParams, SearchToken, VectorTable
 
@@ -41,8 +42,10 @@ __all__ = [
     "OPQIndex",
     "PQIndex",
     "index_factory",
+    "Kmeans",
     "write_index",
     "read_index",
+    "clone_index",
     "get_spark",
     "STORAGE_FP32",
     "STORAGE_FP16",

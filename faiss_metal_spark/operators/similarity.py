@@ -379,7 +379,9 @@ def ivf_train_centroids(
     id_col: str = "id",
     sample_size: int = 16384,
     iters: int = 10,
-) -> np.ndarray:
+    spherical: bool = False,
+    return_obj: bool = False,
+):
     """Deterministic k-means centroids from a hash-thresholded sample.
 
     The sample comes from ``train_sample`` (md5-threshold filter, O(n)
@@ -387,6 +389,14 @@ def ivf_train_centroids(
     is the first n_cells sample rows; Lloyd iterations run on the driver
     (the sample is small by construction — training is O(sample),
     assignment is the distributed part).
+
+    ``spherical`` renormalizes centroids to unit L2 after every update
+    (faiss ``Kmeans(spherical=True)``; with unit centroids the
+    ``‖c‖²−2x·c`` assignment is exactly max-inner-product order).
+    ``return_obj`` returns ``(C, obj)`` where ``obj[i]`` is the total
+    squared error Σ‖x−c(x)‖² over the training sample at iteration i
+    (faiss ``Kmeans.obj``, measured on its train set — here the
+    bounded sample, which is the O(sample) 100 TB-safe contract).
     """
     pdf = train_sample(
         vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
@@ -397,18 +407,30 @@ def ivf_train_centroids(
     if len(X) < n_cells:
         raise ValueError(f"need ≥ {n_cells} vectors to train, got {len(X)}")
     C = X[:n_cells].copy()
+    if spherical:
+        nrm = np.linalg.norm(C, axis=1)
+        C = C / np.where(nrm == 0.0, 1.0, nrm)[:, None]
+    xn = (X * X).sum(1) if return_obj else None
+    obj = []
     for _ in range(iters):
         # ‖c‖² − 2x·c decomposition (‖x‖² constant per row): one
         # (sample × cells) matrix instead of the (sample × cells × d)
         # broadcast — the same form ivf_assign uses, so trainer and
         # assigner tie-break identically. 16384×256×1536 fits in <2 GB.
         cn = (C * C).sum(1)
-        assign = (cn[None, :] - 2.0 * (X @ C.T)).argmin(1)
+        Dm = cn[None, :] - 2.0 * (X @ C.T)
+        assign = Dm.argmin(1)
+        if return_obj:
+            err = Dm[np.arange(len(X)), assign] + xn
+            obj.append(float(np.maximum(err, 0.0).sum()))
         for c in range(n_cells):
             m = assign == c
             if m.any():
                 C[c] = X[m].mean(0)
-    return C
+        if spherical:
+            nrm = np.linalg.norm(C, axis=1)
+            C = C / np.where(nrm == 0.0, 1.0, nrm)[:, None]
+    return (C, obj) if return_obj else C
 
 
 def ivf_assign(

@@ -373,6 +373,49 @@ def _write_payload(index, path: str) -> None:
         )
 
 
+def clone_index(index):
+    """Independent handle with identical state — faiss ``clone_index``.
+
+    The clone and the original share immutable artifacts (Spark
+    DataFrames are immutable plans; trained numpy arrays are copied),
+    so cloning is O(metadata): mutating either side (``add``, ``reset``,
+    ``remove_ids``, ``merge_from``) reassigns that side's frames and
+    never touches the other — the observable faiss deep-copy contract
+    without duplicating the corpus. Caveat (performance, not
+    correctness): a derived tier's persisted code frame is shared, so
+    ``release()`` on one handle drops the shared cache for both.
+    """
+    import dataclasses
+
+    from ..sharded import ShardedIndex
+    from ..vector_table import VectorTable
+
+    if isinstance(index, ShardedIndex):
+        return ShardedIndex.from_indexes(
+            *[clone_index(m) for m in index.shards],
+            successive_ids=index.successive_ids,
+        )
+    if isinstance(index, VectorTable):
+        return type(index)(
+            index.spark,
+            index.d,
+            metric=index.metric,
+            storage=index.storage,
+            compact=index.compact,
+            df=index.df,
+            _next_id=index._next_id,
+        )
+    if not _is_engine_index(index):
+        raise TypeError(
+            f"clone_index: unsupported index type {type(index).__name__}"
+        )
+    kw = {}
+    for f in dataclasses.fields(index):
+        v = getattr(index, f.name)
+        kw[f.name] = v.copy() if isinstance(v, np.ndarray) else v
+    return type(index)(**kw)
+
+
 def read_index(spark: SparkSession, path: str):
     """Reload an index written by :func:`write_index` (faiss read_index).
 
