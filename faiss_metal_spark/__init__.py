@@ -11,6 +11,7 @@ north-star targets.
 
 from .compact_index import (
     BinaryIndex,
+    BinaryIVFIndex,
     GraphIndex,
     IVFIndex,
     IVFPQIndex,
@@ -35,6 +36,7 @@ __all__ = [
     "ShardedIndex",
     "SQ8Index",
     "BinaryIndex",
+    "BinaryIVFIndex",
     "GraphIndex",
     "IVFIndex",
     "IVFPQIndex",

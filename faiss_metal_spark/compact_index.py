@@ -213,6 +213,76 @@ class BinaryIndex:
 
 
 @dataclass
+class BinaryIVFIndex:
+    """Binary inverted-file tier — faiss ``IndexBinaryIVF``
+    (``index_binary_factory("BIVF<n>")``): packed sign-bit words
+    clustered under a HAMMING coarse quantizer (binarized k-means
+    centroids — faiss trains its binary quantizer the same way:
+    float k-means on casts, then binarize), probe the nprobe
+    Hamming-nearest cells, exact Hamming top-k within.
+
+    Everything after centroid training is Catalyst integer arithmetic
+    (``operators/binary.py`` — assignment, probe ranking and in-cell
+    distance are struct-array expressions), so the tier is
+    engine-exact and the full-probe answer is value-identical to the
+    flat :class:`BinaryIndex` (pinned by test). Words persist
+    ``partitionBy("cell")`` via ``write_index``; the probe join is an
+    equi-join on ``cell``, so partitioned stores get dynamic partition
+    pruning."""
+
+    spark: SparkSession
+    d: int
+    centroid_words: np.ndarray
+    words: DataFrame
+    _n: int = field(default=-1, repr=False)
+
+    @classmethod
+    def from_table(
+        cls,
+        vt,
+        n_cells: int,
+        sample_size: int = 16384,
+        iters: int = 10,
+    ) -> "BinaryIVFIndex":
+        from .operators.binary import binarize, binarize_np, binary_ivf_assign
+        from .operators.similarity import ivf_train_centroids
+
+        base = _float_view(vt)
+        C = ivf_train_centroids(base, n_cells, sample_size=sample_size, iters=iters)
+        Cw = binarize_np(C)
+        inv = binary_ivf_assign(binarize(base, vt.d), Cw).persist()
+        n = inv.count()
+        return cls(vt.spark, vt.d, Cw, inv, n)
+
+    @property
+    def nlist(self) -> int:
+        return len(self.centroid_words)
+
+    @property
+    def ntotal(self) -> int:
+        return self._n if self._n >= 0 else self.words.count()
+
+    def search(self, queries: DataFrame, k: int, nprobe: int = 8) -> DataFrame:
+        from .operators.binary import binary_ivf_search
+
+        return binary_ivf_search(
+            self.words, self.centroid_words, queries, k, nprobe, self.d
+        )
+
+    def search_numpy(
+        self, x: np.ndarray, k: int, nprobe: int = 8
+    ) -> tuple[np.ndarray, np.ndarray]:
+        return _host_result(
+            self.search(_query_df(self.spark, x), k, nprobe),
+            len(np.atleast_2d(x)),
+            k,
+        )
+
+    def release(self) -> None:
+        self.words.unpersist()
+
+
+@dataclass
 class IVFIndex:
     """Coarse-quantized tier derived from a VectorTable: k-means cells,
     cell-pruned exact search within probed cells (IndexIVFFlat built by
@@ -685,6 +755,7 @@ def index_factory(vt, spec: str, **train_kw):
     - ``"SQfp16"`` / ``"SQbf16"`` → compact half-precision
       :class:`VectorTable` (faiss QT_fp16: half codes, asymmetric search)
     - ``"BFlat"``           → :class:`BinaryIndex` (index_binary_factory)
+    - ``"BIVF256"``         → :class:`BinaryIVFIndex` (Hamming IVF)
     - ``"PQ16"``            → :class:`PQIndex` (m=16)
     - ``"IVF256"`` / ``"IVF256,Flat"`` → :class:`IVFIndex` (nlist=256)
     - ``"IVF256,PQ16"``     → :class:`IVFPQIndex`
@@ -719,6 +790,9 @@ def index_factory(vt, spec: str, **train_kw):
         return tier.add_df(_float_view(vt))
     if s == "BFlat":
         return BinaryIndex.from_table(vt, **train_kw)
+    m = re.fullmatch(r"BIVF(\d+)", s)
+    if m:
+        return BinaryIVFIndex.from_table(vt, n_cells=int(m.group(1)), **train_kw)
     m = re.fullmatch(r"PQ(\d+)", s)
     if m:
         return PQIndex.from_table(vt, m=int(m.group(1)), **train_kw)

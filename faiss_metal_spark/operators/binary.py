@@ -161,3 +161,124 @@ def hamming_refine(
         .where(F.col("rank") < k)
         .select("qid", "rank", "label", "distance")
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary IVF (faiss IndexBinaryIVF): Hamming coarse quantizer over the
+# packed words — assignment, probe ranking and in-cell search are ALL
+# Catalyst integer expressions (no Python per row anywhere), so the
+# whole tier is engine-exact and SQL-oracle-expressible.
+# ---------------------------------------------------------------------------
+
+
+def _lit_words(row) -> Column:
+    return F.array(*[F.lit(int(w)) for w in row])
+
+
+def _cell_structs(wcol: Column, centroid_words) -> list[Column]:
+    """Per-cell (hamming, cell) structs — struct ordering is
+    lexicographic, so min/sort break Hamming ties by ascending cell id
+    (the faiss coarse-assignment tie rule)."""
+    return [
+        F.struct(
+            hamming_expr(wcol, _lit_words(cw)).alias("h"),
+            F.lit(int(c)).alias("cell"),
+        )
+        for c, cw in enumerate(centroid_words)
+    ]
+
+
+def binary_cell_col(words: Column | str, centroid_words) -> Column:
+    """Nearest-centroid cell id by Hamming distance (ties → lower id)."""
+    wcol = F.col(words) if isinstance(words, str) else words
+    return F.array_min(F.array(*_cell_structs(wcol, centroid_words)))["cell"]
+
+
+def binary_ivf_assign(
+    words_df: DataFrame, centroid_words, words_col: str = "words"
+) -> DataFrame:
+    """Add ``cell`` = Hamming-nearest binary centroid (one scan, no
+    shuffle; the n_cells·nwords centroid table rides as plan literals)."""
+    return words_df.withColumn(
+        "cell", binary_cell_col(words_col, centroid_words)
+    )
+
+
+def binary_ivf_search(
+    inv: DataFrame,
+    centroid_words,
+    queries: DataFrame,
+    k: int,
+    nprobe: int,
+    d: int,
+    id_col: str = "id",
+    words_col: str = "words",
+    qid_col: str = "qid",
+    qvec_col: str = "vec",
+) -> DataFrame:
+    """IndexBinaryIVF::search — probe the ``nprobe`` Hamming-nearest
+    cells per query, exact Hamming top-k within (ascending distance,
+    ties by label, rank 0-based; min(k, probed rows) results).
+
+    Fully declarative single job: the query side binarizes, ranks ALL
+    cells with one ``array_sort`` over (hamming, cell) structs, slices
+    its probe list and explodes to (qid, cell); that small side
+    broadcast-joins the inverted file on ``cell`` — an equi-join, so a
+    cell-partitioned store gets dynamic partition pruning — and the
+    window top-k finishes per query. No driver collect, no Python
+    stage; probe ranking is integer-exact, so results are
+    engine-reproducible bit-for-bit.
+    """
+    q = queries.select(
+        F.col(qid_col).cast("long").alias("qid"),
+        binarize_col(qvec_col, d).alias("_qw"),
+    )
+    probed = q.select(
+        "qid",
+        "_qw",
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.array_sort(F.array(*_cell_structs(F.col("_qw"), centroid_words))),
+                    1,
+                    int(nprobe),
+                ),
+                lambda s: s["cell"],
+            )
+        ).alias("cell"),
+    )
+    v = inv.select(
+        F.col(id_col).cast("long").alias("label"),
+        F.col(words_col).alias("_vw"),
+        "cell",
+    )
+    joined = (
+        F.broadcast(probed)
+        .join(v, "cell")
+        .select(
+            "qid", "label", hamming_expr(F.col("_qw"), F.col("_vw")).alias("distance")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("distance").asc(), F.col("label").asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w) - 1)
+        .where(F.col("rank") < k)
+        .select("qid", "rank", "label", "distance")
+    )
+
+
+def binarize_np(X) -> "np.ndarray":
+    """numpy twin of :func:`binarize_col` for host-side arrays
+    (centroids): (n, d) float → (n, ceil(d/32)) int64 packed words,
+    bit-identical to the Catalyst pack (dim w·32+j → bit 31−j of
+    word w, x > 0 → 1)."""
+    import numpy as np
+
+    X = np.atleast_2d(np.asarray(X))
+    n, d = X.shape
+    nwords = (d + BITS_PER_WORD - 1) // BITS_PER_WORD
+    bits = (X > 0).astype(np.int64)
+    pad = np.zeros((n, nwords * BITS_PER_WORD - d), np.int64)
+    grouped = np.concatenate([bits, pad], axis=1).reshape(n, nwords, BITS_PER_WORD)
+    weights = (np.int64(1) << np.arange(BITS_PER_WORD - 1, -1, -1, dtype=np.int64))
+    return (grouped * weights).sum(axis=2)

@@ -178,6 +178,7 @@ def write_index(index, path: str, keep_versions: int = 2) -> None:
 def _is_engine_index(index) -> bool:
     from ..compact_index import (
         BinaryIndex,
+        BinaryIVFIndex,
         GraphIndex,
         IVFIndex,
         IVFPQIndex,
@@ -195,6 +196,7 @@ def _is_engine_index(index) -> bool:
             VectorTable,
             SQ8Index,
             BinaryIndex,
+            BinaryIVFIndex,
             GraphIndex,
             IVFIndex,
             IVFPQIndex,
@@ -209,6 +211,7 @@ def _is_engine_index(index) -> bool:
 def _write_payload(index, path: str) -> None:
     from ..compact_index import (
         BinaryIndex,
+        BinaryIVFIndex,
         GraphIndex,
         IVFIndex,
         IVFPQIndex,
@@ -295,6 +298,22 @@ def _write_payload(index, path: str) -> None:
             index.spark,
             path,
             {"kind": "ivfpq", "d": index.d, "ntotal": index.ntotal, "shapes": shapes},
+        )
+    elif isinstance(index, BinaryIVFIndex):
+        _write_frame(index.words, f"{path}/words", partition_by="cell")
+        # packed words are < 2^32 — exact in the float64 array store
+        shapes = _write_arrays(
+            index.spark, path, {"centroid_words": index.centroid_words}
+        )
+        _write_meta(
+            index.spark,
+            path,
+            {
+                "kind": "bivf",
+                "d": index.d,
+                "ntotal": index.ntotal,
+                "shapes": shapes,
+            },
         )
     elif isinstance(index, GraphIndex):
         _write_frame(index.vectors, f"{path}/vectors")
@@ -434,6 +453,7 @@ def read_index(spark: SparkSession, path: str):
 def _read_payload(spark: SparkSession, path: str):
     from ..compact_index import (
         BinaryIndex,
+        BinaryIVFIndex,
         GraphIndex,
         IVFIndex,
         IVFPQIndex,
@@ -498,6 +518,14 @@ def _read_payload(spark: SparkSession, path: str):
             meta["metric"],
             arrays["centroids"],
             spark.read.parquet(f"{path}/assigned"),
+            meta["ntotal"],
+        )
+    if kind == "bivf":
+        return BinaryIVFIndex(
+            spark,
+            meta["d"],
+            arrays["centroid_words"].astype(np.int64),
+            spark.read.parquet(f"{path}/words"),
             meta["ntotal"],
         )
     if kind == "graph":

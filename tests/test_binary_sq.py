@@ -383,3 +383,84 @@ def test_ivfsq_range_search_full_probe_exact(spark):
     }
     assert sub <= want
     idx.release()
+
+
+# ---------------------------------------------------------------------------
+# Binary IVF (faiss IndexBinaryIVF): Hamming coarse quantizer
+# ---------------------------------------------------------------------------
+
+
+def test_binary_ivf_full_probe_equals_flat_and_roundtrips(spark, tmp_path):
+    """nprobe = nlist makes BinaryIVF ≡ flat Hamming search exactly
+    (integer distances — no tolerance); partial probe yields a subset
+    of the corpus with exact Hamming distances; write_index round-trips
+    the tier with the cell-partitioned words layout."""
+    from faiss_metal_spark import (
+        BinaryIndex,
+        BinaryIVFIndex,
+        VectorTable,
+        index_factory,
+        read_index,
+        write_index,
+    )
+    from faiss_metal_spark.operators.binary import binarize_np
+
+    V, Q = make_fixture(400, 6, 40, seed=31)  # d=40: ragged last word
+    vt = VectorTable(spark, 40).add_numpy(V)
+    flat = BinaryIndex.from_table(vt)
+    idx = index_factory(vt, "BIVF8", sample_size=400)
+    assert isinstance(idx, BinaryIVFIndex) and idx.nlist == 8
+
+    D0, L0 = flat.search_numpy(Q, 10)
+    D1, L1 = idx.search_numpy(Q, 10, nprobe=idx.nlist)
+    np.testing.assert_array_equal(L0, L1)
+    np.testing.assert_array_equal(D0, D1)
+
+    # partial probe: every distance is the true Hamming distance
+    Hq = binarize_np(Q)
+    Hv = binarize_np(V)
+    H = np.zeros((len(Q), len(V)), np.int64)
+    for w in range(Hq.shape[1]):
+        H += np.vectorize(lambda x: bin(x).count("1"))(
+            np.bitwise_xor(Hq[:, w][:, None], Hv[:, w][None, :])
+        )
+    D2, L2 = idx.search_numpy(Q, 10, nprobe=2)
+    for qi in range(len(Q)):
+        for j in range(10):
+            if L2[qi, j] >= 0:
+                assert D2[qi, j] == H[qi, L2[qi, j]]
+
+    write_index(idx, str(tmp_path / "bivf"))
+    idx2 = read_index(spark, str(tmp_path / "bivf"))
+    assert isinstance(idx2, BinaryIVFIndex) and idx2.ntotal == 400
+    assert idx2.centroid_words.dtype == np.int64
+    np.testing.assert_array_equal(idx.centroid_words, idx2.centroid_words)
+    D3, L3 = idx2.search_numpy(Q, 10, nprobe=2)
+    np.testing.assert_array_equal(L2, L3)
+    np.testing.assert_array_equal(D2, D3)
+    flat.release()
+    idx.release()
+
+
+def test_binary_ivf_assignment_matches_numpy(spark):
+    """The Catalyst Hamming cell assignment ties out against numpy
+    argmin (ties → lowest cell id) exactly."""
+    from faiss_metal_spark import BinaryIVFIndex, VectorTable
+    from faiss_metal_spark.operators.binary import binarize_np
+
+    V, _ = make_fixture(300, 1, 24, seed=37)
+    vt = VectorTable(spark, 24).add_numpy(V)
+    idx = BinaryIVFIndex.from_table(vt, n_cells=6, sample_size=300)
+    Hv = binarize_np(V)
+    Hc = idx.centroid_words
+    H = np.zeros((len(V), len(Hc)), np.int64)
+    for w in range(Hv.shape[1]):
+        H += np.vectorize(lambda x: bin(x).count("1"))(
+            np.bitwise_xor(Hv[:, w][:, None], Hc[:, w][None, :])
+        )
+    want = H.argmin(1)  # numpy argmin already ties to the lowest index
+    got = (
+        idx.words.select("id", "cell").orderBy("id").toPandas()["cell"].to_numpy()
+    )
+    np.testing.assert_array_equal(got, want)
+    idx.release()
