@@ -109,6 +109,15 @@ class SQ8Index:
             self.search(_query_df(self.spark, x), k), len(np.atleast_2d(x)), k
         )
 
+    def range_search(self, queries: DataFrame, radius: float) -> DataFrame:
+        """Asymmetric-distance radius query (faiss
+        ``IndexScalarQuantizer`` via ``Index::range_search``)."""
+        from .operators.sq import sq_range_search
+
+        return sq_range_search(
+            self.codes, self.vmin, self.vmax, queries, radius, self.bits
+        )
+
     def reconstruct(self, key: int) -> np.ndarray:
         from .operators.sq import sq_reconstruct_col
 
@@ -355,6 +364,14 @@ class IVFIndex:
             metric=self.metric,
         )
 
+    def reconstruct(self, key: int) -> np.ndarray:
+        """Exact stored vector (IVF,Flat stores full precision —
+        ``IndexIVFFlat::reconstruct``)."""
+        row = self.assigned.where(F.col("id") == int(key)).select("vec").collect()
+        if not row:
+            raise KeyError(f"id {key} not in index")
+        return np.asarray(row[0]["vec"], np.float64)
+
     def release(self) -> None:
         self.assigned.unpersist()
 
@@ -477,6 +494,17 @@ class IVFSQIndex:
             decode=self._decode(),
         )
 
+    def reconstruct(self, key: int) -> np.ndarray:
+        """Decoded code (``IndexIVFScalarQuantizer::reconstruct`` —
+        lossy, bounded by the per-dim step/2)."""
+        from .operators.sq import sq_decode_np
+
+        row = self.codes.where(F.col("id") == int(key)).select("code").collect()
+        if not row:
+            raise KeyError(f"id {key} not in index")
+        codes = np.asarray(row[0]["code"], np.uint8)[None, :]
+        return sq_decode_np(codes, self.vmin, self.vmax, self.bits)[0]
+
     def release(self) -> None:
         self.codes.unpersist()
 
@@ -538,6 +566,23 @@ class IVFPQIndex:
             k,
         )
 
+    def reconstruct(self, key: int) -> np.ndarray:
+        """centroid(cell) + decoded residual code
+        (``IndexIVFPQ::reconstruct``)."""
+        from .operators.pq import pq_decode_np
+
+        row = (
+            self.codes.where(F.col("id") == int(key))
+            .select("code", "cell")
+            .collect()
+        )
+        if not row:
+            raise KeyError(f"id {key} not in index")
+        code = np.frombuffer(row[0]["code"], np.uint8)[None, :]
+        return self.centroids[int(row[0]["cell"])] + pq_decode_np(
+            code, self.codebooks
+        )[0]
+
     def release(self) -> None:
         self.codes.unpersist()
 
@@ -585,6 +630,18 @@ class OPQIndex:
             self.search(_query_df(self.spark, x), k), len(np.atleast_2d(x)), k
         )
 
+    def reconstruct(self, key: int) -> np.ndarray:
+        """Codeword concatenation rotated back to input space:
+        decode(code) @ R (``IndexPreTransform::reconstruct`` applies
+        the OPQ matrix's reverse transform)."""
+        from .operators.pq import pq_decode_np
+
+        row = self.codes.where(F.col("id") == int(key)).select("code").collect()
+        if not row:
+            raise KeyError(f"id {key} not in index")
+        code = np.frombuffer(row[0]["code"], np.uint8)[None, :]
+        return (pq_decode_np(code, self.codebooks) @ self.rotation)[0]
+
     def release(self) -> None:
         self.codes.unpersist()
 
@@ -629,6 +686,16 @@ class PQIndex:
         return _host_result(
             self.search(_query_df(self.spark, x), k), len(np.atleast_2d(x)), k
         )
+
+    def reconstruct(self, key: int) -> np.ndarray:
+        """Codeword concatenation (``IndexPQ::reconstruct``)."""
+        from .operators.pq import pq_decode_np
+
+        row = self.codes.where(F.col("id") == int(key)).select("code").collect()
+        if not row:
+            raise KeyError(f"id {key} not in index")
+        code = np.frombuffer(row[0]["code"], np.uint8)[None, :]
+        return pq_decode_np(code, self.codebooks)[0]
 
     def release(self) -> None:
         self.codes.unpersist()

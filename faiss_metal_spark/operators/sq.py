@@ -355,3 +355,41 @@ def sq8_decode_binary(
     bin_col: Column | str, vmin: np.ndarray, vmax: np.ndarray
 ) -> Column:
     return sq_decode_binary(bin_col, vmin, vmax, bits=8)
+
+
+def sq_range_search(
+    codes: DataFrame,
+    vmin: np.ndarray,
+    vmax: np.ndarray,
+    queries: DataFrame,
+    radius: float,
+    bits: int = 8,
+    id_col: str = "id",
+    code_col: str = "code",
+    qid_col: str = "qid",
+    qvec_col: str = "vec",
+) -> DataFrame:
+    """All neighbors with asymmetric distance < radius — faiss
+    ``IndexScalarQuantizer`` inherits ``Index::range_search``; keep
+    rule and output contract match the flat ``range_search``: strict
+    ``<``, (qid, label, distance) UNORDERED, no rank/sentinels. Same
+    plan shape as :func:`sq_search` minus the window: one scan,
+    scan-side decode projection, output bounded by the radius."""
+    from ..functions.vector import l2sq
+
+    v = codes.select(
+        F.col(id_col).cast("long").alias("label"),
+        sq_reconstruct_col(code_col, vmin, vmax, bits).alias("_rvec"),
+    )
+    q = queries.select(
+        F.col(qid_col).cast("long").alias("qid"),
+        F.col(qvec_col).cast("array<double>").alias("_qvec"),
+    )
+    return (
+        F.broadcast(q)
+        .crossJoin(v)
+        .select(
+            "qid", "label", l2sq(F.col("_qvec"), F.col("_rvec")).alias("distance")
+        )
+        .where(F.col("distance") < F.lit(float(radius)))
+    )

@@ -22,11 +22,13 @@ Layout under ``path``::
                 reloaded index keeps partition-pruned probes (the
                 inverted-list layout of ``ivf_write`` / ``ivfpq_write``)
 
-Supported kinds: ``VectorTable`` (flat, incl. fp16/bf16 compact),
-``SQ8Index``, ``BinaryIndex``, ``IVFIndex``, ``IVFPQIndex``,
-``OPQIndex``. ``read_index`` returns the same type that was written and
-search results are value-identical pre/post round-trip
-(``tests/test_index_io.py``).
+Supported kinds: ``VectorTable`` / ``IDMapVectorTable`` (flat, incl.
+fp16/bf16 compact), ``SQ8Index`` (any bit width), ``BinaryIndex``,
+``BinaryIVFIndex``, ``IVFIndex``, ``IVFSQIndex``, ``IVFPQIndex``,
+``PQIndex``, ``OPQIndex``, ``GraphIndex``, and composite
+``ShardedIndex`` (recursive member payloads). ``read_index`` returns
+the same type that was written and search results are value-identical
+pre/post round-trip (``tests/test_index_io.py``).
 """
 
 from __future__ import annotations

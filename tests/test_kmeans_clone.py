@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 from faiss_metal_spark import Kmeans, VectorTable, clone_index
+from pyspark.sql import functions as F
 
 from conftest import make_fixture
 
@@ -116,3 +117,80 @@ def test_clone_index_derived_tiers_and_sharded(spark):
 
     with pytest.raises(TypeError):
         clone_index(object())
+
+
+def test_reconstruct_all_compressed_tiers(spark):
+    """Every derived tier reconstructs (faiss: reconstruct is part of
+    the Index contract): IVF,Flat is exact; SQ/IVFSQ within the per-dim
+    step/2 bound; PQ/IVFPQ/OPQ reproduce their own decode arithmetic
+    exactly (pinned against the numpy decode of the stored code)."""
+    from faiss_metal_spark import (
+        IVFIndex,
+        IVFPQIndex,
+        IVFSQIndex,
+        OPQIndex,
+        PQIndex,
+    )
+    from faiss_metal_spark.operators.pq import pq_decode_np
+
+    V, _ = make_fixture(300, 1, 16, seed=51)
+    vt = VectorTable(spark, 16).add_numpy(V)
+    x0 = V[7].astype(np.float64)
+
+    ivf = IVFIndex.from_table(vt, n_cells=4, sample_size=300)
+    np.testing.assert_allclose(ivf.reconstruct(7), x0, atol=1e-6)  # f32 storage
+
+    ivfsq = IVFSQIndex.from_table(vt, n_cells=4, sample_size=300)
+    step = (ivfsq.vmax - ivfsq.vmin) / 255.0
+    assert (np.abs(ivfsq.reconstruct(7) - x0) <= step / 2 + 1e-9).all()
+
+    pq = PQIndex.from_table(vt, m=4, iters=2, sample_size=300)
+    code = np.frombuffer(
+        pq.codes.where(F.col("id") == 7).collect()[0]["code"], np.uint8
+    )[None, :]
+    np.testing.assert_allclose(
+        pq.reconstruct(7), pq_decode_np(code, pq.codebooks)[0], atol=0
+    )
+
+    ivfpq = IVFPQIndex.from_table(vt, n_cells=4, m=4, sample_size=300, iters=2)
+    row = ivfpq.codes.where(F.col("id") == 7).collect()[0]
+    want = ivfpq.centroids[row["cell"]] + pq_decode_np(
+        np.frombuffer(row["code"], np.uint8)[None, :], ivfpq.codebooks
+    )[0]
+    np.testing.assert_allclose(ivfpq.reconstruct(7), want, atol=0)
+
+    opq = OPQIndex.from_table(vt, m=4, iters=2, sample_size=300)
+    # reverse transform sanity: reconstruction error in input space is
+    # bounded and far below the vector norm (R is orthonormal)
+    rel = np.linalg.norm(opq.reconstruct(7) - x0) / np.linalg.norm(x0)
+    assert rel < 0.9
+
+    for idx in (ivf, ivfsq, pq, ivfpq, opq):
+        with pytest.raises(KeyError):
+            idx.reconstruct(10_000)
+
+
+def test_sq_range_search_matches_numpy(spark):
+    from faiss_metal_spark import SQ8Index
+    from faiss_metal_spark.operators.sq import sq_decode_np, sq_encode_np
+
+    V, Q = make_fixture(250, 4, 12, seed=53)
+    vt = VectorTable(spark, 12).add_numpy(V)
+    idx = SQ8Index.from_table(vt)
+    R = sq_decode_np(sq_encode_np(V, idx.vmin, idx.vmax, 8), idx.vmin, idx.vmax, 8)
+    D = ((Q.astype(np.float64)[:, None, :] - R[None, :, :]) ** 2).sum(-1)
+    radius = float(np.quantile(D, 0.15))
+    want = {(qi, vi) for qi, vi in zip(*np.nonzero(D < radius))}
+
+    import pandas as pd
+
+    qdf = spark.createDataFrame(
+        pd.DataFrame({"qid": np.arange(len(Q)), "vec": [v.tolist() for v in Q]}),
+        "qid long, vec array<float>",
+    )
+    rows = idx.range_search(qdf, radius).collect()
+    got = {(int(r["qid"]), int(r["label"])) for r in rows}
+    assert got == want
+    for r in rows:
+        assert abs(r["distance"] - D[int(r["qid"]), int(r["label"])]) <= 1e-9
+    idx.release()
