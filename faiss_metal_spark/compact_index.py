@@ -55,6 +55,35 @@ def _query_df(spark: SparkSession, x: np.ndarray) -> DataFrame:
     return spark.createDataFrame([], schema="qid long, vec array<float>")
 
 
+def _drop_ids(df: DataFrame, ids, id_col: str = "id") -> DataFrame:
+    """Rows of ``df`` whose id is NOT in ``ids`` — IN-list for small
+    batches, broadcast anti-join above (the ``SearchParams.sel``
+    threshold discipline)."""
+    arr = np.atleast_1d(np.asarray(ids, dtype=np.int64))
+    if len(arr) <= 10_000:
+        return df.where(~F.col(id_col).isin([int(i) for i in arr]))
+    spark = df.sparkSession
+    drop = spark.createDataFrame(
+        pd.DataFrame({id_col: arr}), f"{id_col} long"
+    )
+    return df.join(F.broadcast(drop), id_col, "left_anti")
+
+
+def _remove_ids_frame(index, frame_attr: str, ids) -> int:
+    """Shared IVF-family remove_ids: drop rows, repersist, return the
+    number removed (the faiss ``remove_ids`` return value). Stored ids
+    are NEVER renumbered — IVF labels are explicit list entries
+    (unlike the flat index's sequential compaction)."""
+    old = getattr(index, frame_attr)
+    new = _drop_ids(old, ids).persist()
+    n_new = new.count()
+    removed = index.ntotal - n_new
+    old.unpersist()
+    setattr(index, frame_attr, new)
+    index._n = n_new
+    return removed
+
+
 def _host_result(res: DataFrame, nq: int, k: int) -> tuple[np.ndarray, np.ndarray]:
     pdf = res.orderBy("qid", "rank").toPandas()
     if nq == 0:
@@ -287,6 +316,10 @@ class BinaryIVFIndex:
             k,
         )
 
+    def remove_ids(self, ids) -> int:
+        """faiss ``IndexBinaryIVF::remove_ids`` (no renumbering)."""
+        return _remove_ids_frame(self, "words", ids)
+
     def release(self) -> None:
         self.words.unpersist()
 
@@ -363,6 +396,11 @@ class IVFIndex:
             nprobe,
             metric=self.metric,
         )
+
+    def remove_ids(self, ids) -> int:
+        """Drop entries from the inverted lists without renumbering —
+        faiss ``IndexIVF::remove_ids``; returns the count removed."""
+        return _remove_ids_frame(self, "assigned", ids)
 
     def reconstruct(self, key: int) -> np.ndarray:
         """Exact stored vector (IVF,Flat stores full precision —
@@ -494,6 +532,10 @@ class IVFSQIndex:
             decode=self._decode(),
         )
 
+    def remove_ids(self, ids) -> int:
+        """faiss ``IndexIVF::remove_ids`` (no renumbering)."""
+        return _remove_ids_frame(self, "codes", ids)
+
     def reconstruct(self, key: int) -> np.ndarray:
         """Decoded code (``IndexIVFScalarQuantizer::reconstruct`` —
         lossy, bounded by the per-dim step/2)."""
@@ -565,6 +607,10 @@ class IVFPQIndex:
             len(np.atleast_2d(x)),
             k,
         )
+
+    def remove_ids(self, ids) -> int:
+        """faiss ``IndexIVF::remove_ids`` (no renumbering)."""
+        return _remove_ids_frame(self, "codes", ids)
 
     def reconstruct(self, key: int) -> np.ndarray:
         """centroid(cell) + decoded residual code

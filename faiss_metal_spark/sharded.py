@@ -123,6 +123,26 @@ class ShardedIndex:
             self.search(_query_df(self.spark, x), k), len(np.atleast_2d(x)), k
         )
 
+    def add_shard(self, index) -> "ShardedIndex":
+        """Append a populated member — faiss ``IndexShards::add_shard``
+        (the composite grows by whole shards, never by rows; same d /
+        metric validation as composition). Under ``successive_ids`` the
+        new member's labels offset by the current total, exactly as if
+        it had been passed to :meth:`from_indexes`."""
+        if index.d != self.d:
+            raise ValueError(
+                f"shard dimension mismatch: {index.d} != {self.d} "
+                "(faiss IndexShards requires equal d)"
+            )
+        if (getattr(index, "metric", self.metric) or self.metric) != self.metric:
+            raise ValueError(
+                "shard metric mismatch: member distances must be comparable"
+            )
+        if self.successive_ids:
+            self._offsets.append(self.ntotal)
+        self.shards.append(index)
+        return self
+
     def add(self, *_a, **_k):
         """faiss IndexShards.add requires add_shard-time coordination the
         read-only composite deliberately lacks: populate members, then

