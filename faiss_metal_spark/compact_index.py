@@ -233,6 +233,16 @@ class BinaryIndex:
             self.search(_query_df(self.spark, x), k), len(np.atleast_2d(x)), k
         )
 
+    def range_search(self, queries: DataFrame, radius: int) -> DataFrame:
+        """faiss ``IndexBinaryFlat::range_search``: Hamming distance
+        STRICTLY below ``radius`` (integer distances); (qid, label,
+        distance: long), unordered."""
+        from .operators.binary import hamming_range_search
+
+        return hamming_range_search(
+            self.words, queries, radius, self.d, vec_col="words", packed=True
+        )
+
     def refine_search_numpy(
         self, x: np.ndarray, k: int, refine_factor: int = 4
     ) -> tuple[np.ndarray, np.ndarray]:
@@ -314,6 +324,18 @@ class BinaryIVFIndex:
             self.search(_query_df(self.spark, x), k, nprobe),
             len(np.atleast_2d(x)),
             k,
+        )
+
+    def range_search(
+        self, queries: DataFrame, radius: int, nprobe: int = 8
+    ) -> DataFrame:
+        """faiss ``IndexBinaryIVF::range_search``: the Hamming radius
+        filter over the probed cells — full probe ≡ the flat
+        :meth:`BinaryIndex.range_search` exactly (integer distances)."""
+        from .operators.binary import binary_ivf_range_search
+
+        return binary_ivf_range_search(
+            self.words, self.centroid_words, queries, radius, nprobe, self.d
         )
 
     def remove_ids(self, ids) -> int:
@@ -608,6 +630,19 @@ class IVFPQIndex:
             k,
         )
 
+    def range_search(
+        self, queries: DataFrame, radius: float, nprobe: int = 8
+    ) -> DataFrame:
+        """faiss ``IndexIVFPQ::range_search``: residual-ADC radius
+        filter over the probed cells (L2); exact w.r.t. the ADC
+        approximation within cell coverage, subset under partial
+        probes, never a false positive."""
+        from .operators.pq import ivfpq_range_search
+
+        return ivfpq_range_search(
+            self.codes, self.centroids, self.codebooks, queries, radius, nprobe
+        )
+
     def remove_ids(self, ids) -> int:
         """faiss ``IndexIVF::remove_ids`` (no renumbering)."""
         return _remove_ids_frame(self, "codes", ids)
@@ -676,6 +711,16 @@ class OPQIndex:
             self.search(_query_df(self.spark, x), k), len(np.atleast_2d(x)), k
         )
 
+    def range_search(self, queries: DataFrame, radius: float) -> DataFrame:
+        """ADC radius filter in rotated space — ``IndexPreTransform``
+        forwards range_search; L2 is rotation-invariant so the radius
+        is unchanged by the transform."""
+        from .operators.opq import opq_range_search
+
+        return opq_range_search(
+            self.codes, self.rotation, self.codebooks, queries, radius
+        )
+
     def reconstruct(self, key: int) -> np.ndarray:
         """Codeword concatenation rotated back to input space:
         decode(code) @ R (``IndexPreTransform::reconstruct`` applies
@@ -732,6 +777,13 @@ class PQIndex:
         return _host_result(
             self.search(_query_df(self.spark, x), k), len(np.atleast_2d(x)), k
         )
+
+    def range_search(self, queries: DataFrame, radius: float) -> DataFrame:
+        """faiss ``IndexPQ::range_search``: asymmetric (ADC) distance
+        strictly below ``radius``; (qid, label, distance), unordered."""
+        from .operators.pq import pq_range_search
+
+        return pq_range_search(self.codes, self.codebooks, queries, radius)
 
     def reconstruct(self, key: int) -> np.ndarray:
         """Codeword concatenation (``IndexPQ::reconstruct``)."""

@@ -204,6 +204,117 @@ def binary_ivf_assign(
     )
 
 
+def _binary_probed_pairs(
+    inv: DataFrame,
+    centroid_words,
+    queries: DataFrame,
+    nprobe: int,
+    d: int,
+    id_col: str = "id",
+    words_col: str = "words",
+    qid_col: str = "qid",
+    qvec_col: str = "vec",
+) -> DataFrame:
+    """(qid, label, distance) Hamming pairs over the ``nprobe`` probed
+    cells — the shared probe stage of IndexBinaryIVF search and
+    range_search: query side binarizes, ranks ALL cells with one
+    ``array_sort`` over (hamming, cell) structs, slices its probe list
+    and explodes to (qid, cell); that small side broadcast-joins the
+    inverted file on ``cell`` (equi-join → dynamic partition pruning on
+    a cell-partitioned store)."""
+    q = queries.select(
+        F.col(qid_col).cast("long").alias("qid"),
+        binarize_col(qvec_col, d).alias("_qw"),
+    )
+    probed = q.select(
+        "qid",
+        "_qw",
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.array_sort(F.array(*_cell_structs(F.col("_qw"), centroid_words))),
+                    1,
+                    int(nprobe),
+                ),
+                lambda s: s["cell"],
+            )
+        ).alias("cell"),
+    )
+    v = inv.select(
+        F.col(id_col).cast("long").alias("label"),
+        F.col(words_col).alias("_vw"),
+        "cell",
+    )
+    return (
+        F.broadcast(probed)
+        .join(v, "cell")
+        .select(
+            "qid", "label", hamming_expr(F.col("_qw"), F.col("_vw")).alias("distance")
+        )
+    )
+
+
+def hamming_range_search(
+    vectors: DataFrame,
+    queries: DataFrame,
+    radius: int,
+    d: int,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    qid_col: str = "qid",
+    qvec_col: str = "vec",
+    packed: bool = False,
+) -> DataFrame:
+    """All stored words with Hamming distance STRICTLY below ``radius``
+    — faiss ``IndexBinaryFlat::range_search`` (its keep rule is
+    ``dis < radius``). Returns (qid, label, distance: long), unordered
+    — no rank, no sentinel rows, matching the float ``range_search``
+    contract.
+
+    One broadcast-nested-loop scan of the word table; the integer
+    filter runs inside whole-stage codegen, so output volume (bounded
+    by the radius) is the only cost beyond the scan — no shuffle, no
+    Python stage."""
+    v = vectors.select(
+        F.col(id_col).cast("long").alias("label"),
+        (F.col(vec_col) if packed else binarize_col(vec_col, d)).alias("_vw"),
+    )
+    q = queries.select(
+        F.col(qid_col).cast("long").alias("qid"),
+        binarize_col(qvec_col, d).alias("_qw"),
+    )
+    return (
+        F.broadcast(q)
+        .crossJoin(v)
+        .select(
+            "qid", "label", hamming_expr(F.col("_qw"), F.col("_vw")).alias("distance")
+        )
+        .where(F.col("distance") < int(radius))
+    )
+
+
+def binary_ivf_range_search(
+    inv: DataFrame,
+    centroid_words,
+    queries: DataFrame,
+    radius: int,
+    nprobe: int,
+    d: int,
+    id_col: str = "id",
+    words_col: str = "words",
+    qid_col: str = "qid",
+    qvec_col: str = "vec",
+) -> DataFrame:
+    """faiss ``IndexBinaryIVF::range_search``: the Hamming radius
+    filter applied over the probed cells — exact within cell coverage
+    (full probe ≡ :func:`hamming_range_search`), a subset under partial
+    probes, never a false positive. Same unordered (qid, label,
+    distance: long) contract as the flat variant."""
+    return _binary_probed_pairs(
+        inv, centroid_words, queries, nprobe, d, id_col, words_col, qid_col, qvec_col
+    ).where(F.col("distance") < int(radius))
+
+
 def binary_ivf_search(
     inv: DataFrame,
     centroid_words,
@@ -229,35 +340,8 @@ def binary_ivf_search(
     stage; probe ranking is integer-exact, so results are
     engine-reproducible bit-for-bit.
     """
-    q = queries.select(
-        F.col(qid_col).cast("long").alias("qid"),
-        binarize_col(qvec_col, d).alias("_qw"),
-    )
-    probed = q.select(
-        "qid",
-        "_qw",
-        F.explode(
-            F.transform(
-                F.slice(
-                    F.array_sort(F.array(*_cell_structs(F.col("_qw"), centroid_words))),
-                    1,
-                    int(nprobe),
-                ),
-                lambda s: s["cell"],
-            )
-        ).alias("cell"),
-    )
-    v = inv.select(
-        F.col(id_col).cast("long").alias("label"),
-        F.col(words_col).alias("_vw"),
-        "cell",
-    )
-    joined = (
-        F.broadcast(probed)
-        .join(v, "cell")
-        .select(
-            "qid", "label", hamming_expr(F.col("_qw"), F.col("_vw")).alias("distance")
-        )
+    joined = _binary_probed_pairs(
+        inv, centroid_words, queries, nprobe, d, id_col, words_col, qid_col, qvec_col
     )
     w = Window.partitionBy("qid").orderBy(F.col("distance").asc(), F.col("label").asc())
     return (

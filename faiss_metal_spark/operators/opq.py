@@ -156,6 +156,31 @@ def opq_search(
     return pq_search(codes, books, q, k, metric, qid_col=qid_col, qvec_col=qvec_col)
 
 
+def opq_range_search(
+    codes: DataFrame,
+    R: np.ndarray,
+    books: np.ndarray,
+    queries: DataFrame,
+    radius: float,
+    metric: str = "l2",
+    qid_col: str = "qid",
+    qvec_col: str = "vec",
+) -> DataFrame:
+    """ADC radius filter over OPQ codes — faiss ``IndexPreTransform``
+    forwards ``range_search`` through the transform chain to the
+    sub-index, and L2 is rotation-invariant, so the radius means the
+    same thing in rotated space. Same unordered (qid, label, distance)
+    contract as ``pq_range_search``."""
+    from .pq import pq_range_search
+
+    q = opq_rotate(queries, R, qid_col, qvec_col).select(
+        F.col("id").alias(qid_col), F.col("vec").alias(qvec_col)
+    )
+    return pq_range_search(
+        codes, books, q, radius, metric, qid_col=qid_col, qvec_col=qvec_col
+    )
+
+
 def opq_reconstruct_np(
     codes: np.ndarray, R: np.ndarray, books: np.ndarray
 ) -> np.ndarray:

@@ -218,6 +218,99 @@ def pq_reconstruct(
     return codes.mapInArrow(dec, schema)
 
 
+def _adc_lut(Q: np.ndarray, codebooks: np.ndarray, metric: str) -> np.ndarray:
+    """(nq, m, ksub) ADC lookup tables. l2: ‖q_j − c‖² computed as a
+    direct squared difference — not the ‖q‖²+‖c‖²−2qc decomposition —
+    so a query exactly on a codebook point gets distance exactly 0 (no
+    cancellation residue); the LUT is query-batch-sized, so the extra
+    temp over BLAS is irrelevant next to the code-table scan."""
+    m, ksub, dsub = codebooks.shape
+    nq = len(Q)
+    lut = np.empty((nq, m, ksub), dtype=np.float64)
+    for j in range(m):
+        Qj = Q[:, j * dsub : (j + 1) * dsub]
+        if metric == "l2":
+            diff = Qj[:, None, :] - codebooks[j][None, :, :]
+            lut[:, j, :] = np.einsum("ijk,ijk->ij", diff, diff)
+        else:
+            lut[:, j, :] = Qj @ codebooks[j].T
+    return lut
+
+
+def pq_range_search(
+    codes: DataFrame,
+    codebooks: np.ndarray,
+    queries: DataFrame,
+    radius: float,
+    metric: str = "l2",
+    qid_col: str = "qid",
+    qvec_col: str = "vec",
+) -> DataFrame:
+    """All codes whose ASYMMETRIC (ADC) distance passes the radius —
+    faiss ``IndexPQ::range_search``. Keep rule matches the float
+    operator: l2 keeps ``distance < radius`` (strict), ip keeps
+    ``distance > radius``. Returns (qid, label, distance), unordered —
+    no rank, no sentinel rows.
+
+    Physical shape mirrors the flat range_search: one ``mapInArrow``
+    scan of the code table with the broadcast (qids, LUT) pair, each
+    Arrow batch emitting its passing pairs — no merge stage, no
+    shuffle; output volume is bounded by the radius, not nq·n."""
+    if metric not in ("l2", "ip"):
+        raise ValueError(f"pq_range_search supports l2/ip, got {metric!r}")
+    m, ksub, dsub = codebooks.shape
+    from .knn import _MAX_BROADCAST_ELEMS, RANGE_SCHEMA
+
+    qpdf = queries.select(
+        F.col(qid_col).cast("long").alias("qid"), F.col(qvec_col).alias("qvec")
+    ).toPandas()
+    spark = codes.sparkSession
+    qids = qpdf["qid"].to_numpy(np.int64)
+    nq = len(qids)
+    if nq == 0:
+        return spark.createDataFrame([], RANGE_SCHEMA)
+    Q = np.stack(qpdf["qvec"].to_numpy()).astype(np.float64)
+    if Q.shape[1] != m * dsub:
+        raise ValueError(f"query dim {Q.shape[1]} != m·dsub {m * dsub}")
+    if nq * m * ksub > _MAX_BROADCAST_ELEMS:
+        raise ValueError(
+            f"ADC LUT too large to broadcast ({nq * m * ksub} elems > "
+            f"{_MAX_BROADCAST_ELEMS}); use smaller query batches"
+        )
+    bc = spark.sparkContext.broadcast((qids, _adc_lut(Q, codebooks, metric)))
+    want_min = metric == "l2"
+    r = float(radius)
+
+    def emit(batches):
+        import pyarrow as pa
+
+        qids_, lut_ = bc.value
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            C = _arrow_codes(batch.column("code"))
+            labels = _arrow_i64(batch.column("id"))
+            D = np.zeros((len(qids_), len(C)), dtype=np.float64)
+            for j in range(m):
+                D += lut_[:, j, :][:, C[:, j]]
+            if want_min:
+                np.maximum(D, 0.0, out=D)
+                qi, vi = np.nonzero(D < r)
+            else:
+                qi, vi = np.nonzero(D > r)
+            if len(qi):
+                yield pa.record_batch(
+                    [
+                        pa.array(qids_[qi]),
+                        pa.array(labels[vi]),
+                        pa.array(D[qi, vi]),
+                    ],
+                    names=["qid", "label", "distance"],
+                )
+
+    return codes.mapInArrow(emit, RANGE_SCHEMA)
+
+
 def pq_search(
     codes: DataFrame,
     codebooks: np.ndarray,
@@ -263,19 +356,7 @@ def pq_search(
             f"{_MAX_BROADCAST_ELEMS}); use smaller query batches"
         )
 
-    # ADC tables: (nq, m, 256). l2: ‖q_j − c‖² computed as a direct
-    # squared difference — not the ‖q‖²+‖c‖²−2qc decomposition — so a
-    # query exactly on a codebook point gets distance exactly 0 (no
-    # cancellation residue); the LUT is query-batch-sized, so the extra
-    # temp over BLAS is irrelevant next to the code-table scan.
-    lut = np.empty((nq, m, ksub), dtype=np.float64)
-    for j in range(m):
-        Qj = Q[:, j * dsub : (j + 1) * dsub]
-        if metric == "l2":
-            diff = Qj[:, None, :] - codebooks[j][None, :, :]
-            lut[:, j, :] = np.einsum("ijk,ijk->ij", diff, diff)
-        else:
-            lut[:, j, :] = Qj @ codebooks[j].T
+    lut = _adc_lut(Q, codebooks, metric)
     bc = spark.sparkContext.broadcast((qids, lut))
     want_min = metric == "l2"
     sign = 1.0 if want_min else -1.0
@@ -514,6 +595,81 @@ def ivfpq_search(
     candidates = subset.groupBy("cell").applyInPandas(cell_topk, _PARTIAL_SCHEMA)
     qdf = queries.select(F.col(qid_col).cast("long").alias("qid"))
     return _finalize(qdf, candidates, k, "l2").where(F.col("label") >= 0)
+
+
+def ivfpq_range_search(
+    codes: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    queries: DataFrame,
+    radius: float,
+    nprobe: int,
+    qid_col: str = "qid",
+    qvec_col: str = "vec",
+) -> DataFrame:
+    """faiss ``IndexIVFPQ::range_search``: the residual-ADC radius
+    filter over the ``nprobe`` probed cells — keep rule ``distance <
+    radius`` (strict, L2 only like :func:`ivfpq_search`); exact w.r.t.
+    the ADC approximation within cell coverage (full probe visits
+    every cell), a subset under partial probes, never a false
+    positive. Returns (qid, label, distance), unordered — no rank, no
+    sentinel rows, no ``_finalize`` merge: each probed cell group
+    emits its passing pairs directly, so output volume is bounded by
+    the radius."""
+    from .knn import RANGE_SCHEMA
+
+    m, ksub, dsub = codebooks.shape
+    qpdf = queries.select(
+        F.col(qid_col).cast("long").alias("qid"), F.col(qvec_col).alias("qvec")
+    ).toPandas()
+    spark = codes.sparkSession
+    if len(qpdf) == 0:
+        return spark.createDataFrame([], RANGE_SCHEMA)
+    qids = qpdf["qid"].to_numpy(np.int64)
+    Q = np.stack(qpdf["qvec"].to_numpy()).astype(np.float64)
+    if Q.shape[1] != m * dsub:
+        raise ValueError(f"query dim {Q.shape[1]} != m·dsub {m * dsub}")
+
+    cn = (centroids * centroids).sum(1)
+    order = (cn[None, :] - 2.0 * (Q @ centroids.T)).argsort(1, kind="stable")
+    probe = order[:, :nprobe]
+    cell_to_qidx: dict[int, np.ndarray] = {}
+    for i, cells_i in enumerate(probe):
+        for c in cells_i:
+            cell_to_qidx.setdefault(int(c), []).append(i)  # type: ignore[arg-type]
+    cell_to_qidx = {c: np.asarray(ix, dtype=np.int64) for c, ix in cell_to_qidx.items()}
+    bc = spark.sparkContext.broadcast((qids, Q, centroids, codebooks, cell_to_qidx))
+    r = float(radius)
+
+    def cell_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        qids_, Q_, C_, books_, c2q = bc.value
+        cell = int(key[0])
+        qidx = c2q.get(cell)
+        if qidx is None or len(pdf) == 0:
+            return pd.DataFrame({"qid": [], "label": [], "distance": []}).astype(
+                {"qid": np.int64, "label": np.int64, "distance": np.float64}
+            )
+        R = Q_[qidx] - C_[cell]
+        lut = _adc_lut(R, books_, "l2")
+        Ccodes = np.frombuffer(
+            b"".join(pdf["code"].tolist()), dtype=np.uint8
+        ).reshape(len(pdf), m)
+        labels = pdf["id"].to_numpy(np.int64)
+        D = np.zeros((len(qidx), len(Ccodes)), dtype=np.float64)
+        for j in range(m):
+            D += lut[:, j, :][:, Ccodes[:, j]]
+        np.maximum(D, 0.0, out=D)
+        qi, vi = np.nonzero(D < r)
+        return pd.DataFrame(
+            {
+                "qid": qids_[qidx][qi],
+                "label": labels[vi],
+                "distance": D[qi, vi],
+            }
+        )
+
+    subset = codes.where(F.col("cell").isin([int(c) for c in sorted(cell_to_qidx)]))
+    return subset.groupBy("cell").applyInPandas(cell_range, RANGE_SCHEMA)
 
 
 def refine_search(
