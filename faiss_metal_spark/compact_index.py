@@ -84,6 +84,89 @@ def _remove_ids_frame(index, frame_attr: str, ids) -> int:
     return removed
 
 
+def _append_frame(index, frame_attr: str, new_rows: DataFrame) -> None:
+    """Shared IVF-family append: union encoded rows into the inverted
+    file, repersist, refresh ntotal. The encode happened in the
+    caller with the index's FROZEN trained state — faiss ``add`` after
+    ``train`` never retrains."""
+    old = getattr(index, frame_attr)
+    new = old.unionByName(new_rows).persist()
+    index._n = new.count()
+    old.unpersist()
+    setattr(index, frame_attr, new)
+
+
+def _ivf_add_rows(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    # cast to the stored FP32 layout so the union with the existing
+    # inverted file type-checks regardless of the caller's element type
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<float>").alias("vec"),
+    )
+
+
+def _numpy_add_df(index, frame_attr: str, x: np.ndarray, ids) -> DataFrame:
+    """(id, vec) DataFrame for a host-side add batch. ``ids=None``
+    continues from max(stored id)+1 — NOT ntotal, which would recycle
+    labels after ``remove_ids`` (faiss's own add-after-remove
+    foot-gun; IVF labels here are opaque list entries, so fresh ids
+    are the only safe default)."""
+    x = np.atleast_2d(np.asarray(x, dtype=np.float32))
+    if x.shape[1] != index.d:
+        raise ValueError(f"expected d={index.d}, got {x.shape[1]}")
+    if ids is None:
+        row = getattr(index, frame_attr).agg(F.max("id")).first()
+        start = (row[0] + 1) if row and row[0] is not None else 0
+        ids = np.arange(start, start + len(x), dtype=np.int64)
+    else:
+        ids = np.asarray(ids, dtype=np.int64)
+        if len(ids) != len(x):
+            raise ValueError("ids length must match vector count")
+    return index.spark.createDataFrame(
+        pd.DataFrame({"id": ids, "vec": [v.tolist() for v in x]}),
+        schema="id long, vec array<float>",
+    )
+
+
+def _merge_ivf_frames(
+    self_idx, other, frame_attr: str, trained_state: tuple, add_id: int
+) -> None:
+    """Shared faiss ``IndexIVF::merge_from(other, add_id)``: both
+    indexes must carry the SAME trained state (faiss requires "trained
+    in the same way" — here that is checked exactly, not assumed);
+    the other's entries append with ids shifted by ``add_id`` and the
+    other index is emptied (faiss moves, not copies). This is the
+    shard-merge workflow for distributed builds: train once, assign
+    each data shard independently against the frozen quantizer, merge
+    the inverted files — a metadata union, no re-clustering."""
+    if type(other) is not type(self_idx):
+        raise ValueError(
+            f"merge_from requires the same index type "
+            f"({type(self_idx).__name__} != {type(other).__name__})"
+        )
+    mine, theirs = trained_state
+    for a, b in zip(mine, theirs):
+        same = (
+            np.array_equal(np.asarray(a), np.asarray(b))
+            if isinstance(a, np.ndarray) or isinstance(b, np.ndarray)
+            else a == b
+        )
+        if not same:
+            raise ValueError(
+                "merge_from requires identical trained state "
+                "(train once, share the quantizer across shards)"
+            )
+    moved = getattr(other, frame_attr)
+    if add_id:
+        moved = moved.withColumn("id", (F.col("id") + F.lit(int(add_id))).cast("long"))
+    _append_frame(self_idx, frame_attr, moved)
+    # empty the donor (faiss merge_from leaves other with ntotal=0)
+    donor = getattr(other, frame_attr)
+    setattr(other, frame_attr, donor.where(F.lit(False)))
+    donor.unpersist()
+    other._n = 0
+
+
 def _host_result(res: DataFrame, nq: int, k: int) -> tuple[np.ndarray, np.ndarray]:
     pdf = res.orderBy("qid", "rank").toPandas()
     if nq == 0:
@@ -338,6 +421,34 @@ class BinaryIVFIndex:
             self.words, self.centroid_words, queries, radius, nprobe, self.d
         )
 
+    def add_df(
+        self, df: DataFrame, id_col: str = "id", vec_col: str = "vec"
+    ) -> "BinaryIVFIndex":
+        """faiss ``IndexBinaryIVF::add_with_ids``: binarize the new
+        rows and assign them against the frozen Hamming quantizer."""
+        from .operators.binary import binarize, binary_ivf_assign
+
+        new = binary_ivf_assign(
+            binarize(_ivf_add_rows(df, id_col, vec_col), self.d), self.centroid_words
+        )
+        _append_frame(self, "words", new)
+        return self
+
+    def add_numpy(self, x: np.ndarray, ids=None) -> "BinaryIVFIndex":
+        return self.add_df(_numpy_add_df(self, "words", x, ids))
+
+    def merge_from(self, other: "BinaryIVFIndex", add_id: int = 0) -> "BinaryIVFIndex":
+        """faiss ``IndexBinaryIVF::merge_from`` — identical binary
+        centroids required."""
+        _merge_ivf_frames(
+            self,
+            other,
+            "words",
+            ((self.d, self.centroid_words), (other.d, other.centroid_words)),
+            add_id,
+        )
+        return self
+
     def remove_ids(self, ids) -> int:
         """faiss ``IndexBinaryIVF::remove_ids`` (no renumbering)."""
         return _remove_ids_frame(self, "words", ids)
@@ -418,6 +529,40 @@ class IVFIndex:
             nprobe,
             metric=self.metric,
         )
+
+    def add_df(
+        self, df: DataFrame, id_col: str = "id", vec_col: str = "vec"
+    ) -> "IVFIndex":
+        """faiss ``IndexIVF::add_with_ids`` after train: assign the new
+        rows against the FROZEN coarse quantizer (one scan, no
+        retrain) and append them to the inverted file."""
+        from .operators.similarity import ivf_assign
+
+        new = ivf_assign(_ivf_add_rows(df, id_col, vec_col), self.centroids)
+        _append_frame(self, "assigned", new)
+        return self
+
+    def add_numpy(self, x: np.ndarray, ids=None) -> "IVFIndex":
+        """Host-side add batch; ``ids=None`` continues from
+        max(stored id)+1 (see ``_numpy_add_df``)."""
+        return self.add_df(_numpy_add_df(self, "assigned", x, ids))
+
+    def merge_from(self, other: "IVFIndex", add_id: int = 0) -> "IVFIndex":
+        """faiss ``IndexIVF::merge_from(other, add_id)`` — the
+        distributed shard-merge: requires the identical trained
+        quantizer, appends the other's lists with ids shifted by
+        ``add_id``, empties the other."""
+        _merge_ivf_frames(
+            self,
+            other,
+            "assigned",
+            (
+                (self.d, self.metric, self.centroids),
+                (other.d, other.metric, other.centroids),
+            ),
+            add_id,
+        )
+        return self
 
     def remove_ids(self, ids) -> int:
         """Drop entries from the inverted lists without renumbering —
@@ -554,6 +699,48 @@ class IVFSQIndex:
             decode=self._decode(),
         )
 
+    def add_df(
+        self, df: DataFrame, id_col: str = "id", vec_col: str = "vec"
+    ) -> "IVFSQIndex":
+        """faiss ``IndexIVF::add_with_ids``: assign against the frozen
+        quantizer, SQ-encode with the frozen range, append."""
+        from .operators.similarity import ivf_assign
+        from .operators.sq import sq_code_col
+
+        new = ivf_assign(_ivf_add_rows(df, id_col, vec_col), self.centroids).select(
+            F.col("id").cast("long").alias("id"),
+            sq_code_col("vec", self.vmin, self.vmax, self.bits).alias("code"),
+            "cell",
+        )
+        _append_frame(self, "codes", new)
+        return self
+
+    def add_numpy(self, x: np.ndarray, ids=None) -> "IVFSQIndex":
+        return self.add_df(_numpy_add_df(self, "codes", x, ids))
+
+    def merge_from(self, other: "IVFSQIndex", add_id: int = 0) -> "IVFSQIndex":
+        """faiss ``IndexIVF::merge_from`` — requires identical coarse
+        quantizer AND identical SQ range/width (codes must decode the
+        same on both sides)."""
+        _merge_ivf_frames(
+            self,
+            other,
+            "codes",
+            (
+                (self.d, self.metric, self.centroids, self.vmin, self.vmax, self.bits),
+                (
+                    other.d,
+                    other.metric,
+                    other.centroids,
+                    other.vmin,
+                    other.vmax,
+                    other.bits,
+                ),
+            ),
+            add_id,
+        )
+        return self
+
     def remove_ids(self, ids) -> int:
         """faiss ``IndexIVF::remove_ids`` (no renumbering)."""
         return _remove_ids_frame(self, "codes", ids)
@@ -642,6 +829,42 @@ class IVFPQIndex:
         return ivfpq_range_search(
             self.codes, self.centroids, self.codebooks, queries, radius, nprobe
         )
+
+    def add_df(
+        self, df: DataFrame, id_col: str = "id", vec_col: str = "vec"
+    ) -> "IVFPQIndex":
+        """faiss ``IndexIVF::add_with_ids``: assign against the frozen
+        coarse quantizer, PQ-encode the residuals with the frozen
+        codebooks, append."""
+        from .operators.pq import ivfpq_encode
+        from .operators.similarity import ivf_assign
+
+        new = ivfpq_encode(
+            ivf_assign(_ivf_add_rows(df, id_col, vec_col), self.centroids),
+            self.centroids,
+            self.codebooks,
+        )
+        _append_frame(self, "codes", new)
+        return self
+
+    def add_numpy(self, x: np.ndarray, ids=None) -> "IVFPQIndex":
+        return self.add_df(_numpy_add_df(self, "codes", x, ids))
+
+    def merge_from(self, other: "IVFPQIndex", add_id: int = 0) -> "IVFPQIndex":
+        """faiss ``IndexIVFPQ::merge_from`` — identical coarse
+        quantizer AND codebooks required (codes are meaningless under
+        a different ADC table)."""
+        _merge_ivf_frames(
+            self,
+            other,
+            "codes",
+            (
+                (self.d, self.centroids, self.codebooks),
+                (other.d, other.centroids, other.codebooks),
+            ),
+            add_id,
+        )
+        return self
 
     def remove_ids(self, ids) -> int:
         """faiss ``IndexIVF::remove_ids`` (no renumbering)."""

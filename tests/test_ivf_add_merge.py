@@ -1,0 +1,133 @@
+"""IVF-family add / merge_from — the faiss distributed-build workflow.
+
+faiss ``IndexIVF::add_with_ids`` appends to a TRAINED index without
+retraining; ``IndexIVF::merge_from(other, add_id)`` unions the inverted
+lists of two indexes trained the same way (the standard shard-merge:
+train once, add each data shard on its own worker, merge). Pinned here:
+add ≡ building from the concatenation when the trained state is shared,
+merge empties the donor and shifts ids by add_id, and mismatched
+trained state refuses.
+"""
+
+import numpy as np
+import pytest
+
+from faiss_metal_spark import (
+    BinaryIVFIndex,
+    IVFIndex,
+    IVFPQIndex,
+    IVFSQIndex,
+    VectorTable,
+)
+
+from conftest import make_fixture
+
+
+def _table(spark, V) -> VectorTable:
+    return VectorTable(spark, V.shape[1]).add_numpy(V)
+
+
+def _res(idx, Q, k=5, **kw):
+    D, L = idx.search_numpy(Q, k, **kw)
+    return D, L
+
+
+@pytest.mark.parametrize(
+    "kind",
+    ["ivf", "ivfsq", "ivfpq", "bivf"],
+)
+def test_add_equals_full_build_under_shared_quantizer(spark, kind):
+    """add(tail) onto an index trained on the FULL data ≡ the index
+    built on the full data in one shot — the trained state is the
+    same, so the inverted lists must be identical."""
+    V, Q = make_fixture(400, 4, 16, seed=101)
+    tail = V[300:]
+    vt_full = _table(spark, V)
+    builders = {
+        "ivf": lambda vt: IVFIndex.from_table(vt, n_cells=5, sample_size=400),
+        "ivfsq": lambda vt: IVFSQIndex.from_table(vt, n_cells=5, sample_size=400),
+        "ivfpq": lambda vt: IVFPQIndex.from_table(vt, n_cells=5, m=4, sample_size=400),
+        "bivf": lambda vt: BinaryIVFIndex.from_table(vt, n_cells=5, sample_size=400),
+    }
+    frame_attr = {"ivf": "assigned", "ivfsq": "codes", "ivfpq": "codes", "bivf": "words"}
+
+    full = builders[kind](vt_full)
+    # grown: drop the tail rows, then add them back with their own ids
+    grown = builders[kind](vt_full)
+    removed = grown.remove_ids(range(300, 400))
+    assert removed == 100 and grown.ntotal == 300
+    grown.add_numpy(tail, ids=np.arange(300, 400))
+    assert grown.ntotal == 400
+
+    fa = frame_attr[kind]
+    cols = list(getattr(full, fa).columns)
+    a = getattr(full, fa).orderBy("id").toPandas()[cols]
+    b = getattr(grown, fa).orderBy("id").toPandas()[cols]
+    assert a.equals(b)  # inverted file identical row-for-row
+
+    # and searches agree exactly
+    Df, Lf = _res(full, Q, nprobe=full.nlist)
+    Dg, Lg = _res(grown, Q, nprobe=grown.nlist)
+    assert (Lf == Lg).all()
+    np.testing.assert_allclose(Df, Dg, rtol=0, atol=0)
+    full.release()
+    grown.release()
+
+
+def test_add_numpy_default_ids_after_remove(spark):
+    """Default ids continue from max(id)+1, never recycling labels a
+    remove_ids freed (the faiss add-after-remove foot-gun)."""
+    V, _ = make_fixture(300, 1, 16, seed=11)
+    idx = IVFIndex.from_table(_table(spark, V), n_cells=4, sample_size=300)
+    idx.remove_ids([250])  # a hole in the middle
+    idx.add_numpy(V[:3])
+    ids = [r.id for r in idx.assigned.select("id").collect()]
+    assert 250 not in ids
+    assert {300, 301, 302} <= set(ids)  # continued past the old max
+    idx.release()
+
+
+def test_merge_from_shifts_and_empties(spark):
+    V, Q = make_fixture(400, 4, 16, seed=202)
+    vt = _table(spark, V)
+    a = IVFIndex.from_table(vt, n_cells=5, sample_size=400)
+    b = IVFIndex.from_table(vt, n_cells=5, sample_size=400)  # same train
+    a.merge_from(b, add_id=1000)
+    assert a.ntotal == 800 and b.ntotal == 0
+    assert b.assigned.count() == 0  # donor truly emptied
+    ids = {r.id for r in a.assigned.select("id").collect()}
+    assert ids == set(range(400)) | set(range(1000, 1400))
+    # merged index still searches: every original id's top-1 is itself
+    D, L = a.search_numpy(Q, 3, nprobe=a.nlist)
+    assert (D[:, 0] >= 0).all()
+    a.release()
+    b.release()
+
+
+def test_merge_from_refuses_mismatched_state(spark):
+    V, _ = make_fixture(300, 1, 16, seed=303)
+    W, _ = make_fixture(300, 1, 16, seed=404)  # different data → different train
+    a = IVFIndex.from_table(_table(spark, V), n_cells=4, sample_size=300)
+    b = IVFIndex.from_table(_table(spark, W), n_cells=4, sample_size=300)
+    with pytest.raises(ValueError, match="trained state"):
+        a.merge_from(b)
+    c = IVFSQIndex.from_table(_table(spark, V), n_cells=4, sample_size=300)
+    with pytest.raises(ValueError, match="same index type"):
+        a.merge_from(c)
+    for i in (a, b, c):
+        i.release()
+
+
+def test_merge_from_ivfpq_and_sq_state_checked(spark):
+    V, _ = make_fixture(400, 1, 16, seed=55)
+    vt = _table(spark, V)
+    p1 = IVFPQIndex.from_table(vt, n_cells=4, m=4, sample_size=400)
+    p2 = IVFPQIndex.from_table(vt, n_cells=4, m=4, sample_size=400)
+    p1.merge_from(p2, add_id=500)
+    assert p1.ntotal == 800 and p2.ntotal == 0
+    s1 = IVFSQIndex.from_table(vt, n_cells=4, bits=8, sample_size=400)
+    s2 = IVFSQIndex.from_table(vt, n_cells=4, bits=4, sample_size=400)
+    with pytest.raises(ValueError, match="trained state"):
+        s1.merge_from(s2)  # different SQ width → codes incompatible
+    for i in (p1, p2, s1, s2):
+        i.release()
