@@ -260,40 +260,48 @@ def ngram_jaccard_pairs(
     overcount one intersection — negligible against the corpus sizes
     this runs at, and the oracle comparison would surface it.
     """
-    sh = docs.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(shingles(text_col, shingle_size))).alias("_s"),
-    ).select(id_col, F.xxhash64("_s").alias("sh"))
-    if max_df is not None:
-        # the BAN list (shingles above the cutoff) is tiny by
-        # construction — boilerplate is rare among distinct shingles —
-        # so broadcast it and anti-join; the complement ("keep") set is
-        # nearly the whole shingle vocabulary and would force a full
-        # shuffle join of the corpus against itself-sized state
-        ban = (
-            sh.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .where(F.col("_df") > max_df)
-            .select("sh")
-        )
-        sh = sh.join(F.broadcast(ban), "sh", "left_anti")
+    def _shingle_rows(src: DataFrame) -> DataFrame:
+        return src.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(shingles(text_col, shingle_size))).alias("_s"),
+        ).select(id_col, F.xxhash64("_s").alias("sh"))
 
     # With explicit candidates, only docs that appear in some candidate
-    # pair enter the self-join — the shared-shingle blowup is bounded by
-    # the (small) dup-suspect set, not the corpus. Set sizes are ALSO
-    # computed over the restricted rows: the semi-join filters by doc
-    # id, not by shingle, so a candidate doc's filtered shingle set is
-    # intact — and the full-corpus shingle groupBy (a second complete
-    # explode+shuffle whose non-candidate rows the final inner joins
-    # would discard anyway) never runs.
-    sh_join = sh
+    # pair enter the shingle explode at all — the doc restriction is a
+    # semi-join on id, so applying it BEFORE the explode produces the
+    # identical shingle rows while the (corpus − candidates) docs never
+    # shingle, never hash, never shuffle. Set sizes are computed over
+    # the same restricted rows: a candidate doc's shingle set is intact.
+    cand_ids = None
+    docs_sh = docs
     if pair_candidates is not None:
         cand_ids = (
             pair_candidates.select(F.col("id_a").alias(id_col))
             .unionByName(pair_candidates.select(F.col("id_b").alias(id_col)))
             .distinct()
         )
-        sh_join = sh.join(cand_ids, id_col, "left_semi")
+        docs_sh = docs.join(cand_ids, id_col, "left_semi")
+    sh = _shingle_rows(docs_sh)
+    if max_df is not None:
+        # the document-frequency cutoff is defined over the WHOLE
+        # corpus, so the ban list aggregates a full-corpus explode even
+        # under candidate restriction — but it reduces straight to a
+        # groupBy count (no join, no carried text). The ban list itself
+        # (shingles above the cutoff) is tiny by construction —
+        # boilerplate is rare among distinct shingles — so broadcast it
+        # and anti-join; the complement ("keep") set is nearly the
+        # whole shingle vocabulary and would force a full shuffle join
+        # of the corpus against itself-sized state.
+        ban = (
+            _shingle_rows(docs)
+            .groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_df)
+            .select("sh")
+        )
+        sh = sh.join(F.broadcast(ban), "sh", "left_anti")
+
+    sh_join = sh
     sizes = sh_join.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
 
     a, b = sh_join.alias("a"), sh_join.alias("b")
