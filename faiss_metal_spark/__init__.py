@@ -13,6 +13,7 @@ from .compact_index import (
     BinaryIndex,
     BinaryIVFIndex,
     GraphIndex,
+    LSHIndex,
     IVFIndex,
     IVFPQIndex,
     IVFSQIndex,
@@ -38,6 +39,7 @@ __all__ = [
     "BinaryIndex",
     "BinaryIVFIndex",
     "GraphIndex",
+    "LSHIndex",
     "IVFIndex",
     "IVFPQIndex",
     "IVFSQIndex",

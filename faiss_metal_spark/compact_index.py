@@ -1127,6 +1127,134 @@ class GraphIndex:
         self.graph.unpersist()
 
 
+@dataclass
+class LSHIndex:
+    """Binary-hash tier — faiss ``IndexLSH`` (``index_factory("LSH")``),
+    the ``rotate_data=true, train_thresholds=false`` default: each
+    vector is projected through a seeded random rotation
+    (``RandomRotationMatrix``, the expanding form when nbits > d) and
+    its ``nbits`` SIGN bits are packed into words; search is exhaustive
+    Hamming between the query's code and every stored code
+    (IndexLSH.cpp runs the same thermometer-free sign encoding and a
+    flat binary scan underneath).
+
+    Spark shape: encoding is one Arrow-batched GEMM projection fused
+    with the all-Catalyst sign-pack — one corpus scan, zero shuffles;
+    search reuses the binary tier's packed Hamming kernel
+    (bit_count(xor) in whole-stage codegen) with the query encoded
+    through the identical rotation closure. Optional exact rescore
+    against the source table gives the IndexRefineFlat composition
+    faiss users wrap around IndexLSH.
+
+    Read-only derived tier (rebuild after mutating the source), like
+    every compact tier here.
+    """
+
+    spark: SparkSession
+    d: int
+    nbits: int
+    rotation: np.ndarray  # (nbits, d) — zero-mean transform rows
+    words: DataFrame  # (id, words ARRAY<LONG>) packed sign bits
+    _source: DataFrame = field(repr=False, default=None)
+    _n: int = field(default=-1, repr=False)
+
+    @classmethod
+    def from_table(cls, vt, nbits: int | None = None, seed: int = 42) -> "LSHIndex":
+        from .operators.binary import binarize
+        from .operators.pca import pca_apply, random_rotation
+
+        nbits = vt.d if nbits is None else int(nbits)
+        if nbits <= 0:
+            raise ValueError(f"need nbits > 0, got {nbits}")
+        R = random_rotation(vt.d, nbits, seed=seed)
+        base = _float_view(vt)
+        projected = pca_apply(base, np.zeros(vt.d), R)
+        words = binarize(projected, nbits).persist()
+        n = words.count()
+        return cls(vt.spark, vt.d, nbits, R, words, base, n)
+
+    @property
+    def ntotal(self) -> int:
+        return self._n if self._n >= 0 else self.words.count()
+
+    def _project_queries(self, queries: DataFrame, qid_col: str, qvec_col: str) -> DataFrame:
+        from .operators.pca import pca_project_col
+
+        return queries.select(
+            F.col(qid_col).cast("long").alias("qid"),
+            pca_project_col(qvec_col, np.zeros(self.d), self.rotation).alias("vec"),
+        )
+
+    def search(
+        self, queries: DataFrame, k: int, qid_col: str = "qid", qvec_col: str = "vec"
+    ) -> DataFrame:
+        """(qid, rank, label, distance) — distance is the HAMMING
+        distance between codes (faiss IndexLSH returns Hamming-as-float;
+        kept integral here), ascending, ties by label."""
+        from .operators.binary import hamming_knn
+
+        return hamming_knn(
+            self.words,
+            self._project_queries(queries, qid_col, qvec_col),
+            k,
+            self.nbits,
+            vec_col="words",
+            packed=True,
+        )
+
+    def search_numpy(self, x: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+        return _host_result(
+            self.search(_query_df(self.spark, x), k), len(np.atleast_2d(x)), k
+        )
+
+    def refine_search_numpy(
+        self, x: np.ndarray, k: int, refine_factor: int = 4
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Hamming prefilter over the codes + exact L2 rescore of only
+        the candidates against the SOURCE vectors (IndexLSH wrapped in
+        IndexRefineFlat — the standard accuracy recovery)."""
+        from .functions.vector import l2sq
+        from .operators.knn import _finalize
+
+        if self._source is None:
+            raise ValueError("refine needs the source table (built via from_table)")
+        queries = _query_df(self.spark, x)
+        cand = (
+            self.search(queries, k * refine_factor)
+            .where(F.col("label") >= 0)
+            .select("qid", "label")
+        )
+        vv = self._source.select(
+            F.col("id").alias("label"), F.col("vec").alias("_vvec")
+        )
+        qq = queries.select("qid", F.col("vec").alias("_qvec"))
+        rescored = (
+            F.broadcast(cand)
+            .join(vv, "label")
+            .join(F.broadcast(qq), "qid")
+            .select("qid", "label", l2sq(F.col("_qvec"), F.col("_vvec")).alias("distance"))
+        )
+        res = _finalize(qq.select("qid"), rescored, k, "l2")
+        return _host_result(res, len(np.atleast_2d(x)), k)
+
+    def sa_encode(self, x: np.ndarray) -> np.ndarray:
+        """Host-side codec twin of the distributed encode: (n, d) FP32 →
+        n packed code strings of ceil(nbits/8)·8-bit... stored here as
+        the same 32-bit little-word layout the index itself uses, one
+        bytes object per row (faiss ``IndexLSH::sa_encode``)."""
+        from .operators.binary import binarize_np
+
+        x = np.atleast_2d(np.asarray(x, dtype=np.float64))
+        if x.shape[1] != self.d:
+            raise ValueError(f"expected d={self.d}, got {x.shape[1]}")
+        proj = x @ self.rotation.T
+        words = binarize_np(proj.astype(np.float32))
+        return np.array([w.tobytes() for w in words], dtype=object)
+
+    def release(self) -> None:
+        self.words.unpersist()
+
+
 def index_factory(vt, spec: str, **train_kw):
     """FAISS ``index_factory`` twin over the derived-tier workflow.
 
@@ -1153,6 +1281,9 @@ def index_factory(vt, spec: str, **train_kw):
       HNSW-vs-NSW mapping)
     - ``"OPQ16"`` / ``"OPQ16,PQ16"`` → :class:`OPQIndex` (the OPQ
       pretransform trains its own PQ; a mismatched pair raises)
+    - ``"LSH"`` / ``"LSH128"`` → :class:`LSHIndex` (faiss
+      ``IndexLSH``: rotation sign bits + Hamming scan; bare ``LSH``
+      means nbits = d, the faiss default ``("LSH")`` spec)
 
     ``train_kw`` forwards to the tier's ``from_table`` (``sample_size``,
     ``iters``...). Unknown specs raise ``ValueError`` like FAISS.
@@ -1207,4 +1338,8 @@ def index_factory(vt, spec: str, **train_kw):
                 f"index_factory: OPQ{m.group(1)} must pair with PQ{m.group(1)}"
             )
         return OPQIndex.from_table(vt, m=int(m.group(1)), **train_kw)
+    m = re.fullmatch(r"LSH(\d*)", s)
+    if m:
+        nbits = int(m.group(1)) if m.group(1) else None
+        return LSHIndex.from_table(vt, nbits=nbits, **train_kw)
     raise ValueError(f"index_factory: unsupported spec {spec!r}")

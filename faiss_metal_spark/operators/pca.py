@@ -233,15 +233,23 @@ def random_rotation(d_in: int, d_out: int | None = None, seed: int = 42) -> np.n
     ``d_out = d_in`` the map is an isometry (L2 distances and kNN
     results preserved exactly up to float rounding) — faiss uses it to
     decorrelate dimensions ahead of PQ/SQ the way OPQ does, minus the
-    training."""
+    training.
+
+    ``d_out > d_in`` is the dimension-EXPANDING form faiss's
+    ``IndexLSH(rotate_data=true)`` uses when nbits > d: draw a Haar
+    rotation in the larger ``d_out`` space and keep its first ``d_in``
+    columns — rows are unit-norm but no longer mutually orthogonal
+    (there are only d_in orthogonal directions available), which is
+    exactly the faiss behavior."""
     d_out = d_in if d_out is None else d_out
-    if not (0 < d_out <= d_in):
-        raise ValueError(f"need 0 < d_out({d_out}) <= d_in({d_in})")
+    if d_out <= 0 or d_in <= 0:
+        raise ValueError(f"need positive dims, got d_in={d_in}, d_out={d_out}")
+    big = max(d_in, d_out)
     rng = np.random.default_rng(seed)
-    A = rng.normal(size=(d_in, d_in))
+    A = rng.normal(size=(big, big))
     Q, R = np.linalg.qr(A)
-    Q = Q * np.sign(np.diag(R))  # unique, uniform over O(d)
-    return np.ascontiguousarray(Q.T[:d_out])
+    Q = Q * np.sign(np.diag(R))  # unique, uniform over O(big)
+    return np.ascontiguousarray(Q.T[:d_out, :d_in])
 
 
 def remap_dimensions(d_in: int, out_dims) -> np.ndarray:

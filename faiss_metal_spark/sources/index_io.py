@@ -25,7 +25,7 @@ Layout under ``path``::
 Supported kinds: ``VectorTable`` / ``IDMapVectorTable`` (flat, incl.
 fp16/bf16 compact), ``SQ8Index`` (any bit width), ``BinaryIndex``,
 ``BinaryIVFIndex``, ``IVFIndex``, ``IVFSQIndex``, ``IVFPQIndex``,
-``PQIndex``, ``OPQIndex``, ``GraphIndex``, and composite
+``PQIndex``, ``OPQIndex``, ``GraphIndex``, ``LSHIndex``, and composite
 ``ShardedIndex`` (recursive member payloads). ``read_index`` returns
 the same type that was written and search results are value-identical
 pre/post round-trip (``tests/test_index_io.py``).
@@ -185,6 +185,7 @@ def _is_engine_index(index) -> bool:
         IVFIndex,
         IVFPQIndex,
         IVFSQIndex,
+        LSHIndex,
         OPQIndex,
         PQIndex,
         SQ8Index,
@@ -203,6 +204,7 @@ def _is_engine_index(index) -> bool:
             IVFIndex,
             IVFPQIndex,
             IVFSQIndex,
+            LSHIndex,
             PQIndex,
             OPQIndex,
             ShardedIndex,
@@ -218,6 +220,7 @@ def _write_payload(index, path: str) -> None:
         IVFIndex,
         IVFPQIndex,
         IVFSQIndex,
+        LSHIndex,
         OPQIndex,
         PQIndex,
         SQ8Index,
@@ -368,6 +371,24 @@ def _write_payload(index, path: str) -> None:
             path,
             {"kind": "opq", "d": index.d, "ntotal": index.ntotal, "shapes": shapes},
         )
+    elif isinstance(index, LSHIndex):
+        _write_frame(index.words, f"{path}/words")
+        has_source = index._source is not None
+        if has_source:
+            _write_frame(index._source, f"{path}/source")
+        shapes = _write_arrays(index.spark, path, {"rotation": index.rotation})
+        _write_meta(
+            index.spark,
+            path,
+            {
+                "kind": "lsh",
+                "d": index.d,
+                "nbits": index.nbits,
+                "ntotal": index.ntotal,
+                "has_source": has_source,
+                "shapes": shapes,
+            },
+        )
     else:
         from ..sharded import ShardedIndex
 
@@ -460,6 +481,7 @@ def _read_payload(spark: SparkSession, path: str):
         IVFIndex,
         IVFPQIndex,
         IVFSQIndex,
+        LSHIndex,
         OPQIndex,
         PQIndex,
         SQ8Index,
@@ -576,6 +598,16 @@ def _read_payload(spark: SparkSession, path: str):
             arrays["rotation"],
             arrays["codebooks"],
             spark.read.parquet(f"{path}/codes"),
+            meta["ntotal"],
+        )
+    if kind == "lsh":
+        return LSHIndex(
+            spark,
+            meta["d"],
+            meta["nbits"],
+            arrays["rotation"],
+            spark.read.parquet(f"{path}/words"),
+            spark.read.parquet(f"{path}/source") if meta["has_source"] else None,
             meta["ntotal"],
         )
     raise ValueError(f"read_index: unknown index kind {kind!r} at {path}")

@@ -201,7 +201,13 @@ def test_remap_dimensions_selects_and_pads(spark):
     assert out["vec"][1] == pytest.approx([6.0, 4.0, 0.0, 5.0])
     with pytest.raises(ValueError):
         remap_dimensions(3, [3])
-    with pytest.raises(ValueError):
-        from faiss_metal_spark.operators.pca import random_rotation
+    # random_rotation expands when d_out > d_in (faiss IndexLSH's
+    # rotate_data path for nbits > d): full Haar columns, so the map
+    # stays an isometry d_in → d_out
+    from faiss_metal_spark.operators.pca import random_rotation
 
-        random_rotation(4, 5)
+    R = random_rotation(4, 7, seed=3)
+    assert R.shape == (7, 4)
+    np.testing.assert_allclose(R.T @ R, np.eye(4), atol=1e-9)
+    with pytest.raises(ValueError):
+        random_rotation(4, 0)
