@@ -16,6 +16,7 @@ from .compact_index import (
     LSHIndex,
     IVFIndex,
     IVFPQIndex,
+    IVFPQRIndex,
     IVFSQIndex,
     OPQIndex,
     PQIndex,
@@ -42,6 +43,7 @@ __all__ = [
     "LSHIndex",
     "IVFIndex",
     "IVFPQIndex",
+    "IVFPQRIndex",
     "IVFSQIndex",
     "OPQIndex",
     "PQIndex",

@@ -892,6 +892,138 @@ class IVFPQIndex:
 
 
 @dataclass
+class IVFPQRIndex:
+    """IVFPQ + refine PQ re-rank — faiss ``IndexIVFPQR``
+    (``index_factory("IVF<n>,PQ<m>+<m2>")``): the first PQ encodes the
+    cell residual, a second ``m_refine``-byte PQ encodes what the first
+    one missed, and search re-ranks the IVFPQ ADC candidates on the
+    two-level reconstruction. Storage is m+m_refine bytes/vector; the
+    re-rank touches only nq·k·k_factor candidate rows (broadcast
+    semi-join — the code table never shuffles). L2 only, read-only
+    derived tier like the other compressed kinds."""
+
+    spark: SparkSession
+    d: int
+    centroids: np.ndarray
+    codebooks: np.ndarray
+    refine_books: np.ndarray
+    codes: DataFrame
+    _n: int = field(default=-1, repr=False)
+
+    @classmethod
+    def from_table(
+        cls,
+        vt,
+        n_cells: int,
+        m: int,
+        m_refine: int | None = None,
+        sample_size: int = 16384,
+        iters: int = 10,
+    ) -> "IVFPQRIndex":
+        from .operators.pq import ivfpqr_build
+
+        # faiss IndexIVFPQR default: refine PQ has the same m unless told
+        m_refine = m if m_refine is None else int(m_refine)
+        base = _float_view(vt)
+        centroids, books, rbooks, codes = ivfpqr_build(
+            base, n_cells, m, m_refine, sample_size=sample_size, iters=iters
+        )
+        codes = codes.persist()
+        n = codes.count()
+        return cls(vt.spark, vt.d, centroids, books, rbooks, codes, n)
+
+    @property
+    def nlist(self) -> int:
+        return len(self.centroids)
+
+    @property
+    def ntotal(self) -> int:
+        return self._n if self._n >= 0 else self.codes.count()
+
+    def search(
+        self, queries: DataFrame, k: int, nprobe: int = 8, k_factor: int = 4
+    ) -> DataFrame:
+        from .operators.pq import ivfpqr_search
+
+        return ivfpqr_search(
+            self.codes, self.centroids, self.codebooks, self.refine_books,
+            queries, k, nprobe, k_factor,
+        )
+
+    def search_numpy(
+        self, x: np.ndarray, k: int, nprobe: int = 8, k_factor: int = 4
+    ) -> tuple[np.ndarray, np.ndarray]:
+        return _host_result(
+            self.search(_query_df(self.spark, x), k, nprobe, k_factor),
+            len(np.atleast_2d(x)),
+            k,
+        )
+
+    def add_df(
+        self, df: DataFrame, id_col: str = "id", vec_col: str = "vec"
+    ) -> "IVFPQRIndex":
+        """faiss ``IndexIVFPQR`` add: assign + two-level encode against
+        the FROZEN trained state, append."""
+        from .operators.pq import ivfpqr_encode
+        from .operators.similarity import ivf_assign
+
+        new = ivfpqr_encode(
+            ivf_assign(_ivf_add_rows(df, id_col, vec_col), self.centroids),
+            self.centroids,
+            self.codebooks,
+            self.refine_books,
+        )
+        _append_frame(self, "codes", new)
+        return self
+
+    def add_numpy(self, x: np.ndarray, ids=None) -> "IVFPQRIndex":
+        return self.add_df(_numpy_add_df(self, "codes", x, ids))
+
+    def merge_from(self, other: "IVFPQRIndex", add_id: int = 0) -> "IVFPQRIndex":
+        """faiss ``merge_from`` — identical coarse quantizer AND both
+        codebooks required."""
+        _merge_ivf_frames(
+            self,
+            other,
+            "codes",
+            (
+                (self.d, self.centroids, self.codebooks, self.refine_books),
+                (other.d, other.centroids, other.codebooks, other.refine_books),
+            ),
+            add_id,
+        )
+        return self
+
+    def remove_ids(self, ids) -> int:
+        """faiss ``IndexIVF::remove_ids`` (no renumbering)."""
+        return _remove_ids_frame(self, "codes", ids)
+
+    def reconstruct(self, key: int) -> np.ndarray:
+        """centroid(cell) + decode1(code) + decode2(code2) — the
+        refine-augmented reconstruction (``IndexIVFPQR`` reconstructs
+        through both quantizers)."""
+        from .operators.pq import pq_decode_np
+
+        row = (
+            self.codes.where(F.col("id") == int(key))
+            .select("code", "code2", "cell")
+            .collect()
+        )
+        if not row:
+            raise KeyError(f"id {key} not in index")
+        c1 = np.frombuffer(row[0]["code"], np.uint8)[None, :]
+        c2 = np.frombuffer(row[0]["code2"], np.uint8)[None, :]
+        return (
+            self.centroids[int(row[0]["cell"])]
+            + pq_decode_np(c1, self.codebooks)[0]
+            + pq_decode_np(c2, self.refine_books)[0]
+        )
+
+    def release(self) -> None:
+        self.codes.unpersist()
+
+
+@dataclass
 class OPQIndex:
     """Learned-rotation PQ (IndexPreTransform(OPQMatrix, IndexPQ)):
     queries rotate once on the broadcast side, ADC runs in rotated
@@ -1275,6 +1407,8 @@ def index_factory(vt, spec: str, **train_kw):
     - ``"PQ16"``            → :class:`PQIndex` (m=16)
     - ``"IVF256"`` / ``"IVF256,Flat"`` → :class:`IVFIndex` (nlist=256)
     - ``"IVF256,PQ16"``     → :class:`IVFPQIndex`
+    - ``"IVF256,PQ16+16"``  → :class:`IVFPQRIndex` (faiss IndexIVFPQR:
+      the ``+<m_refine>`` suffix is the refine PQ's byte count)
     - ``"IVF256,SQ8"`` / ``",SQ6"`` / ``",SQ4"`` → :class:`IVFSQIndex`
     - ``"HNSW32"`` / ``"HNSW32,Flat"`` → :class:`GraphIndex` (M=32;
       flat navigable graph — see the class docstring for the honest
@@ -1322,6 +1456,15 @@ def index_factory(vt, spec: str, **train_kw):
     if m:
         return IVFPQIndex.from_table(
             vt, n_cells=int(m.group(1)), m=int(m.group(2)), **train_kw
+        )
+    m = re.fullmatch(r"IVF(\d+),PQ(\d+)\+(\d+)", s)
+    if m:
+        return IVFPQRIndex.from_table(
+            vt,
+            n_cells=int(m.group(1)),
+            m=int(m.group(2)),
+            m_refine=int(m.group(3)),
+            **train_kw,
         )
     m = re.fullmatch(r"IVF(\d+),SQ([468])", s)
     if m:

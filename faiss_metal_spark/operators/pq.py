@@ -732,3 +732,174 @@ def refine_search(
         .select("qid", "label", dist.alias("distance"))
     )
     return _finalize(qq.select("qid"), rescored, k, metric)
+
+
+# ---------------------------------------------------------------------------
+# IVFPQR — faiss IndexIVFPQR: IVFPQ first stage + an m_refine-byte
+# REFINE PQ trained on the second-level residual (what the first PQ
+# failed to encode). Search probes the IVFPQ tier for k·k_factor ADC
+# candidates, then re-ranks ONLY those candidates on the two-level
+# reconstruction centroid + decode1 + decode2 — the faiss semantics
+# (IndexIVFPQR.cpp: search_preassigned re-ranks via refine codes),
+# with refine cost bounded by nq·k·k_factor rows regardless of corpus
+# size. The reference engine has no compressed tier at all
+# (/root/reference/include/faiss-metal/MetalIndexFlat.h:47) — superset.
+# ---------------------------------------------------------------------------
+
+
+IVFPQR_CODE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("cell", T.IntegerType(), False),
+        T.StructField("code", T.BinaryType(), False),
+        T.StructField("code2", T.BinaryType(), False),
+    ]
+)
+
+
+def ivfpqr_encode(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    refine_books: np.ndarray,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Two-level encode in ONE scan, no shuffle: r = v − centroid(cell),
+    code = PQ1(r), code2 = PQ2(r − decode1(code)) →
+    ``(id, cell, code BINARY, code2 BINARY)``."""
+    spark = assigned.sparkSession
+    bc = spark.sparkContext.broadcast((centroids, codebooks, refine_books))
+
+    def enc(batches):
+        import pyarrow as pa
+
+        C_, books_, rbooks_ = bc.value
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            V_ = _arrow_matrix(batch.column(vec_col), "array", np.float64)
+            cells = batch.column("cell").to_numpy(zero_copy_only=True)
+            R = V_ - C_[cells]
+            codes = pq_assign_np(R, books_)
+            R2 = R - pq_decode_np(codes, books_)
+            codes2 = pq_assign_np(R2, rbooks_)
+            yield pa.record_batch(
+                [
+                    pa.array(_arrow_i64(batch.column(id_col))),
+                    pa.array(cells.astype(np.int32, copy=False)),
+                    _binary_array(codes),
+                    _binary_array(codes2),
+                ],
+                names=["id", "cell", "code", "code2"],
+            )
+
+    return assigned.mapInArrow(enc, IVFPQR_CODE_SCHEMA)
+
+
+def ivfpqr_build(
+    vectors: DataFrame,
+    n_cells: int,
+    m: int,
+    m_refine: int,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    sample_size: int = 16384,
+    iters: int = 10,
+):
+    """Train coarse + residual + REFINE quantizers and encode the corpus.
+
+    Returns ``(centroids, codebooks (m,256,d/m), refine_books
+    (m_refine,256,d/m_refine), codes DataFrame)``. All three trainers
+    run on the same O(sample) driver-side sample (the faiss discipline:
+    IndexIVFPQR::train trains the refine PQ on the residual-of-residual
+    of its own training set); encoding is one distributed scan.
+    """
+    from .similarity import ivf_assign, ivf_train_centroids, train_sample
+
+    centroids = ivf_train_centroids(
+        vectors, n_cells, vec_col=vec_col, id_col=id_col,
+        sample_size=sample_size, iters=iters,
+    )
+    assigned = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
+
+    sample = train_sample(
+        assigned.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "cell"),
+        sample_size,
+        extra_cols=("vec", "cell"),
+    )
+    V = np.stack(sample["vec"].to_numpy()).astype(np.float64)
+    R = V - centroids[sample["cell"].to_numpy(np.int64)]
+    books = train_books_np(R, m, iters)
+    R2 = R - pq_decode_np(pq_assign_np(R, books), books)
+    refine_books = train_books_np(R2, m_refine, iters)
+
+    codes_df = ivfpqr_encode(
+        assigned, centroids, books, refine_books, id_col=id_col, vec_col=vec_col
+    )
+    return centroids, books, refine_books, codes_df
+
+
+def ivfpqr_search(
+    codes: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    refine_books: np.ndarray,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 8,
+    k_factor: int = 4,
+    qid_col: str = "qid",
+    qvec_col: str = "vec",
+) -> DataFrame:
+    """IVFPQ ADC probe for ``k·k_factor`` candidates, then re-rank on
+    the two-level reconstruction (faiss ``IndexIVFPQR::search``; its
+    default k_factor is 4 too). L2 only, like the IVFPQ tier.
+
+    Scale shape: stage 1 is the partition-pruned per-cell ADC scan;
+    stage 2 touches exactly nq·k·k_factor candidate code rows, fetched
+    by broadcast semi-join on the candidate ids — the code table is
+    never shuffled and never decoded corpus-wide.
+    """
+    cand = (
+        ivfpq_search(
+            codes, centroids, codebooks, queries, k * k_factor, nprobe,
+            qid_col=qid_col, qvec_col=qvec_col,
+        )
+        .where(F.col("label") >= 0)
+        .select("qid", "label")
+    )
+    rows = codes.select(
+        F.col("id").alias("label"), "cell", "code", "code2"
+    )
+    qq = queries.select(
+        F.col(qid_col).cast("long").alias("qid"), F.col(qvec_col).alias("_qvec")
+    )
+    joined = F.broadcast(cand).join(rows, "label").join(F.broadcast(qq), "qid")
+
+    spark = codes.sparkSession
+    bc = spark.sparkContext.broadcast((centroids, codebooks, refine_books))
+
+    def rerank(batches):
+        import pyarrow as pa
+
+        C_, books_, rbooks_ = bc.value
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            qids = _arrow_i64(batch.column("qid"))
+            labels = _arrow_i64(batch.column("label"))
+            cells = batch.column("cell").to_numpy(zero_copy_only=False)
+            c1 = _arrow_codes(batch.column("code"))
+            c2 = _arrow_codes(batch.column("code2"))
+            Q_ = _arrow_matrix(batch.column("_qvec"), "array", np.float64)
+            rec = C_[cells] + pq_decode_np(c1, books_) + pq_decode_np(c2, rbooks_)
+            diff = Q_ - rec
+            dist = np.einsum("ij,ij->i", diff, diff)
+            yield pa.record_batch(
+                [pa.array(qids), pa.array(labels), pa.array(dist)],
+                names=["qid", "label", "distance"],
+            )
+
+    rescored = joined.mapInArrow(rerank, _PARTIAL_SCHEMA)
+    return _finalize(qq.select("qid"), rescored, k, "l2")

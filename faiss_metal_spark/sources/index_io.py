@@ -25,7 +25,8 @@ Layout under ``path``::
 Supported kinds: ``VectorTable`` / ``IDMapVectorTable`` (flat, incl.
 fp16/bf16 compact), ``SQ8Index`` (any bit width), ``BinaryIndex``,
 ``BinaryIVFIndex``, ``IVFIndex``, ``IVFSQIndex``, ``IVFPQIndex``,
-``PQIndex``, ``OPQIndex``, ``GraphIndex``, ``LSHIndex``, and composite
+``IVFPQRIndex``, ``PQIndex``, ``OPQIndex``, ``GraphIndex``, ``LSHIndex``,
+and composite
 ``ShardedIndex`` (recursive member payloads). ``read_index`` returns
 the same type that was written and search results are value-identical
 pre/post round-trip (``tests/test_index_io.py``).
@@ -184,6 +185,7 @@ def _is_engine_index(index) -> bool:
         GraphIndex,
         IVFIndex,
         IVFPQIndex,
+        IVFPQRIndex,
         IVFSQIndex,
         LSHIndex,
         OPQIndex,
@@ -203,6 +205,7 @@ def _is_engine_index(index) -> bool:
             GraphIndex,
             IVFIndex,
             IVFPQIndex,
+            IVFPQRIndex,
             IVFSQIndex,
             LSHIndex,
             PQIndex,
@@ -219,6 +222,7 @@ def _write_payload(index, path: str) -> None:
         GraphIndex,
         IVFIndex,
         IVFPQIndex,
+        IVFPQRIndex,
         IVFSQIndex,
         LSHIndex,
         OPQIndex,
@@ -303,6 +307,22 @@ def _write_payload(index, path: str) -> None:
             index.spark,
             path,
             {"kind": "ivfpq", "d": index.d, "ntotal": index.ntotal, "shapes": shapes},
+        )
+    elif isinstance(index, IVFPQRIndex):
+        _write_frame(index.codes, f"{path}/codes", partition_by="cell")
+        shapes = _write_arrays(
+            index.spark,
+            path,
+            {
+                "centroids": index.centroids,
+                "codebooks": index.codebooks,
+                "refine_books": index.refine_books,
+            },
+        )
+        _write_meta(
+            index.spark,
+            path,
+            {"kind": "ivfpqr", "d": index.d, "ntotal": index.ntotal, "shapes": shapes},
         )
     elif isinstance(index, BinaryIVFIndex):
         _write_frame(index.words, f"{path}/words", partition_by="cell")
@@ -480,6 +500,7 @@ def _read_payload(spark: SparkSession, path: str):
         GraphIndex,
         IVFIndex,
         IVFPQIndex,
+        IVFPQRIndex,
         IVFSQIndex,
         LSHIndex,
         OPQIndex,
@@ -580,6 +601,16 @@ def _read_payload(spark: SparkSession, path: str):
             meta["d"],
             arrays["centroids"],
             arrays["codebooks"],
+            spark.read.parquet(f"{path}/codes"),
+            meta["ntotal"],
+        )
+    if kind == "ivfpqr":
+        return IVFPQRIndex(
+            spark,
+            meta["d"],
+            arrays["centroids"],
+            arrays["codebooks"],
+            arrays["refine_books"],
             spark.read.parquet(f"{path}/codes"),
             meta["ntotal"],
         )
