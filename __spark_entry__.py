@@ -2164,6 +2164,10 @@ def q_mllib_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 # comparisons against CPU FAISS for search, accuracy bounds for training
 # (/root/reference/tests/test_metal_flat.mm:72-122).
 _PQ_M, _PQ_DSUB, _ANN_CELLS, _ANN_NPROBE = 8, 8, 16, 4
+# LSHIndex lane: few enough bits to keep the literal-rotation oracle
+# compact; Hamming ties are broken by ascending label on BOTH engines,
+# so heavy 16-bit ties stay hash-stable
+_LSH_NBITS, _LSH_SEED = 16, 77
 
 
 def _fixed_quantizers(emb: DataFrame):
@@ -2581,7 +2585,11 @@ def q_ann_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a FULL probe, which by the IVF degradation contract must
     equal the flat sq8 answer exactly — so one SQL oracle hash-checks
     the per-cell decode+search path too (partial-probe routing is
-    pinned by tests/test_binary_sq.py)."""
+    pinned by tests/test_binary_sq.py) — plus 'lshb' rows: the
+    LSHIndex tier (faiss IndexLSH: seeded random-rotation sign bits +
+    exhaustive Hamming), whose oracle re-derives the same rotation as
+    literal doubles and counts projected-sign disagreements, so the
+    rotate→sign→pack→popcount chain is hash-checked end to end."""
     from faiss_metal_spark.operators.similarity import ivf_assign, ivf_search
     from faiss_metal_spark.operators.sq import (
         sq_code_col,
@@ -2621,12 +2629,66 @@ def q_ann_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ivfsq").alias("path"), "qid", "rank", "label",
         _norm(F.col("distance"), 4).alias("distance"),
     )
+    # lshb lane: the LSHIndex tier end-to-end (rotation projection in
+    # the Arrow stage, Catalyst sign-pack, packed-word popcount search)
+    from faiss_metal_spark import LSHIndex, VectorTable
+
+    vt = VectorTable.from_parquet(
+        spark, os.path.join(sf_dir, "embeddings.parquet"),
+        d=_PQ_M * _PQ_DSUB, id_col="vec_id", vec_col="embedding",
+    )
+    lsh = LSHIndex.from_table(vt, nbits=_LSH_NBITS, seed=_LSH_SEED)
+    lshb = lsh.search(queries, k=10).select(
+        F.lit("lshb").alias("path"), "qid", "rank", "label",
+        F.col("distance").cast("double").alias("distance"),
+    )
     return (
         q_ann_binary(spark, sf_dir)
         .unionByName(sq8)
         .unionByName(sq4)
         .unionByName(ivfsq)
+        .unionByName(lshb)
     )
+
+
+def _oracle_lsh_lane() -> str:
+    """DuckDB re-derivation of the LSHIndex lane: the SAME seeded
+    rotation the engine trains with, rendered as literal doubles; a
+    bit is the sign of the projection (Σ_j emb[j]·R[i][j] computed in
+    double on both engines — the engine's final float32 cast cannot
+    flip a sign), Hamming is the count of bit disagreements (exactly
+    what bit_count(xor) over the packed words counts), ties by label."""
+    from faiss_metal_spark.operators.pca import random_rotation
+
+    R = random_rotation(_PQ_M * _PQ_DSUB, _LSH_NBITS, seed=_LSH_SEED)
+    bit_exprs = ",\n          ".join(
+        "CASE WHEN ("
+        + " + ".join(f"embedding[{j + 1}] * {R[i, j]!r}" for j in range(R.shape[1]))
+        + ") > 0 THEN 1 ELSE 0 END"
+        for i in range(_LSH_NBITS)
+    )
+    return f"""
+WITH lshw AS (
+  SELECT vec_id AS id,
+         [{bit_exprs}] AS bits
+  FROM embeddings
+),
+lshq AS (SELECT id AS qid, bits FROM lshw WHERE id < 8),
+lshd AS (
+  SELECT q.qid, v.id AS label,
+         list_sum([CASE WHEN x[1] <> x[2] THEN 1 ELSE 0 END
+                   FOR x IN list_zip(q.bits, v.bits)]) AS dist
+  FROM lshq q CROSS JOIN lshw v
+),
+lshr AS (
+  SELECT qid, label, dist,
+         row_number() OVER (PARTITION BY qid ORDER BY dist ASC, label ASC) - 1 AS rank
+  FROM lshd
+)
+SELECT 'lshb' AS path, CAST(qid AS BIGINT) AS qid, CAST(rank AS INTEGER) AS rank,
+       CAST(label AS BIGINT) AS label, CAST(dist AS DOUBLE) AS distance
+FROM lshr WHERE rank < 10
+"""
 
 
 def _oracle_ann_compact() -> str:
@@ -2638,7 +2700,9 @@ def _oracle_ann_compact() -> str:
         + _oracle_ann_sq8(levels=15.0)
         + ") s4 UNION ALL SELECT 'ivfsq' AS path, s8b.* FROM ("
         + _oracle_ann_sq8()
-        + ") s8b"
+        + ") s8b UNION ALL SELECT * FROM ("
+        + _oracle_lsh_lane()
+        + ") lshx"
     )
 
 
