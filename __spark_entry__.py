@@ -1634,7 +1634,7 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     e = _t(spark, sf_dir, "embeddings")
-    centroids, _, _ = _fixed_quantizers(
+    centroids, _, _, _ = _fixed_quantizers(
         e.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
     )
     cols = lambda v, df: df.select(  # noqa: E731
@@ -1919,7 +1919,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").alias("b"),
         _norm(F.col("cos"), 4).alias("x"),
     )
-    centroids, _, _ = _fixed_quantizers(
+    centroids, _, _, _ = _fixed_quantizers(
         e.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
     )
     sem = semantic_dedup(e, centroids, threshold=0.35).select(
@@ -2172,7 +2172,11 @@ _LSH_NBITS, _LSH_SEED = 16, 77
 
 def _fixed_quantizers(emb: DataFrame):
     """(centroids (16, 64), flat codebooks (8, 256, 8), residual
-    codebooks (8, 256, 8)) — all derived from embedding rows id < 256."""
+    codebooks (8, 256, 8), refine codebooks (8, 256, 8)) — all derived
+    from embedding rows id < 256; the refine books are the
+    second-level residuals (what the first residual PQ missed) of the
+    same rows, encoded with the engine's own assign/decode helpers so
+    the arithmetic can never drift from ivfpqr_encode."""
     pdf = emb.where(F.col("id") < 256).orderBy("id").toPandas()
     B = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
     if len(B) < 256:
@@ -2186,7 +2190,13 @@ def _fixed_quantizers(emb: DataFrame):
     assign = (cn[None, :] - 2.0 * (B @ centroids.T)).argmin(1)
     R = B - centroids[assign]
     rbooks = np.stack([R[:, j * _PQ_DSUB : (j + 1) * _PQ_DSUB] for j in range(_PQ_M)])
-    return centroids, books, rbooks
+    from faiss_metal_spark.operators.pq import pq_assign_np, pq_decode_np
+
+    R2 = R - pq_decode_np(pq_assign_np(R, rbooks), rbooks)
+    rbooks2 = np.stack(
+        [R2[:, j * _PQ_DSUB : (j + 1) * _PQ_DSUB] for j in range(_PQ_M)]
+    )
+    return centroids, books, rbooks, rbooks2
 
 
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2196,12 +2206,18 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     of 16 cells, residual ADC — FAISS IndexIVFPQ), 'refine' rows are
     two-stage retrieval (FAISS IndexRefineFlat: flat-ADC top-40
     candidates exactly rescored against the full vectors, re-ranked to
-    top-10). Codebooks are FIXED (first-256 embedding rows / their
-    residuals), so encode + ADC + top-k + rescore hash-match the DuckDB
-    oracle; iterative training is pinned separately by tests/test_pq.py."""
+    top-10), and 'ivfpqr' rows are the faiss IndexIVFPQR machinery: a
+    second refine PQ over the residual-of-residual re-ranks the IVFPQ
+    ADC top-40 on the two-level reconstruction. Codebooks are FIXED
+    (first-256 embedding rows / their residuals / their second-level
+    residuals), so encode + ADC + top-k + rescore + refine-rerank all
+    hash-match the DuckDB oracle; iterative training is pinned
+    separately by tests/test_pq.py and tests/test_ivfpqr.py."""
     from faiss_metal_spark.operators.pq import (
         ivfpq_encode,
         ivfpq_search,
+        ivfpqr_encode,
+        ivfpqr_search,
         pq_encode,
         pq_search,
         refine_search,
@@ -2211,7 +2227,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
     )
     queries = emb.where(F.col("id") < 8).select(F.col("id").alias("qid"), "vec")
-    centroids, books, rbooks = _fixed_quantizers(emb)
+    centroids, books, rbooks, rbooks2 = _fixed_quantizers(emb)
 
     codes = pq_encode(emb, books)
     flat = pq_search(codes, books, queries, k=10)
@@ -2222,6 +2238,12 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ref = refine_search(emb, codes, books, queries, k=10, refine_factor=4)
 
+    rcodes2 = ivfpqr_encode(assigned, centroids, rbooks, rbooks2)
+    pqr = ivfpqr_search(
+        rcodes2, centroids, rbooks, rbooks2, queries,
+        k=10, nprobe=_ANN_NPROBE, k_factor=4,
+    )
+
     out_cols = lambda kind, df: df.select(  # noqa: E731
         F.lit(kind).alias("path"), "qid", "rank", "label",
         _norm(F.col("distance"), 4).alias("distance"),
@@ -2230,6 +2252,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_cols("pq", flat)
         .unionByName(out_cols("ivfpq", ivf))
         .unionByName(out_cols("refine", ref))
+        .unionByName(out_cols("ivfpqr", pqr))
     )
 
 
@@ -2242,7 +2265,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
     )
-    centroids, _, _ = _fixed_quantizers(emb)
+    centroids, _, _, _ = _fixed_quantizers(emb)
     assigned = ivf_assign(emb, centroids)
     queries = emb.where(F.col("id") < 8).select(
         F.col("id").alias("qid"), F.col("vec")
@@ -2409,6 +2432,55 @@ rr AS (
   SELECT qid, label, dist,
          row_number() OVER (PARTITION BY qid ORDER BY dist ASC, label ASC) - 1 AS rank
   FROM rex
+),
+dec1 AS (  -- chosen first-level codeword slice per (id, j)
+  SELECT renc.id, renc.j, rb.cj
+  FROM renc JOIN rb ON rb.j = renc.j AND rb.ck = renc.ck
+),
+vres2 AS (  -- second-level residual slice: what the first PQ missed
+  SELECT vr.vec_id AS id, d1.j,
+         [x[1] - x[2] FOR x IN list_zip(
+            list_slice(vr.rv, d1.j*{dsub} + 1, d1.j*{dsub} + {dsub}), d1.cj)] AS r2j
+  FROM vres vr JOIN dec1 d1 ON d1.id = vr.vec_id
+),
+rb2 AS (  -- refine codebook: second-level residuals of the first 256 rows
+  SELECT id AS ck, j, r2j AS cj FROM vres2 WHERE id < 256
+),
+renc2 AS (  -- refine codes for all vectors (same argmin form)
+  SELECT id, j, ck FROM (
+    SELECT v2.id, v2.j, rb2.ck,
+           row_number() OVER (PARTITION BY v2.id, v2.j ORDER BY
+             list_inner_product(rb2.cj, rb2.cj)
+             - 2 * list_inner_product(v2.r2j, rb2.cj) ASC,
+             rb2.ck ASC) AS rn
+    FROM vres2 v2 JOIN rb2 ON rb2.j = v2.j)
+  WHERE rn = 1
+),
+recs AS (  -- two-level reconstruction slice: centroid + decode1 + decode2
+  SELECT va.vec_id AS id, d1.j,
+         [x[1] + x[2] + x[3] FOR x IN list_zip(
+            list_slice(c.cv::DOUBLE[], d1.j*{dsub} + 1, d1.j*{dsub} + {dsub}),
+            d1.cj, rb2.cj)] AS rj
+  FROM va
+  JOIN c ON c.cell = va.cell
+  JOIN dec1 d1 ON d1.id = va.vec_id
+  JOIN renc2 ON renc2.id = va.vec_id AND renc2.j = d1.j
+  JOIN rb2 ON rb2.j = renc2.j AND rb2.ck = renc2.ck
+),
+recv AS (SELECT id, flatten(list(rj ORDER BY j)) AS rv FROM recs GROUP BY id),
+prr AS (  -- IndexIVFPQR: re-rank the residual-ADC top-40 on ‖q − rec‖²
+  SELECT ri.qid, ri.label,
+         list_sum([(x[1] - x[2]) * (x[1] - x[2]) FOR x IN
+                   list_zip(q.qv::DOUBLE[], recv.rv)]) AS dist
+  FROM ri
+  JOIN q ON q.qid = ri.qid
+  JOIN recv ON recv.id = ri.label
+  WHERE ri.rank < 40
+),
+prk AS (
+  SELECT qid, label, dist,
+         row_number() OVER (PARTITION BY qid ORDER BY dist ASC, label ASC) - 1 AS rank
+  FROM prr
 )
 SELECT 'pq' AS path, CAST(qid AS BIGINT) AS qid, CAST(rank AS INTEGER) AS rank,
        CAST(label AS BIGINT) AS label, ROUND(dist, 4) + 0.0 AS distance
@@ -2417,6 +2489,10 @@ UNION ALL
 SELECT 'ivfpq' AS path, CAST(qid AS BIGINT) AS qid, CAST(rank AS INTEGER) AS rank,
        CAST(label AS BIGINT) AS label, ROUND(dist, 4) + 0.0 AS distance
 FROM ri WHERE rank < 10
+UNION ALL
+SELECT 'ivfpqr' AS path, CAST(qid AS BIGINT) AS qid, CAST(rank AS INTEGER) AS rank,
+       CAST(label AS BIGINT) AS label, ROUND(dist, 4) + 0.0 AS distance
+FROM prk WHERE rank < 10
 UNION ALL
 SELECT 'refine' AS path, CAST(qid AS BIGINT) AS qid, CAST(rank AS INTEGER) AS rank,
        CAST(label AS BIGINT) AS label, ROUND(dist, 4) + 0.0 AS distance
