@@ -13,10 +13,12 @@ then search it with the table's host-array contract
 
 Deliberately NOT a ``VectorTable`` storage mode: the flat table's
 add/remove/merge/reconstruct contract is FAISS-exact and
-oracle-pinned; a derived read-only index keeps those semantics
-untouched while covering the "train a compressed tier from my flat
-index" workflow. Rebuild after mutating the source table (cheap: one
-scan), exactly like FAISS re-adds into a freshly trained quantizer.
+oracle-pinned; a derived index keeps those semantics untouched while
+covering the "train a compressed tier from my flat index" workflow.
+Every tier supports post-train ``add_df``/``add_numpy`` against its
+FROZEN trained state (faiss ``add`` after ``train`` never retrains);
+retraining is an explicit rebuild (cheap: one scan), exactly like
+FAISS re-adds into a freshly trained quantizer.
 """
 
 from __future__ import annotations
@@ -183,7 +185,7 @@ def _host_result(res: DataFrame, nq: int, k: int) -> tuple[np.ndarray, np.ndarra
 
 @dataclass
 class SQ8Index:
-    """Read-only scalar-quantizer tier derived from a VectorTable:
+    """Scalar-quantizer tier derived from a VectorTable:
     per-dim min/max trained on the table's FP32 reconstruction, b-bit
     codes (``bits`` = 8 / 6 / 4 ≙ faiss QT_8bit / QT_6bit / QT_4bit;
     named for its 8-bit default), asymmetric search (exact query vs
@@ -244,6 +246,21 @@ class SQ8Index:
             raise KeyError(f"id {key} not in index")
         return np.asarray(row[0]["r"], np.float64)
 
+    def add_df(self, df: DataFrame, id_col: str = "id", vec_col: str = "vec") -> "SQ8Index":
+        """faiss ``IndexScalarQuantizer::add``: encode against the
+        FROZEN trained range (values outside [vmin, vmax] clamp, the
+        faiss behavior) and append — training never reruns."""
+        from .operators.sq import sq_encode
+
+        new = sq_encode(
+            _ivf_add_rows(df, id_col, vec_col), self.vmin, self.vmax, self.bits
+        )
+        _append_frame(self, "codes", new)
+        return self
+
+    def add_numpy(self, x: np.ndarray, ids=None) -> "SQ8Index":
+        return self.add_df(_numpy_add_df(self, "codes", x, ids))
+
     def release(self) -> None:
         self.codes.unpersist()
 
@@ -283,7 +300,7 @@ class SQ8Index:
 
 @dataclass
 class BinaryIndex:
-    """Read-only sign-bit tier derived from a VectorTable: 1 bit/dim
+    """Sign-bit tier derived from a VectorTable: 1 bit/dim
     packed words, Hamming search, optional exact-rescore refine against
     the SOURCE table's full vectors."""
 
@@ -338,6 +355,21 @@ class BinaryIndex:
             refine_factor=refine_factor,
         )
         return _host_result(res, len(np.atleast_2d(x)), k)
+
+    def add_df(self, df: DataFrame, id_col: str = "id", vec_col: str = "vec") -> "BinaryIndex":
+        """faiss ``IndexBinaryFlat::add``: sign-pack the new rows
+        (training-free tier) and append; the refine source grows in
+        step so two-stage rescore stays complete."""
+        from .operators.binary import binarize
+
+        rows = _ivf_add_rows(df, id_col, vec_col)
+        _append_frame(self, "words", binarize(rows, self.d))
+        if self._source is not None:
+            self._source = self._source.unionByName(rows)
+        return self
+
+    def add_numpy(self, x: np.ndarray, ids=None) -> "BinaryIndex":
+        return self.add_df(_numpy_add_df(self, "words", x, ids))
 
     def release(self) -> None:
         self.words.unpersist()
@@ -1088,6 +1120,20 @@ class OPQIndex:
         code = np.frombuffer(row[0]["code"], np.uint8)[None, :]
         return (pq_decode_np(code, self.codebooks) @ self.rotation)[0]
 
+    def add_df(self, df: DataFrame, id_col: str = "id", vec_col: str = "vec") -> "OPQIndex":
+        """``IndexPreTransform::add``: rotate with the FROZEN learned R,
+        encode with the frozen codebooks, append."""
+        from .operators.opq import opq_encode
+
+        new = opq_encode(
+            _ivf_add_rows(df, id_col, vec_col), self.rotation, self.codebooks
+        )
+        _append_frame(self, "codes", new)
+        return self
+
+    def add_numpy(self, x: np.ndarray, ids=None) -> "OPQIndex":
+        return self.add_df(_numpy_add_df(self, "codes", x, ids))
+
     def release(self) -> None:
         self.codes.unpersist()
 
@@ -1149,6 +1195,18 @@ class PQIndex:
             raise KeyError(f"id {key} not in index")
         code = np.frombuffer(row[0]["code"], np.uint8)[None, :]
         return pq_decode_np(code, self.codebooks)[0]
+
+    def add_df(self, df: DataFrame, id_col: str = "id", vec_col: str = "vec") -> "PQIndex":
+        """faiss ``IndexPQ::add``: encode with the FROZEN codebooks
+        (``pq_assign_np`` arithmetic, never retrained) and append."""
+        from .operators.pq import pq_encode
+
+        new = pq_encode(_ivf_add_rows(df, id_col, vec_col), self.codebooks)
+        _append_frame(self, "codes", new)
+        return self
+
+    def add_numpy(self, x: np.ndarray, ids=None) -> "PQIndex":
+        return self.add_df(_numpy_add_df(self, "codes", x, ids))
 
     def release(self) -> None:
         self.codes.unpersist()
@@ -1278,8 +1336,8 @@ class LSHIndex:
     against the source table gives the IndexRefineFlat composition
     faiss users wrap around IndexLSH.
 
-    Read-only derived tier (rebuild after mutating the source), like
-    every compact tier here.
+    Derived tier: post-train ``add_df``/``add_numpy`` appends through
+    the frozen rotation; retraining the rotation is a rebuild.
     """
 
     spark: SparkSession
@@ -1382,6 +1440,22 @@ class LSHIndex:
         proj = x @ self.rotation.T
         words = binarize_np(proj.astype(np.float32))
         return np.array([w.tobytes() for w in words], dtype=object)
+
+    def add_df(self, df: DataFrame, id_col: str = "id", vec_col: str = "vec") -> "LSHIndex":
+        """faiss ``IndexLSH::add``: project through the FROZEN seeded
+        rotation, sign-pack, append; the refine source grows in step."""
+        from .operators.binary import binarize
+        from .operators.pca import pca_apply
+
+        rows = _ivf_add_rows(df, id_col, vec_col)
+        projected = pca_apply(rows, np.zeros(self.d), self.rotation)
+        _append_frame(self, "words", binarize(projected, self.nbits))
+        if self._source is not None:
+            self._source = self._source.unionByName(rows)
+        return self
+
+    def add_numpy(self, x: np.ndarray, ids=None) -> "LSHIndex":
+        return self.add_df(_numpy_add_df(self, "words", x, ids))
 
     def release(self) -> None:
         self.words.unpersist()

@@ -1,0 +1,125 @@
+"""Post-train add on the FLAT compressed tiers — faiss parity.
+
+faiss allows ``add`` after ``train`` on every flat code index
+(IndexScalarQuantizer, IndexBinaryFlat, IndexPQ, IndexPreTransform,
+IndexLSH): encode against the frozen trained state and append, never
+retrain (the reference inherits the same contract through its
+faiss::Index base, /root/reference/include/faiss-metal/
+MetalIndexFlat.h:47). Pin: building a tier from the first part of a
+corpus and adding the rest yields EXACTLY the code/word rows of a
+one-shot build over everything, provided the trained state is shared
+— and the refine tiers' rescore source grows in step with the add.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from faiss_metal_spark import (
+    BinaryIndex,
+    LSHIndex,
+    OPQIndex,
+    PQIndex,
+    SQ8Index,
+    VectorTable,
+)
+
+from conftest import make_fixture
+
+
+def _table(spark, V) -> VectorTable:
+    vt = VectorTable(spark, V.shape[1], metric="l2")
+    return vt.add_numpy(V)
+
+
+def _rows(df, cols):
+    return sorted(
+        tuple(bytes(r[c]) if isinstance(r[c], (bytes, bytearray)) else tuple(r[c]) if isinstance(r[c], list) else r[c] for c in cols)
+        for r in df.collect()
+    )
+
+
+@pytest.mark.parametrize("kind", ["sq8", "binary", "pq", "opq", "lsh"])
+def test_flat_add_equals_one_shot(spark, kind):
+    V, _ = make_fixture(400, 1, 16)
+    vt_all = _table(spark, V)
+    cut = 300
+
+    if kind == "sq8":
+        one = SQ8Index.from_table(vt_all, bits=8)
+        grown = SQ8Index(
+            spark, one.d, one.vmin, one.vmax,
+            one.codes.where(F.col("id") < cut).persist(), cut, one.bits,
+        )
+        frame, cols = "codes", ("id", "code")
+    elif kind == "binary":
+        one = BinaryIndex.from_table(vt_all)
+        grown = BinaryIndex(
+            spark, one.d,
+            one.words.where(F.col("id") < cut).persist(),
+            one._source.where(F.col("id") < cut), cut,
+        )
+        frame, cols = "words", ("id", "words")
+    elif kind == "pq":
+        one = PQIndex.from_table(vt_all, m=4, sample_size=400)
+        grown = PQIndex(
+            spark, one.d, one.codebooks,
+            one.codes.where(F.col("id") < cut).persist(), cut,
+        )
+        frame, cols = "codes", ("id", "code")
+    elif kind == "opq":
+        one = OPQIndex.from_table(vt_all, m=4, sample_size=400, iters=4)
+        grown = OPQIndex(
+            spark, one.d, one.rotation, one.codebooks,
+            one.codes.where(F.col("id") < cut).persist(), cut,
+        )
+        frame, cols = "codes", ("id", "code")
+    else:
+        one = LSHIndex.from_table(vt_all, nbits=32, seed=9)
+        grown = LSHIndex(
+            spark, one.d, one.nbits, one.rotation,
+            one.words.where(F.col("id") < cut).persist(),
+            one._source.where(F.col("id") < cut), cut,
+        )
+        frame, cols = "words", ("id", "words")
+
+    grown.add_numpy(V[cut:], ids=np.arange(cut, 400))
+    assert grown.ntotal == 400
+    assert _rows(getattr(grown, frame), cols) == _rows(getattr(one, frame), cols)
+
+
+def test_flat_add_default_ids_continue(spark):
+    V, _ = make_fixture(300, 1, 16)
+    idx = SQ8Index.from_table(_table(spark, V), bits=8)
+    idx.add_numpy(V[:3])
+    top = idx.codes.agg(F.max("id")).first()[0]
+    assert top == 302  # continues from max(id)+1
+    assert idx.ntotal == 303
+
+
+def test_binary_refine_source_grows_with_add(spark):
+    V, Q = make_fixture(300, 3, 16)
+    extra = (V[:3] + 0.01).astype(np.float32)
+    idx = BinaryIndex.from_table(_table(spark, V))
+    idx.add_numpy(extra, ids=np.arange(300, 303))
+    D, L = idx.refine_search_numpy(extra, k=1, refine_factor=8)
+    # the added rows are findable AND their refine distances are the
+    # exact L2 against the grown source (0 to themselves)
+    np.testing.assert_array_equal(np.sort(L[:, 0]), np.arange(300, 303))
+    np.testing.assert_allclose(D[:, 0], 0.0, atol=1e-9)
+
+
+def test_lsh_add_searchable_and_exact_words(spark):
+    V, _ = make_fixture(200, 1, 16)
+    idx = LSHIndex.from_table(_table(spark, V), nbits=32, seed=4)
+    new = V[:5] * 0.5
+    idx.add_numpy(new, ids=np.arange(200, 205))
+    got = {
+        int(r["id"]): np.asarray(r["words"], np.int64)
+        for r in idx.words.where(F.col("id") >= 200).collect()
+    }
+    want = idx.sa_encode(new)
+    for i in range(5):
+        np.testing.assert_array_equal(
+            got[200 + i], np.frombuffer(want[i], np.int64)
+        )
