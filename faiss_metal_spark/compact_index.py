@@ -261,6 +261,12 @@ class SQ8Index:
     def add_numpy(self, x: np.ndarray, ids=None) -> "SQ8Index":
         return self.add_df(_numpy_add_df(self, "codes", x, ids))
 
+    def remove_ids(self, ids) -> int:
+        """faiss ``remove_ids``; ids here are explicit labels (the IVF
+        discipline — never renumbered; the flat ``VectorTable`` keeps
+        faiss's sequential-compaction contract instead)."""
+        return _remove_ids_frame(self, "codes", ids)
+
     def release(self) -> None:
         self.codes.unpersist()
 
@@ -370,6 +376,14 @@ class BinaryIndex:
 
     def add_numpy(self, x: np.ndarray, ids=None) -> "BinaryIndex":
         return self.add_df(_numpy_add_df(self, "words", x, ids))
+
+    def remove_ids(self, ids) -> int:
+        """faiss ``IndexBinaryFlat::remove_ids`` (explicit labels, no
+        renumbering); the refine source shrinks in step."""
+        removed = _remove_ids_frame(self, "words", ids)
+        if self._source is not None:
+            self._source = _drop_ids(self._source, ids)
+        return removed
 
     def release(self) -> None:
         self.words.unpersist()
@@ -1134,6 +1148,11 @@ class OPQIndex:
     def add_numpy(self, x: np.ndarray, ids=None) -> "OPQIndex":
         return self.add_df(_numpy_add_df(self, "codes", x, ids))
 
+    def remove_ids(self, ids) -> int:
+        """``IndexPreTransform::remove_ids`` forwards to the inner PQ
+        (explicit labels, no renumbering)."""
+        return _remove_ids_frame(self, "codes", ids)
+
     def release(self) -> None:
         self.codes.unpersist()
 
@@ -1207,6 +1226,11 @@ class PQIndex:
 
     def add_numpy(self, x: np.ndarray, ids=None) -> "PQIndex":
         return self.add_df(_numpy_add_df(self, "codes", x, ids))
+
+    def remove_ids(self, ids) -> int:
+        """faiss ``IndexPQ::remove_ids`` (explicit labels, no
+        renumbering)."""
+        return _remove_ids_frame(self, "codes", ids)
 
     def release(self) -> None:
         self.codes.unpersist()
@@ -1456,6 +1480,14 @@ class LSHIndex:
 
     def add_numpy(self, x: np.ndarray, ids=None) -> "LSHIndex":
         return self.add_df(_numpy_add_df(self, "words", x, ids))
+
+    def remove_ids(self, ids) -> int:
+        """faiss ``IndexLSH::remove_ids`` (explicit labels, no
+        renumbering); the refine source shrinks in step."""
+        removed = _remove_ids_frame(self, "words", ids)
+        if self._source is not None:
+            self._source = _drop_ids(self._source, ids)
+        return removed
 
     def release(self) -> None:
         self.words.unpersist()

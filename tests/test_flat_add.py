@@ -123,3 +123,31 @@ def test_lsh_add_searchable_and_exact_words(spark):
         np.testing.assert_array_equal(
             got[200 + i], np.frombuffer(want[i], np.int64)
         )
+
+
+@pytest.mark.parametrize("kind", ["sq8", "binary", "pq", "opq", "lsh"])
+def test_flat_remove_ids(spark, kind):
+    """remove_ids on the flat tiers: count returned, absent ids ignored,
+    no renumbering (explicit labels), removed rows unfindable."""
+    V, Q = make_fixture(300, 2, 16)
+    vt = _table(spark, V)
+    if kind == "sq8":
+        idx = SQ8Index.from_table(vt)
+    elif kind == "binary":
+        idx = BinaryIndex.from_table(vt)
+    elif kind == "pq":
+        idx = PQIndex.from_table(vt, m=4, sample_size=300)
+    elif kind == "opq":
+        idx = OPQIndex.from_table(vt, m=4, sample_size=300, iters=3)
+    else:
+        idx = LSHIndex.from_table(vt, nbits=32, seed=6)
+    assert idx.remove_ids([5, 6, 7, 99999]) == 3
+    assert idx.ntotal == 297
+    frame = idx.words if kind in ("binary", "lsh") else idx.codes
+    left = {r["id"] for r in frame.select("id").collect()}
+    assert left == set(range(300)) - {5, 6, 7}  # no renumbering
+    _, L = idx.search_numpy(Q, k=297)
+    assert not ({5, 6, 7} & set(L.ravel().tolist()))
+    if kind in ("binary", "lsh"):  # refine source shrank in step
+        src = {r["id"] for r in idx._source.select("id").collect()}
+        assert src == left

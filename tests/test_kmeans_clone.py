@@ -115,6 +115,22 @@ def test_clone_index_derived_tiers_and_sharded(spark):
     assert type(csh) is ShardedIndex and len(csh.shards) == 2
     np.testing.assert_array_equal(sh.search_numpy(Q, 5)[1], csh.search_numpy(Q, 5)[1])
 
+    from faiss_metal_spark import IVFPQRIndex, LSHIndex
+
+    lsh = LSHIndex.from_table(vt, nbits=24, seed=5)
+    clsh = clone_index(lsh)
+    assert clsh.rotation is not lsh.rotation
+    np.testing.assert_array_equal(
+        lsh.search_numpy(Q, 5)[1], clsh.search_numpy(Q, 5)[1]
+    )
+
+    pqr = IVFPQRIndex.from_table(vt, n_cells=3, m=4, sample_size=300)
+    cpqr = clone_index(pqr)
+    assert cpqr.refine_books is not pqr.refine_books
+    np.testing.assert_array_equal(
+        pqr.search_numpy(Q, 5, nprobe=3)[1], cpqr.search_numpy(Q, 5, nprobe=3)[1]
+    )
+
     with pytest.raises(TypeError):
         clone_index(object())
 
