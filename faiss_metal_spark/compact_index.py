@@ -1336,6 +1336,70 @@ class GraphIndex:
             k,
         )
 
+    def add_df(self, df: DataFrame, id_col: str = "id", vec_col: str = "vec") -> "GraphIndex":
+        """faiss ``IndexHNSW::add`` — incremental NSW insertion,
+        batched: each new node's ``M`` nearest EXISTING nodes are found
+        with the serving beam search, edges link in BOTH directions
+        with their true squared-L2 distances, and every touched
+        adjacency list is pruned back to its ``M`` nearest (HNSW's
+        shrink-on-insert). Intra-batch links form across CALLS the way
+        sequential faiss adds do — one huge batch links only to the
+        pre-existing graph, so add in chunks when batch ≫ corpus;
+        recall after growth is pinned by tests/test_flat_add.py."""
+        from pyspark.sql.window import Window
+
+        from .operators.knn_graph import graph_search
+
+        rows = _ivf_add_rows(df, id_col, vec_col).persist()
+        if rows.count() == 0:
+            rows.unpersist()
+            return self
+        nbrs = graph_search(
+            self.vectors,
+            self.graph,
+            rows.select(F.col("id").alias("qid"), "vec"),
+            k=self.M,
+            beam=max(self.ef_search, self.M),
+            iters=3,
+        ).where(F.col("label") >= 0)
+        fwd = nbrs.select(
+            F.col("qid").alias("id"), F.col("label").alias("nbr"),
+            F.col("distance").alias("dist"),
+        )
+        rev = nbrs.select(
+            F.col("label").alias("id"), F.col("qid").alias("nbr"),
+            F.col("distance").alias("dist"),
+        )
+        w = Window.partitionBy("id").orderBy(F.col("dist").asc(), F.col("nbr").asc())
+        pruned = (
+            self.graph.unionByName(fwd)
+            .unionByName(rev)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= self.M)
+            .drop("_rn")
+        )
+        new_vectors = self.vectors.unionByName(rows).persist()
+        new_graph = pruned.persist()
+        new_graph.count()  # materialize before dropping the old caches
+        old_v, old_g = self.vectors, self.graph
+        self.vectors, self.graph = new_vectors, new_graph
+        self._n = new_vectors.count()
+        old_v.unpersist()
+        old_g.unpersist()
+        rows.unpersist()
+        return self
+
+    def add_numpy(self, x: np.ndarray, ids=None) -> "GraphIndex":
+        return self.add_df(_numpy_add_df(self, "vectors", x, ids))
+
+    def reconstruct(self, key: int) -> np.ndarray:
+        """Exact — the graph tier stores full vectors
+        (``IndexHNSWFlat::reconstruct``)."""
+        row = self.vectors.where(F.col("id") == int(key)).select("vec").collect()
+        if not row:
+            raise KeyError(f"id {key} not in index")
+        return np.asarray(row[0]["vec"], np.float64)
+
     def release(self) -> None:
         self.vectors.unpersist()
         self.graph.unpersist()

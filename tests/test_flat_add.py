@@ -151,3 +151,38 @@ def test_flat_remove_ids(spark, kind):
     if kind in ("binary", "lsh"):  # refine source shrank in step
         src = {r["id"] for r in idx._source.select("id").collect()}
         assert src == left
+
+
+def test_graph_add_incremental_insertion(spark):
+    """GraphIndex.add (faiss IndexHNSW::add, NSW insertion): new nodes
+    link bidirectionally into the existing graph, adjacency lists stay
+    degree-capped at M, added vectors are reachable (self-query top-1),
+    and the grown index keeps its recall on old queries."""
+    from faiss_metal_spark import GraphIndex
+    from conftest import numpy_oracle
+
+    V, _ = make_fixture(360, 1, 16, seed=13)
+    base, extra = V[:300], V[300:]
+    vt = _table(spark, base)
+    idx = GraphIndex.from_table(vt, M=10, iters=4, seed=3, ef_search=64)
+    # grow in two chunks (the sequential-faiss pattern)
+    idx.add_numpy(extra[:30], ids=np.arange(300, 330))
+    idx.add_numpy(extra[30:], ids=np.arange(330, 360))
+    assert idx.ntotal == 360
+
+    deg = idx.graph.groupBy("id").count().agg(F.max("count")).first()[0]
+    assert deg <= 10  # shrink-on-insert keeps the M cap
+
+    D, L = idx.search_numpy(extra, k=1)
+    self_hit = float((L[:, 0] == np.arange(300, 360)).mean())
+    assert self_hit >= 0.85, self_hit
+
+    _, L_exact = numpy_oracle(V, V[:20], 10)
+    _, L_got = idx.search_numpy(V[:20], 10)
+    recall = np.mean([
+        len(set(L_got[i]) & set(L_exact[i])) / 10 for i in range(20)
+    ])
+    assert recall >= 0.8, recall
+
+    r = idx.reconstruct(305)
+    np.testing.assert_allclose(r, extra[5].astype(np.float64), atol=1e-6)
