@@ -151,6 +151,23 @@ def main() -> None:
         f"(vectors attached: {snr['vec'].notna().all()}); "
         f"sa_encode {len(codes)} codes x {vt.sa_code_size} bytes"
     )
+
+    # 9. round-8 tiers: binary-hash LSH, refine-PQ re-rank, graph growth
+    from faiss_metal_spark import GraphIndex
+
+    lshidx = index_factory(vt, "LSH128", seed=11)
+    _, Ll = lshidx.refine_search_numpy(Q, k=5)
+    pqr = index_factory(vt, "IVF8,PQ8+8", sample_size=500)
+    _, Lp = pqr.search_numpy(Q, 5, nprobe=8, k_factor=8)
+    g = GraphIndex.from_table(vt, M=8, iters=3)
+    g.add_numpy(Q + 0.01)  # incremental NSW insertion (IndexHNSW::add)
+    print(
+        "[r8 tiers] "
+        f"lsh128+refine={mean_recall(_as_df(spark, Ll), exact):.2f} "
+        f"ivfpqr={mean_recall(_as_df(spark, Lp), exact):.2f} "
+        f"graph grew {g.ntotal - vt.ntotal} nodes to ntotal={g.ntotal}"
+    )
+    lshidx.release(); pqr.release(); g.release()
     print("OK")
 
 
