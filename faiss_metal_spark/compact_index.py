@@ -1588,6 +1588,13 @@ def index_factory(vt, spec: str, **train_kw):
     - ``"LSH"`` / ``"LSH128"`` → :class:`LSHIndex` (faiss
       ``IndexLSH``: rotation sign bits + Hamming scan; bare ``LSH``
       means nbits = d, the faiss default ``("LSH")`` spec)
+    - transform PREFIXES compose like faiss: ``"PCA32,<inner>"`` /
+      ``"PCAW32,<inner>"`` (whitened) / ``"RR32,<inner>"`` (random
+      rotation) train the transform on the table, derive the inner
+      tier from the PROJECTED table (the rest of the spec, recursively
+      — ``"PCA32,IVF64,Flat"`` works), and return a
+      :class:`~faiss_metal_spark.operators.pca.PreTransformIndex` so
+      queries go through the identical transform
 
     ``train_kw`` forwards to the tier's ``from_table`` (``sample_size``,
     ``iters``...). Unknown specs raise ``ValueError`` like FAISS.
@@ -1595,6 +1602,40 @@ def index_factory(vt, spec: str, **train_kw):
     import re
 
     s = spec.strip().replace(" ", "")
+    m = re.fullmatch(r"(PCAW?|RR)(\d+),(.+)", s)
+    if m:
+        from .functions.vector import sqnorm
+        from .operators.pca import (
+            PreTransformIndex,
+            pca_apply,
+            pca_train,
+            random_rotation,
+        )
+        from .vector_table import VectorTable
+
+        t_kind, d_out, rest = m.group(1), int(m.group(2)), m.group(3)
+        base = _float_view(vt)
+        if t_kind == "RR":
+            mean = np.zeros(vt.d)
+            W = random_rotation(vt.d, d_out, seed=train_kw.get("seed", 42))
+        else:
+            mean, W, _ = pca_train(
+                base, d_out,
+                sample_size=train_kw.get("sample_size", 16384),
+                whiten=(t_kind == "PCAW"),
+            )
+        projected = pca_apply(base, mean, W)
+        inner_vt = VectorTable(
+            vt.spark, d=d_out, metric=getattr(vt, "metric", "l2"),
+            df=projected.select(
+                "id", "vec", sqnorm(F.col("vec")).alias("norm_sq")
+            ),
+        )
+        # the prefix consumed seed/sample_size by reading, not popping:
+        # inner trainers legitimately want the same knobs
+        inner_kw = {k: v for k, v in train_kw.items() if k != "seed" or t_kind != "RR"}
+        inner = index_factory(inner_vt, rest, **inner_kw)
+        return PreTransformIndex(mean, W, inner)
     if s == "Flat":
         return vt
     if s == "SQ8":

@@ -30,12 +30,13 @@ def _get_spark():
     d=st.integers(2, 64),
     storage=st.sampled_from(["fp32", "fp16", "bf16"]),
     compact=st.booleans(),
-    kind=st.sampled_from(["flat", "sq8", "binary"]),
+    kind=st.sampled_from(["flat", "sq8", "binary", "lsh"]),
     seed=st.integers(0, 2**16),
 )
 def test_roundtrip_any_shape(tmp_path_factory, nv, d, storage, compact, kind, seed):
     from faiss_metal_spark import (
         BinaryIndex,
+        LSHIndex,
         SQ8Index,
         VectorTable,
         read_index,
@@ -53,6 +54,8 @@ def test_roundtrip_any_shape(tmp_path_factory, nv, d, storage, compact, kind, se
         "flat": lambda: vt,
         "sq8": lambda: SQ8Index.from_table(vt),
         "binary": lambda: BinaryIndex.from_table(vt),
+        # nbits decoupled from d exercises both rotation regimes
+        "lsh": lambda: LSHIndex.from_table(vt, nbits=min(2 * d, 48), seed=seed),
     }[kind]()
     k = min(5, nv)
     D0, L0 = idx.search_numpy(Q, k)

@@ -211,3 +211,42 @@ def test_remap_dimensions_selects_and_pads(spark):
     np.testing.assert_allclose(R.T @ R, np.eye(4), atol=1e-9)
     with pytest.raises(ValueError):
         random_rotation(4, 0)
+
+
+def test_index_factory_transform_prefixes(spark):
+    """faiss spec composition: "PCA8,Flat" / "RR16,SQ8" /
+    "PCA8,IVF4,Flat" build a PreTransformIndex whose inner tier came
+    from the PROJECTED table; queries go through the same transform, so
+    RR,Flat (an isometry) must reproduce the flat search exactly."""
+    import numpy as np
+    from faiss_metal_spark import SQ8Index, VectorTable
+    from faiss_metal_spark.compact_index import IVFIndex, index_factory
+    from faiss_metal_spark.operators.pca import PreTransformIndex
+
+    rng = np.random.default_rng(8)
+    V = rng.normal(size=(300, 16)).astype(np.float32)
+    Q = rng.normal(size=(4, 16)).astype(np.float32)
+    vt = VectorTable(spark, 16).add_numpy(V)
+
+    iso = index_factory(vt, "RR16,Flat")
+    assert isinstance(iso, PreTransformIndex)
+    _, L_iso = iso.search_numpy(Q, 5)
+    _, L_flat = vt.search_numpy(Q, 5)
+    np.testing.assert_array_equal(L_iso, L_flat)  # rotation is an isometry
+
+    pca = index_factory(vt, "PCA8,Flat", sample_size=300)
+    assert isinstance(pca.inner, VectorTable) and pca.inner.d == 8
+    D, L = pca.search_numpy(Q, 5)
+    assert L.shape == (4, 5) and (L >= 0).all()
+
+    nested = index_factory(vt, "PCA8,IVF4,Flat", sample_size=300)
+    assert isinstance(nested.inner, IVFIndex) and nested.inner.d == 8
+    _, Ln = nested.search_numpy(Q, 5, nprobe=4)
+    # full probe in PCA space ≡ flat search in PCA space
+    _, Lp = pca.search_numpy(Q, 5)
+    np.testing.assert_array_equal(Ln, Lp)
+
+    rrsq = index_factory(vt, "RR16,SQ8", seed=5)
+    assert isinstance(rrsq.inner, SQ8Index)
+    _, Ls = rrsq.search_numpy(Q, 5)
+    assert Ls.shape == (4, 5)
