@@ -155,6 +155,10 @@ class PreTransformIndex:
     def ntotal(self) -> int:
         return self.inner.ntotal
 
+    @property
+    def spark(self):
+        return self.inner.spark
+
     def search(self, queries: DataFrame, k: int, qid_col: str = "qid",
                qvec_col: str = "vec", **kw) -> DataFrame:
         projected = queries.select(

@@ -26,7 +26,7 @@ Supported kinds: ``VectorTable`` / ``IDMapVectorTable`` (flat, incl.
 fp16/bf16 compact), ``SQ8Index`` (any bit width), ``BinaryIndex``,
 ``BinaryIVFIndex``, ``IVFIndex``, ``IVFSQIndex``, ``IVFPQIndex``,
 ``IVFPQRIndex``, ``PQIndex``, ``OPQIndex``, ``GraphIndex``, ``LSHIndex``,
-and composite
+and the composites ``PreTransformIndex`` (recursive inner payload) and
 ``ShardedIndex`` (recursive member payloads). ``read_index`` returns
 the same type that was written and search results are value-identical
 pre/post round-trip (``tests/test_index_io.py``).
@@ -192,12 +192,14 @@ def _is_engine_index(index) -> bool:
         PQIndex,
         SQ8Index,
     )
+    from ..operators.pca import PreTransformIndex
     from ..sharded import ShardedIndex
     from ..vector_table import VectorTable
 
     return isinstance(
         index,
         (
+            PreTransformIndex,
             VectorTable,
             SQ8Index,
             BinaryIndex,
@@ -391,6 +393,18 @@ def _write_payload(index, path: str) -> None:
             path,
             {"kind": "opq", "d": index.d, "ntotal": index.ntotal, "shapes": shapes},
         )
+    elif _is_pretransform(index):
+        # composite: inner payload first, _meta LAST (shards discipline)
+        _write_payload(index.inner, f"{path}/inner")
+        shapes = _write_arrays(
+            index.spark, path,
+            {"mean": index.mean, "components": index.components},
+        )
+        _write_meta(
+            index.spark,
+            path,
+            {"kind": "pretransform", "d": index.d_in, "shapes": shapes},
+        )
     elif isinstance(index, LSHIndex):
         _write_frame(index.words, f"{path}/words")
         has_source = index._source is not None
@@ -435,6 +449,12 @@ def _write_payload(index, path: str) -> None:
         )
 
 
+def _is_pretransform(index) -> bool:
+    from ..operators.pca import PreTransformIndex
+
+    return isinstance(index, PreTransformIndex)
+
+
 def clone_index(index):
     """Independent handle with identical state — faiss ``clone_index``.
 
@@ -466,6 +486,12 @@ def clone_index(index):
             compact=index.compact,
             df=index.df,
             _next_id=index._next_id,
+        )
+    if _is_pretransform(index):
+        from ..operators.pca import PreTransformIndex
+
+        return PreTransformIndex(
+            index.mean.copy(), index.components.copy(), clone_index(index.inner)
         )
     if not _is_engine_index(index):
         raise TypeError(
@@ -630,6 +656,14 @@ def _read_payload(spark: SparkSession, path: str):
             arrays["codebooks"],
             spark.read.parquet(f"{path}/codes"),
             meta["ntotal"],
+        )
+    if kind == "pretransform":
+        from ..operators.pca import PreTransformIndex
+
+        return PreTransformIndex(
+            arrays["mean"],
+            arrays["components"],
+            _read_payload(spark, f"{path}/inner"),
         )
     if kind == "lsh":
         return LSHIndex(

@@ -250,3 +250,34 @@ def test_index_factory_transform_prefixes(spark):
     assert isinstance(rrsq.inner, SQ8Index)
     _, Ls = rrsq.search_numpy(Q, 5)
     assert Ls.shape == (4, 5)
+
+
+def test_pretransform_write_read_clone(spark, tmp_path):
+    """IndexPreTransform persistence + clone (faiss write_index handles
+    the composite): the transform arrays and the recursive inner
+    payload round-trip value-identically; clone is independent."""
+    import numpy as np
+    from faiss_metal_spark import VectorTable, clone_index, read_index, write_index
+    from faiss_metal_spark.compact_index import index_factory
+    from faiss_metal_spark.operators.pca import PreTransformIndex
+
+    rng = np.random.default_rng(14)
+    V = rng.normal(size=(300, 16)).astype(np.float32)
+    Q = rng.normal(size=(3, 16)).astype(np.float32)
+    vt = VectorTable(spark, 16).add_numpy(V)
+    idx = index_factory(vt, "PCA8,IVF4,Flat", sample_size=300)
+    D0, L0 = idx.search_numpy(Q, 5, nprobe=4)
+
+    write_index(idx, str(tmp_path / "pt"))
+    idx2 = read_index(spark, str(tmp_path / "pt"))
+    assert isinstance(idx2, PreTransformIndex) and idx2.d_in == 16
+    np.testing.assert_allclose(idx2.mean, idx.mean, atol=1e-12)
+    np.testing.assert_allclose(idx2.components, idx.components, atol=1e-12)
+    D1, L1 = idx2.search_numpy(Q, 5, nprobe=4)
+    np.testing.assert_array_equal(L0, L1)
+    np.testing.assert_allclose(D0, D1, atol=1e-9)
+
+    cl = clone_index(idx)
+    assert cl is not idx and cl.components is not idx.components
+    _, Lc = cl.search_numpy(Q, 5, nprobe=4)
+    np.testing.assert_array_equal(L0, Lc)
