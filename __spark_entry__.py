@@ -1798,7 +1798,9 @@ def q_corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     train/val/test assignment by md5(doc_id) hex bucket
     (content-independent, shuffle-free projection), the per-language
     stratified cap (≤30 docs/lang by md5 order — the domain-mixing
-    downsample) as an in_cap flag, mixture_sample's per-source keep
+    downsample) as an in_cap flag, the TOKEN-budget cap (≤2500
+    tokens/lang admitted in md5 order — how training mixes are
+    actually specified) as an in_budget flag, mixture_sample's per-source keep
     rates (25 % default, 100 % src0, 50 % src1, 6.25 % src2) as an
     in_mix flag, and shard_pack's shard / in-shard position / GPT-style
     concat-and-chunk sequence range (seq_len=512, 8 shards) — the
@@ -1809,11 +1811,15 @@ def q_corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         mixture_sample,
         shard_pack,
         stratified_cap,
+        token_budget_cap,
     )
 
     d = _t(spark, sf_dir, "documents")
     capped = stratified_cap(d, "lang", 30).select(
         "doc_id", F.lit(1).alias("in_cap")
+    )
+    budgeted = token_budget_cap(d, "lang", 2500).select(
+        "doc_id", F.lit(1).alias("in_budget")
     )
     packed = shard_pack(d, n_shards=8, seq_len=512)
     mixed = mixture_sample(
@@ -1823,10 +1829,12 @@ def q_corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_split(d)
         .select("doc_id", "split")
         .join(capped, "doc_id", "left")
+        .join(budgeted, "doc_id", "left")
         .join(mixed, "doc_id")
         .join(packed, "doc_id")
         .select(
             "doc_id", "split", F.coalesce("in_cap", F.lit(0)).alias("in_cap"),
+            F.coalesce("in_budget", F.lit(0)).alias("in_budget"),
             "in_mix",
             "shard", "pos", "n_tok", "tok_off", "first_seq", "last_seq",
         )
@@ -1840,6 +1848,13 @@ WITH r AS (
            PARTITION BY lang
            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
          ) AS rk
+  FROM documents
+), bdg AS (
+  SELECT doc_id,
+         SUM(len(string_split(text, ' '))) OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
   FROM documents
 ), t AS (
   SELECT doc_id,
@@ -1861,6 +1876,7 @@ SELECT r.doc_id,
        WHEN substr(md5(CAST(r.doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
        ELSE 'test' END AS split,
   CASE WHEN r.rk <= 30 THEN 1 ELSE 0 END AS in_cap,
+  CASE WHEN bdg.cum <= 2500 THEN 1 ELSE 0 END AS in_budget,
   CASE WHEN d.source = 'src0' THEN 1
        WHEN d.source = 'src1' THEN
          CASE WHEN substr(md5(CAST(r.doc_id AS VARCHAR)), 1, 2) < '80' THEN 1 ELSE 0 END
@@ -1876,6 +1892,7 @@ SELECT r.doc_id,
   CAST(o.tok_off // 512 AS BIGINT) AS first_seq,
   CAST((o.tok_off + GREATEST(o.n_tok, 1) - 1) // 512 AS BIGINT) AS last_seq
 FROM r JOIN o ON r.doc_id = o.doc_id
+JOIN bdg ON bdg.doc_id = r.doc_id
 JOIN documents d ON d.doc_id = r.doc_id
 """
 

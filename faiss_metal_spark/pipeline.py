@@ -244,6 +244,54 @@ def stratified_cap(
     )
 
 
+def token_budget_cap(
+    docs: DataFrame,
+    group_col: str,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_count_col: str | None = None,
+) -> DataFrame:
+    """Token-budgeted per-group corpus assembly: admit documents in
+    deterministic md5(id) order until the group's CUMULATIVE token
+    count exceeds ``budget_tokens`` (the crossing document is
+    excluded — budgets are hard caps). This is :func:`stratified_cap`'s
+    sibling for how LLM training mixes are actually specified — in
+    tokens per domain/language, not document counts. No RNG: stable
+    across runs, partitionings and engines (≡ one SQL
+    ``SUM(tok) OVER (PARTITION BY g ORDER BY md5(id), id ROWS
+    UNBOUNDED PRECEDING) <= budget``).
+
+    ``token_count_col`` reuses a precomputed count column; otherwise
+    tokens are counted from ``text_col`` in the same scan.
+
+    Scale: a running sum needs a total order per group, so (unlike the
+    count cap's two-phase trick) a hot group's rows DO flow through one
+    window task. For hot groups compose: ``stratified_cap(docs, g,
+    n ≈ budget // min_doc_tokens)`` first — the count cap bounds the
+    window's input without disturbing the budget semantics (it keeps a
+    superset of every md5-prefix the budget can admit).
+    """
+    from pyspark.sql.window import Window
+
+    tok = (
+        F.col(token_count_col)
+        if token_count_col is not None
+        else token_count(text_col)
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        docs.withColumn("_h", F.md5(F.col(id_col).cast("string")))
+        .withColumn("_cum", F.sum(tok).over(w))
+        .where(F.col("_cum") <= budget_tokens)
+        .drop("_h", "_cum")
+    )
+
+
 def shard_pack(
     docs: DataFrame,
     n_shards: int = 8,

@@ -1057,3 +1057,47 @@ def test_incremental_simhash_dedup_equals_batch(spark):
         for r in simhash_band_buckets(simhash_signatures(both)).collect()
     }
     assert merged == full
+
+
+def test_token_budget_cap(spark):
+    """Token-budgeted per-group assembly: cumulative tokens of the
+    admitted set never exceed the budget, admission is by md5(id)
+    order (deterministic), the crossing document is excluded, and
+    composing with stratified_cap preserves the budget's answer when
+    the count cap is not binding."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from faiss_metal_spark.functions.text import token_count
+    from faiss_metal_spark.pipeline import stratified_cap, token_budget_cap
+
+    rows = pd.DataFrame({
+        "doc_id": range(40),
+        "lang": ["a"] * 20 + ["b"] * 20,
+        "text": [" ".join(["w"] * (5 + i % 7)) for i in range(40)],
+    })
+    docs = spark.createDataFrame(rows)
+    out = token_budget_cap(docs, "lang", 40).toPandas()
+
+    toks = {int(r.doc_id): 5 + int(r.doc_id) % 7 for r in rows.itertuples()}
+    import hashlib
+    for g, ids in (("a", range(20)), ("b", range(20, 40))):
+        order = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        cum, want = 0, []
+        for i in order:
+            cum += toks[i]
+            if cum > 40:
+                break
+            want.append(i)
+        got = sorted(out[out["lang"] == g]["doc_id"].tolist())
+        assert got == sorted(want), (g, got, want)
+        assert sum(toks[i] for i in got) <= 40
+
+    # precomputed-count column path agrees with the text path
+    pre = docs.withColumn("ntok", token_count("text"))
+    out2 = token_budget_cap(pre, "lang", 40, token_count_col="ntok").toPandas()
+    assert sorted(out2["doc_id"].tolist()) == sorted(out["doc_id"].tolist())
+
+    # composition: a non-binding count cap first does not change the answer
+    comp = token_budget_cap(stratified_cap(docs, "lang", 20), "lang", 40).toPandas()
+    assert sorted(comp["doc_id"].tolist()) == sorted(out["doc_id"].tolist())
