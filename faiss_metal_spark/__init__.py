@@ -11,6 +11,7 @@ north-star targets.
 
 from .compact_index import (
     BinaryIndex,
+    BinaryHashIndex,
     BinaryIVFIndex,
     GraphIndex,
     LSHIndex,
@@ -38,6 +39,7 @@ __all__ = [
     "ShardedIndex",
     "SQ8Index",
     "BinaryIndex",
+    "BinaryHashIndex",
     "BinaryIVFIndex",
     "GraphIndex",
     "LSHIndex",

@@ -1557,6 +1557,84 @@ class LSHIndex:
         self.words.unpersist()
 
 
+@dataclass
+class BinaryHashIndex:
+    """Hash-bucketed binary tier — faiss ``IndexBinaryHash``
+    (``n_slices=1``) and ``IndexBinaryMultiHash`` (``n_slices>1``,
+    index_binary_factory ``"BHash<b>"`` / ``"BMHash<n>x<b>"``): the
+    bucket key is the raw ``b`` sign bits of dim-slice i (no rotation,
+    no training — faiss hashes the code prefix the same way), search
+    probes same-bucket rows (± ``nflip`` prefix-bit flips, the
+    increasing-radius scan made explicit) and reranks candidates by
+    exact full-width Hamming.
+
+    vs :class:`BinaryIVFIndex`: no centroids to train and buckets are
+    content-addressed (2^b fixed cells) — the write-cheap end of the
+    binary family; the IVF tier gives balanced data-adaptive cells.
+    Training-free, so ``add_df`` is a pure append.
+    """
+
+    spark: SparkSession
+    d: int
+    b: int
+    n_slices: int
+    hashed: DataFrame
+    _n: int = field(default=-1, repr=False)
+
+    @classmethod
+    def from_table(cls, vt, b: int = 16, n_slices: int = 1) -> "BinaryHashIndex":
+        from .operators.binary import binary_hash_table
+
+        base = _float_view(vt)
+        hashed = binary_hash_table(base, vt.d, b, n_slices).persist()
+        n = hashed.count()
+        return cls(vt.spark, vt.d, b, n_slices, hashed, n)
+
+    @property
+    def ntotal(self) -> int:
+        return self._n if self._n >= 0 else self.hashed.count()
+
+    def search(
+        self, queries: DataFrame, k: int, nflip: int = 0,
+        qid_col: str = "qid", qvec_col: str = "vec",
+    ) -> DataFrame:
+        from .operators.binary import binary_hash_search
+
+        return binary_hash_search(
+            self.hashed, queries, k, self.d, self.b, nflip, self.n_slices,
+            qid_col=qid_col, qvec_col=qvec_col,
+        )
+
+    def search_numpy(
+        self, x: np.ndarray, k: int, nflip: int = 0
+    ) -> tuple[np.ndarray, np.ndarray]:
+        return _host_result(
+            self.search(_query_df(self.spark, x), k, nflip),
+            len(np.atleast_2d(x)),
+            k,
+        )
+
+    def add_df(self, df: DataFrame, id_col: str = "id", vec_col: str = "vec") -> "BinaryHashIndex":
+        """faiss ``IndexBinaryHash::add`` — hashing is training-free,
+        so add is a pure encode+append."""
+        from .operators.binary import binary_hash_table
+
+        new = binary_hash_table(
+            _ivf_add_rows(df, id_col, vec_col), self.d, self.b, self.n_slices
+        )
+        _append_frame(self, "hashed", new)
+        return self
+
+    def add_numpy(self, x: np.ndarray, ids=None) -> "BinaryHashIndex":
+        return self.add_df(_numpy_add_df(self, "hashed", x, ids))
+
+    def remove_ids(self, ids) -> int:
+        return _remove_ids_frame(self, "hashed", ids)
+
+    def release(self) -> None:
+        self.hashed.unpersist()
+
+
 def index_factory(vt, spec: str, **train_kw):
     """FAISS ``index_factory`` twin over the derived-tier workflow.
 
@@ -1574,6 +1652,9 @@ def index_factory(vt, spec: str, **train_kw):
       :class:`VectorTable` (faiss QT_fp16: half codes, asymmetric search)
     - ``"BFlat"``           → :class:`BinaryIndex` (index_binary_factory)
     - ``"BIVF256"``         → :class:`BinaryIVFIndex` (Hamming IVF)
+    - ``"BHash16"`` / ``"BMHash4x8"`` → :class:`BinaryHashIndex`
+      (faiss index_binary_factory IndexBinaryHash / MultiHash: b-bit
+      sign-prefix buckets, nflip probe radius at search time)
     - ``"PQ16"``            → :class:`PQIndex` (m=16)
     - ``"IVF256"`` / ``"IVF256,Flat"`` → :class:`IVFIndex` (nlist=256)
     - ``"IVF256,PQ16"``     → :class:`IVFPQIndex`
@@ -1657,6 +1738,14 @@ def index_factory(vt, spec: str, **train_kw):
     m = re.fullmatch(r"BIVF(\d+)", s)
     if m:
         return BinaryIVFIndex.from_table(vt, n_cells=int(m.group(1)), **train_kw)
+    m = re.fullmatch(r"BHash(\d+)", s)
+    if m:
+        return BinaryHashIndex.from_table(vt, b=int(m.group(1)), **train_kw)
+    m = re.fullmatch(r"BMHash(\d+)x(\d+)", s)
+    if m:
+        return BinaryHashIndex.from_table(
+            vt, b=int(m.group(2)), n_slices=int(m.group(1)), **train_kw
+        )
     m = re.fullmatch(r"PQ(\d+)", s)
     if m:
         return PQIndex.from_table(vt, m=int(m.group(1)), **train_kw)

@@ -366,3 +366,164 @@ def binarize_np(X) -> "np.ndarray":
     grouped = np.concatenate([bits, pad], axis=1).reshape(n, nwords, BITS_PER_WORD)
     weights = (np.int64(1) << np.arange(BITS_PER_WORD - 1, -1, -1, dtype=np.int64))
     return (grouped * weights).sum(axis=2)
+
+
+# ---------------------------------------------------------------------------
+# Binary hash index (faiss IndexBinaryHash / IndexBinaryMultiHash):
+# bucket = b sign bits read straight off the vector (slice i covers
+# dims [i·b, (i+1)·b)), candidates = stored rows sharing a probed
+# bucket, rerank = exact full-width Hamming. Everything after the
+# host-side probe-set enumeration (nq·C(b,≤nflip) rows — query-batch
+# sized) is Catalyst: bucket extraction is the binarize_col fold over
+# a dim slice, candidate fetch a broadcast equi-join on the bucket
+# (partition-prunable when the store is written partitionBy bucket),
+# rerank the packed bit_count(xor) in whole-stage codegen.
+# ---------------------------------------------------------------------------
+
+
+def sign_prefix_col(vec: Column | str, start: int, b: int) -> Column:
+    """MSB-first integer of the ``b`` sign bits at dims
+    [start, start+b) — the bucket key of IndexBinaryHash (slice 0) and
+    IndexBinaryMultiHash (slice i at start = i·b)."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(b - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc * F.lit(2)
+        + F.when(
+            F.try_element_at(v, F.lit(start + 1) + j) > 0, F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+
+
+def sign_prefix_np(X, start: int, b: int) -> "np.ndarray":
+    """numpy twin of :func:`sign_prefix_col` (bit-identical)."""
+    import numpy as np
+
+    X = np.atleast_2d(np.asarray(X))
+    bits = (X[:, start : start + b] > 0).astype(np.int64)
+    weights = np.int64(1) << np.arange(b - 1, -1, -1, dtype=np.int64)
+    return (bits * weights).sum(axis=1)
+
+
+def _flip_set(code: int, b: int, nflip: int) -> list[int]:
+    """All b-bit codes within Hamming distance ≤ nflip of ``code`` —
+    the probe set of IndexBinaryHash's increasing-radius scan, made
+    explicit (C(b, ≤nflip) codes; callers keep nflip small)."""
+    from itertools import combinations
+
+    out = [int(code)]
+    for r in range(1, nflip + 1):
+        for pos in combinations(range(b), r):
+            flipped = int(code)
+            for p in pos:
+                flipped ^= 1 << p
+            out.append(flipped)
+    return out
+
+
+def binary_hash_search(
+    hashed: DataFrame,
+    queries: DataFrame,
+    k: int,
+    d: int,
+    b: int,
+    nflip: int = 0,
+    n_slices: int = 1,
+    id_col: str = "id",
+    words_col: str = "words",
+    qid_col: str = "qid",
+    qvec_col: str = "vec",
+) -> DataFrame:
+    """Hash-probed Hamming top-k (faiss ``IndexBinaryHash::search``
+    semantics at radius nflip; ``n_slices > 1`` is
+    ``IndexBinaryMultiHash``: candidates are the UNION over slices of
+    same-bucket rows, the LSH-band OR-construction over sign bits).
+
+    ``hashed`` carries packed ``words`` plus bucket columns ``h0..``
+    (:func:`binary_hash_table`). Probe sets are enumerated host-side
+    from the query batch (bounded), candidates fetched by broadcast
+    equi-join per slice, deduped, and reranked by exact full-width
+    Hamming — distances are EXACT for every returned row; partial
+    coverage only bounds which rows are seen (never a false positive,
+    the IVF-probe contract). Returns (qid, rank, label, distance).
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = hashed.sparkSession
+    qpdf = queries.select(
+        F.col(qid_col).cast("long").alias("qid"), F.col(qvec_col).alias("qv")
+    ).toPandas()
+    if len(qpdf) == 0:
+        from .knn import RESULT_SCHEMA
+
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    Q = np.stack(qpdf["qv"].to_numpy()).astype(np.float64)
+    qids = qpdf["qid"].to_numpy(np.int64)
+
+    probe_frames = []
+    for s in range(n_slices):
+        hq = sign_prefix_np(Q, s * b, b)
+        rows = [
+            (int(qid), int(code))
+            for qid, h in zip(qids, hq)
+            for code in _flip_set(int(h), b, nflip)
+        ]
+        pf = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["qid", f"h{s}"]), f"qid long, h{s} long"
+        )
+        v = hashed.select(
+            F.col(id_col).cast("long").alias("label"), f"h{s}"
+        )
+        probe_frames.append(F.broadcast(pf).join(v, f"h{s}").select("qid", "label"))
+    cand = probe_frames[0]
+    for pf in probe_frames[1:]:
+        cand = cand.unionByName(pf)
+    cand = cand.distinct()
+
+    q = queries.select(
+        F.col(qid_col).cast("long").alias("qid"),
+        binarize_col(qvec_col, d).alias("_qw"),
+    )
+    v = hashed.select(
+        F.col(id_col).cast("long").alias("label"), F.col(words_col).alias("_vw")
+    )
+    scored = (
+        F.broadcast(cand)
+        .join(v, "label")
+        .join(F.broadcast(q), "qid")
+        .select(
+            "qid", "label", hamming_expr(F.col("_qw"), F.col("_vw")).alias("distance")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("distance").asc(), F.col("label").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w) - 1)
+        .where(F.col("rank") < k)
+        .select("qid", "rank", "label", "distance")
+    )
+
+
+def binary_hash_table(
+    vectors: DataFrame,
+    d: int,
+    b: int,
+    n_slices: int = 1,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """(id, words, h0[, h1, ...]) — packed codes plus per-slice bucket
+    keys, one scan, no shuffle (the stored form of IndexBinaryHash /
+    IndexBinaryMultiHash; write partitionBy("h0") to turn bucket
+    probes into directory pruning)."""
+    if b <= 0 or n_slices <= 0 or n_slices * b > d:
+        raise ValueError(f"need 0 < n_slices·b ≤ d, got {n_slices}·{b} vs d={d}")
+    cols = [
+        F.col(id_col).cast("long").alias("id"),
+        binarize_col(vec_col, d).alias("words"),
+    ]
+    cols += [
+        sign_prefix_col(vec_col, s * b, b).alias(f"h{s}") for s in range(n_slices)
+    ]
+    return vectors.select(*cols)

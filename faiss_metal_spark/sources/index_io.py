@@ -180,6 +180,7 @@ def write_index(index, path: str, keep_versions: int = 2) -> None:
 
 def _is_engine_index(index) -> bool:
     from ..compact_index import (
+        BinaryHashIndex,
         BinaryIndex,
         BinaryIVFIndex,
         GraphIndex,
@@ -202,6 +203,7 @@ def _is_engine_index(index) -> bool:
             PreTransformIndex,
             VectorTable,
             SQ8Index,
+            BinaryHashIndex,
             BinaryIndex,
             BinaryIVFIndex,
             GraphIndex,
@@ -219,6 +221,7 @@ def _is_engine_index(index) -> bool:
 
 def _write_payload(index, path: str) -> None:
     from ..compact_index import (
+        BinaryHashIndex,
         BinaryIndex,
         BinaryIVFIndex,
         GraphIndex,
@@ -405,6 +408,19 @@ def _write_payload(index, path: str) -> None:
             path,
             {"kind": "pretransform", "d": index.d_in, "shapes": shapes},
         )
+    elif isinstance(index, BinaryHashIndex):
+        _write_frame(index.hashed, f"{path}/hashed", partition_by="h0")
+        _write_meta(
+            index.spark,
+            path,
+            {
+                "kind": "bhash",
+                "d": index.d,
+                "b": index.b,
+                "n_slices": index.n_slices,
+                "ntotal": index.ntotal,
+            },
+        )
     elif isinstance(index, LSHIndex):
         _write_frame(index.words, f"{path}/words")
         has_source = index._source is not None
@@ -521,6 +537,7 @@ def read_index(spark: SparkSession, path: str):
 
 def _read_payload(spark: SparkSession, path: str):
     from ..compact_index import (
+        BinaryHashIndex,
         BinaryIndex,
         BinaryIVFIndex,
         GraphIndex,
@@ -664,6 +681,15 @@ def _read_payload(spark: SparkSession, path: str):
             arrays["mean"],
             arrays["components"],
             _read_payload(spark, f"{path}/inner"),
+        )
+    if kind == "bhash":
+        return BinaryHashIndex(
+            spark,
+            meta["d"],
+            meta["b"],
+            meta["n_slices"],
+            spark.read.parquet(f"{path}/hashed"),
+            meta["ntotal"],
         )
     if kind == "lsh":
         return LSHIndex(
