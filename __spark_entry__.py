@@ -2185,6 +2185,7 @@ _PQ_M, _PQ_DSUB, _ANN_CELLS, _ANN_NPROBE = 8, 8, 16, 4
 # compact; Hamming ties are broken by ascending label on BOTH engines,
 # so heavy 16-bit ties stay hash-stable
 _LSH_NBITS, _LSH_SEED = 16, 77
+_BHASH_B = 12  # IndexBinaryHash prefix width for the bhash lane
 
 
 def _fixed_quantizers(emb: DataFrame):
@@ -2722,9 +2723,11 @@ def q_ann_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ivfsq").alias("path"), "qid", "rank", "label",
         _norm(F.col("distance"), 4).alias("distance"),
     )
-    # lshb lane: the LSHIndex tier end-to-end (rotation projection in
-    # the Arrow stage, Catalyst sign-pack, packed-word popcount search)
-    from faiss_metal_spark import LSHIndex, VectorTable
+    # bhash lane: BinaryHashIndex (faiss IndexBinaryHash) at b=12,
+    # nflip=1 — the oracle states the probe as a predicate (prefix
+    # sign-disagreement ≤ nflip over the first b dims), which is
+    # exactly the flip-set the engine enumerates
+    from faiss_metal_spark import BinaryHashIndex, LSHIndex, VectorTable
 
     vt = VectorTable.from_parquet(
         spark, os.path.join(sf_dir, "embeddings.parquet"),
@@ -2735,12 +2738,18 @@ def q_ann_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("lshb").alias("path"), "qid", "rank", "label",
         F.col("distance").cast("double").alias("distance"),
     )
+    bh = BinaryHashIndex.from_table(vt, b=_BHASH_B)
+    bhash = bh.search(queries, k=10, nflip=1).select(
+        F.lit("bhash").alias("path"), "qid", "rank", "label",
+        F.col("distance").cast("double").alias("distance"),
+    )
     return (
         q_ann_binary(spark, sf_dir)
         .unionByName(sq8)
         .unionByName(sq4)
         .unionByName(ivfsq)
         .unionByName(lshb)
+        .unionByName(bhash)
     )
 
 
@@ -2784,6 +2793,34 @@ FROM lshr WHERE rank < 10
 """
 
 
+def _oracle_bhash_lane() -> str:
+    """IndexBinaryHash oracle: candidates = rows whose first-_BHASH_B
+    sign bits disagree with the query's in ≤ 1 position (the nflip=1
+    flip-set as a predicate), reranked by full-width Hamming."""
+    b = _BHASH_B
+    return f"""
+WITH bq AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8
+),
+bhd AS (
+  SELECT bq.qid, v.vec_id AS label,
+         list_sum([CASE WHEN (x[1] > 0) <> (x[2] > 0) THEN 1 ELSE 0 END
+                   FOR x IN list_zip(bq.qv, v.embedding)]) AS dist
+  FROM bq CROSS JOIN embeddings v
+  WHERE list_sum([CASE WHEN (x[1] > 0) <> (x[2] > 0) THEN 1 ELSE 0 END
+                  FOR x IN list_zip(bq.qv[1:{b}], v.embedding[1:{b}])]) <= 1
+),
+bhr AS (
+  SELECT qid, label, dist,
+         row_number() OVER (PARTITION BY qid ORDER BY dist ASC, label ASC) - 1 AS rank
+  FROM bhd
+)
+SELECT 'bhash' AS path, CAST(qid AS BIGINT) AS qid, CAST(rank AS INTEGER) AS rank,
+       CAST(label AS BIGINT) AS label, CAST(dist AS DOUBLE) AS distance
+FROM bhr WHERE rank < 10
+"""
+
+
 def _oracle_ann_compact() -> str:
     return (
         ORACLE_ANN_BINARY
@@ -2795,7 +2832,9 @@ def _oracle_ann_compact() -> str:
         + _oracle_ann_sq8()
         + ") s8b UNION ALL SELECT * FROM ("
         + _oracle_lsh_lane()
-        + ") lshx"
+        + ") lshx UNION ALL SELECT * FROM ("
+        + _oracle_bhash_lane()
+        + ") bhx"
     )
 
 
