@@ -1614,6 +1614,26 @@ class BinaryHashIndex:
             k,
         )
 
+    def range_search(
+        self, queries: DataFrame, radius: int, nflip: int = 0,
+        qid_col: str = "qid", qvec_col: str = "vec",
+    ) -> DataFrame:
+        """faiss ``IndexBinaryHash::range_search``: Hamming distance
+        STRICTLY below ``radius`` over the PROBED candidates — exact
+        within bucket coverage, a subset under partial probing, never a
+        false positive (the IVF-probe contract). Unordered (qid, label,
+        distance: long), no rank."""
+        from .operators.binary import binary_hash_search
+
+        big = int(self.ntotal)  # top-"all" then filter: probe set bounds the scan
+        res = binary_hash_search(
+            self.hashed, queries, max(big, 1), self.d, self.b, nflip,
+            self.n_slices, qid_col=qid_col, qvec_col=qvec_col,
+        )
+        return res.where(F.col("distance") < int(radius)).select(
+            "qid", "label", "distance"
+        )
+
     def add_df(self, df: DataFrame, id_col: str = "id", vec_col: str = "vec") -> "BinaryHashIndex":
         """faiss ``IndexBinaryHash::add`` — hashing is training-free,
         so add is a pure encode+append."""

@@ -251,11 +251,15 @@ def token_budget_cap(
     id_col: str = "doc_id",
     text_col: str = "text",
     token_count_col: str | None = None,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Token-budgeted per-group corpus assembly: admit documents in
     deterministic md5(id) order until the group's CUMULATIVE token
     count exceeds ``budget_tokens`` (the crossing document is
-    excluded — budgets are hard caps). This is :func:`stratified_cap`'s
+    excluded — budgets are hard caps). Pass ``order_col`` (e.g. a
+    quality score) to admit BEST-FIRST instead — descending score,
+    md5(id) tie-break — the "spend the token budget on the highest
+    quality data" assembly; determinism is unchanged. This is :func:`stratified_cap`'s
     sibling for how LLM training mixes are actually specified — in
     tokens per domain/language, not document counts. No RNG: stable
     across runs, partitionings and engines (≡ one SQL
@@ -279,9 +283,14 @@ def token_budget_cap(
         if token_count_col is not None
         else token_count(text_col)
     )
+    order = (
+        [F.col(order_col).desc(), "_h", id_col]
+        if order_col is not None
+        else ["_h", id_col]
+    )
     w = (
         Window.partitionBy(group_col)
-        .orderBy("_h", id_col)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (

@@ -131,3 +131,38 @@ def test_add_roundtrip_factory(spark, tmp_path):
 
     with pytest.raises(ValueError):
         BinaryHashIndex.from_table(vt, b=10, n_slices=2)  # 20 > d=16
+
+
+def test_range_search_subset_never_false_positive(spark):
+    """range_search: full-coverage probing ≡ flat Hamming radius filter
+    exactly; bucket-restricted probing returns a subset with exact
+    distances (never a false positive)."""
+    V, Q = make_fixture(150, 3, 16)
+    vt = _table(spark, V)
+    idx = BinaryHashIndex.from_table(vt, b=6)
+    flat = BinaryIndex.from_table(vt)
+
+    full = idx.range_search(_qdf(spark, Q), radius=5, nflip=6)
+    want = flat.range_search(_qdf(spark, Q), radius=5)
+    a = sorted(map(tuple, full.collect()))
+    b = sorted(map(tuple, want.collect()))
+    assert a == b
+
+    part = sorted(map(tuple, idx.range_search(_qdf(spark, Q), radius=5).collect()))
+    assert set(part) <= set(b)
+    for qid, label, dist in part:
+        bv, bq = binarize_np(V), binarize_np(Q)
+        true = sum(
+            bin(int(bq[qid, w]) ^ int(bv[label, w])).count("1")
+            for w in range(bv.shape[1])
+        )
+        assert dist == true < 5
+
+
+def _qdf(spark, Q):
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame({"qid": np.arange(len(Q), dtype=np.int64), "vec": list(Q)}),
+        "qid long, vec array<float>",
+    )

@@ -1101,3 +1101,22 @@ def test_token_budget_cap(spark):
     # composition: a non-binding count cap first does not change the answer
     comp = token_budget_cap(stratified_cap(docs, "lang", 20), "lang", 40).toPandas()
     assert sorted(comp["doc_id"].tolist()) == sorted(out["doc_id"].tolist())
+
+
+def test_token_budget_cap_quality_ordered(spark):
+    """order_col admits best-first: the admitted set is the maximal
+    prefix of the score-descending order within budget — low-score docs
+    are the ones squeezed out."""
+    import pandas as pd
+
+    from faiss_metal_spark.pipeline import token_budget_cap
+
+    rows = pd.DataFrame({
+        "doc_id": range(10),
+        "lang": ["a"] * 10,
+        "text": [" ".join(["w"] * 10)] * 10,   # 10 tokens each
+        "score": [float(i) for i in range(10)],  # 9 is best
+    })
+    docs = spark.createDataFrame(rows)
+    out = token_budget_cap(docs, "lang", 35, order_col="score").toPandas()
+    assert sorted(out["doc_id"].tolist()) == [7, 8, 9]  # top-3 fit 30 ≤ 35
