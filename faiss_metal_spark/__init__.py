@@ -14,6 +14,7 @@ from .compact_index import (
     BinaryHashIndex,
     BinaryIVFIndex,
     GraphIndex,
+    IMIIndex,
     LSHIndex,
     IVFIndex,
     IVFPQIndex,
@@ -42,6 +43,7 @@ __all__ = [
     "BinaryHashIndex",
     "BinaryIVFIndex",
     "GraphIndex",
+    "IMIIndex",
     "LSHIndex",
     "IVFIndex",
     "IVFPQIndex",

@@ -1655,6 +1655,95 @@ class BinaryHashIndex:
         self.hashed.unpersist()
 
 
+@dataclass
+class IMIIndex:
+    """Inverted multi-index — faiss ``MultiIndexQuantizer`` coarse
+    quantizer feeding flat inverted lists (``index_factory("IMI2x8")``
+    ≙ IndexIVFFlat over the product quantizer): cell = composite of
+    two b-bit half-space sub-quantizers (2^(2b) cells from two 2^b
+    trainings), probe ranking = the two per-half distance tables
+    summed. In-cell search, storage layout and the per-cell
+    partial/final merge are the shared IVF machinery — a probed cell
+    behaves exactly like an :class:`IVFIndex` cell. L2 in-cell metric
+    (the faiss IMI default)."""
+
+    spark: SparkSession
+    d: int
+    b: int
+    C0: np.ndarray
+    C1: np.ndarray
+    assigned: DataFrame
+    _n: int = field(default=-1, repr=False)
+
+    @classmethod
+    def from_table(
+        cls, vt, b: int = 4, sample_size: int = 16384, iters: int = 10
+    ) -> "IMIIndex":
+        from .operators.similarity import imi_assign, imi_train
+
+        base = _float_view(vt)
+        C0, C1 = imi_train(
+            base, b, vt.d, sample_size=sample_size, iters=iters
+        )
+        assigned = imi_assign(base, C0, C1).persist()
+        n = assigned.count()
+        return cls(vt.spark, vt.d, b, C0, C1, assigned, n)
+
+    @property
+    def nlist(self) -> int:
+        return len(self.C0) * len(self.C1)
+
+    @property
+    def ntotal(self) -> int:
+        return self._n if self._n >= 0 else self.assigned.count()
+
+    def search(self, queries: DataFrame, k: int, nprobe: int = 8) -> DataFrame:
+        from .operators.similarity import imi_probe_cells, ivf_search
+
+        return ivf_search(
+            self.assigned,
+            None,  # the product quantizer supplies the ranking
+            queries,
+            k,
+            nprobe,
+            probe_cells=imi_probe_cells(self.C0, self.C1),
+        )
+
+    def search_numpy(
+        self, x: np.ndarray, k: int, nprobe: int = 8
+    ) -> tuple[np.ndarray, np.ndarray]:
+        return _host_result(
+            self.search(_query_df(self.spark, x), k, nprobe),
+            len(np.atleast_2d(x)),
+            k,
+        )
+
+    def add_df(self, df: DataFrame, id_col: str = "id", vec_col: str = "vec") -> "IMIIndex":
+        """faiss ``add``: assign against the FROZEN sub-quantizers,
+        append."""
+        from .operators.similarity import imi_assign
+
+        new = imi_assign(_ivf_add_rows(df, id_col, vec_col), self.C0, self.C1)
+        _append_frame(self, "assigned", new)
+        return self
+
+    def add_numpy(self, x: np.ndarray, ids=None) -> "IMIIndex":
+        return self.add_df(_numpy_add_df(self, "assigned", x, ids))
+
+    def remove_ids(self, ids) -> int:
+        return _remove_ids_frame(self, "assigned", ids)
+
+    def reconstruct(self, key: int) -> np.ndarray:
+        """Exact — IMI lists store full vectors (IndexIVFFlat)."""
+        row = self.assigned.where(F.col("id") == int(key)).select("vec").collect()
+        if not row:
+            raise KeyError(f"id {key} not in index")
+        return np.asarray(row[0]["vec"], np.float64)
+
+    def release(self) -> None:
+        self.assigned.unpersist()
+
+
 def index_factory(vt, spec: str, **train_kw):
     """FAISS ``index_factory`` twin over the derived-tier workflow.
 
@@ -1675,6 +1764,9 @@ def index_factory(vt, spec: str, **train_kw):
     - ``"BHash16"`` / ``"BMHash4x8"`` → :class:`BinaryHashIndex`
       (faiss index_binary_factory IndexBinaryHash / MultiHash: b-bit
       sign-prefix buckets, nflip probe radius at search time)
+    - ``"IMI2x4"`` / ``"IMI2x8,Flat"`` → :class:`IMIIndex` (faiss
+      MultiIndexQuantizer inverted multi-index: 2^(2b) composite
+      cells from two b-bit half-space quantizers)
     - ``"PQ16"``            → :class:`PQIndex` (m=16)
     - ``"IVF256"`` / ``"IVF256,Flat"`` → :class:`IVFIndex` (nlist=256)
     - ``"IVF256,PQ16"``     → :class:`IVFPQIndex`
@@ -1766,6 +1858,9 @@ def index_factory(vt, spec: str, **train_kw):
         return BinaryHashIndex.from_table(
             vt, b=int(m.group(2)), n_slices=int(m.group(1)), **train_kw
         )
+    m = re.fullmatch(r"IMI2x(\d+)(?:,Flat)?", s)
+    if m:
+        return IMIIndex.from_table(vt, b=int(m.group(1)), **train_kw)
     m = re.fullmatch(r"PQ(\d+)", s)
     if m:
         return PQIndex.from_table(vt, m=int(m.group(1)), **train_kw)

@@ -479,11 +479,16 @@ def _collect_probe(
     nprobe: int,
     qid_col: str,
     qvec_col: str,
+    probe_cells=None,
 ):
     """Collect the query batch and build the cell→query probe map
     (nearest-centroid order, L2 over the coarse quantizer — faiss
     probes L2-nearest cells for every metric). Returns (qids, Q,
-    {cell: query-local-indices}) or None for an empty batch."""
+    {cell: query-local-indices}) or None for an empty batch.
+
+    ``probe_cells``: optional callable ``(Q) -> (nq, nprobe) int cell
+    matrix`` replacing the flat-centroid ranking — the hook a product
+    coarse quantizer (IMI) plugs its two-table cell scoring into."""
     qpdf = queries.select(
         F.col(qid_col).cast("long").alias("qid"), F.col(qvec_col).alias("qvec")
     ).toPandas()
@@ -491,9 +496,12 @@ def _collect_probe(
         return None
     qids = qpdf["qid"].to_numpy(np.int64)
     Q = np.stack(qpdf["qvec"].to_numpy()).astype(np.float64)
-    cn = (centroids * centroids).sum(1)
-    order = (cn[None, :] - 2.0 * (Q @ centroids.T)).argsort(1, kind="stable")
-    probe = order[:, :nprobe]
+    if probe_cells is not None:
+        probe = np.asarray(probe_cells(Q))[:, :nprobe]
+    else:
+        cn = (centroids * centroids).sum(1)
+        order = (cn[None, :] - 2.0 * (Q @ centroids.T)).argsort(1, kind="stable")
+        probe = order[:, :nprobe]
 
     # cell → local indices of the queries that probe it
     cell_to_qidx: dict[int, list[int]] = {}
@@ -515,8 +523,12 @@ def ivf_search(
     qid_col: str = "qid",
     qvec_col: str = "vec",
     decode=None,
+    probe_cells=None,
 ) -> DataFrame:
     """Probe the nprobe nearest cells per query, exact search within.
+
+    ``probe_cells``: optional ``(Q) -> (nq, ≥nprobe) int`` cell-ranking
+    override (see :func:`_collect_probe`) — the IMI hook.
 
     ``decode``: optional callable ``pdf -> (n, d) float64`` that turns a
     cell group's stored rows into the float matrix to score (used by
@@ -541,7 +553,9 @@ def ivf_search(
 
     if metric not in ("l2", "ip", "cosine", "l1"):
         raise ValueError(f"unknown metric {metric!r}")
-    collected = _collect_probe(queries, centroids, nprobe, qid_col, qvec_col)
+    collected = _collect_probe(
+        queries, centroids, nprobe, qid_col, qvec_col, probe_cells
+    )
     if collected is None:
         return queries.sparkSession.createDataFrame([], RESULT_SCHEMA)
     qids, Q, cell_to_qidx = collected
@@ -693,3 +707,103 @@ def ivf_range_search(
         F.col("cell").isin([int(c) for c in sorted(cell_to_qidx)])
     )
     return subset.groupBy("cell").applyInPandas(cell_range, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# IMI — faiss MultiIndexQuantizer coarse quantizer (index_factory
+# "IMI2x<b>"): the cell id is the PRODUCT of two independent b-bit
+# sub-quantizers over the two dim-halves, giving 2^(2b) cells from two
+# 2^b k-means trainings (the trick that makes 65k+ cells trainable
+# from the same O(sample) budget as 256). Probe ranking sums the two
+# per-half distance tables — nq·2^(2b) adds over two nq·2^b GEMMs,
+# never a full-width distance per cell.
+# ---------------------------------------------------------------------------
+
+
+def imi_train(
+    vectors: DataFrame,
+    b: int,
+    d: int,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    sample_size: int = 16384,
+    iters: int = 10,
+):
+    """Train the two half-space sub-quantizers → (C0, C1), each
+    (2^b, d//2). Two O(sample) trainings, one sampled scan each."""
+    if d % 2 != 0:
+        raise ValueError(f"IMI needs even d, got {d}")
+    if b > 8:
+        raise ValueError(f"IMI2x{b} ranks 4^{b} cells per query — keep b ≤ 8")
+    dh = d // 2
+    h0 = vectors.select(
+        F.col(id_col).alias("id"), F.slice(F.col(vec_col), 1, dh).alias("vec")
+    )
+    h1 = vectors.select(
+        F.col(id_col).alias("id"),
+        F.slice(F.col(vec_col), dh + 1, dh).alias("vec"),
+    )
+    C0 = ivf_train_centroids(h0, 2**b, sample_size=sample_size, iters=iters)
+    C1 = ivf_train_centroids(h1, 2**b, sample_size=sample_size, iters=iters)
+    return C0, C1
+
+
+def imi_assign(
+    vectors: DataFrame,
+    C0: np.ndarray,
+    C1: np.ndarray,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """(id, vec, cell) with cell = a0·|C1| + a1 (the faiss
+    MultiIndexQuantizer composite id) — one Arrow scan, no shuffle."""
+    spark = vectors.sparkSession
+    bc = spark.sparkContext.broadcast((C0, C1))
+    dh = C0.shape[1]
+
+    def assign(batches):
+        import pyarrow as pa
+
+        from .knn import _arrow_i64, _arrow_matrix
+
+        C0_, C1_ = bc.value
+        n1 = len(C1_)
+        cn0 = (C0_ * C0_).sum(1)
+        cn1 = (C1_ * C1_).sum(1)
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            V = _arrow_matrix(batch.column(vec_col), "array", np.float64)
+            a0 = (cn0[None, :] - 2.0 * (V[:, :dh] @ C0_.T)).argmin(1)
+            a1 = (cn1[None, :] - 2.0 * (V[:, dh:] @ C1_.T)).argmin(1)
+            cell = (a0 * n1 + a1).astype(np.int32)
+            yield pa.record_batch(
+                [
+                    pa.array(_arrow_i64(batch.column(id_col))),
+                    batch.column(vec_col),
+                    pa.array(cell),
+                ],
+                names=["id", "vec", "cell"],
+            )
+
+    return vectors.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(vec_col)
+    ).mapInArrow(assign, f"id long, vec array<float>, cell int")
+
+
+def imi_probe_cells(C0: np.ndarray, C1: np.ndarray):
+    """``probe_cells`` hook for :func:`ivf_search`: rank ALL composite
+    cells by d0(q, C0[i]) + d1(q, C1[j]) — the sum decomposition the
+    product quantizer admits (two small GEMMs + a broadcast add), ties
+    by ascending cell id (stable argsort over the flattened table)."""
+    dh = C0.shape[1]
+    cn0 = (C0 * C0).sum(1)
+    cn1 = (C1 * C1).sum(1)
+
+    def probe(Q: np.ndarray) -> np.ndarray:
+        d0 = cn0[None, :] - 2.0 * (Q[:, :dh] @ C0.T)
+        d1 = cn1[None, :] - 2.0 * (Q[:, dh:] @ C1.T)
+        S = (d0[:, :, None] + d1[:, None, :]).reshape(len(Q), -1)
+        return S.argsort(1, kind="stable")
+
+    return probe

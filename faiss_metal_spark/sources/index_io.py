@@ -184,6 +184,7 @@ def _is_engine_index(index) -> bool:
         BinaryIndex,
         BinaryIVFIndex,
         GraphIndex,
+        IMIIndex,
         IVFIndex,
         IVFPQIndex,
         IVFPQRIndex,
@@ -207,6 +208,7 @@ def _is_engine_index(index) -> bool:
             BinaryIndex,
             BinaryIVFIndex,
             GraphIndex,
+            IMIIndex,
             IVFIndex,
             IVFPQIndex,
             IVFPQRIndex,
@@ -225,6 +227,7 @@ def _write_payload(index, path: str) -> None:
         BinaryIndex,
         BinaryIVFIndex,
         GraphIndex,
+        IMIIndex,
         IVFIndex,
         IVFPQIndex,
         IVFPQRIndex,
@@ -408,6 +411,22 @@ def _write_payload(index, path: str) -> None:
             path,
             {"kind": "pretransform", "d": index.d_in, "shapes": shapes},
         )
+    elif isinstance(index, IMIIndex):
+        _write_frame(index.assigned, f"{path}/assigned", partition_by="cell")
+        shapes = _write_arrays(
+            index.spark, path, {"C0": index.C0, "C1": index.C1}
+        )
+        _write_meta(
+            index.spark,
+            path,
+            {
+                "kind": "imi",
+                "d": index.d,
+                "b": index.b,
+                "ntotal": index.ntotal,
+                "shapes": shapes,
+            },
+        )
     elif isinstance(index, BinaryHashIndex):
         _write_frame(index.hashed, f"{path}/hashed", partition_by="h0")
         _write_meta(
@@ -541,6 +560,7 @@ def _read_payload(spark: SparkSession, path: str):
         BinaryIndex,
         BinaryIVFIndex,
         GraphIndex,
+        IMIIndex,
         IVFIndex,
         IVFPQIndex,
         IVFPQRIndex,
@@ -681,6 +701,16 @@ def _read_payload(spark: SparkSession, path: str):
             arrays["mean"],
             arrays["components"],
             _read_payload(spark, f"{path}/inner"),
+        )
+    if kind == "imi":
+        return IMIIndex(
+            spark,
+            meta["d"],
+            meta["b"],
+            arrays["C0"],
+            arrays["C1"],
+            spark.read.parquet(f"{path}/assigned"),
+            meta["ntotal"],
         )
     if kind == "bhash":
         return BinaryHashIndex(
