@@ -2275,11 +2275,20 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF probe search with FIXED centroids (first-16 embedding rows):
-    cell assignment, probe selection and per-cell exact search all
-    hash-match the DuckDB oracle. K-means training is pinned separately
-    (tests/test_similarity.py: exact at nprobe=n_cells, recall bound at
-    partial probe)."""
+    """Coarse-quantized probe search, both quantizer families tagged in
+    one result: 'ivf' rows use FIXED flat centroids (first-16 embedding
+    rows), 'imi' rows the FIXED product quantizer (faiss
+    MultiIndexQuantizer: the same 16 rows' dim-halves as the two
+    sub-centroid sets → 256 composite cells, probe ranking = summed
+    per-half distance tables). Cell assignment, probe selection and
+    per-cell exact search all hash-match the DuckDB oracle; k-means
+    training is pinned separately (tests/test_similarity.py,
+    tests/test_imi.py)."""
+    from faiss_metal_spark.operators.similarity import (
+        imi_assign,
+        imi_probe_cells,
+    )
+
     emb = _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
     )
@@ -2289,7 +2298,18 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("qid"), F.col("vec")
     )
     res = ivf_search(assigned, centroids, queries, k=10, nprobe=_ANN_NPROBE)
-    return res.select("qid", "rank", "label", _norm(F.col("distance"), 4).alias("distance"))
+
+    C0 = centroids[:, : centroids.shape[1] // 2].copy()
+    C1 = centroids[:, centroids.shape[1] // 2 :].copy()
+    imi_rows = ivf_search(
+        imi_assign(emb, C0, C1), None, queries, k=10, nprobe=_ANN_NPROBE,
+        probe_cells=imi_probe_cells(C0, C1),
+    )
+    tag = lambda kind, df: df.select(  # noqa: E731
+        F.lit(kind).alias("path"), "qid", "rank", "label",
+        _norm(F.col("distance"), 4).alias("distance"),
+    )
+    return tag("ivf", res).unionByName(tag("imi", imi_rows))
 
 
 # -- DuckDB oracles for the fixed-quantizer ANN rows ------------------------
@@ -2339,10 +2359,72 @@ r AS (
   SELECT qid, label, dist,
          row_number() OVER (PARTITION BY qid ORDER BY dist ASC, label ASC) - 1 AS rank
   FROM d
+),
+-- IMI lane: the same 16 fixed rows' dim-halves are the two sub-centroid
+-- sets; composite cell = a0·16 + a1 (independent per-half argmin by the
+-- engine's cn − 2·v·c decomposition), probe ranking = d0 + d1
+ic AS (
+  SELECT cell AS ck,
+         list_slice(cv::DOUBLE[], 1, {_PQ_M * _PQ_DSUB // 2}) AS h0,
+         list_slice(cv::DOUBLE[], {_PQ_M * _PQ_DSUB // 2 + 1}, {_PQ_M * _PQ_DSUB}) AS h1
+  FROM c
+),
+iva AS (
+  SELECT a0.vec_id, a0.embedding, a0.ck * {_ANN_CELLS} + a1.ck AS cell
+  FROM (
+    SELECT vec_id, embedding, ck FROM (
+      SELECT v.vec_id, v.embedding, ic.ck,
+             row_number() OVER (PARTITION BY v.vec_id ORDER BY
+               list_inner_product(ic.h0, ic.h0)
+               - 2 * list_inner_product(list_slice(v.embedding::DOUBLE[], 1, {_PQ_M * _PQ_DSUB // 2}), ic.h0) ASC,
+               ic.ck ASC) AS rn
+      FROM embeddings v CROSS JOIN ic)
+    WHERE rn = 1
+  ) a0
+  JOIN (
+    SELECT vec_id, ck FROM (
+      SELECT v.vec_id, ic.ck,
+             row_number() OVER (PARTITION BY v.vec_id ORDER BY
+               list_inner_product(ic.h1, ic.h1)
+               - 2 * list_inner_product(list_slice(v.embedding::DOUBLE[], {_PQ_M * _PQ_DSUB // 2 + 1}, {_PQ_M * _PQ_DSUB}), ic.h1) ASC,
+               ic.ck ASC) AS rn
+      FROM embeddings v CROSS JOIN ic)
+    WHERE rn = 1
+  ) a1 ON a1.vec_id = a0.vec_id
+),
+iprobe AS (
+  SELECT qid, cell FROM (
+    SELECT q.qid, c0.ck * {_ANN_CELLS} + c1.ck AS cell,
+           row_number() OVER (PARTITION BY q.qid ORDER BY
+             (list_inner_product(c0.h0, c0.h0)
+              - 2 * list_inner_product(list_slice(q.qv::DOUBLE[], 1, {_PQ_M * _PQ_DSUB // 2}), c0.h0))
+             + (list_inner_product(c1.h1, c1.h1)
+              - 2 * list_inner_product(list_slice(q.qv::DOUBLE[], {_PQ_M * _PQ_DSUB // 2 + 1}, {_PQ_M * _PQ_DSUB}), c1.h1)) ASC,
+             c0.ck * {_ANN_CELLS} + c1.ck ASC) AS rn
+    FROM q CROSS JOIN ic c0 CROSS JOIN ic c1)
+  WHERE rn <= {_ANN_NPROBE}
+),
+id_ AS (
+  SELECT q.qid, iva.vec_id AS label,
+         GREATEST(list_inner_product(q.qv::DOUBLE[], q.qv::DOUBLE[])
+           + list_inner_product(iva.embedding::DOUBLE[], iva.embedding::DOUBLE[])
+           - 2 * list_inner_product(q.qv::DOUBLE[], iva.embedding::DOUBLE[]), 0.0) AS dist
+  FROM iprobe p
+  JOIN q ON q.qid = p.qid
+  JOIN iva ON iva.cell = p.cell
+),
+ir AS (
+  SELECT qid, label, dist,
+         row_number() OVER (PARTITION BY qid ORDER BY dist ASC, label ASC) - 1 AS rank
+  FROM id_
 )
-SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS INTEGER) AS rank,
+SELECT 'ivf' AS path, CAST(qid AS BIGINT) AS qid, CAST(rank AS INTEGER) AS rank,
        CAST(label AS BIGINT) AS label, ROUND(dist, 4) + 0.0 AS distance
 FROM r WHERE rank < 10
+UNION ALL
+SELECT 'imi' AS path, CAST(qid AS BIGINT) AS qid, CAST(rank AS INTEGER) AS rank,
+       CAST(label AS BIGINT) AS label, ROUND(dist, 4) + 0.0 AS distance
+FROM ir WHERE rank < 10
 """
 
 
