@@ -94,3 +94,58 @@ def ivf_store_search(
     return ivf_search(
         spark.read.parquet(index_path), centroids, queries, k, nprobe, metric=metric
     )
+
+
+def run_ivfpq_ingest(
+    vector_stream: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    index_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """Continuously grow a cell-partitioned IVFPQ CODE store — the
+    compressed twin of :func:`run_ivf_ingest` (faiss
+    ``IndexIVFPQ::add``): each micro-batch is assigned against the
+    fixed coarse centroids and its residuals PQ-encoded with the fixed
+    codebooks, landing as m-byte codes in the cells' partitions. The
+    stream-side plan is two stateless Arrow projections — no shuffle,
+    no state; storage grows at m bytes/vector, so the 100 TB ingest
+    writes ~1/16-1/64 of the raw bytes the flat ingest would."""
+    from ..operators.pq import ivfpq_encode
+
+    codes = ivfpq_encode(ivf_assign(vector_stream, centroids), centroids, codebooks)
+    q = (
+        codes.writeStream.format("parquet")
+        .option("path", index_path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("cell")
+        .outputMode("append")
+    )
+    q = (
+        q.trigger(availableNow=True)
+        if available_now
+        else q.trigger(processingTime="1 second")
+    )
+    handle = q.start()
+    if available_now:
+        handle.awaitTermination()
+    return handle
+
+
+def ivfpq_store_search(
+    spark: SparkSession,
+    index_path: str,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 8,
+) -> DataFrame:
+    """Residual-ADC search over the growing code store as of now —
+    identical semantics to ``ivfpq_search`` over batch-built codes."""
+    from ..operators.pq import ivfpq_search
+
+    return ivfpq_search(
+        spark.read.parquet(index_path), centroids, codebooks, queries, k, nprobe
+    )

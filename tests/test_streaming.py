@@ -441,3 +441,62 @@ def test_ivf_ingest_stream_equals_batch(spark, tmp_path):
     np.testing.assert_allclose(
         got_s["distance"].to_numpy(), want_s["distance"].to_numpy(), rtol=1e-12
     )
+
+
+def test_ivfpq_ingest_stream_equals_batch(spark, tmp_path):
+    """Streaming IVFPQ ingest (frozen coarse centroids + codebooks,
+    append-only cell partitions of m-byte codes) produces the same
+    code store — and therefore the same ADC search results — as batch
+    ivfpq_encode over the full corpus."""
+    import numpy as np
+
+    from faiss_metal_spark.operators.pq import ivfpq_build, ivfpq_search
+    from faiss_metal_spark.streaming.index_ingest import (
+        ivfpq_store_search,
+        read_vector_stream,
+        run_ivfpq_ingest,
+    )
+    from tests.conftest import make_fixture, queries_df, vectors_df
+
+    V, Q = make_fixture(nv=600, nq=5, d=16, seed=29)
+    vdf = vectors_df(spark, V)
+    C, books, batch_codes = ivfpq_build(vdf, n_cells=4, m=4, sample_size=600)
+
+    src = tmp_path / "vecs_pq"
+    for i in range(3):
+        vectors_df(spark, V[i * 200 : (i + 1) * 200]).withColumn(
+            "id", F.col("id") + F.lit(i * 200)
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    store = str(tmp_path / "ivfpq_store")
+    run_ivfpq_ingest(
+        read_vector_stream(spark, str(src), max_files_per_trigger=1),
+        C,
+        books,
+        store,
+        checkpoint=str(tmp_path / "cp_ivfpq"),
+    )
+
+    got = spark.read.parquet(store).orderBy("id").toPandas()
+    want = batch_codes.orderBy("id").toPandas()
+    np.testing.assert_array_equal(got["id"].to_numpy(), want["id"].to_numpy())
+    np.testing.assert_array_equal(got["cell"].to_numpy(), want["cell"].to_numpy())
+    assert [bytes(c) for c in got["code"]] == [bytes(c) for c in want["code"]]
+
+    qdf = queries_df(spark, Q)
+    got_s = (
+        ivfpq_store_search(spark, store, C, books, qdf, 5, nprobe=4)
+        .orderBy("qid", "rank")
+        .toPandas()
+    )
+    want_s = (
+        ivfpq_search(batch_codes, C, books, qdf, 5, nprobe=4)
+        .orderBy("qid", "rank")
+        .toPandas()
+    )
+    np.testing.assert_array_equal(
+        got_s["label"].to_numpy(), want_s["label"].to_numpy()
+    )
+    np.testing.assert_allclose(
+        got_s["distance"].to_numpy(), want_s["distance"].to_numpy(), atol=1e-9
+    )
