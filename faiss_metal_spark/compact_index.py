@@ -1730,6 +1730,18 @@ class IMIIndex:
     def add_numpy(self, x: np.ndarray, ids=None) -> "IMIIndex":
         return self.add_df(_numpy_add_df(self, "assigned", x, ids))
 
+    def merge_from(self, other: "IMIIndex", add_id: int = 0) -> "IMIIndex":
+        """faiss ``IndexIVF::merge_from`` over the product quantizer —
+        identical BOTH sub-quantizers required."""
+        _merge_ivf_frames(
+            self,
+            other,
+            "assigned",
+            ((self.d, self.b, self.C0, self.C1), (other.d, other.b, other.C0, other.C1)),
+            add_id,
+        )
+        return self
+
     def remove_ids(self, ids) -> int:
         return _remove_ids_frame(self, "assigned", ids)
 

@@ -116,3 +116,20 @@ def test_add_reconstruct_roundtrip_factory(spark, tmp_path):
 
     with pytest.raises(ValueError):
         IMIIndex.from_table(_table(spark, make_fixture(50, 1, 15)[0]), b=2)
+
+
+def test_merge_from_shifts_and_refuses(spark):
+    V, _ = make_fixture(400, 1, 16)
+    vt = _table(spark, V)
+    a = IMIIndex.from_table(vt, b=2, sample_size=400)
+    b_idx = IMIIndex(spark, a.d, a.b, a.C0, a.C1,
+                     a.assigned.where(F.col("id") < 50).persist(), 50)
+    n0 = a.ntotal
+    a.merge_from(b_idx, add_id=1000)
+    assert a.ntotal == n0 + 50 and b_idx.ntotal == 0
+    assert a.assigned.where(F.col("id") >= 1000).count() == 50
+
+    other = IMIIndex.from_table(vt, b=2, sample_size=300)
+    if not np.array_equal(other.C0, a.C0):
+        with pytest.raises(ValueError, match="trained state"):
+            a.merge_from(other)
