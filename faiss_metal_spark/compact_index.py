@@ -1431,25 +1431,53 @@ class LSHIndex:
     spark: SparkSession
     d: int
     nbits: int
-    rotation: np.ndarray  # (nbits, d) — zero-mean transform rows
+    rotation: np.ndarray  # (nbits, d) transform rows
     words: DataFrame  # (id, words ARRAY<LONG>) packed sign bits
     _source: DataFrame = field(repr=False, default=None)
     _n: int = field(default=-1, repr=False)
+    mean: np.ndarray = None  # (d,) centering — zeros for "rr", PCA mean for "itq"
+
+    @property
+    def _mu(self) -> np.ndarray:
+        return np.zeros(self.d) if self.mean is None else self.mean
 
     @classmethod
-    def from_table(cls, vt, nbits: int | None = None, seed: int = 42) -> "LSHIndex":
+    def from_table(
+        cls,
+        vt,
+        nbits: int | None = None,
+        seed: int = 42,
+        transform: str = "rr",
+        sample_size: int = 16384,
+        itq_iters: int = 50,
+    ) -> "LSHIndex":
+        """``transform="rr"`` is faiss IndexLSH's default random
+        rotation; ``"itq"`` trains the Iterative-Quantization rotation
+        instead (faiss ``ITQMatrix``, binary factory ``"ITQ,LSH"``) —
+        same storage, same search, strictly better sign bits on
+        correlated data (pinned in tests/test_lsh_index.py)."""
         from .operators.binary import binarize
-        from .operators.pca import pca_apply, random_rotation
+        from .operators.pca import itq_rotation, pca_apply, random_rotation
 
         nbits = vt.d if nbits is None else int(nbits)
         if nbits <= 0:
             raise ValueError(f"need nbits > 0, got {nbits}")
-        R = random_rotation(vt.d, nbits, seed=seed)
         base = _float_view(vt)
-        projected = pca_apply(base, np.zeros(vt.d), R)
+        if transform == "rr":
+            mean = np.zeros(vt.d)
+            R = random_rotation(vt.d, nbits, seed=seed)
+        elif transform == "itq":
+            if nbits > vt.d:
+                raise ValueError(f"ITQ needs nbits ≤ d, got {nbits} > {vt.d}")
+            mean, R = itq_rotation(
+                base, nbits, sample_size=sample_size, iters=itq_iters, seed=seed
+            )
+        else:
+            raise ValueError(f"unknown transform {transform!r} (rr/itq)")
+        projected = pca_apply(base, mean, R)
         words = binarize(projected, nbits).persist()
         n = words.count()
-        return cls(vt.spark, vt.d, nbits, R, words, base, n)
+        return cls(vt.spark, vt.d, nbits, R, words, base, n, mean)
 
     @property
     def ntotal(self) -> int:
@@ -1460,7 +1488,7 @@ class LSHIndex:
 
         return queries.select(
             F.col(qid_col).cast("long").alias("qid"),
-            pca_project_col(qvec_col, np.zeros(self.d), self.rotation).alias("vec"),
+            pca_project_col(qvec_col, self._mu, self.rotation).alias("vec"),
         )
 
     def search(
@@ -1525,7 +1553,7 @@ class LSHIndex:
         x = np.atleast_2d(np.asarray(x, dtype=np.float64))
         if x.shape[1] != self.d:
             raise ValueError(f"expected d={self.d}, got {x.shape[1]}")
-        proj = x @ self.rotation.T
+        proj = (x - self._mu) @ self.rotation.T
         words = binarize_np(proj.astype(np.float32))
         return np.array([w.tobytes() for w in words], dtype=object)
 
@@ -1536,7 +1564,7 @@ class LSHIndex:
         from .operators.pca import pca_apply
 
         rows = _ivf_add_rows(df, id_col, vec_col)
-        projected = pca_apply(rows, np.zeros(self.d), self.rotation)
+        projected = pca_apply(rows, self._mu, self.rotation)
         _append_frame(self, "words", binarize(projected, self.nbits))
         if self._source is not None:
             self._source = self._source.unionByName(rows)
@@ -1793,6 +1821,9 @@ def index_factory(vt, spec: str, **train_kw):
     - ``"LSH"`` / ``"LSH128"`` → :class:`LSHIndex` (faiss
       ``IndexLSH``: rotation sign bits + Hamming scan; bare ``LSH``
       means nbits = d, the faiss default ``("LSH")`` spec)
+    - ``"ITQ,LSH"`` / ``"ITQ32,LSH"`` → :class:`LSHIndex` with the
+      LEARNED Iterative-Quantization rotation (faiss binary factory;
+      Gong et al. 2011)
     - transform PREFIXES compose like faiss: ``"PCA32,<inner>"`` /
       ``"PCAW32,<inner>"`` (whitened) / ``"RR32,<inner>"`` (random
       rotation) train the transform on the table, derive the inner
@@ -1912,4 +1943,8 @@ def index_factory(vt, spec: str, **train_kw):
     if m:
         nbits = int(m.group(1)) if m.group(1) else None
         return LSHIndex.from_table(vt, nbits=nbits, **train_kw)
+    m = re.fullmatch(r"ITQ(\d*),LSH", s)
+    if m:
+        nbits = int(m.group(1)) if m.group(1) else None
+        return LSHIndex.from_table(vt, nbits=nbits, transform="itq", **train_kw)
     raise ValueError(f"index_factory: unsupported spec {spec!r}")

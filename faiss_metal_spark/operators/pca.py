@@ -274,3 +274,53 @@ def remap_dimensions(d_in: int, out_dims) -> np.ndarray:
             raise ValueError(f"out_dims[{i}]={j} outside [0, {d_in})")
         W[i, j] = 1.0
     return W
+
+
+def itq_rotation(
+    vectors: DataFrame,
+    nbits: int,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    sample_size: int = 16384,
+    iters: int = 50,
+    seed: int = 42,
+) -> tuple[np.ndarray, np.ndarray]:
+    """ITQ — Iterative Quantization (Gong et al., CVPR 2011; faiss
+    ``ITQMatrix`` / binary factory ``"ITQ<n>,LSH"``): learn the rotation
+    of the PCA-projected data that MINIMIZES the binarization error
+    ‖B − VR‖², so the sign bits preserve locality far better than a
+    random rotation on correlated data.
+
+    Training is O(sample) on the driver (the faiss discipline shared by
+    every trainer here): PCA to ``nbits`` dims (the centering matters —
+    sign bits of uncentered data collapse), then the classic alternation
+    — B = sign(VR); R = UVᵀ from the SVD of VᵀB (the Procrustes step).
+    Returns ``(mean (d,), components (nbits, d))`` = Rᵀ·W_pca ready for
+    the shared :func:`pca_apply` / :class:`PreTransformIndex` /
+    ``LSHIndex`` machinery. Deterministic per (data, seed).
+    """
+    mean, W, _ = pca_train(
+        vectors, nbits, id_col=id_col, vec_col=vec_col, sample_size=sample_size
+    )
+    from .similarity import train_sample
+
+    sample = train_sample(
+        vectors.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+        ),
+        sample_size,
+        extra_cols=("vec",),
+    )
+    X = np.stack(sample["vec"].to_numpy()).astype(np.float64)
+    V = (X - mean) @ W.T  # (n, nbits) PCA-projected, centered
+
+    rng = np.random.default_rng(seed)
+    A = rng.normal(size=(nbits, nbits))
+    Q, Rm = np.linalg.qr(A)
+    R = Q * np.sign(np.diag(Rm))
+    for _ in range(iters):
+        B = np.sign(V @ R)
+        B[B == 0] = 1.0
+        U, _, Vt = np.linalg.svd(V.T @ B, full_matrices=False)
+        R = U @ Vt
+    return mean, np.ascontiguousarray(R.T @ W)

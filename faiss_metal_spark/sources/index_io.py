@@ -445,7 +445,10 @@ def _write_payload(index, path: str) -> None:
         has_source = index._source is not None
         if has_source:
             _write_frame(index._source, f"{path}/source")
-        shapes = _write_arrays(index.spark, path, {"rotation": index.rotation})
+        shapes = _write_arrays(
+            index.spark, path,
+            {"rotation": index.rotation, "mean": index._mu},
+        )
         _write_meta(
             index.spark,
             path,
@@ -730,5 +733,6 @@ def _read_payload(spark: SparkSession, path: str):
             spark.read.parquet(f"{path}/words"),
             spark.read.parquet(f"{path}/source") if meta["has_source"] else None,
             meta["ntotal"],
+            arrays.get("mean"),  # absent in early round-8 stores → zeros
         )
     raise ValueError(f"read_index: unknown index kind {kind!r} at {path}")
