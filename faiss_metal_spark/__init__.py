@@ -22,6 +22,7 @@ from .compact_index import (
     IVFSQIndex,
     OPQIndex,
     PQIndex,
+    RefineIndex,
     SQ8Index,
     index_factory,
 )
@@ -51,6 +52,7 @@ __all__ = [
     "IVFSQIndex",
     "OPQIndex",
     "PQIndex",
+    "RefineIndex",
     "index_factory",
     "Kmeans",
     "write_index",

@@ -1784,6 +1784,78 @@ class IMIIndex:
         self.assigned.unpersist()
 
 
+class RefineIndex:
+    """Generic two-stage wrapper — faiss ``IndexRefineFlat`` over ANY
+    base index (``index_factory("...,RFlat")``): the base retrieves
+    ``k·k_factor`` candidates its own approximate way, the wrapper
+    rescores exactly those rows against the full-precision source
+    table and re-ranks on exact L2. Every tier here exposes the same
+    ``search(queries, k, **kw)`` contract, so any of them can be the
+    base (IVF, PQ, IMI, LSH, graph, binary-hash, ...).
+
+    Scale: stage 2 touches exactly nq·k·k_factor source rows through
+    a broadcast semi-join on the candidate ids — the corpus table
+    never shuffles (the shared two-stage discipline of
+    ``refine_search`` / ``hamming_refine``).
+    """
+
+    def __init__(self, base, source: DataFrame, k_factor: int = 4):
+        self.base = base
+        self.source = source.select(
+            F.col("id").cast("long").alias("id"), "vec"
+        )
+        self.k_factor = int(k_factor)
+
+    @classmethod
+    def from_table(cls, vt, base, k_factor: int = 4) -> "RefineIndex":
+        return cls(base, _float_view(vt), k_factor)
+
+    @property
+    def spark(self):
+        return self.base.spark
+
+    @property
+    def d(self) -> int:
+        return self.base.d
+
+    @property
+    def ntotal(self) -> int:
+        return self.base.ntotal
+
+    def search(self, queries: DataFrame, k: int, **base_kw) -> DataFrame:
+        """``queries`` uses the engine-standard (qid, vec) schema —
+        the one every tier's search accepts; ``base_kw`` forwards the
+        base's own knobs (nprobe, nflip, ef, ...)."""
+        from .functions.vector import l2sq
+        from .operators.knn import _finalize
+
+        cand = (
+            self.base.search(queries, k * self.k_factor, **base_kw)
+            .where(F.col("label") >= 0)
+            .select("qid", "label")
+        )
+        vv = self.source.select(F.col("id").alias("label"), F.col("vec").alias("_vvec"))
+        qq = queries.select(
+            F.col("qid").cast("long").alias("qid"), F.col("vec").alias("_qvec")
+        )
+        rescored = (
+            F.broadcast(cand)
+            .join(vv, "label")
+            .join(F.broadcast(qq), "qid")
+            .select(
+                "qid", "label", l2sq(F.col("_qvec"), F.col("_vvec")).alias("distance")
+            )
+        )
+        return _finalize(qq.select("qid"), rescored, k, "l2")
+
+    def search_numpy(self, x: np.ndarray, k: int, **base_kw):
+        return _host_result(
+            self.search(_query_df(self.spark, x), k, **base_kw),
+            len(np.atleast_2d(x)),
+            k,
+        )
+
+
 def index_factory(vt, spec: str, **train_kw):
     """FAISS ``index_factory`` twin over the derived-tier workflow.
 

@@ -133,3 +133,37 @@ def test_merge_from_shifts_and_refuses(spark):
     if not np.array_equal(other.C0, a.C0):
         with pytest.raises(ValueError, match="trained state"):
             a.merge_from(other)
+
+
+def test_refine_index_wraps_any_base(spark):
+    """RefineIndex (faiss IndexRefineFlat over any base): exact-L2
+    re-rank of the base's candidates — recall ≥ the base's at the same
+    k, distances are exact, and any tier (IMI here, LSH too) can be
+    the base."""
+    from faiss_metal_spark import LSHIndex, RefineIndex
+
+    V, Q = make_fixture(400, 6, 16)
+    vt = _table(spark, V)
+    _, L_exact = numpy_oracle(V, Q, 10)
+
+    def recall(L):
+        return np.mean(
+            [len(set(L[i]) & set(L_exact[i])) / 10 for i in range(len(Q))]
+        )
+
+    imi = IMIIndex.from_table(vt, b=3, sample_size=400)
+    ref = RefineIndex.from_table(vt, imi, k_factor=4)
+    D_b, L_b = imi.search_numpy(Q, 10, nprobe=8)
+    D_r, L_r = ref.search_numpy(Q, 10, nprobe=8)
+    assert recall(L_r) >= recall(L_b) - 1e-9
+    for i in range(len(Q)):
+        for j in range(10):
+            if L_r[i, j] >= 0:
+                true = ((Q[i].astype(np.float64) - V[L_r[i, j]].astype(np.float64)) ** 2).sum()
+                assert abs(D_r[i, j] - true) < 1e-6
+
+    lsh = LSHIndex.from_table(vt, nbits=32, seed=3)
+    ref2 = RefineIndex.from_table(vt, lsh, k_factor=8)
+    _, L_r2 = ref2.search_numpy(Q, 10)
+    _, L_l = lsh.search_numpy(Q, 10)
+    assert recall(L_r2) >= recall(L_l) - 1e-9
