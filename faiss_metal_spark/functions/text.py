@@ -385,3 +385,31 @@ def gopher_flags(
         stop_ok.alias("stopword_ok"),
         (n_ok & len_ok & sym_ok & stop_ok).alias("keep"),
     )
+
+
+_ACCENT_SRC = "áàâäãåéèêëíìîïóòôöõúùûüýÿçñÁÀÂÄÃÅÉÈÊËÍÌÎÏÓÒÔÖÕÚÙÛÜÝÇÑ"
+_ACCENT_DST = "aaaaaaeeeeiiiiooooouuuuyycnAAAAAAEEEEIIIIOOOOOUUUUYCN"
+
+
+def normalize_for_dedup(text: Column | str, fold_accents: bool = True) -> Column:
+    """Canonical text form for hashing — the normalization a
+    web-scale dedup pipeline applies BEFORE the digest/MinHash stage
+    (the CCNet/C4 discipline: near-identical pages must collide):
+    casefold to lower, fold common Latin accents, remove
+    control/format characters, collapse whitespace runs to single
+    spaces, trim. Pure Catalyst projection (lower/translate/regexp
+    chain in whole-stage codegen — no Python per row); byte-level
+    unicode canonicalization (NFC) belongs at ingestion, before text
+    reaches the engine. Pair with ``exact_dedup`` /
+    ``minhash_signatures`` by normalizing the text column first:
+    ``docs.withColumn("text", normalize_for_dedup("text"))``.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    out = F.lower(c)
+    if fold_accents:
+        out = F.translate(out, _ACCENT_SRC.lower(), _ACCENT_DST.lower())
+    # whitespace first: tab/newline are BOTH whitespace and Cc — they
+    # must become spaces, not vanish and glue words together
+    out = F.regexp_replace(out, r"\s+", " ")
+    out = F.regexp_replace(out, r"[\p{Cc}\p{Cf}]", "")
+    return F.trim(out)

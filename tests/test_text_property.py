@@ -140,3 +140,44 @@ def test_shard_pack_property(n_docs, n_shards, seq_len, seed):
         assert int(last["tok_off"] + last["n_tok"]) == total
         n_seq = -(-total // seq_len) if total else 1
         assert int(g["last_seq"].max()) == n_seq - 1
+
+
+def test_normalize_for_dedup(spark):
+    """Dedup preprocessing canon: case/accents/controls/whitespace all
+    fold so near-identical strings hash identically; idempotent;
+    Catalyst-only (no Python stage in the plan)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from faiss_metal_spark.functions.text import normalize_for_dedup
+
+    rows = pd.DataFrame({
+        "id": [0, 1, 2, 3],
+        "text": [
+            "  H\u00e9llo\t\tW\u00f6rld  ",
+            "hello world",
+            "HELLO   WORLD",
+            "distinct content",
+        ],
+    })
+    df = spark.createDataFrame(rows)
+    out = df.select("id", normalize_for_dedup("text").alias("t")).orderBy("id").toPandas()
+    assert out["t"][0] == "hello world" == out["t"][1] == out["t"][2]
+    assert out["t"][3] == "distinct content"
+
+    # idempotent
+    twice = df.select(
+        normalize_for_dedup(normalize_for_dedup("text")).alias("t2"),
+        normalize_for_dedup("text").alias("t1"),
+    ).toPandas()
+    assert (twice["t1"] == twice["t2"]).all()
+
+    plan = (
+        df.select(normalize_for_dedup("text"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    # accent folding is optional
+    keep = df.select(normalize_for_dedup("text", fold_accents=False).alias("t")).toPandas()
+    assert keep["t"][0] == "h\u00e9llo w\u00f6rld"
