@@ -2226,11 +2226,17 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates exactly rescored against the full vectors, re-ranked to
     top-10), and 'ivfpqr' rows are the faiss IndexIVFPQR machinery: a
     second refine PQ over the residual-of-residual re-ranks the IVFPQ
-    ADC top-40 on the two-level reconstruction. Codebooks are FIXED
+    ADC top-40 on the two-level reconstruction — plus 'rq' rows: the
+    residual quantizer (faiss IndexResidualQuantizer, operators/rq.py)
+    with two FIXED full-width stages (stage 0 = the 16 centroid rows,
+    stage 1 = rows 16..31's stage-0 residuals), so the sequential
+    encode chain + additive-identity LUT search hash-match the
+    oracle's decode-then-score arithmetic. Codebooks are FIXED
     (first-256 embedding rows / their residuals / their second-level
     residuals), so encode + ADC + top-k + rescore + refine-rerank all
     hash-match the DuckDB oracle; iterative training is pinned
-    separately by tests/test_pq.py and tests/test_ivfpqr.py."""
+    separately by tests/test_pq.py, tests/test_ivfpqr.py and
+    tests/test_rq.py."""
     from faiss_metal_spark.operators.pq import (
         ivfpq_encode,
         ivfpq_search,
@@ -2240,6 +2246,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_search,
         refine_search,
     )
+    from faiss_metal_spark.operators.rq import rq_assign_np, rq_encode, rq_search
 
     emb = _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
@@ -2262,6 +2269,16 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10, nprobe=_ANN_NPROBE, k_factor=4,
     )
 
+    # rq lane: two fixed full-width stages (16 codewords each) — stage
+    # 0 is the centroid rows; stage 1 is rows 16..31's residuals after
+    # a stage-0 encode, derived with the engine's own codec helper so
+    # the arithmetic can never drift from rq_encode
+    B = np.concatenate(list(books), axis=1)  # the first-256 rows, re-joined
+    seed = B[16:32]
+    r1 = seed - centroids[rq_assign_np(seed, centroids[None, :, :])[:, 0]]
+    rqbooks = np.stack([centroids, r1])
+    rq_rows = rq_search(rq_encode(emb, rqbooks), rqbooks, queries, k=10)
+
     out_cols = lambda kind, df: df.select(  # noqa: E731
         F.lit(kind).alias("path"), "qid", "rank", "label",
         _norm(F.col("distance"), 4).alias("distance"),
@@ -2271,6 +2288,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(out_cols("ivfpq", ivf))
         .unionByName(out_cols("refine", ref))
         .unionByName(out_cols("ivfpqr", pqr))
+        .unionByName(out_cols("rq", rq_rows))
     )
 
 
@@ -2581,7 +2599,42 @@ prk AS (
   SELECT qid, label, dist,
          row_number() OVER (PARTITION BY qid ORDER BY dist ASC, label ASC) - 1 AS rank
   FROM prr
+),
+rqb1 AS (  -- RQ stage-1 codebook: stage-0 residuals of rows 16..31
+  SELECT vec_id - 16 AS ck, rv AS cj FROM vres WHERE vec_id >= 16 AND vec_id < 32
+),
+rqe AS (  -- stage-1 codes for all vectors (same argmin form over rv)
+  SELECT vec_id AS id, ck FROM (
+    SELECT vr.vec_id, rqb1.ck,
+           row_number() OVER (PARTITION BY vr.vec_id ORDER BY
+             list_inner_product(rqb1.cj, rqb1.cj)
+             - 2 * list_inner_product(vr.rv, rqb1.cj) ASC,
+             rqb1.ck ASC) AS rn
+    FROM vres vr CROSS JOIN rqb1)
+  WHERE rn = 1
+),
+rqrec AS (  -- additive reconstruction: stage-0 + stage-1 codewords
+  SELECT va.vec_id AS id,
+         [x[1] + x[2] FOR x IN list_zip(c.cv::DOUBLE[], rqb1.cj)] AS rv
+  FROM va JOIN c ON c.cell = va.cell
+  JOIN rqe ON rqe.id = va.vec_id
+  JOIN rqb1 ON rqb1.ck = rqe.ck
+),
+rqd AS (  -- exact ‖q − reconstruction‖² (the additive identity's value)
+  SELECT q.qid, rqrec.id AS label,
+         list_sum([(x[1] - x[2]) * (x[1] - x[2]) FOR x IN
+                   list_zip(q.qv::DOUBLE[], rqrec.rv)]) AS dist
+  FROM q CROSS JOIN rqrec
+),
+rqr AS (
+  SELECT qid, label, dist,
+         row_number() OVER (PARTITION BY qid ORDER BY dist ASC, label ASC) - 1 AS rank
+  FROM rqd
 )
+SELECT 'rq' AS path, CAST(qid AS BIGINT) AS qid, CAST(rank AS INTEGER) AS rank,
+       CAST(label AS BIGINT) AS label, ROUND(dist, 4) + 0.0 AS distance
+FROM rqr WHERE rank < 10
+UNION ALL
 SELECT 'pq' AS path, CAST(qid AS BIGINT) AS qid, CAST(rank AS INTEGER) AS rank,
        CAST(label AS BIGINT) AS label, ROUND(dist, 4) + 0.0 AS distance
 FROM rf WHERE rank < 10

@@ -23,6 +23,7 @@ from .compact_index import (
     OPQIndex,
     PQIndex,
     RefineIndex,
+    RQIndex,
     SQ8Index,
     index_factory,
 )
@@ -53,6 +54,7 @@ __all__ = [
     "OPQIndex",
     "PQIndex",
     "RefineIndex",
+    "RQIndex",
     "index_factory",
     "Kmeans",
     "write_index",

@@ -1784,6 +1784,98 @@ class IMIIndex:
         self.assigned.unpersist()
 
 
+@dataclass
+class RQIndex:
+    """Residual-quantizer tier — faiss ``IndexResidualQuantizer``
+    (``index_factory("RQ<m>x8")``): m sequential full-width 256-entry
+    stages, codes are the greedy argmin chain, search is LUT-only via
+    the additive identity (operators/rq.py). Same m bytes/vector as
+    PQ, usually lower reconstruction error on correlated data."""
+
+    spark: SparkSession
+    d: int
+    codebooks: np.ndarray  # (m, 256, d)
+    codes: DataFrame
+    _n: int = field(default=-1, repr=False)
+
+    @classmethod
+    def from_table(
+        cls, vt, m: int, sample_size: int = 16384, iters: int = 10
+    ) -> "RQIndex":
+        from .operators.rq import rq_encode, rq_train
+
+        base = _float_view(vt)
+        books = rq_train(base, m, sample_size=sample_size, iters=iters)
+        codes = rq_encode(base, books).persist()
+        n = codes.count()
+        return cls(vt.spark, vt.d, books, codes, n)
+
+    @property
+    def ntotal(self) -> int:
+        return self._n if self._n >= 0 else self.codes.count()
+
+    def search(self, queries: DataFrame, k: int) -> DataFrame:
+        from .operators.rq import rq_search
+
+        return rq_search(self.codes, self.codebooks, queries, k)
+
+    def search_numpy(self, x: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+        return _host_result(
+            self.search(_query_df(self.spark, x), k), len(np.atleast_2d(x)), k
+        )
+
+    def add_df(self, df: DataFrame, id_col: str = "id", vec_col: str = "vec") -> "RQIndex":
+        """faiss ``add``: encode with the FROZEN stage codebooks,
+        append."""
+        from .operators.rq import rq_encode
+
+        new = rq_encode(_ivf_add_rows(df, id_col, vec_col), self.codebooks)
+        _append_frame(self, "codes", new)
+        return self
+
+    def add_numpy(self, x: np.ndarray, ids=None) -> "RQIndex":
+        return self.add_df(_numpy_add_df(self, "codes", x, ids))
+
+    def remove_ids(self, ids) -> int:
+        return _remove_ids_frame(self, "codes", ids)
+
+    def reconstruct(self, key: int) -> np.ndarray:
+        """Codeword SUM (``IndexResidualQuantizer::reconstruct``)."""
+        from .operators.rq import rq_decode_np
+
+        row = self.codes.where(F.col("id") == int(key)).select("code").collect()
+        if not row:
+            raise KeyError(f"id {key} not in index")
+        code = np.frombuffer(row[0]["code"], np.uint8)[None, :]
+        return rq_decode_np(code, self.codebooks)[0]
+
+    # -- standalone codec (faiss ResidualQuantizer sa_encode/sa_decode) ----
+
+    @property
+    def sa_code_size(self) -> int:
+        return len(self.codebooks)  # m bytes/vector
+
+    def sa_encode(self, x: np.ndarray) -> np.ndarray:
+        from .operators.rq import rq_assign_np
+
+        x = np.atleast_2d(np.asarray(x, np.float64))
+        if x.shape[1] != self.d:
+            raise ValueError(f"expected (n, {self.d}) array, got {x.shape}")
+        codes = rq_assign_np(x, self.codebooks)
+        return np.array([row.tobytes() for row in codes], dtype=object)
+
+    def sa_decode(self, codes) -> np.ndarray:
+        from .operators.rq import rq_decode_np
+
+        rows = [np.frombuffer(c, dtype=np.uint8) for c in codes]
+        if not rows:
+            return np.zeros((0, self.d), dtype=np.float32)
+        return rq_decode_np(np.stack(rows), self.codebooks).astype(np.float32)
+
+    def release(self) -> None:
+        self.codes.unpersist()
+
+
 class RefineIndex:
     """Generic two-stage wrapper — faiss ``IndexRefineFlat`` over ANY
     base index (``index_factory("...,RFlat")``): the base retrieves
@@ -1880,6 +1972,8 @@ def index_factory(vt, spec: str, **train_kw):
       MultiIndexQuantizer inverted multi-index: 2^(2b) composite
       cells from two b-bit half-space quantizers)
     - ``"PQ16"``            → :class:`PQIndex` (m=16)
+    - ``"RQ4x8"``           → :class:`RQIndex` (faiss
+      IndexResidualQuantizer: 4 sequential full-width 8-bit stages)
     - ``"IVF256"`` / ``"IVF256,Flat"`` → :class:`IVFIndex` (nlist=256)
     - ``"IVF256,PQ16"``     → :class:`IVFPQIndex`
     - ``"IVF256,PQ16+16"``  → :class:`IVFPQRIndex` (faiss IndexIVFPQR:
@@ -2019,4 +2113,7 @@ def index_factory(vt, spec: str, **train_kw):
     if m:
         nbits = int(m.group(1)) if m.group(1) else None
         return LSHIndex.from_table(vt, nbits=nbits, transform="itq", **train_kw)
+    m = re.fullmatch(r"RQ(\d+)x8", s)
+    if m:
+        return RQIndex.from_table(vt, m=int(m.group(1)), **train_kw)
     raise ValueError(f"index_factory: unsupported spec {spec!r}")

@@ -1,0 +1,221 @@
+"""Residual quantization (RQ) — faiss ``IndexResidualQuantizer``.
+
+Additive quantization's greedy member (Chen/Guan/Wang, "Approximate
+Nearest Neighbor Search by Residual Vector Quantization", 2010; faiss
+``ResidualQuantizer`` with the default greedy training, beam_size=1):
+M sequential stages, each a FULL-WIDTH 256-entry codebook trained on
+what the previous stages failed to encode; a vector's code is the
+stage-wise argmin chain and its reconstruction the SUM of the chosen
+codewords. Where PQ slices the space (independent subspaces), RQ
+stacks it (sequential residuals) — same m bytes/vector, usually lower
+reconstruction error on correlated data because every stage sees all
+dimensions. The reference engine has no compressed tier at all
+(/root/reference/include/faiss-metal/MetalIndexFlat.h:47) — superset.
+
+Scale shape is the PQ discipline exactly:
+
+- **train** O(sample) on the driver (stage-wise k-means on residuals);
+- **encode** one ``mapInArrow`` scan, no shuffle, emitting
+  ``(id, code BINARY (M bytes), recn DOUBLE)`` — ``recn`` = ‖Σ c_m‖²
+  precomputed at encode time, the term that makes search LUT-only;
+- **search** uses the additive identity
+  ‖q − Σ c_m‖² = ‖q‖² − 2·Σ_m ⟨q, c_m[code_m]⟩ + ‖Σ c_m‖²:
+  broadcast nq×M×256 inner-product LUTs (query-batch-sized, like the
+  ADC tables), M gathers + the stored ``recn`` per row — no decode,
+  no FP vector reconstructed in the hot path; per-partition partial
+  top-k → the shared ``_finalize`` merge.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .knn import _PARTIAL_SCHEMA, _arrow_i64, _arrow_matrix, _finalize
+from .pq import KSUB, _arrow_codes, _binary_array, train_books_np
+
+
+def rq_train(
+    vectors: DataFrame,
+    m: int,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    sample_size: int = 16384,
+    iters: int = 10,
+) -> np.ndarray:
+    """Greedy stage-wise training → codebooks ``(m, 256, d)`` (each
+    stage full-width). Stage j's k-means sees the sample's residual
+    after stages 0..j−1 — the faiss greedy RQ trainer (beam_size=1)."""
+    from .similarity import train_sample
+
+    sample = train_sample(
+        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+        sample_size,
+        extra_cols=("vec",),
+    )
+    X = np.stack(sample["vec"].to_numpy()).astype(np.float64)
+    R = X.copy()
+    books = []
+    for _ in range(m):
+        bj = train_books_np(R, 1, iters)[0]  # (256, d) full-width stage
+        codes = _stage_assign(R, bj)
+        R = R - bj[codes]
+        books.append(bj)
+    return np.stack(books)
+
+
+def _stage_assign(X: np.ndarray, book: np.ndarray) -> np.ndarray:
+    """argmin‖x − c‖² over one stage's 256 codewords (cn − 2xc
+    decomposition, first-index ties — the shared assign arithmetic)."""
+    cn = (book * book).sum(1)
+    return (cn[None, :] - 2.0 * (X @ book.T)).argmin(1)
+
+
+def rq_assign_np(X: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(n, d) float → (n, m) uint8 sequential stage codes — the ONE
+    statement of RQ encoding, shared by the distributed encode and the
+    host codec so assignment can never drift."""
+    X = np.atleast_2d(np.asarray(X, np.float64))
+    m = len(codebooks)
+    R = X.copy()
+    codes = np.empty((len(X), m), dtype=np.uint8)
+    for j in range(m):
+        cj = _stage_assign(R, codebooks[j])
+        codes[:, j] = cj
+        R = R - codebooks[j][cj]
+    return codes
+
+
+def rq_decode_np(codes: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(n, m) uint8 → (n, d) float64 codeword SUM (the additive
+    inverse; ≙ IndexResidualQuantizer::reconstruct)."""
+    codes = np.atleast_2d(codes)
+    out = np.zeros((len(codes), codebooks.shape[2]), np.float64)
+    for j in range(len(codebooks)):
+        out += codebooks[j][codes[:, j]]
+    return out
+
+
+RQ_CODE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("code", T.BinaryType(), False),
+        T.StructField("recn", T.DoubleType(), False),
+    ]
+)
+
+
+def rq_encode(
+    vectors: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """One-scan encode → ``(id, code BINARY, recn DOUBLE)``; ``recn``
+    = ‖reconstruction‖², precomputed here so search never decodes."""
+    spark = vectors.sparkSession
+    bc = spark.sparkContext.broadcast(codebooks)
+
+    def enc(batches):
+        import pyarrow as pa
+
+        books_ = bc.value
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            V = _arrow_matrix(batch.column(vec_col), "array", np.float64)
+            codes = rq_assign_np(V, books_)
+            rec = rq_decode_np(codes, books_)
+            recn = (rec * rec).sum(1)
+            yield pa.record_batch(
+                [
+                    pa.array(_arrow_i64(batch.column(id_col))),
+                    _binary_array(codes),
+                    pa.array(recn),
+                ],
+                names=["id", "code", "recn"],
+            )
+
+    return vectors.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(vec_col)
+    ).mapInArrow(enc, RQ_CODE_SCHEMA)
+
+
+def rq_search(
+    codes: DataFrame,
+    codebooks: np.ndarray,
+    queries: DataFrame,
+    k: int,
+    qid_col: str = "qid",
+    qvec_col: str = "vec",
+) -> DataFrame:
+    """Asymmetric top-k over RQ codes via the additive identity
+    (see module docstring) — distances are EXACTLY
+    ‖q − reconstruction‖² in float64, so results match a
+    decode-then-score oracle to rounding. L2 only (the faiss RQ
+    default metric). Returns (qid, rank, label, distance)."""
+    from .knn import RESULT_SCHEMA
+
+    spark = codes.sparkSession
+    qpdf = queries.select(
+        F.col(qid_col).cast("long").alias("qid"), F.col(qvec_col).alias("qv")
+    ).toPandas()
+    if len(qpdf) == 0:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    qids = qpdf["qid"].to_numpy(np.int64)
+    Q = np.stack(qpdf["qv"].to_numpy()).astype(np.float64)
+    m, ksub, d = codebooks.shape
+    if Q.shape[1] != d:
+        raise ValueError(f"query dim {Q.shape[1]} != codebook dim {d}")
+    qn = (Q * Q).sum(1)
+    # nq × m × 256 inner-product LUTs (query-batch-sized broadcast)
+    lut = np.einsum("qd,mkd->qmk", Q, codebooks)
+    bc = spark.sparkContext.broadcast((qids, qn, lut))
+
+    def partial_topk(batches):
+        import pyarrow as pa
+
+        qids_, qn_, lut_ = bc.value
+        nq = len(qids_)
+        best_d = np.full((nq, 0), 0.0)
+        best_l = np.full((nq, 0), -1, np.int64)
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            C = _arrow_codes(batch.column("code"))
+            recn = batch.column("recn").to_numpy(zero_copy_only=True)
+            labels = _arrow_i64(batch.column("id"))
+            ip = np.zeros((nq, len(C)), np.float64)
+            for j in range(m):
+                ip += lut_[:, j, :][:, C[:, j]]
+            D = qn_[:, None] - 2.0 * ip + recn[None, :]
+            np.maximum(D, 0.0, out=D)
+            cat_d = np.concatenate([best_d, D], axis=1)
+            cat_l = np.concatenate(
+                [best_l, np.broadcast_to(labels, (nq, len(C)))], axis=1
+            )
+            kk = min(k, cat_d.shape[1])
+            # (distance, label) lexicographic selection — quantized
+            # reconstructions collide heavily (≤ ksub^m distinct code
+            # chains), so tie groups routinely exceed k and an
+            # arbitrary-member argpartition would drop the labels the
+            # deterministic final merge is contractually bound to keep
+            idx = np.lexsort((cat_l, cat_d), axis=1)[:, :kk]
+            best_d = np.take_along_axis(cat_d, idx, axis=1)
+            best_l = np.take_along_axis(cat_l, idx, axis=1)
+        if best_d.shape[1]:
+            yield pa.record_batch(
+                [
+                    pa.array(np.repeat(qids_, best_d.shape[1])),
+                    pa.array(best_l.ravel()),
+                    pa.array(best_d.ravel()),
+                ],
+                names=["qid", "label", "distance"],
+            )
+
+    candidates = codes.mapInArrow(partial_topk, _PARTIAL_SCHEMA)
+    qdf = queries.select(F.col(qid_col).cast("long").alias("qid"))
+    return _finalize(qdf, candidates, k, "l2")

@@ -25,7 +25,8 @@ Layout under ``path``::
 Supported kinds: ``VectorTable`` / ``IDMapVectorTable`` (flat, incl.
 fp16/bf16 compact), ``SQ8Index`` (any bit width), ``BinaryIndex``,
 ``BinaryIVFIndex``, ``IVFIndex``, ``IVFSQIndex``, ``IVFPQIndex``,
-``IVFPQRIndex``, ``PQIndex``, ``OPQIndex``, ``GraphIndex``, ``LSHIndex``,
+``IVFPQRIndex``, ``PQIndex``, ``OPQIndex``, ``RQIndex``, ``GraphIndex``,
+``LSHIndex``,
 and the composites ``PreTransformIndex`` (recursive inner payload) and
 ``ShardedIndex`` (recursive member payloads). ``read_index`` returns
 the same type that was written and search results are value-identical
@@ -192,6 +193,7 @@ def _is_engine_index(index) -> bool:
         LSHIndex,
         OPQIndex,
         PQIndex,
+        RQIndex,
         SQ8Index,
     )
     from ..operators.pca import PreTransformIndex
@@ -216,6 +218,7 @@ def _is_engine_index(index) -> bool:
             LSHIndex,
             PQIndex,
             OPQIndex,
+            RQIndex,
             ShardedIndex,
         ),
     )
@@ -235,6 +238,7 @@ def _write_payload(index, path: str) -> None:
         LSHIndex,
         OPQIndex,
         PQIndex,
+        RQIndex,
         SQ8Index,
     )
     from ..vector_table import VectorTable
@@ -388,6 +392,14 @@ def _write_payload(index, path: str) -> None:
             index.spark,
             path,
             {"kind": "pq", "d": index.d, "ntotal": index.ntotal, "shapes": shapes},
+        )
+    elif isinstance(index, RQIndex):
+        _write_frame(index.codes, f"{path}/codes")
+        shapes = _write_arrays(index.spark, path, {"codebooks": index.codebooks})
+        _write_meta(
+            index.spark,
+            path,
+            {"kind": "rq", "d": index.d, "ntotal": index.ntotal, "shapes": shapes},
         )
     elif isinstance(index, OPQIndex):
         _write_frame(index.codes, f"{path}/codes")
@@ -571,6 +583,7 @@ def _read_payload(spark: SparkSession, path: str):
         LSHIndex,
         OPQIndex,
         PQIndex,
+        RQIndex,
         SQ8Index,
     )
     from ..vector_table import VectorTable
@@ -682,6 +695,14 @@ def _read_payload(spark: SparkSession, path: str):
         )
     if kind == "pq":
         return PQIndex(
+            spark,
+            meta["d"],
+            arrays["codebooks"],
+            spark.read.parquet(f"{path}/codes"),
+            meta["ntotal"],
+        )
+    if kind == "rq":
+        return RQIndex(
             spark,
             meta["d"],
             arrays["codebooks"],

@@ -1,0 +1,140 @@
+"""RQIndex — faiss IndexResidualQuantizer (greedy additive quantizer).
+
+Contract model (faiss ResidualQuantizer with beam_size=1 — greedy
+stage-wise training/encoding; the reference engine has no compressed
+tier at all, /root/reference/include/faiss-metal/MetalIndexFlat.h:47).
+Pins:
+
+- the distributed encode is byte-identical to the host codec
+  (``rq_assign_np``), and the stored ``recn`` equals the squared norm
+  of the additive reconstruction;
+- asymmetric LUT search returns EXACTLY the distances a
+  decode-then-score float64 oracle computes (the additive identity is
+  algebraically exact, not an approximation over the codes);
+- mean reconstruction error is non-increasing in the stage prefix
+  (stage j is trained on stage j−1's residual);
+- frozen-state ``add`` ≡ the host codec; ``sa_encode``/``sa_decode``
+  round-trip; IO kind 'rq' round-trips value-identically;
+- ``index_factory("RQ<m>x8")`` builds the tier.
+"""
+
+import numpy as np
+import pytest
+
+from faiss_metal_spark import RQIndex, VectorTable, read_index, write_index
+from faiss_metal_spark.compact_index import index_factory
+from faiss_metal_spark.operators.rq import rq_assign_np, rq_decode_np
+
+from conftest import make_fixture, numpy_oracle
+
+
+def _table(spark, V) -> VectorTable:
+    vt = VectorTable(spark, V.shape[1], metric="l2")
+    return vt.add_numpy(V)
+
+
+def _correlated(n, d, seed=7):
+    """Low-rank + noise — the regime where additive beats sliced."""
+    rng = np.random.default_rng(seed)
+    B = rng.normal(size=(4, d))
+    return (rng.normal(size=(n, 4)) @ B + 0.05 * rng.normal(size=(n, d))).astype(
+        np.float32
+    )
+
+
+def test_encode_matches_host_codec(spark):
+    V, _ = make_fixture(300, 1, 16)
+    idx = RQIndex.from_table(_table(spark, V), m=4, sample_size=300)
+    rows = {r["id"]: r for r in idx.codes.collect()}
+    want = rq_assign_np(V.astype(np.float64), idx.codebooks)
+    for i in range(300):
+        got = np.frombuffer(rows[i]["code"], np.uint8)
+        np.testing.assert_array_equal(got, want[i])
+        rec = rq_decode_np(want[i][None, :], idx.codebooks)[0]
+        assert abs(rows[i]["recn"] - (rec * rec).sum()) < 1e-9
+
+
+def test_search_equals_decode_oracle(spark):
+    V, Q = make_fixture(320, 6, 16)
+    idx = RQIndex.from_table(_table(spark, V), m=4, sample_size=320)
+    codes = rq_assign_np(V.astype(np.float64), idx.codebooks)
+    R = rq_decode_np(codes, idx.codebooks)  # (n, d) reconstructions
+    D_e, L_e = numpy_oracle(R, Q, 10)
+    D, L = idx.search_numpy(Q, 10)
+    np.testing.assert_array_equal(L, L_e)
+    np.testing.assert_allclose(D, D_e, atol=1e-9)
+
+
+def test_reconstruction_error_non_increasing_in_stages(spark):
+    V = _correlated(400, 16)
+    vt = _table(spark, V)
+    idx = RQIndex.from_table(vt, m=4, sample_size=400)
+    codes = rq_assign_np(V.astype(np.float64), idx.codebooks)
+    errs = []
+    for m_pfx in (1, 2, 4):
+        R = rq_decode_np(codes[:, :m_pfx], idx.codebooks[:m_pfx])
+        errs.append(((V - R) ** 2).sum(1).mean())
+    assert errs[0] >= errs[1] >= errs[2]
+    assert errs[2] < errs[0]  # extra stages actually help
+
+
+def test_add_remove_reconstruct_io_factory(spark, tmp_path):
+    V, Q = make_fixture(300, 3, 16)
+    vt = _table(spark, V)
+    idx = index_factory(vt, "RQ4x8", sample_size=300)
+    assert isinstance(idx, RQIndex) and idx.ntotal == 300
+    assert idx.sa_code_size == 4
+
+    # frozen-state add ≡ host codec
+    idx.add_numpy(V[:4] + 0.01, ids=np.arange(300, 304))
+    assert idx.ntotal == 304
+    rows = {r["id"]: r["code"] for r in idx.codes.where("id >= 300").collect()}
+    want = rq_assign_np((V[:4] + 0.01).astype(np.float64), idx.codebooks)
+    for i in range(4):
+        np.testing.assert_array_equal(
+            np.frombuffer(rows[300 + i], np.uint8), want[i]
+        )
+
+    # reconstruct = additive decode of the stored code
+    np.testing.assert_allclose(
+        idx.reconstruct(7),
+        rq_decode_np(
+            rq_assign_np(V[7:8].astype(np.float64), idx.codebooks), idx.codebooks
+        )[0],
+        atol=1e-12,
+    )
+    with pytest.raises(KeyError):
+        idx.reconstruct(99999)
+
+    # sa codec round-trip
+    sa = idx.sa_encode(V[:5])
+    np.testing.assert_allclose(
+        idx.sa_decode(sa),
+        rq_decode_np(
+            rq_assign_np(V[:5].astype(np.float64), idx.codebooks), idx.codebooks
+        ).astype(np.float32),
+        atol=0,
+    )
+
+    # IO round-trip value-identical
+    D0, L0 = idx.search_numpy(Q, 5)
+    write_index(idx, str(tmp_path / "rq"))
+    idx2 = read_index(spark, str(tmp_path / "rq"))
+    assert isinstance(idx2, RQIndex) and idx2.ntotal == 304
+    D1, L1 = idx2.search_numpy(Q, 5)
+    np.testing.assert_array_equal(L0, L1)
+    np.testing.assert_allclose(D0, D1, atol=1e-12)
+
+    assert idx.remove_ids([300, 99999]) == 1
+    assert idx.ntotal == 303
+
+
+def test_empty_queries_and_dim_guard(spark):
+    V, _ = make_fixture(300, 1, 8)
+    idx = RQIndex.from_table(_table(spark, V), m=2, sample_size=300)
+    empty = idx.search(
+        idx.spark.createDataFrame([], "qid long, vec array<double>"), 5
+    )
+    assert empty.count() == 0
+    with pytest.raises(ValueError, match="dim"):
+        idx.search_numpy(np.zeros((1, 9)), 5)
