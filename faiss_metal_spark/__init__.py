@@ -16,6 +16,7 @@ from .compact_index import (
     GraphIndex,
     IMIIndex,
     LSHIndex,
+    IVFFlatDedupIndex,
     IVFIndex,
     IVFPQIndex,
     IVFPQRIndex,
@@ -47,6 +48,7 @@ __all__ = [
     "GraphIndex",
     "IMIIndex",
     "LSHIndex",
+    "IVFFlatDedupIndex",
     "IVFIndex",
     "IVFPQIndex",
     "IVFPQRIndex",

@@ -628,6 +628,260 @@ class IVFIndex:
 
 
 @dataclass
+class IVFFlatDedupIndex:
+    """≙ faiss ``IndexIVFFlatDedup`` (``index_factory("IVF<n>,
+    FlatDedup")``): an IVF,Flat tier that stores each DISTINCT vector
+    once and keeps the duplicate ids in a side map — faiss's answer to
+    corpora with many exact-duplicate embeddings, where storing every
+    copy wastes list space and scan time.
+
+    Layout (Spark-first twin of faiss's ``instances`` multimap):
+
+    - ``assigned``  — (id, vec, cell), ONE row per distinct vector;
+      ``id`` is the group representative = min external id of the
+      duplicate set (deterministic, unlike faiss's insertion-order
+      pick).
+    - ``instances`` — (id, dup_id): the NON-representative duplicate
+      ids, keyed by their representative.
+
+    Search scans only distinct vectors (the whole point at scale:
+    a 100 TB corpus with 3× exact duplication scores 1/3 of the rows),
+    then expands each stored hit to its duplicate ids at the same
+    distance and re-ranks — faiss ``IndexIVFFlatDedup::search``'s
+    duplicate-replacement post-pass. With the engine-wide
+    (distance, label) tie order and min-id representatives, the
+    expansion is EXACT: the result equals a top-k over the logical
+    (duplicated) corpus, not just an approximation of it (proof: any
+    logical top-k member's representative must itself rank within the
+    stored top-k, because every stored rep preceding it is also a
+    preceding logical element).
+
+    ``ntotal`` counts stored distinct rows (faiss likewise tracks the
+    deduplicated storage; the duplicates live only in the side map) —
+    ``n_instances`` / ``n_logical`` expose the rest. ``update_vectors``
+    and ``reconstruct`` are unsupported, as in faiss
+    (IndexIVFFlatDedup.h: "does not support reconstruct").
+    """
+
+    spark: SparkSession
+    d: int
+    metric: str
+    centroids: np.ndarray
+    assigned: DataFrame
+    instances: DataFrame
+    _n: int = field(default=-1, repr=False)
+    _n_inst: int = field(default=-1, repr=False)
+
+    @classmethod
+    def from_table(
+        cls,
+        vt,
+        n_cells: int,
+        sample_size: int = 16384,
+        iters: int = 10,
+    ) -> "IVFFlatDedupIndex":
+        from .operators.similarity import ivf_assign, ivf_train_centroids
+
+        base = _float_view(vt)
+        C = ivf_train_centroids(base, n_cells, sample_size=sample_size, iters=iters)
+        reps, inst = cls._dedup_rows(base)
+        assigned = ivf_assign(reps, C).persist()
+        n = assigned.count()
+        inst = inst.persist()
+        n_inst = inst.count()
+        return cls(vt.spark, vt.d, vt.metric, C, assigned, inst, n, n_inst)
+
+    @staticmethod
+    def _dedup_rows(rows: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """(representatives, instances) of an (id, vec) frame: group on
+        the vector VALUE (array equality — one hash shuffle on the
+        vector bytes, the exact-dedup shape of ``dedup.py``), rep =
+        min id, everything else becomes an (rep, dup_id) instance."""
+        reps = rows.groupBy("vec").agg(F.min("id").alias("id")).select("id", "vec")
+        inst = (
+            rows.join(
+                reps.select(F.col("vec").alias("vec"), F.col("id").alias("_rep")),
+                "vec",
+            )
+            .where(F.col("id") != F.col("_rep"))
+            .select(F.col("_rep").alias("id"), F.col("id").alias("dup_id"))
+        )
+        return reps, inst
+
+    @property
+    def nlist(self) -> int:
+        return len(self.centroids)
+
+    @property
+    def ntotal(self) -> int:
+        return self._n if self._n >= 0 else self.assigned.count()
+
+    @property
+    def n_instances(self) -> int:
+        return self._n_inst if self._n_inst >= 0 else self.instances.count()
+
+    @property
+    def n_logical(self) -> int:
+        """All ids the index answers for: stored reps + duplicates."""
+        return self.ntotal + self.n_instances
+
+    def search(self, queries: DataFrame, k: int, nprobe: int = 8) -> DataFrame:
+        """Top-k over the LOGICAL corpus: stored-distinct IVF top-k,
+        duplicate expansion (same distance as the representative),
+        re-rank — one broadcast join on the nq·k hit set; the
+        instances map is joined hit-side, never scanned per query."""
+        from .operators.knn import _finalize
+        from .operators.similarity import ivf_search
+
+        hits = (
+            ivf_search(
+                self.assigned, self.centroids, queries, k, nprobe,
+                metric=self.metric,
+            )
+            .where(F.col("label") >= 0)
+            .select("qid", "label", "distance")
+        )
+        dups = (
+            F.broadcast(hits)
+            .join(
+                self.instances.select(
+                    F.col("id").alias("label"), F.col("dup_id")
+                ),
+                "label",
+            )
+            .select("qid", F.col("dup_id").alias("label"), "distance")
+        )
+        qq = queries.select(F.col("qid").cast("long").alias("qid"))
+        return _finalize(qq, hits.unionByName(dups), k, self.metric)
+
+    def search_numpy(
+        self, x: np.ndarray, k: int, nprobe: int = 8
+    ) -> tuple[np.ndarray, np.ndarray]:
+        return _host_result(
+            self.search(_query_df(self.spark, x), k, nprobe),
+            len(np.atleast_2d(x)),
+            k,
+        )
+
+    def add_df(
+        self, df: DataFrame, id_col: str = "id", vec_col: str = "vec"
+    ) -> "IVFFlatDedupIndex":
+        """faiss ``IndexIVFFlatDedup::add_with_ids``: new rows dedup
+        against the EXISTING stored vectors (cell-equal join — the
+        coarse assign localizes the equality check, as in faiss where
+        the duplicate probe scans only the target list) and among
+        themselves; only genuinely new distinct vectors enter the
+        inverted file."""
+        from .operators.similarity import ivf_assign
+
+        new = ivf_assign(_ivf_add_rows(df, id_col, vec_col), self.centroids)
+        ex = self.assigned.select(
+            "cell", "vec", F.col("id").alias("_rep")
+        )
+        matched = new.join(ex, ["cell", "vec"], "left")
+        dup_existing = matched.where(F.col("_rep").isNotNull()).select(
+            F.col("_rep").alias("id"), F.col("id").alias("dup_id")
+        )
+        fresh = matched.where(F.col("_rep").isNull()).select("id", "vec", "cell")
+        reps = fresh.groupBy("cell", "vec").agg(F.min("id").alias("id"))
+        intra = (
+            fresh.join(
+                reps.select("cell", "vec", F.col("id").alias("_r")),
+                ["cell", "vec"],
+            )
+            .where(F.col("id") != F.col("_r"))
+            .select(F.col("_r").alias("id"), F.col("id").alias("dup_id"))
+        )
+        _append_frame(self, "assigned", reps.select("id", "vec", "cell"))
+        old_inst = self.instances
+        self.instances = (
+            old_inst.unionByName(dup_existing).unionByName(intra).persist()
+        )
+        self._n_inst = self.instances.count()
+        old_inst.unpersist()
+        return self
+
+    def add_numpy(self, x: np.ndarray, ids=None) -> "IVFFlatDedupIndex":
+        """Host-side add; ``ids=None`` continues from max(known id)+1
+        across BOTH stored reps and duplicate instances (an instance id
+        is as taken as a stored one)."""
+        x = np.atleast_2d(np.asarray(x, dtype=np.float32))
+        if ids is None and len(x):
+            hi = self.assigned.agg(F.max("id")).first()[0]
+            hi_i = self.instances.agg(F.max("dup_id")).first()[0]
+            start = max(
+                [v for v in (hi, hi_i) if v is not None], default=-1
+            ) + 1
+            ids = np.arange(start, start + len(x), dtype=np.int64)
+        return self.add_df(
+            self.spark.createDataFrame(
+                pd.DataFrame(
+                    {"id": np.asarray(ids, np.int64), "vec": [v.tolist() for v in x]}
+                ),
+                schema="id long, vec array<float>",
+            )
+        )
+
+    def remove_ids(self, ids) -> int:
+        """faiss ``IndexIVFFlatDedup::remove_ids``: removing a
+        duplicate instance only shrinks the side map; removing a
+        REPRESENTATIVE that still has instances promotes the smallest
+        surviving duplicate to representative (faiss swaps an instance
+        id into the list entry) — the stored vector is dropped only
+        when its whole duplicate set is gone. Returns ids removed."""
+        batch = sorted({int(i) for i in np.atleast_1d(np.asarray(ids, np.int64))})
+        if not batch:
+            return 0
+        inst = self.instances
+        removed_inst = inst.where(F.col("dup_id").isin(batch)).count()
+        inst2 = inst.where(~F.col("dup_id").isin(batch))
+        # promotion map for removed reps that still have survivors
+        promo = (
+            inst2.where(F.col("id").isin(batch))
+            .groupBy("id")
+            .agg(F.min("dup_id").alias("_new"))
+        )
+        old = self.assigned
+        removed_reps = old.where(F.col("id").isin(batch)).count()
+        kept = old.where(~F.col("id").isin(batch))
+        promoted = (
+            old.where(F.col("id").isin(batch))
+            .join(F.broadcast(promo), "id")
+            .select(F.col("_new").alias("id"), "vec", "cell")
+        )
+        new_assigned = kept.unionByName(promoted).persist()
+        # relabel surviving instances of promoted groups; drop the
+        # promoted id's own instance row
+        new_inst = (
+            inst2.join(F.broadcast(promo), "id", "left")
+            .select(
+                F.coalesce("_new", "id").alias("id"),
+                "dup_id",
+            )
+            .where(F.col("id") != F.col("dup_id"))
+            .persist()
+        )
+        self._n = new_assigned.count()
+        self._n_inst = new_inst.count()
+        old.unpersist()
+        inst.unpersist()
+        self.assigned = new_assigned
+        self.instances = new_inst
+        return removed_reps + removed_inst
+
+    def reconstruct(self, key: int) -> np.ndarray:
+        raise NotImplementedError(
+            "IndexIVFFlatDedup does not support reconstruct (faiss "
+            "IndexIVFFlatDedup.h) — duplicate ids do not map back to "
+            "list entries"
+        )
+
+    def release(self) -> None:
+        self.assigned.unpersist()
+        self.instances.unpersist()
+
+
+@dataclass
 class IVFSQIndex:
     """IVF cells over scalar-quantized codes — faiss
     ``IndexIVFScalarQuantizer`` (``index_factory("IVF<n>,SQ8")``):
@@ -1975,6 +2229,9 @@ def index_factory(vt, spec: str, **train_kw):
     - ``"RQ4x8"``           → :class:`RQIndex` (faiss
       IndexResidualQuantizer: 4 sequential full-width 8-bit stages)
     - ``"IVF256"`` / ``"IVF256,Flat"`` → :class:`IVFIndex` (nlist=256)
+    - ``"IVF256,FlatDedup"`` → :class:`IVFFlatDedupIndex` (faiss
+      ``IndexIVFFlatDedup``: distinct vectors stored once, duplicate
+      ids in a side map, search expands them back)
     - ``"IVF256,PQ16"``     → :class:`IVFPQIndex`
     - ``"IVF256,PQ16+16"``  → :class:`IVFPQRIndex` (faiss IndexIVFPQR:
       the ``+<m_refine>`` suffix is the refine PQ's byte count)
@@ -1990,6 +2247,11 @@ def index_factory(vt, spec: str, **train_kw):
     - ``"ITQ,LSH"`` / ``"ITQ32,LSH"`` → :class:`LSHIndex` with the
       LEARNED Iterative-Quantization rotation (faiss binary factory;
       Gong et al. 2011)
+    - a ``",RFlat"`` SUFFIX on any spec (``"IVF64,PQ8,RFlat"``) wraps
+      the rest in :class:`RefineIndex` rescoring against the original
+      table (faiss IndexRefineFlat; ``k_factor`` forwards from
+      ``train_kw``); composes outside transform prefixes, so
+      ``"PCA32,IVF64,RFlat"`` refines in the ORIGINAL space like faiss
     - transform PREFIXES compose like faiss: ``"PCA32,<inner>"`` /
       ``"PCAW32,<inner>"`` (whitened) / ``"RR32,<inner>"`` (random
       rotation) train the transform on the table, derive the inner
@@ -2004,6 +2266,14 @@ def index_factory(vt, spec: str, **train_kw):
     import re
 
     s = spec.strip().replace(" ", "")
+    if s.endswith(",RFlat"):
+        # faiss "...,RFlat" suffix: wrap the rest of the spec in an
+        # IndexRefineFlat that rescores against the ORIGINAL table —
+        # handled before the transform prefixes so "PCA32,IVF64,RFlat"
+        # refines in the original space, as faiss's factory composes it
+        kf = train_kw.pop("k_factor", 4)
+        base = index_factory(vt, s[: -len(",RFlat")], **train_kw)
+        return RefineIndex.from_table(vt, base, k_factor=kf)
     m = re.fullmatch(r"(PCAW?|RR)(\d+),(.+)", s)
     if m:
         from .functions.vector import sqnorm
@@ -2076,6 +2346,9 @@ def index_factory(vt, spec: str, **train_kw):
     m = re.fullmatch(r"IVF(\d+)(?:,Flat)?", s)
     if m:
         return IVFIndex.from_table(vt, n_cells=int(m.group(1)), **train_kw)
+    m = re.fullmatch(r"IVF(\d+),FlatDedup", s)
+    if m:
+        return IVFFlatDedupIndex.from_table(vt, n_cells=int(m.group(1)), **train_kw)
     m = re.fullmatch(r"IVF(\d+),PQ(\d+)", s)
     if m:
         return IVFPQIndex.from_table(

@@ -186,6 +186,7 @@ def _is_engine_index(index) -> bool:
         BinaryIVFIndex,
         GraphIndex,
         IMIIndex,
+        IVFFlatDedupIndex,
         IVFIndex,
         IVFPQIndex,
         IVFPQRIndex,
@@ -211,6 +212,7 @@ def _is_engine_index(index) -> bool:
             BinaryIVFIndex,
             GraphIndex,
             IMIIndex,
+            IVFFlatDedupIndex,
             IVFIndex,
             IVFPQIndex,
             IVFPQRIndex,
@@ -231,6 +233,7 @@ def _write_payload(index, path: str) -> None:
         BinaryIVFIndex,
         GraphIndex,
         IMIIndex,
+        IVFFlatDedupIndex,
         IVFIndex,
         IVFPQIndex,
         IVFPQRIndex,
@@ -305,6 +308,22 @@ def _write_payload(index, path: str) -> None:
                 "d": index.d,
                 "metric": index.metric,
                 "ntotal": index.ntotal,
+                "shapes": shapes,
+            },
+        )
+    elif isinstance(index, IVFFlatDedupIndex):
+        _write_frame(index.assigned, f"{path}/assigned", partition_by="cell")
+        _write_frame(index.instances, f"{path}/instances")
+        shapes = _write_arrays(index.spark, path, {"centroids": index.centroids})
+        _write_meta(
+            index.spark,
+            path,
+            {
+                "kind": "ivf_dedup",
+                "d": index.d,
+                "metric": index.metric,
+                "ntotal": index.ntotal,
+                "n_instances": index.n_instances,
                 "shapes": shapes,
             },
         )
@@ -576,6 +595,7 @@ def _read_payload(spark: SparkSession, path: str):
         BinaryIVFIndex,
         GraphIndex,
         IMIIndex,
+        IVFFlatDedupIndex,
         IVFIndex,
         IVFPQIndex,
         IVFPQRIndex,
@@ -643,6 +663,17 @@ def _read_payload(spark: SparkSession, path: str):
             arrays["centroids"],
             spark.read.parquet(f"{path}/assigned"),
             meta["ntotal"],
+        )
+    if kind == "ivf_dedup":
+        return IVFFlatDedupIndex(
+            spark,
+            meta["d"],
+            meta["metric"],
+            arrays["centroids"],
+            spark.read.parquet(f"{path}/assigned"),
+            spark.read.parquet(f"{path}/instances"),
+            meta["ntotal"],
+            meta["n_instances"],
         )
     if kind == "bivf":
         return BinaryIVFIndex(
