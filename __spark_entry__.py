@@ -2323,11 +2323,36 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         imi_assign(emb, C0, C1), None, queries, k=10, nprobe=_ANN_NPROBE,
         probe_cells=imi_probe_cells(C0, C1),
     )
+
+    # 'dedup' rows: IVFFlatDedup expansion (faiss IndexIVFFlatDedup) over
+    # a logical corpus with planted exact duplicates — ids < 24 repeated
+    # at id+1000. The dedup build stores each distinct vector ONCE (the
+    # min-id representative = the original row) and search expands stored
+    # hits back to duplicate ids at the same distance; the oracle ranks
+    # the probed logical corpus directly, so a hash match pins both the
+    # side-map bookkeeping and the expansion re-rank.
+    from faiss_metal_spark import IVFFlatDedupIndex
+
+    logical = emb.unionByName(
+        emb.where(F.col("id") < 24).select(
+            (F.col("id") + 1000).alias("id"), "vec"
+        )
+    )
+    reps, inst = IVFFlatDedupIndex._dedup_rows(logical)
+    dedup_idx = IVFFlatDedupIndex(
+        spark, 64, "l2", centroids, ivf_assign(reps, centroids), inst
+    )
+    dedup_rows = dedup_idx.search(queries, k=10, nprobe=_ANN_NPROBE)
+
     tag = lambda kind, df: df.select(  # noqa: E731
         F.lit(kind).alias("path"), "qid", "rank", "label",
         _norm(F.col("distance"), 4).alias("distance"),
     )
-    return tag("ivf", res).unionByName(tag("imi", imi_rows))
+    return (
+        tag("ivf", res)
+        .unionByName(tag("imi", imi_rows))
+        .unionByName(tag("dedup", dedup_rows))
+    )
 
 
 # -- DuckDB oracles for the fixed-quantizer ANN rows ------------------------
@@ -2436,6 +2461,22 @@ ir AS (
          row_number() OVER (PARTITION BY qid ORDER BY dist ASC, label ASC) - 1 AS rank
   FROM id_
 )
+,
+-- dedup lane: logical corpus = embeddings plus ids<24 duplicated at
+-- id+1000; the dedup store's distinct rows ARE the original embeddings
+-- (min-id representative), and a duplicate lands in its twin's cell, so
+-- the probed logical candidates = probed stored rows ∪ their duplicate
+-- ids at the identical distance
+dd AS (
+  SELECT qid, label, dist FROM d
+  UNION ALL
+  SELECT qid, label + 1000 AS label, dist FROM d WHERE label < 24
+),
+ddr AS (
+  SELECT qid, label, dist,
+         row_number() OVER (PARTITION BY qid ORDER BY dist ASC, label ASC) - 1 AS rank
+  FROM dd
+)
 SELECT 'ivf' AS path, CAST(qid AS BIGINT) AS qid, CAST(rank AS INTEGER) AS rank,
        CAST(label AS BIGINT) AS label, ROUND(dist, 4) + 0.0 AS distance
 FROM r WHERE rank < 10
@@ -2443,6 +2484,10 @@ UNION ALL
 SELECT 'imi' AS path, CAST(qid AS BIGINT) AS qid, CAST(rank AS INTEGER) AS rank,
        CAST(label AS BIGINT) AS label, ROUND(dist, 4) + 0.0 AS distance
 FROM ir WHERE rank < 10
+UNION ALL
+SELECT 'dedup' AS path, CAST(qid AS BIGINT) AS qid, CAST(rank AS INTEGER) AS rank,
+       CAST(label AS BIGINT) AS label, ROUND(dist, 4) + 0.0 AS distance
+FROM ddr WHERE rank < 10
 """
 
 
