@@ -1082,16 +1082,23 @@ class IVFPQIndex:
         m: int,
         sample_size: int = 16384,
         iters: int = 10,
+        nbits: int = 8,
     ) -> "IVFPQIndex":
+        """``nbits`` = residual-code width (faiss ``IVF<n>,PQ<m>x<b>``)."""
         from .operators.pq import ivfpq_build
 
         base = _float_view(vt)
         centroids, books, codes = ivfpq_build(
-            base, n_cells, m, sample_size=sample_size, iters=iters
+            base, n_cells, m, sample_size=sample_size, iters=iters,
+            nbits=nbits,
         )
         codes = codes.persist()
         n = codes.count()
         return cls(vt.spark, vt.d, centroids, books, codes, n)
+
+    @property
+    def nbits(self) -> int:
+        return int(self.codebooks.shape[1]).bit_length() - 1
 
     @property
     def nlist(self) -> int:
@@ -1429,14 +1436,24 @@ class PQIndex:
         m: int,
         iters: int = 10,
         sample_size: int = 16384,
+        nbits: int = 8,
     ) -> "PQIndex":
+        """``nbits`` = code width per subspace (faiss ``PQ<m>x<b>``,
+        1..8); the codebook shape carries it everywhere downstream."""
         from .operators.pq import pq_encode, pq_train
 
         base = _float_view(vt)
-        books = pq_train(base, m, iters=iters, sample_size=sample_size)
+        books = pq_train(
+            base, m, iters=iters, sample_size=sample_size, nbits=nbits
+        )
         codes = pq_encode(base, books).persist()
         n = codes.count()
         return cls(vt.spark, vt.d, books, codes, n)
+
+    @property
+    def nbits(self) -> int:
+        """Code width per subspace, read back from the codebook shape."""
+        return int(self.codebooks.shape[1]).bit_length() - 1
 
     @property
     def ntotal(self) -> int:
@@ -2225,14 +2242,17 @@ def index_factory(vt, spec: str, **train_kw):
     - ``"IMI2x4"`` / ``"IMI2x8,Flat"`` → :class:`IMIIndex` (faiss
       MultiIndexQuantizer inverted multi-index: 2^(2b) composite
       cells from two b-bit half-space quantizers)
-    - ``"PQ16"``            → :class:`PQIndex` (m=16)
+    - ``"PQ16"`` / ``"PQ16x4"`` → :class:`PQIndex` (m=16; the
+      ``x<b>`` suffix is the faiss nbits code width, 1..8 — 2^b
+      codewords per subspace)
     - ``"RQ4x8"``           → :class:`RQIndex` (faiss
       IndexResidualQuantizer: 4 sequential full-width 8-bit stages)
     - ``"IVF256"`` / ``"IVF256,Flat"`` → :class:`IVFIndex` (nlist=256)
     - ``"IVF256,FlatDedup"`` → :class:`IVFFlatDedupIndex` (faiss
       ``IndexIVFFlatDedup``: distinct vectors stored once, duplicate
       ids in a side map, search expands them back)
-    - ``"IVF256,PQ16"``     → :class:`IVFPQIndex`
+    - ``"IVF256,PQ16"`` / ``"IVF256,PQ16x4"`` → :class:`IVFPQIndex`
+      (``x<b>`` = residual-code nbits)
     - ``"IVF256,PQ16+16"``  → :class:`IVFPQRIndex` (faiss IndexIVFPQR:
       the ``+<m_refine>`` suffix is the refine PQ's byte count)
     - ``"IVF256,SQ8"`` / ``",SQ6"`` / ``",SQ4"`` → :class:`IVFSQIndex`
@@ -2340,19 +2360,25 @@ def index_factory(vt, spec: str, **train_kw):
     m = re.fullmatch(r"IMI2x(\d+)(?:,Flat)?", s)
     if m:
         return IMIIndex.from_table(vt, b=int(m.group(1)), **train_kw)
-    m = re.fullmatch(r"PQ(\d+)", s)
+    m = re.fullmatch(r"PQ(\d+)(?:x(\d+))?", s)
     if m:
-        return PQIndex.from_table(vt, m=int(m.group(1)), **train_kw)
+        kw = dict(train_kw)
+        if m.group(2) is not None:
+            kw["nbits"] = int(m.group(2))
+        return PQIndex.from_table(vt, m=int(m.group(1)), **kw)
     m = re.fullmatch(r"IVF(\d+)(?:,Flat)?", s)
     if m:
         return IVFIndex.from_table(vt, n_cells=int(m.group(1)), **train_kw)
     m = re.fullmatch(r"IVF(\d+),FlatDedup", s)
     if m:
         return IVFFlatDedupIndex.from_table(vt, n_cells=int(m.group(1)), **train_kw)
-    m = re.fullmatch(r"IVF(\d+),PQ(\d+)", s)
+    m = re.fullmatch(r"IVF(\d+),PQ(\d+)(?:x(\d+))?", s)
     if m:
+        kw = dict(train_kw)
+        if m.group(3) is not None:
+            kw["nbits"] = int(m.group(3))
         return IVFPQIndex.from_table(
-            vt, n_cells=int(m.group(1)), m=int(m.group(2)), **train_kw
+            vt, n_cells=int(m.group(1)), m=int(m.group(2)), **kw
         )
     m = re.fullmatch(r"IVF(\d+),PQ(\d+)\+(\d+)", s)
     if m:

@@ -75,6 +75,17 @@ def _check_dims(d: int, m: int) -> int:
     return d // m
 
 
+def _check_nbits(nbits: int) -> int:
+    """2^nbits codewords; 1..8 keeps one uint8 code per subspace (the
+    stored layout is one byte per sub-code at every width — the scan is
+    LUT-gather-bound, and the SQ tier owns the true bit-packed layout;
+    faiss packs nbits<8 codes, a storage-layout divergence, not a
+    semantic one)."""
+    if not 1 <= int(nbits) <= 8:
+        raise ValueError(f"nbits must be in 1..8, got {nbits}")
+    return 1 << int(nbits)
+
+
 def pq_train(
     vectors: DataFrame,
     m: int,
@@ -82,8 +93,9 @@ def pq_train(
     vec_col: str = "vec",
     sample_size: int = 16384,
     iters: int = 10,
+    nbits: int = 8,
 ) -> np.ndarray:
-    """Train per-subspace codebooks → ``(m, 256, d/m)`` float64.
+    """Train per-subspace codebooks → ``(m, 2^nbits, d/m)`` float64.
 
     Deterministic: sample = ``train_sample`` hash-thresholded rows
     (O(n) driver merge, stable across partitionings), init = first 256
@@ -99,27 +111,33 @@ def pq_train(
         extra_cols=("vec",),
     )
     X = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
-    return train_books_np(X, m, iters)
+    return train_books_np(X, m, iters, ksub=_check_nbits(nbits))
 
 
-def train_books_np(X: np.ndarray, m: int, iters: int = 10) -> np.ndarray:
-    """Per-subspace Lloyd's on a host sample → ``(m, 256, d/m)``."""
+def train_books_np(
+    X: np.ndarray, m: int, iters: int = 10, ksub: int = KSUB
+) -> np.ndarray:
+    """Per-subspace Lloyd's on a host sample → ``(m, ksub, d/m)``.
+    ``ksub`` = 2^nbits codewords per subspace (faiss ProductQuantizer
+    nbits; 256 = the 8-bit default). Every consumer reads the codebook
+    width from ``codebooks.shape``, so narrower codes flow through
+    encode / ADC / decode / IO unchanged."""
     n, d = X.shape
     dsub = _check_dims(d, m)
-    if n < KSUB:
-        raise ValueError(f"need ≥ {KSUB} training vectors, got {n}")
-    books = np.empty((m, KSUB, dsub), dtype=np.float64)
+    if n < ksub:
+        raise ValueError(f"need ≥ {ksub} training vectors, got {n}")
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
     for j in range(m):
         Xj = X[:, j * dsub : (j + 1) * dsub]
-        C = Xj[:KSUB].copy()
+        C = Xj[:ksub].copy()
         for _ in range(iters):
             cn = (C * C).sum(1)
             assign = (cn[None, :] - 2.0 * (Xj @ C.T)).argmin(1)
             # vectorized centroid update (scatter-add + count); empty
             # clusters keep their previous centroid
-            sums = np.zeros((KSUB, dsub), dtype=np.float64)
+            sums = np.zeros((ksub, dsub), dtype=np.float64)
             np.add.at(sums, assign, Xj)
-            counts = np.bincount(assign, minlength=KSUB).astype(np.float64)
+            counts = np.bincount(assign, minlength=ksub).astype(np.float64)
             nz = counts > 0
             C[nz] = sums[nz] / counts[nz, None]
         books[j] = C
@@ -421,10 +439,11 @@ def ivfpq_build(
     vec_col: str = "vec",
     sample_size: int = 16384,
     iters: int = 10,
+    nbits: int = 8,
 ):
     """Train coarse + residual quantizers and encode the corpus.
 
-    Returns ``(centroids (n_cells, d), codebooks (m, 256, d/m),
+    Returns ``(centroids (n_cells, d), codebooks (m, 2^nbits, d/m),
     codes DataFrame (id, cell, code BINARY))``. Training is O(sample)
     on the driver (both quantizers), encoding is one scan: assign cell,
     subtract its centroid, PQ-encode the residual — no shuffle.
@@ -444,7 +463,7 @@ def ivfpq_build(
     )
     V = np.stack(sample["vec"].to_numpy()).astype(np.float64)
     R = V - centroids[sample["cell"].to_numpy(np.int64)]
-    books = train_books_np(R, m, iters)
+    books = train_books_np(R, m, iters, ksub=_check_nbits(nbits))
 
     codes_df = ivfpq_encode(assigned, centroids, books, id_col=id_col, vec_col=vec_col)
     return centroids, books, codes_df
