@@ -623,6 +623,46 @@ class IVFIndex:
             raise KeyError(f"id {key} not in index")
         return np.asarray(row[0]["vec"], np.float64)
 
+    def update_vectors(self, ids, x: np.ndarray) -> "IVFIndex":
+        """≙ faiss ``IndexIVFFlat::update_vectors(n, idx, x)``: replace
+        the stored vectors of EXISTING ids in place — each replacement
+        is re-assigned against the FROZEN coarse quantizer (an update
+        may move an entry to a different inverted list, exactly as
+        faiss removes from the old list and appends to the new one).
+        Ids keep their labels; absent ids raise KeyError (faiss asserts
+        via the direct map). ntotal is unchanged."""
+        from .operators.similarity import ivf_assign
+
+        x = np.atleast_2d(np.asarray(x, dtype=np.float32))
+        ids_arr = np.asarray(ids, dtype=np.int64).ravel()
+        if len(ids_arr) != len(x):
+            raise ValueError("ids length must match vector count")
+        if len(np.unique(ids_arr)) != len(ids_arr):
+            raise ValueError("duplicate ids in one update batch")
+        if len(x) and x.shape[1] != self.d:
+            raise ValueError(f"expected d={self.d}, got {x.shape[1]}")
+        if len(x) == 0:
+            return self
+        batch = [int(i) for i in ids_arr]
+        present = self.assigned.where(F.col("id").isin(batch)).count()
+        if present != len(batch):
+            raise KeyError(
+                f"update_vectors: {len(batch) - present} id(s) not in index"
+            )
+        new = ivf_assign(
+            self.spark.createDataFrame(
+                pd.DataFrame({"id": ids_arr, "vec": [v.tolist() for v in x]}),
+                schema="id long, vec array<float>",
+            ),
+            self.centroids,
+        )
+        old = self.assigned
+        updated = _drop_ids(old, ids_arr).unionByName(new).persist()
+        self._n = updated.count()
+        old.unpersist()
+        self.assigned = updated
+        return self
+
     def release(self) -> None:
         self.assigned.unpersist()
 

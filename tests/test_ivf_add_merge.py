@@ -10,6 +10,7 @@ trained state refuses.
 """
 
 import numpy as np
+from pyspark.sql import functions as F
 import pytest
 
 from faiss_metal_spark import (
@@ -131,3 +132,47 @@ def test_merge_from_ivfpq_and_sq_state_checked(spark):
         s1.merge_from(s2)  # different SQ width → codes incompatible
     for i in (p1, p2, s1, s2):
         i.release()
+
+
+def test_ivf_update_vectors_moves_cells_and_keeps_ids(spark):
+    """faiss IndexIVFFlat::update_vectors: in-place replacement against
+    the frozen quantizer — an update may move an entry to a different
+    inverted list; labels and ntotal never change; absent ids raise."""
+    V, Q = make_fixture(300, 4, 16, seed=505)
+    idx = IVFIndex.from_table(_table(spark, V), n_cells=5, sample_size=300)
+    n0 = idx.ntotal
+
+    # replace ids 10..12 with copies of far-away rows 200..202: the
+    # updated entries must be found AT the updated location under their
+    # OLD labels, and the old vectors at those labels must be gone
+    new_vecs = V[200:203]
+    idx.update_vectors([10, 11, 12], new_vecs)
+    assert idx.ntotal == n0
+    D, L = idx.search_numpy(new_vecs, 2, nprobe=5)
+    # exact duplicates now exist: (10,200), (11,201), (12,202) — the
+    # (distance, label) tie order puts the smaller label first
+    assert L[:, 0].tolist() == [10, 11, 12]
+    assert np.allclose(D[:, 0], 0.0, atol=1e-9)
+    assert L[:, 1].tolist() == [200, 201, 202]
+    # the replaced originals are no longer findable at distance 0
+    D_old, L_old = idx.search_numpy(V[10:13], 1, nprobe=5)
+    assert not np.allclose(D_old[:, 0], 0.0, atol=1e-12)
+
+    # cells were genuinely re-assigned (not left in the old lists)
+    from faiss_metal_spark.operators.similarity import ivf_assign
+    import pandas as pd  # noqa: F401
+    got = {
+        r["id"]: r["cell"]
+        for r in idx.assigned.where(F.col("id").isin([10, 11, 12])).collect()
+    }
+    want = {
+        r["id"] - 190: r["cell"]
+        for r in idx.assigned.where(F.col("id").isin([200, 201, 202])).collect()
+    }
+    assert got == want
+
+    with pytest.raises(KeyError):
+        idx.update_vectors([99999], V[:1])
+    with pytest.raises(ValueError):
+        idx.update_vectors([1, 1], V[:2])
+    assert idx.update_vectors([], np.zeros((0, 16), np.float32)) is idx
