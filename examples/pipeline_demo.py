@@ -168,6 +168,33 @@ def main() -> None:
         f"graph grew {g.ntotal - vt.ntotal} nodes to ntotal={g.ntotal}"
     )
     lshidx.release(); pqr.release(); g.release()
+
+    # 10. round-8 fourth wave: dedup inverted file, narrow PQ codes,
+    #     generic RFlat refine suffix, in-place IVF updates
+    dup_vt = IDMapVectorTable(spark, d=64)
+    dup_vt.add_with_ids_df(
+        emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+        .unionByName(
+            emb.where(F.col("vec_id") < 10).select(
+                (F.col("vec_id") + 5000).alias("id"),
+                F.col("embedding").alias("vec"),
+            )
+        )
+    )
+    ddup = index_factory(dup_vt, "IVF8,FlatDedup", sample_size=500)
+    _, Ld = ddup.search_numpy(Q[:2], 2, nprobe=8)
+    pq4 = index_factory(vt, "PQ8x4,RFlat", sample_size=500, k_factor=8)
+    _, L4 = pq4.search_numpy(Q, 5)
+    upd = index_factory(vt, "IVF8,Flat", sample_size=500)
+    upd.update_vectors([0], Q[1:2])  # IndexIVFFlat::update_vectors
+    print(
+        "[r8 wave4] "
+        f"dedup stored={ddup.ntotal} dups={ddup.n_instances} "
+        f"expanded-top2={Ld.tolist()} "
+        f"pq8x4+rflat recall={mean_recall(_as_df(spark, L4), exact):.2f} "
+        f"ivf updated ntotal={upd.ntotal}"
+    )
+    ddup.release(); pq4.base.release(); upd.release()
     print("OK")
 
 
