@@ -1390,11 +1390,14 @@ class OPQIndex:
         m: int,
         iters: int = 8,
         sample_size: int = 16384,
+        nbits: int = 8,
     ) -> "OPQIndex":
         from .operators.opq import opq_encode, opq_train
 
         base = _float_view(vt)
-        R, books = opq_train(base, m, iters=iters, sample_size=sample_size)
+        R, books = opq_train(
+            base, m, iters=iters, sample_size=sample_size, nbits=nbits
+        )
         codes = opq_encode(base, R, books).persist()
         n = codes.count()
         return cls(vt.spark, vt.d, R, books, codes, n)
@@ -2437,13 +2440,16 @@ def index_factory(vt, spec: str, **train_kw):
     m = re.fullmatch(r"HNSW(\d+)(?:,Flat)?", s)
     if m:
         return GraphIndex.from_table(vt, M=int(m.group(1)), **train_kw)
-    m = re.fullmatch(r"OPQ(\d+)(?:,PQ(\d+))?", s)
+    m = re.fullmatch(r"OPQ(\d+)(?:,PQ(\d+)(?:x(\d+))?)?", s)
     if m:
         if m.group(2) is not None and m.group(2) != m.group(1):
             raise ValueError(
                 f"index_factory: OPQ{m.group(1)} must pair with PQ{m.group(1)}"
             )
-        return OPQIndex.from_table(vt, m=int(m.group(1)), **train_kw)
+        kw = dict(train_kw)
+        if m.group(3) is not None:
+            kw["nbits"] = int(m.group(3))
+        return OPQIndex.from_table(vt, m=int(m.group(1)), **kw)
     m = re.fullmatch(r"LSH(\d*)", s)
     if m:
         nbits = int(m.group(1)) if m.group(1) else None

@@ -66,11 +66,12 @@ def opq_train(
     vec_col: str = "vec",
     sample_size: int = 16384,
     seed_rotation: np.ndarray | None = None,
+    nbits: int = 8,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Alternating OPQ training on a driver-side sample. Returns
     ``(R, books)``: R is (d, d) orthogonal (vectors rotate as x → Rx),
-    books is the PQ codebook tensor (m, 256, d/m) trained in rotated
-    space. Deterministic for fixed inputs (Procrustes SVD on the exact
+    books is the PQ codebook tensor (m, 2^nbits, d/m) trained in
+    rotated space. Deterministic for fixed inputs (Procrustes SVD on the exact
     sample; init R = identity unless ``seed_rotation`` is given)."""
     from .similarity import train_sample
 
@@ -79,21 +80,24 @@ def opq_train(
         sample_size,
         extra_cols=("vec",),
     )
+    from .pq import _check_nbits
+
+    ksub = _check_nbits(nbits)
     X = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
-    if len(X) < KSUB:
-        raise ValueError(f"need ≥ {KSUB} training vectors, got {len(X)}")
+    if len(X) < ksub:
+        raise ValueError(f"need ≥ {ksub} training vectors, got {len(X)}")
     d = X.shape[1]
     R = np.eye(d) if seed_rotation is None else np.asarray(seed_rotation, np.float64)
     books = None
     for _ in range(iters):
         Xr = X @ R.T
-        books = train_books_np(Xr, m, pq_iters)
+        books = train_books_np(Xr, m, pq_iters, ksub=ksub)
         Y = _reconstruct_np(_assign_np(Xr, books), books)
         # orthogonal Procrustes: min_A ‖XA − Y‖_F with A = Rᵀ
         U, _, Vt = np.linalg.svd(X.T @ Y)
         R = (U @ Vt).T
     # final codebooks consistent with the final R
-    books = train_books_np(X @ R.T, m, pq_iters)
+    books = train_books_np(X @ R.T, m, pq_iters, ksub=ksub)
     return R, books
 
 

@@ -86,3 +86,17 @@ def test_bad_nbits_refuses(spark):
     with pytest.raises(ValueError):
         # 2^6 = 64 codewords need ≥ 64 training rows
         train_books_np(np.zeros((10, 16)), 4, ksub=64)
+
+
+def test_opq_nbits(spark):
+    from faiss_metal_spark import OPQIndex, index_factory
+
+    V, Q = make_fixture(300, 3, 16, seed=305)
+    vt = _table(spark, V)
+    idx = index_factory(vt, "OPQ4,PQ4x4", sample_size=300, iters=2)
+    assert isinstance(idx, OPQIndex)
+    assert idx.codebooks.shape == (4, 16, 4)
+    D, L = idx.search_numpy(Q, 3)
+    assert (L >= 0).all() and (D >= 0).all()
+    with pytest.raises(ValueError):
+        index_factory(vt, "OPQ4,PQ8x4")
