@@ -2111,18 +2111,23 @@ class RQIndex:
     codebooks: np.ndarray  # (m, 256, d)
     codes: DataFrame
     _n: int = field(default=-1, repr=False)
+    beam: int = 1  # faiss ResidualQuantizer::max_beam_size (encode-side)
 
     @classmethod
     def from_table(
-        cls, vt, m: int, sample_size: int = 16384, iters: int = 10
+        cls, vt, m: int, sample_size: int = 16384, iters: int = 10,
+        beam: int = 1,
     ) -> "RQIndex":
+        """``beam`` ≙ faiss ``max_beam_size``: encode-side beam search
+        over the stage chains (1 = the greedy default; the index
+        remembers it so add/sa_encode stay self-consistent)."""
         from .operators.rq import rq_encode, rq_train
 
         base = _float_view(vt)
         books = rq_train(base, m, sample_size=sample_size, iters=iters)
-        codes = rq_encode(base, books).persist()
+        codes = rq_encode(base, books, beam=beam).persist()
         n = codes.count()
-        return cls(vt.spark, vt.d, books, codes, n)
+        return cls(vt.spark, vt.d, books, codes, n, beam=int(beam))
 
     @property
     def ntotal(self) -> int:
@@ -2143,7 +2148,10 @@ class RQIndex:
         append."""
         from .operators.rq import rq_encode
 
-        new = rq_encode(_ivf_add_rows(df, id_col, vec_col), self.codebooks)
+        new = rq_encode(
+            _ivf_add_rows(df, id_col, vec_col), self.codebooks,
+            beam=self.beam,
+        )
         _append_frame(self, "codes", new)
         return self
 
@@ -2175,7 +2183,7 @@ class RQIndex:
         x = np.atleast_2d(np.asarray(x, np.float64))
         if x.shape[1] != self.d:
             raise ValueError(f"expected (n, {self.d}) array, got {x.shape}")
-        codes = rq_assign_np(x, self.codebooks)
+        codes = rq_assign_np(x, self.codebooks, beam=self.beam)
         return np.array([row.tobytes() for row in codes], dtype=object)
 
     def sa_decode(self, codes) -> np.ndarray:

@@ -74,19 +74,60 @@ def _stage_assign(X: np.ndarray, book: np.ndarray) -> np.ndarray:
     return (cn[None, :] - 2.0 * (X @ book.T)).argmin(1)
 
 
-def rq_assign_np(X: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+def rq_assign_np(
+    X: np.ndarray, codebooks: np.ndarray, beam: int = 1
+) -> np.ndarray:
     """(n, d) float → (n, m) uint8 sequential stage codes — the ONE
     statement of RQ encoding, shared by the distributed encode and the
-    host codec so assignment can never drift."""
+    host codec so assignment can never drift.
+
+    ``beam`` ≙ faiss ``ResidualQuantizer::max_beam_size``: at each
+    stage keep the ``beam`` best partial chains by TRUE residual energy
+    (recomputed, not accumulated — no cancellation drift), expand each
+    against all codewords, re-select. ``beam=1`` is the greedy faiss
+    default-trainer chain (fast path, bit-identical to the historical
+    encode); larger beams trade encode FLOPs for reconstruction error.
+    Ties break on first index at every selection (stable sorts), so the
+    output is deterministic."""
     X = np.atleast_2d(np.asarray(X, np.float64))
     m = len(codebooks)
-    R = X.copy()
-    codes = np.empty((len(X), m), dtype=np.uint8)
-    for j in range(m):
-        cj = _stage_assign(R, codebooks[j])
-        codes[:, j] = cj
-        R = R - codebooks[j][cj]
-    return codes
+    if beam <= 1:
+        R = X.copy()
+        codes = np.empty((len(X), m), dtype=np.uint8)
+        for j in range(m):
+            cj = _stage_assign(R, codebooks[j])
+            codes[:, j] = cj
+            R = R - codebooks[j][cj]
+        return codes
+    n, d = X.shape
+    ksub = codebooks.shape[1]
+    B = min(int(beam), ksub)
+    if n == 0:
+        return np.empty((0, m), dtype=np.uint8)
+    # stage 0: best B single-stage prefixes per vector
+    c0 = codebooks[0]
+    cn0 = (c0 * c0).sum(1)
+    e0 = (X * X).sum(1)[:, None] + cn0[None, :] - 2.0 * (X @ c0.T)
+    sel = np.argsort(e0, axis=1, kind="stable")[:, :B]  # (n, B)
+    codes_acc = np.zeros((n, B, m), dtype=np.uint8)
+    codes_acc[:, :, 0] = sel
+    res = X[:, None, :] - c0[sel]  # (n, B, d)
+    errs = (res * res).sum(2)
+    for j in range(1, m):
+        cj = codebooks[j]
+        cnj = (cj * cj).sum(1)
+        cand = errs[:, :, None] + cnj[None, None, :] - 2.0 * (res @ cj.T)
+        flat = cand.reshape(n, B * ksub)
+        sel2 = np.argsort(flat, axis=1, kind="stable")[:, :B]  # (n, B)
+        parent = sel2 // ksub
+        code_k = (sel2 % ksub).astype(np.uint8)
+        codes_acc = np.take_along_axis(
+            codes_acc, parent[:, :, None], axis=1
+        )
+        codes_acc[:, :, j] = code_k
+        res = np.take_along_axis(res, parent[:, :, None], axis=1) - cj[code_k]
+        errs = (res * res).sum(2)
+    return codes_acc[:, 0, :]
 
 
 def rq_decode_np(codes: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
@@ -113,9 +154,11 @@ def rq_encode(
     codebooks: np.ndarray,
     id_col: str = "id",
     vec_col: str = "vec",
+    beam: int = 1,
 ) -> DataFrame:
     """One-scan encode → ``(id, code BINARY, recn DOUBLE)``; ``recn``
-    = ‖reconstruction‖², precomputed here so search never decodes."""
+    = ‖reconstruction‖², precomputed here so search never decodes.
+    ``beam`` forwards to :func:`rq_assign_np` (faiss max_beam_size)."""
     spark = vectors.sparkSession
     bc = spark.sparkContext.broadcast(codebooks)
 
@@ -127,7 +170,7 @@ def rq_encode(
             if batch.num_rows == 0:
                 continue
             V = _arrow_matrix(batch.column(vec_col), "array", np.float64)
-            codes = rq_assign_np(V, books_)
+            codes = rq_assign_np(V, books_, beam=beam)
             rec = rq_decode_np(codes, books_)
             recn = (rec * rec).sum(1)
             yield pa.record_batch(

@@ -418,7 +418,13 @@ def _write_payload(index, path: str) -> None:
         _write_meta(
             index.spark,
             path,
-            {"kind": "rq", "d": index.d, "ntotal": index.ntotal, "shapes": shapes},
+            {
+                "kind": "rq",
+                "d": index.d,
+                "ntotal": index.ntotal,
+                "beam": index.beam,
+                "shapes": shapes,
+            },
         )
     elif isinstance(index, OPQIndex):
         _write_frame(index.codes, f"{path}/codes")
@@ -739,6 +745,7 @@ def _read_payload(spark: SparkSession, path: str):
             arrays["codebooks"],
             spark.read.parquet(f"{path}/codes"),
             meta["ntotal"],
+            beam=int(meta.get("beam", 1)),  # pre-beam stores default greedy
         )
     if kind == "opq":
         return OPQIndex(
