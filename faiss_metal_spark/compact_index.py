@@ -623,6 +623,40 @@ class IVFIndex:
             raise KeyError(f"id {key} not in index")
         return np.asarray(row[0]["vec"], np.float64)
 
+    def search_preassigned(
+        self, queries: DataFrame, k: int, assign: np.ndarray
+    ) -> DataFrame:
+        """≙ faiss ``IndexIVF::search_preassigned``: the CALLER supplies
+        each query's probe cells instead of ranking against the coarse
+        quantizer — the hook for cached, sharded, or externally-computed
+        assignments. ``assign`` is indexed by qid: row ``assign[qid]``
+        lists that query's cells (so it must cover max(qid)+1 rows);
+        nprobe = the row width. In-cell search is unchanged, so a full
+        assignment reproduces ``search`` exactly."""
+        from .operators.similarity import ivf_search
+
+        A = np.atleast_2d(np.asarray(assign, dtype=np.int64))
+
+        def hook(Q, qids):
+            return A[np.asarray(qids, np.int64)]
+
+        hook.by_qid = True
+        return ivf_search(
+            self.assigned, self.centroids, queries, k,
+            nprobe=A.shape[1], metric=self.metric, probe_cells=hook,
+        )
+
+    def search_preassigned_numpy(
+        self, x: np.ndarray, k: int, assign: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Host twin: ``assign`` row i pairs with query row i (the faiss
+        array contract)."""
+        return _host_result(
+            self.search_preassigned(_query_df(self.spark, x), k, assign),
+            len(np.atleast_2d(x)),
+            k,
+        )
+
     def update_vectors(self, ids, x: np.ndarray) -> "IVFIndex":
         """≙ faiss ``IndexIVFFlat::update_vectors(n, idx, x)``: replace
         the stored vectors of EXISTING ids in place — each replacement

@@ -497,7 +497,13 @@ def _collect_probe(
     qids = qpdf["qid"].to_numpy(np.int64)
     Q = np.stack(qpdf["qvec"].to_numpy()).astype(np.float64)
     if probe_cells is not None:
-        probe = np.asarray(probe_cells(Q))[:, :nprobe]
+        # a hook marked ``by_qid`` is called with the collected qids so
+        # it can align caller-supplied per-query assignments exactly
+        # (search_preassigned); plain hooks rank from Q alone (IMI)
+        if getattr(probe_cells, "by_qid", False):
+            probe = np.asarray(probe_cells(Q, qids))[:, :nprobe]
+        else:
+            probe = np.asarray(probe_cells(Q))[:, :nprobe]
     else:
         cn = (centroids * centroids).sum(1)
         order = (cn[None, :] - 2.0 * (Q @ centroids.T)).argsort(1, kind="stable")

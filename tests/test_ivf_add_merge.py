@@ -176,3 +176,36 @@ def test_ivf_update_vectors_moves_cells_and_keeps_ids(spark):
     with pytest.raises(ValueError):
         idx.update_vectors([1, 1], V[:2])
     assert idx.update_vectors([], np.zeros((0, 16), np.float32)) is idx
+
+
+def test_ivf_search_preassigned(spark):
+    """faiss IndexIVF::search_preassigned: caller-supplied probe cells.
+    Feeding the engine's own ranking back reproduces search() exactly;
+    a deliberately wrong single-cell assignment returns only that
+    cell's rows (subset, never a false positive); full coverage ≡
+    exact."""
+    V, Q = make_fixture(300, 6, 16, seed=606)
+    idx = IVFIndex.from_table(_table(spark, V), n_cells=5, sample_size=300)
+    C = idx.centroids
+    Qd = Q.astype(np.float64)
+    cn = (C * C).sum(1)
+    order = (cn[None, :] - 2.0 * (Qd @ C.T)).argsort(1, kind="stable")
+
+    D_ref, L_ref = idx.search_numpy(Q, 5, nprobe=2)
+    D_pre, L_pre = idx.search_preassigned_numpy(Q, 5, order[:, :2])
+    assert np.array_equal(L_ref, L_pre) and np.allclose(D_ref, D_pre)
+
+    # full coverage ≡ exact full probe
+    D_all, L_all = idx.search_preassigned_numpy(Q, 5, order)
+    D_full, L_full = idx.search_numpy(Q, 5, nprobe=5)
+    assert np.array_equal(L_all, L_full) and np.allclose(D_all, D_full)
+
+    # a wrong single cell only ever returns members of that cell
+    wrong = order[:, -1:]  # every query probes its FARTHEST cell
+    _, L_w = idx.search_preassigned_numpy(Q, 5, wrong)
+    cells = {r["id"]: r["cell"] for r in idx.assigned.collect()}
+    for qi in range(len(Q)):
+        want_cell = wrong[qi, 0]
+        for lab in L_w[qi]:
+            if lab >= 0:
+                assert cells[lab] == want_cell
