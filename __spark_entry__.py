@@ -361,7 +361,16 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship-year rollup), 'q8' national market share (conditional share
     of a region's volume per order-year), 'q9' product-type profit by
     nation and order-year (partsupp is absent from the synthetic
-    schema, so profit = revenue — the join/rollup shape is q9's).
+    schema, so profit = revenue — the join/rollup shape is q9's),
+    'q4' order-priority count gated by EXISTS over lineitem (the
+    returned-line flag stands in for commitdate<receiptdate, absent
+    from the synthetic schema), 'q13' customer order-count
+    distribution (filtered LEFT OUTER join — the filter lives in the
+    join condition so zero-order customers survive), 'q16'
+    distinct-supplier count per part attribute with a NOT-IN
+    complaint-supplier exclusion (lineitem stands in for partsupp),
+    'q21' suppliers who solely flagged a multi-supplier F-order
+    (EXISTS other participant + NOT EXISTS other flagger).
     Uniform schema (shape, k1, k2, yr, val)."""
     r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     n = _t(spark, sf_dir, "nation")
@@ -450,7 +459,100 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(*row("q9", F.col("n_name"), F.lit(None).cast("string"),
                      F.col("o_year"), F.col("profit")))
     )
-    return q5.unionByName(q7).unionByName(q8).unionByName(q9)
+    # q4: priority counts over a date window, EXISTS → left-semi join
+    q4 = (
+        o.where(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1996-07-01")
+        )
+        .join(
+            # big-big semi join: hash, never sort-merge (both sides are
+            # corpus-proportional; the date filter bounds the probe side)
+            l.where(F.col("l_returnflag") == "R")
+            .select("l_orderkey").hint("SHUFFLE_HASH"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("double").alias("order_count"))
+        .select(*row("q4", F.col("o_orderpriority"),
+                     F.lit(None).cast("string"), F.lit(None),
+                     F.col("order_count")))
+    )
+    # q13: order-count distribution; the priority filter is IN the join
+    # condition so customers with only urgent orders land at c_count=0
+    q13 = (
+        c.join(
+            o.where(F.col("o_orderpriority") != "1-URGENT").hint("SHUFFLE_HASH"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").cast("double").alias("custdist"))
+        .select(*row("q13", F.lit(None).cast("string"),
+                     F.lit(None).cast("string"), F.col("c_count"),
+                     F.col("custdist")))
+    )
+    # q16: lineitem stands in for partsupp; complaint suppliers NOT IN
+    p16 = p.where(
+        (F.col("p_brand") != "Brand#11")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    compl = s.where(F.col("s_name").like("%7%")).select("s_suppkey")
+    q16 = (
+        l.select("l_partkey", "l_suppkey").distinct()
+        .join(F.broadcast(p16), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(compl),
+              F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("double").alias("supplier_cnt"))
+        .select(*row("q16", F.col("p_brand"), F.col("p_type"),
+                     F.col("p_size"), F.col("supplier_cnt")))
+    )
+    # q21: sole flagger of a multi-supplier F-order (semi + anti join)
+    part_by = l.select("l_orderkey", "l_suppkey").distinct()
+    flagged = (
+        l.where(F.col("l_returnflag") == "R")
+        .join(
+            o.where(F.col("o_orderstatus") == "F")
+            .select("o_orderkey").hint("SHUFFLE_HASH"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_semi",
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    oth = part_by.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk")
+    )
+    oth_r = flagged.select(
+        F.col("l_orderkey").alias("_okr"), F.col("l_suppkey").alias("_skr")
+    )
+    q21 = (
+        flagged.join(
+            oth.hint("SHUFFLE_HASH"),
+            (F.col("l_orderkey") == F.col("_ok"))
+            & (F.col("l_suppkey") != F.col("_sk")),
+            "left_semi",
+        )
+        .join(
+            oth_r.hint("SHUFFLE_HASH"),
+            (F.col("l_orderkey") == F.col("_okr"))
+            & (F.col("l_suppkey") != F.col("_skr")),
+            "left_anti",
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("double").alias("numwait"))
+        .select(*row("q21", F.col("s_name"), F.lit(None).cast("string"),
+                     F.lit(None), F.col("numwait")))
+    )
+    return (
+        q5.unionByName(q7).unionByName(q8).unionByName(q9)
+        .unionByName(q4).unionByName(q13).unionByName(q16).unionByName(q21)
+    )
 
 
 ORACLE_Q5 = """
@@ -505,6 +607,50 @@ WHERE p_partkey = l_partkey AND l_orderkey = o_orderkey
   AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
   AND p_name LIKE '%1%'
 GROUP BY n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)
+UNION ALL
+SELECT 'q4', o_orderpriority, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       CAST(COUNT(*) AS DOUBLE)
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+UNION ALL
+SELECT 'q13', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), c_count,
+       CAST(COUNT(*) AS DOUBLE)
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+UNION ALL
+SELECT 'q16', p_brand, p_type, CAST(p_size AS BIGINT),
+       CAST(COUNT(DISTINCT l_suppkey) AS DOUBLE)
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps, part
+WHERE p_partkey = l_partkey
+  AND p_brand <> 'Brand#11'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7%')
+GROUP BY p_brand, p_type, p_size
+UNION ALL
+SELECT 'q21', s_name, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       CAST(COUNT(*) AS DOUBLE)
+FROM (
+  SELECT DISTINCT l.l_orderkey AS f_ok, l.l_suppkey AS f_sk
+  FROM lineitem l, orders
+  WHERE o_orderkey = l.l_orderkey AND o_orderstatus = 'F'
+    AND l.l_returnflag = 'R'
+) l1, supplier
+WHERE s_suppkey = f_sk
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = f_ok AND l2.l_suppkey <> f_sk)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = f_ok AND l3.l_suppkey <> f_sk
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
 """
 
 
