@@ -2366,7 +2366,9 @@ def _fixed_quantizers(emb: DataFrame):
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN, both architectures tagged in one
     result: 'pq' rows are flat ADC over 8-byte codes (64-dim FP32
-    256 B → 8 B, 32×), 'ivfpq' rows add the coarse quantizer (probe 4
+    256 B → 8 B, 32×), 'pq4' rows the 4-bit code width (faiss PQ8x4 —
+    16 fixed entries per subspace, same ADC arithmetic), 'ivfpq' rows
+    add the coarse quantizer (probe 4
     of 16 cells, residual ADC — FAISS IndexIVFPQ), 'refine' rows are
     two-stage retrieval (FAISS IndexRefineFlat: flat-ADC top-40
     candidates exactly rescored against the full vectors, re-ranked to
@@ -2403,6 +2405,12 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = pq_encode(emb, books)
     flat = pq_search(codes, books, queries, k=10)
 
+    # pq4 lane: the 4-bit code width (faiss PQ8x4) — same machinery over
+    # the first SIXTEEN fixed codebook entries per subspace; every
+    # consumer reads the width from the codebook shape
+    books4 = books[:, :16, :].copy()
+    flat4 = pq_search(pq_encode(emb, books4), books4, queries, k=10)
+
     assigned = ivf_assign(emb, centroids)
     rcodes = ivfpq_encode(assigned, centroids, rbooks)
     ivf = ivfpq_search(rcodes, centroids, rbooks, queries, k=10, nprobe=_ANN_NPROBE)
@@ -2431,6 +2439,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         out_cols("pq", flat)
+        .unionByName(out_cols("pq4", flat4))
         .unionByName(out_cols("ivfpq", ivf))
         .unionByName(out_cols("refine", ref))
         .unionByName(out_cols("ivfpqr", pqr))
@@ -2682,6 +2691,33 @@ rf AS (
          row_number() OVER (PARTITION BY qid ORDER BY dist ASC, label ASC) - 1 AS rank
   FROM adc
 ),
+-- pq4 lane: the 4-bit code width (faiss PQ{m}x4) — the SAME argmin /
+-- ADC arithmetic over the first SIXTEEN codebook entries per subspace
+cs4 AS (SELECT ck, j, cj FROM cs WHERE ck < 16),
+enc4 AS (
+  SELECT id, j, ck FROM (
+    SELECT vs.id, vs.j, cs4.ck,
+           row_number() OVER (PARTITION BY vs.id, vs.j ORDER BY
+             list_inner_product(cs4.cj, cs4.cj)
+             - 2 * list_inner_product(vs.vj, cs4.cj) ASC,
+             cs4.ck ASC) AS rn
+    FROM vs JOIN cs4 ON vs.j = cs4.j)
+  WHERE rn = 1
+),
+adc4 AS (
+  SELECT qs.qid, enc4.id AS label,
+         SUM(list_inner_product(qs.qj, qs.qj) + list_inner_product(cs4.cj, cs4.cj)
+             - 2 * list_inner_product(qs.qj, cs4.cj)) AS dist
+  FROM qs
+  JOIN enc4 ON enc4.j = qs.j
+  JOIN cs4 ON cs4.j = enc4.j AND cs4.ck = enc4.ck
+  GROUP BY qs.qid, enc4.id
+),
+rf4 AS (
+  SELECT qid, label, dist,
+         row_number() OVER (PARTITION BY qid ORDER BY dist ASC, label ASC) - 1 AS rank
+  FROM adc4
+),
 vres AS (  -- residual of every vector wrt its own cell
   SELECT va.vec_id, va.cell,
          [x[1] - x[2] FOR x IN list_zip(va.embedding::DOUBLE[], c.cv::DOUBLE[])] AS rv
@@ -2829,6 +2865,10 @@ UNION ALL
 SELECT 'pq' AS path, CAST(qid AS BIGINT) AS qid, CAST(rank AS INTEGER) AS rank,
        CAST(label AS BIGINT) AS label, ROUND(dist, 4) + 0.0 AS distance
 FROM rf WHERE rank < 10
+UNION ALL
+SELECT 'pq4' AS path, CAST(qid AS BIGINT) AS qid, CAST(rank AS INTEGER) AS rank,
+       CAST(label AS BIGINT) AS label, ROUND(dist, 4) + 0.0 AS distance
+FROM rf4 WHERE rank < 10
 UNION ALL
 SELECT 'ivfpq' AS path, CAST(qid AS BIGINT) AS qid, CAST(rank AS INTEGER) AS rank,
        CAST(label AS BIGINT) AS label, ROUND(dist, 4) + 0.0 AS distance
