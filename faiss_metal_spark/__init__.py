@@ -33,10 +33,17 @@ from .quantize import STORAGE_BF16, STORAGE_FP16, STORAGE_FP32
 from .session import get_spark
 from .sources.index_io import clone_index, read_index, write_index
 from .sharded import ShardedIndex
-from .vector_table import IDMapVectorTable, SearchParams, SearchToken, VectorTable
+from .vector_table import (
+    IDMap2VectorTable,
+    IDMapVectorTable,
+    SearchParams,
+    SearchToken,
+    VectorTable,
+)
 
 __all__ = [
     "VectorTable",
+    "IDMap2VectorTable",
     "IDMapVectorTable",
     "SearchToken",
     "SearchParams",

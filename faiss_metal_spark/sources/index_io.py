@@ -247,16 +247,20 @@ def _write_payload(index, path: str) -> None:
     from ..vector_table import VectorTable
 
     if isinstance(index, VectorTable):
-        from ..vector_table import IDMapVectorTable
+        from ..vector_table import IDMap2VectorTable, IDMapVectorTable
 
+        if isinstance(index, IDMap2VectorTable):
+            vt_kind = "idmap2_vector_table"
+        elif isinstance(index, IDMapVectorTable):
+            vt_kind = "idmap_vector_table"
+        else:
+            vt_kind = "vector_table"
         _write_frame(index.df, f"{path}/vectors")
         _write_meta(
             index.spark,
             path,
             {
-                "kind": "idmap_vector_table"
-                if isinstance(index, IDMapVectorTable)
-                else "vector_table",
+                "kind": vt_kind,
                 "d": index.d,
                 "metric": index.metric,
                 "storage": index.storage,
@@ -626,10 +630,13 @@ def _read_payload(spark: SparkSession, path: str):
         return ShardedIndex.from_indexes(
             *members, successive_ids=meta["successive_ids"]
         )
-    if kind in ("vector_table", "idmap_vector_table"):
-        from ..vector_table import IDMapVectorTable
+    if kind in ("vector_table", "idmap_vector_table", "idmap2_vector_table"):
+        from ..vector_table import IDMap2VectorTable, IDMapVectorTable
 
-        cls = IDMapVectorTable if kind == "idmap_vector_table" else VectorTable
+        cls = {
+            "idmap_vector_table": IDMapVectorTable,
+            "idmap2_vector_table": IDMap2VectorTable,
+        }.get(kind, VectorTable)
         return cls(
             spark,
             meta["d"],

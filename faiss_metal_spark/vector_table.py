@@ -328,7 +328,28 @@ class VectorTable:
         construction — like FAISS's selector) broadcasts; the new id is
         ``id − |{removed < id}|`` computed with an array HOF — a pure
         projection over one scan, no window, no shuffle.
+
+        A 2-tuple ``(lo, hi)`` is the faiss ``IDSelectorRange`` (hi
+        exclusive, mirroring ``SearchParams.sel``): the shift is then
+        closed-form (survivors below lo keep their id; above the range
+        they shift by the removed count), so a million-id range removal
+        never materializes an id list anywhere.
         """
+        if isinstance(ids, tuple) and len(ids) == 2:
+            lo, hi = int(ids[0]), int(ids[1])
+            in_range = (F.col("id") >= lo) & (F.col("id") < hi)
+            n_present = self.df.where(in_range).count()
+            if n_present == 0:
+                return 0
+            self.unpersist()
+            self.df = self.df.where(~in_range).withColumn(
+                "id",
+                F.when(F.col("id") >= hi, F.col("id") - n_present)
+                .otherwise(F.col("id"))
+                .cast("long"),
+            )
+            self._next_id -= n_present
+            return n_present
         batch = sorted({int(i) for i in ids})
         if not batch:
             return 0
@@ -753,7 +774,17 @@ class IDMapVectorTable(VectorTable):
 
     def remove_ids(self, ids) -> int:
         """Drop matching external ids; survivors keep their ids (no
-        positional shift — IndexIDMap semantics). Returns n_removed."""
+        positional shift — IndexIDMap semantics). A 2-tuple ``(lo,
+        hi)`` is the faiss IDSelectorRange (hi exclusive): one filter,
+        no id list anywhere. Returns n_removed."""
+        if isinstance(ids, tuple) and len(ids) == 2:
+            lo, hi = int(ids[0]), int(ids[1])
+            in_range = (F.col("id") >= lo) & (F.col("id") < hi)
+            n_present = self.df.where(in_range).count()
+            if n_present:
+                self.unpersist()
+                self.df = self.df.where(~in_range)
+            return n_present
         batch = sorted({int(i) for i in ids})
         if not batch:
             return 0
@@ -781,6 +812,20 @@ class IDMapVectorTable(VectorTable):
         self.df = self.df.unionByName(other.df.select("id", "vec", "norm_sq"))
         other.reset()
         return self
+
+
+@dataclass
+class IDMap2VectorTable(IDMapVectorTable):
+    """≙ ``faiss::IndexIDMap2`` — IDMap plus reconstruct-by-external-id.
+
+    In faiss the distinction is real: IndexIDMap cannot reconstruct
+    (the id→position reverse map doesn't exist) and IDMap2 maintains
+    ``rev_map`` to provide it. Here ids live IN the id column, so the
+    inherited ``reconstruct``/``reconstruct_batch``/
+    ``search_and_reconstruct`` already key on external ids and the
+    wrapper adds no state — the type exists so faiss code ports 1:1
+    and ``write_index`` round-trips the declared kind
+    (``idmap2_vector_table``)."""
 
 
 def _partition_local_window():

@@ -772,3 +772,53 @@ def test_search_params_id_selector(spark):
         params=SearchParams(sel=(0, 5)),
     ).toPandas()
     assert set(res.label) == {0, 1, 2, 3, 4}
+
+
+def test_remove_ids_range_selector(spark):
+    """(lo, hi) tuple = faiss IDSelectorRange (hi exclusive): the flat
+    table compacts with a closed-form shift (no id list anywhere), the
+    IDMap table just filters; both return the removed count."""
+    import numpy as np
+    from faiss_metal_spark import IDMapVectorTable, VectorTable
+    from conftest import make_fixture
+
+    V, _ = make_fixture(50, 1, 8, seed=909)
+    vt = VectorTable(spark, 8).add_numpy(V)
+    assert vt.remove_ids((10, 20)) == 10
+    assert vt.ntotal == 40
+    # survivors below the range keep their ids; above shift down by 10
+    r9 = vt.reconstruct(9)
+    r10 = vt.reconstruct(10)   # was id 20
+    assert np.allclose(r9, V[9], atol=2e-3)
+    assert np.allclose(r10, V[20], atol=2e-3)
+    assert vt.remove_ids((1000, 2000)) == 0
+
+    im = IDMapVectorTable(spark, 8)
+    im.add_with_ids(V[:10], np.arange(100, 110))
+    assert im.remove_ids((103, 106)) == 3
+    assert im.ntotal == 7
+    # no renumbering: id 106 still holds V[6]
+    assert np.allclose(im.reconstruct(106), V[6], atol=2e-3)
+
+
+def test_idmap2_reconstruct_and_io(spark, tmp_path):
+    """faiss IndexIDMap2: the reconstruct-capable IDMap — here the id
+    column IS the reverse map, so reconstruct keys on external ids;
+    write_index round-trips the declared kind."""
+    import numpy as np
+    from faiss_metal_spark import IDMap2VectorTable
+    from faiss_metal_spark.sources.index_io import read_index, write_index
+    from conftest import make_fixture
+
+    V, Q = make_fixture(30, 2, 8, seed=910)
+    im = IDMap2VectorTable(spark, 8)
+    ids = np.arange(30) * 7 + 1_000
+    im.add_with_ids(V, ids)
+    assert np.allclose(im.reconstruct(int(ids[13])), V[13], atol=2e-3)
+    _, L = im.search_numpy(Q, 1)
+    assert set(L[:, 0]) <= set(ids.tolist())
+    path = str(tmp_path / "idmap2")
+    write_index(im, path)
+    back = read_index(spark, path)
+    assert isinstance(back, IDMap2VectorTable)
+    assert np.allclose(back.reconstruct(int(ids[13])), V[13], atol=2e-3)
