@@ -950,6 +950,20 @@ class IVFFlatDedupIndex:
             "list entries"
         )
 
+    def range_search(self, *a, **kw):
+        raise NotImplementedError(
+            "IndexIVFFlatDedup does not support range_search (faiss "
+            "IndexIVFFlatDedup.h 'not implemented') — the duplicate "
+            "expansion has no bounded result-size contract"
+        )
+
+    def update_vectors(self, *a, **kw):
+        raise NotImplementedError(
+            "IndexIVFFlatDedup does not support update_vectors (faiss "
+            "IndexIVFFlatDedup.h) — an update can split a duplicate "
+            "group; remove_ids + add is the supported path"
+        )
+
     def release(self) -> None:
         self.assigned.unpersist()
         self.instances.unpersist()

@@ -157,3 +157,14 @@ def test_factory_flatdedup_and_rflat_suffix(spark):
     assert np.allclose(D[:, 0], Do[:, 0], rtol=1e-9)
     with pytest.raises(ValueError):
         index_factory(vt, "NoSuchThing,RFlat")
+
+
+def test_dedup_refuses_unsupported_ops(spark):
+    """faiss IndexIVFFlatDedup marks reconstruct / range_search /
+    update_vectors 'not implemented' — ours refuses explicitly too."""
+    base, V, Q = _dup_fixture()
+    idx = _build(spark, V)
+    with pytest.raises(NotImplementedError):
+        idx.range_search(None, 1.0)
+    with pytest.raises(NotImplementedError):
+        idx.update_vectors([0], V[:1])
