@@ -1658,12 +1658,23 @@ class GraphIndex:
         iters: int = 4,
         seed: int = 42,
         ef_search: int = 64,
+        diversify: bool = False,
     ) -> "GraphIndex":
-        from .operators.knn_graph import nn_descent
+        """``diversify=True`` builds a 2M-candidate NN-Descent graph
+        and shrinks each adjacency with HNSW's neighbor-select
+        heuristic (``mrng_diversify`` — faiss shrink_neighbor_list /
+        NSG MRNG): same ≤M degree budget, directionally-spread edges
+        instead of the plain M-nearest. Default off: the plain graph
+        is the historical, test-pinned build."""
+        from .operators.knn_graph import mrng_diversify, nn_descent
 
         base = _float_view(vt).persist()
         n = base.count()
-        graph = nn_descent(base, k=M, iters=iters, seed=seed).persist()
+        if diversify:
+            cand = nn_descent(base, k=2 * M, iters=iters, seed=seed)
+            graph = mrng_diversify(cand, base, M).persist()
+        else:
+            graph = nn_descent(base, k=M, iters=iters, seed=seed).persist()
         graph.count()  # materialize the build (faiss builds eagerly on add)
         return cls(vt.spark, vt.d, base, graph, M, ef_search, n)
 

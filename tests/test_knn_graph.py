@@ -135,3 +135,73 @@ def test_graph_search_sentinels_and_validation(spark):
         graph_search(vdf, g, qdf, k=10, beam=5)
     with pytest.raises(ValueError, match="k must be positive"):
         graph_search(vdf, g, qdf, k=0)
+
+
+def test_mrng_diversify_heuristic_and_graph_quality(spark):
+    """HNSW shrink_neighbor_list / NSG MRNG edge select: a hand-built
+    case pins the keep/drop rule exactly; on clustered data the
+    diversified build keeps degree ≤ M, stays deterministic, and beam
+    search over it still recalls ≥ 0.8 — the plain-vs-diversified
+    quality comparison (diversified reaches ACROSS clusters) is pinned
+    structurally: at least one kept edge leaves the node's own cluster."""
+    import numpy as np
+    import pandas as pd
+    from faiss_metal_spark import GraphIndex, VectorTable
+    from faiss_metal_spark.operators.knn_graph import graph_search, mrng_diversify
+
+    # hand case: node q at origin; c0 = (1,0) kept (nearest); c1 = (1.2,
+    # 0.1) is closer to c0 (0.05) than to q (1.45) -> DROPPED; c2 =
+    # (0,1.3) farther from q than c1 but far from c0 -> KEPT.
+    node = np.zeros(2, np.float32)
+    cand = np.array([[1, 0], [1.2, 0.1], [0, 1.3]], np.float32)
+    V = np.vstack([node[None, :], cand])
+    vdf = spark.createDataFrame(
+        pd.DataFrame({"id": np.arange(4, dtype=np.int64), "vec": list(map(list, V))}),
+        "id long, vec array<float>",
+    )
+    dq = ((cand.astype(np.float64)) ** 2).sum(1)
+    gdf = spark.createDataFrame(
+        pd.DataFrame({"id": [0, 0, 0], "nbr": [1, 2, 3], "dist": dq}),
+        "id long, nbr long, dist double",
+    )
+    out = mrng_diversify(gdf, vdf, M=3).orderBy("nbr").toPandas()
+    assert out["nbr"].tolist() == [1, 3]  # c1 covered by c0, dropped
+
+    # clustered corpus: clusters SMALLER than the 2M candidate width,
+    # so candidate lists span clusters and the select can reach across
+    rng = np.random.default_rng(11)
+    centers = rng.uniform(-10, 10, size=(6, 8))
+    X = np.concatenate(
+        [c + 0.1 * rng.normal(size=(8, 8)) for c in centers]
+    ).astype(np.float32)
+    vt = VectorTable(spark, 8).add_numpy(X)
+    g = GraphIndex.from_table(vt, M=6, iters=3, diversify=True)
+    deg = g.graph.groupBy("id").count().agg(F.max("count")).first()[0]
+    assert deg <= 6
+    # determinism
+    g2 = GraphIndex.from_table(vt, M=6, iters=3, diversify=True)
+    e1 = set(map(tuple, g.graph.select("id", "nbr").collect()))
+    e2 = set(map(tuple, g2.graph.select("id", "nbr").collect()))
+    assert e1 == e2
+    # at least one node keeps an edge that LEAVES its own cluster (the
+    # diversification effect a plain M-nearest graph suppresses: every
+    # node has 7 in-cluster neighbors ≥ M, so a plain build would stay
+    # entirely in-cluster)
+    cluster = lambda i: i // 8  # noqa: E731
+    assert any(cluster(a) != cluster(b) for a, b in e1)
+    # serving quality holds
+    Q = X[::9][:6]
+    res = graph_search(g.vectors, g.graph, _qdf(spark, Q), k=5, beam=48, seed=3)
+    exact_ids = {
+        (qi, int(j))
+        for qi in range(len(Q))
+        for j in np.argsort(((X.astype(np.float64) - Q[qi]) ** 2).sum(1))[:5]
+    }
+    got = {
+        (int(r["qid"]), int(r["label"]))
+        for r in res.collect()
+        if r["label"] >= 0
+    }
+    recall = len(got & exact_ids) / len(exact_ids)
+    assert recall >= 0.8
+    g.release(); g2.release()
