@@ -27,7 +27,8 @@ fp16/bf16 compact), ``SQ8Index`` (any bit width), ``BinaryIndex``,
 ``BinaryIVFIndex``, ``IVFIndex``, ``IVFSQIndex``, ``IVFPQIndex``,
 ``IVFPQRIndex``, ``PQIndex``, ``OPQIndex``, ``RQIndex``, ``GraphIndex``,
 ``LSHIndex``,
-and the composites ``PreTransformIndex`` (recursive inner payload) and
+and the composites ``PreTransformIndex`` (recursive inner payload),
+``RefineIndex`` (recursive base payload + full-precision source), and
 ``ShardedIndex`` (recursive member payloads). ``read_index`` returns
 the same type that was written and search results are value-identical
 pre/post round-trip (``tests/test_index_io.py``).
@@ -194,6 +195,7 @@ def _is_engine_index(index) -> bool:
         LSHIndex,
         OPQIndex,
         PQIndex,
+        RefineIndex,
         RQIndex,
         SQ8Index,
     )
@@ -220,6 +222,7 @@ def _is_engine_index(index) -> bool:
             LSHIndex,
             PQIndex,
             OPQIndex,
+            RefineIndex,
             RQIndex,
             ShardedIndex,
         ),
@@ -241,6 +244,7 @@ def _write_payload(index, path: str) -> None:
         LSHIndex,
         OPQIndex,
         PQIndex,
+        RefineIndex,
         RQIndex,
         SQ8Index,
     )
@@ -430,6 +434,22 @@ def _write_payload(index, path: str) -> None:
                 "shapes": shapes,
             },
         )
+    elif isinstance(index, RefineIndex):
+        # faiss persists IndexRefineFlat as base + refine storage; here
+        # the wrapper is base payload (recursive, any kind) + the
+        # full-precision source frame + k_factor
+        _write_payload(index.base, f"{path}/base")
+        _write_frame(index.source, f"{path}/source")
+        _write_meta(
+            index.spark,
+            path,
+            {
+                "kind": "refine",
+                "d": index.d,
+                "ntotal": index.ntotal,
+                "k_factor": index.k_factor,
+            },
+        )
     elif isinstance(index, OPQIndex):
         _write_frame(index.codes, f"{path}/codes")
         shapes = _write_arrays(
@@ -572,6 +592,12 @@ def clone_index(index):
         return PreTransformIndex(
             index.mean.copy(), index.components.copy(), clone_index(index.inner)
         )
+    from ..compact_index import RefineIndex
+
+    if isinstance(index, RefineIndex):
+        # not a dataclass: recurse into the base, share the immutable
+        # source frame (same discipline as the other composites)
+        return RefineIndex(clone_index(index.base), index.source, index.k_factor)
     if not _is_engine_index(index):
         raise TypeError(
             f"clone_index: unsupported index type {type(index).__name__}"
@@ -613,6 +639,7 @@ def _read_payload(spark: SparkSession, path: str):
         LSHIndex,
         OPQIndex,
         PQIndex,
+        RefineIndex,
         RQIndex,
         SQ8Index,
     )
@@ -629,6 +656,12 @@ def _read_payload(spark: SparkSession, path: str):
         ]
         return ShardedIndex.from_indexes(
             *members, successive_ids=meta["successive_ids"]
+        )
+    if kind == "refine":
+        return RefineIndex(
+            _read_payload(spark, f"{path}/base"),
+            spark.read.parquet(f"{path}/source"),
+            int(meta["k_factor"]),
         )
     if kind in ("vector_table", "idmap_vector_table", "idmap2_vector_table"):
         from ..vector_table import IDMap2VectorTable, IDMapVectorTable

@@ -168,3 +168,35 @@ def test_dedup_refuses_unsupported_ops(spark):
         idx.range_search(None, 1.0)
     with pytest.raises(NotImplementedError):
         idx.update_vectors([0], V[:1])
+
+
+def test_refine_index_io_roundtrip_and_clone(spark, tmp_path):
+    """faiss persists IndexRefineFlat: the wrapper round-trips as a
+    recursive base payload + the full-precision source frame +
+    k_factor, value-identical pre/post reload, for two different base
+    kinds (the generic-wrapper point)."""
+    from faiss_metal_spark import IVFIndex
+    from faiss_metal_spark.sources.index_io import (
+        clone_index,
+        read_index,
+        write_index,
+    )
+
+    base, V, Q = _dup_fixture()
+    vt = _table(spark, V)
+    for spec, kw in (
+        ("SQ8,RFlat", {}),
+        ("IVF4,RFlat", {"sample_size": len(V)}),
+    ):
+        ref = index_factory(vt, spec, k_factor=6, **kw)
+        assert isinstance(ref, RefineIndex)
+        D, L = ref.search_numpy(Q, 4)
+        path = str(tmp_path / spec.replace(",", "_"))
+        write_index(ref, path)
+        back = read_index(spark, path)
+        assert isinstance(back, RefineIndex) and back.k_factor == 6
+        D2, L2 = back.search_numpy(Q, 4)
+        assert np.array_equal(L, L2) and np.allclose(D, D2)
+        cl = clone_index(ref)
+        _, L3 = cl.search_numpy(Q, 4)
+        assert np.array_equal(L, L3)
