@@ -2369,6 +2369,9 @@ def index_factory(vt, spec: str, **train_kw):
     - ``"HNSW32"`` / ``"HNSW32,Flat"`` → :class:`GraphIndex` (M=32;
       flat navigable graph — see the class docstring for the honest
       HNSW-vs-NSW mapping)
+    - ``"NSG32"`` → :class:`GraphIndex` with MRNG edge diversification
+      (faiss IndexNSG: NN-Descent candidates pruned by the MRNG
+      select; multi-seeded serving stands in for the navigating node)
     - ``"OPQ16"`` / ``"OPQ16,PQ16"`` → :class:`OPQIndex` (the OPQ
       pretransform trains its own PQ; a mismatched pair raises)
     - ``"LSH"`` / ``"LSH128"`` → :class:`LSHIndex` (faiss
@@ -2507,6 +2510,17 @@ def index_factory(vt, spec: str, **train_kw):
     m = re.fullmatch(r"HNSW(\d+)(?:,Flat)?", s)
     if m:
         return GraphIndex.from_table(vt, M=int(m.group(1)), **train_kw)
+    m = re.fullmatch(r"NSG(\d+)(?:,Flat)?", s)
+    if m:
+        # faiss IndexNSG builds exactly this way: an NN-Descent kNN
+        # graph pruned by the MRNG edge select (Fu et al. 2019). The
+        # navigating-node entry point is replaced by the serving
+        # layer's hash-deterministic multi-seeding (same role: escape
+        # a bad entry region); NSG's tree-based connectivity repair is
+        # omitted — multi-seeding also covers disconnected islands.
+        return GraphIndex.from_table(
+            vt, M=int(m.group(1)), diversify=True, **train_kw
+        )
     m = re.fullmatch(r"OPQ(\d+)(?:,PQ(\d+)(?:x(\d+))?)?", s)
     if m:
         if m.group(2) is not None and m.group(2) != m.group(1):

@@ -59,6 +59,7 @@ _VALID = [
     ("IVF4,PQ4+4", IVFPQRIndex),
     ("IMI2x2", IMIIndex),
     ("HNSW4", GraphIndex),
+    ("NSG4", GraphIndex),
     ("LSH16", LSHIndex),
 ]
 
@@ -84,7 +85,7 @@ def test_factory_grammar_well_formed(case, pad, rflat):
     kw = {"sample_size": 300} if any(
         t in spec for t in ("IVF", "PQ", "IMI")
     ) else {}
-    if "HNSW" in spec:
+    if "HNSW" in spec or "NSG" in spec:
         kw = {"iters": 2}
     idx = index_factory(vt, f"{pad}{s}", **kw)
     assert isinstance(idx, want), (s, type(idx).__name__)
