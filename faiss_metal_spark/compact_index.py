@@ -2171,22 +2171,28 @@ class RQIndex:
     codes: DataFrame
     _n: int = field(default=-1, repr=False)
     beam: int = 1  # faiss ResidualQuantizer::max_beam_size (encode-side)
+    icm_sweeps: int = 0  # LSQ-style ICM encode refinement sweeps
 
     @classmethod
     def from_table(
         cls, vt, m: int, sample_size: int = 16384, iters: int = 10,
-        beam: int = 1,
+        beam: int = 1, icm_sweeps: int = 0,
     ) -> "RQIndex":
         """``beam`` ≙ faiss ``max_beam_size``: encode-side beam search
-        over the stage chains (1 = the greedy default; the index
-        remembers it so add/sa_encode stay self-consistent)."""
+        over the stage chains (1 = the greedy default); ``icm_sweeps``
+        ≙ the LocalSearchQuantizer ICM encode move (coordinate-descent
+        refinement, composable with any beam). The index remembers
+        both so add/sa_encode stay self-consistent."""
         from .operators.rq import rq_encode, rq_train
 
         base = _float_view(vt)
         books = rq_train(base, m, sample_size=sample_size, iters=iters)
-        codes = rq_encode(base, books, beam=beam).persist()
+        codes = rq_encode(base, books, beam=beam, icm_sweeps=icm_sweeps).persist()
         n = codes.count()
-        return cls(vt.spark, vt.d, books, codes, n, beam=int(beam))
+        return cls(
+            vt.spark, vt.d, books, codes, n,
+            beam=int(beam), icm_sweeps=int(icm_sweeps),
+        )
 
     @property
     def ntotal(self) -> int:
@@ -2209,7 +2215,7 @@ class RQIndex:
 
         new = rq_encode(
             _ivf_add_rows(df, id_col, vec_col), self.codebooks,
-            beam=self.beam,
+            beam=self.beam, icm_sweeps=self.icm_sweeps,
         )
         _append_frame(self, "codes", new)
         return self
@@ -2242,7 +2248,7 @@ class RQIndex:
         x = np.atleast_2d(np.asarray(x, np.float64))
         if x.shape[1] != self.d:
             raise ValueError(f"expected (n, {self.d}) array, got {x.shape}")
-        codes = rq_assign_np(x, self.codebooks, beam=self.beam)
+        codes = rq_assign_np(x, self.codebooks, beam=self.beam, icm_sweeps=self.icm_sweeps)
         return np.array([row.tobytes() for row in codes], dtype=object)
 
     def sa_decode(self, codes) -> np.ndarray:

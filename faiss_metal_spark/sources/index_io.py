@@ -431,6 +431,7 @@ def _write_payload(index, path: str) -> None:
                 "d": index.d,
                 "ntotal": index.ntotal,
                 "beam": index.beam,
+                "icm_sweeps": index.icm_sweeps,
                 "shapes": shapes,
             },
         )
@@ -786,6 +787,7 @@ def _read_payload(spark: SparkSession, path: str):
             spark.read.parquet(f"{path}/codes"),
             meta["ntotal"],
             beam=int(meta.get("beam", 1)),  # pre-beam stores default greedy
+            icm_sweeps=int(meta.get("icm_sweeps", 0)),
         )
     if kind == "opq":
         return OPQIndex(

@@ -196,3 +196,65 @@ def test_rq_beam_encode(spark):
         tail = idx2.codes.where("id >= 9000").orderBy("id").toPandas()
         got2 = np.stack([np.frombuffer(c, np.uint8) for c in tail["code"]])
         assert np.array_equal(got2, b4[:3])
+
+
+def test_rq_icm_refinement(spark):
+    """LSQ's ICM encode move over the residual codebooks: coordinate
+    descent, so per-vector reconstruction error NEVER increases (the
+    invariant beam search cannot offer), composes with beam, strictly
+    helps on correlated data, and the index carries its sweeps through
+    add + the sa codec + IO."""
+    import numpy as np
+    from faiss_metal_spark import RQIndex, VectorTable
+    from faiss_metal_spark.operators.rq import (
+        rq_assign_np,
+        rq_decode_np,
+        rq_icm_refine_np,
+        rq_train,
+    )
+    from faiss_metal_spark.sources.index_io import read_index, write_index
+
+    rng = np.random.default_rng(88)
+    Z = rng.normal(size=(500, 4))
+    V = (Z @ rng.normal(size=(4, 12)) + 0.05 * rng.normal(size=(500, 12))).astype(
+        np.float32
+    )
+    vt = VectorTable(spark, 12).add_numpy(V)
+    X = V.astype(np.float64)
+    books = rq_train(vt.df.select("id", "vec"), 4, sample_size=500, iters=5)
+
+    greedy = rq_assign_np(X, books)
+    err = lambda c: ((X - rq_decode_np(c, books)) ** 2).sum(1)  # noqa: E731
+    refined = rq_icm_refine_np(X, books, greedy, sweeps=2)
+    # per-vector monotone (coordinate descent); greedy can already be
+    # an ICM fixed point, so strict descent is pinned from a perturbed
+    # start instead: scramble stage 0 and ICM must strictly recover
+    assert (err(refined) <= err(greedy) + 1e-9).all()
+    bad = greedy.copy()
+    bad[:, 0] = (bad[:, 0] + 7) % books.shape[1]
+    fixed = rq_icm_refine_np(X, books, bad, sweeps=2)
+    assert (err(fixed) <= err(bad) + 1e-9).all()
+    assert err(fixed).mean() < err(bad).mean()
+    # and the recovery lands at-or-below the greedy chain everywhere
+    assert (err(fixed) <= err(greedy) + 1e-9).all()
+    # composes with beam, same invariant
+    b2 = rq_assign_np(X, books, beam=2)
+    b2_icm = rq_assign_np(X, books, beam=2, icm_sweeps=2)
+    assert (err(b2_icm) <= err(b2) + 1e-9).all()
+    # zero sweeps is the identity path
+    assert np.array_equal(rq_assign_np(X, books, icm_sweeps=0), greedy)
+
+    idx = RQIndex.from_table(vt, m=4, sample_size=500, iters=5, icm_sweeps=2)
+    assert idx.icm_sweeps == 2
+    stored = idx.codes.orderBy("id").toPandas()
+    got = np.stack([np.frombuffer(c, np.uint8) for c in stored["code"]])
+    assert np.array_equal(got, refined)
+    sa = idx.sa_encode(V[:4])
+    assert np.array_equal(
+        np.stack([np.frombuffer(c, np.uint8) for c in sa]), refined[:4]
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        write_index(idx, f"{td}/rq")
+        assert read_index(spark, f"{td}/rq").icm_sweeps == 2
