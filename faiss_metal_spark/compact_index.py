@@ -267,6 +267,27 @@ class SQ8Index:
         faiss's sequential-compaction contract instead)."""
         return _remove_ids_frame(self, "codes", ids)
 
+    def merge_from(self, other: "SQ8Index", add_id: int = 0) -> "SQ8Index":
+        """faiss ``IndexFlatCodes::merge_from(other, add_id)`` — codes
+        append verbatim (identical trained range/width required, checked
+        exactly), donor emptied, donor ids shifted by ``add_id``."""
+        if type(other) is not type(self):
+            # refuse BEFORE touching donor attributes (a foreign type
+            # lacks this tier's trained-state fields)
+            raise ValueError(
+                f"merge_from requires the same index type "
+                f"({type(self).__name__} != {type(other).__name__})"
+            )
+        _merge_ivf_frames(
+            self, other, "codes",
+            (
+                (self.d, self.bits, self.vmin, self.vmax),
+                (other.d, other.bits, other.vmin, other.vmax),
+            ),
+            add_id,
+        )
+        return self
+
     def release(self) -> None:
         self.codes.unpersist()
 
@@ -1594,6 +1615,24 @@ class PQIndex:
         renumbering)."""
         return _remove_ids_frame(self, "codes", ids)
 
+    def merge_from(self, other: "PQIndex", add_id: int = 0) -> "PQIndex":
+        """faiss ``IndexFlatCodes::merge_from(other, add_id)`` — codes
+        are comparable only under the IDENTICAL codebooks (checked
+        exactly); donor emptied, donor ids shifted by ``add_id``."""
+        if type(other) is not type(self):
+            # refuse BEFORE touching donor attributes (a foreign type
+            # lacks this tier's trained-state fields)
+            raise ValueError(
+                f"merge_from requires the same index type "
+                f"({type(self).__name__} != {type(other).__name__})"
+            )
+        _merge_ivf_frames(
+            self, other, "codes",
+            ((self.d, self.codebooks), (other.d, other.codebooks)),
+            add_id,
+        )
+        return self
+
     def release(self) -> None:
         self.codes.unpersist()
 
@@ -2225,6 +2264,29 @@ class RQIndex:
 
     def remove_ids(self, ids) -> int:
         return _remove_ids_frame(self, "codes", ids)
+
+    def merge_from(self, other: "RQIndex", add_id: int = 0) -> "RQIndex":
+        """faiss ``IndexFlatCodes::merge_from(other, add_id)`` — stage
+        chains are comparable only under the IDENTICAL codebooks AND
+        encode discipline (beam/icm widths checked too: a donor encoded
+        with a different beam holds different codes for the same
+        vectors, silently mixing quality tiers)."""
+        if type(other) is not type(self):
+            # refuse BEFORE touching donor attributes (a foreign type
+            # lacks this tier's trained-state fields)
+            raise ValueError(
+                f"merge_from requires the same index type "
+                f"({type(self).__name__} != {type(other).__name__})"
+            )
+        _merge_ivf_frames(
+            self, other, "codes",
+            (
+                (self.d, self.beam, self.icm_sweeps, self.codebooks),
+                (other.d, other.beam, other.icm_sweeps, other.codebooks),
+            ),
+            add_id,
+        )
+        return self
 
     def reconstruct(self, key: int) -> np.ndarray:
         """Codeword SUM (``IndexResidualQuantizer::reconstruct``)."""

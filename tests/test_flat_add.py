@@ -186,3 +186,46 @@ def test_graph_add_incremental_insertion(spark):
 
     r = idx.reconstruct(305)
     np.testing.assert_allclose(r, extra[5].astype(np.float64), atol=1e-6)
+
+
+@pytest.mark.parametrize("kind", ["sq8", "pq", "rq"])
+def test_flat_tier_merge_from(spark, kind):
+    """faiss IndexFlatCodes::merge_from — the flat compressed tiers
+    merge like the IVF family: identical trained state required
+    (checked exactly), donor codes append with ids shifted by add_id,
+    donor emptied; merged search ≡ one-shot build over the union."""
+    from faiss_metal_spark import PQIndex, RQIndex, SQ8Index
+
+    V, Q = make_fixture(400, 4, 16, seed=701)
+    head, tail = V[:300], V[300:]
+    vt_full = _table(spark, V)
+    vt_head = _table(spark, head)
+    builders = {
+        "sq8": lambda vt: SQ8Index.from_table(vt),
+        "pq": lambda vt: PQIndex.from_table(vt, m=4, sample_size=400),
+        "rq": lambda vt: RQIndex.from_table(vt, m=2, sample_size=400),
+    }
+    # identical trained state: derive BOTH from the full table's
+    # trainer, then strip the acceptor down to the head rows
+    full = builders[kind](vt_full)
+    acceptor = builders[kind](vt_full)
+    acceptor.remove_ids(range(300, 400))
+    donor = builders[kind](vt_full)
+    donor.remove_ids(range(0, 300))
+    # donor ids are 300..399 already; merge with add_id=0 keeps them
+    acceptor.merge_from(donor, add_id=0)
+    assert acceptor.ntotal == 400 and donor.ntotal == 0
+
+    D1, L1 = full.search_numpy(Q, 5)
+    D2, L2 = acceptor.search_numpy(Q, 5)
+    assert np.array_equal(L1, L2) and np.allclose(D1, D2)
+
+    # mismatched trained state refuses
+    other = builders[kind](_table(spark, V * 1.7))
+    with pytest.raises(ValueError):
+        acceptor.merge_from(other)
+    # cross-type refuses
+    with pytest.raises(ValueError):
+        acceptor.merge_from(
+            builders["pq" if kind != "pq" else "sq8"](vt_full)
+        )
