@@ -169,6 +169,38 @@ def _merge_ivf_frames(
     other._n = 0
 
 
+def _add_sa_codes_frame(index, frame_attr, codes, ids, schema, extra=None):
+    """Shared faiss ``Index::add_sa_codes``: append PRE-ENCODED codes
+    verbatim — no decode, no re-encode — the distributed half of the
+    ship-codes-not-floats workflow (encode near the data, move
+    ``sa_code_size`` bytes/vector, ingest here). ``extra`` supplies
+    derived columns (RQ's precomputed ``recn``). Ids default to
+    max(stored id)+1 continuation, like ``_numpy_add_df``."""
+    width = index.sa_code_size
+    rows = [bytes(c) for c in codes]
+    for c in rows:
+        if len(c) != width:
+            raise ValueError(
+                f"add_sa_codes: expected {width}-byte codes "
+                f"(sa_code_size), got {len(c)}"
+            )
+    if ids is None:
+        row = getattr(index, frame_attr).agg(F.max("id")).first()
+        start = (row[0] + 1) if row and row[0] is not None else 0
+        ids = np.arange(start, start + len(rows), dtype=np.int64)
+    else:
+        ids = np.asarray(ids, dtype=np.int64)
+        if len(ids) != len(rows):
+            raise ValueError("ids length must match code count")
+    if not rows:
+        return index
+    pdf = pd.DataFrame({"id": ids, "code": rows, **(extra or {})})
+    _append_frame(
+        index, frame_attr, index.spark.createDataFrame(pdf, schema=schema)
+    )
+    return index
+
+
 def _host_result(res: DataFrame, nq: int, k: int) -> tuple[np.ndarray, np.ndarray]:
     pdf = res.orderBy("qid", "rank").toPandas()
     if nq == 0:
@@ -311,6 +343,49 @@ class SQ8Index:
             raise ValueError(f"expected (n, {self.d}) array, got {x.shape}")
         codes = sq_pack_np(sq_encode_np(x, self.vmin, self.vmax, self.bits), self.bits)
         return np.array([row.tobytes() for row in codes], dtype=object)
+
+    def add_sa_codes(self, codes, ids=None) -> "SQ8Index":
+        """faiss ``Index::add_sa_codes``: ingest PRE-ENCODED packed
+        codes (no re-encode from floats) — codes must come from this
+        index's own trained range/width (``sa_encode``). The stored
+        frame keeps the Catalyst ``array<int>`` per-dim form, so the
+        packed bytes unpack losslessly on the way in (``sq_unpack_np``
+        is the codec's own bit-exact inverse)."""
+        from .operators.sq import sq_unpack_np
+
+        width = self.sa_code_size
+        rows = [bytes(c) for c in codes]
+        for c in rows:
+            if len(c) != width:
+                raise ValueError(
+                    f"add_sa_codes: expected {width}-byte codes "
+                    f"(sa_code_size), got {len(c)}"
+                )
+        if not rows:
+            return self
+        unpacked = sq_unpack_np(
+            np.stack([np.frombuffer(c, np.uint8) for c in rows]),
+            self.d, self.bits,
+        )
+        return self._append_int_codes(
+            [row.astype(int).tolist() for row in unpacked], ids
+        )
+
+    def _append_int_codes(self, int_codes, ids) -> "SQ8Index":
+        if ids is None:
+            row = self.codes.agg(F.max("id")).first()
+            start = (row[0] + 1) if row and row[0] is not None else 0
+            ids = np.arange(start, start + len(int_codes), dtype=np.int64)
+        else:
+            ids = np.asarray(ids, dtype=np.int64)
+            if len(ids) != len(int_codes):
+                raise ValueError("ids length must match code count")
+        pdf = pd.DataFrame({"id": ids, "code": int_codes})
+        _append_frame(
+            self, "codes",
+            self.spark.createDataFrame(pdf, schema="id long, code array<int>"),
+        )
+        return self
 
     def sa_decode(self, codes) -> np.ndarray:
         """n packed byte strings → (n, d) FP32: r = vmin + code·Δ/L."""
@@ -1654,6 +1729,14 @@ class PQIndex:
         codes = pq_assign_np(x, self.codebooks)
         return np.array([row.tobytes() for row in codes], dtype=object)
 
+    def add_sa_codes(self, codes, ids=None) -> "PQIndex":
+        """faiss ``Index::add_sa_codes``: ingest PRE-ENCODED m-byte
+        codes verbatim — codes must come from this index's own
+        codebooks (``sa_encode``)."""
+        return _add_sa_codes_frame(
+            self, "codes", codes, ids, "id long, code binary"
+        )
+
     def sa_decode(self, codes) -> np.ndarray:
         """n m-byte strings → (n, d) FP32 codeword concatenation
         (≙ IndexPQ::sa_decode / reconstruct)."""
@@ -2320,6 +2403,28 @@ class RQIndex:
         if not rows:
             return np.zeros((0, self.d), dtype=np.float32)
         return rq_decode_np(np.stack(rows), self.codebooks).astype(np.float32)
+
+    def add_sa_codes(self, codes, ids=None) -> "RQIndex":
+        """faiss ``Index::add_sa_codes``: ingest PRE-ENCODED stage
+        chains verbatim; the stored ``recn`` (‖reconstruction‖², the
+        LUT-only search term) is derived from the codes themselves."""
+        rows = [np.frombuffer(bytes(c), dtype=np.uint8) for c in codes]
+        for c in rows:
+            if len(c) != self.sa_code_size:
+                raise ValueError(
+                    f"add_sa_codes: expected {self.sa_code_size}-byte "
+                    f"codes (sa_code_size), got {len(c)}"
+                )
+        extra = None
+        if rows:
+            from .operators.rq import rq_decode_np
+
+            rec = rq_decode_np(np.stack(rows), self.codebooks)
+            extra = {"recn": (rec * rec).sum(1)}
+        return _add_sa_codes_frame(
+            self, "codes", codes, ids,
+            "id long, code binary, recn double", extra,
+        )
 
     def release(self) -> None:
         self.codes.unpersist()

@@ -477,6 +477,15 @@ class VectorTable:
             return np.array([row.tobytes() for row in x], dtype=object)
         return ENCODERS[self.storage](x)
 
+    def add_sa_codes(self, codes) -> "VectorTable":
+        """faiss ``Index::add_sa_codes``: append vectors FROM their
+        codec bytes. For the flat table the codes ARE the storage
+        (fp32 raw / fp16 / bf16 two-byte codes), so decode→add is
+        lossless: re-encoding a decoded code reproduces it bit-for-bit
+        (the quantizers are idempotent on code values), exactly like
+        faiss appending sa codes into IndexFlat's storage."""
+        return self.add_numpy(self.sa_decode(codes))
+
     def sa_decode(self, codes) -> np.ndarray:
         """n byte-strings → (n, d) FP32 — faiss ``Index::sa_decode``,
         the exact inverse of :meth:`sa_encode` up to the storage's

@@ -229,3 +229,51 @@ def test_flat_tier_merge_from(spark, kind):
         acceptor.merge_from(
             builders["pq" if kind != "pq" else "sq8"](vt_full)
         )
+
+
+def test_add_sa_codes_ingests_codes_verbatim(spark):
+    """faiss Index::add_sa_codes — the other half of the standalone
+    codec: pre-encoded codes append WITHOUT re-encoding on the
+    compressed tiers (byte-identical stored codes; RQ derives its
+    recn search term from the codes), and the flat table's decode→add
+    is lossless on code values. Wrong-width codes refuse."""
+    from faiss_metal_spark import PQIndex, RQIndex, SQ8Index, VectorTable
+
+    V, Q = make_fixture(300, 2, 16, seed=702)
+    extra = make_fixture(8, 1, 16, seed=703)[0]
+    vt = _table(spark, V)
+
+    for build in (
+        lambda: SQ8Index.from_table(vt),
+        lambda: PQIndex.from_table(vt, m=4, sample_size=300),
+        lambda: RQIndex.from_table(vt, m=2, sample_size=300),
+    ):
+        idx = build()
+        codes = idx.sa_encode(extra.astype(np.float64))
+        idx.add_sa_codes(codes, ids=np.arange(500, 508))
+        assert idx.ntotal == 308
+        # stored codes for the new ids round-trip to the input bytes
+        # exactly (PQ/RQ store the bytes verbatim; SQ8 stores the
+        # unpacked array<int> form — re-encode via the codec to compare)
+        stored = idx.codes.where("id >= 500").orderBy("id").collect()
+        assert [r["id"] for r in stored] == list(range(500, 508))
+        re_enc = idx.sa_encode(idx.sa_decode([bytes(c) for c in codes]).astype(np.float64))
+        assert [bytes(c) for c in re_enc] == [bytes(c) for c in codes]
+        if "code" in stored[0].asDict() and isinstance(stored[0]["code"], (bytes, bytearray)):
+            assert [bytes(r["code"]) for r in stored] == [bytes(c) for c in codes]
+        # searching AT an ingested vector's reconstruction finds it
+        rec = idx.sa_decode(codes[:1])
+        _, L = idx.search_numpy(rec, 1)
+        assert L[0][0] == 500
+        with pytest.raises(ValueError):
+            idx.add_sa_codes([b"\x00"])
+        idx.release()
+
+    # flat table: decode→add, lossless on code values (fp16 storage)
+    cvt = VectorTable(spark, 16, storage="fp16", compact=True).add_numpy(V)
+    codes = cvt.sa_encode(extra)
+    cvt.add_sa_codes(codes)
+    assert cvt.ntotal == 308
+    assert [bytes(c) for c in cvt.sa_encode(cvt.reconstruct_n(300, 8))] == [
+        bytes(c) for c in codes
+    ]
