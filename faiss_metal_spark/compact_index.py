@@ -2145,16 +2145,14 @@ class BinaryHashIndex:
         STRICTLY below ``radius`` over the PROBED candidates — exact
         within bucket coverage, a subset under partial probing, never a
         false positive (the IVF-probe contract). Unordered (qid, label,
-        distance: long), no rank."""
-        from .operators.binary import binary_hash_search
+        distance: long), no rank. A true range path: the radius filter
+        runs directly on the probed pairs (no Window, no k=ntotal
+        ranking)."""
+        from .operators.binary import binary_hash_range_search
 
-        big = int(self.ntotal)  # top-"all" then filter: probe set bounds the scan
-        res = binary_hash_search(
-            self.hashed, queries, max(big, 1), self.d, self.b, nflip,
+        return binary_hash_range_search(
+            self.hashed, queries, radius, self.d, self.b, nflip,
             self.n_slices, qid_col=qid_col, qvec_col=qvec_col,
-        )
-        return res.where(F.col("distance") < int(radius)).select(
-            "qid", "label", "distance"
         )
 
     def add_df(self, df: DataFrame, id_col: str = "id", vec_col: str = "vec") -> "BinaryHashIndex":

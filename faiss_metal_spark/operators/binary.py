@@ -34,10 +34,41 @@ full-precision rows.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 BITS_PER_WORD = 32
+
+
+def _rank_topk(
+    scored: DataFrame,
+    k: int,
+    corpus: DataFrame | None = None,
+    distance_cast: str | None = "long",
+) -> DataFrame:
+    """Shared finalize for every binary-tier top-k: route (qid, label,
+    distance) candidates through :func:`knn._finalize`'s one-shuffle
+    merge (``pad=False`` — the binary contract is min(k, candidates)
+    rows per qid, no sentinels; ascending distance, ties by ascending
+    label). Passing the ``corpus`` frame applies the same salted
+    premerge gate ``knn_search`` uses: past parts·k structs per final
+    group, a bounded partial merge runs first, so one hot qid never
+    lands its whole candidate set in a single task — the two-phase
+    shape of /root/reference/shaders/block_select.metal:130-177."""
+    from .knn import _PREMERGE_PARTS_K, _PREMERGE_SALT, _finalize
+
+    salt = None
+    if corpus is not None:
+        try:
+            parts = corpus.rdd.getNumPartitions()
+        except Exception:  # pragma: no cover — exotic plans; skip the gate
+            parts = None
+        if parts is not None and parts * k > _PREMERGE_PARTS_K:
+            salt = _PREMERGE_SALT
+    return _finalize(
+        None, scored, k, "l2",
+        premerge_salt=salt, pad=False, distance_cast=distance_cast,
+    )
 
 
 def binarize_col(vec: Column | str, d: int) -> Column:
@@ -111,12 +142,7 @@ def hamming_knn(
         .crossJoin(v)
         .select("qid", "label", hamming_expr(F.col("_qw"), F.col("_vw")).alias("distance"))
     )
-    w = Window.partitionBy("qid").orderBy(F.col("distance").asc(), F.col("label").asc())
-    return (
-        joined.withColumn("rank", F.row_number().over(w) - 1)
-        .where(F.col("rank") < k)
-        .select("qid", "rank", "label", "distance")
-    )
+    return _rank_topk(joined, k, corpus=vectors)
 
 
 def hamming_refine(
@@ -155,12 +181,9 @@ def hamming_refine(
             "qid", "label", l2sq(F.col("_qvec"), F.col("_vvec")).alias("distance")
         )
     )
-    w = Window.partitionBy("qid").orderBy(F.col("distance").asc(), F.col("label").asc())
-    return (
-        rescored.withColumn("rank", F.row_number().over(w) - 1)
-        .where(F.col("rank") < k)
-        .select("qid", "rank", "label", "distance")
-    )
+    # candidates are nq·k·refine_factor-bounded — no salt gate needed;
+    # distances are exact L2 doubles, not Hamming longs
+    return _rank_topk(rescored, k, corpus=None, distance_cast=None)
 
 
 # ---------------------------------------------------------------------------
@@ -343,12 +366,7 @@ def binary_ivf_search(
     joined = _binary_probed_pairs(
         inv, centroid_words, queries, nprobe, d, id_col, words_col, qid_col, qvec_col
     )
-    w = Window.partitionBy("qid").orderBy(F.col("distance").asc(), F.col("label").asc())
-    return (
-        joined.withColumn("rank", F.row_number().over(w) - 1)
-        .where(F.col("rank") < k)
-        .select("qid", "rank", "label", "distance")
-    )
+    return _rank_topk(joined, k, corpus=inv)
 
 
 def binarize_np(X) -> "np.ndarray":
@@ -422,32 +440,30 @@ def _flip_set(code: int, b: int, nflip: int) -> list[int]:
     return out
 
 
-def binary_hash_search(
+def _binary_hash_scored(
     hashed: DataFrame,
     queries: DataFrame,
-    k: int,
     d: int,
     b: int,
-    nflip: int = 0,
-    n_slices: int = 1,
-    id_col: str = "id",
-    words_col: str = "words",
-    qid_col: str = "qid",
-    qvec_col: str = "vec",
-) -> DataFrame:
-    """Hash-probed Hamming top-k (faiss ``IndexBinaryHash::search``
-    semantics at radius nflip; ``n_slices > 1`` is
-    ``IndexBinaryMultiHash``: candidates are the UNION over slices of
-    same-bucket rows, the LSH-band OR-construction over sign bits).
+    nflip: int,
+    n_slices: int,
+    id_col: str,
+    words_col: str,
+    qid_col: str,
+    qvec_col: str,
+) -> DataFrame | None:
+    """Shared probe+rescore stage of IndexBinaryHash search and
+    range_search: exact full-width Hamming (qid, label, distance: long)
+    pairs over the hash-probed candidate set. Returns None for an
+    empty query batch.
 
-    ``hashed`` carries packed ``words`` plus bucket columns ``h0..``
-    (:func:`binary_hash_table`). Probe sets are enumerated host-side
-    from the query batch (bounded), candidates fetched by broadcast
-    equi-join per slice, deduped, and reranked by exact full-width
-    Hamming — distances are EXACT for every returned row; partial
-    coverage only bounds which rows are seen (never a false positive,
-    the IVF-probe contract). Returns (qid, rank, label, distance).
-    """
+    Probe sets are enumerated host-side from the query batch (bounded:
+    nq·C(b,≤nflip) rows) and broadcast against the per-slice bucket
+    columns. The RESULTING candidate set, though, is
+    corpus-occupancy-bounded — bucket membership scales with ntotal,
+    not with k — so it is NEVER broadcast: the words fetch is a
+    shuffle-hash equi-join on ``label`` (candidates build-side; both
+    sides shuffle on an 8-byte key, no sort, no driver collect)."""
     import numpy as np
     import pandas as pd
 
@@ -456,9 +472,7 @@ def binary_hash_search(
         F.col(qid_col).cast("long").alias("qid"), F.col(qvec_col).alias("qv")
     ).toPandas()
     if len(qpdf) == 0:
-        from .knn import RESULT_SCHEMA
-
-        return spark.createDataFrame([], RESULT_SCHEMA)
+        return None
     Q = np.stack(qpdf["qv"].to_numpy()).astype(np.float64)
     qids = qpdf["qid"].to_numpy(np.int64)
 
@@ -489,20 +503,86 @@ def binary_hash_search(
     v = hashed.select(
         F.col(id_col).cast("long").alias("label"), F.col(words_col).alias("_vw")
     )
-    scored = (
-        F.broadcast(cand)
+    return (
+        cand.hint("shuffle_hash")
         .join(v, "label")
         .join(F.broadcast(q), "qid")
         .select(
             "qid", "label", hamming_expr(F.col("_qw"), F.col("_vw")).alias("distance")
         )
     )
-    w = Window.partitionBy("qid").orderBy(F.col("distance").asc(), F.col("label").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w) - 1)
-        .where(F.col("rank") < k)
-        .select("qid", "rank", "label", "distance")
+
+
+def binary_hash_search(
+    hashed: DataFrame,
+    queries: DataFrame,
+    k: int,
+    d: int,
+    b: int,
+    nflip: int = 0,
+    n_slices: int = 1,
+    id_col: str = "id",
+    words_col: str = "words",
+    qid_col: str = "qid",
+    qvec_col: str = "vec",
+) -> DataFrame:
+    """Hash-probed Hamming top-k (faiss ``IndexBinaryHash::search``
+    semantics at radius nflip; ``n_slices > 1`` is
+    ``IndexBinaryMultiHash``: candidates are the UNION over slices of
+    same-bucket rows, the LSH-band OR-construction over sign bits).
+
+    ``hashed`` carries packed ``words`` plus bucket columns ``h0..``
+    (:func:`binary_hash_table`). Candidates are rescored by exact
+    full-width Hamming — distances are EXACT for every returned row;
+    partial coverage only bounds which rows are seen (never a false
+    positive, the IVF-probe contract). Returns (qid, rank, label,
+    distance). The candidate fetch is a shuffle-hash join and the
+    rerank runs through :func:`_rank_topk`'s salted premerge gate —
+    bucket occupancy scales with the corpus, so neither side of this
+    path may assume candidates fit on the driver (see
+    :func:`_binary_hash_scored`).
+    """
+    scored = _binary_hash_scored(
+        hashed, queries, d, b, nflip, n_slices, id_col, words_col, qid_col, qvec_col
     )
+    if scored is None:
+        from .knn import RESULT_SCHEMA
+
+        return hashed.sparkSession.createDataFrame([], RESULT_SCHEMA)
+    return _rank_topk(scored, k, corpus=hashed)
+
+
+def binary_hash_range_search(
+    hashed: DataFrame,
+    queries: DataFrame,
+    radius: int,
+    d: int,
+    b: int,
+    nflip: int = 0,
+    n_slices: int = 1,
+    id_col: str = "id",
+    words_col: str = "words",
+    qid_col: str = "qid",
+    qvec_col: str = "vec",
+) -> DataFrame:
+    """faiss ``IndexBinaryHash::range_search``: Hamming distance
+    STRICTLY below ``radius`` over the hash-probed candidates — exact
+    within bucket coverage, never a false positive. Unordered
+    (qid, label, distance: long), no rank, no sentinels — the
+    :func:`hamming_range_search` contract.
+
+    This is a true range path: the radius filter applies directly to
+    the probed candidate pairs inside whole-stage codegen — no Window,
+    no top-k ranking, no per-qid fan-in — unlike a k=ntotal search
+    followed by a filter, which ranks every candidate first."""
+    scored = _binary_hash_scored(
+        hashed, queries, d, b, nflip, n_slices, id_col, words_col, qid_col, qvec_col
+    )
+    if scored is None:
+        return hashed.sparkSession.createDataFrame(
+            [], "qid long, label long, distance long"
+        )
+    return scored.where(F.col("distance") < int(radius))
 
 
 def binary_hash_table(

@@ -404,6 +404,7 @@ def _gemm_candidates(
 def _finalize(
     q: DataFrame, candidates: DataFrame, k: int, metric: Metric,
     premerge_salt: int | None = None, qids: np.ndarray | None = None,
+    pad: bool = True, distance_cast: str | None = None,
 ) -> DataFrame:
     """Merge partial candidates, rank, and pad to exactly k rows per qid.
 
@@ -421,6 +422,14 @@ def _finalize(
     the final per-qid collect sees ≤ salt·k structs no matter how many
     scan partitions exist — the price is one extra (bounded) shuffle,
     paid only above the parts·k gate in ``knn_search``.
+
+    ``pad=False`` is the binary-tier contract (IndexBinaryFlat /
+    IndexBinaryIVF / IndexBinaryHash): emit min(k, candidates) rows per
+    qid with NO sentinel padding — the scaffold join and pad concat are
+    skipped entirely (``q`` may be None). ``distance_cast`` optionally
+    casts the output distance column (Hamming distances are ``long``).
+    The sort/merge machinery — one shuffle, (distance, label) tie-break,
+    salted premerge — is identical, so every tier shares one contract.
     """
     asc = _better_is_min(metric)
     sent = float(_sentinel(metric))
@@ -458,13 +467,30 @@ def _finalize(
             F.collect_list(F.struct(skey.alias("s"), F.col("label").alias("l")))
         ).alias("_cand")
     )
-    pad = F.array_repeat(
+    sign = 1.0 if asc else -1.0
+    if not pad:
+        # binary-tier contract: min(k, candidates) rows per qid, no
+        # sentinels, no scaffold — one groupBy shuffle total (plus the
+        # bounded salted premerge when gated on).
+        dcol = F.col("_c.s") * F.lit(sign)
+        if distance_cast:
+            dcol = dcol.cast(distance_cast)
+        return (
+            packed.select(
+                "qid", F.posexplode(F.slice(F.col("_cand"), 1, k)).alias("_r", "_c")
+            ).select(
+                "qid",
+                F.col("_r").cast("int").alias("rank"),
+                F.col("_c.l").alias("label"),
+                dcol.alias("distance"),
+            )
+        )
+
+    padarr = F.array_repeat(
         F.struct(F.lit(None).cast("double").alias("s"), F.lit(-1).cast("long").alias("l")),
         k,
     )
-    topk = F.slice(F.concat(F.col("_cand"), pad), 1, k)
-
-    sign = 1.0 if asc else -1.0
+    topk = F.slice(F.concat(F.col("_cand"), padarr), 1, k)
     # packed is nq-scale after the groupBy (one row per qid) —
     # broadcast it explicitly so the scaffold join is a
     # BroadcastHashJoin, never a SortMergeJoin (an SMJ here adds two
@@ -488,7 +514,7 @@ def _finalize(
     out = (
         scaffold
         .join(F.broadcast(packed) if small else packed, "qid", "left")
-        .select("qid", F.posexplode(F.coalesce(topk, pad)).alias("_r", "_c"))
+        .select("qid", F.posexplode(F.coalesce(topk, padarr)).alias("_r", "_c"))
         .select(
             "qid",
             F.col("_r").cast("int").alias("rank"),

@@ -166,3 +166,43 @@ def _qdf(spark, Q):
         pd.DataFrame({"qid": np.arange(len(Q), dtype=np.int64), "vec": list(Q)}),
         "qid long, vec array<float>",
     )
+
+
+def test_search_plan_never_broadcasts_candidates(spark):
+    """Scale pin: the hash-bucket candidate set is corpus-occupancy-
+    bounded (one hot bucket at 1e11 rows is millions of rows per
+    query), so the words-fetch join must NOT broadcast it — the plan
+    must carry a ShuffledHashJoin on ``label`` instead, and the rerank
+    must go through knn._finalize's groupBy merge (no Window rank)."""
+    V, Q = make_fixture(200, 4, 16)
+    idx = BinaryHashIndex.from_table(_table(spark, V), b=6)
+    res = idx.search(_qdf(spark, Q), k=5, nflip=1)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    # no qid-partitioned Window rank (input lineage may carry the
+    # id-assignment window over _pid — that one is not the rerank)
+    assert "windowspecdefinition(qid" not in plan
+    # the only broadcasts are the query-bounded sides (probe frame + q)
+    joins = [ln for ln in plan.splitlines() if "BroadcastHashJoin" in ln]
+    assert len(joins) <= 2, plan
+
+
+def test_range_search_plan_has_no_window(spark):
+    """The range path filters the probed pairs directly — no Window,
+    no top-k rank, no k=ntotal scan — and returns the same rows as the
+    old rank-then-filter route."""
+    V, Q = make_fixture(150, 3, 16)
+    vt = _table(spark, V)
+    idx = BinaryHashIndex.from_table(vt, b=6)
+
+    res = idx.range_search(_qdf(spark, Q), radius=5, nflip=1)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(qid" not in plan
+
+    # equality with the generic rank-everything-then-filter route
+    old = (
+        idx.search(_qdf(spark, Q), k=int(idx.ntotal), nflip=1)
+        .where(F.col("distance") < 5)
+        .select("qid", "label", "distance")
+    )
+    assert sorted(map(tuple, res.collect())) == sorted(map(tuple, old.collect()))
