@@ -289,7 +289,13 @@ def bench_headline(spark) -> dict[str, float]:
     land on random keys (range_join_balance measured 0.5s and 4.2s in
     back-to-back identical-code full runs) — a spike must now hit both
     timed runs to distort a key. Per-key numbers mean 'steady-state,
-    isolated, spike-filtered query'."""
+    isolated, spike-filtered query'.
+
+    Returns (per-key min, per-key BOTH timed runs). The second map is
+    the contamination receipt: on a quiet host the two runs agree to
+    ~10%; a loaded host shows a wide spread, making a noisy run
+    self-evident from BENCH_GRID.json alone (r8's 101 s driver run vs
+    the 79.8 s quiet-host receipt was only diagnosable by re-running)."""
     import gc
 
     import __spark_entry__ as entry_mod
@@ -298,19 +304,19 @@ def bench_headline(spark) -> dict[str, float]:
         spark.catalog.clearCache()
         gc.collect()
 
-    out = {}
+    out, runs = {}, {}
     for name, fn in entry_mod.queries().items():
         fn(spark, SF_DIR).count()  # warmup: compile + JIT, discarded
         _reset()
-        best = None
+        timed = []
         for _ in range(2):
             t0 = time.time()
             fn(spark, SF_DIR).count()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
+            timed.append(round(time.time() - t0, 3))
             _reset()
-        out[name] = round(best, 3)
-    return out
+        out[name] = min(timed)
+        runs[name] = timed
+    return out, runs
 
 
 def main() -> None:
@@ -323,9 +329,12 @@ def main() -> None:
     spark = get_spark("faiss-metal-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    load_start = os.getloadavg()
+    t_bench0 = time.time()
     _warmup(spark)
     queries: dict[str, float] = {}
-    queries.update(bench_headline(spark))
+    headline, headline_runs = bench_headline(spark)
+    queries.update(headline)
     # grid isolation: headline queries leave persisted intermediates
     # behind (pipelines cache what they reuse); the kNN grid measures
     # the search engine, not leftover cache pressure
@@ -351,10 +360,17 @@ def main() -> None:
     elif "sf0.001" in SF_DIR:
         sf = 0.001
 
-    print(emit(queries, grid_stats, storage_gain, sf))
+    isolation = {
+        "loadavg_start": [round(v, 2) for v in load_start],
+        "loadavg_end": [round(v, 2) for v in os.getloadavg()],
+        "cpus": os.cpu_count(),
+        "wall_sec": round(time.time() - t_bench0, 1),
+        "headline_runs_sec": headline_runs,
+    }
+    print(emit(queries, grid_stats, storage_gain, sf, isolation))
 
 
-def emit(queries, grid_stats, storage_gain, sf) -> str:
+def emit(queries, grid_stats, storage_gain, sf, isolation=None) -> str:
     """Build the driver stdout line + write BENCH_GRID.json.
 
     Returns the compact line (the caller prints it LAST). Split out of
@@ -372,6 +388,12 @@ def emit(queries, grid_stats, storage_gain, sf) -> str:
         "sf": sf,
         "headline_total_sec": total,
         "queries_sec": queries,
+        # Load-isolation metadata: per-key BOTH timed runs (spread —
+        # the min is what queries_sec reports) plus a host-load
+        # snapshot, so a contaminated run (r8: 101 s driver vs 79.8 s
+        # quiet-host on identical code) is self-evident from the
+        # receipt instead of requiring a re-run to diagnose.
+        "isolation": isolation or {},
         "grid": grid_stats,
         "storage_gain_pct_vs_fp32_same_arith": storage_gain,
         "method": {

@@ -36,6 +36,7 @@ from .sharded import ShardedIndex
 from .vector_table import (
     IDMap2VectorTable,
     IDMapVectorTable,
+    IDSelectorRange,
     SearchParams,
     SearchToken,
     VectorTable,
@@ -46,6 +47,7 @@ __all__ = [
     "IDMap2VectorTable",
     "IDMapVectorTable",
     "SearchToken",
+    "IDSelectorRange",
     "SearchParams",
     "ShardedIndex",
     "SQ8Index",

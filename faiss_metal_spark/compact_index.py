@@ -161,6 +161,23 @@ def _merge_ivf_frames(
     moved = getattr(other, frame_attr)
     if add_id:
         moved = moved.withColumn("id", (F.col("id") + F.lit(int(add_id))).cast("long"))
+    # Duplicate labels are unreachable in upstream faiss flat tiers
+    # (positional ids, add_id rejected unless 0) — two independently
+    # built indexes merged with the default add_id=0 would silently
+    # create them here. Exact check: bounded id semi-join, stops at
+    # the first clash.
+    clash = (
+        moved.select("id")
+        .join(getattr(self_idx, frame_attr).select("id"), "id", "left_semi")
+        .limit(1)
+        .count()
+    )
+    if clash:
+        raise ValueError(
+            "merge_from: donor ids collide with acceptor ids after the "
+            "add_id shift — duplicate labels would result; pass add_id "
+            "(e.g. acceptor max id + 1) to re-base the donor"
+        )
     _append_frame(self_idx, frame_attr, moved)
     # empty the donor (faiss merge_from leaves other with ntotal=0)
     donor = getattr(other, frame_attr)
@@ -728,13 +745,28 @@ class IVFIndex:
         assignments. ``assign`` is indexed by qid: row ``assign[qid]``
         lists that query's cells (so it must cover max(qid)+1 rows);
         nprobe = the row width. In-cell search is unchanged, so a full
-        assignment reproduces ``search`` exactly."""
+        assignment reproduces ``search`` exactly.
+
+        A ``-1`` entry means "skip this probe slot" (the faiss
+        sentinel: coarse quantizers emit -1 for unfillable slots) —
+        it matches no cell, so the slot contributes nothing. Any qid
+        not covered by ``assign`` raises up front, with the shapes in
+        the message, instead of surfacing as a bare numpy IndexError
+        inside an executor at collect time."""
         from .operators.similarity import ivf_search
 
         A = np.atleast_2d(np.asarray(assign, dtype=np.int64))
 
         def hook(Q, qids):
-            return A[np.asarray(qids, np.int64)]
+            qarr = np.asarray(qids, np.int64)
+            if qarr.size and int(qarr.max()) >= len(A):
+                raise ValueError(
+                    f"search_preassigned: assign covers {len(A)} queries "
+                    f"(rows) but the batch contains qid {int(qarr.max())} "
+                    "— assign is indexed by qid and must cover max(qid)+1 "
+                    "rows"
+                )
+            return A[qarr]
 
         hook.by_qid = True
         return ivf_search(
@@ -863,20 +895,30 @@ class IVFFlatDedupIndex:
 
     @staticmethod
     def _dedup_rows(rows: DataFrame) -> tuple[DataFrame, DataFrame]:
-        """(representatives, instances) of an (id, vec) frame: group on
-        the vector VALUE (array equality — one hash shuffle on the
-        vector bytes, the exact-dedup shape of ``dedup.py``), rep =
-        min id, everything else becomes an (rep, dup_id) instance."""
-        reps = rows.groupBy("vec").agg(F.min("id").alias("id")).select("id", "vec")
+        """(representatives, instances) of an (id, vec) frame: shuffle
+        on ``xxhash64(vec)`` — an 8-byte key instead of the d·4-byte
+        raw array (``dedup.py``'s digest shape) — with array equality
+        verified inside the group: the digest only ROUTES rows, it is
+        never trusted (colliding distinct vectors stay distinct because
+        ``vec`` remains in the grouping/join verify). The digest
+        repartition already satisfies the grouped distribution, so the
+        verify costs no extra exchange (one shuffle for reps, one
+        8-byte-keyed join for instances). Rep = min id."""
+        keyed = rows.withColumn("_dig", F.xxhash64("vec")).repartition("_dig")
+        reps = keyed.groupBy("_dig", "vec").agg(F.min("id").alias("id"))
         inst = (
-            rows.join(
-                reps.select(F.col("vec").alias("vec"), F.col("id").alias("_rep")),
-                "vec",
+            keyed.join(
+                reps.select(
+                    "_dig",
+                    F.col("vec").alias("_rvec"),
+                    F.col("id").alias("_rep"),
+                ),
+                "_dig",
             )
-            .where(F.col("id") != F.col("_rep"))
+            .where((F.col("vec") == F.col("_rvec")) & (F.col("id") != F.col("_rep")))
             .select(F.col("_rep").alias("id"), F.col("id").alias("dup_id"))
         )
-        return reps, inst
+        return reps.select("id", "vec"), inst
 
     @property
     def nlist(self) -> int:
@@ -937,38 +979,95 @@ class IVFFlatDedupIndex:
         self, df: DataFrame, id_col: str = "id", vec_col: str = "vec"
     ) -> "IVFFlatDedupIndex":
         """faiss ``IndexIVFFlatDedup::add_with_ids``: new rows dedup
-        against the EXISTING stored vectors (cell-equal join — the
-        coarse assign localizes the equality check, as in faiss where
-        the duplicate probe scans only the target list) and among
-        themselves; only genuinely new distinct vectors enter the
-        inverted file."""
+        against the EXISTING stored vectors (cell + digest equi-join
+        with array-equality verify — the coarse assign localizes the
+        check as in faiss, the 8-byte digest keys the shuffle) and
+        among themselves; only genuinely new distinct vectors enter
+        the inverted file.
+
+        The class invariant ``rep = min external id of the duplicate
+        set`` — which the exactness-under-ties proof in the class
+        docstring depends on — is RE-ELECTED here: when an incoming
+        duplicate carries a smaller id than the stored representative,
+        the stored row is relabeled to the new id and the old rep
+        demoted into the instances map (its surviving instances
+        relabel with it)."""
         from .operators.similarity import ivf_assign
 
         new = ivf_assign(_ivf_add_rows(df, id_col, vec_col), self.centroids)
+        new = new.withColumn("_dig", F.xxhash64("vec"))
         ex = self.assigned.select(
-            "cell", "vec", F.col("id").alias("_rep")
+            "cell",
+            F.xxhash64("vec").alias("_dig"),
+            F.col("vec").alias("_evec"),
+            F.col("id").alias("_rep"),
         )
-        matched = new.join(ex, ["cell", "vec"], "left")
-        dup_existing = matched.where(F.col("_rep").isNotNull()).select(
-            F.col("_rep").alias("id"), F.col("id").alias("dup_id")
+        # a new row equals AT MOST ONE stored vector (stored reps are
+        # distinct), so the verified hit set has one row per dup id;
+        # digest collisions only add non-hit join rows, filtered here
+        m = new.join(ex, ["cell", "_dig"], "left")
+        dup_pairs = m.where(
+            F.col("_evec").isNotNull() & (F.col("vec") == F.col("_evec"))
+        ).select("_rep", F.col("id").alias("dup_id"))
+        fresh = new.join(
+            dup_pairs.select(F.col("dup_id").alias("id")), "id", "left_anti"
+        ).select("id", "vec", "cell", "_dig")
+
+        # --- representative re-election (rep = min id, always) ---
+        grp = dup_pairs.groupBy("_rep").agg(F.min("dup_id").alias("_mind"))
+        promo = grp.where(F.col("_mind") < F.col("_rep"))  # old rep → new rep
+        new_rep = grp.select(
+            "_rep", F.least("_rep", "_mind").alias("_newrep")
         )
-        fresh = matched.where(F.col("_rep").isNull()).select("id", "vec", "cell")
-        reps = fresh.groupBy("cell", "vec").agg(F.min("id").alias("id"))
+        inst_from_dups = (
+            dup_pairs.join(new_rep, "_rep")
+            .where(F.col("dup_id") != F.col("_newrep"))
+            .select(F.col("_newrep").alias("id"), "dup_id")
+        )
+        demoted = promo.select(
+            F.col("_mind").alias("id"), F.col("_rep").alias("dup_id")
+        )
+
+        # --- intra-batch dedup of the fresh rows (digest-keyed) ---
+        freshk = fresh.repartition("_dig")
+        reps = freshk.groupBy("_dig", "vec").agg(
+            F.min("id").alias("id"), F.first("cell").alias("cell")
+        )
         intra = (
-            fresh.join(
-                reps.select("cell", "vec", F.col("id").alias("_r")),
-                ["cell", "vec"],
+            freshk.join(
+                reps.select(
+                    "_dig", F.col("vec").alias("_rvec"), F.col("id").alias("_r")
+                ),
+                "_dig",
             )
-            .where(F.col("id") != F.col("_r"))
+            .where((F.col("vec") == F.col("_rvec")) & (F.col("id") != F.col("_r")))
             .select(F.col("_r").alias("id"), F.col("id").alias("dup_id"))
         )
-        _append_frame(self, "assigned", reps.select("id", "vec", "cell"))
-        old_inst = self.instances
-        self.instances = (
-            old_inst.unionByName(dup_existing).unionByName(intra).persist()
+
+        old = self.assigned
+        relabel = promo.select(F.col("_rep").alias("id"), "_mind")
+        new_assigned = (
+            old.join(relabel, "id", "left")
+            .select(F.coalesce("_mind", "id").alias("id"), "vec", "cell")
+            .unionByName(reps.select("id", "vec", "cell"))
+            .persist()
         )
-        self._n_inst = self.instances.count()
+        self._n = new_assigned.count()
+        old_inst = self.instances
+        # surviving instances of a promoted group follow the new rep
+        new_inst = (
+            old_inst.join(relabel, "id", "left")
+            .select(F.coalesce("_mind", "id").alias("id"), "dup_id")
+            .unionByName(inst_from_dups)
+            .unionByName(demoted)
+            .unionByName(intra)
+            .persist()
+        )
+        self._n_inst = new_inst.count()
+        old.unpersist()
         old_inst.unpersist()
+        self.assigned = new_assigned
+        self.instances = new_inst
         return self
 
     def add_numpy(self, x: np.ndarray, ids=None) -> "IVFFlatDedupIndex":
@@ -1732,9 +1831,23 @@ class PQIndex:
     def add_sa_codes(self, codes, ids=None) -> "PQIndex":
         """faiss ``Index::add_sa_codes``: ingest PRE-ENCODED m-byte
         codes verbatim — codes must come from this index's own
-        codebooks (``sa_encode``)."""
+        codebooks (``sa_encode``). Code bytes are validated against
+        the codebook width at INGEST (cheap numpy max over the batch):
+        with nbits<8 a byte ≥ 2^nbits would otherwise only explode as
+        an out-of-bounds LUT gather inside an executor at search time,
+        far from the bad input."""
+        rows = [bytes(c) for c in codes]
+        ncw = int(self.codebooks.shape[1])  # 2^nbits codewords/subspace
+        if ncw < 256 and rows:
+            flat = np.frombuffer(b"".join(rows), dtype=np.uint8)
+            hi = int(flat.max()) if flat.size else 0
+            if hi >= ncw:
+                raise ValueError(
+                    f"add_sa_codes: code byte {hi} out of range for "
+                    f"nbits={self.nbits} ({ncw} codewords per subspace)"
+                )
         return _add_sa_codes_frame(
-            self, "codes", codes, ids, "id long, code binary"
+            self, "codes", rows, ids, "id long, code binary"
         )
 
     def sa_decode(self, codes) -> np.ndarray:

@@ -509,10 +509,15 @@ def _collect_probe(
         order = (cn[None, :] - 2.0 * (Q @ centroids.T)).argsort(1, kind="stable")
         probe = order[:, :nprobe]
 
-    # cell → local indices of the queries that probe it
+    # cell → local indices of the queries that probe it. A negative
+    # cell is the faiss -1 "skip this probe slot" sentinel (coarse
+    # quantizers emit it for unfillable slots; search_preassigned
+    # callers pass it through) — it matches nothing, drop it here.
     cell_to_qidx: dict[int, list[int]] = {}
     for i, cells_i in enumerate(probe):
         for c in cells_i:
+            if c < 0:
+                continue
             cell_to_qidx.setdefault(int(c), []).append(i)
     return qids, Q, cell_to_qidx
 

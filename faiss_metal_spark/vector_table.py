@@ -108,6 +108,18 @@ class SearchToken:
         return self._result
 
 
+@dataclass(frozen=True)
+class IDSelectorRange:
+    """≙ ``faiss::IDSelectorRange``: the contiguous id interval
+    [lo, hi) — hi EXCLUSIVE, as in faiss's imin/imax. The explicit
+    wrapper exists so a range can never be confused with a 2-element
+    id batch: ``remove_ids((3, 7))`` removes exactly ids 3 and 7,
+    ``remove_ids(IDSelectorRange(3, 7))`` removes ids 3..6."""
+
+    lo: int
+    hi: int
+
+
 @dataclass
 class SearchParams:
     """Per-call search overrides (≙ ``faiss::SearchParameters``: the
@@ -120,12 +132,14 @@ class SearchParams:
     method: str | None = None
     compute: str | None = None  # 'f32' (default path) | 'f64' (oracle-exact)
     # ≙ faiss SearchParameters::sel (IDSelector): restrict the search
-    # to a subset of stored ids. A (lo, hi) tuple is IDSelectorRange
-    # (hi exclusive); any other iterable is IDSelectorBatch. Applied
-    # as a Catalyst predicate BEFORE the distance stage, so the scan
-    # prunes rows exactly like a metadata filter (and pushes to
-    # parquet on a persisted table); excluded ids simply never appear,
-    # sentinel padding fills short results — faiss semantics.
+    # to a subset of stored ids. An :class:`IDSelectorRange` (or a
+    # legacy (lo, hi) tuple — accepted here because a search
+    # restriction is non-destructive) selects [lo, hi); any other
+    # iterable is IDSelectorBatch. Applied as a Catalyst predicate
+    # BEFORE the distance stage, so the scan prunes rows exactly like
+    # a metadata filter (and pushes to parquet on a persisted table);
+    # excluded ids simply never appear, sentinel padding fills short
+    # results — faiss semantics.
     sel: object = None
 
 
@@ -329,14 +343,17 @@ class VectorTable:
         ``id − |{removed < id}|`` computed with an array HOF — a pure
         projection over one scan, no window, no shuffle.
 
-        A 2-tuple ``(lo, hi)`` is the faiss ``IDSelectorRange`` (hi
-        exclusive, mirroring ``SearchParams.sel``): the shift is then
-        closed-form (survivors below lo keep their id; above the range
-        they shift by the removed count), so a million-id range removal
-        never materializes an id list anywhere.
+        An explicit :class:`IDSelectorRange` (or :meth:`remove_range`)
+        is the faiss ``IDSelectorRange`` (hi exclusive): the shift is
+        then closed-form (survivors below lo keep their id; above the
+        range they shift by the removed count), so a million-id range
+        removal never materializes an id list anywhere. Plain
+        iterables — INCLUDING a 2-element tuple — are always an
+        IDSelectorBatch of literal ids: a destructive range must be
+        spelled out, never inferred from a tuple's length.
         """
-        if isinstance(ids, tuple) and len(ids) == 2:
-            lo, hi = int(ids[0]), int(ids[1])
+        if isinstance(ids, IDSelectorRange):
+            lo, hi = int(ids.lo), int(ids.hi)
             in_range = (F.col("id") >= lo) & (F.col("id") < hi)
             n_present = self.df.where(in_range).count()
             if n_present == 0:
@@ -373,6 +390,13 @@ class VectorTable:
         )
         self._next_id -= len(present)
         return len(present)
+
+    def remove_range(self, lo: int, hi: int) -> int:
+        """Remove ids in [lo, hi) — hi exclusive; sugar for
+        ``remove_ids(IDSelectorRange(lo, hi))``. The unambiguous range
+        API: a tuple passed to :meth:`remove_ids` is always a literal
+        id batch."""
+        return self.remove_ids(IDSelectorRange(int(lo), int(hi)))
 
     def merge_from(self, other: "VectorTable") -> "VectorTable":
         """≙ faiss::Index::merge_from: append the other index's vectors
@@ -585,8 +609,13 @@ class VectorTable:
         sel = getattr(params, "sel", None) if params is not None else None
         if sel is None:
             return self.df
-        if isinstance(sel, tuple) and len(sel) == 2:
-            lo, hi = int(sel[0]), int(sel[1])
+        if isinstance(sel, IDSelectorRange) or (
+            isinstance(sel, tuple) and len(sel) == 2
+        ):
+            lo, hi = (
+                (sel.lo, sel.hi) if isinstance(sel, IDSelectorRange) else sel
+            )
+            lo, hi = int(lo), int(hi)
             return self.df.where((F.col("id") >= lo) & (F.col("id") < hi))
         ids = [int(i) for i in np.asarray(list(sel), dtype=np.int64).ravel()]
         if len(ids) <= _SEL_ISIN_MAX:
@@ -783,11 +812,13 @@ class IDMapVectorTable(VectorTable):
 
     def remove_ids(self, ids) -> int:
         """Drop matching external ids; survivors keep their ids (no
-        positional shift — IndexIDMap semantics). A 2-tuple ``(lo,
-        hi)`` is the faiss IDSelectorRange (hi exclusive): one filter,
-        no id list anywhere. Returns n_removed."""
-        if isinstance(ids, tuple) and len(ids) == 2:
-            lo, hi = int(ids[0]), int(ids[1])
+        positional shift — IndexIDMap semantics). An explicit
+        :class:`IDSelectorRange` (or :meth:`remove_range`) is the
+        faiss IDSelectorRange (hi exclusive): one filter, no id list
+        anywhere. Plain iterables — including 2-element tuples — are
+        always literal id batches. Returns n_removed."""
+        if isinstance(ids, IDSelectorRange):
+            lo, hi = int(ids.lo), int(ids.hi)
             in_range = (F.col("id") >= lo) & (F.col("id") < hi)
             n_present = self.df.where(in_range).count()
             if n_present:

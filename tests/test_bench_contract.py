@@ -100,13 +100,33 @@ def test_line_parses_with_driver_keys():
 
 def test_receipt_file_carries_full_grid(tmp_path):
     queries, grid_stats, gain = _full_size_payload()
-    bench.emit(queries, grid_stats, gain, 0.1)
+    isolation = {
+        "loadavg_start": [1.2, 1.1, 1.0],
+        "loadavg_end": [2.0, 1.5, 1.2],
+        "cpus": 32,
+        "wall_sec": 99.5,
+        "headline_runs_sec": {k: [v, v * 1.05] for k, v in queries.items()},
+    }
+    line = bench.emit(queries, grid_stats, gain, 0.1, isolation)
     with open(tmp_path / "BENCH_GRID.json") as f:
         receipt = json.load(f)
     assert receipt["grid"] == grid_stats
     assert receipt["storage_gain_pct_vs_fp32_same_arith"] == gain
     assert receipt["queries_sec"] == queries  # unrounded in the receipt
     assert "headline" in receipt["method"] and "grid" in receipt["method"]
+    # isolation metadata: per-key spread + host-load snapshot land in
+    # the receipt (a contaminated run must be self-evident), and the
+    # stdout line still fits the driver capture with it present
+    iso = receipt["isolation"]
+    assert iso["loadavg_start"] == [1.2, 1.1, 1.0]
+    assert iso["cpus"] == 32
+    assert set(iso["headline_runs_sec"]) == set(queries)
+    assert all(len(v) == 2 for v in iso["headline_runs_sec"].values())
+    assert len(line) < 1900
+    # emit without isolation still writes a receipt (empty dict)
+    bench.emit(queries, grid_stats, gain, 0.1)
+    with open(tmp_path / "BENCH_GRID.json") as f:
+        assert json.load(f)["isolation"] == {}
 
 
 def test_tests_never_touch_real_receipt():

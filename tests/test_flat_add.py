@@ -277,3 +277,42 @@ def test_add_sa_codes_ingests_codes_verbatim(spark):
     assert [bytes(c) for c in cvt.sa_encode(cvt.reconstruct_n(300, 8))] == [
         bytes(c) for c in codes
     ]
+
+
+def test_merge_from_refuses_duplicate_labels(spark):
+    """Two independently built indexes both carry ids 0..n-1; merging
+    with the default add_id=0 would silently create duplicate labels —
+    a state upstream faiss IndexFlatCodes cannot reach (positional
+    ids). The clash is detected exactly (id semi-join) and refused;
+    re-basing with add_id succeeds."""
+    from faiss_metal_spark import SQ8Index
+
+    V, _ = make_fixture(100, 1, 16, seed=711)
+    vt = _table(spark, V)
+    a = SQ8Index.from_table(vt)
+    b = SQ8Index.from_table(vt)
+    with pytest.raises(ValueError, match="collide"):
+        a.merge_from(b)          # default add_id=0, ids overlap
+    assert a.ntotal == 100 and b.ntotal == 100  # refusal mutated nothing
+    a.merge_from(b, add_id=100)
+    assert a.ntotal == 200 and b.ntotal == 0
+    a.release()
+
+
+def test_add_sa_codes_validates_narrow_code_bytes(spark):
+    """With nbits<8 a code byte >= 2^nbits must refuse at INGEST (it
+    would otherwise explode later as an out-of-bounds codebook gather
+    inside an executor during search) — faiss codes are packed so the
+    state is unreachable upstream; here bytes carry one sub-code each,
+    so the check is explicit."""
+    from faiss_metal_spark import PQIndex
+
+    V, _ = make_fixture(200, 1, 16, seed=712)
+    idx = PQIndex.from_table(_table(spark, V), m=4, nbits=4, sample_size=200)
+    good = idx.sa_encode(V[:2].astype(np.float64))
+    idx.add_sa_codes(good, ids=[500, 501])
+    assert idx.ntotal == 202
+    with pytest.raises(ValueError, match="add_sa_codes.*out of range"):
+        idx.add_sa_codes([b"\x10\x00\x00\x00"])  # 16 >= 2^4
+    assert idx.ntotal == 202
+    idx.release()

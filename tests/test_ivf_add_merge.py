@@ -209,3 +209,29 @@ def test_ivf_search_preassigned(spark):
         for lab in L_w[qi]:
             if lab >= 0:
                 assert cells[lab] == want_cell
+
+
+def test_search_preassigned_bounds_and_sentinel(spark):
+    """assign is indexed by qid: an uncovered qid raises a clear
+    ValueError up front (not a bare numpy IndexError at collect time);
+    a -1 entry is the faiss 'skip this probe slot' sentinel — it
+    matches no cell and simply contributes nothing."""
+    V, Q = make_fixture(200, 4, 16, seed=607)
+    idx = IVFIndex.from_table(_table(spark, V), n_cells=4, sample_size=200)
+    C = idx.centroids
+    cn = (C * C).sum(1)
+    order = (cn[None, :] - 2.0 * (Q.astype(np.float64) @ C.T)).argsort(
+        1, kind="stable"
+    )
+
+    # assign covers only 2 of the 4 queries → refuse with the shapes
+    with pytest.raises(ValueError, match="search_preassigned.*covers 2"):
+        idx.search_preassigned_numpy(Q, 3, order[:2, :2])
+
+    # -1 slots: (best, -1) ≡ (best,) — the sentinel adds nothing
+    one = order[:, :1]
+    padded = np.concatenate([one, np.full_like(one, -1)], axis=1)
+    D1, L1 = idx.search_preassigned_numpy(Q, 3, one)
+    D2, L2 = idx.search_preassigned_numpy(Q, 3, padded)
+    assert np.array_equal(L1, L2) and np.allclose(D1, D2)
+    idx.release()

@@ -112,6 +112,40 @@ def test_dedup_add_dedups_against_existing_and_within_batch(spark):
     assert hi == 203
 
 
+def test_dedup_add_reelects_min_id_representative(spark):
+    """The class invariant rep = min external id must survive add: an
+    incoming duplicate with a SMALLER id than the stored representative
+    takes over as rep (stored row relabels, old rep demotes to the
+    instances map, surviving instances follow), so a logical top-k
+    under distance ties keeps the smallest-id duplicate first."""
+    base, Q = make_fixture(20, 2, 12, seed=11)
+    # rebuild with ids 100.. so a later smaller id can arrive
+    idx = IVFFlatDedupIndex.from_table(
+        VectorTable(spark, 12).add_numpy(base), n_cells=2, sample_size=64
+    )
+    idx.remove_ids(np.arange(20))
+    idx.add_numpy(
+        np.concatenate([base, base[:5]]), ids=np.arange(100, 125)
+    )
+    assert idx.ntotal == 20 and idx.n_instances == 5
+    # id 3 duplicates stored vector whose rep is 102 (instance 122)
+    idx.add_numpy(base[2:3], ids=np.array([3]))
+    assert idx.ntotal == 20 and idx.n_instances == 6
+    reps = {r["id"] for r in idx.assigned.select("id").collect()}
+    assert 3 in reps and 102 not in reps
+    inst = {
+        (r["id"], r["dup_id"])
+        for r in idx.instances.collect()
+    }
+    # old rep demoted, its surviving instance relabeled to the new rep
+    assert (3, 102) in inst and (3, 122) in inst
+    assert not any(rep == 102 for rep, _ in inst)
+    # logical search: all three duplicate ids at distance 0, min first
+    D, L = idx.search_numpy(base[2:3], 3, nprobe=idx.nlist)
+    assert list(L[0]) == [3, 102, 122]
+    assert np.allclose(D[0], 0.0, atol=1e-9)
+
+
 def test_dedup_io_roundtrip_and_clone(spark, tmp_path):
     from faiss_metal_spark.sources.index_io import (
         clone_index,

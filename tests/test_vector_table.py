@@ -775,30 +775,40 @@ def test_search_params_id_selector(spark):
 
 
 def test_remove_ids_range_selector(spark):
-    """(lo, hi) tuple = faiss IDSelectorRange (hi exclusive): the flat
-    table compacts with a closed-form shift (no id list anywhere), the
-    IDMap table just filters; both return the removed count."""
+    """IDSelectorRange / remove_range = faiss IDSelectorRange (hi
+    exclusive): the flat table compacts with a closed-form shift (no
+    id list anywhere), the IDMap table just filters; both return the
+    removed count. A plain 2-element TUPLE is a literal id batch —
+    never silently reinterpreted as a range (that would mass-delete
+    [lo, hi) when the caller meant two ids)."""
     import numpy as np
-    from faiss_metal_spark import IDMapVectorTable, VectorTable
+    from faiss_metal_spark import IDMapVectorTable, IDSelectorRange, VectorTable
     from conftest import make_fixture
 
     V, _ = make_fixture(50, 1, 8, seed=909)
     vt = VectorTable(spark, 8).add_numpy(V)
-    assert vt.remove_ids((10, 20)) == 10
+    assert vt.remove_ids(IDSelectorRange(10, 20)) == 10
     assert vt.ntotal == 40
     # survivors below the range keep their ids; above shift down by 10
     r9 = vt.reconstruct(9)
     r10 = vt.reconstruct(10)   # was id 20
     assert np.allclose(r9, V[9], atol=2e-3)
     assert np.allclose(r10, V[20], atol=2e-3)
-    assert vt.remove_ids((1000, 2000)) == 0
+    assert vt.remove_range(1000, 2000) == 0
+
+    # a 2-tuple removes EXACTLY those two ids, not [2, 30)
+    assert vt.remove_ids((2, 30)) == 2
+    assert vt.ntotal == 38
 
     im = IDMapVectorTable(spark, 8)
     im.add_with_ids(V[:10], np.arange(100, 110))
-    assert im.remove_ids((103, 106)) == 3
+    assert im.remove_range(103, 106) == 3
     assert im.ntotal == 7
     # no renumbering: id 106 still holds V[6]
     assert np.allclose(im.reconstruct(106), V[6], atol=2e-3)
+    # tuple = batch on the IDMap side too
+    assert im.remove_ids((100, 108)) == 2
+    assert im.ntotal == 5
 
 
 def test_idmap2_reconstruct_and_io(spark, tmp_path):
