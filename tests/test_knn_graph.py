@@ -205,3 +205,55 @@ def test_mrng_diversify_heuristic_and_graph_quality(spark):
     recall = len(got & exact_ids) / len(exact_ids)
     assert recall >= 0.8
     g.release(); g2.release()
+
+
+def test_connect_graph_repairs_disconnected_islands(spark):
+    """faiss IndexNSG tree_grow parity (connect_graph): MRNG pruning on
+    two far-apart tight clusters can leave no inter-cluster edge — beam
+    search entering one cluster then never reaches the other. The
+    repair links each island's min-id node to its exact nearest
+    main-component neighbor both ways; a connected input passes through
+    unchanged; index_factory("NSG<M>") applies it."""
+    from faiss_metal_spark import VectorTable, index_factory
+    from faiss_metal_spark.operators.knn_graph import connect_graph
+
+    rng = np.random.default_rng(23)
+    # two tight clusters, very far apart: every node's 2M candidates
+    # are in-cluster, so the MRNG graph has ZERO cross edges
+    A = (rng.normal(size=(12, 6)) * 0.05).astype(np.float32)
+    B = (rng.normal(size=(12, 6)) * 0.05 + 50.0).astype(np.float32)
+    X = np.concatenate([A, B])
+    vdf = _vdf(spark, X)
+
+    g = nn_descent(vdf, k=4, iters=3)
+    cross = lambda df: [  # noqa: E731
+        (a, b) for a, b in df.select("id", "nbr").collect()
+        if (a < 12) != (b < 12)
+    ]
+    assert not cross(g)  # fixture is genuinely disconnected
+
+    repaired = connect_graph(g, vdf)
+    bridges = cross(repaired)
+    assert bridges  # at least one inter-cluster edge now exists
+    # both directions of the bridge present (search can cross either way)
+    assert any((b, a) in bridges for a, b in bridges)
+    # repair edges carry true L2²
+    rows = {(a, b): d for a, b, d in repaired.collect()}
+    for a, b in bridges:
+        true = float(((X[a].astype(np.float64) - X[b].astype(np.float64)) ** 2).sum())
+        assert abs(rows[(a, b)] - true) < 1e-9
+
+    # a connected graph returns unchanged rows
+    g_conn = nn_descent(_vdf(spark, A), k=4, iters=3)
+    same = connect_graph(g_conn, _vdf(spark, A))
+    assert sorted(map(tuple, same.collect())) == sorted(map(tuple, g_conn.collect()))
+
+    # end-to-end: the factory NSG build reaches across clusters — every
+    # query's top-1 is itself even when seeds land in the other cluster
+    vt = VectorTable(spark, 6).add_numpy(X)
+    idx = index_factory(vt, "NSG4", iters=3)
+    cc_edges = cross(idx.graph.select("id", "nbr"))
+    assert cc_edges  # repair ran inside the factory
+    D, L = idx.search_numpy(X[::5], k=3, ef=24)
+    hits = sum(int(L[i, 0]) == int(i * 5) for i in range(len(L)))
+    assert hits >= int(0.9 * len(L)), (hits, len(L))
