@@ -2330,7 +2330,11 @@ def q_mllib_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the driver's sf (each NN-Descent round is several fixed-
         # overhead stages); convergence quality at full iters is what
         # the dedicated recall test pins
-        return nn_descent(emb, k=5, iters=2).select(
+        g = nn_descent(emb, k=5, iters=2)
+        g.count()  # pin the descent's (lazy) checkpoint while emb is
+        # cached and the other trainers run — the final union action
+        # then reads the checkpointed RDD instead of re-descending
+        return g.select(
             F.lit("nng").alias("kind"),
             F.col("id").alias("a"),
             F.col("nbr").alias("b"),
@@ -2354,6 +2358,13 @@ def q_mllib_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells, pairs, nng, opq = pool.map(
             lambda f: f(), (_cells, _pairs, _nng, _opq)
         )
+    # training actions are done — release the cache HERE so it cannot
+    # leak into whatever a sequential runner (driver correctness gate,
+    # plan audit) executes next: a later query scanning embeddings
+    # would silently read the InMemoryRelation and lose its parquet
+    # pushdown. The returned union recomputes its (cheap, single-pass)
+    # projections from parquet.
+    emb.unpersist()
     return cells.unionByName(pairs).unionByName(nng).unionByName(opq)
 
 

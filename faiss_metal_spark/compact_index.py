@@ -1745,14 +1745,54 @@ class PQIndex:
     def ntotal(self) -> int:
         return self._n if self._n >= 0 else self.codes.count()
 
-    def search(self, queries: DataFrame, k: int) -> DataFrame:
+    def polysemous_train(
+        self, n_iter: int = 30_000, seed: int = 123
+    ) -> "PQIndex":
+        """faiss ``PolysemousTraining::optimize_pq_for_hamming`` +
+        IndexPQ's in-place code relabeling: reorder each
+        subquantizer's codewords (seeded simulated annealing on the
+        distance-reproduction objective) so Hamming distance between
+        code bytes tracks codeword distance, then rewrite codebooks
+        AND stored codes together — decode/ADC results are
+        bit-identical; only the bit patterns change. Enables
+        ``search(..., ht=)``."""
+        from .operators.polysemous import apply_polysemous, polysemous_train_books
+
+        perms = polysemous_train_books(self.codebooks, n_iter=n_iter, seed=seed)
+        new_books, new_codes = apply_polysemous(self.codebooks, self.codes, perms)
+        new_codes = new_codes.persist()
+        self._n = new_codes.count()
+        old = self.codes
+        self.codebooks = new_books
+        self.codes = new_codes
+        old.unpersist()
+        return self
+
+    def search(
+        self, queries: DataFrame, k: int, ht: int | None = None
+    ) -> DataFrame:
+        """ADC top-k; with ``ht`` set, faiss ``ST_polysemous``: only
+        codes within ``ht`` Hamming bits of the query's own code are
+        ADC-evaluated (run :meth:`polysemous_train` first for the
+        Hamming test to be meaningful; distances of returned rows stay
+        exact either way)."""
         from .operators.pq import pq_search
 
+        if ht is not None:
+            from .operators.polysemous import polysemous_search
+
+            return polysemous_search(
+                self.codes, self.codebooks, queries, k, ht=int(ht)
+            )
         return pq_search(self.codes, self.codebooks, queries, k)
 
-    def search_numpy(self, x: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    def search_numpy(
+        self, x: np.ndarray, k: int, ht: int | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
         return _host_result(
-            self.search(_query_df(self.spark, x), k), len(np.atleast_2d(x)), k
+            self.search(_query_df(self.spark, x), k, ht=ht),
+            len(np.atleast_2d(x)),
+            k,
         )
 
     def range_search(self, queries: DataFrame, radius: float) -> DataFrame:
