@@ -2384,6 +2384,22 @@ _PQ_M, _PQ_DSUB, _ANN_CELLS, _ANN_NPROBE = 8, 8, 16, 4
 # so heavy 16-bit ties stay hash-stable
 _LSH_NBITS, _LSH_SEED = 16, 77
 _BHASH_B = 12  # IndexBinaryHash prefix width for the bhash lane
+# Polysemous lane: the RELABELING + Hamming-filter + ADC machinery is
+# deterministic given a permutation, so the lane uses a FIXED seeded
+# permutation (shared literal between engine and oracle) and a fixed
+# ht; the simulated-annealing trainer itself is iterative and stays
+# test-pinned (tests/test_polysemous.py alignment improvement), the
+# same split every trainer here gets.
+_POLY_HT = 24
+
+
+def _poly_perm() -> "np.ndarray":
+    return np.random.default_rng(4242).permutation(256)
+
+
+def _poly_perm_values() -> str:
+    """(ck, pck) VALUES literal of the shared poly-lane permutation."""
+    return ", ".join(f"({i}, {int(p)})" for i, p in enumerate(_poly_perm()))
 
 
 def _fixed_quantizers(emb: DataFrame):
@@ -2485,6 +2501,23 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     rqbooks = np.stack([centroids, r1])
     rq_rows = rq_search(rq_encode(emb, rqbooks), rqbooks, queries, k=10)
 
+    # poly lane: faiss IndexPQ ST_polysemous — codes + books relabel by
+    # a fixed permutation (relabeling is distance-invisible), then the
+    # Hamming-filtered ADC search at ht=_POLY_HT of the 64 code bits;
+    # the oracle reproduces the relabel + bit_count(xor) filter + ADC
+    from faiss_metal_spark.operators.polysemous import (
+        apply_polysemous,
+        polysemous_search,
+    )
+
+    perm = _poly_perm()
+    pbooks, pcodes = apply_polysemous(
+        books, codes, np.tile(perm, (_PQ_M, 1))
+    )
+    poly = polysemous_search(pcodes, pbooks, queries, k=10, ht=_POLY_HT).where(
+        F.col("label") >= 0  # the oracle emits only real (unpadded) rows
+    )
+
     out_cols = lambda kind, df: df.select(  # noqa: E731
         F.lit(kind).alias("path"), "qid", "rank", "label",
         _norm(F.col("distance"), 4).alias("distance"),
@@ -2496,6 +2529,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(out_cols("refine", ref))
         .unionByName(out_cols("ivfpqr", pqr))
         .unionByName(out_cols("rq", rq_rows))
+        .unionByName(out_cols("poly", poly))
     )
 
 
@@ -2909,7 +2943,38 @@ rqr AS (
   SELECT qid, label, dist,
          row_number() OVER (PARTITION BY qid ORDER BY dist ASC, label ASC) - 1 AS rank
   FROM rqd
+),
+-- poly lane (faiss IndexPQ ST_polysemous): relabel every sub-code by
+-- the FIXED shared permutation, Hamming-filter on the relabeled bytes
+-- (bit_count of the XOR summed over subspaces), ADC only on survivors
+polyperm AS (SELECT * FROM (VALUES {_poly_perm_values()}) pm(ck, pck)),
+qenc AS (
+  SELECT q.qid, e.j, pm.pck
+  FROM q JOIN enc e ON e.id = q.qid JOIN polyperm pm ON pm.ck = e.ck
+),
+venc AS (
+  SELECT e.id, e.j, pm.pck FROM enc e JOIN polyperm pm ON pm.ck = e.ck
+),
+pham AS (
+  SELECT qe.qid, ve.id AS label,
+         SUM(bit_count(xor(CAST(qe.pck AS BIGINT), CAST(ve.pck AS BIGINT)))) AS ham
+  FROM qenc qe JOIN venc ve ON ve.j = qe.j
+  GROUP BY qe.qid, ve.id
+),
+padc AS (
+  SELECT a.qid, a.label, a.dist
+  FROM adc a JOIN pham h ON h.qid = a.qid AND h.label = a.label
+  WHERE h.ham <= {_POLY_HT}
+),
+prf AS (
+  SELECT qid, label, dist,
+         row_number() OVER (PARTITION BY qid ORDER BY dist ASC, label ASC) - 1 AS rank
+  FROM padc
 )
+SELECT 'poly' AS path, CAST(qid AS BIGINT) AS qid, CAST(rank AS INTEGER) AS rank,
+       CAST(label AS BIGINT) AS label, ROUND(dist, 4) + 0.0 AS distance
+FROM prf WHERE rank < 10
+UNION ALL
 SELECT 'rq' AS path, CAST(qid AS BIGINT) AS qid, CAST(rank AS INTEGER) AS rank,
        CAST(label AS BIGINT) AS label, ROUND(dist, 4) + 0.0 AS distance
 FROM rqr WHERE rank < 10
