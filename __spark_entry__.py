@@ -2313,6 +2313,7 @@ def q_mllib_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("b"),
                 F.lit(None).cast("double").alias("x"),
             )
+            .localCheckpoint()
         )
 
     def _pairs():
@@ -2323,23 +2324,19 @@ def q_mllib_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("id_a").alias("a"),
             F.col("id_b").alias("b"),
             _norm(F.col("dist"), 4).alias("x"),
-        )
+        ).localCheckpoint()
 
     def _nng():
         # iters=2 keeps the rows-only key latency-bound work modest at
         # the driver's sf (each NN-Descent round is several fixed-
         # overhead stages); convergence quality at full iters is what
         # the dedicated recall test pins
-        g = nn_descent(emb, k=5, iters=2)
-        g.count()  # pin the descent's (lazy) checkpoint while emb is
-        # cached and the other trainers run — the final union action
-        # then reads the checkpointed RDD instead of re-descending
-        return g.select(
+        return nn_descent(emb, k=5, iters=2).select(
             F.lit("nng").alias("kind"),
             F.col("id").alias("a"),
             F.col("nbr").alias("b"),
             _norm(F.col("dist"), 4).alias("x"),
-        )
+        ).localCheckpoint()
 
     def _opq():
         R, books = opq_train(emb, m=8, iters=3, pq_iters=3)
@@ -2352,18 +2349,20 @@ def q_mllib_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("qid").alias("a"),
             F.col("label").alias("b"),
             _norm(F.col("distance"), 4).alias("x"),
-        )
+        ).localCheckpoint()
 
     with ThreadPoolExecutor(max_workers=4) as pool:
         cells, pairs, nng, opq = pool.map(
             lambda f: f(), (_cells, _pairs, _nng, _opq)
         )
-    # training actions are done — release the cache HERE so it cannot
-    # leak into whatever a sequential runner (driver correctness gate,
-    # plan audit) executes next: a later query scanning embeddings
+    # Each thread returned an EAGER localCheckpoint: its result rows
+    # materialized while emb was cached and the threads overlapped, so
+    # the final union is a read of four in-memory RDDs. That makes the
+    # unpersist below safe AND free — the cache cannot leak into
+    # whatever a sequential runner (driver correctness gate, plan
+    # audit) executes next, where a later query scanning embeddings
     # would silently read the InMemoryRelation and lose its parquet
-    # pushdown. The returned union recomputes its (cheap, single-pass)
-    # projections from parquet.
+    # pushdown.
     emb.unpersist()
     return cells.unionByName(pairs).unionByName(nng).unionByName(opq)
 
