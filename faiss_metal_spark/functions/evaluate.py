@@ -111,3 +111,47 @@ def tune_nprobe(
     finally:
         exact.unpersist()
     return {"nprobe": chosen, "points": points}
+
+
+def tune_polysemous_ht(
+    index,
+    queries: DataFrame,
+    k: int,
+    target_recall: float = 0.95,
+    hts: list[int] | None = None,
+) -> dict:
+    """Pick the smallest polysemous Hamming threshold meeting
+    ``target_recall`` — faiss's ParameterSpace sweep over
+    ``polysemous_ht`` (IndexPQ ST_polysemous), over this repo's
+    :class:`PQIndex` after :meth:`polysemous_train`.
+
+    Baseline = the index's own plain ADC search (``ht`` unset): the
+    filter can only DROP candidates, so recall vs that baseline
+    isolates exactly the loss ht controls. Sweeps ascending ht values
+    (default: multiples of m·nbits/8 up to half the code width — the
+    useful region; faiss defaults to ht = nbits·m/2 too), stopping at
+    the first that meets the target. Returns ``{"ht": chosen,
+    "points": [{"ht": h, "recall": r}, ...]}``. Cost: one search per
+    probed point over the (sampled) query set."""
+    m = int(index.codebooks.shape[0])
+    bits = m * index.nbits
+    if hts is None:
+        step = max(bits // 8, 1)
+        hts = list(range(step, bits // 2 + 1, step))
+    hts = sorted(set(int(h) for h in hts if 0 <= h < bits))
+    exact = index.search(queries, k).persist()
+    exact.count()
+    points = []
+    chosen = bits
+    try:
+        for h in hts:
+            r = mean_recall(index.search(queries, k, ht=h), exact)
+            points.append({"ht": h, "recall": r})
+            if r >= target_recall:
+                chosen = h
+                break
+        else:
+            points.append({"ht": bits, "recall": 1.0})
+    finally:
+        exact.unpersist()
+    return {"ht": chosen, "points": points}

@@ -169,3 +169,39 @@ def test_apply_polysemous_rejects_non_permutation(spark):
     with pytest.raises(ValueError, match="perms shape"):
         apply_polysemous(idx.codebooks, idx.codes, np.zeros((2, 16), np.int64))
     idx.release()
+
+
+def test_tune_polysemous_ht(spark):
+    """ParameterSpace sweep over polysemous_ht: returns the smallest ht
+    meeting the recall target vs the index's own plain ADC baseline;
+    the curve is monotone-ish in ht and the chosen point meets the
+    target."""
+    from faiss_metal_spark.functions.evaluate import tune_polysemous_ht
+
+    V, Q = make_fixture(300, 6, 16, seed=806)
+    idx = _build(spark, V, m=4, nbits=4).polysemous_train(n_iter=6_000, seed=7)
+    out = tune_polysemous_ht(idx, _qdf(spark, Q), k=5, target_recall=0.9)
+    assert out["points"], out
+    bits = 4 * idx.nbits
+    assert 0 < out["ht"] <= bits
+    # the chosen point meets the target (or is the full-width fallback)
+    last = out["points"][-1]
+    assert last["recall"] >= 0.9 or out["ht"] == bits
+    # sanity: recall at the chosen ht really is >= target when not the
+    # fallback — re-measure independently
+    if out["ht"] < bits:
+        from faiss_metal_spark.functions.evaluate import mean_recall
+
+        exact = idx.search(_qdf(spark, Q), 5)
+        got = mean_recall(idx.search(_qdf(spark, Q), 5, ht=out["ht"]), exact)
+        assert got >= 0.9
+    idx.release()
+
+
+def _qdf(spark, Q):
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame({"qid": np.arange(len(Q), dtype=np.int64), "vec": list(Q)}),
+        "qid long, vec array<float>",
+    )
