@@ -1649,14 +1649,52 @@ class OPQIndex:
     def ntotal(self) -> int:
         return self._n if self._n >= 0 else self.codes.count()
 
-    def search(self, queries: DataFrame, k: int) -> DataFrame:
-        from .operators.opq import opq_search
+    def polysemous_train(
+        self, n_iter: int = 30_000, seed: int = 123
+    ) -> "OPQIndex":
+        """Polysemous training composes through the pre-transform
+        (faiss wraps IndexPQ, whose polysemous state is
+        rotation-oblivious): the codeword reorder + code relabel run
+        in rotated space exactly as on :class:`PQIndex` — every
+        distance-visible quantity is unchanged."""
+        from .operators.polysemous import apply_polysemous, polysemous_train_books
 
+        perms = polysemous_train_books(self.codebooks, n_iter=n_iter, seed=seed)
+        new_books, new_codes = apply_polysemous(self.codebooks, self.codes, perms)
+        new_codes = new_codes.persist()
+        self._n = new_codes.count()
+        old = self.codes
+        self.codebooks = new_books
+        self.codes = new_codes
+        old.unpersist()
+        return self
+
+    def search(
+        self, queries: DataFrame, k: int, ht: int | None = None
+    ) -> DataFrame:
+        from .operators.opq import opq_rotate, opq_search
+
+        if ht is not None:
+            from .operators.polysemous import polysemous_search
+
+            # rotate the (broadcast-side) queries once, then the PQ
+            # polysemous machinery runs unchanged in rotated space
+            rq = opq_rotate(
+                queries.select(F.col("qid").alias("id"), F.col("vec")),
+                self.rotation,
+            ).select(F.col("id").alias("qid"), "vec")
+            return polysemous_search(
+                self.codes, self.codebooks, rq, k, ht=int(ht)
+            )
         return opq_search(self.codes, self.rotation, self.codebooks, queries, k)
 
-    def search_numpy(self, x: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    def search_numpy(
+        self, x: np.ndarray, k: int, ht: int | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
         return _host_result(
-            self.search(_query_df(self.spark, x), k), len(np.atleast_2d(x)), k
+            self.search(_query_df(self.spark, x), k, ht=ht),
+            len(np.atleast_2d(x)),
+            k,
         )
 
     def range_search(self, queries: DataFrame, radius: float) -> DataFrame:

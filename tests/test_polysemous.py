@@ -205,3 +205,28 @@ def _qdf(spark, Q):
         pd.DataFrame({"qid": np.arange(len(Q), dtype=np.int64), "vec": list(Q)}),
         "qid long, vec array<float>",
     )
+
+
+def test_opq_polysemous_composes_through_rotation(spark):
+    """faiss IndexPreTransform(OPQ, IndexPQ) + polysemous: the reorder
+    runs in rotated space — plain search is bit-identical after
+    training, ht=max ≡ plain exactly, and a moderate ht keeps the
+    self-hit (rotation is an isometry, so the query's own code always
+    passes at Hamming 0)."""
+    from faiss_metal_spark import OPQIndex
+
+    V, Q = make_fixture(250, 4, 16, seed=807)
+    idx = OPQIndex.from_table(_table(spark, V), m=4, nbits=4, sample_size=250)
+    D0, L0 = idx.search_numpy(Q, 5)
+    idx.polysemous_train(n_iter=6_000, seed=13)
+    D1, L1 = idx.search_numpy(Q, 5)
+    np.testing.assert_array_equal(L0, L1)
+    np.testing.assert_allclose(D0, D1, atol=1e-12)
+    full = 4 * 4  # m · nbits = maximum possible Hamming distance
+    Dh, Lh = idx.search_numpy(Q, 5, ht=full)
+    np.testing.assert_array_equal(L1, Lh)
+    np.testing.assert_allclose(D1, Dh, atol=1e-12)
+    # stored rows searched AT their own vector pass at Hamming 0
+    Ds, Ls = idx.search_numpy(V[:4], 1, ht=0)
+    assert (Ls[:, 0] >= 0).all()
+    idx.release()
