@@ -1391,18 +1391,44 @@ class IVFPQIndex:
     def ntotal(self) -> int:
         return self._n if self._n >= 0 else self.codes.count()
 
-    def search(self, queries: DataFrame, k: int, nprobe: int = 8) -> DataFrame:
+    def polysemous_train(
+        self, n_iter: int = 30_000, seed: int = 123
+    ) -> "IVFPQIndex":
+        """faiss IndexIVFPQ polysemous training: the RESIDUAL
+        codebooks reorder and the stored residual codes relabel
+        together (cell column rides through untouched, so the
+        inverted-file partitioning survives); enables
+        ``search(..., ht=)`` — the in-cell Hamming gate."""
+        from .operators.polysemous import apply_polysemous, polysemous_train_books
+
+        perms = polysemous_train_books(self.codebooks, n_iter=n_iter, seed=seed)
+        new_books, new_codes = apply_polysemous(
+            self.codebooks, self.codes, perms, extra_cols=("cell",)
+        )
+        new_codes = new_codes.persist()
+        self._n = new_codes.count()
+        old = self.codes
+        self.codebooks = new_books
+        self.codes = new_codes
+        old.unpersist()
+        return self
+
+    def search(
+        self, queries: DataFrame, k: int, nprobe: int = 8,
+        ht: int | None = None,
+    ) -> DataFrame:
         from .operators.pq import ivfpq_search
 
         return ivfpq_search(
-            self.codes, self.centroids, self.codebooks, queries, k, nprobe
+            self.codes, self.centroids, self.codebooks, queries, k, nprobe,
+            ht=ht,
         )
 
     def search_numpy(
-        self, x: np.ndarray, k: int, nprobe: int = 8
+        self, x: np.ndarray, k: int, nprobe: int = 8, ht: int | None = None
     ) -> tuple[np.ndarray, np.ndarray]:
         return _host_result(
-            self.search(_query_df(self.spark, x), k, nprobe),
+            self.search(_query_df(self.spark, x), k, nprobe, ht=ht),
             len(np.atleast_2d(x)),
             k,
         )

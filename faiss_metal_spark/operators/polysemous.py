@@ -109,12 +109,17 @@ def polysemous_train_books(
 
 
 def apply_polysemous(
-    codebooks: np.ndarray, codes: DataFrame, perms: np.ndarray
+    codebooks: np.ndarray,
+    codes: DataFrame,
+    perms: np.ndarray,
+    extra_cols: tuple = (),
 ) -> tuple[np.ndarray, DataFrame]:
     """Relabel (codebooks, stored codes) by the trained permutations —
     decode(new_code, new_books) ≡ decode(old_code, old_books) exactly.
     Books permute host-side; codes remap in one vectorized
-    ``mapInArrow`` LUT gather (the only corpus-sized step)."""
+    ``mapInArrow`` LUT gather (the only corpus-sized step).
+    ``extra_cols`` pass through verbatim (the IVFPQ tier keeps its
+    ``cell`` column so the inverted-file partitioning survives)."""
     m, ksub, dsub = codebooks.shape
     perms = np.asarray(perms, dtype=np.int64)
     if perms.shape != (m, ksub):
@@ -127,6 +132,15 @@ def apply_polysemous(
         new_books[j, perms[j]] = codebooks[j]
     spark = codes.sparkSession
     bc = spark.sparkContext.broadcast(perms.astype(np.uint8))
+    extra_cols = tuple(extra_cols)
+    out_schema = CODE_SCHEMA
+    if extra_cols:
+        import pyspark.sql.types as T
+
+        base = codes.schema
+        out_schema = T.StructType(
+            list(CODE_SCHEMA.fields) + [base[c] for c in extra_cols]
+        )
 
     def remap(batches):
         import pyarrow as pa
@@ -139,12 +153,14 @@ def apply_polysemous(
             out = np.empty_like(C)
             for j in range(P.shape[0]):
                 out[:, j] = P[j][C[:, j]]
-            yield pa.record_batch(
-                [pa.array(_arrow_i64(batch.column("id"))), _binary_array(out)],
-                names=["id", "code"],
-            )
+            arrays = [pa.array(_arrow_i64(batch.column("id"))), _binary_array(out)]
+            names = ["id", "code"]
+            for c in extra_cols:
+                arrays.append(batch.column(c))
+                names.append(c)
+            yield pa.record_batch(arrays, names=names)
 
-    return new_books, codes.mapInArrow(remap, CODE_SCHEMA)
+    return new_books, codes.mapInArrow(remap, out_schema)
 
 
 def hamming_reproduction_score(codebooks: np.ndarray) -> float:

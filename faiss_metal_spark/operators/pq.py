@@ -532,6 +532,7 @@ def ivfpq_search(
     nprobe: int,
     qid_col: str = "qid",
     qvec_col: str = "vec",
+    ht: int | None = None,
 ) -> DataFrame:
     """Probe nprobe cells, residual-ADC within each (L2).
 
@@ -544,6 +545,15 @@ def ivfpq_search(
     query's candidates come only from its own probed cells (the same
     per-cell contract as ``ivf_search``). Returns min(k, probed rows)
     real results per query.
+
+    ``ht``: faiss IndexIVFPQ polysemous filter — within each probed
+    cell the query's own RESIDUAL code gates candidates at ≤ ht
+    Hamming bits before they rank (train the books with
+    ``polysemous_train`` first for the gate to be meaningful; returned
+    distances stay exact ADC). The mask applies to the per-cell ADC
+    matrix (candidate sets here are already cell-pruned, so the LUT
+    build dominates — the flat tier's survivor-gather variant lives in
+    ``operators/polysemous.py``).
     """
     from .knn import RESULT_SCHEMA, _finalize
 
@@ -567,12 +577,15 @@ def ivfpq_search(
         for c in cells_i:
             cell_to_qidx.setdefault(int(c), []).append(i)  # type: ignore[arg-type]
     cell_to_qidx = {c: np.asarray(ix, dtype=np.int64) for c, ix in cell_to_qidx.items()}
-    bc = spark.sparkContext.broadcast((qids, Q, centroids, codebooks, cell_to_qidx))
+    ht_ = None if ht is None else int(ht)
+    bc = spark.sparkContext.broadcast(
+        (qids, Q, centroids, codebooks, cell_to_qidx, ht_)
+    )
 
     from .knn import _PARTIAL_SCHEMA
 
     def cell_topk(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        qids_, Q_, C_, books_, c2q = bc.value
+        qids_, Q_, C_, books_, c2q, htv = bc.value
         cell = int(key[0])
         qidx = c2q.get(cell)
         if qidx is None or len(pdf) == 0:
@@ -596,19 +609,32 @@ def ivfpq_search(
         for j in range(m):
             D += lut[:, j, :][:, Ccodes[:, j]]
         np.maximum(D, 0.0, out=D)
+        if htv is not None:
+            # polysemous gate: the query's own residual code vs the
+            # cell's stored codes, XOR + popcount per byte position;
+            # gated-out candidates leave as +inf and are dropped below
+            qc = pq_assign_np(R, books_)
+            pop = np.array([bin(i).count("1") for i in range(256)], np.int64)
+            ham = np.zeros_like(D, dtype=np.int64)
+            for j in range(m):
+                ham += pop[np.bitwise_xor(qc[:, j][:, None], Ccodes[:, j][None, :])]
+            D[ham > htv] = np.inf
         kk = min(k, D.shape[1])
         idx = (
             np.argpartition(D, kk - 1, axis=1)[:, :kk]
             if kk < D.shape[1]
             else np.argsort(D, axis=1)
         )
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "qid": np.repeat(qids_[qidx], idx.shape[1]),
                 "label": labels[idx.ravel()],
                 "distance": np.take_along_axis(D, idx, axis=1).ravel(),
             }
         )
+        if htv is not None:
+            out = out[np.isfinite(out["distance"].to_numpy())]
+        return out
 
     subset = codes.where(F.col("cell").isin([int(c) for c in sorted(cell_to_qidx)]))
     candidates = subset.groupBy("cell").applyInPandas(cell_topk, _PARTIAL_SCHEMA)

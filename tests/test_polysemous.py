@@ -230,3 +230,52 @@ def test_opq_polysemous_composes_through_rotation(spark):
     Ds, Ls = idx.search_numpy(V[:4], 1, ht=0)
     assert (Ls[:, 0] >= 0).all()
     idx.release()
+
+
+def test_ivfpq_polysemous_in_cell_gate(spark):
+    """faiss IndexIVFPQ polysemous: residual books + codes relabel
+    together (cell column survives — the inverted file stays
+    partitioned), plain search is bit-identical after training, the
+    full-width gate ≡ plain exactly, and every gated result's stored
+    residual code is within ht bits of the query's own residual code
+    in that cell (numpy re-derivation)."""
+    from faiss_metal_spark import IVFPQIndex
+    from faiss_metal_spark.operators.pq import pq_assign_np
+    from faiss_metal_spark.operators.polysemous import _POPCOUNT8
+
+    V, Q = make_fixture(300, 4, 16, seed=808)
+    idx = IVFPQIndex.from_table(
+        _table(spark, V), n_cells=4, m=4, nbits=4, sample_size=300
+    )
+    D0, L0 = idx.search_numpy(Q, 5, nprobe=4)
+    idx.polysemous_train(n_iter=6_000, seed=17)
+    assert "cell" in idx.codes.columns  # partition column survived
+    D1, L1 = idx.search_numpy(Q, 5, nprobe=4)
+    np.testing.assert_array_equal(L0, L1)
+    np.testing.assert_allclose(D0, D1, atol=1e-12)
+
+    full = 4 * idx.codebooks.shape[1].bit_length() - 4  # m·nbits (16)
+    Dh, Lh = idx.search_numpy(Q, 5, nprobe=4, ht=16)
+    np.testing.assert_array_equal(L1, Lh)
+    np.testing.assert_allclose(D1, Dh, atol=1e-12)
+
+    ht = 5
+    Dt, Lt = idx.search_numpy(Q, 5, nprobe=4, ht=ht)
+    rows = {
+        r["id"]: (np.frombuffer(bytes(r["code"]), np.uint8), r["cell"])
+        for r in idx.codes.collect()
+    }
+    C = idx.centroids
+    for qi in range(len(Q)):
+        for r in range(5):
+            lab = int(Lt[qi, r])
+            if lab < 0:
+                continue
+            code, cell = rows[lab]
+            resid = Q[qi].astype(np.float64) - C[cell]
+            qc = pq_assign_np(resid[None, :], idx.codebooks)[0]
+            ham = int(_POPCOUNT8[np.bitwise_xor(qc, code)].sum())
+            assert ham <= ht, (lab, ham)
+            # gated results are a subset of the ungated ranking
+            assert lab in set(int(x) for x in L1[qi] if x >= 0) or Dt[qi, r] >= D1[qi, 4] - 1e-12
+    idx.release()
