@@ -1433,6 +1433,47 @@ class IVFPQIndex:
             k,
         )
 
+    def search_preassigned(
+        self, queries: DataFrame, k: int, assign: np.ndarray
+    ) -> DataFrame:
+        """≙ faiss ``IndexIVFPQ::search_preassigned``: caller-supplied
+        probe cells indexed by qid (``assign[qid]`` lists that query's
+        cells; must cover max(qid)+1 rows — validated up front; -1 =
+        the faiss skip-this-probe-slot sentinel). In-cell residual ADC
+        is unchanged, so a full assignment reproduces ``search``
+        exactly."""
+        from .operators.pq import ivfpq_search
+
+        A = np.atleast_2d(np.asarray(assign, dtype=np.int64))
+
+        def hook(Q, qids):
+            qarr = np.asarray(qids, np.int64)
+            if qarr.size and int(qarr.max()) >= len(A):
+                raise ValueError(
+                    f"search_preassigned: assign covers {len(A)} queries "
+                    f"(rows) but the batch contains qid {int(qarr.max())} "
+                    "— assign is indexed by qid and must cover max(qid)+1 "
+                    "rows"
+                )
+            return A[qarr]
+
+        hook.by_qid = True
+        return ivfpq_search(
+            self.codes, self.centroids, self.codebooks, queries, k,
+            nprobe=A.shape[1], probe_cells=hook,
+        )
+
+    def search_preassigned_numpy(
+        self, x: np.ndarray, k: int, assign: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Host twin: ``assign`` row i pairs with query row i (the
+        faiss array contract)."""
+        return _host_result(
+            self.search_preassigned(_query_df(self.spark, x), k, assign),
+            len(np.atleast_2d(x)),
+            k,
+        )
+
     def range_search(
         self, queries: DataFrame, radius: float, nprobe: int = 8
     ) -> DataFrame:

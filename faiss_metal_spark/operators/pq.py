@@ -533,6 +533,7 @@ def ivfpq_search(
     qid_col: str = "qid",
     qvec_col: str = "vec",
     ht: int | None = None,
+    probe_cells=None,
 ) -> DataFrame:
     """Probe nprobe cells, residual-ADC within each (L2).
 
@@ -569,12 +570,23 @@ def ivfpq_search(
     if Q.shape[1] != m * dsub:
         raise ValueError(f"query dim {Q.shape[1]} != m·dsub {m * dsub}")
 
-    cn = (centroids * centroids).sum(1)
-    order = (cn[None, :] - 2.0 * (Q @ centroids.T)).argsort(1, kind="stable")
-    probe = order[:, :nprobe]
+    if probe_cells is not None:
+        # caller-supplied probe cells (IndexIVFPQ::search_preassigned):
+        # hooks marked by_qid receive the collected qids to align
+        # per-query assignments; -1 = the faiss skip-this-slot sentinel
+        if getattr(probe_cells, "by_qid", False):
+            probe = np.asarray(probe_cells(Q, qids))[:, :nprobe]
+        else:
+            probe = np.asarray(probe_cells(Q))[:, :nprobe]
+    else:
+        cn = (centroids * centroids).sum(1)
+        order = (cn[None, :] - 2.0 * (Q @ centroids.T)).argsort(1, kind="stable")
+        probe = order[:, :nprobe]
     cell_to_qidx: dict[int, np.ndarray] = {}
     for i, cells_i in enumerate(probe):
         for c in cells_i:
+            if c < 0:
+                continue
             cell_to_qidx.setdefault(int(c), []).append(i)  # type: ignore[arg-type]
     cell_to_qidx = {c: np.asarray(ix, dtype=np.int64) for c, ix in cell_to_qidx.items()}
     ht_ = None if ht is None else int(ht)

@@ -235,3 +235,30 @@ def test_search_preassigned_bounds_and_sentinel(spark):
     D2, L2 = idx.search_preassigned_numpy(Q, 3, padded)
     assert np.array_equal(L1, L2) and np.allclose(D1, D2)
     idx.release()
+
+
+def test_ivfpq_search_preassigned(spark):
+    """faiss IndexIVFPQ::search_preassigned: engine-ranked assignment
+    fed back ≡ search() exactly; -1 slots skip; uncovered qids refuse
+    up front."""
+    from faiss_metal_spark import IVFPQIndex
+
+    V, Q = make_fixture(300, 4, 16, seed=608)
+    idx = IVFPQIndex.from_table(_table(spark, V), n_cells=5, m=4, sample_size=300)
+    C = idx.centroids
+    cn = (C * C).sum(1)
+    order = (cn[None, :] - 2.0 * (Q.astype(np.float64) @ C.T)).argsort(
+        1, kind="stable"
+    )
+    D_ref, L_ref = idx.search_numpy(Q, 5, nprobe=2)
+    D_pre, L_pre = idx.search_preassigned_numpy(Q, 5, order[:, :2])
+    assert np.array_equal(L_ref, L_pre) and np.allclose(D_ref, D_pre)
+    # -1 sentinel contributes nothing
+    one = order[:, :1]
+    padded = np.concatenate([one, np.full_like(one, -1)], axis=1)
+    D1, L1 = idx.search_preassigned_numpy(Q, 5, one)
+    D2, L2 = idx.search_preassigned_numpy(Q, 5, padded)
+    assert np.array_equal(L1, L2) and np.allclose(D1, D2)
+    with pytest.raises(ValueError, match="search_preassigned.*covers 2"):
+        idx.search_preassigned_numpy(Q, 3, order[:2, :2])
+    idx.release()
