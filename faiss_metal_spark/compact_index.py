@@ -1263,6 +1263,46 @@ class IVFSQIndex:
             k,
         )
 
+    def search_preassigned(
+        self, queries: DataFrame, k: int, assign: np.ndarray
+    ) -> DataFrame:
+        """≙ faiss ``IndexIVF::search_preassigned`` on the SQ-coded
+        inverted file: caller-supplied probe cells indexed by qid
+        (validated up front; -1 = skip slot); in-cell asymmetric
+        search unchanged, so a full assignment reproduces ``search``
+        exactly."""
+        from .operators.similarity import ivf_search
+
+        A = np.atleast_2d(np.asarray(assign, dtype=np.int64))
+
+        def hook(Q, qids):
+            qarr = np.asarray(qids, np.int64)
+            if qarr.size and int(qarr.max()) >= len(A):
+                raise ValueError(
+                    f"search_preassigned: assign covers {len(A)} queries "
+                    f"(rows) but the batch contains qid {int(qarr.max())} "
+                    "— assign is indexed by qid and must cover max(qid)+1 "
+                    "rows"
+                )
+            return A[qarr]
+
+        hook.by_qid = True
+        return ivf_search(
+            self.codes, self.centroids, queries, k, nprobe=A.shape[1],
+            metric=self.metric, vec_col="code", decode=self._decode(),
+            probe_cells=hook,
+        )
+
+    def search_preassigned_numpy(
+        self, x: np.ndarray, k: int, assign: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Host twin: ``assign`` row i pairs with query row i."""
+        return _host_result(
+            self.search_preassigned(_query_df(self.spark, x), k, assign),
+            len(np.atleast_2d(x)),
+            k,
+        )
+
     def range_search(
         self, queries: DataFrame, radius: float, nprobe: int = 8
     ) -> DataFrame:

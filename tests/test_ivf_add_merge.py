@@ -262,3 +262,24 @@ def test_ivfpq_search_preassigned(spark):
     with pytest.raises(ValueError, match="search_preassigned.*covers 2"):
         idx.search_preassigned_numpy(Q, 3, order[:2, :2])
     idx.release()
+
+
+def test_ivfsq_search_preassigned(spark):
+    """IndexIVFScalarQuantizer inherits IndexIVF::search_preassigned:
+    engine-ranked assignment fed back ≡ search() exactly over the
+    SQ-coded inverted file; bounds validated."""
+    from faiss_metal_spark import IVFSQIndex
+
+    V, Q = make_fixture(250, 4, 16, seed=609)
+    idx = IVFSQIndex.from_table(_table(spark, V), n_cells=5, sample_size=250)
+    C = idx.centroids
+    cn = (C * C).sum(1)
+    order = (cn[None, :] - 2.0 * (Q.astype(np.float64) @ C.T)).argsort(
+        1, kind="stable"
+    )
+    D_ref, L_ref = idx.search_numpy(Q, 5, nprobe=2)
+    D_pre, L_pre = idx.search_preassigned_numpy(Q, 5, order[:, :2])
+    assert np.array_equal(L_ref, L_pre) and np.allclose(D_ref, D_pre)
+    with pytest.raises(ValueError, match="search_preassigned"):
+        idx.search_preassigned_numpy(Q, 3, order[:1, :2])
+    idx.release()
