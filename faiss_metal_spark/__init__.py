@@ -36,7 +36,11 @@ from .sharded import ShardedIndex
 from .vector_table import (
     IDMap2VectorTable,
     IDMapVectorTable,
+    IDSelectorAnd,
+    IDSelectorNot,
+    IDSelectorOr,
     IDSelectorRange,
+    IDSelectorXor,
     SearchParams,
     SearchToken,
     VectorTable,
@@ -47,7 +51,11 @@ __all__ = [
     "IDMap2VectorTable",
     "IDMapVectorTable",
     "SearchToken",
+    "IDSelectorAnd",
+    "IDSelectorNot",
+    "IDSelectorOr",
     "IDSelectorRange",
+    "IDSelectorXor",
     "SearchParams",
     "ShardedIndex",
     "SQ8Index",

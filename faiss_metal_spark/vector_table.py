@@ -120,6 +120,72 @@ class IDSelectorRange:
     hi: int
 
 
+@dataclass(frozen=True)
+class IDSelectorNot:
+    """≙ ``faiss::IDSelectorNot``: everything the wrapped selector
+    does NOT match. Composes recursively with the other combinators,
+    ranges, and literal id iterables."""
+
+    sel: object
+
+
+@dataclass(frozen=True)
+class IDSelectorAnd:
+    """≙ ``faiss::IDSelectorAnd``: ids matched by BOTH selectors."""
+
+    a: object
+    b: object
+
+
+@dataclass(frozen=True)
+class IDSelectorOr:
+    """≙ ``faiss::IDSelectorOr``: ids matched by EITHER selector."""
+
+    a: object
+    b: object
+
+
+@dataclass(frozen=True)
+class IDSelectorXor:
+    """≙ ``faiss::IDSelectorXOr``: ids matched by exactly one."""
+
+    a: object
+    b: object
+
+
+def _sel_predicate(sel) -> "F.Column":
+    """Recursive Catalyst predicate of a faiss IDSelector tree — the
+    combinators map to boolean expressions the optimizer can push to
+    the scan. Literal iterables inside a composition become IN-lists
+    (bounded by ``_SEL_ISIN_MAX`` — a composition over a million-id
+    batch should pre-materialize its own id table instead)."""
+    if isinstance(sel, IDSelectorRange):
+        return (F.col("id") >= int(sel.lo)) & (F.col("id") < int(sel.hi))
+    if isinstance(sel, IDSelectorNot):
+        return ~_sel_predicate(sel.sel)
+    if isinstance(sel, IDSelectorAnd):
+        return _sel_predicate(sel.a) & _sel_predicate(sel.b)
+    if isinstance(sel, IDSelectorOr):
+        return _sel_predicate(sel.a) | _sel_predicate(sel.b)
+    if isinstance(sel, IDSelectorXor):
+        pa_, pb = _sel_predicate(sel.a), _sel_predicate(sel.b)
+        return (pa_ | pb) & ~(pa_ & pb)
+    if isinstance(sel, tuple) and len(sel) == 2:
+        lo, hi = int(sel[0]), int(sel[1])
+        return (F.col("id") >= lo) & (F.col("id") < hi)
+    ids = [int(i) for i in np.asarray(list(sel), dtype=np.int64).ravel()]
+    if len(ids) > _SEL_ISIN_MAX:
+        raise ValueError(
+            f"IDSelector composition over {len(ids)} literal ids (> "
+            f"{_SEL_ISIN_MAX}): materialize the batch as its own table "
+            "and pre-filter, or pass the bare batch (semi-join path)"
+        )
+    return F.col("id").isin(ids)
+
+
+_SEL_COMBINATORS = (IDSelectorNot, IDSelectorAnd, IDSelectorOr, IDSelectorXor)
+
+
 @dataclass
 class SearchParams:
     """Per-call search overrides (≙ ``faiss::SearchParameters``: the
@@ -351,7 +417,28 @@ class VectorTable:
         iterables — INCLUDING a 2-element tuple — are always an
         IDSelectorBatch of literal ids: a destructive range must be
         spelled out, never inferred from a tuple's length.
+
+        Combinators (``IDSelectorNot/And/Or/Xor`` — the faiss selector
+        algebra) are accepted too: the matching ids are resolved with
+        one predicate scan and removed as a batch. The flat table's
+        positional re-shift needs those ids driver-side, so a
+        combinator matching more than 100k ids refuses with guidance
+        (chunk by range instead) — the range selector stays the
+        closed-form, list-free path.
         """
+        if isinstance(ids, _SEL_COMBINATORS):
+            rows = self.df.where(_sel_predicate(ids)).select("id")
+            matched = [r[0] for r in rows.limit(100_001).collect()]
+            if len(matched) > 100_000:
+                raise ValueError(
+                    "remove_ids: combinator selector matches >100k ids — "
+                    "the flat table's positional re-shift would carry the "
+                    "whole list as plan literals; remove in IDSelectorRange "
+                    "chunks instead"
+                )
+            ids = matched
+            if not ids:
+                return 0
         if isinstance(ids, IDSelectorRange):
             lo, hi = int(ids.lo), int(ids.hi)
             in_range = (F.col("id") >= lo) & (F.col("id") < hi)
@@ -609,14 +696,10 @@ class VectorTable:
         sel = getattr(params, "sel", None) if params is not None else None
         if sel is None:
             return self.df
-        if isinstance(sel, IDSelectorRange) or (
-            isinstance(sel, tuple) and len(sel) == 2
-        ):
-            lo, hi = (
-                (sel.lo, sel.hi) if isinstance(sel, IDSelectorRange) else sel
-            )
-            lo, hi = int(lo), int(hi)
-            return self.df.where((F.col("id") >= lo) & (F.col("id") < hi))
+        if isinstance(
+            sel, (IDSelectorRange,) + _SEL_COMBINATORS
+        ) or (isinstance(sel, tuple) and len(sel) == 2):
+            return self.df.where(_sel_predicate(sel))
         ids = [int(i) for i in np.asarray(list(sel), dtype=np.int64).ravel()]
         if len(ids) <= _SEL_ISIN_MAX:
             return self.df.where(F.col("id").isin(ids))
@@ -815,8 +898,17 @@ class IDMapVectorTable(VectorTable):
         positional shift — IndexIDMap semantics). An explicit
         :class:`IDSelectorRange` (or :meth:`remove_range`) is the
         faiss IDSelectorRange (hi exclusive): one filter, no id list
-        anywhere. Plain iterables — including 2-element tuples — are
+        anywhere. Combinators (``IDSelectorNot/And/Or/Xor``) are pure
+        predicate filters here — no size bound, since nothing
+        renumbers. Plain iterables — including 2-element tuples — are
         always literal id batches. Returns n_removed."""
+        if isinstance(ids, _SEL_COMBINATORS):
+            pred = _sel_predicate(ids)
+            n_present = self.df.where(pred).count()
+            if n_present:
+                self.unpersist()
+                self.df = self.df.where(~pred)
+            return n_present
         if isinstance(ids, IDSelectorRange):
             lo, hi = int(ids.lo), int(ids.hi)
             in_range = (F.col("id") >= lo) & (F.col("id") < hi)

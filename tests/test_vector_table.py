@@ -832,3 +832,51 @@ def test_idmap2_reconstruct_and_io(spark, tmp_path):
     back = read_index(spark, path)
     assert isinstance(back, IDMap2VectorTable)
     assert np.allclose(back.reconstruct(int(ids[13])), V[13], atol=2e-3)
+
+
+def test_id_selector_combinators(spark):
+    """faiss IDSelectorNot/And/Or/XOr algebra: compositions apply as
+    Catalyst predicates in SearchParams.sel and in remove_ids (IDMap =
+    pure filter; flat table resolves matches to a bounded batch and
+    re-shifts)."""
+    import numpy as np
+    from faiss_metal_spark import (
+        IDMapVectorTable,
+        IDSelectorAnd,
+        IDSelectorNot,
+        IDSelectorOr,
+        IDSelectorRange,
+        IDSelectorXor,
+        SearchParams,
+        VectorTable,
+    )
+    from conftest import make_fixture
+
+    V, _ = make_fixture(30, 1, 8, seed=911)
+    vt = VectorTable(spark, 8).add_numpy(V)
+    q = V[7:8]
+
+    def labels(sel):
+        _, L = vt.search_numpy(q, 30, params=SearchParams(sel=sel, compute="f64"))
+        return {int(x) for x in L[0] if x >= 0}
+
+    r_lo, r_hi = IDSelectorRange(0, 10), IDSelectorRange(5, 15)
+    assert labels(IDSelectorAnd(r_lo, r_hi)) == set(range(5, 10))
+    assert labels(IDSelectorOr(r_lo, r_hi)) == set(range(0, 15))
+    assert labels(IDSelectorXor(r_lo, r_hi)) == set(range(0, 5)) | set(range(10, 15))
+    assert labels(IDSelectorNot(r_lo)) == set(range(10, 30))
+    # combinator over a literal batch
+    assert labels(IDSelectorAnd(r_lo, [3, 4, 12])) == {3, 4}
+
+    # IDMap removal by combinator: pure filter, ids keep
+    im = IDMapVectorTable(spark, 8)
+    im.add_with_ids(V[:10], np.arange(100, 110))
+    n = im.remove_ids(IDSelectorNot(IDSelectorRange(103, 106)))
+    assert n == 7 and im.ntotal == 3
+    assert {r["id"] for r in im.df.select("id").collect()} == {103, 104, 105}
+
+    # flat removal by combinator: batch resolution + positional shift
+    n = vt.remove_ids(IDSelectorAnd(IDSelectorRange(0, 30), IDSelectorNot(r_lo)))
+    assert n == 20 and vt.ntotal == 10
+    rec = vt.reconstruct(5)
+    assert np.allclose(rec, V[5], atol=2e-3)
