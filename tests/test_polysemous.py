@@ -279,3 +279,25 @@ def test_ivfpq_polysemous_in_cell_gate(spark):
             # gated results are a subset of the ungated ranking
             assert lab in set(int(x) for x in L1[qi] if x >= 0) or Dt[qi, r] >= D1[qi, 4] - 1e-12
     idx.release()
+
+
+def test_polysemous_state_survives_io(spark, tmp_path):
+    """write_index persists codebooks + codes, which together ARE the
+    polysemous state — a reloaded index reproduces both the plain and
+    the ht-gated search value-identically."""
+    from faiss_metal_spark import read_index, write_index
+
+    V, Q = make_fixture(200, 3, 16, seed=809)
+    idx = _build(spark, V, m=4, nbits=4).polysemous_train(n_iter=6_000, seed=19)
+    D0, L0 = idx.search_numpy(Q, 5)
+    Dt, Lt = idx.search_numpy(Q, 5, ht=6)
+    write_index(idx, str(tmp_path / "poly"))
+    idx2 = read_index(spark, str(tmp_path / "poly"))
+    np.testing.assert_array_equal(idx2.codebooks, idx.codebooks)
+    D1, L1 = idx2.search_numpy(Q, 5)
+    np.testing.assert_array_equal(L0, L1)
+    np.testing.assert_allclose(D0, D1, atol=1e-12)
+    D2, L2 = idx2.search_numpy(Q, 5, ht=6)
+    np.testing.assert_array_equal(Lt, L2)
+    np.testing.assert_allclose(Dt, D2, atol=1e-12)
+    idx.release()
