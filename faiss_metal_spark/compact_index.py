@@ -98,6 +98,30 @@ def _append_frame(index, frame_attr: str, new_rows: DataFrame) -> None:
     setattr(index, frame_attr, new)
 
 
+def _preassign_hook(assign) -> tuple[np.ndarray, object]:
+    """Shared faiss ``search_preassigned`` plumbing: validate the
+    caller-supplied (nq, nprobe) cell matrix is indexed by qid and
+    covers max(qid)+1 rows (clear error up front, not an executor
+    IndexError at collect time); -1 entries are the faiss
+    skip-this-probe-slot sentinel (dropped at probe-map build).
+    Returns (A, by_qid hook) for the probe_cells= parameter."""
+    A = np.atleast_2d(np.asarray(assign, dtype=np.int64))
+
+    def hook(Q, qids):
+        qarr = np.asarray(qids, np.int64)
+        if qarr.size and int(qarr.max()) >= len(A):
+            raise ValueError(
+                f"search_preassigned: assign covers {len(A)} queries "
+                f"(rows) but the batch contains qid {int(qarr.max())} "
+                "— assign is indexed by qid and must cover max(qid)+1 "
+                "rows"
+            )
+        return A[qarr]
+
+    hook.by_qid = True
+    return A, hook
+
+
 def _ivf_add_rows(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     # cast to the stored FP32 layout so the union with the existing
     # inverted file type-checks regardless of the caller's element type
@@ -689,6 +713,22 @@ class IVFIndex:
             metric=self.metric,
         )
 
+    def range_search_preassigned(
+        self, queries: DataFrame, radius: float, assign: np.ndarray
+    ) -> DataFrame:
+        """≙ faiss ``IndexIVF::range_search_preassigned``: the radius
+        filter over CALLER-supplied probe cells (same assign contract
+        as :meth:`search_preassigned`: indexed by qid, -1 = skip
+        slot); the engine's own ranking fed back reproduces
+        ``range_search`` exactly."""
+        from .operators.similarity import ivf_range_search
+
+        A, hook = _preassign_hook(assign)
+        return ivf_range_search(
+            self.assigned, self.centroids, queries, radius,
+            nprobe=A.shape[1], metric=self.metric, probe_cells=hook,
+        )
+
     def add_df(
         self, df: DataFrame, id_col: str = "id", vec_col: str = "vec"
     ) -> "IVFIndex":
@@ -755,20 +795,7 @@ class IVFIndex:
         inside an executor at collect time."""
         from .operators.similarity import ivf_search
 
-        A = np.atleast_2d(np.asarray(assign, dtype=np.int64))
-
-        def hook(Q, qids):
-            qarr = np.asarray(qids, np.int64)
-            if qarr.size and int(qarr.max()) >= len(A):
-                raise ValueError(
-                    f"search_preassigned: assign covers {len(A)} queries "
-                    f"(rows) but the batch contains qid {int(qarr.max())} "
-                    "— assign is indexed by qid and must cover max(qid)+1 "
-                    "rows"
-                )
-            return A[qarr]
-
-        hook.by_qid = True
+        A, hook = _preassign_hook(assign)
         return ivf_search(
             self.assigned, self.centroids, queries, k,
             nprobe=A.shape[1], metric=self.metric, probe_cells=hook,
@@ -1273,20 +1300,7 @@ class IVFSQIndex:
         exactly."""
         from .operators.similarity import ivf_search
 
-        A = np.atleast_2d(np.asarray(assign, dtype=np.int64))
-
-        def hook(Q, qids):
-            qarr = np.asarray(qids, np.int64)
-            if qarr.size and int(qarr.max()) >= len(A):
-                raise ValueError(
-                    f"search_preassigned: assign covers {len(A)} queries "
-                    f"(rows) but the batch contains qid {int(qarr.max())} "
-                    "— assign is indexed by qid and must cover max(qid)+1 "
-                    "rows"
-                )
-            return A[qarr]
-
-        hook.by_qid = True
+        A, hook = _preassign_hook(assign)
         return ivf_search(
             self.codes, self.centroids, queries, k, nprobe=A.shape[1],
             metric=self.metric, vec_col="code", decode=self._decode(),
@@ -1320,6 +1334,21 @@ class IVFSQIndex:
             metric=self.metric,
             vec_col="code",
             decode=self._decode(),
+        )
+
+    def range_search_preassigned(
+        self, queries: DataFrame, radius: float, assign: np.ndarray
+    ) -> DataFrame:
+        """≙ faiss ``IndexIVF::range_search_preassigned`` over the
+        SQ-coded lists (same assign contract as
+        :meth:`search_preassigned`)."""
+        from .operators.similarity import ivf_range_search
+
+        A, hook = _preassign_hook(assign)
+        return ivf_range_search(
+            self.codes, self.centroids, queries, radius,
+            nprobe=A.shape[1], metric=self.metric, vec_col="code",
+            decode=self._decode(), probe_cells=hook,
         )
 
     def add_df(
@@ -1484,20 +1513,7 @@ class IVFPQIndex:
         exactly."""
         from .operators.pq import ivfpq_search
 
-        A = np.atleast_2d(np.asarray(assign, dtype=np.int64))
-
-        def hook(Q, qids):
-            qarr = np.asarray(qids, np.int64)
-            if qarr.size and int(qarr.max()) >= len(A):
-                raise ValueError(
-                    f"search_preassigned: assign covers {len(A)} queries "
-                    f"(rows) but the batch contains qid {int(qarr.max())} "
-                    "— assign is indexed by qid and must cover max(qid)+1 "
-                    "rows"
-                )
-            return A[qarr]
-
-        hook.by_qid = True
+        A, hook = _preassign_hook(assign)
         return ivfpq_search(
             self.codes, self.centroids, self.codebooks, queries, k,
             nprobe=A.shape[1], probe_cells=hook,

@@ -644,6 +644,7 @@ def ivf_range_search(
     qid_col: str = "qid",
     qvec_col: str = "vec",
     decode=None,
+    probe_cells=None,
 ) -> DataFrame:
     """All probed neighbors within ``radius`` — faiss
     ``IndexIVF::range_search``: the same nprobe coarse probe as
@@ -666,7 +667,9 @@ def ivf_range_search(
         raise ValueError(f"unknown metric {metric!r}")
     want_min = metric in ("l2", "l1")
     schema_df = queries.sparkSession
-    collected = _collect_probe(queries, centroids, nprobe, qid_col, qvec_col)
+    collected = _collect_probe(
+        queries, centroids, nprobe, qid_col, qvec_col, probe_cells
+    )
     out_schema = "qid long, label long, distance double"
     if collected is None:
         return schema_df.createDataFrame([], out_schema)

@@ -283,3 +283,51 @@ def test_ivfsq_search_preassigned(spark):
     with pytest.raises(ValueError, match="search_preassigned"):
         idx.search_preassigned_numpy(Q, 3, order[:1, :2])
     idx.release()
+
+
+def test_range_search_preassigned(spark):
+    """faiss IndexIVF::range_search_preassigned (IVF + IVFSQ):
+    engine-ranked assignment fed back ≡ range_search exactly; a
+    partial single-cell assignment returns a subset, never a false
+    positive; -1 slots contribute nothing."""
+    from faiss_metal_spark import IVFIndex, IVFSQIndex
+
+    V, Q = make_fixture(250, 4, 16, seed=610)
+    for cls, kw in ((IVFIndex, {}), (IVFSQIndex, {})):
+        idx = cls.from_table(_table(spark, V), n_cells=4, sample_size=250, **kw)
+        C = idx.centroids
+        cn = (C * C).sum(1)
+        order = (cn[None, :] - 2.0 * (Q.astype(np.float64) @ C.T)).argsort(
+            1, kind="stable"
+        )
+        radius = 18.0
+
+        def rows(df):
+            # distances drift in the last ulp between runs whose
+            # per-cell GEMM batch shapes differ (BLAS summation
+            # order), so compare keys exactly and values with isclose
+            return {(r.qid, r.label): r.distance for r in df.collect()}
+
+        want = rows(idx.range_search(_q(spark, Q), radius, nprobe=2))
+        got = rows(
+            idx.range_search_preassigned(_q(spark, Q), radius, order[:, :2])
+        )
+        assert set(got) == set(want)
+        assert all(np.isclose(got[k], want[k], atol=1e-9) for k in got)
+        # partial probe subset + -1 padding
+        one = order[:, :1]
+        padded = np.concatenate([one, np.full_like(one, -1)], axis=1)
+        r1 = rows(idx.range_search_preassigned(_q(spark, Q), radius, one))
+        r2 = rows(idx.range_search_preassigned(_q(spark, Q), radius, padded))
+        assert r1 == r2
+        assert set(r1) <= set(want)
+        idx.release()
+
+
+def _q(spark, Q):
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame({"qid": np.arange(len(Q), dtype=np.int64), "vec": list(Q)}),
+        "qid long, vec array<float>",
+    )
