@@ -25,6 +25,7 @@ from .compact_index import (
     PQIndex,
     RefineIndex,
     RQIndex,
+    RowwiseMinMaxIndex,
     SQ8Index,
     index_factory,
 )
@@ -74,6 +75,7 @@ __all__ = [
     "PQIndex",
     "RefineIndex",
     "RQIndex",
+    "RowwiseMinMaxIndex",
     "index_factory",
     "Kmeans",
     "write_index",

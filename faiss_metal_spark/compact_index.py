@@ -2824,6 +2824,109 @@ class RefineIndex:
         )
 
 
+@dataclass
+class RowwiseMinMaxIndex:
+    """≙ faiss ``IndexRowwiseMinMax`` / ``IndexRowwiseMinMaxFP16``
+    (factory prefixes ``"MinMax,"`` / ``"MinMaxFP16,"``): a CODEC
+    wrapper that min-max-normalizes every vector to [0, 1] per row and
+    lets the inner index encode the normalized values — the standard
+    trick for feeding rows of wildly different scales into a scalar
+    quantizer. Each code carries a per-row (scaler, vmin) prefix —
+    2 float32 (8 bytes) or 2 float16 (4 bytes) — ahead of the inner
+    code; decode is ``inner_decode(code) · scaler + vmin``.
+
+    faiss parity: this is a codec index — ``search`` raises (upstream
+    ``IndexRowwiseMinMaxBase`` does not implement it); the value is in
+    ``sa_encode``/``sa_decode`` and in training the inner index on the
+    NORMALIZED rows, which :meth:`from_table` does with an
+    all-Catalyst per-row normalize (``array_min``/``array_max`` +
+    ``transform`` — one projection, no shuffle, no Python per row).
+    A constant row (scaler 0) encodes as the zero vector and decodes
+    back to the constant exactly regardless of the inner codec."""
+
+    inner: object
+    fp16: bool = False
+
+    @classmethod
+    def from_table(cls, vt, inner_spec: str, fp16: bool = False, **train_kw):
+        """Normalize each row in Catalyst, build ``inner_spec`` over
+        the normalized table, wrap."""
+        from .functions.vector import sqnorm
+        from .vector_table import VectorTable
+
+        base = _float_view(vt)
+        vmin = F.array_min("vec")
+        scaler = F.array_max("vec") - vmin
+        norm = F.transform(
+            "vec",
+            lambda x: F.when(
+                scaler > 0, (x - vmin) / scaler
+            ).otherwise(F.lit(0.0)).cast("float"),
+        )
+        normalized = base.select(F.col("id"), norm.alias("vec"))
+        inner_vt = VectorTable(
+            vt.spark, d=vt.d, metric=getattr(vt, "metric", "l2"),
+            df=normalized.select(
+                "id", "vec", sqnorm(F.col("vec")).alias("norm_sq")
+            ),
+        )
+        return cls(index_factory(inner_vt, inner_spec, **train_kw), fp16)
+
+    @property
+    def d(self) -> int:
+        return self.inner.d
+
+    @property
+    def ntotal(self) -> int:
+        return self.inner.ntotal
+
+    @property
+    def sa_code_size(self) -> int:
+        return (4 if self.fp16 else 8) + int(self.inner.sa_code_size)
+
+    def sa_encode(self, x: np.ndarray) -> np.ndarray:
+        x = np.atleast_2d(np.asarray(x, dtype=np.float64))
+        if x.shape[1] != self.d:
+            raise ValueError(f"expected d={self.d}, got {x.shape[1]}")
+        vmin = x.min(axis=1)
+        scaler = x.max(axis=1) - vmin
+        safe = np.where(scaler > 0, scaler, 1.0)
+        xn = (x - vmin[:, None]) / safe[:, None]
+        inner_codes = self.inner.sa_encode(xn)
+        dt = np.float16 if self.fp16 else np.float32
+        return np.array(
+            [
+                np.array([scaler[i], vmin[i]], dtype=dt).tobytes() + bytes(c)
+                for i, c in enumerate(inner_codes)
+            ],
+            dtype=object,
+        )
+
+    def sa_decode(self, codes) -> np.ndarray:
+        w = 4 if self.fp16 else 8
+        dt = np.float16 if self.fp16 else np.float32
+        rows = [bytes(c) for c in codes]
+        if not rows:
+            return np.zeros((0, self.d), dtype=np.float32)
+        pre = np.stack(
+            [np.frombuffer(c[:w], dtype=dt).astype(np.float64) for c in rows]
+        )
+        dec = np.asarray(
+            self.inner.sa_decode([c[w:] for c in rows]), dtype=np.float64
+        )
+        return (dec * pre[:, 0][:, None] + pre[:, 1][:, None]).astype(
+            np.float32
+        )
+
+    def search(self, *a, **kw):
+        raise NotImplementedError(
+            "IndexRowwiseMinMax is a codec index — faiss "
+            "IndexRowwiseMinMaxBase does not implement search; use "
+            "sa_encode/sa_decode, or search the wrapped inner index "
+            "in normalized space via .inner"
+        )
+
+
 def index_factory(vt, spec: str, **train_kw):
     """FAISS ``index_factory`` twin over the derived-tier workflow.
 
@@ -2902,6 +3005,14 @@ def index_factory(vt, spec: str, **train_kw):
         kf = train_kw.pop("k_factor", 4)
         base = index_factory(vt, s[: -len(",RFlat")], **train_kw)
         return RefineIndex.from_table(vt, base, k_factor=kf)
+    m = re.fullmatch(r"MinMax(FP16)?,(.+)", s)
+    if m:
+        # faiss "MinMax,"/"MinMaxFP16," codec prefixes: per-row
+        # normalize in Catalyst, build the rest over the normalized
+        # table, wrap (search raises — codec index, faiss parity)
+        return RowwiseMinMaxIndex.from_table(
+            vt, m.group(2), fp16=m.group(1) is not None, **train_kw
+        )
     m = re.fullmatch(r"(PCAW?|RR)(\d+),(.+)", s)
     if m:
         from .functions.vector import sqnorm
