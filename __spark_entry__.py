@@ -2945,7 +2945,8 @@ rqr AS (
 ),
 -- poly lane (faiss IndexPQ ST_polysemous): relabel every sub-code by
 -- the FIXED shared permutation, Hamming-filter on the relabeled bytes
--- (bit_count of the XOR summed over subspaces), ADC only on survivors
+-- (bit_count of the XOR summed over subspaces, STRICT < ht like faiss
+-- search_core_polysemous), ADC only on survivors
 polyperm AS (SELECT * FROM (VALUES {_poly_perm_values()}) pm(ck, pck)),
 qenc AS (
   SELECT q.qid, e.j, pm.pck
@@ -2963,7 +2964,7 @@ pham AS (
 padc AS (
   SELECT a.qid, a.label, a.dist
   FROM adc a JOIN pham h ON h.qid = a.qid AND h.label = a.label
-  WHERE h.ham <= {_POLY_HT}
+  WHERE h.ham < {_POLY_HT}
 ),
 prf AS (
   SELECT qid, label, dist,

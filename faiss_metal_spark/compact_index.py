@@ -75,7 +75,17 @@ def _remove_ids_frame(index, frame_attr: str, ids) -> int:
     """Shared IVF-family remove_ids: drop rows, repersist, return the
     number removed (the faiss ``remove_ids`` return value). Stored ids
     are NEVER renumbered — IVF labels are explicit list entries
-    (unlike the flat index's sequential compaction)."""
+    (unlike the flat index's sequential compaction). A BARE 2-TUPLE is
+    refused, like ``VectorTable.remove_ids``: a 2-tuple still means a
+    range in ``SearchParams.sel``, so the same literal must not
+    silently mean a 2-id batch on the destructive path."""
+    if isinstance(ids, tuple) and len(ids) == 2:
+        raise TypeError(
+            "remove_ids: a bare 2-tuple is ambiguous (it means a range "
+            "in SearchParams.sel but would be a 2-id batch here) — pass "
+            "remove_ids([a, b]) for two literal ids, or a range "
+            "selector/remove_range for a range"
+        )
     old = getattr(index, frame_attr)
     new = _drop_ids(old, ids).persist()
     n_new = new.count()
@@ -155,7 +165,8 @@ def _numpy_add_df(index, frame_attr: str, x: np.ndarray, ids) -> DataFrame:
 
 
 def _merge_ivf_frames(
-    self_idx, other, frame_attr: str, trained_state: tuple, add_id: int
+    self_idx, other, frame_attr: str, trained_state: tuple, add_id: int,
+    check_duplicates: bool = True,
 ) -> None:
     """Shared faiss ``IndexIVF::merge_from(other, add_id)``: both
     indexes must carry the SAME trained state (faiss requires "trained
@@ -164,7 +175,16 @@ def _merge_ivf_frames(
     other index is emptied (faiss moves, not copies). This is the
     shard-merge workflow for distributed builds: train once, assign
     each data shard independently against the frozen quantizer, merge
-    the inverted files — a metadata union, no re-clustering."""
+    the inverted files — a metadata union, no re-clustering.
+
+    DELIBERATE faiss deviation: upstream ``IndexIVF::merge_from``
+    performs NO duplicate-id check (duplicate labels are legal in
+    faiss IVF), so a merge that succeeds there can raise here. The
+    refusal is the safe default for the shard-merge workflow this
+    engine targets (independent shards with colliding label spaces
+    are almost always a forgotten add_id); callers that intentionally
+    carry duplicate labels opt out with ``check_duplicates=False``,
+    which also skips the check's eager semi-join count() job."""
     if type(other) is not type(self_idx):
         raise ValueError(
             f"merge_from requires the same index type "
@@ -189,19 +209,23 @@ def _merge_ivf_frames(
     # (positional ids, add_id rejected unless 0) — two independently
     # built indexes merged with the default add_id=0 would silently
     # create them here. Exact check: bounded id semi-join, stops at
-    # the first clash.
-    clash = (
-        moved.select("id")
-        .join(getattr(self_idx, frame_attr).select("id"), "id", "left_semi")
-        .limit(1)
-        .count()
-    )
-    if clash:
-        raise ValueError(
-            "merge_from: donor ids collide with acceptor ids after the "
-            "add_id shift — duplicate labels would result; pass add_id "
-            "(e.g. acceptor max id + 1) to re-base the donor"
+    # the first clash. (Faiss IVF itself allows duplicate labels —
+    # see the docstring; check_duplicates=False restores that.)
+    if check_duplicates:
+        clash = (
+            moved.select("id")
+            .join(getattr(self_idx, frame_attr).select("id"), "id", "left_semi")
+            .limit(1)
+            .count()
         )
+        if clash:
+            raise ValueError(
+                "merge_from: donor ids collide with acceptor ids after the "
+                "add_id shift — duplicate labels would result; pass add_id "
+                "(e.g. acceptor max id + 1) to re-base the donor, or "
+                "check_duplicates=False to carry duplicate labels like "
+                "upstream faiss IVF"
+            )
     _append_frame(self_idx, frame_attr, moved)
     # empty the donor (faiss merge_from leaves other with ntotal=0)
     donor = getattr(other, frame_attr)
@@ -340,7 +364,7 @@ class SQ8Index:
         faiss's sequential-compaction contract instead)."""
         return _remove_ids_frame(self, "codes", ids)
 
-    def merge_from(self, other: "SQ8Index", add_id: int = 0) -> "SQ8Index":
+    def merge_from(self, other: "SQ8Index", add_id: int = 0, check_duplicates: bool = True) -> "SQ8Index":
         """faiss ``IndexFlatCodes::merge_from(other, add_id)`` — codes
         append verbatim (identical trained range/width required, checked
         exactly), donor emptied, donor ids shifted by ``add_id``."""
@@ -357,7 +381,7 @@ class SQ8Index:
                 (self.d, self.bits, self.vmin, self.vmax),
                 (other.d, other.bits, other.vmin, other.vmax),
             ),
-            add_id,
+            add_id, check_duplicates=check_duplicates,
         )
         return self
 
@@ -620,7 +644,7 @@ class BinaryIVFIndex:
     def add_numpy(self, x: np.ndarray, ids=None) -> "BinaryIVFIndex":
         return self.add_df(_numpy_add_df(self, "words", x, ids))
 
-    def merge_from(self, other: "BinaryIVFIndex", add_id: int = 0) -> "BinaryIVFIndex":
+    def merge_from(self, other: "BinaryIVFIndex", add_id: int = 0, check_duplicates: bool = True) -> "BinaryIVFIndex":
         """faiss ``IndexBinaryIVF::merge_from`` — identical binary
         centroids required."""
         _merge_ivf_frames(
@@ -628,7 +652,7 @@ class BinaryIVFIndex:
             other,
             "words",
             ((self.d, self.centroid_words), (other.d, other.centroid_words)),
-            add_id,
+            add_id, check_duplicates=check_duplicates,
         )
         return self
 
@@ -746,7 +770,7 @@ class IVFIndex:
         max(stored id)+1 (see ``_numpy_add_df``)."""
         return self.add_df(_numpy_add_df(self, "assigned", x, ids))
 
-    def merge_from(self, other: "IVFIndex", add_id: int = 0) -> "IVFIndex":
+    def merge_from(self, other: "IVFIndex", add_id: int = 0, check_duplicates: bool = True) -> "IVFIndex":
         """faiss ``IndexIVF::merge_from(other, add_id)`` — the
         distributed shard-merge: requires the identical trained
         quantizer, appends the other's lists with ids shifted by
@@ -759,7 +783,7 @@ class IVFIndex:
                 (self.d, self.metric, self.centroids),
                 (other.d, other.metric, other.centroids),
             ),
-            add_id,
+            add_id, check_duplicates=check_duplicates,
         )
         return self
 
@@ -1370,7 +1394,7 @@ class IVFSQIndex:
     def add_numpy(self, x: np.ndarray, ids=None) -> "IVFSQIndex":
         return self.add_df(_numpy_add_df(self, "codes", x, ids))
 
-    def merge_from(self, other: "IVFSQIndex", add_id: int = 0) -> "IVFSQIndex":
+    def merge_from(self, other: "IVFSQIndex", add_id: int = 0, check_duplicates: bool = True) -> "IVFSQIndex":
         """faiss ``IndexIVF::merge_from`` — requires identical coarse
         quantizer AND identical SQ range/width (codes must decode the
         same on both sides)."""
@@ -1389,7 +1413,7 @@ class IVFSQIndex:
                     other.bits,
                 ),
             ),
-            add_id,
+            add_id, check_duplicates=check_duplicates,
         )
         return self
 
@@ -1563,7 +1587,7 @@ class IVFPQIndex:
     def add_numpy(self, x: np.ndarray, ids=None) -> "IVFPQIndex":
         return self.add_df(_numpy_add_df(self, "codes", x, ids))
 
-    def merge_from(self, other: "IVFPQIndex", add_id: int = 0) -> "IVFPQIndex":
+    def merge_from(self, other: "IVFPQIndex", add_id: int = 0, check_duplicates: bool = True) -> "IVFPQIndex":
         """faiss ``IndexIVFPQ::merge_from`` — identical coarse
         quantizer AND codebooks required (codes are meaningless under
         a different ADC table)."""
@@ -1575,7 +1599,7 @@ class IVFPQIndex:
                 (self.d, self.centroids, self.codebooks),
                 (other.d, other.centroids, other.codebooks),
             ),
-            add_id,
+            add_id, check_duplicates=check_duplicates,
         )
         return self
 
@@ -1692,7 +1716,7 @@ class IVFPQRIndex:
     def add_numpy(self, x: np.ndarray, ids=None) -> "IVFPQRIndex":
         return self.add_df(_numpy_add_df(self, "codes", x, ids))
 
-    def merge_from(self, other: "IVFPQRIndex", add_id: int = 0) -> "IVFPQRIndex":
+    def merge_from(self, other: "IVFPQRIndex", add_id: int = 0, check_duplicates: bool = True) -> "IVFPQRIndex":
         """faiss ``merge_from`` — identical coarse quantizer AND both
         codebooks required."""
         _merge_ivf_frames(
@@ -1703,7 +1727,7 @@ class IVFPQRIndex:
                 (self.d, self.centroids, self.codebooks, self.refine_books),
                 (other.d, other.centroids, other.codebooks, other.refine_books),
             ),
-            add_id,
+            add_id, check_duplicates=check_duplicates,
         )
         return self
 
@@ -1933,8 +1957,9 @@ class PQIndex:
         self, queries: DataFrame, k: int, ht: int | None = None
     ) -> DataFrame:
         """ADC top-k; with ``ht`` set, faiss ``ST_polysemous``: only
-        codes within ``ht`` Hamming bits of the query's own code are
-        ADC-evaluated (run :meth:`polysemous_train` first for the
+        codes STRICTLY within ``ht`` Hamming bits of the query's own
+        code are ADC-evaluated (faiss ``hd < polysemous_ht``; accept-all
+        is ``m·nbits + 1``; run :meth:`polysemous_train` first for the
         Hamming test to be meaningful; distances of returned rows stay
         exact either way)."""
         from .operators.pq import pq_search
@@ -1990,7 +2015,7 @@ class PQIndex:
         renumbering)."""
         return _remove_ids_frame(self, "codes", ids)
 
-    def merge_from(self, other: "PQIndex", add_id: int = 0) -> "PQIndex":
+    def merge_from(self, other: "PQIndex", add_id: int = 0, check_duplicates: bool = True) -> "PQIndex":
         """faiss ``IndexFlatCodes::merge_from(other, add_id)`` — codes
         are comparable only under the IDENTICAL codebooks (checked
         exactly); donor emptied, donor ids shifted by ``add_id``."""
@@ -2004,7 +2029,7 @@ class PQIndex:
         _merge_ivf_frames(
             self, other, "codes",
             ((self.d, self.codebooks), (other.d, other.codebooks)),
-            add_id,
+            add_id, check_duplicates=check_duplicates,
         )
         return self
 
@@ -2575,7 +2600,7 @@ class IMIIndex:
     def add_numpy(self, x: np.ndarray, ids=None) -> "IMIIndex":
         return self.add_df(_numpy_add_df(self, "assigned", x, ids))
 
-    def merge_from(self, other: "IMIIndex", add_id: int = 0) -> "IMIIndex":
+    def merge_from(self, other: "IMIIndex", add_id: int = 0, check_duplicates: bool = True) -> "IMIIndex":
         """faiss ``IndexIVF::merge_from`` over the product quantizer —
         identical BOTH sub-quantizers required."""
         _merge_ivf_frames(
@@ -2583,7 +2608,7 @@ class IMIIndex:
             other,
             "assigned",
             ((self.d, self.b, self.C0, self.C1), (other.d, other.b, other.C0, other.C1)),
-            add_id,
+            add_id, check_duplicates=check_duplicates,
         )
         return self
 
@@ -2670,7 +2695,7 @@ class RQIndex:
     def remove_ids(self, ids) -> int:
         return _remove_ids_frame(self, "codes", ids)
 
-    def merge_from(self, other: "RQIndex", add_id: int = 0) -> "RQIndex":
+    def merge_from(self, other: "RQIndex", add_id: int = 0, check_duplicates: bool = True) -> "RQIndex":
         """faiss ``IndexFlatCodes::merge_from(other, add_id)`` — stage
         chains are comparable only under the IDENTICAL codebooks AND
         encode discipline (beam/icm widths checked too: a donor encoded
@@ -2689,7 +2714,7 @@ class RQIndex:
                 (self.d, self.beam, self.icm_sweeps, self.codebooks),
                 (other.d, other.beam, other.icm_sweeps, other.codebooks),
             ),
-            add_id,
+            add_id, check_duplicates=check_duplicates,
         )
         return self
 

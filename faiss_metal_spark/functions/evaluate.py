@@ -130,7 +130,9 @@ def tune_polysemous_ht(
     isolates exactly the loss ht controls. Sweeps ascending ht values
     (default: multiples of m·nbits/8 up to half the code width — the
     useful region; faiss defaults to ht = nbits·m/2 too), stopping at
-    the first that meets the target. Returns ``{"ht": chosen,
+    the first that meets the target; the gate is STRICT (hd < ht, like
+    faiss), so the accept-all fallback is ``m·nbits + 1`` — faiss
+    IndexPQ's own polysemous_ht default. Returns ``{"ht": chosen,
     "points": [{"ht": h, "recall": r}, ...]}``. Cost: one search per
     probed point over the (sampled) query set."""
     m = int(index.codebooks.shape[0])
@@ -138,11 +140,11 @@ def tune_polysemous_ht(
     if hts is None:
         step = max(bits // 8, 1)
         hts = list(range(step, bits // 2 + 1, step))
-    hts = sorted(set(int(h) for h in hts if 0 <= h < bits))
+    hts = sorted(set(int(h) for h in hts if 0 <= h <= bits))
     exact = index.search(queries, k).persist()
     exact.count()
     points = []
-    chosen = bits
+    chosen = bits + 1
     try:
         for h in hts:
             r = mean_recall(index.search(queries, k, ht=h), exact)
@@ -151,7 +153,7 @@ def tune_polysemous_ht(
                 chosen = h
                 break
         else:
-            points.append({"ht": bits, "recall": 1.0})
+            points.append({"ht": bits + 1, "recall": 1.0})
     finally:
         exact.unpersist()
     return {"ht": chosen, "points": points}

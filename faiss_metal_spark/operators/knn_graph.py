@@ -144,7 +144,14 @@ def nn_descent(
     # sizes (a sampled or mid-size corpus) that halves the per-iter
     # fixed cost. Past the gate the joins shuffle as before (the corpus
     # must never be forced onto the driver at scale).
-    d = len(v.first()["vec"])
+    first = v.first()
+    if first is None or first["vec"] is None:
+        # n>1 guaranteed above, so first is only None/null-vec for a
+        # degenerate input (all-null vec column) — fail with intent
+        # instead of a NoneType subscript deep in the gate
+        v.unpersist()
+        raise ValueError("nn_descent: corpus rows carry no vectors")
+    d = len(first["vec"])
     bcast = n * d * 8 <= (64 << 20)
 
     def _score(cand: DataFrame) -> DataFrame:
@@ -183,7 +190,13 @@ def nn_descent(
     # the whole descent as one job (measured ~20% off the trainer at
     # small n; the RDD still persists at first materialization, so
     # nothing recomputes)
-    graph = _topk(_score(init), kk).localCheckpoint(eager=False)
+    # the hash-mod init can repeat a neighbor id; the shuffle path's
+    # _score distincts every candidate set, but the broadcast path
+    # skips that for ITERATION rounds (the loop's groupBy dedups them
+    # later) — the init round has no later dedup at iters=0, so its
+    # candidates dedup explicitly here on both paths
+    init_cand = init.distinct() if bcast else init
+    graph = _topk(_score(init_cand), kk).localCheckpoint(eager=False)
 
     for _ in range(iters):
         fwd = graph.select("id", "nbr")

@@ -12,8 +12,9 @@ REORDERS each subquantizer's codewords so that the Hamming distance
 between code bits correlates with the distance between the codewords
 they name. After training, search prunes with a cheap Hamming test on
 the code bits (bit_count of an XOR — no codebook gather) and runs the
-exact ADC only on codes within ``polysemous_ht`` bits of the query's
-own code.
+exact ADC only on codes STRICTLY within ``polysemous_ht`` bits of the
+query's own code (faiss gates at ``hd < polysemous_ht``; its accept-all
+default is ``nbits·M + 1``).
 
 The permutation is a pure RELABELING: codebook row ``perm[i]`` takes
 codeword ``i``'s vector and every stored code byte ``i`` is rewritten
@@ -193,13 +194,14 @@ def polysemous_search(
     qid_col: str = "qid",
     qvec_col: str = "vec",
 ) -> DataFrame:
-    """ADC top-k restricted to codes within ``ht`` Hamming bits of each
-    query's own code — faiss ``IndexPQ::search`` with
-    ``search_type=ST_polysemous`` / ``polysemous_ht=ht``. Distances of
-    returned rows are EXACT ADC values; the Hamming test only bounds
-    which codes are evaluated (``ht >= m·nbits`` degenerates to plain
-    ``pq_search`` exactly). Sentinel padding fills queries whose filter
-    passes fewer than k codes.
+    """ADC top-k restricted to codes STRICTLY within ``ht`` Hamming bits
+    of each query's own code — faiss ``IndexPQ::search_core_polysemous``
+    admits ``hd < polysemous_ht`` (strict; its accept-all default is
+    ``nbits·M + 1``), and this gate matches it exactly: ``ht = 0``
+    admits nothing, ``ht = m·nbits + 1`` degenerates to plain
+    ``pq_search``. Distances of returned rows are EXACT ADC values; the
+    Hamming test only bounds which codes are evaluated. Sentinel padding
+    fills queries whose filter passes fewer than k codes.
 
     Per Arrow batch: one XOR + popcount-LUT pass builds the (nq, batch)
     Hamming matrix on raw bytes (no codebook gather), then the ADC
@@ -244,7 +246,7 @@ def polysemous_search(
                     np.bitwise_xor(qc[:, j][:, None], C[:, j][None, :])
                 ]
             for qi in range(nq_):
-                surv = np.nonzero(ham[qi] <= ht_)[0]
+                surv = np.nonzero(ham[qi] < ht_)[0]
                 if len(surv) == 0:
                     continue
                 d = np.zeros(len(surv), dtype=np.float64)

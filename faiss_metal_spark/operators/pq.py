@@ -548,8 +548,10 @@ def ivfpq_search(
     real results per query.
 
     ``ht``: faiss IndexIVFPQ polysemous filter — within each probed
-    cell the query's own RESIDUAL code gates candidates at ≤ ht
-    Hamming bits before they rank (train the books with
+    cell the query's own RESIDUAL code gates candidates at STRICTLY
+    < ht Hamming bits before they rank (faiss admits ``hd <
+    polysemous_ht``; accept-all is ``ht = m·nbits + 1``; train the
+    books with
     ``polysemous_train`` first for the gate to be meaningful; returned
     distances stay exact ADC). The mask applies to the per-cell ADC
     matrix (candidate sets here are already cell-pruned, so the LUT
@@ -630,7 +632,7 @@ def ivfpq_search(
             ham = np.zeros_like(D, dtype=np.int64)
             for j in range(m):
                 ham += pop[np.bitwise_xor(qc[:, j][:, None], Ccodes[:, j][None, :])]
-            D[ham > htv] = np.inf
+            D[ham >= htv] = np.inf
         kk = min(k, D.shape[1])
         idx = (
             np.argpartition(D, kk - 1, axis=1)[:, :kk]

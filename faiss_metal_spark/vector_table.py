@@ -201,7 +201,11 @@ class SearchParams:
     # to a subset of stored ids. An :class:`IDSelectorRange` (or a
     # legacy (lo, hi) tuple — accepted here because a search
     # restriction is non-destructive) selects [lo, hi); any other
-    # iterable is IDSelectorBatch. Applied as a Catalyst predicate
+    # iterable is IDSelectorBatch. NOTE the asymmetry: ``remove_ids``
+    # REFUSES a bare 2-tuple outright (destructive intent must be
+    # spelled as IDSelectorRange/remove_range or an explicit list),
+    # precisely because it still means a range here.
+    # Applied as a Catalyst predicate
     # BEFORE the distance stage, so the scan prunes rows exactly like
     # a metadata filter (and pushes to parquet on a persisted table);
     # excluded ids simply never appear, sentinel padding fills short
@@ -414,9 +418,14 @@ class VectorTable:
         then closed-form (survivors below lo keep their id; above the
         range they shift by the removed count), so a million-id range
         removal never materializes an id list anywhere. Plain
-        iterables — INCLUDING a 2-element tuple — are always an
-        IDSelectorBatch of literal ids: a destructive range must be
-        spelled out, never inferred from a tuple's length.
+        iterables are always an IDSelectorBatch of literal ids — but a
+        BARE 2-TUPLE is REFUSED outright: historically it meant a
+        range here while ``SearchParams.sel`` still reads a 2-tuple as
+        a range, so the same literal would mean opposite things in
+        search vs removal. Spell destructive intent explicitly:
+        ``remove_ids([a, b])`` for the two ids, or
+        ``remove_ids(IDSelectorRange(lo, hi))`` / :meth:`remove_range`
+        for the range.
 
         Combinators (``IDSelectorNot/And/Or/Xor`` — the faiss selector
         algebra) are accepted too: the matching ids are resolved with
@@ -454,6 +463,14 @@ class VectorTable:
             )
             self._next_id -= n_present
             return n_present
+        if isinstance(ids, tuple) and len(ids) == 2:
+            raise TypeError(
+                "remove_ids: a bare 2-tuple is ambiguous (it means a "
+                "range in SearchParams.sel but would be a 2-id batch "
+                "here) — pass remove_ids([a, b]) for two literal ids, "
+                "or IDSelectorRange(lo, hi) / remove_range(lo, hi) for "
+                "a range"
+            )
         batch = sorted({int(i) for i in ids})
         if not batch:
             return 0
@@ -900,8 +917,10 @@ class IDMapVectorTable(VectorTable):
         faiss IDSelectorRange (hi exclusive): one filter, no id list
         anywhere. Combinators (``IDSelectorNot/And/Or/Xor``) are pure
         predicate filters here — no size bound, since nothing
-        renumbers. Plain iterables — including 2-element tuples — are
-        always literal id batches. Returns n_removed."""
+        renumbers. Plain iterables are literal id batches, but a BARE
+        2-TUPLE is refused (same guard as the flat table: a 2-tuple
+        still means a range in ``SearchParams.sel``, so the literal
+        must not silently mean the opposite here). Returns n_removed."""
         if isinstance(ids, _SEL_COMBINATORS):
             pred = _sel_predicate(ids)
             n_present = self.df.where(pred).count()
@@ -917,6 +936,14 @@ class IDMapVectorTable(VectorTable):
                 self.unpersist()
                 self.df = self.df.where(~in_range)
             return n_present
+        if isinstance(ids, tuple) and len(ids) == 2:
+            raise TypeError(
+                "remove_ids: a bare 2-tuple is ambiguous (it means a "
+                "range in SearchParams.sel but would be a 2-id batch "
+                "here) — pass remove_ids([a, b]) for two literal ids, "
+                "or IDSelectorRange(lo, hi) / remove_range(lo, hi) for "
+                "a range"
+            )
         batch = sorted({int(i) for i in ids})
         if not batch:
             return 0

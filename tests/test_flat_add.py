@@ -298,6 +298,16 @@ def test_merge_from_refuses_duplicate_labels(spark):
     assert a.ntotal == 200 and b.ntotal == 0
     a.release()
 
+    # the refusal is a DELIBERATE faiss deviation (upstream IVF allows
+    # duplicate labels) — check_duplicates=False restores faiss
+    # semantics: the merge succeeds and both labels are served
+    c = SQ8Index.from_table(vt)
+    d = SQ8Index.from_table(vt)
+    c.merge_from(d, check_duplicates=False)
+    assert c.ntotal == 200 and d.ntotal == 0
+    assert int(c.codes.where(F.col("id") == 0).count()) == 2
+    c.release()
+
 
 def test_add_sa_codes_validates_narrow_code_bytes(spark):
     """With nbits<8 a code byte >= 2^nbits must refuse at INGEST (it

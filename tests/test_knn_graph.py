@@ -257,3 +257,26 @@ def test_connect_graph_repairs_disconnected_islands(spark):
     D, L = idx.search_numpy(X[::5], k=3, ef=24)
     hits = sum(int(L[i, 0]) == int(i * 5) for i in range(len(L)))
     assert hits >= int(0.9 * len(L)), (hits, len(L))
+
+
+def test_nn_descent_iters0_init_has_no_duplicate_edges(spark):
+    """The hash-mod init can propose the same neighbor twice; an
+    iters=0 build must still emit each (id, nbr) edge at most once on
+    BOTH vector-fetch paths (the broadcast path used to skip the init
+    dedup — ADVICE r9)."""
+    V, _ = make_fixture(120, 1, 8, seed=31)
+    g = nn_descent(_vdf(spark, V), k=8, iters=0).toPandas()
+    assert len(g) == len(g.drop_duplicates(["id", "nbr"])), "duplicate edges"
+    assert (g.id != g.nbr).all()
+
+
+def test_nn_descent_null_vectors_raise_clearly(spark):
+    """An all-null vec column fails with a ValueError naming the
+    problem, not a NoneType subscript inside the broadcast gate."""
+    import pytest
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": [0, 1, 2]}),
+    ).select("id", F.lit(None).cast("array<float>").alias("vec"))
+    with pytest.raises(ValueError, match="no vectors"):
+        nn_descent(df, k=2, iters=1)

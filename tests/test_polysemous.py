@@ -13,10 +13,12 @@ Pinned here:
   alignment score;
 - relabeling is invisible: reconstruct + plain search bit-identical
   before/after, sa-decode of remapped codes unchanged;
-- ht = m·nbits ≡ plain ADC search exactly (labels AND distances);
-- ht = 0 returns only codes EQUAL to the query's own code;
-- filter semantics: every returned label's stored code is within ht
-  bits of the query code (numpy re-derivation);
+- the gate is STRICT (faiss search_core_polysemous: hd < polysemous_ht):
+  ht = m·nbits + 1 ≡ plain ADC search exactly (labels AND distances —
+  faiss's own accept-all default), ht = 0 admits nothing;
+- ht = 1 returns only codes EQUAL to the query's own code;
+- filter semantics: every returned label's stored code is strictly
+  within ht bits of the query code (numpy re-derivation);
 - determinism for fixed seed.
 """
 
@@ -105,24 +107,30 @@ def _capture_books(spark):
     PQIndex.polysemous_train = orig
 
 
-def test_ht_full_equals_plain_and_ht_zero_is_code_equality(spark):
+def test_ht_full_equals_plain_and_ht_one_is_code_equality(spark):
     V, Q = make_fixture(250, 4, 16, seed=803)
     idx = _build(spark, V, m=4, nbits=4).polysemous_train(n_iter=6_000, seed=9)
-    full = idx.nbits * 4  # m·nbits = max Hamming distance
+    # faiss gate is STRICT hd < ht, so accept-all is m·nbits + 1 (faiss
+    # IndexPQ's own polysemous_ht default)
+    full = idx.nbits * 4 + 1
     Dp, Lp = idx.search_numpy(Q, 5)
     Dh, Lh = idx.search_numpy(Q, 5, ht=full)
     np.testing.assert_array_equal(Lp, Lh)
     np.testing.assert_allclose(Dp, Dh, atol=1e-12)
 
-    # ht=0: survivors are exactly the rows whose stored code equals the
-    # query's own code
+    # ht=0 admits NOTHING under the strict gate (faiss: hd < 0 never)
+    D0, L0 = idx.search_numpy(Q, 8, ht=0)
+    assert (L0 == -1).all()
+
+    # ht=1: survivors are exactly the rows whose stored code equals the
+    # query's own code (hd < 1 ⇔ hd == 0)
     from faiss_metal_spark.operators.pq import pq_assign_np
 
     qc = pq_assign_np(Q.astype(np.float64), idx.codebooks)
     codes = {r["id"]: np.frombuffer(bytes(r["code"]), np.uint8) for r in idx.codes.collect()}
-    D0, L0 = idx.search_numpy(Q, 8, ht=0)
+    D1, L1 = idx.search_numpy(Q, 8, ht=1)
     for qi in range(len(Q)):
-        got = {int(l) for l in L0[qi] if l >= 0}
+        got = {int(l) for l in L1[qi] if l >= 0}
         want = {i for i, c in codes.items() if (c == qc[qi]).all()}
         assert got <= want  # top-8 slice of the equal-code set
         assert len(got) == min(8, len(want))
@@ -146,11 +154,11 @@ def test_ht_filter_semantics_and_exact_distances(spark):
             if lab < 0:
                 continue
             ham = int(_POPCOUNT8[np.bitwise_xor(qc[qi], rows[lab])].sum())
-            assert ham <= ht, (lab, ham)
+            assert ham < ht, (lab, ham)  # strict, like faiss hd < polysemous_ht
             true = float(((Q[qi].astype(np.float64) - dec[lab]) ** 2).sum())
             assert abs(D[qi, r] - true) < 1e-9
         # numpy re-derivation of the whole result row
-        surv = [i for i, c in rows.items() if _POPCOUNT8[np.bitwise_xor(qc[qi], c)].sum() <= ht]
+        surv = [i for i, c in rows.items() if _POPCOUNT8[np.bitwise_xor(qc[qi], c)].sum() < ht]
         want = sorted(
             ((float(((Q[qi].astype(np.float64) - dec[i]) ** 2).sum()), i) for i in surv)
         )[:5]
@@ -183,13 +191,13 @@ def test_tune_polysemous_ht(spark):
     out = tune_polysemous_ht(idx, _qdf(spark, Q), k=5, target_recall=0.9)
     assert out["points"], out
     bits = 4 * idx.nbits
-    assert 0 < out["ht"] <= bits
-    # the chosen point meets the target (or is the full-width fallback)
+    assert 0 < out["ht"] <= bits + 1  # strict gate: accept-all is bits+1
+    # the chosen point meets the target (or is the accept-all fallback)
     last = out["points"][-1]
-    assert last["recall"] >= 0.9 or out["ht"] == bits
+    assert last["recall"] >= 0.9 or out["ht"] == bits + 1
     # sanity: recall at the chosen ht really is >= target when not the
     # fallback — re-measure independently
-    if out["ht"] < bits:
+    if out["ht"] <= bits:
         from faiss_metal_spark.functions.evaluate import mean_recall
 
         exact = idx.search(_qdf(spark, Q), 5)
@@ -222,12 +230,12 @@ def test_opq_polysemous_composes_through_rotation(spark):
     D1, L1 = idx.search_numpy(Q, 5)
     np.testing.assert_array_equal(L0, L1)
     np.testing.assert_allclose(D0, D1, atol=1e-12)
-    full = 4 * 4  # m · nbits = maximum possible Hamming distance
+    full = 4 * 4 + 1  # strict gate: accept-all is m·nbits + 1
     Dh, Lh = idx.search_numpy(Q, 5, ht=full)
     np.testing.assert_array_equal(L1, Lh)
     np.testing.assert_allclose(D1, Dh, atol=1e-12)
-    # stored rows searched AT their own vector pass at Hamming 0
-    Ds, Ls = idx.search_numpy(V[:4], 1, ht=0)
+    # stored rows searched AT their own vector pass at Hamming 0 (< 1)
+    Ds, Ls = idx.search_numpy(V[:4], 1, ht=1)
     assert (Ls[:, 0] >= 0).all()
     idx.release()
 
@@ -254,8 +262,8 @@ def test_ivfpq_polysemous_in_cell_gate(spark):
     np.testing.assert_array_equal(L0, L1)
     np.testing.assert_allclose(D0, D1, atol=1e-12)
 
-    full = 4 * idx.codebooks.shape[1].bit_length() - 4  # m·nbits (16)
-    Dh, Lh = idx.search_numpy(Q, 5, nprobe=4, ht=16)
+    full = 4 * 4 + 1  # strict gate: accept-all is m·nbits + 1 (17)
+    Dh, Lh = idx.search_numpy(Q, 5, nprobe=4, ht=full)
     np.testing.assert_array_equal(L1, Lh)
     np.testing.assert_allclose(D1, Dh, atol=1e-12)
 
@@ -275,7 +283,7 @@ def test_ivfpq_polysemous_in_cell_gate(spark):
             resid = Q[qi].astype(np.float64) - C[cell]
             qc = pq_assign_np(resid[None, :], idx.codebooks)[0]
             ham = int(_POPCOUNT8[np.bitwise_xor(qc, code)].sum())
-            assert ham <= ht, (lab, ham)
+            assert ham < ht, (lab, ham)  # strict, like faiss
             # gated results are a subset of the ungated ranking
             assert lab in set(int(x) for x in L1[qi] if x >= 0) or Dt[qi, r] >= D1[qi, 4] - 1e-12
     idx.release()

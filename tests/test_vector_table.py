@@ -796,8 +796,12 @@ def test_remove_ids_range_selector(spark):
     assert np.allclose(r10, V[20], atol=2e-3)
     assert vt.remove_range(1000, 2000) == 0
 
-    # a 2-tuple removes EXACTLY those two ids, not [2, 30)
-    assert vt.remove_ids((2, 30)) == 2
+    # a bare 2-tuple is REFUSED (it still means a range in
+    # SearchParams.sel — the same literal must not silently mean a
+    # 2-id batch here); an explicit list removes exactly those ids
+    with pytest.raises(TypeError, match="2-tuple is ambiguous"):
+        vt.remove_ids((2, 30))
+    assert vt.remove_ids([2, 30]) == 2
     assert vt.ntotal == 38
 
     im = IDMapVectorTable(spark, 8)
@@ -806,8 +810,10 @@ def test_remove_ids_range_selector(spark):
     assert im.ntotal == 7
     # no renumbering: id 106 still holds V[6]
     assert np.allclose(im.reconstruct(106), V[6], atol=2e-3)
-    # tuple = batch on the IDMap side too
-    assert im.remove_ids((100, 108)) == 2
+    # the 2-tuple refusal applies on the IDMap side too
+    with pytest.raises(TypeError, match="2-tuple is ambiguous"):
+        im.remove_ids((100, 108))
+    assert im.remove_ids([100, 108]) == 2
     assert im.ntotal == 5
 
 
