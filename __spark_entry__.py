@@ -4186,16 +4186,67 @@ SELECT 'orders_cube', status, priority, n, total FROM ({ORACLE_CUBE})
 
 
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ distinct + KLL-style percentile sketches in one aggregation
-    (rows-only: sketch estimates are engine-specific; accuracy bounds
-    pinned by tests/test_joins.py)."""
+    """HLL++ distinct + KLL-style percentile sketches, HASH-CHECKED via
+    a bounded-error contract (VERDICT r9 #2): the sketch estimates
+    themselves are engine-specific, so the hashed columns are (a) the
+    EXACT counterparts every engine must agree on (count, exact
+    distinct, exact continuous p50/p95) and (b) in-band assertion
+    booleans that the sketches land within their documented bounds —
+    ``users_ok``: |HLL++(rsd=0.01) − exact| ≤ 5%·exact; ``p50_ok`` /
+    ``p95_ok``: the percentile_approx(accuracy=10000) value lies
+    between the exact continuous quantiles at ±0.05/±0.02 rank (rank
+    error ≤ n/accuracy ≪ that band). The oracle recomputes the exact
+    lanes and emits TRUE for the booleans, so a sketch drifting out of
+    bound fails the hash — the sketches still RUN on every call; only
+    their raw estimates stay out of the hash. Point accuracy is
+    additionally pinned by tests/test_joins.py."""
     e = _events(spark, sf_dir)
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
-        _norm(F.percentile_approx("value", 0.5, 10000), 4).alias("p50_approx"),
-        _norm(F.percentile_approx("value", 0.95, 10000), 4).alias("p95_approx"),
+    agg = e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.01).alias("_au"),
+        F.expr("percentile(value, 0.5)").alias("_p50e"),
+        F.expr("percentile(value, 0.95)").alias("_p95e"),
+        F.expr("percentile(value, 0.45)").alias("_p50lo"),
+        F.expr("percentile(value, 0.55)").alias("_p50hi"),
+        F.expr("percentile(value, 0.93)").alias("_p95lo"),
+        F.expr("percentile(value, 0.97)").alias("_p95hi"),
+        F.percentile_approx("value", 0.5, 10000).alias("_p50a"),
+        F.percentile_approx("value", 0.95, 10000).alias("_p95a"),
     )
+    return agg.select(
+        "event_type",
+        "n",
+        "exact_users",
+        _norm(F.col("_p50e"), 4).alias("p50"),
+        _norm(F.col("_p95e"), 4).alias("p95"),
+        (
+            F.abs(F.col("_au") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("users_ok"),
+        (
+            (F.col("_p50a") >= F.col("_p50lo"))
+            & (F.col("_p50a") <= F.col("_p50hi"))
+        ).alias("p50_ok"),
+        (
+            (F.col("_p95a") >= F.col("_p95lo"))
+            & (F.col("_p95a") <= F.col("_p95hi"))
+        ).alias("p95_ok"),
+    )
+
+
+ORACLE_APPROX_SKETCHES = """
+SELECT event_type,
+       count(*) AS n,
+       count(DISTINCT user_id) AS exact_users,
+       round(quantile_cont(value, 0.5), 4) + 0.0 AS p50,
+       round(quantile_cont(value, 0.95), 4) + 0.0 AS p95,
+       TRUE AS users_ok,
+       TRUE AS p50_ok,
+       TRUE AS p95_ok
+FROM events
+GROUP BY event_type
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -4300,8 +4351,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_compact": _oracle_ann_compact(),
         # mllib_index_build: rows-only (engine-specific hash families /
         # kmeans|| init); accuracy pinned in tests/test_mllib_ann.py.
-        # approx_sketches: rows-only (sketch estimates engine-specific);
-        # accuracy bounds pinned in tests/test_joins.py.
+        # approx_sketches: exact lanes + bounded-error booleans — the
+        # sketches run but only their pass/fail contract is hashed.
+        "approx_sketches": ORACLE_APPROX_SKETCHES,
         "tpch_q1": ORACLE_Q1,
         "tpch_q5": ORACLE_Q5,
         "tpch_q12": ORACLE_Q12,
