@@ -2250,121 +2250,291 @@ FROM r WHERE rank < {_LSH_K}
 """
 
 
+# mllib_index_build lane parameters, shared with the oracle generator:
+# Lloyd k-means (8 cells seeded from rows id<8, 3 iterations, centroid
+# means rounded to 6dp each pass), fixed-plane BRP-LSH (planes = rows
+# 24..26, MLlib's default-ish bucket/threshold), exact kNN graph (k=5),
+# permutation-rotation OPQ (seeded 64-perm, fixed books from the
+# permuted first-256 rows).
+_MLB_CELLS, _MLB_ITERS, _MLB_DP = 8, 3, 6
+_MLB_PLANE_LO, _MLB_PLANE_HI = 24, 27
+_MLB_BUCKET_LEN, _MLB_THRESH = 2.0, 1.2
+_MLB_NNG_K = 5
+_MLB_PERM_SEED = 4321
+
+
+def _mlb_perm() -> "np.ndarray":
+    return np.random.default_rng(_MLB_PERM_SEED).permutation(64)
+
+
 def q_mllib_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Engine-specific index building, four iterative trainers in one
-    tagged result (rows-only check — kmeans|| init, the LSH hash
-    family, NN-Descent's and OPQ's alternating optimizations are all
-    engine-specific; exactness/recall properties are pinned by
-    tests/test_mllib_ann.py, test_knn_graph.py, test_opq.py): 'cell'
-    rows are the distributed-k-means IVF coarse-quantizer inventory
-    (a=cell, b=count), 'pair' rows BucketedRandomProjectionLSH near-dup
-    pairs (a=id_a, b=id_b, x=dist), 'nng' rows the NN-Descent kNN-graph
-    edges (a=id, b=nbr, x=dist), 'opq' rows learned-rotation ADC search
-    results (a=qid, b=label, x=distance)."""
-    from faiss_metal_spark.operators.knn_graph import nn_descent
-    from faiss_metal_spark.operators.mllib_ann import mllib_kmeans_ivf, mllib_lsh_pairs
-    from faiss_metal_spark.operators.opq import opq_encode, opq_search, opq_train
+    """Distributed index-BUILD machinery, four lanes in one tagged
+    result — HASH-CHECKED (VERDICT r9 #1): each lane runs the same
+    distributed machinery as its stochastic trainer but with a
+    deterministic, oracle-replayable parameterization; the stochastic
+    trainers themselves (MLlib kmeans|| init, MLlib's private LSH
+    family, NN-Descent, OPQ's alternating optimization) stay
+    accuracy-pinned by tests/test_mllib_ann.py, test_knn_graph.py,
+    test_opq.py — the same training-vs-machinery split every ann_*
+    key uses (fixed quantizers, trainers test-pinned).
 
-    from concurrent.futures import ThreadPoolExecutor
+    'cell' rows: distributed Lloyd k-means (operators/mllib_ann.py::
+    lloyd_kmeans — MLlib KMeans's own loop: driver-held centers,
+    executor argmin assignment, partially-aggregated per-cell means;
+    init = rows id<8, 3 iterations, 6dp-rounded updates) — a=cell,
+    b=count, x=‖centroid‖². 'pair' rows: bucketed-random-projection
+    LSH near-dup pairs with a FIXED plane family (rows 24..26) —
+    a=id_a, b=id_b, x=dist. 'nng' rows: the exact kNN graph (k=5,
+    blocked grid join, neither side broadcast) — the graph tiers'
+    construction contract and NN-Descent's convergence target —
+    a=id, b=nbr, x=dist. 'opq' rows: OPQ rotate→encode→ADC with a
+    FIXED permutation rotation (a permutation matrix IS orthogonal,
+    so the full IndexPreTransform(OPQ, PQ) search path runs
+    unchanged) — a=qid, b=label, x=distance."""
+    from faiss_metal_spark.functions.vector import sqnorm
+    from faiss_metal_spark.operators.mllib_ann import (
+        brp_lsh_pairs_fixed,
+        lloyd_kmeans,
+    )
+    from faiss_metal_spark.operators.opq import opq_encode, opq_search
+    from pyspark.sql.window import Window
 
-    # Preload the MLlib modules the trainers lazily import: a first
-    # import racing across the four trainer threads leaves
-    # pyspark.ml.wrapper partially initialized (circular-import
-    # ImportError); importing once here makes the threads see the
-    # fully-initialized module.
-    import pyspark.ml.clustering  # noqa: F401
-    import pyspark.ml.feature  # noqa: F401
-
-    # all four trainers iterate over the SAME input — persist it once
-    # so each trainer's passes hit the in-memory columnar form instead
-    # of re-scanning/decoding the parquet (4 trainers × several passes)
     emb = _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
-    ).persist()
-    emb.count()  # materialize before the trainers fork
+    )
 
-    # The four trainers are INDEPENDENT and each is fixed-overhead
-    # dominated at driver SF (many tiny sequential stages) — run their
-    # training actions from four threads so the jobs interleave on the
-    # executor pool (the classic Spark concurrent-jobs pattern; each
-    # trainer's own stages stay sequential, results are seed-fixed so
-    # parallelism cannot change a row).
-    def _cells():
-        # max_iter=4: like NN-Descent's iters=2 below, the rows-only
-        # key exercises the distributed trainer's shape, not its
-        # convergence — the nearest-centroid assignment property
-        # (test_mllib_ann) holds at any iteration count; full-iters
-        # quality is the tests' job
-        _, assigned = mllib_kmeans_ivf(emb, n_cells=8, max_iter=4)
-        # scaffold all 8 cells so the row COUNT is iteration/SF-
-        # invariant (k-means can leave a cell empty; an empty cell is
-        # a 0-count row, not a missing row — the rows-only check
-        # compares counts)
-        return (
-            spark.range(8).select(F.col("id").cast("int").alias("cell"))
-            .join(
-                assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n")),
-                "cell",
-                "left",
-            )
-            .select(
-                F.lit("cell").alias("kind"),
-                F.col("cell").cast("long").alias("a"),
-                F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("b"),
-                F.lit(None).cast("double").alias("x"),
-            )
-            .localCheckpoint()
+    # -- cell lane: Lloyd from the first-8 rows ------------------------
+    init = np.stack(
+        emb.where(F.col("id") < _MLB_CELLS).orderBy("id").toPandas()["vec"].to_numpy()
+    ).astype(np.float64)
+    C, assigned = lloyd_kmeans(emb, init, iters=_MLB_ITERS, round_dp=_MLB_DP)
+    cents = spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(C)],
+        "cell int, cv array<double>",
+    )
+    cells = (
+        cents.join(
+            assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n")),
+            "cell",
+            "left",
         )
+        .select(
+            F.lit("cell").alias("kind"),
+            F.col("cell").cast("long").alias("a"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("b"),
+            _norm(sqnorm("cv"), 4).alias("x"),
+        )
+    )
 
-    def _pairs():
-        return mllib_lsh_pairs(
-            emb, threshold=1.2, bucket_length=2.0, num_tables=3
-        ).select(
-            F.lit("pair").alias("kind"),
-            F.col("id_a").alias("a"),
-            F.col("id_b").alias("b"),
-            _norm(F.col("dist"), 4).alias("x"),
-        ).localCheckpoint()
+    # -- pair lane: fixed-plane BRP-LSH bucket join --------------------
+    planes = np.stack(
+        emb.where(
+            (F.col("id") >= _MLB_PLANE_LO) & (F.col("id") < _MLB_PLANE_HI)
+        ).orderBy("id").toPandas()["vec"].to_numpy()
+    ).astype(np.float64)
+    pairs = brp_lsh_pairs_fixed(
+        emb, planes, _MLB_BUCKET_LEN, _MLB_THRESH
+    ).select(
+        F.lit("pair").alias("kind"),
+        F.col("id_a").alias("a"),
+        F.col("id_b").alias("b"),
+        _norm(F.col("dist"), 4).alias("x"),
+    )
 
-    def _nng():
-        # iters=2 keeps the rows-only key latency-bound work modest at
-        # the driver's sf (each NN-Descent round is several fixed-
-        # overhead stages); convergence quality at full iters is what
-        # the dedicated recall test pins
-        return nn_descent(emb, k=5, iters=2).select(
+    # -- nng lane: exact kNN graph via the blocked grid join -----------
+    # k+1 then drop self: self (dist 0) is always in the top-(k+1)
+    # unless ≥k+1 exact duplicates outrank it, in which case the
+    # survivors are still exactly the top-k non-self rows
+    g = knn_join_blocked(
+        emb, emb, k=_MLB_NNG_K + 1, metric="l2",
+        num_qblocks=4, num_vblocks=4,
+        id_col="id", vec_col="vec", qid_col="id", qvec_col="vec",
+        compute="f64",  # oracle hash-exactness (library default: f32)
+    ).where(F.col("label") != F.col("qid"))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("distance").asc(), F.col("label").asc()
+    )
+    nng = (
+        g.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _MLB_NNG_K)
+        .select(
             F.lit("nng").alias("kind"),
-            F.col("id").alias("a"),
-            F.col("nbr").alias("b"),
-            _norm(F.col("dist"), 4).alias("x"),
-        ).localCheckpoint()
-
-    def _opq():
-        R, books = opq_train(emb, m=8, iters=3, pq_iters=3)
-        return opq_search(
-            opq_encode(emb, R, books), R, books,
-            emb.where(F.col("id") < 8).select(F.col("id").alias("qid"), "vec"),
-            k=10,
-        ).select(
-            F.lit("opq").alias("kind"),
             F.col("qid").alias("a"),
             F.col("label").alias("b"),
             _norm(F.col("distance"), 4).alias("x"),
-        ).localCheckpoint()
-
-    with ThreadPoolExecutor(max_workers=4) as pool:
-        cells, pairs, nng, opq = pool.map(
-            lambda f: f(), (_cells, _pairs, _nng, _opq)
         )
-    # Each thread returned an EAGER localCheckpoint: its result rows
-    # materialized while emb was cached and the threads overlapped, so
-    # the final union is a read of four in-memory RDDs. That makes the
-    # unpersist below safe AND free — the cache cannot leak into
-    # whatever a sequential runner (driver correctness gate, plan
-    # audit) executes next, where a later query scanning embeddings
-    # would silently read the InMemoryRelation and lose its parquet
-    # pushdown.
-    emb.unpersist()
+    )
+
+    # -- opq lane: permutation-rotation OPQ ADC ------------------------
+    perm = _mlb_perm()
+    R = np.eye(64)[perm]  # rotated[j] = vec[perm[j]]; orthogonal
+    pdf = emb.where(F.col("id") < 256).orderBy("id").toPandas()
+    B = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+    Br = B[:, perm]  # books live in ROTATED space, like opq_train's
+    books = np.stack(
+        [Br[:, j * _PQ_DSUB : (j + 1) * _PQ_DSUB] for j in range(_PQ_M)]
+    )
+    opq = opq_search(
+        opq_encode(emb, R, books), R, books,
+        emb.where(F.col("id") < 8).select(F.col("id").alias("qid"), "vec"),
+        k=10,
+    ).select(
+        F.lit("opq").alias("kind"),
+        F.col("qid").alias("a"),
+        F.col("label").alias("b"),
+        _norm(F.col("distance"), 4).alias("x"),
+    )
+
     return cells.unionByName(pairs).unionByName(nng).unionByName(opq)
+
+
+def _oracle_mllib_index_build() -> str:
+    """DuckDB replay of all four q_mllib_index_build lanes. The Lloyd
+    loop unrolls to one (assign, means, carry) CTE triple per
+    iteration — the 6dp rounding after each means step is what keeps
+    two engines summing in different orders bit-identical; empty cells
+    carry the previous centroid via the LEFT JOIN, exactly like the
+    engine's newC = C.copy() default."""
+    k, d, dp = _MLB_CELLS, _PQ_M * _PQ_DSUB, _MLB_DP
+    blen, thresh = _MLB_BUCKET_LEN, _MLB_THRESH
+    m, dsub = _PQ_M, _PQ_DSUB
+    ctes = [
+        f"""k0 AS (
+  SELECT vec_id AS cell, embedding::DOUBLE[] AS cv FROM embeddings
+  WHERE vec_id < {k}
+)"""
+    ]
+    for t in range(1, _MLB_ITERS + 1):
+        prev = f"k{t - 1}"
+        means = ", ".join(
+            f"round(avg(embedding[{i + 1}]), {dp})" for i in range(d)
+        )
+        ctes.append(f"""a{t} AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT v.vec_id, v.embedding, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             list_inner_product(c.cv, c.cv)
+             - 2 * list_inner_product(v.embedding::DOUBLE[], c.cv) ASC,
+             c.cell ASC) AS rn
+    FROM embeddings v CROSS JOIN {prev} c)
+  WHERE rn = 1
+)""")
+        ctes.append(f"""m{t} AS (
+  SELECT cell, [{means}]::DOUBLE[] AS mv FROM a{t} GROUP BY cell
+)""")
+        ctes.append(f"""k{t} AS (
+  SELECT c.cell, CASE WHEN m.mv IS NULL THEN c.cv ELSE m.mv END AS cv
+  FROM {prev} c LEFT JOIN m{t} m ON m.cell = c.cell
+)""")
+    last = f"k{_MLB_ITERS}"
+    perm_lit = "[" + ", ".join(str(int(p) + 1) for p in _mlb_perm()) + "]"
+    body = f"""afin AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             list_inner_product(c.cv, c.cv)
+             - 2 * list_inner_product(v.embedding::DOUBLE[], c.cv) ASC,
+             c.cell ASC) AS rn
+    FROM embeddings v CROSS JOIN {last} c)
+  WHERE rn = 1
+),
+ccnt AS (SELECT cell, count(*) AS n FROM afin GROUP BY cell),
+cellrows AS (
+  SELECT 'cell' AS kind, c.cell AS a, COALESCE(ccnt.n, 0) AS b,
+         round(list_inner_product(c.cv, c.cv), 4) + 0.0 AS x
+  FROM {last} c LEFT JOIN ccnt ON ccnt.cell = c.cell
+),
+-- pair lane: fixed planes = rows {_MLB_PLANE_LO}..{_MLB_PLANE_HI - 1};
+-- h = floor(<v, p> / (||p|| * bucket_length)), collisions in ANY table
+pl AS (
+  SELECT vec_id - {_MLB_PLANE_LO} AS t, embedding::DOUBLE[] AS pv
+  FROM embeddings WHERE vec_id >= {_MLB_PLANE_LO} AND vec_id < {_MLB_PLANE_HI}
+),
+ph AS (
+  SELECT v.vec_id AS id, p.t,
+         floor(list_inner_product(v.embedding::DOUBLE[], p.pv)
+               / (sqrt(list_inner_product(p.pv, p.pv)) * {blen})) AS h
+  FROM embeddings v CROSS JOIN pl p
+),
+pcand AS (
+  SELECT DISTINCT pa.id AS id_a, pb.id AS id_b
+  FROM ph pa JOIN ph pb ON pa.t = pb.t AND pa.h = pb.h AND pa.id < pb.id
+),
+pairrows AS (
+  SELECT 'pair' AS kind, id_a AS a, id_b AS b, round(dist, 4) + 0.0 AS x FROM (
+    SELECT c.id_a, c.id_b,
+           sqrt(list_sum([(z[1] - z[2]) * (z[1] - z[2]) FOR z IN
+                 list_zip(va.embedding::DOUBLE[], vb.embedding::DOUBLE[])])) AS dist
+    FROM pcand c
+    JOIN embeddings va ON va.vec_id = c.id_a
+    JOIN embeddings vb ON vb.vec_id = c.id_b)
+  WHERE dist <= {thresh}
+),
+-- nng lane: exact top-{_MLB_NNG_K} graph, self excluded
+ng AS (
+  SELECT va.vec_id AS id, vb.vec_id AS nbr,
+         GREATEST(list_inner_product(va.embedding::DOUBLE[], va.embedding::DOUBLE[])
+           + list_inner_product(vb.embedding::DOUBLE[], vb.embedding::DOUBLE[])
+           - 2 * list_inner_product(va.embedding::DOUBLE[], vb.embedding::DOUBLE[]), 0.0) AS dist
+  FROM embeddings va JOIN embeddings vb ON va.vec_id <> vb.vec_id
+),
+nngrows AS (
+  SELECT 'nng' AS kind, id AS a, nbr AS b, round(dist, 4) + 0.0 AS x FROM (
+    SELECT id, nbr, dist,
+           row_number() OVER (PARTITION BY id ORDER BY dist ASC, nbr ASC) AS rn
+    FROM ng)
+  WHERE rn <= {_MLB_NNG_K}
+),
+-- opq lane: rotate by the FIXED permutation (list_select), then the
+-- same argmin-encode / ADC arithmetic as the ann_pq 'pq' lane over
+-- books = permuted first-256 rows
+osub AS (SELECT j FROM range({m}) t(j)),
+orv AS (
+  SELECT vec_id AS id, list_select(embedding::DOUBLE[], {perm_lit}) AS vr
+  FROM embeddings
+),
+ob AS (
+  SELECT id AS ck, j, list_slice(vr, j*{dsub} + 1, j*{dsub} + {dsub}) AS cj
+  FROM orv CROSS JOIN osub WHERE id < 256
+),
+ovs AS (
+  SELECT id, j, list_slice(vr, j*{dsub} + 1, j*{dsub} + {dsub}) AS vj
+  FROM orv CROSS JOIN osub
+),
+oenc AS (
+  SELECT id, j, ck FROM (
+    SELECT ovs.id, ovs.j, ob.ck,
+           row_number() OVER (PARTITION BY ovs.id, ovs.j ORDER BY
+             list_inner_product(ob.cj, ob.cj)
+             - 2 * list_inner_product(ovs.vj, ob.cj) ASC,
+             ob.ck ASC) AS rn
+    FROM ovs JOIN ob ON ovs.j = ob.j)
+  WHERE rn = 1
+),
+oqs AS (SELECT id AS qid, j, vj AS qj FROM ovs WHERE id < 8),
+oadc AS (
+  SELECT oqs.qid, oenc.id AS label,
+         SUM(list_inner_product(oqs.qj, oqs.qj) + list_inner_product(ob.cj, ob.cj)
+             - 2 * list_inner_product(oqs.qj, ob.cj)) AS dist
+  FROM oqs
+  JOIN oenc ON oenc.j = oqs.j
+  JOIN ob ON ob.j = oenc.j AND ob.ck = oenc.ck
+  GROUP BY oqs.qid, oenc.id
+),
+opqrows AS (
+  SELECT 'opq' AS kind, qid AS a, label AS b, round(dist, 4) + 0.0 AS x FROM (
+    SELECT qid, label, dist,
+           row_number() OVER (PARTITION BY qid ORDER BY dist ASC, label ASC) AS rn
+    FROM oadc)
+  WHERE rn <= 10
+)
+SELECT kind, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, x FROM (
+  SELECT * FROM cellrows
+  UNION ALL SELECT * FROM pairrows
+  UNION ALL SELECT * FROM nngrows
+  UNION ALL SELECT * FROM opqrows
+)"""
+    return "WITH " + ",\n".join(ctes) + ",\n" + body
 
 
 # Fixed-quantizer discipline for the ANN oracle rows: the SEARCH stages
@@ -4349,8 +4519,11 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": ORACLE_ANN_IVF,
         "ann_pq": _oracle_ann_pq(),
         "ann_compact": _oracle_ann_compact(),
-        # mllib_index_build: rows-only (engine-specific hash families /
-        # kmeans|| init); accuracy pinned in tests/test_mllib_ann.py.
+        # mllib_index_build: deterministic parameterizations of the
+        # distributed build machinery (Lloyd loop, fixed-plane LSH,
+        # exact graph, permutation-OPQ); the stochastic trainers stay
+        # test-pinned (test_mllib_ann / test_knn_graph / test_opq).
+        "mllib_index_build": _oracle_mllib_index_build(),
         # approx_sketches: exact lanes + bounded-error booleans — the
         # sketches run but only their pass/fail contract is hashed.
         "approx_sketches": ORACLE_APPROX_SKETCHES,

@@ -132,3 +132,156 @@ def mllib_minhash_pairs(
             F.col("jdist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic twins: the same distributed training/search machinery with
+# caller-fixed parameterizations, so a SQL oracle can replay every step.
+# MLlib's estimators above stay the production trainers (seeded but
+# engine-specific — kmeans|| init, private hash families); these two are
+# what the driver's hash-checked `mllib_index_build` lanes run.
+# ---------------------------------------------------------------------------
+
+
+def _nearest_cell_expr(vec_col: str, C: np.ndarray):
+    """argmin cell over LITERAL centroids as one Catalyst projection —
+    the engine's ‖c‖² − 2·v·c decomposition with (dist, cell) tie
+    order, sequential HOF arithmetic (bit-compatible with a SQL
+    oracle's list_inner_product), and NO join/shuffle: the centroids
+    ride the plan as literals exactly like MLlib broadcasts its
+    driver-held centers each Lloyd pass."""
+    structs = []
+    for ci, row in enumerate(C):
+        cn = 0.0
+        for x in row:  # sequential, like the oracle's inner product
+            cn += float(x) * float(x)
+        carr = F.array(*[F.lit(float(x)) for x in row])
+        prods = F.zip_with(
+            F.col(vec_col), carr, lambda x, y: x.cast("double") * y
+        )
+        d = F.lit(cn) - 2.0 * F.aggregate(
+            prods, F.lit(0.0), lambda acc, p: acc + p
+        )
+        structs.append(
+            F.struct(d.alias("d"), F.lit(int(ci)).alias("cell"))
+        )
+    return F.array_min(F.array(*structs))["cell"]
+
+
+def lloyd_kmeans(
+    vectors: DataFrame,
+    init: np.ndarray,
+    iters: int = 3,
+    round_dp: int = 6,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> tuple[np.ndarray, DataFrame]:
+    """Distributed Lloyd iterations with caller-FIXED init — the exact
+    loop MLlib's KMeans runs (driver-held centers, executor-side
+    assignment, map-side partially-aggregated per-cell means), minus
+    the engine-specific kmeans|| seeding, so every step is replayable
+    by a SQL oracle: assignment is the literal-centroid argmin above
+    and each iteration's new centroids are per-dim means ROUNDED to
+    ``round_dp`` decimals (two engines summing the same doubles in
+    different orders agree to ~1e-15 relative; the rounding collapses
+    that to bit-identical centroids before they feed the next argmin).
+    Empty cells keep their previous centroid (MLlib does the same).
+
+    Returns (centroids ndarray, assigned DF (id, vec, cell)). Cost per
+    iteration: one scan + one 8-key partial aggregate + an O(k·d)
+    driver collect — the same shape at 100 TB (the scan dominates;
+    nothing grows with n on the driver)."""
+    v = vectors.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
+    )
+    C = np.asarray(init, dtype=np.float64).copy()
+    k, d = C.shape
+    for _ in range(int(iters)):
+        means = (
+            v.select(_nearest_cell_expr("vec", C).alias("cell"), "vec")
+            .groupBy("cell")
+            .agg(
+                *[
+                    F.round(
+                        F.avg(F.col("vec").getItem(i).cast("double")),
+                        round_dp,
+                    ).alias(f"m{i}")
+                    for i in range(d)
+                ]
+            )
+            .collect()
+        )
+        newC = C.copy()  # cells with no members keep their centroid
+        for r in means:
+            newC[int(r["cell"])] = [float(r[f"m{i}"]) for i in range(d)]
+        C = newC
+    assigned = v.select(
+        "id", "vec", _nearest_cell_expr("vec", C).alias("cell")
+    )
+    return C, assigned
+
+
+def brp_lsh_pairs_fixed(
+    vectors: DataFrame,
+    planes: np.ndarray,
+    bucket_length: float,
+    threshold: float,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """``mllib_lsh_pairs`` with a caller-FIXED hyperplane family — the
+    same bucketed-random-projection machinery (h_t(v) = ⌊⟨v, p_t/‖p_t‖⟩
+    / bucket_length⌋ per table, candidates = bucket collisions via an
+    equi-join on (table, bucket), exact L2 filter on candidates only)
+    but with ``planes`` supplied instead of MLlib's seeded private
+    family, so a SQL oracle replays the hashes bit-for-bit. The dot
+    runs as ⟨v, p⟩/(‖p‖·len) with sequential HOF arithmetic — identical
+    doubles on both engines, so the floor can never straddle.
+
+    Returns (id_a < id_b, dist ≤ threshold) pairs, deduped across
+    tables. Scale shape: one projection scan, one (t, h) shuffle join
+    of id-only rows, vectors joined back for the exact filter — the
+    same shuffle shape as MLlib's approxSimilarityJoin."""
+    import math
+
+    from ..functions.vector import l2sq
+
+    P = np.asarray(planes, dtype=np.float64)
+    v = vectors.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
+    )
+    hashes = []
+    for t, row in enumerate(P):
+        nrm = 0.0
+        for x in row:  # sequential, like the oracle
+            nrm += float(x) * float(x)
+        nrm = math.sqrt(nrm)
+        parr = F.array(*[F.lit(float(x)) for x in row])
+        prods = F.zip_with(
+            F.col("vec"), parr, lambda x, y: x.cast("double") * y
+        )
+        dotv = F.aggregate(prods, F.lit(0.0), lambda acc, p: acc + p)
+        hashes.append(
+            F.struct(
+                F.lit(int(t)).alias("t"),
+                F.floor(dotv / F.lit(nrm * float(bucket_length))).alias("h"),
+            )
+        )
+    hashed = v.select(
+        "id", F.explode(F.array(*hashes)).alias("th")
+    ).select("id", F.col("th.t").alias("t"), F.col("th.h").alias("h"))
+    cand = (
+        hashed.select(F.col("id").alias("id_a"), "t", "h")
+        .join(hashed.select(F.col("id").alias("id_b"), "t", "h"), ["t", "h"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = v.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
+    vb = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.sqrt(l2sq("va", "vb")).alias("dist"))
+        .where(F.col("dist") <= float(threshold))
+    )
