@@ -273,7 +273,7 @@ def _warmup(spark) -> None:
 
 
 def bench_headline(spark) -> dict[str, float]:
-    """Each query runs warmup 1 + timed 2, reporting the per-key MIN
+    """Each query runs warmup 1 + timed 3, reporting the per-key MIN
     (the reference's warmup-then-time discipline,
     bench_metal_flat.mm:118, applied to the whole suite, not just the
     kNN grid), and the session's cache state is reset (clearCache + gc
@@ -285,17 +285,20 @@ def bench_headline(spark) -> dict[str, float]:
     (dedup_clusters 16.1s unisolated vs 3.2s isolated, identical code
     and output); without the warmup, a key's number mixes steady-state
     cost with its first-compile codegen/JIT (simhash_all 5.6s cold vs
-    3.5s warm); without min-of-2, this host's minute-scale load spikes
+    3.5s warm); without min-of-N, this host's minute-scale load spikes
     land on random keys (range_join_balance measured 0.5s and 4.2s in
-    back-to-back identical-code full runs) — a spike must now hit both
-    timed runs to distort a key. Per-key numbers mean 'steady-state,
-    isolated, spike-filtered query'.
+    back-to-back identical-code full runs; r8 AND r9 driver runs both
+    showed 2-3x phantom 'regressions' on unchanged queries) — min of 3
+    (raised from 2 in r10) means a spike must hit all three timed runs
+    to distort a key. Per-key numbers mean 'steady-state, isolated,
+    spike-filtered query'.
 
-    Returns (per-key min, per-key BOTH timed runs). The second map is
-    the contamination receipt: on a quiet host the two runs agree to
-    ~10%; a loaded host shows a wide spread, making a noisy run
-    self-evident from BENCH_GRID.json alone (r8's 101 s driver run vs
-    the 79.8 s quiet-host receipt was only diagnosable by re-running)."""
+    Returns (per-key min, per-key receipt {times: all timed runs,
+    load1m: 1-min loadavg at key start}). The receipt is the
+    contamination evidence: on a quiet host the runs agree to ~10% and
+    load1m is low; a loaded host shows wide spread + high load1m,
+    making a noisy run self-evident from BENCH_GRID.json alone —
+    separable from a code regression mechanically, without a re-run."""
     import gc
 
     import __spark_entry__ as entry_mod
@@ -306,16 +309,17 @@ def bench_headline(spark) -> dict[str, float]:
 
     out, runs = {}, {}
     for name, fn in entry_mod.queries().items():
+        load1m = round(os.getloadavg()[0], 2)
         fn(spark, SF_DIR).count()  # warmup: compile + JIT, discarded
         _reset()
         timed = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             fn(spark, SF_DIR).count()
             timed.append(round(time.time() - t0, 3))
             _reset()
         out[name] = min(timed)
-        runs[name] = timed
+        runs[name] = {"times": timed, "load1m": load1m}
     return out, runs
 
 
@@ -398,7 +402,7 @@ def emit(queries, grid_stats, storage_gain, sf, isolation=None) -> str:
         "storage_gain_pct_vs_fp32_same_arith": storage_gain,
         "method": {
             "headline": (
-                "per key: 1 discarded warmup run, then min of 2 timed "
+                "per key: 1 discarded warmup run, then min of 3 timed "
                 "runs with cache-clear + gc between runs (spike-"
                 "filtered steady state; see bench_headline docstring). "
                 "Cross-round compares are like-for-like from r6 on; "
@@ -477,7 +481,7 @@ def emit(queries, grid_stats, storage_gain, sf, isolation=None) -> str:
                 "unit": "sec",
                 "queries": {k: round(v, dp) for k, v in qmap.items()},
                 "sf": sf,
-                "method": "warm1_min2_iso",
+                "method": "warm1_min3_iso",
                 "detail": "BENCH_GRID.json",
             },
             separators=(",", ":"),

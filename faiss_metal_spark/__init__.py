@@ -30,6 +30,7 @@ from .compact_index import (
     index_factory,
 )
 from .operators.kmeans import Kmeans
+from .operators.pca import PreTransformIndex
 from .quantize import STORAGE_BF16, STORAGE_FP16, STORAGE_FP32
 from .session import get_spark
 from .sources.index_io import clone_index, read_index, write_index
@@ -73,6 +74,7 @@ __all__ = [
     "IVFSQIndex",
     "OPQIndex",
     "PQIndex",
+    "PreTransformIndex",
     "RefineIndex",
     "RQIndex",
     "RowwiseMinMaxIndex",

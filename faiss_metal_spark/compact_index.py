@@ -2997,6 +2997,13 @@ def index_factory(vt, spec: str, **train_kw):
       select; multi-seeded serving stands in for the navigating node)
     - ``"OPQ16"`` / ``"OPQ16,PQ16"`` → :class:`OPQIndex` (the OPQ
       pretransform trains its own PQ; a mismatched pair raises)
+    - ``"OPQ16,<inner>"`` for any OTHER inner spec (faiss's common
+      ``"OPQ16,IVF64,PQ16"`` recipe) → the OPQ rotation as a TRUE
+      transform prefix: train the (d, d) rotation for m-subvector PQ,
+      build the rest of the spec over the rotated table (recursively),
+      return a :class:`~faiss_metal_spark.operators.pca.PreTransformIndex`
+      (IO kind "pretransform"); ``opq_iters`` tunes the alternation
+      without touching the inner tier's own ``iters``
     - ``"LSH"`` / ``"LSH128"`` → :class:`LSHIndex` (faiss
       ``IndexLSH``: rotation sign bits + Hamming scan; bare ``LSH``
       means nbits = d, the faiss default ``("LSH")`` spec)
@@ -3072,6 +3079,44 @@ def index_factory(vt, spec: str, **train_kw):
         inner_kw = {k: v for k, v in train_kw.items() if k != "seed" or t_kind != "RR"}
         inner = index_factory(inner_vt, rest, **inner_kw)
         return PreTransformIndex(mean, W, inner)
+    m = re.fullmatch(r"OPQ(\d+),(?!PQ\d+(?:x\d+)?$)(.+)", s)
+    if m:
+        # faiss's most common recipe "OPQ16,IVF64,PQ16": the OPQ matrix
+        # is a TRUE VectorTransform prefix — train the (d, d) rotation
+        # for m-subvector PQ on the table, build the REST of the spec
+        # over the rotated table (recursively, so any tier composes),
+        # and wrap in PreTransformIndex so queries rotate identically.
+        # The bare "OPQ<m>"/"OPQ<m>,PQ<m>" specs keep building the
+        # fused OPQIndex below (same composite faiss builds for them);
+        # ",RFlat" composes OUTSIDE this prefix (handled above), so
+        # refinement rescores in the ORIGINAL space like faiss.
+        # ``opq_iters`` tunes the alternation without colliding with an
+        # inner tier's own ``iters`` knob.
+        from .functions.vector import sqnorm
+        from .operators.opq import opq_train
+        from .operators.pca import PreTransformIndex, pca_apply
+        from .vector_table import VectorTable
+
+        mm, rest = int(m.group(1)), m.group(2)
+        base = _float_view(vt)
+        R, _books = opq_train(
+            base, mm,
+            iters=int(train_kw.pop("opq_iters", 8)),
+            sample_size=train_kw.get("sample_size", 16384),
+        )
+        mean = np.zeros(vt.d)
+        # pca_apply computes (x − mean) @ components.T = x @ R.T —
+        # exactly opq_rotate's orientation, so the stored rotation IS
+        # the PreTransform components matrix
+        rotated = pca_apply(base, mean, R)
+        inner_vt = VectorTable(
+            vt.spark, d=vt.d, metric=getattr(vt, "metric", "l2"),
+            df=rotated.select(
+                "id", "vec", sqnorm(F.col("vec")).alias("norm_sq")
+            ),
+        )
+        inner = index_factory(inner_vt, rest, **train_kw)
+        return PreTransformIndex(mean, R, inner)
     if s == "Flat":
         return vt
     if s == "SQ8":

@@ -105,7 +105,10 @@ def test_receipt_file_carries_full_grid(tmp_path):
         "loadavg_end": [2.0, 1.5, 1.2],
         "cpus": 32,
         "wall_sec": 99.5,
-        "headline_runs_sec": {k: [v, v * 1.05] for k, v in queries.items()},
+        "headline_runs_sec": {
+            k: {"times": [v, v * 1.05, v * 1.02], "load1m": 0.4}
+            for k, v in queries.items()
+        },
     }
     line = bench.emit(queries, grid_stats, gain, 0.1, isolation)
     with open(tmp_path / "BENCH_GRID.json") as f:
@@ -121,7 +124,12 @@ def test_receipt_file_carries_full_grid(tmp_path):
     assert iso["loadavg_start"] == [1.2, 1.1, 1.0]
     assert iso["cpus"] == 32
     assert set(iso["headline_runs_sec"]) == set(queries)
-    assert all(len(v) == 2 for v in iso["headline_runs_sec"].values())
+    # r10 shape: all three timed runs + a per-key load snapshot, so
+    # noise vs regression is separable per key
+    assert all(
+        len(v["times"]) == 3 and "load1m" in v
+        for v in iso["headline_runs_sec"].values()
+    )
     assert len(line) < 1900
     # emit without isolation still writes a receipt (empty dict)
     bench.emit(queries, grid_stats, gain, 0.1)

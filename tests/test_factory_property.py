@@ -21,6 +21,7 @@ from faiss_metal_spark import (
     IVFSQIndex,
     LSHIndex,
     PQIndex,
+    PreTransformIndex,
     RefineIndex,
     SQ8Index,
     VectorTable,
@@ -61,6 +62,10 @@ _VALID = [
     ("HNSW4", GraphIndex),
     ("NSG4", GraphIndex),
     ("LSH16", LSHIndex),
+    # r10: OPQ as a TRUE transform prefix (faiss "OPQ16,IVF64,PQ16");
+    # bare "OPQ<m>"/"OPQ<m>,PQ<m>" keep building the fused OPQIndex
+    ("OPQ4,IVF4,PQ4x4", PreTransformIndex),
+    ("OPQ4,IVF4,Flat", PreTransformIndex),
 ]
 
 

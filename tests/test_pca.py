@@ -281,3 +281,65 @@ def test_pretransform_write_read_clone(spark, tmp_path):
     assert cl is not idx and cl.components is not idx.components
     _, Lc = cl.search_numpy(Q, 5, nprobe=4)
     np.testing.assert_array_equal(L0, Lc)
+
+
+def test_opq_transform_prefix_composes_with_ivfpq(spark, tmp_path):
+    """faiss's most common recipe "OPQ<m>,IVF<n>,PQ<m>" (r10): the OPQ
+    rotation is a TRUE transform prefix — the factory result must
+    equal an IVFPQIndex built over the manually pre-rotated table
+    (identical deterministic training on both paths), and the
+    composite must IO-round-trip as kind "pretransform"."""
+    import numpy as np
+    from faiss_metal_spark import (
+        IVFPQIndex, VectorTable, read_index, write_index,
+    )
+    from faiss_metal_spark.compact_index import index_factory
+    from faiss_metal_spark.operators.opq import opq_train
+    from faiss_metal_spark.operators.pca import PreTransformIndex
+
+    rng = np.random.default_rng(27)
+    V = rng.normal(size=(300, 16)).astype(np.float32)
+    Q = rng.normal(size=(4, 16)).astype(np.float32)
+    vt = VectorTable(spark, 16).add_numpy(V)
+
+    idx = index_factory(vt, "OPQ4,IVF4,PQ4x4", sample_size=300, opq_iters=3)
+    assert isinstance(idx, PreTransformIndex)
+    assert isinstance(idx.inner, IVFPQIndex)
+    D0, L0 = idx.search_numpy(Q, 5, nprobe=4)
+
+    # manual pre-rotation with the SAME deterministic training
+    from faiss_metal_spark.vector_table import SearchParams  # noqa: F401
+    base = vt.df.select("id", "vec")
+    R, _ = opq_train(base, 4, iters=3, sample_size=300)
+    np.testing.assert_allclose(R, idx.components, atol=1e-12)
+    Vr = (V.astype(np.float64) @ R.T).astype(np.float32)
+    vt_r = VectorTable(spark, 16).add_numpy(Vr)
+    manual = IVFPQIndex.from_table(vt_r, n_cells=4, m=4, nbits=4, sample_size=300)
+    Qr = (Q.astype(np.float64) @ R.T).astype(np.float32)
+    Dm, Lm = manual.search_numpy(Qr, 5, nprobe=4)
+    np.testing.assert_array_equal(L0, Lm)
+    np.testing.assert_allclose(D0, Dm, atol=1e-6)
+
+    # IO round-trip keeps the composite + the rotation
+    write_index(idx, str(tmp_path / "opqpt"))
+    idx2 = read_index(spark, str(tmp_path / "opqpt"))
+    assert isinstance(idx2, PreTransformIndex)
+    np.testing.assert_allclose(idx2.components, R, atol=1e-12)
+    D1, L1 = idx2.search_numpy(Q, 5, nprobe=4)
+    np.testing.assert_array_equal(L0, L1)
+    np.testing.assert_allclose(D0, D1, atol=1e-9)
+
+    # ",RFlat" composes OUTSIDE the prefix: refinement in input space
+    from faiss_metal_spark import RefineIndex
+    r = index_factory(vt, "OPQ4,IVF4,PQ4x4,RFlat", sample_size=300, opq_iters=3)
+    assert isinstance(r, RefineIndex)
+    assert isinstance(r.base, PreTransformIndex)
+    Dr, Lr = r.search_numpy(Q, 3, nprobe=4)
+    # refined distances are exact input-space L2² of returned labels
+    for qi in range(len(Q)):
+        for rr in range(3):
+            lab = int(Lr[qi, rr])
+            if lab < 0:
+                continue
+            true = float(((Q[qi].astype(np.float64) - V[lab].astype(np.float64)) ** 2).sum())
+            assert abs(Dr[qi, rr] - true) < 1e-6
