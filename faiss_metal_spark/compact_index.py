@@ -2094,9 +2094,12 @@ class GraphIndex:
     build = distributed NN-Descent (operators/knn_graph.py, Dong et
     al. 2011), search = beam search over the graph (NSW-style greedy
     expansion — HNSW's own layer-0 procedure; the hierarchy is an
-    entry-point accelerator, replaced here by hash-deterministic
-    multi-seeding). Flat-graph + multi-seed is the pynndescent serving
-    design; recall scales with ``ef`` exactly as HNSW's efSearch.
+    entry-point accelerator, played here by a deterministic ~√n
+    LANDMARK layer ranked exactly per query, r10 — the same
+    coarse-to-fine role as HNSW's upper layers / NSG's navigating
+    node, so beam rounds stay O(1)-ish in corpus diameter;
+    ``entry="hash"`` keeps the legacy flat multi-seeding). Recall
+    scales with ``ef`` exactly as HNSW's efSearch.
 
     L2 only (like IndexHNSWFlat's default metric). Read-only derived
     tier: rebuild after mutating the source table. ``M`` is the graph
@@ -2159,7 +2162,12 @@ class GraphIndex:
         k: int,
         ef: int | None = None,
         iters: int = 3,
+        entry: str = "landmarks",
     ) -> DataFrame:
+        """``entry="landmarks"`` (default, r10) starts the beam from
+        the query's nearest ~√n landmark layer — the HNSW upper-layer /
+        NSG navigating-node role, so rounds stay O(1)-ish in corpus
+        diameter; ``entry="hash"`` is the legacy flat multi-seeding."""
         from .operators.knn_graph import graph_search
 
         return graph_search(
@@ -2169,6 +2177,7 @@ class GraphIndex:
             k,
             beam=max(ef if ef is not None else self.ef_search, k),
             iters=iters,
+            entry=entry,
         )
 
     def search_numpy(
@@ -2994,7 +3003,7 @@ def index_factory(vt, spec: str, **train_kw):
       HNSW-vs-NSW mapping)
     - ``"NSG32"`` → :class:`GraphIndex` with MRNG edge diversification
       (faiss IndexNSG: NN-Descent candidates pruned by the MRNG
-      select; multi-seeded serving stands in for the navigating node)
+      select; the ~√n landmark entry layer plays the navigating node)
     - ``"OPQ16"`` / ``"OPQ16,PQ16"`` → :class:`OPQIndex` (the OPQ
       pretransform trains its own PQ; a mismatched pair raises)
     - ``"OPQ16,<inner>"`` for any OTHER inner spec (faiss's common
@@ -3193,9 +3202,10 @@ def index_factory(vt, spec: str, **train_kw):
         # the connectivity repair (tree_grow/attach — connect_graph
         # here): islands the pruning disconnected re-link to their
         # exact nearest main-component neighbor, so search reaches
-        # every node. The navigating-node entry point is replaced by
-        # the serving layer's hash-deterministic multi-seeding (same
-        # role: escape a bad entry region).
+        # every node. The navigating-node entry point is played by the
+        # serving layer's ~√n landmark entry (graph_search
+        # entry="landmarks", r10): the beam starts at the query's
+        # nearest landmarks instead of random seeds.
         return GraphIndex.from_table(
             vt, M=int(m.group(1)), diversify=True, repair=True, **train_kw
         )

@@ -333,6 +333,8 @@ def graph_search(
     vec_col: str = "vec",
     qid_col: str = "qid",
     qvec_col: str = "vec",
+    entry: str = "landmarks",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Approximate top-k via beam search over a prebuilt kNN graph —
     the serving half of graph ANN (faiss ``IndexHNSWFlat``'s flat-graph
@@ -340,11 +342,22 @@ def graph_search(
     al.'s NSW / pynndescent's search stage; the reference engine has no
     graph tier at all).
 
-    Per query: score ``n_seeds`` hash-deterministic entry points, then
-    ``iters`` rounds of expand-the-beam — neighbors (via ``graph``
-    edges) of the current best ``beam`` candidates are scored and
-    merged, visited ids are never rescored. Returns (qid, rank, label,
-    distance), squared L2, sentinel-padded like every engine search.
+    ENTRY LAYER (``entry``, r10): ``"landmarks"`` (default) ranks a
+    deterministic ~√n landmark subset per query and starts the beam
+    from the ``n_seeds`` nearest landmarks — the coarse layer plays
+    the role HNSW's upper layers / NSG's navigating node play: the
+    walk starts in the query's region, so the rounds needed for a
+    given recall stay O(1)-ish as the corpus (and its graph diameter)
+    grows, instead of diameter-bound. Cost: one extra bounded
+    nq × √n scoring pass (the landmark set is a deterministic hash
+    sample — derivable from the vectors, nothing extra persists).
+    ``"hash"`` is the legacy flat entry: ``n_seeds`` hash-random ids.
+
+    Then ``iters`` rounds of expand-the-beam — neighbors (via
+    ``graph`` edges) of the current best ``beam`` candidates are
+    scored and merged, visited ids are never rescored. Returns (qid,
+    rank, label, distance), squared L2, sentinel-padded like every
+    engine search.
 
     Spark shape, per round: the frontier (≤ nq·beam rows) BROADCASTS
     against the edge table (one scan, no edge shuffle), and the new
@@ -357,10 +370,15 @@ def graph_search(
 
     Recall scales with ``beam`` and ``iters`` exactly as in the NSW
     literature; the test pins ≥ 0.9 @ beam=3k on uniform data against
-    the exact answer.
+    the exact answer, and the landmark entry reaches recall parity at
+    measurably fewer distance evaluations on clustered data (pass
+    ``stats={}`` to get ``n_dist_evals`` back — test-mode only, the
+    counts cost extra actions).
     """
     if k <= 0:
         raise ValueError("k must be positive")
+    if entry not in ("landmarks", "hash"):
+        raise ValueError(f"unknown entry {entry!r} (landmarks/hash)")
     b = beam if beam is not None else max(3 * k, 16)
     if b < k:
         raise ValueError(f"beam {b} must be >= k {k}")
@@ -408,18 +426,49 @@ def graph_search(
             .drop("_rn")
         )
 
-    # deterministic entry points: xxhash64(qid, j, seed) mod n
-    seeds = q.select(
-        "qid",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(int(n_seeds) - 1)),
-                lambda j: F.pmod(F.xxhash64("qid", j, F.lit(seed)), F.lit(n)),
-            )
-        ).alias("label"),
-    ).distinct()
-    beam_df = _topb(_score(seeds)).localCheckpoint(eager=True)
-    visited = seeds.localCheckpoint(eager=True)
+    n_evals = 0
+    if entry == "landmarks":
+        # coarse entry layer: a deterministic ~√n hash sample of the
+        # corpus, ranked exactly per query; the beam starts from the
+        # n_seeds nearest landmarks. Every scored landmark is marked
+        # visited so the walk never rescores the layer.
+        import math
+
+        n_land = int(min(n, max(int(n_seeds), math.isqrt(int(n)) + 1)))
+        land = (
+            v.orderBy(F.xxhash64(F.col("label"), F.lit(seed)), F.col("label"))
+            .limit(n_land)
+        )
+        land_scored = land.join(F.broadcast(q), how="cross").select(
+            "qid", "label", l2sq(F.col("_qv"), F.col("_vv")).alias("distance")
+        )
+        wl = Window.partitionBy("qid").orderBy(
+            F.col("distance").asc(), F.col("label").asc()
+        )
+        beam_df = (
+            land_scored.withColumn("_rn", F.row_number().over(wl))
+            .where(F.col("_rn") <= int(n_seeds))
+            .drop("_rn")
+            .localCheckpoint(eager=True)
+        )
+        visited = land_scored.select("qid", "label").localCheckpoint(eager=True)
+        if stats is not None:
+            n_evals += visited.count()
+    else:
+        # legacy flat entry: xxhash64(qid, j, seed) mod n
+        seeds = q.select(
+            "qid",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(int(n_seeds) - 1)),
+                    lambda j: F.pmod(F.xxhash64("qid", j, F.lit(seed)), F.lit(n)),
+                )
+            ).alias("label"),
+        ).distinct()
+        beam_df = _topb(_score(seeds)).localCheckpoint(eager=True)
+        visited = seeds.localCheckpoint(eager=True)
+        if stats is not None:
+            n_evals += visited.count()
 
     for _ in range(int(iters)):
         frontier = beam_df.select("qid", F.col("label").alias("_eid"))
@@ -429,9 +478,15 @@ def graph_search(
             .distinct()
         )
         fresh = expand.join(visited, ["qid", "label"], "left_anti")
+        if stats is not None:
+            fresh = fresh.localCheckpoint(eager=True)
+            n_evals += fresh.count()
         merged = beam_df.unionByName(_score(fresh))
         beam_df = _topb(merged).localCheckpoint(eager=True)
         visited = visited.unionByName(fresh).localCheckpoint(eager=True)
+
+    if stats is not None:
+        stats["n_dist_evals"] = n_evals
 
     out = _finalize(
         q.select("qid"), beam_df.select("qid", "label", "distance"), k, "l2"

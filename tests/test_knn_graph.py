@@ -280,3 +280,53 @@ def test_nn_descent_null_vectors_raise_clearly(spark):
     ).select("id", F.lit(None).cast("array<float>").alias("vec"))
     with pytest.raises(ValueError, match="no vectors"):
         nn_descent(df, k=2, iters=1)
+
+
+def test_landmark_entry_layer_recall_parity_at_fewer_evals(spark):
+    """r10 layered entry: starting the beam from the query's nearest
+    ~sqrt(n) landmarks (the HNSW upper-layer / NSG navigating-node
+    role) must reach AT LEAST the recall of the legacy hash entry
+    while spending measurably FEWER distance evaluations — pinned on
+    clustered data, where random entries start in the wrong cluster
+    and burn rounds escaping it. Fully deterministic (fixed seeds), so
+    the comparison is exact, not statistical."""
+    from faiss_metal_spark.operators.knn_graph import connect_graph, graph_search
+
+    rng = np.random.default_rng(99)
+    centers = rng.uniform(-10, 10, size=(8, 16))
+    X = np.vstack(
+        [c + rng.normal(0, 0.5, size=(75, 16)) for c in centers]
+    ).astype(np.float32)
+    vdf = _vdf(spark, X)
+    g = nn_descent(vdf, k=8, iters=4)
+    g = connect_graph(g, vdf).persist()
+    g.count()
+    Q = X[::10]
+    qdf = spark.createDataFrame(
+        pd.DataFrame(
+            {"qid": np.arange(len(Q), dtype=np.int64), "vec": [v.tolist() for v in Q]}
+        ),
+        "qid long, vec array<float>",
+    )
+    D = ((Q[:, None, :].astype(np.float64) - X[None, :, :].astype(np.float64)) ** 2).sum(-1)
+    exact = {qi: set(np.lexsort((np.arange(len(X)), D[qi]))[:5].tolist()) for qi in range(len(Q))}
+
+    def recall(res):
+        pdf = res.toPandas()
+        hits = sum(
+            len(set(int(x) for x in grp.label if x >= 0) & exact[qi])
+            for qi, grp in pdf.groupby("qid")
+        )
+        return hits / (len(Q) * 5)
+
+    st_hash, st_land = {}, {}
+    r_hash = recall(
+        graph_search(vdf, g, qdf, 5, beam=15, iters=3, entry="hash", stats=st_hash)
+    )
+    r_land = recall(
+        graph_search(vdf, g, qdf, 5, beam=15, iters=2, entry="landmarks", stats=st_land)
+    )
+    # one fewer round, better-or-equal recall, strictly fewer evals
+    assert r_land >= r_hash, (r_land, r_hash)
+    assert st_land["n_dist_evals"] < st_hash["n_dist_evals"], (st_land, st_hash)
+    g.unpersist()
