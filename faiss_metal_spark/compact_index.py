@@ -3013,6 +3013,10 @@ def index_factory(vt, spec: str, **train_kw):
       return a :class:`~faiss_metal_spark.operators.pca.PreTransformIndex`
       (IO kind "pretransform"); ``opq_iters`` tunes the alternation
       without touching the inner tier's own ``iters``
+    - ``"OPQ16_64,<inner>"`` — faiss's DIMENSION-REDUCING OPQ form:
+      PCA to ``d_out`` then the rotation alternation in reduced space,
+      composed into one (d_out, d) PreTransform matrix; the inner spec
+      builds at ``d_out`` (``"OPQ16_64,IVF64,PQ16"``)
     - ``"LSH"`` / ``"LSH128"`` → :class:`LSHIndex` (faiss
       ``IndexLSH``: rotation sign bits + Hamming scan; bare ``LSH``
       means nbits = d, the faiss default ``("LSH")`` spec)
@@ -3087,6 +3091,47 @@ def index_factory(vt, spec: str, **train_kw):
         # inner trainers legitimately want the same knobs
         inner_kw = {k: v for k, v in train_kw.items() if k != "seed" or t_kind != "RR"}
         inner = index_factory(inner_vt, rest, **inner_kw)
+        return PreTransformIndex(mean, W, inner)
+    m = re.fullmatch(r"OPQ(\d+)_(\d+),(.+)", s)
+    if m:
+        # faiss "OPQ16_64,<inner>": DIMENSION-REDUCING OPQ — the
+        # OPQMatrix maps d → d_out before the inner tier. Trained the
+        # way faiss initializes it: PCA to d_out, then the rotation
+        # alternation in the reduced space; the composed (d_out, d)
+        # matrix rides one PreTransformIndex (W = R @ Wpca, so
+        # (x − μ)·Wᵀ = ((x − μ)·Wpcaᵀ)·Rᵀ). The inner spec may be
+        # anything, including a bare PQ (the reduced form is never the
+        # fused square OPQIndex).
+        from .functions.vector import sqnorm
+        from .operators.opq import opq_train
+        from .operators.pca import PreTransformIndex, pca_apply, pca_train
+        from .vector_table import VectorTable
+
+        mm, d_out, rest = int(m.group(1)), int(m.group(2)), m.group(3)
+        if d_out % mm != 0:
+            raise ValueError(
+                f"index_factory: OPQ{mm}_{d_out} needs d_out divisible by m"
+            )
+        if d_out > vt.d:
+            raise ValueError(
+                f"index_factory: OPQ{mm}_{d_out} cannot expand d={vt.d}"
+            )
+        base = _float_view(vt)
+        ssize = train_kw.get("sample_size", 16384)
+        mean, Wpca, _ = pca_train(base, d_out, sample_size=ssize)
+        R, _books = opq_train(
+            pca_apply(base, mean, Wpca), mm,
+            iters=int(train_kw.pop("opq_iters", 8)), sample_size=ssize,
+        )
+        W = R @ Wpca
+        rotated = pca_apply(base, mean, W)
+        inner_vt = VectorTable(
+            vt.spark, d=d_out, metric=getattr(vt, "metric", "l2"),
+            df=rotated.select(
+                "id", "vec", sqnorm(F.col("vec")).alias("norm_sq")
+            ),
+        )
+        inner = index_factory(inner_vt, rest, **train_kw)
         return PreTransformIndex(mean, W, inner)
     m = re.fullmatch(r"OPQ(\d+),(?!PQ\d+(?:x\d+)?$)(.+)", s)
     if m:

@@ -343,3 +343,44 @@ def test_opq_transform_prefix_composes_with_ivfpq(spark, tmp_path):
                 continue
             true = float(((Q[qi].astype(np.float64) - V[lab].astype(np.float64)) ** 2).sum())
             assert abs(Dr[qi, rr] - true) < 1e-6
+
+
+def test_opq_dout_reducing_prefix(spark):
+    """faiss "OPQ<m>_<dout>,<inner>" (r10): the dimension-reducing OPQ
+    form — PCA to d_out composed with the reduced-space rotation in
+    ONE (d_out, d) PreTransform matrix; the inner tier builds at
+    d_out. Pinned: parses (incl. a bare-PQ inner, legal here), the
+    matrix shape/isometry-on-components, the inner dimensionality, a
+    sane recall floor vs exact flat search, and the refusals."""
+    import numpy as np
+    import pytest
+    from faiss_metal_spark import PQIndex, VectorTable
+    from faiss_metal_spark.compact_index import index_factory
+    from faiss_metal_spark.operators.pca import PreTransformIndex
+
+    rng = np.random.default_rng(31)
+    # correlated data so an 8-dim projection retains structure
+    Z = rng.normal(size=(300, 8)).astype(np.float64)
+    M = rng.normal(size=(8, 16))
+    V = (Z @ M + 0.01 * rng.normal(size=(300, 16))).astype(np.float32)
+    Q = V[:5] + 0.01 * rng.normal(size=(5, 16)).astype(np.float32)
+    vt = VectorTable(spark, 16).add_numpy(V)
+
+    idx = index_factory(vt, "OPQ4_8,PQ4", sample_size=300, opq_iters=3)
+    assert isinstance(idx, PreTransformIndex)
+    assert isinstance(idx.inner, PQIndex)
+    assert idx.components.shape == (8, 16)
+    assert idx.inner.codebooks.shape[0] == 4  # m=4 over d_out=8
+    D, L = idx.search_numpy(Q, 5)
+    # exact flat answer in input space; queries are tiny perturbations
+    # of stored rows, so top-1 recall through the 8-dim OPQ+PQ chain
+    # must be high on this low-rank data
+    Dx = ((Q[:, None, :].astype(np.float64) - V[None, :, :].astype(np.float64)) ** 2).sum(-1)
+    top1 = Dx.argmin(1)
+    hits = sum(int(top1[i]) in set(int(x) for x in L[i] if x >= 0) for i in range(len(Q)))
+    assert hits >= 4, (hits, L)
+
+    with pytest.raises(ValueError, match="divisible"):
+        index_factory(vt, "OPQ4_10,PQ4", sample_size=300)
+    with pytest.raises(ValueError, match="expand"):
+        index_factory(vt, "OPQ4_32,PQ4", sample_size=300)
