@@ -66,6 +66,7 @@ _VALID = [
     # bare "OPQ<m>"/"OPQ<m>,PQ<m>" keep building the fused OPQIndex
     ("OPQ4,IVF4,PQ4x4", PreTransformIndex),
     ("OPQ4,IVF4,Flat", PreTransformIndex),
+    ("OPQ4_8,PQ4", PreTransformIndex),  # dimension-reducing OPQ form
 ]
 
 
@@ -107,7 +108,8 @@ def test_factory_grammar_well_formed(case, pad, rflat):
             "Flats", "SQ5", "SQ9", "PQ", "PQ4x", "PQ4x9", "PQ4x0", "IVF",
             "IVF4,", "IVF4,PQ", "IVF4,SQ5", "IVF4,FlatDedupX", "IMI3x4",
             "HNSW", "LSHx", "RFlat", ",RFlat", "PCA,IVF4", "RR0x,Flat",
-            "IVF4,PQ4+", "OPQ4,PQ8", "BHash", "nonsense", "",
+            "IVF4,PQ4+", "OPQ4,PQ8", "OPQ4_10,PQ4", "OPQ4_32,PQ4",
+            "BHash", "nonsense", "",
         ]
     )
 )
