@@ -2303,11 +2303,39 @@ def q_mllib_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
     )
 
+    # The build-time trainer actions (Lloyd's per-iteration means, the
+    # plane/codebook row collects) are independent of each other — run
+    # them from three threads so their small sequential jobs interleave
+    # on the executor pool (the r9 concurrent-jobs pattern, kept to the
+    # BUILD steps only: the four result lanes stay LAZY DataFrames, so
+    # the returned plan — and PLANS.md — still carries every lane).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _train_lloyd():
+        init = np.stack(
+            emb.where(F.col("id") < _MLB_CELLS)
+            .orderBy("id").toPandas()["vec"].to_numpy()
+        ).astype(np.float64)
+        return lloyd_kmeans(emb, init, iters=_MLB_ITERS, round_dp=_MLB_DP)
+
+    def _collect_planes():
+        return np.stack(
+            emb.where(
+                (F.col("id") >= _MLB_PLANE_LO) & (F.col("id") < _MLB_PLANE_HI)
+            ).orderBy("id").toPandas()["vec"].to_numpy()
+        ).astype(np.float64)
+
+    def _collect_books():
+        pdf = emb.where(F.col("id") < 256).orderBy("id").toPandas()
+        return np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_lloyd = pool.submit(_train_lloyd)
+        f_planes = pool.submit(_collect_planes)
+        f_books = pool.submit(_collect_books)
+        (C, assigned), planes, B = f_lloyd.result(), f_planes.result(), f_books.result()
+
     # -- cell lane: Lloyd from the first-8 rows ------------------------
-    init = np.stack(
-        emb.where(F.col("id") < _MLB_CELLS).orderBy("id").toPandas()["vec"].to_numpy()
-    ).astype(np.float64)
-    C, assigned = lloyd_kmeans(emb, init, iters=_MLB_ITERS, round_dp=_MLB_DP)
     cents = spark.createDataFrame(
         [(int(i), [float(x) for x in row]) for i, row in enumerate(C)],
         "cell int, cv array<double>",
@@ -2327,11 +2355,6 @@ def q_mllib_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # -- pair lane: fixed-plane BRP-LSH bucket join --------------------
-    planes = np.stack(
-        emb.where(
-            (F.col("id") >= _MLB_PLANE_LO) & (F.col("id") < _MLB_PLANE_HI)
-        ).orderBy("id").toPandas()["vec"].to_numpy()
-    ).astype(np.float64)
     pairs = brp_lsh_pairs_fixed(
         emb, planes, _MLB_BUCKET_LEN, _MLB_THRESH
     ).select(
@@ -2368,8 +2391,6 @@ def q_mllib_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # -- opq lane: permutation-rotation OPQ ADC ------------------------
     perm = _mlb_perm()
     R = np.eye(64)[perm]  # rotated[j] = vec[perm[j]]; orthogonal
-    pdf = emb.where(F.col("id") < 256).orderBy("id").toPandas()
-    B = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
     Br = B[:, perm]  # books live in ROTATED space, like opq_train's
     books = np.stack(
         [Br[:, j * _PQ_DSUB : (j + 1) * _PQ_DSUB] for j in range(_PQ_M)]

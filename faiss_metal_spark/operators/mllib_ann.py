@@ -143,31 +143,6 @@ def mllib_minhash_pairs(
 # ---------------------------------------------------------------------------
 
 
-def _nearest_cell_expr(vec_col: str, C: np.ndarray):
-    """argmin cell over LITERAL centroids as one Catalyst projection —
-    the engine's ‖c‖² − 2·v·c decomposition with (dist, cell) tie
-    order, sequential HOF arithmetic (bit-compatible with a SQL
-    oracle's list_inner_product), and NO join/shuffle: the centroids
-    ride the plan as literals exactly like MLlib broadcasts its
-    driver-held centers each Lloyd pass."""
-    structs = []
-    for ci, row in enumerate(C):
-        cn = 0.0
-        for x in row:  # sequential, like the oracle's inner product
-            cn += float(x) * float(x)
-        carr = F.array(*[F.lit(float(x)) for x in row])
-        prods = F.zip_with(
-            F.col(vec_col), carr, lambda x, y: x.cast("double") * y
-        )
-        d = F.lit(cn) - 2.0 * F.aggregate(
-            prods, F.lit(0.0), lambda acc, p: acc + p
-        )
-        structs.append(
-            F.struct(d.alias("d"), F.lit(int(ci)).alias("cell"))
-        )
-    return F.array_min(F.array(*structs))["cell"]
-
-
 def lloyd_kmeans(
     vectors: DataFrame,
     init: np.ndarray,
@@ -180,45 +155,43 @@ def lloyd_kmeans(
     loop MLlib's KMeans runs (driver-held centers, executor-side
     assignment, map-side partially-aggregated per-cell means), minus
     the engine-specific kmeans|| seeding, so every step is replayable
-    by a SQL oracle: assignment is the literal-centroid argmin above
-    and each iteration's new centroids are per-dim means ROUNDED to
+    by a SQL oracle: assignment is the engine's shared
+    ``similarity.ivf_assign`` (numpy argmin over broadcast centroids —
+    the path every hash-checked IVF lane already proves agrees with a
+    SQL oracle's argmin to well inside tie distance) and each
+    iteration's new centroids are per-dim means ROUNDED to
     ``round_dp`` decimals (two engines summing the same doubles in
     different orders agree to ~1e-15 relative; the rounding collapses
     that to bit-identical centroids before they feed the next argmin).
     Empty cells keep their previous centroid (MLlib does the same).
 
     Returns (centroids ndarray, assigned DF (id, vec, cell)). Cost per
-    iteration: one scan + one 8-key partial aggregate + an O(k·d)
-    driver collect — the same shape at 100 TB (the scan dominates;
-    nothing grows with n on the driver)."""
+    iteration: one scan + one (k·d)-key partial aggregate (posexplode
+    means — the narrow-agg plan shape is IDENTICAL across iterations,
+    so whole-stage codegen compiles once; a per-iteration 64-wide
+    literal aggregate was measured to recompile every pass and
+    dominate the trainer) + an O(k·d) driver collect — the same shape
+    at 100 TB (the scan dominates; nothing grows with n on the
+    driver)."""
+    from .similarity import ivf_assign
+
     v = vectors.select(
         F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
     )
     C = np.asarray(init, dtype=np.float64).copy()
-    k, d = C.shape
     for _ in range(int(iters)):
         means = (
-            v.select(_nearest_cell_expr("vec", C).alias("cell"), "vec")
-            .groupBy("cell")
-            .agg(
-                *[
-                    F.round(
-                        F.avg(F.col("vec").getItem(i).cast("double")),
-                        round_dp,
-                    ).alias(f"m{i}")
-                    for i in range(d)
-                ]
-            )
+            ivf_assign(v, C)
+            .select("cell", F.posexplode("vec").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg(F.col("x").cast("double")), round_dp).alias("m"))
             .collect()
         )
         newC = C.copy()  # cells with no members keep their centroid
         for r in means:
-            newC[int(r["cell"])] = [float(r[f"m{i}"]) for i in range(d)]
+            newC[int(r["cell"]), int(r["pos"])] = float(r["m"])
         C = newC
-    assigned = v.select(
-        "id", "vec", _nearest_cell_expr("vec", C).alias("cell")
-    )
-    return C, assigned
+    return C, ivf_assign(v, C)
 
 
 def brp_lsh_pairs_fixed(
