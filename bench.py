@@ -450,8 +450,17 @@ def emit(queries, grid_stats, storage_gain, sf, isolation=None) -> str:
                     "turns into sign-flipping ratios. small_32d fp32 "
                     "ms_per_search ~= fixed per-job overhead (compute "
                     "there is sub-ms); storage ratios are meaningful "
-                    "only where scan bytes dominate that overhead "
-                    "(medium_768d and the xlarge_768d probe)."
+                    "only where SCAN BYTES dominate that overhead — "
+                    "measured (r10), that is ONLY the xlarge_768d "
+                    "probe (1.5 GB fp32/iteration): medium_768d's 300 "
+                    "MB/call is ~15% of its ~0.8 s per-call cost, "
+                    "which cache->Arrow conversion and fixed per-job "
+                    "overhead dominate, so its fp16c ratio hovers "
+                    "around 0 within host noise (the r9 'fp16c "
+                    "regression' there did not reproduce under paired "
+                    "quiet-host measurement). The reference's +22-34% "
+                    "claim regime maps to xlarge, where r10 measures "
+                    "fp16c ~+50%."
                 ),
             },
         },
