@@ -71,6 +71,21 @@ def _drop_ids(df: DataFrame, ids, id_col: str = "id") -> DataFrame:
     return df.join(F.broadcast(drop), id_col, "left_anti")
 
 
+def _sel_rows(df: DataFrame, sel) -> DataFrame:
+    """faiss ``SearchParametersIVF::sel`` — restrict the stored rows to
+    a selected id subset with ONE Catalyst predicate applied BEFORE the
+    probe machinery (it pushes to the cell-partitioned scan like any
+    metadata filter). Accepts everything ``SearchParams.sel`` does:
+    IDSelectorRange / a legacy (lo, hi) tuple / literal iterables /
+    the Not/And/Or/Xor combinator algebra. Excluded ids simply never
+    surface; sentinel padding fills short results — faiss semantics."""
+    if sel is None:
+        return df
+    from .vector_table import _sel_predicate
+
+    return df.where(_sel_predicate(sel))
+
+
 def _remove_ids_frame(index, frame_attr: str, ids) -> int:
     """Shared IVF-family remove_ids: drop rows, repersist, return the
     number removed (the faiss ``remove_ids`` return value). Stored ids
@@ -704,32 +719,40 @@ class IVFIndex:
     def ntotal(self) -> int:
         return self._n if self._n >= 0 else self.assigned.count()
 
-    def search(self, queries: DataFrame, k: int, nprobe: int = 8) -> DataFrame:
+    def search(
+        self, queries: DataFrame, k: int, nprobe: int = 8, sel=None
+    ) -> DataFrame:
+        """``sel`` ≙ faiss ``SearchParametersIVF::sel`` (IDSelector):
+        restrict the search to a stored-id subset — one predicate on
+        the inverted lists before the probe machinery (see
+        ``_sel_rows``)."""
         from .operators.similarity import ivf_search
 
         return ivf_search(
-            self.assigned, self.centroids, queries, k, nprobe, metric=self.metric
+            _sel_rows(self.assigned, sel), self.centroids, queries, k,
+            nprobe, metric=self.metric,
         )
 
     def search_numpy(
-        self, x: np.ndarray, k: int, nprobe: int = 8
+        self, x: np.ndarray, k: int, nprobe: int = 8, sel=None
     ) -> tuple[np.ndarray, np.ndarray]:
         return _host_result(
-            self.search(_query_df(self.spark, x), k, nprobe),
+            self.search(_query_df(self.spark, x), k, nprobe, sel=sel),
             len(np.atleast_2d(x)),
             k,
         )
 
     def range_search(
-        self, queries: DataFrame, radius: float, nprobe: int = 8
+        self, queries: DataFrame, radius: float, nprobe: int = 8, sel=None
     ) -> DataFrame:
         """faiss ``IndexIVF::range_search``: radius filter over the
         probed cells — exact within cell coverage, (qid, label,
-        distance) unordered like the flat range_search."""
+        distance) unordered like the flat range_search. ``sel`` ≙
+        faiss ``SearchParametersIVF::sel``."""
         from .operators.similarity import ivf_range_search
 
         return ivf_range_search(
-            self.assigned,
+            _sel_rows(self.assigned, sel),
             self.centroids,
             queries,
             radius,
@@ -1291,11 +1314,15 @@ class IVFSQIndex:
 
         return dec
 
-    def search(self, queries: DataFrame, k: int, nprobe: int = 8) -> DataFrame:
+    def search(
+        self, queries: DataFrame, k: int, nprobe: int = 8, sel=None
+    ) -> DataFrame:
+        """``sel`` ≙ faiss ``SearchParametersIVF::sel`` — one predicate
+        on the coded inverted lists before the probe machinery."""
         from .operators.similarity import ivf_search
 
         return ivf_search(
-            self.codes,
+            _sel_rows(self.codes, sel),
             self.centroids,
             queries,
             k,
@@ -1306,10 +1333,10 @@ class IVFSQIndex:
         )
 
     def search_numpy(
-        self, x: np.ndarray, k: int, nprobe: int = 8
+        self, x: np.ndarray, k: int, nprobe: int = 8, sel=None
     ) -> tuple[np.ndarray, np.ndarray]:
         return _host_result(
-            self.search(_query_df(self.spark, x), k, nprobe),
+            self.search(_query_df(self.spark, x), k, nprobe, sel=sel),
             len(np.atleast_2d(x)),
             k,
         )
@@ -1508,20 +1535,23 @@ class IVFPQIndex:
 
     def search(
         self, queries: DataFrame, k: int, nprobe: int = 8,
-        ht: int | None = None,
+        ht: int | None = None, sel=None,
     ) -> DataFrame:
+        """``sel`` ≙ faiss ``SearchParametersIVF::sel`` — one predicate
+        on the coded inverted lists before the probe machinery."""
         from .operators.pq import ivfpq_search
 
         return ivfpq_search(
-            self.codes, self.centroids, self.codebooks, queries, k, nprobe,
-            ht=ht,
+            _sel_rows(self.codes, sel), self.centroids, self.codebooks,
+            queries, k, nprobe, ht=ht,
         )
 
     def search_numpy(
-        self, x: np.ndarray, k: int, nprobe: int = 8, ht: int | None = None
+        self, x: np.ndarray, k: int, nprobe: int = 8,
+        ht: int | None = None, sel=None,
     ) -> tuple[np.ndarray, np.ndarray]:
         return _host_result(
-            self.search(_query_df(self.spark, x), k, nprobe, ht=ht),
+            self.search(_query_df(self.spark, x), k, nprobe, ht=ht, sel=sel),
             len(np.atleast_2d(x)),
             k,
         )

@@ -263,3 +263,66 @@ def test_sharded_add_shard(spark):
 
     with pytest.raises(ValueError):
         grown.add_shard(VectorTable(spark, 9))
+
+
+def test_ivf_family_search_params_sel(spark):
+    """faiss SearchParametersIVF::sel (r10): IVF-family searches accept
+    an IDSelector restricting the stored-id subset — excluded ids never
+    surface, a full probe over the subset equals the exact subset
+    answer, combinators compose, and range_search(sel=) equals the
+    unrestricted result filtered to the selector."""
+    from faiss_metal_spark import (
+        IDSelectorNot,
+        IDSelectorRange,
+        IVFIndex,
+        IVFPQIndex,
+        IVFSQIndex,
+    )
+
+    V, Q = make_fixture(300, 4, 16, seed=57)
+    vt = VectorTable(spark, 16).add_numpy(V)
+    lo, hi = 50, 200
+    sel = IDSelectorRange(lo, hi)
+
+    idx = IVFIndex.from_table(vt, n_cells=4, sample_size=300)
+    D, L = idx.search_numpy(Q, 5, nprobe=4, sel=sel)  # full probe = exact
+    Vd = V.astype(np.float64)
+    Dx = ((Q[:, None, :].astype(np.float64) - Vd[None, :, :]) ** 2).sum(-1)
+    for qi in range(len(Q)):
+        subset = [(Dx[qi, i], i) for i in range(lo, hi)]
+        want = [i for _, i in sorted(subset)[:5]]
+        assert [int(x) for x in L[qi]] == want
+    # Not-combinator: the complement — no returned label inside [lo, hi)
+    _, Ln = idx.search_numpy(Q, 5, nprobe=4, sel=IDSelectorNot(sel))
+    assert not ((Ln >= lo) & (Ln < hi)).any()
+    # range_search(sel=) == unrestricted rows filtered to the selector
+    radius = float(np.quantile(Dx, 0.02))
+    full = {(int(r["qid"]), int(r["label"]))
+            for r in idx.range_search(_qdf(spark, Q), radius, nprobe=4).collect()}
+    got = {(int(r["qid"]), int(r["label"]))
+           for r in idx.range_search(_qdf(spark, Q), radius, nprobe=4, sel=sel).collect()}
+    assert got == {(q, l) for q, l in full if lo <= l < hi}
+    idx.release()
+
+    # coded tiers: labels obey the selector; an all-inclusive selector
+    # reproduces the unrestricted search exactly
+    for cls, kw in ((IVFSQIndex, {}), (IVFPQIndex, {"m": 4, "nbits": 4})):
+        cidx = cls.from_table(vt, n_cells=4, sample_size=300, **kw)
+        _, Ls = cidx.search_numpy(Q, 5, nprobe=4, sel=sel)
+        real = Ls[Ls >= 0]
+        assert ((real >= lo) & (real < hi)).all(), (cls.__name__, Ls)
+        D0, L0 = cidx.search_numpy(Q, 5, nprobe=4)
+        D1, L1 = cidx.search_numpy(Q, 5, nprobe=4, sel=IDSelectorRange(0, 300))
+        np.testing.assert_array_equal(L0, L1)
+        np.testing.assert_allclose(D0, D1, atol=1e-12)
+        cidx.release()
+
+
+def _qdf(spark, Q):
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame({"qid": np.arange(len(Q), dtype=np.int64),
+                      "vec": [v.tolist() for v in Q]}),
+        "qid long, vec array<float>",
+    )
