@@ -720,24 +720,33 @@ class IVFIndex:
         return self._n if self._n >= 0 else self.assigned.count()
 
     def search(
-        self, queries: DataFrame, k: int, nprobe: int = 8, sel=None
+        self, queries: DataFrame, k: int, nprobe: int = 8, sel=None,
+        max_codes: int | None = None,
     ) -> DataFrame:
         """``sel`` ≙ faiss ``SearchParametersIVF::sel`` (IDSelector):
         restrict the search to a stored-id subset — one predicate on
         the inverted lists before the probe machinery (see
-        ``_sel_rows``)."""
+        ``_sel_rows``). ``max_codes`` ≙ faiss
+        ``SearchParametersIVF::max_codes``: bound the entries scanned
+        per query (whole-list granularity — see ``ivf_search``); with
+        ``sel`` set the bound counts SELECTED entries, since the
+        predicate applies before the probe machinery."""
         from .operators.similarity import ivf_search
 
         return ivf_search(
             _sel_rows(self.assigned, sel), self.centroids, queries, k,
-            nprobe, metric=self.metric,
+            nprobe, metric=self.metric, max_codes=max_codes,
         )
 
     def search_numpy(
-        self, x: np.ndarray, k: int, nprobe: int = 8, sel=None
+        self, x: np.ndarray, k: int, nprobe: int = 8, sel=None,
+        max_codes: int | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         return _host_result(
-            self.search(_query_df(self.spark, x), k, nprobe, sel=sel),
+            self.search(
+                _query_df(self.spark, x), k, nprobe, sel=sel,
+                max_codes=max_codes,
+            ),
             len(np.atleast_2d(x)),
             k,
         )

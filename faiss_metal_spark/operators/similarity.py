@@ -480,6 +480,8 @@ def _collect_probe(
     qid_col: str,
     qvec_col: str,
     probe_cells=None,
+    max_codes: int | None = None,
+    cell_sizes: dict[int, int] | None = None,
 ):
     """Collect the query batch and build the cell→query probe map
     (nearest-centroid order, L2 over the coarse quantizer — faiss
@@ -488,7 +490,16 @@ def _collect_probe(
 
     ``probe_cells``: optional callable ``(Q) -> (nq, nprobe) int cell
     matrix`` replacing the flat-centroid ranking — the hook a product
-    coarse quantizer (IMI) plugs its two-table cell scoring into."""
+    coarse quantizer (IMI) plugs its two-table cell scoring into.
+
+    ``max_codes`` (+ ``cell_sizes``): faiss
+    ``SearchParametersIVF::max_codes`` — each query keeps probe cells
+    in ranking order only while the codes scanned SO FAR stay under
+    the bound, exactly faiss's pre-list check (``if (max_codes &&
+    nscan >= max_codes) break``): the list that crosses the bound is
+    still scanned in full, and at least the first list always is.
+    Cell granularity IS the faiss granularity here — the engine scans
+    whole inverted lists."""
     qpdf = queries.select(
         F.col(qid_col).cast("long").alias("qid"), F.col(qvec_col).alias("qvec")
     ).toPandas()
@@ -514,10 +525,15 @@ def _collect_probe(
     # quantizers emit it for unfillable slots; search_preassigned
     # callers pass it through) — it matches nothing, drop it here.
     cell_to_qidx: dict[int, list[int]] = {}
+    sizes = cell_sizes or {}
     for i, cells_i in enumerate(probe):
+        nscan = 0
         for c in cells_i:
             if c < 0:
                 continue
+            if max_codes is not None and nscan >= int(max_codes):
+                break  # faiss: stop BEFORE the next list once bounded
+            nscan += sizes.get(int(c), 0)
             cell_to_qidx.setdefault(int(c), []).append(i)
     return qids, Q, cell_to_qidx
 
@@ -535,11 +551,20 @@ def ivf_search(
     qvec_col: str = "vec",
     decode=None,
     probe_cells=None,
+    max_codes: int | None = None,
 ) -> DataFrame:
     """Probe the nprobe nearest cells per query, exact search within.
 
     ``probe_cells``: optional ``(Q) -> (nq, ≥nprobe) int`` cell-ranking
     override (see :func:`_collect_probe`) — the IMI hook.
+
+    ``max_codes``: faiss ``SearchParametersIVF::max_codes`` — bound the
+    stored entries scanned per query: probe cells are kept in ranking
+    order only while the running scan count stays under the bound (the
+    crossing list still scans in full; at least one list always does —
+    the exact faiss pre-list check at this engine's whole-list
+    granularity). Costs one bounded nlist-row cell-count job per call
+    when set.
 
     ``decode``: optional callable ``pdf -> (n, d) float64`` that turns a
     cell group's stored rows into the float matrix to score (used by
@@ -564,8 +589,19 @@ def ivf_search(
 
     if metric not in ("l2", "ip", "cosine", "l1"):
         raise ValueError(f"unknown metric {metric!r}")
+    cell_sizes = None
+    if max_codes is not None:
+        if int(max_codes) <= 0:
+            raise ValueError("max_codes must be positive when set")
+        cell_sizes = {
+            int(r["cell"]): int(r["n"])
+            for r in assigned.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
     collected = _collect_probe(
-        queries, centroids, nprobe, qid_col, qvec_col, probe_cells
+        queries, centroids, nprobe, qid_col, qvec_col, probe_cells,
+        max_codes=max_codes, cell_sizes=cell_sizes,
     )
     if collected is None:
         return queries.sparkSession.createDataFrame([], RESULT_SCHEMA)

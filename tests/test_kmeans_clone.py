@@ -326,3 +326,32 @@ def _qdf(spark, Q):
                       "vec": [v.tolist() for v in Q]}),
         "qid long, vec array<float>",
     )
+
+
+def test_ivf_max_codes_bounds_scanned_lists(spark):
+    """faiss SearchParametersIVF::max_codes (r10): probe cells are kept
+    in ranking order only while the running scan count stays under the
+    bound — the crossing list still scans in full, at least one list
+    always does (whole-list granularity, faiss's own pre-list check).
+    Pinned exactly: a bound >= ntotal reproduces the unrestricted
+    search; max_codes=1 reproduces nprobe=1 (only the first list ever
+    scans); and positive-bound validation."""
+    from faiss_metal_spark import IVFIndex
+
+    V, Q = make_fixture(300, 4, 16, seed=59)
+    vt = VectorTable(spark, 16).add_numpy(V)
+    idx = IVFIndex.from_table(vt, n_cells=6, sample_size=300)
+
+    D0, L0 = idx.search_numpy(Q, 5, nprobe=4)
+    D1, L1 = idx.search_numpy(Q, 5, nprobe=4, max_codes=10_000)
+    np.testing.assert_array_equal(L0, L1)
+    np.testing.assert_allclose(D0, D1, atol=1e-12)
+
+    Dp, Lp = idx.search_numpy(Q, 5, nprobe=1)
+    Dm, Lm = idx.search_numpy(Q, 5, nprobe=4, max_codes=1)
+    np.testing.assert_array_equal(Lp, Lm)
+    np.testing.assert_allclose(Dp, Dm, atol=1e-12)
+
+    with pytest.raises(ValueError, match="max_codes"):
+        idx.search_numpy(Q, 5, nprobe=4, max_codes=0)
+    idx.release()
