@@ -500,3 +500,74 @@ def test_ivfpq_ingest_stream_equals_batch(spark, tmp_path):
     np.testing.assert_allclose(
         got_s["distance"].to_numpy(), want_s["distance"].to_numpy(), atol=1e-9
     )
+
+
+def test_streaming_kmeans_matches_offline_replay(spark, tmp_path):
+    """MLlib StreamingKMeans analog (r10): the forgetful mini-batch
+    update over a file stream. The sink records per-batch assignment
+    lineage, so an OFFLINE numpy replay (re-deriving each batch's
+    membership from the recorded batch_id, recomputing assignment and
+    the decayed update from raw vectors) must reproduce the final
+    centers and masses exactly — and the recorded per-batch
+    assignments must equal the replay's own nearest-center choices."""
+    import numpy as np
+
+    from faiss_metal_spark.streaming.index_ingest import read_vector_stream
+    from faiss_metal_spark.streaming.streaming_kmeans import (
+        StreamingKMeansState,
+        run_streaming_kmeans,
+    )
+    from tests.conftest import make_fixture, vectors_df
+
+    V, _ = make_fixture(nv=360, nq=1, d=8, seed=21)
+    src = tmp_path / "skm_vecs"
+    for i in range(3):
+        vectors_df(spark, V[i * 120 : (i + 1) * 120]).withColumn(
+            "id", F.col("id") + F.lit(i * 120)
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    init = V[:4].astype(np.float64)
+    out = str(tmp_path / "skm_out")
+    state = run_streaming_kmeans(
+        read_vector_stream(spark, str(src), max_files_per_trigger=1),
+        init,
+        out,
+        checkpoint=str(tmp_path / "skm_cp"),
+        decay=0.5,
+    )
+
+    # recorded lineage: every vector exactly once, batches recorded
+    lin = spark.read.parquet(f"{out}/assignments").toPandas()
+    assert sorted(lin["id"].tolist()) == list(range(360))
+    batch_ids = sorted(lin["batch_id"].unique().tolist())
+    assert len(batch_ids) == 3  # one micro-batch per staged file
+
+    # offline replay from raw vectors + recorded batch membership
+    replay = StreamingKMeansState(init, decay=0.5)
+    Vd = V.astype(np.float64)
+    for b in batch_ids:
+        ids = np.sort(lin.loc[lin.batch_id == b, "id"].to_numpy())
+        X = Vd[ids]
+        d2 = ((X[:, None, :] - replay.centers[None, :, :]) ** 2).sum(-1)
+        a = d2.argmin(1)
+        # recorded assignment == replay's nearest-center choice
+        rec = lin.set_index("id").loc[ids, "cell"].to_numpy()
+        np.testing.assert_array_equal(rec, a)
+        counts = np.bincount(a, minlength=4)
+        sums = np.zeros((4, 8))
+        for c in range(4):
+            if counts[c]:
+                sums[c] = X[a == c].sum(0)
+        replay.update(counts, sums)
+    np.testing.assert_allclose(state.centers, replay.centers, atol=1e-9)
+    np.testing.assert_allclose(state.masses, replay.masses, atol=1e-9)
+
+    # the committed center trajectory matches the final state
+    snap = spark.read.parquet(f"{out}/centers").toPandas()
+    last = snap[snap.batch_id == snap.batch_id.max()].sort_values("cell")
+    np.testing.assert_allclose(
+        np.stack(last["cv"].to_numpy()), state.centers, atol=1e-9
+    )
+
+    # decay semantics: masses decayed twice then grown (not raw counts)
+    assert state.masses.sum() < 360  # decay < 1 forgets history
