@@ -60,7 +60,14 @@ def _query_df(spark: SparkSession, x: np.ndarray) -> DataFrame:
 def _drop_ids(df: DataFrame, ids, id_col: str = "id") -> DataFrame:
     """Rows of ``df`` whose id is NOT in ``ids`` — IN-list for small
     batches, broadcast anti-join above (the ``SearchParams.sel``
-    threshold discipline)."""
+    threshold discipline). ``ids`` may also be an ``IDSelectorRange``
+    or a Not/And/Or/Xor combinator (faiss ``IndexIVF::remove_ids``
+    takes an ``IDSelector&``): with no renumbering anywhere in the
+    IVF family, selector removal is one negated predicate filter."""
+    from .vector_table import _SEL_COMBINATORS, IDSelectorRange, _sel_predicate
+
+    if isinstance(ids, (IDSelectorRange,) + _SEL_COMBINATORS):
+        return df.where(~_sel_predicate(ids))
     arr = np.atleast_1d(np.asarray(ids, dtype=np.int64))
     if len(arr) <= 10_000:
         return df.where(~F.col(id_col).isin([int(i) for i in arr]))
@@ -76,30 +83,51 @@ def _sel_rows(df: DataFrame, sel) -> DataFrame:
     a selected id subset with ONE Catalyst predicate applied BEFORE the
     probe machinery (it pushes to the cell-partitioned scan like any
     metadata filter). Accepts everything ``SearchParams.sel`` does:
-    IDSelectorRange / a legacy (lo, hi) tuple / literal iterables /
-    the Not/And/Or/Xor combinator algebra. Excluded ids simply never
-    surface; sentinel padding fills short results — faiss semantics."""
+    IDSelectorRange / a legacy (lo, hi) tuple / literal iterables
+    (IN-list under the same threshold ``_sel_view`` uses, broadcast
+    semi-join above it) / the Not/And/Or/Xor combinator algebra.
+    Excluded ids simply never surface; sentinel padding fills short
+    results — faiss semantics."""
     if sel is None:
         return df
-    from .vector_table import _sel_predicate
+    from .vector_table import (
+        _SEL_COMBINATORS,
+        _SEL_ISIN_MAX,
+        IDSelectorRange,
+        _sel_predicate,
+    )
 
-    return df.where(_sel_predicate(sel))
+    if isinstance(
+        sel, (IDSelectorRange,) + _SEL_COMBINATORS
+    ) or (isinstance(sel, tuple) and len(sel) == 2):
+        return df.where(_sel_predicate(sel))
+    ids = [int(i) for i in np.asarray(list(sel), dtype=np.int64).ravel()]
+    if len(ids) <= _SEL_ISIN_MAX:
+        return df.where(F.col("id").isin(ids))
+    sel_df = df.sparkSession.createDataFrame(
+        pd.DataFrame({"id": np.asarray(ids, dtype=np.int64)}), "id long"
+    )
+    return df.join(F.broadcast(sel_df), "id", "left_semi")
 
 
 def _remove_ids_frame(index, frame_attr: str, ids) -> int:
     """Shared IVF-family remove_ids: drop rows, repersist, return the
     number removed (the faiss ``remove_ids`` return value). Stored ids
     are NEVER renumbered — IVF labels are explicit list entries
-    (unlike the flat index's sequential compaction). A BARE 2-TUPLE is
-    refused, like ``VectorTable.remove_ids``: a 2-tuple still means a
-    range in ``SearchParams.sel``, so the same literal must not
-    silently mean a 2-id batch on the destructive path."""
+    (unlike the flat index's sequential compaction). Accepts literal
+    id iterables AND faiss IDSelectors (``IDSelectorRange`` /
+    Not/And/Or/Xor combinators — ``IndexIVF::remove_ids`` takes an
+    ``IDSelector&``; here a selector removal is one negated predicate
+    filter, no list anywhere). A BARE 2-TUPLE is refused, like
+    ``VectorTable.remove_ids``: a 2-tuple still means a range in
+    ``SearchParams.sel``, so the same literal must not silently mean a
+    2-id batch on the destructive path."""
     if isinstance(ids, tuple) and len(ids) == 2:
         raise TypeError(
             "remove_ids: a bare 2-tuple is ambiguous (it means a range "
             "in SearchParams.sel but would be a 2-id batch here) — pass "
-            "remove_ids([a, b]) for two literal ids, or a range "
-            "selector/remove_range for a range"
+            "remove_ids([a, b]) for two literal ids, or "
+            "IDSelectorRange(lo, hi) for a range"
         )
     old = getattr(index, frame_attr)
     new = _drop_ids(old, ids).persist()

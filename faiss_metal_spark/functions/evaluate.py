@@ -140,7 +140,9 @@ def tune_polysemous_ht(
     if hts is None:
         step = max(bits // 8, 1)
         hts = list(range(step, bits // 2 + 1, step))
-    hts = sorted(set(int(h) for h in hts if 0 <= h <= bits))
+    # bits+1 is a legal user-supplied probe point: the strict gate's
+    # accept-all value (hd < bits+1 admits everything)
+    hts = sorted(set(int(h) for h in hts if 0 <= h <= bits + 1))
     exact = index.search(queries, k).persist()
     exact.count()
     points = []

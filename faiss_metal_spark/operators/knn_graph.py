@@ -343,15 +343,19 @@ def graph_search(
     graph tier at all).
 
     ENTRY LAYER (``entry``, r10): ``"landmarks"`` (default) ranks a
-    deterministic ~√n landmark subset per query and starts the beam
-    from the ``n_seeds`` nearest landmarks — the coarse layer plays
-    the role HNSW's upper layers / NSG's navigating node play: the
-    walk starts in the query's region, so the rounds needed for a
+    deterministic ~√n landmark subset per query and SEEDS THE BEAM
+    with the layer's top-``beam`` members (all scored landmarks are
+    marked visited, so keeping fewer than the beam width would
+    silently lose scored true neighbors; beyond the beam width a
+    landmark can never reach the final top-k) — the coarse layer
+    plays the role HNSW's upper layers / NSG's navigating node play:
+    the walk starts in the query's region, so the rounds needed for a
     given recall stay O(1)-ish as the corpus (and its graph diameter)
     grows, instead of diameter-bound. Cost: one extra bounded
     nq × √n scoring pass (the landmark set is a deterministic hash
     sample — derivable from the vectors, nothing extra persists).
-    ``"hash"`` is the legacy flat entry: ``n_seeds`` hash-random ids.
+    ``"hash"`` is the legacy flat entry: ``n_seeds`` hash-random ids
+    (``n_seeds`` only affects that path).
 
     Then ``iters`` rounds of expand-the-beam — neighbors (via
     ``graph`` edges) of the current best ``beam`` candidates are
@@ -429,8 +433,13 @@ def graph_search(
     n_evals = 0
     if entry == "landmarks":
         # coarse entry layer: a deterministic ~√n hash sample of the
-        # corpus, ranked exactly per query; the beam starts from the
-        # n_seeds nearest landmarks. Every scored landmark is marked
+        # corpus, ranked exactly per query; the beam SEEDS DIRECTLY
+        # with the layer's top-b members (not a smaller n_seeds cut:
+        # a scored landmark outside the initial beam is marked visited
+        # below and could never re-enter, so dropping anything better
+        # than rank b would silently lose a scored true neighbor —
+        # beyond rank b it can never reach the final top-k ≤ b, so the
+        # top-b cut is lossless). Every scored landmark is marked
         # visited so the walk never rescores the layer.
         import math
 
@@ -442,15 +451,7 @@ def graph_search(
         land_scored = land.join(F.broadcast(q), how="cross").select(
             "qid", "label", l2sq(F.col("_qv"), F.col("_vv")).alias("distance")
         )
-        wl = Window.partitionBy("qid").orderBy(
-            F.col("distance").asc(), F.col("label").asc()
-        )
-        beam_df = (
-            land_scored.withColumn("_rn", F.row_number().over(wl))
-            .where(F.col("_rn") <= int(n_seeds))
-            .drop("_rn")
-            .localCheckpoint(eager=True)
-        )
+        beam_df = _topb(land_scored).localCheckpoint(eager=True)
         visited = land_scored.select("qid", "label").localCheckpoint(eager=True)
         if stats is not None:
             n_evals += visited.count()

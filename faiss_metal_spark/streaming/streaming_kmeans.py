@@ -12,27 +12,38 @@ k-means"):
 
 where ``a`` = decay factor (1.0 = all history weighted equally — the
 running exact mean; 0.0 = only the latest batch). A cell that receives
-no batch rows keeps its center and decays its mass (MLlib behavior).
+no batch rows keeps its center and decays its mass (MLlib behavior —
+an entirely EMPTY micro-batch still decays every cell's mass).
 
 Spark shape, per micro-batch (``foreachBatch``): assignment is the
 engine's shared ``similarity.ivf_assign`` against the CURRENT
-driver-held centers (one ``mapInArrow`` projection — no shuffle), the
-per-cell (count, per-dim sum) is one narrow posexplode aggregate (the
-same identical-plan-shape trick ``lloyd_kmeans`` uses, so codegen
-compiles once), and only k·(d+1) doubles hit the driver per batch.
-The sink records BOTH artifacts a consumer needs:
+driver-held centers (one ``mapInArrow`` projection — no shuffle,
+persisted for the batch so the lineage write and the stats aggregate
+share one evaluation), the per-cell (count, per-dim sum) is one narrow
+posexplode aggregate (the same identical-plan-shape trick
+``lloyd_kmeans`` uses, so codegen compiles once), and only k·(d+1)
+doubles hit the driver per batch. The sink records BOTH artifacts a
+consumer needs:
 
-- ``<out>/assignments/``  — append-only (id, cell, batch_id) rows:
-  which center each vector was nearest WHEN IT ARRIVED (the ingest
-  lineage; also what makes the run replayable/verifiable offline);
-- ``<out>/centers/``      — one (batch_id, cell, n, cv) snapshot per
-  committed micro-batch: the full center trajectory.
+- ``<out>/assignments/`` — (id, cell, batch_id) rows partitioned by
+  batch_id and written with DYNAMIC partition overwrite: a replayed
+  micro-batch overwrites ITS OWN partition instead of appending
+  duplicates (foreachBatch is at-least-once; this makes the lineage
+  idempotent per batch_id);
+- ``<out>/centers/`` — one (cell, n, cv) snapshot per committed
+  micro-batch (same dynamic-overwrite idempotence): the full center
+  trajectory, and the RECOVERY record below.
+
+RESTART SEMANTICS: on start the state restores from the latest
+committed center snapshot (so a resumed query — Structured Streaming
+replays only uncommitted offsets — continues from where it left off
+instead of silently restarting from ``init``); if a batch_id at or
+below the restored snapshot replays (failure between sink write and
+checkpoint commit), the state first REWINDS to the snapshot preceding
+it, so the re-applied update is idempotent, not doubled.
 
 At 100 TB of stream: per-batch cost scales with the delta only; driver
-state is k·d doubles, constant in corpus size. Exactly-once for the
-assignment rows comes from the parquet sink discipline of the caller's
-checkpoint; center snapshots are idempotent per batch_id (a replayed
-batch overwrites its own snapshot, not history).
+state is k·d doubles, constant in corpus size.
 """
 
 from __future__ import annotations
@@ -45,7 +56,10 @@ from pyspark.sql import functions as F
 
 class StreamingKMeansState:
     """Driver-held (centers, masses) + the update rule, exposed so
-    tests and offline replays share the exact arithmetic."""
+    tests and offline replays share the exact arithmetic. After
+    :func:`run_streaming_kmeans` the ``query`` attribute carries the
+    StreamingQuery handle (already drained in availableNow mode; the
+    caller's to await/stop in continuous mode)."""
 
     def __init__(self, init: np.ndarray, decay: float = 1.0):
         self.centers = np.asarray(init, dtype=np.float64).copy()
@@ -53,11 +67,14 @@ class StreamingKMeansState:
         if not (0.0 <= float(decay) <= 1.0):
             raise ValueError(f"decay must be in [0, 1], got {decay}")
         self.decay = float(decay)
+        self.last_batch_id: int = -1
+        self.query = None  # StreamingQuery handle, set by the runner
 
     def update(self, counts: np.ndarray, sums: np.ndarray) -> None:
         """Apply one mini-batch's (per-cell count m, per-cell per-dim
         sum s) — the MLlib forgetful rule; empty cells keep their
-        center and decay their mass."""
+        center and decay their mass (an all-zero ``counts`` is the
+        empty-batch decay step)."""
         a = self.decay
         for c in range(len(self.centers)):
             n_new = a * self.masses[c] + float(counts[c])
@@ -68,19 +85,32 @@ class StreamingKMeansState:
             self.masses[c] = n_new
 
 
-def _batch_cell_stats(batch_df: DataFrame, centers: np.ndarray):
-    """(assigned rows collectable as (id, cell), per-cell counts (k,),
-    per-cell per-dim sums (k, d)) for one micro-batch against the
-    given centers — one scan, one narrow aggregate."""
-    from ..operators.similarity import ivf_assign
-
-    k, d = centers.shape
-    assigned = ivf_assign(
-        batch_df.select(
-            F.col("id").cast("long").alias("id"), F.col("vec").alias("vec")
-        ),
-        centers,
+def _load_snapshot(spark, out_path: str, upto: int | None = None):
+    """Latest committed (batch_id, centers, masses) from
+    ``<out>/centers`` — optionally only snapshots with batch_id ≤
+    ``upto``. Returns None when no eligible snapshot exists."""
+    try:
+        snap = spark.read.parquet(f"{out_path}/centers")
+    except Exception:  # noqa: BLE001 — no snapshots yet
+        return None
+    if upto is not None:
+        snap = snap.where(F.col("batch_id") <= int(upto))
+    rows = snap.collect()
+    if not rows:
+        return None
+    last = max(int(r["batch_id"]) for r in rows)
+    sel = sorted(
+        (r for r in rows if int(r["batch_id"]) == last),
+        key=lambda r: int(r["cell"]),
     )
+    C = np.stack([np.asarray(r["cv"], np.float64) for r in sel])
+    n = np.asarray([float(r["n"]) for r in sel])
+    return last, C, n
+
+
+def _batch_cell_stats(assigned: DataFrame, k: int, d: int):
+    """(per-cell counts (k,), per-cell per-dim sums (k, d)) from an
+    assigned (id, vec, cell) frame — one narrow aggregate."""
     rows = (
         assigned.select("cell", F.posexplode("vec").alias("pos", "x"))
         .groupBy("cell", "pos")
@@ -97,7 +127,7 @@ def _batch_cell_stats(batch_df: DataFrame, centers: np.ndarray):
         sums[c, p] = float(r["s"])
         if p == 0:
             counts[c] = int(r["m"])
-    return assigned, counts, sums
+    return counts, sums
 
 
 def run_streaming_kmeans(
@@ -109,42 +139,74 @@ def run_streaming_kmeans(
     available_now: bool = True,
 ) -> StreamingKMeansState:
     """Run the streaming clusterer over ``vector_stream`` ((id, vec)
-    rows — see ``index_ingest.read_vector_stream``); returns the final
-    :class:`StreamingKMeansState` (centers + decayed masses). With
-    ``available_now`` the call drains the source and returns; a
-    continuous caller keeps the returned query running instead."""
+    rows — see ``index_ingest.read_vector_stream``); returns the
+    :class:`StreamingKMeansState` (centers + decayed masses +
+    ``.query`` handle). With ``available_now`` the call drains the
+    source and returns the final state; in continuous mode it returns
+    immediately and the caller owns ``state.query`` (await/stop it
+    before reading ``state.centers`` — the state mutates per batch)."""
+    from ..operators.similarity import ivf_assign
+
     state = StreamingKMeansState(init, decay)
     spark = vector_stream.sparkSession
+    k, d = state.centers.shape
+
+    restored = _load_snapshot(spark, out_path)
+    if restored is not None:
+        state.last_batch_id, state.centers, state.masses = restored
 
     def _one_batch(batch_df: DataFrame, batch_id: int) -> None:
-        assigned, counts, sums = _batch_cell_stats(batch_df, state.centers)
-        if int(counts.sum()) == 0:
-            return
-        # lineage first (assignment is vs the PRE-update centers)
+        bid = int(batch_id)
+        if bid <= state.last_batch_id:
+            # at-least-once replay of an already-applied batch: rewind
+            # to the snapshot BEFORE it so the re-update is idempotent
+            prev = _load_snapshot(spark, out_path, upto=bid - 1)
+            if prev is not None:
+                _, state.centers, state.masses = prev
+            else:
+                state.centers = np.asarray(init, np.float64).copy()
+                state.masses = np.zeros(k, dtype=np.float64)
+        assigned = ivf_assign(
+            batch_df.select(
+                F.col("id").cast("long").alias("id"), F.col("vec").alias("vec")
+            ),
+            state.centers,
+        ).persist()
+        # lineage first (assignment is vs the PRE-update centers);
+        # dynamic partition overwrite makes a replayed batch rewrite
+        # its own partition instead of appending duplicates
         assigned.select("id", "cell").withColumn(
-            "batch_id", F.lit(int(batch_id))
-        ).write.mode("append").parquet(f"{out_path}/assignments")
+            "batch_id", F.lit(bid)
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch_id").parquet(f"{out_path}/assignments")
+        counts, sums = _batch_cell_stats(assigned, k, d)
+        assigned.unpersist()
+        # an EMPTY batch still decays (MLlib's forgetful rule applies
+        # per batch, not per row)
         state.update(counts, sums)
+        state.last_batch_id = bid
         snap = pd.DataFrame(
             {
-                "batch_id": np.full(len(state.centers), int(batch_id)),
-                "cell": np.arange(len(state.centers), dtype=np.int32),
+                "batch_id": np.full(k, bid),
+                "cell": np.arange(k, dtype=np.int32),
                 "n": state.masses.copy(),
                 "cv": list(state.centers.copy()),
             }
         )
         spark.createDataFrame(
             snap, "batch_id long, cell int, n double, cv array<double>"
-        ).coalesce(1).write.mode("overwrite").parquet(
-            f"{out_path}/centers/batch_id={int(batch_id)}"
-        )
+        ).coalesce(1).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch_id").parquet(f"{out_path}/centers")
 
     writer = vector_stream.writeStream.foreachBatch(_one_batch).option(
         "checkpointLocation", checkpoint
     )
     if available_now:
         q = writer.trigger(availableNow=True).start()
+        state.query = q
         q.awaitTermination()
-    else:  # pragma: no cover - continuous mode is the caller's loop
-        writer.start()
+    else:
+        state.query = writer.start()
     return state

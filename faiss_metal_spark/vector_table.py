@@ -113,8 +113,10 @@ class IDSelectorRange:
     """≙ ``faiss::IDSelectorRange``: the contiguous id interval
     [lo, hi) — hi EXCLUSIVE, as in faiss's imin/imax. The explicit
     wrapper exists so a range can never be confused with a 2-element
-    id batch: ``remove_ids((3, 7))`` removes exactly ids 3 and 7,
-    ``remove_ids(IDSelectorRange(3, 7))`` removes ids 3..6."""
+    id batch: ``remove_ids(IDSelectorRange(3, 7))`` removes ids 3..6,
+    ``remove_ids([3, 7])`` removes exactly ids 3 and 7 — and a BARE
+    2-tuple is refused outright on every ``remove_ids`` (it still
+    means a range in ``SearchParams.sel``)."""
 
     lo: int
     hi: int

@@ -355,3 +355,63 @@ def test_ivf_max_codes_bounds_scanned_lists(spark):
     with pytest.raises(ValueError, match="max_codes"):
         idx.search_numpy(Q, 5, nprobe=4, max_codes=0)
     idx.release()
+
+
+def test_ivf_family_remove_ids_accepts_selectors(spark):
+    """faiss IndexIVF::remove_ids takes an IDSelector& (r10 review:
+    the refusal message used to point at a path that crashed):
+    IDSelectorRange and combinators remove via one negated predicate
+    on every coded tier; the 2-tuple refusal stands; the binary
+    refine source shrinks in step."""
+    from faiss_metal_spark import (
+        BinaryIndex,
+        IDSelectorNot,
+        IDSelectorRange,
+        IVFIndex,
+        SQ8Index,
+    )
+
+    V, _ = make_fixture(200, 1, 16, seed=61)
+    vt = VectorTable(spark, 16).add_numpy(V)
+
+    idx = IVFIndex.from_table(vt, n_cells=4, sample_size=200)
+    assert idx.remove_ids(IDSelectorRange(50, 100)) == 50
+    assert idx.ntotal == 150
+    left = {r["id"] for r in idx.assigned.select("id").collect()}
+    assert not (left & set(range(50, 100)))
+    # combinator: drop everything OUTSIDE [0, 20)
+    assert idx.remove_ids(IDSelectorNot(IDSelectorRange(0, 20))) == 130
+    assert idx.ntotal == 20
+    with pytest.raises(TypeError, match="2-tuple is ambiguous"):
+        idx.remove_ids((3, 7))
+    idx.release()
+
+    sq = SQ8Index.from_table(vt)
+    assert sq.remove_ids(IDSelectorRange(0, 10)) == 10
+    assert sq.ntotal == 190
+    sq.release()
+
+    # binary tier: the refine _source must shrink through the same
+    # selector path
+    b = BinaryIndex.from_table(vt)
+    assert b.remove_ids(IDSelectorRange(0, 5)) == 5
+    D, L = b.refine_search_numpy(V[:1], 3)
+    assert 0 not in set(int(x) for x in L[0])
+    b.release()
+
+
+def test_ivf_sel_large_batch_semi_join_path(spark):
+    """A literal sel batch above the IN-list threshold must route
+    through the broadcast semi-join (r10 review: it used to raise) —
+    pinned by equality with the equivalent range selector."""
+    from faiss_metal_spark import IDSelectorRange, IVFIndex
+
+    V, Q = make_fixture(300, 2, 8, seed=63)
+    vt = VectorTable(spark, 8).add_numpy(V)
+    idx = IVFIndex.from_table(vt, n_cells=4, sample_size=300)
+    big = list(range(100, 250)) + list(range(100_000, 110_000))  # >10k ids
+    D0, L0 = idx.search_numpy(Q, 5, nprobe=4, sel=big)
+    D1, L1 = idx.search_numpy(Q, 5, nprobe=4, sel=IDSelectorRange(100, 250))
+    np.testing.assert_array_equal(L0, L1)  # absent ids match nothing
+    np.testing.assert_allclose(D0, D1, atol=1e-12)
+    idx.release()

@@ -571,3 +571,40 @@ def test_streaming_kmeans_matches_offline_replay(spark, tmp_path):
 
     # decay semantics: masses decayed twice then grown (not raw counts)
     assert state.masses.sum() < 360  # decay < 1 forgets history
+
+    # RESTART: stage a 4th file and resume with the SAME checkpoint —
+    # the state must restore from the latest committed snapshot and
+    # continue (not silently restart from init), equaling a sequential
+    # 4-batch replay
+    vectors_df(spark, V[:90]).withColumn(
+        "id", F.col("id") + F.lit(360)
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    V4 = np.vstack([V, V[:90]])
+    state2 = run_streaming_kmeans(
+        read_vector_stream(spark, str(src), max_files_per_trigger=1),
+        init,
+        out,
+        checkpoint=str(tmp_path / "skm_cp"),
+        decay=0.5,
+    )
+    lin2 = spark.read.parquet(f"{out}/assignments").toPandas()
+    assert sorted(lin2["id"].tolist()) == sorted(
+        list(range(360)) + list(range(360, 450))
+    )
+    replay2 = StreamingKMeansState(init, decay=0.5)
+    V4d = V4.astype(np.float64)
+    for b in sorted(lin2["batch_id"].unique().tolist()):
+        grp = lin2[lin2.batch_id == b]
+        ids = np.sort(grp["id"].to_numpy())
+        X = V4d[ids]
+        d2 = ((X[:, None, :] - replay2.centers[None, :, :]) ** 2).sum(-1)
+        a = d2.argmin(1)
+        counts = np.bincount(a, minlength=4)
+        sums = np.zeros((4, 8))
+        for c in range(4):
+            if counts[c]:
+                sums[c] = X[a == c].sum(0)
+        replay2.update(counts, sums)
+    np.testing.assert_allclose(state2.centers, replay2.centers, atol=1e-9)
+    np.testing.assert_allclose(state2.masses, replay2.masses, atol=1e-9)
+    assert state2.query is not None  # handle exposed (review finding)
