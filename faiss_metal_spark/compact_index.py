@@ -1208,7 +1208,42 @@ class IVFFlatDedupIndex:
         REPRESENTATIVE that still has instances promotes the smallest
         surviving duplicate to representative (faiss swaps an instance
         id into the list entry) — the stored vector is dropped only
-        when its whole duplicate set is gone. Returns ids removed."""
+        when its whole duplicate set is gone. Returns ids removed.
+
+        Selectors (IDSelectorRange / combinators — faiss passes an
+        ``IDSelector&`` here too) resolve to the matching LOGICAL ids
+        (representatives ∪ instances) with one predicate scan; the
+        promotion bookkeeping needs the explicit set, so a selector
+        matching more than 100k logical ids refuses with chunking
+        guidance, like the flat table's combinator path. A bare
+        2-tuple is refused (the SearchParams.sel range ambiguity)."""
+        from .vector_table import _SEL_COMBINATORS, _sel_predicate
+        from .vector_table import IDSelectorRange as _SelRange
+
+        if isinstance(ids, tuple) and len(ids) == 2:
+            raise TypeError(
+                "remove_ids: a bare 2-tuple is ambiguous (it means a "
+                "range in SearchParams.sel) — pass remove_ids([a, b]) "
+                "or IDSelectorRange(lo, hi)"
+            )
+        if isinstance(ids, (_SelRange,) + _SEL_COMBINATORS):
+            pred = _sel_predicate(ids)
+            logical = (
+                self.assigned.select("id")
+                .unionByName(self.instances.select(F.col("dup_id").alias("id")))
+                .where(pred)
+                .limit(100_001)
+                .collect()
+            )
+            if len(logical) > 100_000:
+                raise ValueError(
+                    "remove_ids: selector matches >100k logical ids — "
+                    "the dedup promotion bookkeeping needs the explicit "
+                    "set; remove in smaller range chunks instead"
+                )
+            ids = [r["id"] for r in logical]
+            if not ids:
+                return 0
         batch = sorted({int(i) for i in np.atleast_1d(np.asarray(ids, np.int64))})
         if not batch:
             return 0
@@ -2245,6 +2280,16 @@ class GraphIndex:
             beam=max(ef if ef is not None else self.ef_search, k),
             iters=iters,
             entry=entry,
+        )
+
+    def range_search(self, *_a, **_k):
+        """faiss ``IndexHNSW`` has no range_search (upstream raises
+        "range search not supported" — beam search cannot bound a
+        radius's result set); same explicit refusal here."""
+        raise NotImplementedError(
+            "GraphIndex.range_search: faiss IndexHNSW does not support "
+            "range search (beam search cannot enumerate a radius); use "
+            "a flat/IVF tier for radius queries"
         )
 
     def search_numpy(

@@ -234,3 +234,30 @@ def test_refine_index_io_roundtrip_and_clone(spark, tmp_path):
         cl = clone_index(ref)
         _, L3 = cl.search_numpy(Q, 4)
         assert np.array_equal(L, L3)
+
+
+def test_dedup_remove_ids_accepts_selectors(spark):
+    """faiss passes an IDSelector& to IndexIVFFlatDedup::remove_ids
+    too (r10): a range selector resolves to the matching LOGICAL ids
+    (representatives AND side-map instances) and runs the same
+    promotion bookkeeping; a bare 2-tuple refuses."""
+    import pytest
+
+    from faiss_metal_spark import IDSelectorRange
+
+    base, V, Q = _dup_fixture()
+    idx = _build(spark, V)
+    # [0, 2): removes rep 0 (its duplicates 120/150 survive via
+    # promotion) and rep 1 (likewise 121/151)
+    removed = idx.remove_ids(IDSelectorRange(0, 2))
+    assert removed == 2
+    assert idx.ntotal == 120 and idx.n_instances == 38
+    D0, L0 = idx.search_numpy(base[:1], 2, nprobe=idx.nlist)
+    assert list(L0[0]) == [120, 150]  # promoted duplicates still serve
+    # selector over side-map-only ids removes instances
+    assert idx.remove_ids(IDSelectorRange(150, 152)) == 2
+    assert idx.n_instances == 36
+    with pytest.raises(TypeError, match="2-tuple is ambiguous"):
+        idx.remove_ids((0, 5))
+    # empty selector removes nothing
+    assert idx.remove_ids(IDSelectorRange(90_000, 90_001)) == 0

@@ -135,6 +135,15 @@ def test_graph_search_sentinels_and_validation(spark):
         graph_search(vdf, g, qdf, k=10, beam=5)
     with pytest.raises(ValueError, match="k must be positive"):
         graph_search(vdf, g, qdf, k=0)
+    with pytest.raises(ValueError, match="unknown entry"):
+        graph_search(vdf, g, qdf, k=3, entry="bogus")
+
+    # faiss IndexHNSW refuses range_search — same explicit refusal
+    from faiss_metal_spark import GraphIndex, VectorTable
+
+    idx = GraphIndex.from_table(VectorTable(spark, 8).add_numpy(V), M=3, iters=2)
+    with pytest.raises(NotImplementedError, match="range search"):
+        idx.range_search(qdf, 1.0)
 
 
 def test_mrng_diversify_heuristic_and_graph_quality(spark):
