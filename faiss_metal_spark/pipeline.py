@@ -177,6 +177,55 @@ def decontaminate(
     )
 
 
+def decontaminate_bloom(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 3,
+    fpp: float = 0.01,
+    n_items: int | None = None,
+) -> DataFrame:
+    """:func:`decontaminate` for eval sets too large to broadcast as a
+    hash table: the eval shingle hashes build a Bloom filter (~1.2
+    bytes/item at 1% fpp — an order of magnitude under the 8-byte
+    hash set) that PREFILTERS the corpus shingle stream in-scan; only
+    the surviving candidates (true matches + ~fpp false positives)
+    reach the exact verify join, so the RESULT is identical to
+    :func:`decontaminate` — the fpp buys cost, never correctness.
+
+    ``n_items``: the filter's capacity; defaults to an exact distinct
+    count of the eval shingles (one extra bounded job — pass the
+    known cardinality to skip it). Scale shape: the corpus never
+    shuffles in full; what reaches the verify shuffle is bounded by
+    true-contamination volume + fpp·corpus-shingles."""
+    from .functions.text import shingles
+    from .operators.bloom import bloom_build, bloom_filter_rows
+
+    def sh(df: DataFrame, *keep: str) -> DataFrame:
+        return df.select(
+            *keep,
+            F.explode(
+                F.array_distinct(shingles(text_col, shingle_size))
+            ).alias("_s"),
+        ).select(*keep, F.xxhash64("_s").alias("sh"))
+
+    ev = sh(eval_docs).select("sh").distinct().persist()
+    n = int(n_items) if n_items is not None else ev.count()
+    bits, m_bits, k = bloom_build(ev, "sh", max(n, 1), fpp)
+    tr = sh(train.withColumnRenamed(id_col, "id"), "id")
+    cand = bloom_filter_rows(tr, "sh", bits, m_bits, k)
+    out = (
+        cand.join(ev, "sh")  # exact verify: false positives die here
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    # the verify join holds the only reference to ev; leaving it
+    # persisted is deliberate (the returned plan re-reads it) — the
+    # caller's action materializes once, Spark evicts LRU afterwards
+    return out
+
+
 def hash_split(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -1120,3 +1120,50 @@ def test_token_budget_cap_quality_ordered(spark):
     docs = spark.createDataFrame(rows)
     out = token_budget_cap(docs, "lang", 35, order_col="score").toPandas()
     assert sorted(out["doc_id"].tolist()) == [7, 8, 9]  # top-3 fit 30 ≤ 35
+
+
+def test_decontaminate_bloom_equals_exact(spark):
+    """Bloom-prefiltered decontamination (r10, the
+    eval-set-too-big-to-broadcast path): the Bloom filter has no false
+    negatives and the exact verify join kills false positives, so the
+    result must equal decontaminate() EXACTLY — fpp buys cost, never
+    correctness. Also pinned: the filter genuinely filters (clean
+    shingles mostly die before the join at the configured fpp), and
+    the build/probe primitives agree (no false negatives by
+    construction, measured fpp within 5x of nominal)."""
+    import numpy as np
+
+    from faiss_metal_spark.operators.bloom import (
+        bloom_build,
+        bloom_filter_rows,
+        bloom_params,
+    )
+    from faiss_metal_spark.pipeline import decontaminate, decontaminate_bloom
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(300)]
+    mk = lambda n: " ".join(rng.choice(vocab, size=n))  # noqa: E731
+    ev_texts = [mk(20) for _ in range(20)]
+    train_texts = [mk(25) for _ in range(60)]
+    # plant contamination: splice eval fragments into some train docs
+    train_texts[3] += " " + " ".join(ev_texts[0].split()[:5])
+    train_texts[7] += " " + " ".join(ev_texts[5].split()[2:9])
+    ev = docs_df(spark, ev_texts)
+    train = docs_df(spark, train_texts)
+
+    want = {r["id"]: r["n_shared"] for r in decontaminate(train, ev).collect()}
+    got = {
+        r["id"]: r["n_shared"]
+        for r in decontaminate_bloom(train, ev, fpp=0.01).collect()
+    }
+    assert got == want and want  # identical, and contamination found
+
+    # primitive-level: no false negatives; measured fpp sane
+    members = spark.range(0, 5000).select(F.xxhash64("id").alias("sh"))
+    bits, m, k = bloom_build(members, "sh", 5000, fpp=0.01)
+    assert bloom_params(5000, 0.01)[0] == m
+    kept = bloom_filter_rows(members, "sh", bits, m, k).count()
+    assert kept == 5000  # every member passes
+    probes = spark.range(100_000, 200_000).select(F.xxhash64("id").alias("sh"))
+    fp = bloom_filter_rows(probes, "sh", bits, m, k).count()
+    assert fp < 100_000 * 0.05, fp  # ~1% nominal, generous bound
