@@ -3368,7 +3368,39 @@ def q_ann_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
     )
-    trained = sq_train(emb)  # one pass serves every width
+
+    # The five build-time eager steps (SQ range train, centroid
+    # collect, LSH/BinaryHash index builds — each persists + counts —
+    # and the binary sub-query's own builds) are independent: run them
+    # from threads so their small jobs interleave (the mllib_index_
+    # build discipline); the RESULT lanes stay lazy for the plan audit.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from faiss_metal_spark import BinaryHashIndex, LSHIndex, VectorTable
+
+    vt = VectorTable.from_parquet(
+        spark, os.path.join(sf_dir, "embeddings.parquet"),
+        d=_PQ_M * _PQ_DSUB, id_col="vec_id", vec_col="embedding",
+    )
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        f_tr = pool.submit(sq_train, emb)
+        f_cp = pool.submit(
+            lambda: np.stack(
+                emb.where(F.col("id") < _ANN_CELLS)
+                .orderBy("id").toPandas()["vec"].to_numpy()
+            ).astype(np.float64)
+        )
+        f_lsh = pool.submit(
+            lambda: LSHIndex.from_table(vt, nbits=_LSH_NBITS, seed=_LSH_SEED)
+        )
+        f_bh = pool.submit(lambda: BinaryHashIndex.from_table(vt, b=_BHASH_B))
+        f_bin = pool.submit(q_ann_binary, spark, sf_dir)
+        trained = f_tr.result()
+        centroids = f_cp.result()
+        lsh = f_lsh.result()
+        bh = f_bh.result()
+        binary_lanes = f_bin.result()
+
     sq8 = _q_ann_sq(spark, sf_dir, bits=8, trained=trained).select(
         F.lit("sq8").alias("path"), "qid", "rank", "label", "distance"
     )
@@ -3378,8 +3410,6 @@ def q_ann_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ivfsq lane: fixed centroids (first rows — deterministic, like
     # q_ann_pq's fixed codebooks), Catalyst SQ8 encode into the cells
     vmin, vmax = trained
-    cpdf = emb.where(F.col("id") < _ANN_CELLS).orderBy("id").toPandas()
-    centroids = np.stack(cpdf["vec"].to_numpy()).astype(np.float64)
     inv = ivf_assign(emb, centroids).select(
         "id", sq_code_col("vec", vmin, vmax, 8).alias("code"), "cell"
     )
@@ -3401,24 +3431,16 @@ def q_ann_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nflip=1 — the oracle states the probe as a predicate (prefix
     # sign-disagreement ≤ nflip over the first b dims), which is
     # exactly the flip-set the engine enumerates
-    from faiss_metal_spark import BinaryHashIndex, LSHIndex, VectorTable
-
-    vt = VectorTable.from_parquet(
-        spark, os.path.join(sf_dir, "embeddings.parquet"),
-        d=_PQ_M * _PQ_DSUB, id_col="vec_id", vec_col="embedding",
-    )
-    lsh = LSHIndex.from_table(vt, nbits=_LSH_NBITS, seed=_LSH_SEED)
     lshb = lsh.search(queries, k=10).select(
         F.lit("lshb").alias("path"), "qid", "rank", "label",
         F.col("distance").cast("double").alias("distance"),
     )
-    bh = BinaryHashIndex.from_table(vt, b=_BHASH_B)
     bhash = bh.search(queries, k=10, nflip=1).select(
         F.lit("bhash").alias("path"), "qid", "rank", "label",
         F.col("distance").cast("double").alias("distance"),
     )
     return (
-        q_ann_binary(spark, sf_dir)
+        binary_lanes
         .unionByName(sq8)
         .unionByName(sq4)
         .unionByName(ivfsq)
