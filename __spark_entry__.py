@@ -1798,14 +1798,27 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # anti-join instead of running exact+LSH+CC+verify twice
     from faiss_metal_spark.operators.dedup import semantic_dedup
 
-    lex = curate_corpus(d, min_quality=0.5).localCheckpoint(eager=False)
-    sem_drop = (
-        semantic_dedup(
-            e, centroids, id_col="vec_id", vec_col="embedding", threshold=0.35
+    # the two eager lanes are independent (lexical CC materializes the
+    # LSH lineage; semantic_dedup eagerly checkpoints its per-cell
+    # union-find) — run them from threads so their jobs interleave on
+    # the idle executor threads (the ann_compact/mllib r10 pattern)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_lex = pool.submit(
+            lambda: curate_corpus(d, min_quality=0.5).localCheckpoint(eager=False)
         )
-        .where(F.col("keep") == 0)
-        .select(F.col("id").alias("_sem_drop"))
-    )
+        f_sem = pool.submit(
+            lambda: semantic_dedup(
+                e, centroids, id_col="vec_id", vec_col="embedding", threshold=0.35
+            )
+        )
+        lex = f_lex.result()
+        sem_drop = (
+            f_sem.result()
+            .where(F.col("keep") == 0)
+            .select(F.col("id").alias("_sem_drop"))
+        )
     # SHUFFLE_HASH: the drop set is corpus-proportional at full scale
     # (semantic-dup fraction of all docs) — too big to broadcast — and
     # the default SMJ would sort both sides; a shuffled hash anti-join

@@ -294,11 +294,15 @@ def bench_headline(spark) -> dict[str, float]:
     spike-filtered query'.
 
     Returns (per-key min, per-key receipt {times: all timed runs,
-    load1m: 1-min loadavg at key start}). The receipt is the
-    contamination evidence: on a quiet host the runs agree to ~10% and
-    load1m is low; a loaded host shows wide spread + high load1m,
-    making a noisy run self-evident from BENCH_GRID.json alone —
-    separable from a code regression mechanically, without a re-run."""
+    load1m: 1-min loadavg sampled BEFORE EACH timed run, one entry per
+    run}). The receipt is the contamination evidence: on a quiet host
+    the runs agree to ~10% and every load1m sample is low; a loaded
+    host shows wide spread + high load1m, making a noisy run
+    self-evident from BENCH_GRID.json alone — separable from a code
+    regression mechanically, without a re-run. Per-run sampling (r11;
+    r10 sampled once before the discarded warmup) makes a spike that
+    arrives DURING the timed block visible in the receipt instead of
+    hiding behind a quiet pre-warmup sample."""
     import gc
 
     import __spark_entry__ as entry_mod
@@ -309,17 +313,17 @@ def bench_headline(spark) -> dict[str, float]:
 
     out, runs = {}, {}
     for name, fn in entry_mod.queries().items():
-        load1m = round(os.getloadavg()[0], 2)
         fn(spark, SF_DIR).count()  # warmup: compile + JIT, discarded
         _reset()
-        timed = []
+        timed, loads = [], []
         for _ in range(3):
+            loads.append(round(os.getloadavg()[0], 2))
             t0 = time.time()
             fn(spark, SF_DIR).count()
             timed.append(round(time.time() - t0, 3))
             _reset()
         out[name] = min(timed)
-        runs[name] = {"times": timed, "load1m": load1m}
+        runs[name] = {"times": timed, "load1m": loads}
     return out, runs
 
 
@@ -459,8 +463,12 @@ def emit(queries, grid_stats, storage_gain, sf, isolation=None) -> str:
                     "around 0 within host noise (the r9 'fp16c "
                     "regression' there did not reproduce under paired "
                     "quiet-host measurement). The reference's +22-34% "
-                    "claim regime maps to xlarge, where r10 measures "
-                    "fp16c ~+50%."
+                    "claim regime maps to xlarge, where the paired "
+                    "gain is strongly positive (r10 final receipt: "
+                    "fp16c +136%, bf16c +92% — the 2-byte store also "
+                    "halves what the executor cache must hold, so at "
+                    "this size it additionally avoids cache-eviction "
+                    "churn the fp32 store pays)."
                 ),
             },
         },

@@ -1387,10 +1387,15 @@ class IVFSQIndex:
         return dec
 
     def search(
-        self, queries: DataFrame, k: int, nprobe: int = 8, sel=None
+        self, queries: DataFrame, k: int, nprobe: int = 8, sel=None,
+        max_codes: int | None = None,
     ) -> DataFrame:
         """``sel`` ≙ faiss ``SearchParametersIVF::sel`` — one predicate
-        on the coded inverted lists before the probe machinery."""
+        on the coded inverted lists before the probe machinery.
+        ``max_codes`` ≙ faiss ``SearchParametersIVF::max_codes`` (whole
+        IVF family); with ``sel`` set the bound counts post-selector
+        entries — faiss counts raw list sizes (documented deviation,
+        see COVERAGE.md)."""
         from .operators.similarity import ivf_search
 
         return ivf_search(
@@ -1402,13 +1407,18 @@ class IVFSQIndex:
             metric=self.metric,
             vec_col="code",
             decode=self._decode(),
+            max_codes=max_codes,
         )
 
     def search_numpy(
-        self, x: np.ndarray, k: int, nprobe: int = 8, sel=None
+        self, x: np.ndarray, k: int, nprobe: int = 8, sel=None,
+        max_codes: int | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         return _host_result(
-            self.search(_query_df(self.spark, x), k, nprobe, sel=sel),
+            self.search(
+                _query_df(self.spark, x), k, nprobe, sel=sel,
+                max_codes=max_codes,
+            ),
             len(np.atleast_2d(x)),
             k,
         )
@@ -1607,23 +1617,29 @@ class IVFPQIndex:
 
     def search(
         self, queries: DataFrame, k: int, nprobe: int = 8,
-        ht: int | None = None, sel=None,
+        ht: int | None = None, sel=None, max_codes: int | None = None,
     ) -> DataFrame:
         """``sel`` ≙ faiss ``SearchParametersIVF::sel`` — one predicate
-        on the coded inverted lists before the probe machinery."""
+        on the coded inverted lists before the probe machinery.
+        ``max_codes`` ≙ faiss ``SearchParametersIVF::max_codes``; with
+        ``sel`` set the bound counts post-selector entries — faiss
+        counts raw list sizes (documented deviation, see COVERAGE.md)."""
         from .operators.pq import ivfpq_search
 
         return ivfpq_search(
             _sel_rows(self.codes, sel), self.centroids, self.codebooks,
-            queries, k, nprobe, ht=ht,
+            queries, k, nprobe, ht=ht, max_codes=max_codes,
         )
 
     def search_numpy(
         self, x: np.ndarray, k: int, nprobe: int = 8,
-        ht: int | None = None, sel=None,
+        ht: int | None = None, sel=None, max_codes: int | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         return _host_result(
-            self.search(_query_df(self.spark, x), k, nprobe, ht=ht, sel=sel),
+            self.search(
+                _query_df(self.spark, x), k, nprobe, ht=ht, sel=sel,
+                max_codes=max_codes,
+            ),
             len(np.atleast_2d(x)),
             k,
         )
@@ -2293,10 +2309,15 @@ class GraphIndex:
         )
 
     def search_numpy(
-        self, x: np.ndarray, k: int, ef: int | None = None
+        self,
+        x: np.ndarray,
+        k: int,
+        ef: int | None = None,
+        iters: int = 3,
+        entry: str = "landmarks",
     ) -> tuple[np.ndarray, np.ndarray]:
         return _host_result(
-            self.search(_query_df(self.spark, x), k, ef),
+            self.search(_query_df(self.spark, x), k, ef, iters=iters, entry=entry),
             len(np.atleast_2d(x)),
             k,
         )
@@ -2688,23 +2709,35 @@ class IMIIndex:
     def ntotal(self) -> int:
         return self._n if self._n >= 0 else self.assigned.count()
 
-    def search(self, queries: DataFrame, k: int, nprobe: int = 8) -> DataFrame:
+    def search(
+        self, queries: DataFrame, k: int, nprobe: int = 8, sel=None,
+        max_codes: int | None = None,
+    ) -> DataFrame:
+        """``sel`` / ``max_codes`` ≙ faiss ``SearchParametersIVF`` on
+        the multi-index (faiss ``IndexIVF`` surface applies to IMI too);
+        with ``sel`` set the bound counts post-selector entries — faiss
+        counts raw list sizes (documented deviation, see COVERAGE.md)."""
         from .operators.similarity import imi_probe_cells, ivf_search
 
         return ivf_search(
-            self.assigned,
+            _sel_rows(self.assigned, sel),
             None,  # the product quantizer supplies the ranking
             queries,
             k,
             nprobe,
             probe_cells=imi_probe_cells(self.C0, self.C1),
+            max_codes=max_codes,
         )
 
     def search_numpy(
-        self, x: np.ndarray, k: int, nprobe: int = 8
+        self, x: np.ndarray, k: int, nprobe: int = 8, sel=None,
+        max_codes: int | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         return _host_result(
-            self.search(_query_df(self.spark, x), k, nprobe),
+            self.search(
+                _query_df(self.spark, x), k, nprobe, sel=sel,
+                max_codes=max_codes,
+            ),
             len(np.atleast_2d(x)),
             k,
         )

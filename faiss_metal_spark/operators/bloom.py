@@ -100,15 +100,24 @@ def bloom_build(
 
 
 def bloom_filter_rows(
-    df: DataFrame, col: str, bits: np.ndarray, m_bits: int, k: int
+    df: DataFrame, col: str, bits: np.ndarray, m_bits: int, k: int,
+    track: list | None = None,
 ) -> DataFrame:
     """Rows of ``df`` whose int64 ``col`` MIGHT be in the filter
     (no false negatives; ~fpp false positives — follow with an exact
     verify join). The bit array rides a broadcast variable; the test
     is one vectorized gather per Arrow batch inside ``mapInArrow``,
-    schema preserved."""
+    schema preserved.
+
+    ``track``: optional caller-owned list the Broadcast handle is
+    appended to, so the caller can ``unpersist()``/``destroy()`` it
+    once the returned plan is materialized — at the 10⁸-item scale
+    this path targets the bit array is 100+ MB, and repeated
+    invocations otherwise accrete executor memory until LRU eviction."""
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(bits)
+    if track is not None:
+        track.append(bc)
     schema = df.schema
     names = [f.name for f in schema.fields]
     ci = names.index(col)

@@ -201,6 +201,62 @@ def pq_decode_np(codes: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
     )
 
 
+# ---------------------------------------------------------------------------
+# 4-bit fast-scan layout (faiss IndexPQFastScan / IndexIVFPQFastScan,
+# factory "PQ<m>x4fs" / "IVF<n>,PQ<m>x4fs" —
+# faiss/IndexPQFastScan.h, faiss/impl/pq4_fast_scan.h): two 4-bit codes
+# per stored byte. faiss's layout additionally interleaves blocks of 32
+# codes so AVX2/NEON register shuffles can gather 32 LUT entries per
+# instruction — a REGISTER layout, meaningless off-SIMD; the parts that
+# matter at engine level are (a) storage/scan bytes halve vs
+# one-code-per-byte nbits=4, and (b) the ADC inner loop does ONE gather
+# per stored byte via a fused 256-entry pair table instead of two
+# 16-entry nibble gathers. Search math is IDENTICAL to plain nbits=4
+# ADC — packing is layout, pinned by tests/test_pq_fastscan.py.
+# ---------------------------------------------------------------------------
+
+
+def pq_pack4_np(codes: np.ndarray) -> np.ndarray:
+    """(n, m) uint8 4-bit codes → (n, ⌈m/2⌉) packed bytes: even
+    subspace in the LOW nibble, odd subspace in the HIGH nibble. Odd
+    m packs a zero high nibble into the last byte (faiss rounds M up
+    to even with a dummy subquantizer)."""
+    codes = np.asarray(codes, dtype=np.uint8)
+    n, m = codes.shape
+    if codes.size and int(codes.max()) > 15:
+        raise ValueError("pack4 requires 4-bit codes (values < 16)")
+    if m % 2:
+        codes = np.concatenate([codes, np.zeros((n, 1), np.uint8)], axis=1)
+    return (codes[:, 0::2] | (codes[:, 1::2] << 4)).astype(np.uint8)
+
+
+def pq_unpack4_np(packed: np.ndarray, m: int) -> np.ndarray:
+    """Inverse of :func:`pq_pack4_np`: (n, ⌈m/2⌉) bytes → (n, m)
+    4-bit codes (drops the zero pad nibble when m is odd)."""
+    packed = np.asarray(packed, dtype=np.uint8)
+    out = np.empty((len(packed), packed.shape[1] * 2), dtype=np.uint8)
+    out[:, 0::2] = packed & 0x0F
+    out[:, 1::2] = packed >> 4
+    return out[:, :m]
+
+
+def _fuse_lut4(lut: np.ndarray) -> np.ndarray:
+    """(nq, m, 16) per-subspace ADC tables → (nq, ⌈m/2⌉, 256) fused
+    byte tables: ``fused[q, p, b] = lut[q, 2p, b & 15] +
+    lut[q, 2p+1, b >> 4]`` — one gather per stored byte, the numpy
+    analog of fast-scan's register-resident LUT pairs. Odd m: the
+    last byte's virtual high nibble contributes 0."""
+    nq, m, ksub = lut.shape
+    if ksub != 16:
+        raise ValueError(
+            f"fast-scan needs 16-entry (nbits=4) tables, got ksub={ksub}"
+        )
+    if m % 2:
+        lut = np.concatenate([lut, np.zeros((nq, 1, 16), lut.dtype)], axis=1)
+    b = np.arange(256)
+    return lut[:, 0::2, b & 15] + lut[:, 1::2, b >> 4]
+
+
 def pq_reconstruct(
     codes: DataFrame, codebooks: np.ndarray, id_col: str = "id"
 ) -> DataFrame:
@@ -534,8 +590,16 @@ def ivfpq_search(
     qvec_col: str = "vec",
     ht: int | None = None,
     probe_cells=None,
+    max_codes: int | None = None,
 ) -> DataFrame:
     """Probe nprobe cells, residual-ADC within each (L2).
+
+    ``max_codes``: faiss ``SearchParametersIVF::max_codes`` on the PQ
+    inverted file — same pre-list check as ``ivf_search`` (probe cells
+    kept in ranking order while the running scanned-code count stays
+    under the bound; the crossing list still scans in full; at least
+    one list always does). Costs one bounded nlist-row cell-count job
+    per call when set.
 
     ‖q − v‖² ≈ ‖(q − c) − decode(code)‖² decomposes over subspaces of
     the per-cell residual r = q − c, so each cell group builds its own
@@ -584,11 +648,25 @@ def ivfpq_search(
         cn = (centroids * centroids).sum(1)
         order = (cn[None, :] - 2.0 * (Q @ centroids.T)).argsort(1, kind="stable")
         probe = order[:, :nprobe]
+    sizes: dict[int, int] = {}
+    if max_codes is not None:
+        if int(max_codes) <= 0:
+            raise ValueError("max_codes must be positive when set")
+        sizes = {
+            int(r["cell"]): int(r["n"])
+            for r in codes.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
     cell_to_qidx: dict[int, np.ndarray] = {}
     for i, cells_i in enumerate(probe):
+        nscan = 0
         for c in cells_i:
             if c < 0:
                 continue
+            if max_codes is not None and nscan >= int(max_codes):
+                break  # faiss: stop BEFORE the next list once bounded
+            nscan += sizes.get(int(c), 0)
             cell_to_qidx.setdefault(int(c), []).append(i)  # type: ignore[arg-type]
     cell_to_qidx = {c: np.asarray(ix, dtype=np.int64) for c, ix in cell_to_qidx.items()}
     ht_ = None if ht is None else int(ht)

@@ -96,7 +96,18 @@ def curate_corpus(
             docs, pair_candidates=pairs, text_col=text_col, id_col=id_col,
             shingle_size=shingle_size, threshold=verify_jaccard, max_df=None,
         ).select("id_a", "id_b")
+    # the edge list is near-dup-pair-sized (tiny next to the corpus)
+    # but its lineage is the WHOLE shingle→minhash→band→verify
+    # pipeline, and connected_components references it four times
+    # (symmetrize both directions + the self-loop distinct). Persist
+    # so the expensive lineage evaluates once into cache and the other
+    # branch reads are cache hits (measured at sf0.1: ~8.1 s → ~6.4 s
+    # full pipeline). r9's rejected persist was the DOCUMENT TEXT
+    # cache (memory-store pressure on a wide column); this caches only
+    # (id_a, id_b) longs.
+    pairs = pairs.persist()
     cc = connected_components(pairs)
+    pairs.unpersist()
     near_drop = (
         cc.where(F.col("id") != F.col("cluster")).select(F.col("id").alias("_drop_id"))
     )
@@ -185,6 +196,7 @@ def decontaminate_bloom(
     shingle_size: int = 3,
     fpp: float = 0.01,
     n_items: int | None = None,
+    cleanup: list | None = None,
 ) -> DataFrame:
     """:func:`decontaminate` for eval sets too large to broadcast as a
     hash table: the eval shingle hashes build a Bloom filter (~1.2
@@ -198,7 +210,15 @@ def decontaminate_bloom(
     count of the eval shingles (one extra bounded job — pass the
     known cardinality to skip it). Scale shape: the corpus never
     shuffles in full; what reaches the verify shuffle is bounded by
-    true-contamination volume + fpp·corpus-shingles."""
+    true-contamination volume + fpp·corpus-shingles.
+
+    ``cleanup``: optional caller-owned list; when passed, a zero-arg
+    release callback is appended. Call it AFTER fully materializing
+    the returned plan (write/collect) — it unpersists the eval shingle
+    set and destroys the Bloom-bit broadcast (100+ MB at the 10⁸-item
+    scale this path targets), so repeated pipeline invocations don't
+    accrete executor/driver memory. The plan must not be re-executed
+    after release."""
     from .functions.text import shingles
     from .operators.bloom import bloom_build, bloom_filter_rows
 
@@ -214,15 +234,25 @@ def decontaminate_bloom(
     n = int(n_items) if n_items is not None else ev.count()
     bits, m_bits, k = bloom_build(ev, "sh", max(n, 1), fpp)
     tr = sh(train.withColumnRenamed(id_col, "id"), "id")
-    cand = bloom_filter_rows(tr, "sh", bits, m_bits, k)
+    track: list = []
+    cand = bloom_filter_rows(tr, "sh", bits, m_bits, k, track=track)
     out = (
         cand.join(ev, "sh")  # exact verify: false positives die here
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    # the verify join holds the only reference to ev; leaving it
-    # persisted is deliberate (the returned plan re-reads it) — the
-    # caller's action materializes once, Spark evicts LRU afterwards
+    if cleanup is not None:
+
+        def release() -> None:
+            ev.unpersist()
+            for b in track:
+                b.destroy()
+
+        cleanup.append(release)
+    # without a cleanup hook, ev stays persisted and the bit-array
+    # broadcast alive for the plan's lifetime (the returned plan
+    # re-reads both); Spark evicts LRU — fine for one-shot use, pass
+    # ``cleanup`` when invoking repeatedly in one session
     return out
 
 

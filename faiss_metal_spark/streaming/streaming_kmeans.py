@@ -88,24 +88,58 @@ class StreamingKMeansState:
 def _load_snapshot(spark, out_path: str, upto: int | None = None):
     """Latest committed (batch_id, centers, masses) from
     ``<out>/centers`` — optionally only snapshots with batch_id ≤
-    ``upto``. Returns None when no eligible snapshot exists."""
+    ``upto``. Returns None when no eligible snapshot exists.
+
+    Only the LATEST eligible snapshot is ever read: ``batch_id`` is a
+    partition column, so the max() is answered from partition metadata
+    and the collect is partition-pruned to one k-row directory — the
+    driver cost is k·(d+1) doubles regardless of how many micro-batches
+    the stream has committed (a long-lived stream accumulates one
+    snapshot partition per batch; see :func:`_prune_snapshots`)."""
     try:
         snap = spark.read.parquet(f"{out_path}/centers")
     except Exception:  # noqa: BLE001 — no snapshots yet
         return None
     if upto is not None:
         snap = snap.where(F.col("batch_id") <= int(upto))
-    rows = snap.collect()
-    if not rows:
+    head = snap.agg(F.max("batch_id").alias("b")).collect()
+    if not head or head[0]["b"] is None:
         return None
-    last = max(int(r["batch_id"]) for r in rows)
+    last = int(head[0]["b"])
     sel = sorted(
-        (r for r in rows if int(r["batch_id"]) == last),
+        snap.where(F.col("batch_id") == last).collect(),
         key=lambda r: int(r["cell"]),
     )
     C = np.stack([np.asarray(r["cv"], np.float64) for r in sel])
     n = np.asarray([float(r["n"]) for r in sel])
     return last, C, n
+
+
+def _prune_snapshots(spark, out_path: str, keep_from: int) -> None:
+    """Drop center-snapshot partitions with batch_id < ``keep_from``.
+
+    Recovery needs only the latest snapshot and its predecessor (the
+    rewind target for an at-least-once replay of the latest batch), so
+    the runner compacts everything older after each commit — bounding
+    ``<out>/centers`` at two k-row partitions for the stream's whole
+    lifetime instead of one per micro-batch. Uses the JVM Hadoop
+    FileSystem so it works on any supported scheme (local, HDFS, s3a)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(f"{out_path}/centers")
+    fs = root.getFileSystem(conf)
+    if not fs.exists(root):
+        return
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith("batch_id="):
+            continue
+        try:
+            bid = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if bid < keep_from:
+            fs.delete(st.getPath(), True)
 
 
 def _batch_cell_stats(assigned: DataFrame, k: int, d: int):
@@ -137,6 +171,7 @@ def run_streaming_kmeans(
     checkpoint: str,
     decay: float = 1.0,
     available_now: bool = True,
+    compact_snapshots: bool = True,
 ) -> StreamingKMeansState:
     """Run the streaming clusterer over ``vector_stream`` ((id, vec)
     rows — see ``index_ingest.read_vector_stream``); returns the
@@ -199,6 +234,10 @@ def run_streaming_kmeans(
         ).coalesce(1).write.mode("overwrite").option(
             "partitionOverwriteMode", "dynamic"
         ).partitionBy("batch_id").parquet(f"{out_path}/centers")
+        if compact_snapshots:
+            # recovery needs only this snapshot and its predecessor
+            # (the rewind target if THIS batch replays) — drop the rest
+            _prune_snapshots(spark, out_path, keep_from=bid - 1)
 
     writer = vector_stream.writeStream.foreachBatch(_one_batch).option(
         "checkpointLocation", checkpoint

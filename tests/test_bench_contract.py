@@ -106,7 +106,7 @@ def test_receipt_file_carries_full_grid(tmp_path):
         "cpus": 32,
         "wall_sec": 99.5,
         "headline_runs_sec": {
-            k: {"times": [v, v * 1.05, v * 1.02], "load1m": 0.4}
+            k: {"times": [v, v * 1.05, v * 1.02], "load1m": [0.4, 0.5, 0.4]}
             for k, v in queries.items()
         },
     }
@@ -124,10 +124,12 @@ def test_receipt_file_carries_full_grid(tmp_path):
     assert iso["loadavg_start"] == [1.2, 1.1, 1.0]
     assert iso["cpus"] == 32
     assert set(iso["headline_runs_sec"]) == set(queries)
-    # r10 shape: all three timed runs + a per-key load snapshot, so
-    # noise vs regression is separable per key
+    # r11 shape: all three timed runs + a load sample BEFORE EACH timed
+    # run (r10 sampled once pre-warmup, so a spike arriving during the
+    # timed block could hide), so noise vs regression is separable per
+    # key per run
     assert all(
-        len(v["times"]) == 3 and "load1m" in v
+        len(v["times"]) == 3 and len(v["load1m"]) == 3
         for v in iso["headline_runs_sec"].values()
     )
     assert len(line) < 1900
