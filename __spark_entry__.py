@@ -2638,7 +2638,10 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN, both architectures tagged in one
     result: 'pq' rows are flat ADC over 8-byte codes (64-dim FP32
     256 B → 8 B, 32×), 'pq4' rows the 4-bit code width (faiss PQ8x4 —
-    16 fixed entries per subspace, same ADC arithmetic), 'ivfpq' rows
+    16 fixed entries per subspace, same ADC arithmetic), 'fs' rows the
+    fast-scan layout over the same 4-bit books (faiss PQ8x4fs: two
+    codes per stored byte, fused byte-LUT ADC — layout only, so the
+    oracle lane is pq4's ranking verbatim), 'ivfpq' rows
     add the coarse quantizer (probe 4
     of 16 cells, residual ADC — FAISS IndexIVFPQ), 'refine' rows are
     two-stage retrieval (FAISS IndexRefineFlat: flat-ADC top-40
@@ -2681,6 +2684,15 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumer reads the width from the codebook shape
     books4 = books[:, :16, :].copy()
     flat4 = pq_search(pq_encode(emb, books4), books4, queries, k=10)
+
+    # fs lane: the fast-scan layout (faiss PQ8x4fs, r11) — the SAME
+    # 16-entry books as pq4, codes packed two per byte, fused
+    # byte-LUT ADC. Packing is layout: the lane must reproduce pq4's
+    # answer value-for-value (the oracle lane reuses pq4's CTE)
+    fs = pq_search(
+        pq_encode(emb, books4, pack4=True), books4, queries, k=10,
+        packed4=True,
+    )
 
     assigned = ivf_assign(emb, centroids)
     rcodes = ivfpq_encode(assigned, centroids, rbooks)
@@ -2728,6 +2740,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         out_cols("pq", flat)
         .unionByName(out_cols("pq4", flat4))
+        .unionByName(out_cols("fs", fs))
         .unionByName(out_cols("ivfpq", ivf))
         .unionByName(out_cols("refine", ref))
         .unionByName(out_cols("ivfpqr", pqr))
@@ -3188,6 +3201,13 @@ SELECT 'pq' AS path, CAST(qid AS BIGINT) AS qid, CAST(rank AS INTEGER) AS rank,
 FROM rf WHERE rank < 10
 UNION ALL
 SELECT 'pq4' AS path, CAST(qid AS BIGINT) AS qid, CAST(rank AS INTEGER) AS rank,
+       CAST(label AS BIGINT) AS label, ROUND(dist, 4) + 0.0 AS distance
+FROM rf4 WHERE rank < 10
+UNION ALL
+-- fs lane (faiss PQ8x4fs): the fast-scan layout packs two 4-bit codes
+-- per byte and fuses LUT pairs — pure LAYOUT, so the oracle is pq4's
+-- own ADC ranking verbatim under the 'fs' tag
+SELECT 'fs' AS path, CAST(qid AS BIGINT) AS qid, CAST(rank AS INTEGER) AS rank,
        CAST(label AS BIGINT) AS label, ROUND(dist, 4) + 0.0 AS distance
 FROM rf4 WHERE rank < 10
 UNION ALL

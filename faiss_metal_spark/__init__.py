@@ -18,10 +18,12 @@ from .compact_index import (
     LSHIndex,
     IVFFlatDedupIndex,
     IVFIndex,
+    IVFPQFastScanIndex,
     IVFPQIndex,
     IVFPQRIndex,
     IVFSQIndex,
     OPQIndex,
+    PQFastScanIndex,
     PQIndex,
     RefineIndex,
     RQIndex,
@@ -69,10 +71,12 @@ __all__ = [
     "LSHIndex",
     "IVFFlatDedupIndex",
     "IVFIndex",
+    "IVFPQFastScanIndex",
     "IVFPQIndex",
     "IVFPQRIndex",
     "IVFSQIndex",
     "OPQIndex",
+    "PQFastScanIndex",
     "PQIndex",
     "PreTransformIndex",
     "RefineIndex",

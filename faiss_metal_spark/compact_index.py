@@ -2206,6 +2206,286 @@ class PQIndex:
 
 
 @dataclass
+class PQFastScanIndex:
+    """faiss ``IndexPQFastScan`` (factory ``PQ<m>x4fs``): 4-bit PQ in
+    the fast-scan layout — two sub-codes per stored byte, ADC via
+    fused per-byte 256-entry tables (one gather per byte instead of
+    two nibble gathers). Search results match the plain nbits=4
+    :class:`PQIndex` trained on the same sample — labels exactly,
+    distances up to float summation order (the fused table adds each
+    byte's two subspace terms first; same reals, pair-associated —
+    far tighter than faiss's own fast-scan, which quantizes LUTs to
+    int8). faiss/IndexPQFastScan.h; the engine keeps the pair-per-byte
+    part that halves storage/scan bytes and drops the SIMD-register
+    interleave, meaningless off-SIMD."""
+
+    spark: SparkSession
+    d: int
+    codebooks: np.ndarray  # (m, 16, d/m) — nbits=4 always
+    codes: DataFrame  # (id, code BINARY ⌈m/2⌉ bytes)
+    _n: int = field(default=-1, repr=False)
+
+    @classmethod
+    def from_table(
+        cls, vt, m: int, iters: int = 10, sample_size: int = 16384
+    ) -> "PQFastScanIndex":
+        from .operators.pq import pq_encode, pq_train
+
+        base = _float_view(vt)
+        books = pq_train(
+            base, m, iters=iters, sample_size=sample_size, nbits=4
+        )
+        codes = pq_encode(base, books, pack4=True).persist()
+        n = codes.count()
+        return cls(vt.spark, vt.d, books, codes, n)
+
+    @property
+    def m(self) -> int:
+        return int(self.codebooks.shape[0])
+
+    @property
+    def nbits(self) -> int:
+        return 4
+
+    @property
+    def ntotal(self) -> int:
+        return self._n if self._n >= 0 else self.codes.count()
+
+    def search(self, queries: DataFrame, k: int) -> DataFrame:
+        from .operators.pq import pq_search
+
+        return pq_search(self.codes, self.codebooks, queries, k, packed4=True)
+
+    def search_numpy(self, x: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+        return _host_result(
+            self.search(_query_df(self.spark, x), k),
+            len(np.atleast_2d(x)),
+            k,
+        )
+
+    def range_search(self, *_a, **_k):
+        """faiss ``IndexFastScan`` has no range_search (upstream raises
+        FAISS_THROW "not implemented" — the SIMD scan kernel has no
+        unbounded-result path); same explicit refusal here. Use the
+        plain ``PQ<m>x4`` tier for radius queries."""
+        raise NotImplementedError(
+            "PQFastScanIndex.range_search: faiss IndexFastScan does not "
+            "implement range search; use PQIndex (PQ<m>x4) instead"
+        )
+
+    def reconstruct(self, key: int) -> np.ndarray:
+        """Unpack the byte pair layout, then codeword concatenation
+        (``IndexPQFastScan::reconstruct`` decodes the same way)."""
+        from .operators.pq import pq_decode_np, pq_unpack4_np
+
+        row = self.codes.where(F.col("id") == int(key)).select("code").collect()
+        if not row:
+            raise KeyError(f"id {key} not in index")
+        packed = np.frombuffer(row[0]["code"], np.uint8)[None, :]
+        return pq_decode_np(pq_unpack4_np(packed, self.m), self.codebooks)[0]
+
+    def add_df(
+        self, df: DataFrame, id_col: str = "id", vec_col: str = "vec"
+    ) -> "PQFastScanIndex":
+        """faiss ``add``: encode with the FROZEN codebooks, packed."""
+        from .operators.pq import pq_encode
+
+        new = pq_encode(
+            _ivf_add_rows(df, id_col, vec_col), self.codebooks, pack4=True
+        )
+        _append_frame(self, "codes", new)
+        return self
+
+    def add_numpy(self, x: np.ndarray, ids=None) -> "PQFastScanIndex":
+        return self.add_df(_numpy_add_df(self, "codes", x, ids))
+
+    def remove_ids(self, ids) -> int:
+        return _remove_ids_frame(self, "codes", ids)
+
+    def merge_from(
+        self, other: "PQFastScanIndex", add_id: int = 0,
+        check_duplicates: bool = True,
+    ) -> "PQFastScanIndex":
+        if type(other) is not type(self):
+            raise ValueError(
+                f"merge_from requires the same index type "
+                f"({type(self).__name__} != {type(other).__name__})"
+            )
+        _merge_ivf_frames(
+            self, other, "codes",
+            ((self.d, self.codebooks), (other.d, other.codebooks)),
+            add_id, check_duplicates=check_duplicates,
+        )
+        return self
+
+    def release(self) -> None:
+        self.codes.unpersist()
+
+    # -- standalone codec (faiss IndexFastScan sa_encode/sa_decode) --------
+
+    @property
+    def sa_code_size(self) -> int:
+        return (self.m + 1) // 2  # packed bytes/vector
+
+    def sa_encode(self, x: np.ndarray) -> np.ndarray:
+        from .operators.pq import pq_assign_np, pq_pack4_np
+
+        x = np.asarray(x, dtype=np.float64)
+        if x.ndim != 2 or x.shape[1] != self.d:
+            raise ValueError(f"expected (n, {self.d}) array, got {x.shape}")
+        packed = pq_pack4_np(pq_assign_np(x, self.codebooks))
+        return np.array([row.tobytes() for row in packed], dtype=object)
+
+    def sa_decode(self, codes) -> np.ndarray:
+        from .operators.pq import pq_decode_np, pq_unpack4_np
+
+        rows = [np.frombuffer(c, dtype=np.uint8) for c in codes]
+        if not rows:
+            return np.zeros((0, self.d), dtype=np.float32)
+        return pq_decode_np(
+            pq_unpack4_np(np.stack(rows), self.m), self.codebooks
+        ).astype(np.float32)
+
+
+@dataclass
+class IVFPQFastScanIndex:
+    """faiss ``IndexIVFPQFastScan`` (factory ``IVF<n>,PQ<m>x4fs``):
+    the inverted-file composition of :class:`PQFastScanIndex` —
+    residual 4-bit codes packed two per byte in cell-partitioned
+    lists, per-cell fused-LUT ADC. Full probe ≡ the unpacked nbits=4
+    :class:`IVFPQIndex` (same trained state): labels exactly,
+    distances to pair-association ulp. No polysemous gate (faiss
+    fast-scan parity)."""
+
+    spark: SparkSession
+    d: int
+    centroids: np.ndarray
+    codebooks: np.ndarray  # (m, 16, d/m)
+    codes: DataFrame  # (id, cell, code BINARY packed)
+    _n: int = field(default=-1, repr=False)
+
+    @classmethod
+    def from_table(
+        cls, vt, n_cells: int, m: int, sample_size: int = 16384,
+        iters: int = 10,
+    ) -> "IVFPQFastScanIndex":
+        from .operators.pq import ivfpq_build
+
+        base = _float_view(vt)
+        centroids, books, codes = ivfpq_build(
+            base, n_cells, m, sample_size=sample_size, iters=iters,
+            nbits=4, pack4=True,
+        )
+        codes = codes.persist()
+        n = codes.count()
+        return cls(vt.spark, vt.d, centroids, books, codes, n)
+
+    @property
+    def m(self) -> int:
+        return int(self.codebooks.shape[0])
+
+    @property
+    def nbits(self) -> int:
+        return 4
+
+    @property
+    def nlist(self) -> int:
+        return len(self.centroids)
+
+    @property
+    def ntotal(self) -> int:
+        return self._n if self._n >= 0 else self.codes.count()
+
+    def search(
+        self, queries: DataFrame, k: int, nprobe: int = 8, sel=None,
+        max_codes: int | None = None,
+    ) -> DataFrame:
+        """``sel``/``max_codes`` ≙ faiss ``SearchParametersIVF`` (the
+        fast-scan tier inherits the whole IVF parameter surface)."""
+        from .operators.pq import ivfpq_search
+
+        return ivfpq_search(
+            _sel_rows(self.codes, sel), self.centroids, self.codebooks,
+            queries, k, nprobe, max_codes=max_codes, packed4=True,
+        )
+
+    def search_numpy(
+        self, x: np.ndarray, k: int, nprobe: int = 8, sel=None,
+        max_codes: int | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        return _host_result(
+            self.search(
+                _query_df(self.spark, x), k, nprobe, sel=sel,
+                max_codes=max_codes,
+            ),
+            len(np.atleast_2d(x)),
+            k,
+        )
+
+    def range_search(self, *_a, **_k):
+        """faiss ``IndexIVFFastScan`` has no range_search; explicit
+        refusal (use ``IVF<n>,PQ<m>x4`` for radius queries)."""
+        raise NotImplementedError(
+            "IVFPQFastScanIndex.range_search: faiss IndexIVFFastScan "
+            "does not implement range search; use IVFPQIndex instead"
+        )
+
+    def reconstruct(self, key: int) -> np.ndarray:
+        """centroid(cell) + decoded residual (unpacked first)."""
+        from .operators.pq import pq_decode_np, pq_unpack4_np
+
+        row = (
+            self.codes.where(F.col("id") == int(key))
+            .select("cell", "code").collect()
+        )
+        if not row:
+            raise KeyError(f"id {key} not in index")
+        packed = np.frombuffer(row[0]["code"], np.uint8)[None, :]
+        resid = pq_decode_np(pq_unpack4_np(packed, self.m), self.codebooks)[0]
+        return self.centroids[int(row[0]["cell"])] + resid
+
+    def add_df(
+        self, df: DataFrame, id_col: str = "id", vec_col: str = "vec"
+    ) -> "IVFPQFastScanIndex":
+        """faiss ``add_with_ids``: assign against the frozen coarse
+        quantizer, encode the residual packed, append."""
+        from .operators.pq import ivfpq_encode
+        from .operators.similarity import ivf_assign
+
+        new = ivfpq_encode(
+            ivf_assign(_ivf_add_rows(df, id_col, vec_col), self.centroids),
+            self.centroids, self.codebooks, pack4=True,
+        )
+        _append_frame(self, "codes", new)
+        return self
+
+    def add_numpy(self, x: np.ndarray, ids=None) -> "IVFPQFastScanIndex":
+        return self.add_df(_numpy_add_df(self, "codes", x, ids))
+
+    def remove_ids(self, ids) -> int:
+        return _remove_ids_frame(self, "codes", ids)
+
+    def merge_from(
+        self, other: "IVFPQFastScanIndex", add_id: int = 0,
+        check_duplicates: bool = True,
+    ) -> "IVFPQFastScanIndex":
+        """faiss ``merge_from`` — identical coarse quantizer AND
+        residual codebooks required (codes must decode the same)."""
+        _merge_ivf_frames(
+            self, other, "codes",
+            (
+                (self.d, self.centroids, self.codebooks),
+                (other.d, other.centroids, other.codebooks),
+            ),
+            add_id, check_duplicates=check_duplicates,
+        )
+        return self
+
+    def release(self) -> None:
+        self.codes.unpersist()
+
+
+@dataclass
 class GraphIndex:
     """Graph-ANN tier — the faiss ``IndexHNSWFlat`` workflow
     (``index_factory("HNSW32")``) served by a flat navigable kNN graph:
@@ -3132,6 +3412,10 @@ def index_factory(vt, spec: str, **train_kw):
     - ``"PQ16"`` / ``"PQ16x4"`` → :class:`PQIndex` (m=16; the
       ``x<b>`` suffix is the faiss nbits code width, 1..8 — 2^b
       codewords per subspace)
+    - ``"PQ16x4fs"`` / ``"IVF256,PQ16x4fs"`` (optionally ``_<bbs>``)
+      → :class:`PQFastScanIndex` / :class:`IVFPQFastScanIndex` —
+      faiss's 4-bit fast-scan layout: two codes per stored byte,
+      fused-byte-LUT ADC; distances ≡ the unpacked x4 tiers exactly
     - ``"RQ4x8"``           → :class:`RQIndex` (faiss
       IndexResidualQuantizer: 4 sequential full-width 8-bit stages)
     - ``"IVF256"`` / ``"IVF256,Flat"`` → :class:`IVFIndex` (nlist=256)
@@ -3348,6 +3632,13 @@ def index_factory(vt, spec: str, **train_kw):
     m = re.fullmatch(r"IMI2x(\d+)(?:,Flat)?", s)
     if m:
         return IMIIndex.from_table(vt, b=int(m.group(1)), **train_kw)
+    m = re.fullmatch(r"PQ(\d+)x4fs(?:_\d+)?", s)
+    if m:
+        # faiss "PQ<m>x4fs[_<bbs>]": the 4-bit fast-scan tier; the
+        # optional _<bbs> block size tunes the SIMD register batch —
+        # a register-layout knob with no analog here, accepted and
+        # ignored like faiss ignores it on non-SIMD builds
+        return PQFastScanIndex.from_table(vt, m=int(m.group(1)), **train_kw)
     m = re.fullmatch(r"PQ(\d+)(?:x(\d+))?", s)
     if m:
         kw = dict(train_kw)
@@ -3360,6 +3651,11 @@ def index_factory(vt, spec: str, **train_kw):
     m = re.fullmatch(r"IVF(\d+),FlatDedup", s)
     if m:
         return IVFFlatDedupIndex.from_table(vt, n_cells=int(m.group(1)), **train_kw)
+    m = re.fullmatch(r"IVF(\d+),PQ(\d+)x4fs(?:_\d+)?", s)
+    if m:
+        return IVFPQFastScanIndex.from_table(
+            vt, n_cells=int(m.group(1)), m=int(m.group(2)), **train_kw
+        )
     m = re.fullmatch(r"IVF(\d+),PQ(\d+)(?:x(\d+))?", s)
     if m:
         kw = dict(train_kw)

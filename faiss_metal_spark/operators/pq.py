@@ -152,10 +152,14 @@ def pq_encode(
     codebooks: np.ndarray,
     id_col: str = "id",
     vec_col: str = "vec",
+    pack4: bool = False,
 ) -> DataFrame:
     """Encode to ``(id, code BINARY)`` — one scan, no shuffle, m bytes
-    per vector through every downstream stage."""
+    per vector through every downstream stage (⌈m/2⌉ bytes with
+    ``pack4`` — the fast-scan layout, requires nbits=4 codebooks)."""
     m, ksub, dsub = codebooks.shape
+    if pack4 and ksub != 16:
+        raise ValueError(f"pack4 requires nbits=4 codebooks, got ksub={ksub}")
     spark = vectors.sparkSession
     bc = spark.sparkContext.broadcast(codebooks)
 
@@ -168,6 +172,8 @@ def pq_encode(
                 continue
             V = _arrow_matrix(batch.column(vec_col), "array", np.float64)
             codes = pq_assign_np(V, books)
+            if pack4:
+                codes = pq_pack4_np(codes)
             yield pa.record_batch(
                 [pa.array(_arrow_i64(batch.column(id_col))), _binary_array(codes)],
                 names=["id", "code"],
@@ -393,6 +399,7 @@ def pq_search(
     metric: str = "l2",
     qid_col: str = "qid",
     qvec_col: str = "vec",
+    packed4: bool = False,
 ) -> DataFrame:
     """ADC top-k over the code table (≙ IndexPQ::search).
 
@@ -403,6 +410,12 @@ def pq_search(
     L2 sums per-subspace squared distances exactly; IP sums per-subspace
     dot products exactly (both decompose over the subspace partition).
     Result contract matches ``knn_search`` (rank order, sentinel pad).
+
+    ``packed4``: the fast-scan layout (≙ IndexPQFastScan::search) —
+    codes carry two 4-bit sub-codes per byte and the per-subspace
+    16-entry tables fuse into per-byte-position 256-entry tables, so
+    the scan does ⌈m/2⌉ gathers per stored byte string. Identical
+    distances to the unpacked nbits=4 path by construction.
     """
     if metric not in ("l2", "ip"):
         raise ValueError(f"pq_search supports l2/ip, got {metric!r}")
@@ -421,16 +434,20 @@ def pq_search(
     Q = np.stack(qpdf["qvec"].to_numpy()).astype(np.float64)
     if Q.shape[1] != m * dsub:
         raise ValueError(f"query dim {Q.shape[1]} != m·dsub {m * dsub}")
-    # The broadcast here is the ADC LUT (nq·m·256 doubles) — 256× larger
-    # per query than the raw query matrix the gemm path broadcasts, so
-    # it gets the same ceiling discipline as _collect_queries.
-    if nq * m * ksub > _MAX_BROADCAST_ELEMS:
+    # The broadcast here is the ADC LUT (nq·m·256 doubles; fused
+    # nq·⌈m/2⌉·256 for packed4) — 256× larger per query than the raw
+    # query matrix the gemm path broadcasts, so it gets the same
+    # ceiling discipline as _collect_queries.
+    lut_elems = nq * (((m + 1) // 2) * 256 if packed4 else m * ksub)
+    if lut_elems > _MAX_BROADCAST_ELEMS:
         raise ValueError(
-            f"ADC LUT too large to broadcast ({nq * m * ksub} elems > "
+            f"ADC LUT too large to broadcast ({lut_elems} elems > "
             f"{_MAX_BROADCAST_ELEMS}); use smaller query batches"
         )
 
     lut = _adc_lut(Q, codebooks, metric)
+    if packed4:
+        lut = _fuse_lut4(lut)  # (nq, ⌈m/2⌉, 256) fused byte tables
     bc = spark.sparkContext.broadcast((qids, lut))
     want_min = metric == "l2"
     sign = 1.0 if want_min else -1.0
@@ -440,6 +457,7 @@ def pq_search(
 
         qids_, lut_ = bc.value
         nq_ = len(qids_)
+        n_gather = lut_.shape[1]
         best_d = np.full((nq_, 0), 0.0)
         best_l = np.full((nq_, 0), -1, dtype=np.int64)
         for batch in batches:
@@ -448,7 +466,7 @@ def pq_search(
             C = _arrow_codes(batch.column("code"))
             labels = _arrow_i64(batch.column("id"))
             D = np.zeros((nq_, len(C)), dtype=np.float64)
-            for j in range(m):
+            for j in range(n_gather):
                 # gather: (nq, 256)[:, codes_j] → (nq, batch)
                 D += lut_[:, j, :][:, C[:, j]]
             cat_d = np.concatenate([best_d, sign * D], axis=1)
@@ -496,6 +514,7 @@ def ivfpq_build(
     sample_size: int = 16384,
     iters: int = 10,
     nbits: int = 8,
+    pack4: bool = False,
 ):
     """Train coarse + residual quantizers and encode the corpus.
 
@@ -521,7 +540,9 @@ def ivfpq_build(
     R = V - centroids[sample["cell"].to_numpy(np.int64)]
     books = train_books_np(R, m, iters, ksub=_check_nbits(nbits))
 
-    codes_df = ivfpq_encode(assigned, centroids, books, id_col=id_col, vec_col=vec_col)
+    codes_df = ivfpq_encode(
+        assigned, centroids, books, id_col=id_col, vec_col=vec_col, pack4=pack4
+    )
     return centroids, books, codes_df
 
 
@@ -540,15 +561,19 @@ def ivfpq_encode(
     codebooks: np.ndarray,
     id_col: str = "id",
     vec_col: str = "vec",
+    pack4: bool = False,
 ) -> DataFrame:
     """PQ-encode residuals ``v − centroid(cell)`` of a cell-assigned
     table → ``(id, cell, code BINARY)``. One scan, no shuffle; usable
     with trained OR externally fixed quantizers (the oracle-check path
     searches against fixed literal codebooks, the discipline of
-    /root/reference/tests/test_metal_flat.mm:72-122)."""
+    /root/reference/tests/test_metal_flat.mm:72-122). ``pack4`` stores
+    the fast-scan two-codes-per-byte layout (nbits=4 only)."""
     spark = assigned.sparkSession
     bc = spark.sparkContext.broadcast((centroids, codebooks))
     mm, ksub, dsub = codebooks.shape
+    if pack4 and ksub != 16:
+        raise ValueError(f"pack4 requires nbits=4 codebooks, got ksub={ksub}")
 
     def enc(batches):
         import pyarrow as pa
@@ -560,6 +585,8 @@ def ivfpq_encode(
             V_ = _arrow_matrix(batch.column(vec_col), "array", np.float64)
             cells = batch.column("cell").to_numpy(zero_copy_only=True)
             codes = pq_assign_np(V_ - C_[cells], books_)
+            if pack4:
+                codes = pq_pack4_np(codes)
             yield pa.record_batch(
                 [
                     pa.array(_arrow_i64(batch.column(id_col))),
@@ -591,8 +618,15 @@ def ivfpq_search(
     ht: int | None = None,
     probe_cells=None,
     max_codes: int | None = None,
+    packed4: bool = False,
 ) -> DataFrame:
     """Probe nprobe cells, residual-ADC within each (L2).
+
+    ``packed4``: codes carry the fast-scan two-4-bit-codes-per-byte
+    layout (≙ IndexIVFPQFastScan::search) — each cell's residual LUT
+    fuses into per-byte 256-entry tables and the in-cell scan gathers
+    once per stored byte. Distances identical to unpacked nbits=4.
+    Incompatible with ``ht`` (faiss fast-scan has no polysemous gate).
 
     ``max_codes``: faiss ``SearchParametersIVF::max_codes`` on the PQ
     inverted file — same pre-list check as ``ivf_search`` (probe cells
@@ -625,6 +659,16 @@ def ivfpq_search(
     from .knn import RESULT_SCHEMA, _finalize
 
     m, ksub, dsub = codebooks.shape
+    if packed4:
+        if ksub != 16:
+            raise ValueError(
+                f"packed4 requires nbits=4 codebooks, got ksub={ksub}"
+            )
+        if ht is not None:
+            raise ValueError(
+                "packed4 (fast-scan) has no polysemous gate (faiss "
+                "IndexIVFPQFastScan parity); use the unpacked IVFPQ tier"
+            )
     qpdf = queries.select(
         F.col(qid_col).cast("long").alias("qid"), F.col(qvec_col).alias("qvec")
     ).toPandas()
@@ -693,12 +737,14 @@ def ivfpq_search(
             Rj = R[:, j * dsub : (j + 1) * dsub]
             diff = Rj[:, None, :] - books_[j][None, :, :]
             lut[:, j, :] = np.einsum("ijk,ijk->ij", diff, diff)
+        if packed4:
+            lut = _fuse_lut4(lut)  # (nq_c, ⌈m/2⌉, 256) fused tables
         Ccodes = np.frombuffer(
             b"".join(pdf["code"].tolist()), dtype=np.uint8
-        ).reshape(len(pdf), m)
+        ).reshape(len(pdf), -1)
         labels = pdf["id"].to_numpy(np.int64)
         D = np.zeros((nq_c, len(Ccodes)), dtype=np.float64)
-        for j in range(m):
+        for j in range(lut.shape[1]):
             D += lut[:, j, :][:, Ccodes[:, j]]
         np.maximum(D, 0.0, out=D)
         if htv is not None:

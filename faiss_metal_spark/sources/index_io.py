@@ -189,11 +189,13 @@ def _is_engine_index(index) -> bool:
         IMIIndex,
         IVFFlatDedupIndex,
         IVFIndex,
+        IVFPQFastScanIndex,
         IVFPQIndex,
         IVFPQRIndex,
         IVFSQIndex,
         LSHIndex,
         OPQIndex,
+        PQFastScanIndex,
         PQIndex,
         RefineIndex,
         RQIndex,
@@ -216,10 +218,12 @@ def _is_engine_index(index) -> bool:
             IMIIndex,
             IVFFlatDedupIndex,
             IVFIndex,
+            IVFPQFastScanIndex,
             IVFPQIndex,
             IVFPQRIndex,
             IVFSQIndex,
             LSHIndex,
+            PQFastScanIndex,
             PQIndex,
             OPQIndex,
             RefineIndex,
@@ -238,11 +242,13 @@ def _write_payload(index, path: str) -> None:
         IMIIndex,
         IVFFlatDedupIndex,
         IVFIndex,
+        IVFPQFastScanIndex,
         IVFPQIndex,
         IVFPQRIndex,
         IVFSQIndex,
         LSHIndex,
         OPQIndex,
+        PQFastScanIndex,
         PQIndex,
         RefineIndex,
         RQIndex,
@@ -335,6 +341,23 @@ def _write_payload(index, path: str) -> None:
                 "shapes": shapes,
             },
         )
+    elif isinstance(index, IVFPQFastScanIndex):
+        _write_frame(index.codes, f"{path}/codes", partition_by="cell")
+        shapes = _write_arrays(
+            index.spark,
+            path,
+            {"centroids": index.centroids, "codebooks": index.codebooks},
+        )
+        _write_meta(
+            index.spark,
+            path,
+            {
+                "kind": "ivfpq_fs",
+                "d": index.d,
+                "ntotal": index.ntotal,
+                "shapes": shapes,
+            },
+        )
     elif isinstance(index, IVFPQIndex):
         _write_frame(index.codes, f"{path}/codes", partition_by="cell")
         shapes = _write_arrays(
@@ -411,6 +434,14 @@ def _write_payload(index, path: str) -> None:
                 "bits": index.bits,
                 "shapes": shapes,
             },
+        )
+    elif isinstance(index, PQFastScanIndex):
+        _write_frame(index.codes, f"{path}/codes")
+        shapes = _write_arrays(index.spark, path, {"codebooks": index.codebooks})
+        _write_meta(
+            index.spark,
+            path,
+            {"kind": "pq_fs", "d": index.d, "ntotal": index.ntotal, "shapes": shapes},
         )
     elif isinstance(index, PQIndex):
         _write_frame(index.codes, f"{path}/codes")
@@ -634,11 +665,13 @@ def _read_payload(spark: SparkSession, path: str):
         IMIIndex,
         IVFFlatDedupIndex,
         IVFIndex,
+        IVFPQFastScanIndex,
         IVFPQIndex,
         IVFPQRIndex,
         IVFSQIndex,
         LSHIndex,
         OPQIndex,
+        PQFastScanIndex,
         PQIndex,
         RefineIndex,
         RQIndex,
@@ -752,6 +785,15 @@ def _read_payload(spark: SparkSession, path: str):
             meta["ntotal"],
             meta["bits"],
         )
+    if kind == "ivfpq_fs":
+        return IVFPQFastScanIndex(
+            spark,
+            meta["d"],
+            arrays["centroids"],
+            arrays["codebooks"],
+            spark.read.parquet(f"{path}/codes"),
+            meta["ntotal"],
+        )
     if kind == "ivfpq":
         return IVFPQIndex(
             spark,
@@ -768,6 +810,14 @@ def _read_payload(spark: SparkSession, path: str):
             arrays["centroids"],
             arrays["codebooks"],
             arrays["refine_books"],
+            spark.read.parquet(f"{path}/codes"),
+            meta["ntotal"],
+        )
+    if kind == "pq_fs":
+        return PQFastScanIndex(
+            spark,
+            meta["d"],
+            arrays["codebooks"],
             spark.read.parquet(f"{path}/codes"),
             meta["ntotal"],
         )
