@@ -14,6 +14,8 @@ from .compact_index import (
     BinaryHashIndex,
     BinaryIVFIndex,
     GraphIndex,
+    GraphPQIndex,
+    GraphSQIndex,
     IMIIndex,
     LSHIndex,
     IVFFlatDedupIndex,
@@ -67,6 +69,8 @@ __all__ = [
     "BinaryHashIndex",
     "BinaryIVFIndex",
     "GraphIndex",
+    "GraphPQIndex",
+    "GraphSQIndex",
     "IMIIndex",
     "LSHIndex",
     "IVFFlatDedupIndex",

@@ -2672,6 +2672,305 @@ class GraphIndex:
 
 
 @dataclass
+class GraphSQIndex:
+    """faiss ``IndexHNSWSQ`` (factory ``"HNSW<M>,SQ8/6/4"``): the NSW
+    graph over SCALAR-QUANTIZED storage — the memory-constrained HNSW
+    composition (faiss/IndexHNSW.h ``IndexHNSWSQ``: an IndexHNSW whose
+    storage is an IndexScalarQuantizer; every distance the graph walk
+    computes goes through the storage's DistanceComputer, i.e. decoded
+    codes). Here: the resident artifact is the b-bit code table
+    (``bits`` ∈ {8, 6, 4} ≙ faiss QT_8bit/6bit/4bit), the build runs
+    NN-Descent over the DECODED codes (the storage distances faiss
+    builds with), and serving decodes FETCHED CANDIDATES only
+    (``graph_search(decode=)`` — per-round cost bounded by nq·beam·k,
+    never the corpus). Search ≡ :class:`GraphIndex` built over the
+    same table's SQ reconstruction, value for value. Read-only derived
+    tier like the other graph builds: rebuild after source mutation
+    (``add_df`` refuses with guidance — the flat :class:`GraphIndex`
+    owns incremental insertion)."""
+
+    spark: SparkSession
+    d: int
+    vmin: np.ndarray
+    vmax: np.ndarray
+    codes: DataFrame  # (id, code ARRAY<INT>) — the resident artifact
+    graph: DataFrame  # (id, nbr) edges
+    M: int = 16
+    ef_search: int = 64
+    _n: int = field(default=-1, repr=False)
+    bits: int = 8
+
+    @classmethod
+    def from_table(
+        cls,
+        vt,
+        M: int = 16,
+        bits: int = 8,
+        iters: int = 4,
+        seed: int = 42,
+        ef_search: int = 64,
+        diversify: bool = False,
+        repair: bool = False,
+    ) -> "GraphSQIndex":
+        from .operators.knn_graph import connect_graph, mrng_diversify, nn_descent
+        from .operators.sq import sq_encode, sq_reconstruct_col, sq_train
+
+        base = _float_view(vt)
+        vmin, vmax = sq_train(base)
+        codes = sq_encode(base, vmin, vmax, bits).persist()
+        n = codes.count()
+        # build over DECODED storage (faiss constructs HNSWSQ edges
+        # with the storage DistanceComputer); the decoded view is a
+        # BUILD-TIME transient — released before serving
+        dec = codes.select(
+            "id", sq_reconstruct_col("code", vmin, vmax, bits).alias("vec")
+        ).persist()
+        if diversify:
+            cand = nn_descent(dec, k=2 * M, iters=iters, seed=seed)
+            graph = mrng_diversify(cand, dec, M)
+        else:
+            graph = nn_descent(dec, k=M, iters=iters, seed=seed)
+        if repair and n > 1:
+            graph = connect_graph(graph, dec)
+        graph = graph.persist()
+        graph.count()
+        dec.unpersist()
+        return cls(
+            vt.spark, vt.d, vmin, vmax, codes, graph, M, ef_search, n, bits
+        )
+
+    @property
+    def ntotal(self) -> int:
+        return self._n if self._n >= 0 else self.codes.count()
+
+    def _decode(self):
+        from .operators.sq import sq_decode_np
+
+        vmin, vmax, bits = self.vmin, self.vmax, self.bits
+
+        def dec(pdf: pd.DataFrame) -> np.ndarray:
+            codes = np.stack(pdf["code"].to_numpy()).astype(np.uint8)
+            return sq_decode_np(codes, vmin, vmax, bits)
+
+        return dec
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int,
+        ef: int | None = None,
+        iters: int = 3,
+        entry: str = "landmarks",
+    ) -> DataFrame:
+        from .operators.knn_graph import graph_search
+
+        return graph_search(
+            self.codes,
+            self.graph,
+            queries,
+            k,
+            beam=max(ef if ef is not None else self.ef_search, k),
+            iters=iters,
+            entry=entry,
+            vec_col="code",
+            decode=self._decode(),
+        )
+
+    def search_numpy(
+        self,
+        x: np.ndarray,
+        k: int,
+        ef: int | None = None,
+        iters: int = 3,
+        entry: str = "landmarks",
+    ) -> tuple[np.ndarray, np.ndarray]:
+        return _host_result(
+            self.search(_query_df(self.spark, x), k, ef, iters=iters, entry=entry),
+            len(np.atleast_2d(x)),
+            k,
+        )
+
+    def range_search(self, *_a, **_k):
+        """faiss ``IndexHNSW`` (any storage) has no range_search."""
+        raise NotImplementedError(
+            "GraphSQIndex.range_search: faiss IndexHNSW does not support "
+            "range search; use SQ8Index.range_search for radius queries"
+        )
+
+    def reconstruct(self, key: int) -> np.ndarray:
+        from .operators.sq import sq_reconstruct_col
+
+        row = (
+            self.codes.where(F.col("id") == int(key))
+            .select(
+                sq_reconstruct_col("code", self.vmin, self.vmax, self.bits).alias("r")
+            )
+            .collect()
+        )
+        if not row:
+            raise KeyError(f"id {key} not in index")
+        return np.asarray(row[0]["r"], np.float64)
+
+    def add_df(self, *_a, **_k):
+        raise NotImplementedError(
+            "GraphSQIndex is a read-only derived tier — rebuild via "
+            "from_table after mutating the source (incremental NSW "
+            "insertion lives on the flat GraphIndex)"
+        )
+
+    add_numpy = add_df
+
+    def release(self) -> None:
+        self.codes.unpersist()
+        self.graph.unpersist()
+
+
+@dataclass
+class GraphPQIndex:
+    """faiss ``IndexHNSWPQ`` (factory ``"HNSW<M>,PQ<m>"``): the NSW
+    graph over PRODUCT-QUANTIZED storage — m bytes/vector resident
+    (the deepest-compression HNSW composition faiss offers). Same
+    architecture as :class:`GraphSQIndex`: build over decoded codes
+    (the storage DistanceComputer), serve by decoding fetched
+    candidates only; search ≡ :class:`GraphIndex` over the table's PQ
+    reconstruction, value for value. Read-only derived tier."""
+
+    spark: SparkSession
+    d: int
+    codebooks: np.ndarray  # (m, 2^nbits, d/m)
+    codes: DataFrame  # (id, code BINARY m bytes)
+    graph: DataFrame
+    M: int = 16
+    ef_search: int = 64
+    _n: int = field(default=-1, repr=False)
+
+    @classmethod
+    def from_table(
+        cls,
+        vt,
+        M: int = 16,
+        m: int = 8,
+        nbits: int = 8,
+        iters: int = 4,
+        seed: int = 42,
+        ef_search: int = 64,
+        sample_size: int = 16384,
+        diversify: bool = False,
+        repair: bool = False,
+    ) -> "GraphPQIndex":
+        from .operators.knn_graph import connect_graph, mrng_diversify, nn_descent
+        from .operators.pq import pq_encode, pq_reconstruct, pq_train
+
+        base = _float_view(vt)
+        books = pq_train(base, m, sample_size=sample_size, nbits=nbits)
+        codes = pq_encode(base, books).persist()
+        n = codes.count()
+        dec = pq_reconstruct(codes, books).persist()
+        if diversify:
+            cand = nn_descent(dec, k=2 * M, iters=iters, seed=seed)
+            graph = mrng_diversify(cand, dec, M)
+        else:
+            graph = nn_descent(dec, k=M, iters=iters, seed=seed)
+        if repair and n > 1:
+            graph = connect_graph(graph, dec)
+        graph = graph.persist()
+        graph.count()
+        dec.unpersist()
+        return cls(vt.spark, vt.d, books, codes, graph, M, ef_search, n)
+
+    @property
+    def m(self) -> int:
+        return int(self.codebooks.shape[0])
+
+    @property
+    def nbits(self) -> int:
+        return int(self.codebooks.shape[1]).bit_length() - 1
+
+    @property
+    def ntotal(self) -> int:
+        return self._n if self._n >= 0 else self.codes.count()
+
+    def _decode(self):
+        from .operators.pq import pq_decode_np
+
+        books = self.codebooks
+        m = books.shape[0]
+
+        def dec(pdf: pd.DataFrame) -> np.ndarray:
+            C = np.frombuffer(
+                b"".join(pdf["code"].tolist()), dtype=np.uint8
+            ).reshape(len(pdf), m)
+            return pq_decode_np(C, books)
+
+        return dec
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int,
+        ef: int | None = None,
+        iters: int = 3,
+        entry: str = "landmarks",
+    ) -> DataFrame:
+        from .operators.knn_graph import graph_search
+
+        return graph_search(
+            self.codes,
+            self.graph,
+            queries,
+            k,
+            beam=max(ef if ef is not None else self.ef_search, k),
+            iters=iters,
+            entry=entry,
+            vec_col="code",
+            decode=self._decode(),
+        )
+
+    def search_numpy(
+        self,
+        x: np.ndarray,
+        k: int,
+        ef: int | None = None,
+        iters: int = 3,
+        entry: str = "landmarks",
+    ) -> tuple[np.ndarray, np.ndarray]:
+        return _host_result(
+            self.search(_query_df(self.spark, x), k, ef, iters=iters, entry=entry),
+            len(np.atleast_2d(x)),
+            k,
+        )
+
+    def range_search(self, *_a, **_k):
+        """faiss ``IndexHNSW`` (any storage) has no range_search."""
+        raise NotImplementedError(
+            "GraphPQIndex.range_search: faiss IndexHNSW does not support "
+            "range search; use PQIndex.range_search for radius queries"
+        )
+
+    def reconstruct(self, key: int) -> np.ndarray:
+        from .operators.pq import pq_decode_np
+
+        row = self.codes.where(F.col("id") == int(key)).select("code").collect()
+        if not row:
+            raise KeyError(f"id {key} not in index")
+        code = np.frombuffer(row[0]["code"], np.uint8)[None, :]
+        return pq_decode_np(code, self.codebooks)[0]
+
+    def add_df(self, *_a, **_k):
+        raise NotImplementedError(
+            "GraphPQIndex is a read-only derived tier — rebuild via "
+            "from_table after mutating the source (incremental NSW "
+            "insertion lives on the flat GraphIndex)"
+        )
+
+    add_numpy = add_df
+
+    def release(self) -> None:
+        self.codes.unpersist()
+        self.graph.unpersist()
+
+
+@dataclass
 class LSHIndex:
     """Binary-hash tier — faiss ``IndexLSH`` (``index_factory("LSH")``),
     the ``rotate_data=true, train_thresholds=false`` default: each
@@ -3430,6 +3729,10 @@ def index_factory(vt, spec: str, **train_kw):
     - ``"HNSW32"`` / ``"HNSW32,Flat"`` → :class:`GraphIndex` (M=32;
       flat navigable graph — see the class docstring for the honest
       HNSW-vs-NSW mapping)
+    - ``"HNSW32,SQ8"`` / ``"HNSW32,PQ16[x<b>]"`` →
+      :class:`GraphSQIndex` / :class:`GraphPQIndex` (faiss IndexHNSWSQ
+      / IndexHNSWPQ: the graph over compressed storage — codes
+      resident, candidates decoded on fetch)
     - ``"NSG32"`` → :class:`GraphIndex` with MRNG edge diversification
       (faiss IndexNSG: NN-Descent candidates pruned by the MRNG
       select; the ~√n landmark entry layer plays the navigating node)
@@ -3677,6 +3980,23 @@ def index_factory(vt, spec: str, **train_kw):
     if m:
         return IVFSQIndex.from_table(
             vt, n_cells=int(m.group(1)), bits=int(m.group(2)), **train_kw
+        )
+    m = re.fullmatch(r"HNSW(\d+),SQ([468])", s)
+    if m:
+        # faiss "HNSW32,SQ8": IndexHNSWSQ — the graph over
+        # scalar-quantized storage (memory-constrained HNSW)
+        return GraphSQIndex.from_table(
+            vt, M=int(m.group(1)), bits=int(m.group(2)), **train_kw
+        )
+    m = re.fullmatch(r"HNSW(\d+),PQ(\d+)(?:x(\d+))?", s)
+    if m:
+        # faiss "HNSW32,PQ16[x<b>]": IndexHNSWPQ — the graph over
+        # product-quantized storage (m bytes/vector resident)
+        kw = dict(train_kw)
+        if m.group(3) is not None:
+            kw["nbits"] = int(m.group(3))
+        return GraphPQIndex.from_table(
+            vt, M=int(m.group(1)), m=int(m.group(2)), **kw
         )
     m = re.fullmatch(r"HNSW(\d+)(?:,Flat)?", s)
     if m:

@@ -335,6 +335,7 @@ def graph_search(
     qvec_col: str = "vec",
     entry: str = "landmarks",
     stats: dict | None = None,
+    decode=None,
 ) -> DataFrame:
     """Approximate top-k via beam search over a prebuilt kNN graph —
     the serving half of graph ANN (faiss ``IndexHNSWFlat``'s flat-graph
@@ -378,6 +379,16 @@ def graph_search(
     measurably fewer distance evaluations on clustered data (pass
     ``stats={}`` to get ``n_dist_evals`` back — test-mode only, the
     counts cost extra actions).
+
+    ``decode`` (r11, the graph-over-compressed-storage hook — faiss
+    ``IndexHNSWSQ``/``IndexHNSWPQ``): a callable ``pdf → (n, d)
+    float64`` reading a ``code`` column (the same contract as
+    ``ivf_search(decode=)``). When set, ``vec_col`` holds CODES and
+    every distance is ‖q − decode(code)‖² — faiss's storage
+    DistanceComputer. The persisted per-search cache stays the
+    compact code table, and decoding happens on FETCHED candidates
+    only (≤ nq·beam·k rows per round — query-bounded, never
+    corpus-bounded: the shape that matters at 100 TB).
     """
     if k <= 0:
         raise ValueError("k must be positive")
@@ -409,15 +420,42 @@ def graph_search(
         q.unpersist()
         return out
 
+    def _dist(fetched: DataFrame) -> DataFrame:
+        """(qid, label, _qv, _vv) → (qid, label, distance): Catalyst
+        ``l2sq`` on float storage; with ``decode`` set, one
+        Arrow-vectorized stage decoding only the fetched codes."""
+        if decode is None:
+            return fetched.select(
+                "qid", "label", l2sq(F.col("_qv"), F.col("_vv")).alias("distance")
+            )
+
+        def go(pdfs):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                Vd = decode(pdf.rename(columns={"_vv": "code"}))
+                Qm = np.stack(pdf["_qv"].to_numpy()).astype(np.float64)
+                yield pd.DataFrame(
+                    {
+                        "qid": pdf["qid"],
+                        "label": pdf["label"],
+                        "distance": ((Qm - Vd) ** 2).sum(1),
+                    }
+                )
+
+        return fetched.select("qid", "label", "_qv", "_vv").mapInPandas(
+            go, "qid long, label long, distance double"
+        )
+
     def _score(cand: DataFrame) -> DataFrame:
         """(qid, label) → (qid, label, distance): candidates broadcast
         onto one vector-table scan, then the (small) query side joins
         broadcast — the corpus never shuffles."""
-        fetched = v.join(F.broadcast(cand), "label").join(
-            F.broadcast(q), "qid"
-        )
-        return fetched.select(
-            "qid", "label", l2sq(F.col("_qv"), F.col("_vv")).alias("distance")
+        return _dist(
+            v.join(F.broadcast(cand), "label").join(F.broadcast(q), "qid")
         )
 
     def _topb(scored: DataFrame) -> DataFrame:
@@ -448,9 +486,7 @@ def graph_search(
             v.orderBy(F.xxhash64(F.col("label"), F.lit(seed)), F.col("label"))
             .limit(n_land)
         )
-        land_scored = land.join(F.broadcast(q), how="cross").select(
-            "qid", "label", l2sq(F.col("_qv"), F.col("_vv")).alias("distance")
-        )
+        land_scored = _dist(land.join(F.broadcast(q), how="cross"))
         beam_df = _topb(land_scored).localCheckpoint(eager=True)
         visited = land_scored.select("qid", "label").localCheckpoint(eager=True)
         if stats is not None:

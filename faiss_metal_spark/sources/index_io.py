@@ -186,6 +186,8 @@ def _is_engine_index(index) -> bool:
         BinaryIndex,
         BinaryIVFIndex,
         GraphIndex,
+        GraphPQIndex,
+        GraphSQIndex,
         IMIIndex,
         IVFFlatDedupIndex,
         IVFIndex,
@@ -215,6 +217,8 @@ def _is_engine_index(index) -> bool:
             BinaryIndex,
             BinaryIVFIndex,
             GraphIndex,
+            GraphPQIndex,
+            GraphSQIndex,
             IMIIndex,
             IVFFlatDedupIndex,
             IVFIndex,
@@ -239,6 +243,8 @@ def _write_payload(index, path: str) -> None:
         BinaryIndex,
         BinaryIVFIndex,
         GraphIndex,
+        GraphPQIndex,
+        GraphSQIndex,
         IMIIndex,
         IVFFlatDedupIndex,
         IVFIndex,
@@ -399,6 +405,43 @@ def _write_payload(index, path: str) -> None:
                 "kind": "bivf",
                 "d": index.d,
                 "ntotal": index.ntotal,
+                "shapes": shapes,
+            },
+        )
+    elif isinstance(index, GraphSQIndex):
+        _write_frame(index.codes, f"{path}/codes")
+        _write_frame(index.graph, f"{path}/graph")
+        shapes = _write_arrays(
+            index.spark, path, {"vmin": index.vmin, "vmax": index.vmax}
+        )
+        _write_meta(
+            index.spark,
+            path,
+            {
+                "kind": "graph_sq",
+                "d": index.d,
+                "ntotal": index.ntotal,
+                "M": index.M,
+                "ef_search": index.ef_search,
+                "bits": index.bits,
+                "shapes": shapes,
+            },
+        )
+    elif isinstance(index, GraphPQIndex):
+        _write_frame(index.codes, f"{path}/codes")
+        _write_frame(index.graph, f"{path}/graph")
+        shapes = _write_arrays(
+            index.spark, path, {"codebooks": index.codebooks}
+        )
+        _write_meta(
+            index.spark,
+            path,
+            {
+                "kind": "graph_pq",
+                "d": index.d,
+                "ntotal": index.ntotal,
+                "M": index.M,
+                "ef_search": index.ef_search,
                 "shapes": shapes,
             },
         )
@@ -662,6 +705,8 @@ def _read_payload(spark: SparkSession, path: str):
         BinaryIndex,
         BinaryIVFIndex,
         GraphIndex,
+        GraphPQIndex,
+        GraphSQIndex,
         IMIIndex,
         IVFFlatDedupIndex,
         IVFIndex,
@@ -761,6 +806,30 @@ def _read_payload(spark: SparkSession, path: str):
             meta["d"],
             arrays["centroid_words"].astype(np.int64),
             spark.read.parquet(f"{path}/words"),
+            meta["ntotal"],
+        )
+    if kind == "graph_sq":
+        return GraphSQIndex(
+            spark,
+            meta["d"],
+            arrays["vmin"],
+            arrays["vmax"],
+            spark.read.parquet(f"{path}/codes"),
+            spark.read.parquet(f"{path}/graph"),
+            meta["M"],
+            meta["ef_search"],
+            meta["ntotal"],
+            meta["bits"],
+        )
+    if kind == "graph_pq":
+        return GraphPQIndex(
+            spark,
+            meta["d"],
+            arrays["codebooks"],
+            spark.read.parquet(f"{path}/codes"),
+            spark.read.parquet(f"{path}/graph"),
+            meta["M"],
+            meta["ef_search"],
             meta["ntotal"],
         )
     if kind == "graph":
