@@ -141,3 +141,30 @@ def test_brp_lsh_pairs_fixed_exact_candidate_semantics(spark):
     assert set(got) == want
     for (a, b), dist in got.items():
         assert abs(dist - D[a, b]) < 1e-9
+
+
+def test_brp_lsh_exact_filter_paths_bit_identical(spark):
+    """r11: the broadcast-gated Arrow exact filter folds Σ(aᵢ−bᵢ)² as
+    a sequential column loop — the identical left-fold order and f64
+    ops as the join+HOF plan, so the two paths' pair sets AND distance
+    doubles must be bit-equal (exact_via="join" forces the HOF plan)."""
+    from faiss_metal_spark.operators.mllib_ann import brp_lsh_pairs_fixed
+
+    rng = np.random.default_rng(19)
+    base = rng.uniform(-1, 1, size=(80, 12)).astype(np.float32)
+    V = np.vstack([base, base[:20] + rng.normal(0, 0.01, (20, 12)).astype(np.float32)])
+    df = vectors_df(spark, V)
+    planes = rng.normal(size=(3, 12))
+    fast = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in brp_lsh_pairs_fixed(df, planes, 1.0, 0.5).collect()
+    }
+    slow = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in brp_lsh_pairs_fixed(
+            df, planes, 1.0, 0.5, exact_via="join"
+        ).collect()
+    }
+    assert fast.keys() == slow.keys() and fast
+    for k in fast:
+        assert fast[k] == slow[k], (k, fast[k], slow[k])  # BIT-equal
