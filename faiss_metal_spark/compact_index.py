@@ -2666,6 +2666,31 @@ class GraphIndex:
             raise KeyError(f"id {key} not in index")
         return np.asarray(row[0]["vec"], np.float64)
 
+    def reconstruct_batch(self, ids) -> np.ndarray:
+        """(len(ids), d) FP32 rows in the given id order — faiss
+        ``Index::reconstruct_batch`` on the graph tier (exact: flat
+        storage). One pruned scan for the whole batch instead of
+        len(ids) point lookups; absent ids raise KeyError like
+        :meth:`reconstruct`."""
+        ids = np.asarray(ids, dtype=np.int64)
+        if len(ids) == 0:
+            return np.zeros((0, self.d), dtype=np.float32)
+        rows = (
+            self.vectors.where(F.col("id").isin([int(i) for i in set(ids)]))
+            .select("id", "vec")
+            .collect()
+        )
+        byid = {r["id"]: r["vec"] for r in rows}
+        missing = [int(i) for i in ids if i not in byid]
+        if missing:
+            raise KeyError(f"ids {missing[:5]} not in index")
+        return np.stack([np.asarray(byid[i], np.float32) for i in ids])
+
+    def reconstruct_n(self, start: int, n: int) -> np.ndarray:
+        """faiss ``Index::reconstruct_n`` — n consecutive labels from
+        ``start`` (the graph tier's labels are explicit ids)."""
+        return self.reconstruct_batch(np.arange(start, start + n))
+
     def release(self) -> None:
         self.vectors.unpersist()
         self.graph.unpersist()
@@ -3736,6 +3761,8 @@ def index_factory(vt, spec: str, **train_kw):
     - ``"NSG32"`` → :class:`GraphIndex` with MRNG edge diversification
       (faiss IndexNSG: NN-Descent candidates pruned by the MRNG
       select; the ~√n landmark entry layer plays the navigating node)
+    - ``"NNDescent32"`` → :class:`GraphIndex` plain build (faiss
+      IndexNNDescentFlat: the NN-Descent K-graph served directly)
     - ``"OPQ16"`` / ``"OPQ16,PQ16"`` → :class:`OPQIndex` (the OPQ
       pretransform trains its own PQ; a mismatched pair raises)
     - ``"OPQ16,<inner>"`` for any OTHER inner spec (faiss's common
@@ -4000,6 +4027,13 @@ def index_factory(vt, spec: str, **train_kw):
         )
     m = re.fullmatch(r"HNSW(\d+)(?:,Flat)?", s)
     if m:
+        return GraphIndex.from_table(vt, M=int(m.group(1)), **train_kw)
+    m = re.fullmatch(r"NNDescent(\d+)(?:,Flat)?", s)
+    if m:
+        # faiss IndexNNDescentFlat (factory "NNDescent<K>"): the plain
+        # NN-Descent K-graph served by graph search — exactly
+        # GraphIndex's default (non-diversified, non-repaired) build,
+        # so the facade IS the flat graph tier with degree K
         return GraphIndex.from_table(vt, M=int(m.group(1)), **train_kw)
     m = re.fullmatch(r"NSG(\d+)(?:,Flat)?", s)
     if m:

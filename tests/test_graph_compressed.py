@@ -168,3 +168,33 @@ def test_graph_compressed_factory_io_clone(spark):
     np.testing.assert_array_equal(cl.search_numpy(Q, 4)[1], Ls)
     for i in (sq, sq6, pq, pq4):
         i.release()
+
+
+def test_graph_reconstruct_batch_and_nndescent_facade(spark):
+    """r11: reconstruct_batch/reconstruct_n on the graph tier (exact —
+    flat storage, id-order preserved, absent ids KeyError) and the
+    faiss IndexNNDescentFlat facade ("NNDescent<K>" = the plain
+    non-diversified GraphIndex build, value-identical)."""
+    V, Q = make_fixture(150, 2, 8, seed=101)
+    vt = _vt(spark, V)
+    g = index_factory(vt, "NNDescent6", seed=7)
+    assert isinstance(g, GraphIndex) and g.M == 6
+
+    plain = GraphIndex.from_table(vt, M=6, seed=7)
+    D0, L0 = plain.search_numpy(Q, 3)
+    D1, L1 = g.search_numpy(Q, 3)
+    np.testing.assert_array_equal(L0, L1)
+    np.testing.assert_allclose(D0, D1, atol=0)
+
+    got = g.reconstruct_batch([5, 2, 9, 2])
+    np.testing.assert_allclose(
+        got, V[[5, 2, 9, 2]].astype(np.float32), atol=0
+    )
+    assert got.dtype == np.float32
+    np.testing.assert_allclose(
+        g.reconstruct_n(10, 4), V[10:14].astype(np.float32), atol=0
+    )
+    assert g.reconstruct_batch([]).shape == (0, 8)
+    with pytest.raises(KeyError):
+        g.reconstruct_batch([0, 10_000])
+    plain.release(), g.release()
