@@ -27,6 +27,7 @@ from .compact_index import (
     OPQIndex,
     PQFastScanIndex,
     PQIndex,
+    PRQIndex,
     RefineIndex,
     RQIndex,
     RowwiseMinMaxIndex,
@@ -82,6 +83,7 @@ __all__ = [
     "OPQIndex",
     "PQFastScanIndex",
     "PQIndex",
+    "PRQIndex",
     "PreTransformIndex",
     "RefineIndex",
     "RQIndex",

@@ -3535,6 +3535,161 @@ class RQIndex:
         self.codes.unpersist()
 
 
+@dataclass
+class PRQIndex:
+    """Product-residual-quantizer tier — faiss
+    ``IndexProductResidualQuantizer`` (``index_factory("PRQ<ns>x<m>x8")``)
+    and, with ``icm_sweeps`` > 0, the ``IndexProductLocalSearchQuantizer``
+    encode discipline (``"PLSQ<ns>x<m>x8"``): the d dims split into
+    ``nsplits`` disjoint coordinate blocks, each encoded by its own
+    m-stage residual quantizer (operators/rq.py prq_*). ns·m bytes per
+    vector; blocks are disjoint so the L2 identity decomposes exactly
+    and search shares the RQ LUT-gather scan. Honest mapping note: faiss
+    LSQ *trains* codebooks with ICM + simulated-annealing perturbations;
+    here codebooks come from the greedy residual trainer and ICM is the
+    ENCODE move (deterministic, per-vector error monotone) — same code
+    layout and search arithmetic, different codebook optimizer."""
+
+    spark: SparkSession
+    d: int
+    codebooks: np.ndarray  # (nsplits, m, 256, d // nsplits)
+    codes: DataFrame
+    _n: int = field(default=-1, repr=False)
+    beam: int = 1
+    icm_sweeps: int = 0
+
+    @classmethod
+    def from_table(
+        cls, vt, nsplits: int, m: int, sample_size: int = 16384,
+        iters: int = 10, beam: int = 1, icm_sweeps: int = 0,
+    ) -> "PRQIndex":
+        from .operators.rq import prq_encode, prq_train
+
+        if vt.d % nsplits:
+            raise ValueError(f"d={vt.d} not divisible by nsplits={nsplits}")
+        base = _float_view(vt)
+        books = prq_train(base, nsplits, m, sample_size=sample_size, iters=iters)
+        codes = prq_encode(base, books, beam=beam, icm_sweeps=icm_sweeps).persist()
+        n = codes.count()
+        return cls(
+            vt.spark, vt.d, books, codes, n,
+            beam=int(beam), icm_sweeps=int(icm_sweeps),
+        )
+
+    @property
+    def nsplits(self) -> int:
+        return len(self.codebooks)
+
+    @property
+    def ntotal(self) -> int:
+        return self._n if self._n >= 0 else self.codes.count()
+
+    def search(self, queries: DataFrame, k: int) -> DataFrame:
+        from .operators.rq import prq_search
+
+        return prq_search(self.codes, self.codebooks, queries, k)
+
+    def search_numpy(self, x: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+        return _host_result(
+            self.search(_query_df(self.spark, x), k), len(np.atleast_2d(x)), k
+        )
+
+    def add_df(self, df: DataFrame, id_col: str = "id", vec_col: str = "vec") -> "PRQIndex":
+        """faiss ``add``: encode with the FROZEN per-block codebooks,
+        append."""
+        from .operators.rq import prq_encode
+
+        new = prq_encode(
+            _ivf_add_rows(df, id_col, vec_col), self.codebooks,
+            beam=self.beam, icm_sweeps=self.icm_sweeps,
+        )
+        _append_frame(self, "codes", new)
+        return self
+
+    def add_numpy(self, x: np.ndarray, ids=None) -> "PRQIndex":
+        return self.add_df(_numpy_add_df(self, "codes", x, ids))
+
+    def remove_ids(self, ids) -> int:
+        return _remove_ids_frame(self, "codes", ids)
+
+    def merge_from(self, other: "PRQIndex", add_id: int = 0, check_duplicates: bool = True) -> "PRQIndex":
+        """Same discipline as :meth:`RQIndex.merge_from`: chains are
+        comparable only under identical codebooks AND encode widths."""
+        if type(other) is not type(self):
+            raise ValueError(
+                f"merge_from requires the same index type "
+                f"({type(self).__name__} != {type(other).__name__})"
+            )
+        _merge_ivf_frames(
+            self, other, "codes",
+            (
+                (self.d, self.beam, self.icm_sweeps, self.codebooks),
+                (other.d, other.beam, other.icm_sweeps, other.codebooks),
+            ),
+            add_id, check_duplicates=check_duplicates,
+        )
+        return self
+
+    def reconstruct(self, key: int) -> np.ndarray:
+        """Per-block codeword sums concatenated
+        (``ProductAdditiveQuantizer::decode``)."""
+        from .operators.rq import prq_decode_np
+
+        row = self.codes.where(F.col("id") == int(key)).select("code").collect()
+        if not row:
+            raise KeyError(f"id {key} not in index")
+        code = np.frombuffer(row[0]["code"], np.uint8)[None, :]
+        return prq_decode_np(code, self.codebooks)[0]
+
+    # -- standalone codec (faiss ProductAdditiveQuantizer sa_encode/decode) --
+
+    @property
+    def sa_code_size(self) -> int:
+        ns, m = self.codebooks.shape[:2]
+        return ns * m  # bytes/vector
+
+    def sa_encode(self, x: np.ndarray) -> np.ndarray:
+        from .operators.rq import prq_assign_np
+
+        x = np.atleast_2d(np.asarray(x, np.float64))
+        if x.shape[1] != self.d:
+            raise ValueError(f"expected (n, {self.d}) array, got {x.shape}")
+        codes = prq_assign_np(x, self.codebooks, beam=self.beam, icm_sweeps=self.icm_sweeps)
+        return np.array([row.tobytes() for row in codes], dtype=object)
+
+    def sa_decode(self, codes) -> np.ndarray:
+        from .operators.rq import prq_decode_np
+
+        rows = [np.frombuffer(c, dtype=np.uint8) for c in codes]
+        if not rows:
+            return np.zeros((0, self.d), dtype=np.float32)
+        return prq_decode_np(np.stack(rows), self.codebooks).astype(np.float32)
+
+    def add_sa_codes(self, codes, ids=None) -> "PRQIndex":
+        """faiss ``Index::add_sa_codes``: ingest pre-encoded per-block
+        chains verbatim; ``recn`` is derived from the codes themselves."""
+        rows = [np.frombuffer(bytes(c), dtype=np.uint8) for c in codes]
+        for c in rows:
+            if len(c) != self.sa_code_size:
+                raise ValueError(
+                    f"add_sa_codes: expected {self.sa_code_size}-byte "
+                    f"codes (sa_code_size), got {len(c)}"
+                )
+        extra = None
+        if rows:
+            from .operators.rq import prq_decode_np
+
+            rec = prq_decode_np(np.stack(rows), self.codebooks)
+            extra = {"recn": (rec * rec).sum(1)}
+        return _add_sa_codes_frame(
+            self, "codes", codes, ids,
+            "id long, code binary, recn double", extra,
+        )
+
+    def release(self) -> None:
+        self.codes.unpersist()
+
+
 class RefineIndex:
     """Generic two-stage wrapper — faiss ``IndexRefineFlat`` over ANY
     base index (``index_factory("...,RFlat")``): the base retrieves
@@ -3742,6 +3897,14 @@ def index_factory(vt, spec: str, **train_kw):
       fused-byte-LUT ADC; distances ≡ the unpacked x4 tiers exactly
     - ``"RQ4x8"``           → :class:`RQIndex` (faiss
       IndexResidualQuantizer: 4 sequential full-width 8-bit stages)
+    - ``"LSQ4x8"``          → :class:`RQIndex` with ICM encode sweeps
+      (faiss IndexLocalSearchQuantizer's encode move; see the class
+      docstring for the honest trainer mapping)
+    - ``"PRQ2x4x8"``        → :class:`PRQIndex` (faiss
+      IndexProductResidualQuantizer: 2 coordinate blocks × 4 residual
+      stages, 8 bits/stage)
+    - ``"PLSQ2x4x8"``       → :class:`PRQIndex` with ICM encode sweeps
+      (faiss IndexProductLocalSearchQuantizer)
     - ``"IVF256"`` / ``"IVF256,Flat"`` → :class:`IVFIndex` (nlist=256)
     - ``"IVF256,FlatDedup"`` → :class:`IVFFlatDedupIndex` (faiss
       ``IndexIVFFlatDedup``: distinct vectors stored once, duplicate
@@ -4070,4 +4233,22 @@ def index_factory(vt, spec: str, **train_kw):
     m = re.fullmatch(r"RQ(\d+)x8", s)
     if m:
         return RQIndex.from_table(vt, m=int(m.group(1)), **train_kw)
+    m = re.fullmatch(r"LSQ(\d+)x8", s)
+    if m:
+        # faiss IndexLocalSearchQuantizer: the RQ code layout with the
+        # ICM encode move (see RQIndex/PRQIndex docstrings for the
+        # honest trainer mapping); icm_sweeps overridable via train_kw
+        train_kw.setdefault("icm_sweeps", 2)
+        return RQIndex.from_table(vt, m=int(m.group(1)), **train_kw)
+    m = re.fullmatch(r"PRQ(\d+)x(\d+)x8", s)
+    if m:
+        return PRQIndex.from_table(
+            vt, nsplits=int(m.group(1)), m=int(m.group(2)), **train_kw
+        )
+    m = re.fullmatch(r"PLSQ(\d+)x(\d+)x8", s)
+    if m:
+        train_kw.setdefault("icm_sweeps", 2)
+        return PRQIndex.from_table(
+            vt, nsplits=int(m.group(1)), m=int(m.group(2)), **train_kw
+        )
     raise ValueError(f"index_factory: unsupported spec {spec!r}")

@@ -38,6 +38,33 @@ from .knn import _PARTIAL_SCHEMA, _arrow_i64, _arrow_matrix, _finalize
 from .pq import KSUB, _arrow_codes, _binary_array, train_books_np
 
 
+def _train_sample_matrix(
+    vectors: DataFrame, id_col: str, vec_col: str, sample_size: int
+) -> np.ndarray:
+    from .similarity import train_sample
+
+    sample = train_sample(
+        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+        sample_size,
+        extra_cols=("vec",),
+    )
+    return np.stack(sample["vec"].to_numpy()).astype(np.float64)
+
+
+def rq_train_np(X: np.ndarray, m: int, iters: int = 10) -> np.ndarray:
+    """Greedy stage-wise RQ training on a host sample → ``(m, 256, d)``.
+    Stage j's k-means sees the sample's residual after stages 0..j−1 —
+    the faiss greedy RQ trainer (beam_size=1)."""
+    R = np.asarray(X, np.float64).copy()
+    books = []
+    for _ in range(m):
+        bj = train_books_np(R, 1, iters)[0]  # (256, d) full-width stage
+        codes = _stage_assign(R, bj)
+        R = R - bj[codes]
+        books.append(bj)
+    return np.stack(books)
+
+
 def rq_train(
     vectors: DataFrame,
     m: int,
@@ -47,24 +74,9 @@ def rq_train(
     iters: int = 10,
 ) -> np.ndarray:
     """Greedy stage-wise training → codebooks ``(m, 256, d)`` (each
-    stage full-width). Stage j's k-means sees the sample's residual
-    after stages 0..j−1 — the faiss greedy RQ trainer (beam_size=1)."""
-    from .similarity import train_sample
-
-    sample = train_sample(
-        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
-        sample_size,
-        extra_cols=("vec",),
-    )
-    X = np.stack(sample["vec"].to_numpy()).astype(np.float64)
-    R = X.copy()
-    books = []
-    for _ in range(m):
-        bj = train_books_np(R, 1, iters)[0]  # (256, d) full-width stage
-        codes = _stage_assign(R, bj)
-        R = R - bj[codes]
-        books.append(bj)
-    return np.stack(books)
+    stage full-width); O(sample) on the driver like the PQ trainer."""
+    X = _train_sample_matrix(vectors, id_col, vec_col, sample_size)
+    return rq_train_np(X, m, iters)
 
 
 def _stage_assign(X: np.ndarray, book: np.ndarray) -> np.ndarray:
@@ -237,22 +249,46 @@ def rq_search(
     ‖q − reconstruction‖² in float64, so results match a
     decode-then-score oracle to rounding. L2 only (the faiss RQ
     default metric). Returns (qid, rank, label, distance)."""
+    qids, qn, Q, empty = _host_queries(codes, queries, qid_col, qvec_col)
+    if empty is not None:
+        return empty
+    m, ksub, d = codebooks.shape
+    if Q.shape[1] != d:
+        raise ValueError(f"query dim {Q.shape[1]} != codebook dim {d}")
+    # nq × m × 256 inner-product LUTs (query-batch-sized broadcast)
+    lut = np.einsum("qd,mkd->qmk", Q, codebooks)
+    return _lut_topk_search(codes, queries, qid_col, qids, qn, lut, k)
+
+
+def _host_queries(codes: DataFrame, queries: DataFrame, qid_col: str, qvec_col: str):
+    """Collect the (small) query batch host-side for LUT construction."""
     from .knn import RESULT_SCHEMA
 
-    spark = codes.sparkSession
     qpdf = queries.select(
         F.col(qid_col).cast("long").alias("qid"), F.col(qvec_col).alias("qv")
     ).toPandas()
     if len(qpdf) == 0:
-        return spark.createDataFrame([], RESULT_SCHEMA)
+        return None, None, None, codes.sparkSession.createDataFrame([], RESULT_SCHEMA)
     qids = qpdf["qid"].to_numpy(np.int64)
     Q = np.stack(qpdf["qv"].to_numpy()).astype(np.float64)
-    m, ksub, d = codebooks.shape
-    if Q.shape[1] != d:
-        raise ValueError(f"query dim {Q.shape[1]} != codebook dim {d}")
-    qn = (Q * Q).sum(1)
-    # nq × m × 256 inner-product LUTs (query-batch-sized broadcast)
-    lut = np.einsum("qd,mkd->qmk", Q, codebooks)
+    return qids, (Q * Q).sum(1), Q, None
+
+
+def _lut_topk_search(
+    codes: DataFrame,
+    queries: DataFrame,
+    qid_col: str,
+    qids: np.ndarray,
+    qn: np.ndarray,
+    lut: np.ndarray,
+    k: int,
+) -> DataFrame:
+    """Shared additive-quantizer scan: per-partition LUT-gather ADC +
+    partial top-k → ``_finalize`` merge. ``lut`` is (nq, m_total, 256)
+    with one slab per stored code byte — full-width stages for RQ, a
+    block-diagonal product layout for PRQ (same gather either way)."""
+    spark = codes.sparkSession
+    m = lut.shape[1]
     bc = spark.sparkContext.broadcast((qids, qn, lut))
 
     def partial_topk(batches):
@@ -299,3 +335,134 @@ def rq_search(
     candidates = codes.mapInArrow(partial_topk, _PARTIAL_SCHEMA)
     qdf = queries.select(F.col(qid_col).cast("long").alias("qid"))
     return _finalize(qdf, candidates, k, "l2")
+
+
+# ---------------------------------------------------------------------------
+# Product residual quantization (PRQ) — faiss IndexProductResidualQuantizer
+# (factory "PRQ<nsplits>x<Msub>x8"): split the d dims into nsplits disjoint
+# coordinate blocks and run an INDEPENDENT residual quantizer per block
+# (faiss ProductAdditiveQuantizer — each sub-quantizer trains/encodes on its
+# slice).  Because the blocks are disjoint coordinates, the L2 identity
+# decomposes exactly:  ‖q − r‖² = ‖q‖² − 2·Σ_s⟨q_s, r_s⟩ + Σ_s‖r_s‖²,
+# so search is the SAME LUT-gather ADC scan as RQ with a block-diagonal
+# (nq, nsplits·Msub, 256) table — one shared code path (_lut_topk_search).
+# The reference engine has no compressed tier at all
+# (/root/reference/include/faiss-metal/MetalIndexFlat.h:47) — superset.
+# ---------------------------------------------------------------------------
+
+
+def prq_train(
+    vectors: DataFrame,
+    nsplits: int,
+    m: int,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    sample_size: int = 16384,
+    iters: int = 10,
+) -> np.ndarray:
+    """One driver-side sample, one greedy RQ trainer per coordinate
+    block → codebooks ``(nsplits, m, 256, dsub)``."""
+    X = _train_sample_matrix(vectors, id_col, vec_col, sample_size)
+    d = X.shape[1]
+    if d % nsplits:
+        raise ValueError(f"d={d} not divisible by nsplits={nsplits}")
+    dsub = d // nsplits
+    return np.stack(
+        [rq_train_np(X[:, s * dsub : (s + 1) * dsub], m, iters) for s in range(nsplits)]
+    )
+
+
+def prq_assign_np(
+    X: np.ndarray, codebooks: np.ndarray, beam: int = 1, icm_sweeps: int = 0
+) -> np.ndarray:
+    """(n, d) float → (n, nsplits·m) uint8: each block encoded by its own
+    sub-RQ (faiss ProductAdditiveQuantizer::compute_codes — the beam /
+    ICM discipline applies PER BLOCK, matching the faiss sub-quantizer
+    loop, not a joint beam over the concatenated chain)."""
+    X = np.atleast_2d(np.asarray(X, np.float64))
+    ns, m, _, dsub = codebooks.shape
+    if X.shape[1] != ns * dsub:
+        raise ValueError(f"expected (n, {ns * dsub}) array, got {X.shape}")
+    out = np.empty((len(X), ns * m), dtype=np.uint8)
+    for s in range(ns):
+        out[:, s * m : (s + 1) * m] = rq_assign_np(
+            X[:, s * dsub : (s + 1) * dsub], codebooks[s],
+            beam=beam, icm_sweeps=icm_sweeps,
+        )
+    return out
+
+
+def prq_decode_np(codes: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(n, nsplits·m) uint8 → (n, d): per-block codeword sums concatenated."""
+    codes = np.atleast_2d(codes)
+    ns, m, _, dsub = codebooks.shape
+    return np.concatenate(
+        [
+            rq_decode_np(codes[:, s * m : (s + 1) * m], codebooks[s])
+            for s in range(ns)
+        ],
+        axis=1,
+    )
+
+
+def prq_encode(
+    vectors: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    beam: int = 1,
+    icm_sweeps: int = 0,
+) -> DataFrame:
+    """One-scan encode → ``(id, code BINARY (nsplits·m bytes), recn
+    DOUBLE)`` — the RQ encode shape with per-block assignment."""
+    spark = vectors.sparkSession
+    bc = spark.sparkContext.broadcast(codebooks)
+
+    def enc(batches):
+        import pyarrow as pa
+
+        books_ = bc.value
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            V = _arrow_matrix(batch.column(vec_col), "array", np.float64)
+            codes = prq_assign_np(V, books_, beam=beam, icm_sweeps=icm_sweeps)
+            rec = prq_decode_np(codes, books_)
+            recn = (rec * rec).sum(1)
+            yield pa.record_batch(
+                [
+                    pa.array(_arrow_i64(batch.column(id_col))),
+                    _binary_array(codes),
+                    pa.array(recn),
+                ],
+                names=["id", "code", "recn"],
+            )
+
+    return vectors.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(vec_col)
+    ).mapInArrow(enc, RQ_CODE_SCHEMA)
+
+
+def prq_search(
+    codes: DataFrame,
+    codebooks: np.ndarray,
+    queries: DataFrame,
+    k: int,
+    qid_col: str = "qid",
+    qvec_col: str = "vec",
+) -> DataFrame:
+    """Asymmetric top-k over PRQ codes — block-diagonal LUTs feeding the
+    shared RQ gather scan; distances are exactly ‖q − reconstruction‖²
+    in float64 (the disjoint-block identity above)."""
+    qids, qn, Q, empty = _host_queries(codes, queries, qid_col, qvec_col)
+    if empty is not None:
+        return empty
+    ns, m, ksub, dsub = codebooks.shape
+    if Q.shape[1] != ns * dsub:
+        raise ValueError(f"query dim {Q.shape[1]} != codebook dim {ns * dsub}")
+    nq = len(qids)
+    lut = np.empty((nq, ns * m, ksub), np.float64)
+    for s in range(ns):
+        Qs = Q[:, s * dsub : (s + 1) * dsub]
+        lut[:, s * m : (s + 1) * m, :] = np.einsum("qd,mkd->qmk", Qs, codebooks[s])
+    return _lut_topk_search(codes, queries, qid_col, qids, qn, lut, k)

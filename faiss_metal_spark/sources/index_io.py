@@ -199,6 +199,7 @@ def _is_engine_index(index) -> bool:
         OPQIndex,
         PQFastScanIndex,
         PQIndex,
+        PRQIndex,
         RefineIndex,
         RQIndex,
         SQ8Index,
@@ -230,6 +231,7 @@ def _is_engine_index(index) -> bool:
             PQFastScanIndex,
             PQIndex,
             OPQIndex,
+            PRQIndex,
             RefineIndex,
             RQIndex,
             ShardedIndex,
@@ -256,6 +258,7 @@ def _write_payload(index, path: str) -> None:
         OPQIndex,
         PQFastScanIndex,
         PQIndex,
+        PRQIndex,
         RefineIndex,
         RQIndex,
         SQ8Index,
@@ -494,6 +497,21 @@ def _write_payload(index, path: str) -> None:
             path,
             {"kind": "pq", "d": index.d, "ntotal": index.ntotal, "shapes": shapes},
         )
+    elif isinstance(index, PRQIndex):
+        _write_frame(index.codes, f"{path}/codes")
+        shapes = _write_arrays(index.spark, path, {"codebooks": index.codebooks})
+        _write_meta(
+            index.spark,
+            path,
+            {
+                "kind": "prq",
+                "d": index.d,
+                "ntotal": index.ntotal,
+                "beam": index.beam,
+                "icm_sweeps": index.icm_sweeps,
+                "shapes": shapes,
+            },
+        )
     elif isinstance(index, RQIndex):
         _write_frame(index.codes, f"{path}/codes")
         shapes = _write_arrays(index.spark, path, {"codebooks": index.codebooks})
@@ -718,6 +736,7 @@ def _read_payload(spark: SparkSession, path: str):
         OPQIndex,
         PQFastScanIndex,
         PQIndex,
+        PRQIndex,
         RefineIndex,
         RQIndex,
         SQ8Index,
@@ -897,6 +916,16 @@ def _read_payload(spark: SparkSession, path: str):
             arrays["codebooks"],
             spark.read.parquet(f"{path}/codes"),
             meta["ntotal"],
+        )
+    if kind == "prq":
+        return PRQIndex(
+            spark,
+            meta["d"],
+            arrays["codebooks"],
+            spark.read.parquet(f"{path}/codes"),
+            meta["ntotal"],
+            beam=int(meta.get("beam", 1)),
+            icm_sweeps=int(meta.get("icm_sweeps", 0)),
         )
     if kind == "rq":
         return RQIndex(
