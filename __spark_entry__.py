@@ -1675,12 +1675,16 @@ FROM g GROUP BY user_id, sid
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup, batch + incremental tagged: 'full' rows are the
-    whole-corpus digest groupBy; 'incr' rows replay ingestion as a
-    delta — docs with doc_id ≥ 250 arrive against the digest index of
-    docs < 250, are deduped delta-internally, and anti-joined against
-    the index (the existing corpus is never rescanned)."""
-    from faiss_metal_spark.operators.dedup import incremental_dedup
+    """Exact dedup, batch + incremental + sub-document tagged: 'full'
+    rows are the whole-corpus digest groupBy; 'incr' rows replay
+    ingestion as a delta — docs with doc_id ≥ 250 arrive against the
+    digest index of docs < 250, are deduped delta-internally, and
+    anti-joined against the index (the existing corpus is never
+    rescanned); 'para' rows are paragraph-granularity dedup (r11,
+    operators/dedup.py::segment_dedup): each doc's token stream split
+    into 20-token segments, segments deduped corpus-wide — the
+    repeated-boilerplate catch whole-document dedup misses."""
+    from faiss_metal_spark.operators.dedup import incremental_dedup, segment_dedup
 
     d = _t(spark, sf_dir, "documents")
     key = F.concat_ws(" ", F.slice(F.split("text", " "), 1, 3))
@@ -1691,7 +1695,10 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     incr = incremental_dedup(
         d.where(F.col("doc_id") >= 250), seen, key, id_col="doc_id"
     ).select(F.lit("incr").alias("kind"), "dup_key", "n_dups", "keeper")
-    return full.unionByName(incr)
+    para = segment_dedup(d, window=20).select(
+        F.lit("para").alias("kind"), "dup_key", "n_dups", "keeper"
+    )
+    return full.unionByName(incr).unionByName(para)
 
 
 ORACLE_DEDUP_EXACT = """
@@ -1708,6 +1715,14 @@ WHERE s.dup_key NOT IN (
   SELECT array_to_string(string_split(text, ' ')[1:3], ' ')
   FROM documents WHERE doc_id < 250
 )
+UNION ALL
+SELECT 'para', chunk AS dup_key, COUNT(*) AS n_dups, MIN(doc_id) AS keeper
+FROM (
+  SELECT doc_id, array_to_string(t[i*20+1 : i*20+20], ' ') AS chunk
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) toks,
+       LATERAL (SELECT unnest(range(CAST(ceil(len(t)/20.0) AS INT))) AS i) u
+) ch
+GROUP BY 2 HAVING COUNT(*) > 1
 """
 
 
@@ -2653,12 +2668,15 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     with two FIXED full-width stages (stage 0 = the 16 centroid rows,
     stage 1 = rows 16..31's stage-0 residuals), so the sequential
     encode chain + additive-identity LUT search hash-match the
-    oracle's decode-then-score arithmetic. Codebooks are FIXED
+    oracle's decode-then-score arithmetic — and 'prq' rows: the
+    product-of-residual-quantizers (faiss
+    IndexProductResidualQuantizer, r11), the rq recipe applied
+    independently per 32-dim coordinate block. Codebooks are FIXED
     (first-256 embedding rows / their residuals / their second-level
     residuals), so encode + ADC + top-k + rescore + refine-rerank all
     hash-match the DuckDB oracle; iterative training is pinned
-    separately by tests/test_pq.py, tests/test_ivfpqr.py and
-    tests/test_rq.py."""
+    separately by tests/test_pq.py, tests/test_ivfpqr.py, tests/test_rq.py
+    and tests/test_prq.py."""
     from faiss_metal_spark.operators.pq import (
         ivfpq_encode,
         ivfpq_search,
@@ -2673,7 +2691,17 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
     )
-    queries = emb.where(F.col("id") < 8).select(F.col("id").alias("qid"), "vec")
+    # collect the 8 query rows ONCE and serve every lane from a local
+    # relation: each lane's eager LUT build calls queries.toPandas(),
+    # and 9 lanes × a parquet scan+filter job was ~2s of pure per-job
+    # overhead at sf0.1 — a LocalRelation source makes each of those a
+    # millisecond-scale local collect instead (values identical)
+    qpdf = (
+        emb.where(F.col("id") < 8)
+        .select(F.col("id").alias("qid"), "vec")
+        .toPandas()
+    )
+    queries = spark.createDataFrame(qpdf)
     centroids, books, rbooks, rbooks2 = _fixed_quantizers(emb)
 
     codes = pq_encode(emb, books)
@@ -2716,6 +2744,22 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     rqbooks = np.stack([centroids, r1])
     rq_rows = rq_search(rq_encode(emb, rqbooks), rqbooks, queries, k=10)
 
+    # prq lane: product-of-residual-quantizers (faiss
+    # IndexProductResidualQuantizer, r11) — the rq lane's recipe applied
+    # per 32-dim coordinate block: each block gets two FIXED 16-codeword
+    # stages (stage 0 = the centroid rows' block slice; stage 1 = rows
+    # 16..31's per-block stage-0 residuals), derived with the engine's
+    # own codec helper so the arithmetic can never drift from prq_encode
+    from faiss_metal_spark.operators.rq import prq_encode, prq_search
+
+    pb = []
+    for sl in (slice(0, 32), slice(32, 64)):
+        b0 = centroids[:, sl]
+        r1b = seed[:, sl] - b0[rq_assign_np(seed[:, sl], b0[None, :, :])[:, 0]]
+        pb.append(np.stack([b0, r1b]))
+    prqbooks = np.stack(pb)  # (2 blocks, 2 stages, 16, 32)
+    prq_rows = prq_search(prq_encode(emb, prqbooks), prqbooks, queries, k=10)
+
     # poly lane: faiss IndexPQ ST_polysemous — codes + books relabel by
     # a fixed permutation (relabeling is distance-invisible), then the
     # Hamming-filtered ADC search at ht=_POLY_HT of the 64 code bits;
@@ -2745,6 +2789,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(out_cols("refine", ref))
         .unionByName(out_cols("ivfpqr", pqr))
         .unionByName(out_cols("rq", rq_rows))
+        .unionByName(out_cols("prq", prq_rows))
         .unionByName(out_cols("poly", poly))
     )
 
@@ -3129,6 +3174,75 @@ prk AS (
          row_number() OVER (PARTITION BY qid ORDER BY dist ASC, label ASC) - 1 AS rank
   FROM prr
 ),
+-- prq lane (faiss IndexProductResidualQuantizer): the rq recipe per
+-- 32-dim coordinate block — per-block stage-0 argmin over the centroid
+-- slices, per-block stage-1 over rows 16..31's block residuals, exact
+-- decode-then-score summed over the disjoint blocks
+blk AS (SELECT s FROM range(2) t(s)),
+pb0 AS (  -- stage-0 books: centroid rows' block slices
+  SELECT c.cell AS ck, blk.s,
+         list_slice(c.cv::DOUBLE[], blk.s*32 + 1, blk.s*32 + 32) AS cj
+  FROM c CROSS JOIN blk
+),
+pvs AS (  -- every vector's block slices
+  SELECT v.vec_id AS id, blk.s,
+         list_slice(v.embedding::DOUBLE[], blk.s*32 + 1, blk.s*32 + 32) AS vj
+  FROM embeddings v CROSS JOIN blk
+),
+pe0 AS (  -- per-block stage-0 argmin (the shared assign form)
+  SELECT id, s, ck FROM (
+    SELECT pvs.id, pvs.s, pb0.ck,
+           row_number() OVER (PARTITION BY pvs.id, pvs.s ORDER BY
+             list_inner_product(pb0.cj, pb0.cj)
+             - 2 * list_inner_product(pvs.vj, pb0.cj) ASC,
+             pb0.ck ASC) AS rn
+    FROM pvs JOIN pb0 ON pb0.s = pvs.s)
+  WHERE rn = 1
+),
+pr1 AS (  -- per-block stage-0 residual
+  SELECT pvs.id, pvs.s,
+         [x[1] - x[2] FOR x IN list_zip(pvs.vj, pb0.cj)] AS rv
+  FROM pvs
+  JOIN pe0 ON pe0.id = pvs.id AND pe0.s = pvs.s
+  JOIN pb0 ON pb0.s = pe0.s AND pb0.ck = pe0.ck
+),
+pb1 AS (  -- stage-1 books: rows 16..31's per-block residuals
+  SELECT id - 16 AS ck, s, rv AS cj FROM pr1 WHERE id >= 16 AND id < 32
+),
+pe1 AS (
+  SELECT id, s, ck FROM (
+    SELECT pr1.id, pr1.s, pb1.ck,
+           row_number() OVER (PARTITION BY pr1.id, pr1.s ORDER BY
+             list_inner_product(pb1.cj, pb1.cj)
+             - 2 * list_inner_product(pr1.rv, pb1.cj) ASC,
+             pb1.ck ASC) AS rn
+    FROM pr1 JOIN pb1 ON pb1.s = pr1.s)
+  WHERE rn = 1
+),
+prec AS (  -- per-block additive reconstruction: stage-0 + stage-1
+  SELECT pe0.id, pe0.s,
+         [x[1] + x[2] FOR x IN list_zip(b0.cj, b1.cj)] AS rj
+  FROM pe0
+  JOIN pb0 b0 ON b0.s = pe0.s AND b0.ck = pe0.ck
+  JOIN pe1 ON pe1.id = pe0.id AND pe1.s = pe0.s
+  JOIN pb1 b1 ON b1.s = pe1.s AND b1.ck = pe1.ck
+),
+pqsl AS (  -- query block slices
+  SELECT qid, blk.s, list_slice(qv::DOUBLE[], blk.s*32 + 1, blk.s*32 + 32) AS qj
+  FROM q CROSS JOIN blk
+),
+prqd AS (  -- exact ‖q − reconstruction‖² summed over disjoint blocks
+  SELECT pqsl.qid, prec.id AS label,
+         SUM(list_sum([(x[1] - x[2]) * (x[1] - x[2]) FOR x IN
+                       list_zip(pqsl.qj, prec.rj)])) AS dist
+  FROM pqsl JOIN prec ON prec.s = pqsl.s
+  GROUP BY pqsl.qid, prec.id
+),
+prqr AS (
+  SELECT qid, label, dist,
+         row_number() OVER (PARTITION BY qid ORDER BY dist ASC, label ASC) - 1 AS rank
+  FROM prqd
+),
 rqb1 AS (  -- RQ stage-1 codebook: stage-0 residuals of rows 16..31
   SELECT vec_id - 16 AS ck, rv AS cj FROM vres WHERE vec_id >= 16 AND vec_id < 32
 ),
@@ -3195,6 +3309,10 @@ UNION ALL
 SELECT 'rq' AS path, CAST(qid AS BIGINT) AS qid, CAST(rank AS INTEGER) AS rank,
        CAST(label AS BIGINT) AS label, ROUND(dist, 4) + 0.0 AS distance
 FROM rqr WHERE rank < 10
+UNION ALL
+SELECT 'prq' AS path, CAST(qid AS BIGINT) AS qid, CAST(rank AS INTEGER) AS rank,
+       CAST(label AS BIGINT) AS label, ROUND(dist, 4) + 0.0 AS distance
+FROM prqr WHERE rank < 10
 UNION ALL
 SELECT 'pq' AS path, CAST(qid AS BIGINT) AS qid, CAST(rank AS INTEGER) AS rank,
        CAST(label AS BIGINT) AS label, ROUND(dist, 4) + 0.0 AS distance

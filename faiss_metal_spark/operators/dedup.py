@@ -47,6 +47,38 @@ def exact_dedup(
     )
 
 
+def segment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+    keep: str = "min",
+) -> DataFrame:
+    """Sub-document (paragraph/segment) exact dedup: split each doc's
+    token stream into fixed ``window``-token segments and dedup the
+    segments corpus-wide — the granularity that catches repeated
+    boilerplate (headers, footers, license blocks) that whole-document
+    dedup misses. Returns (dup_key = segment text, n_dups, keeper).
+
+    Scale shape: one explode (O(total tokens / window) rows) into the
+    same digest groupBy as :func:`exact_dedup` — map-side combined, no
+    second scan; the shuffled row is the segment text + two longs. For
+    very long segments, wrap ``dup_key`` in ``xxhash64`` upstream of a
+    verify join (the IVFFlatDedup digest discipline) — at the default
+    window the raw text is already shuffle-cheap. The trailing segment
+    is the (<window)-token remainder, kept: boilerplate tails matter.
+    """
+    seg = F.explode(
+        F.expr(
+            f"transform(sequence(0, int((size(split({text_col}, ' ')) - 1) / {int(window)})),"
+            f" i -> concat_ws(' ', slice(split({text_col}, ' '), i * {int(window)} + 1, {int(window)})))"
+        )
+    ).alias("segment")
+    return exact_dedup(
+        df.select(id_col, seg), F.col("segment"), id_col=id_col, keep=keep
+    )
+
+
 def minhash_signature_cols(shingle_col: Column, num_hashes: int) -> list[Column]:
     """num_hashes min-hash columns over an exploded shingle column.
 

@@ -1167,3 +1167,31 @@ def test_decontaminate_bloom_equals_exact(spark):
     probes = spark.range(100_000, 200_000).select(F.xxhash64("id").alias("sh"))
     fp = bloom_filter_rows(probes, "sh", bits, m, k).count()
     assert fp < 100_000 * 0.05, fp  # ~1% nominal, generous bound
+
+
+def test_segment_dedup(spark):
+    """Sub-document dedup: a boilerplate 4-token segment shared by two
+    docs is caught even though the full documents are distinct; the
+    trailing (<window)-token remainder participates too."""
+    from faiss_metal_spark.operators.dedup import segment_dedup
+
+    boiler = "copyright acme corp reserved"
+    df = docs_df(
+        spark,
+        [
+            boiler + " unique tail one extra",      # doc 0
+            boiler + " other words entirely here",  # doc 1
+            "totally unrelated document body text", # doc 2
+            "short tail short tail",                # doc 3 (remainder dup below)
+            "prefix words here pad short tail short tail",  # doc 4
+        ],
+    )
+    out = {r["dup_key"]: r for r in segment_dedup(df, window=4).collect()}
+    assert boiler in out
+    assert out[boiler]["n_dups"] == 2 and out[boiler]["keeper"] == 0
+    # doc 3's first window and doc 4's trailing remainder are the same
+    # 4-token segment — remainders are kept, not dropped
+    assert "short tail short tail" in out
+    assert out["short tail short tail"]["keeper"] == 3
+    # distinct docs produce no whole-doc false positives
+    assert not any(k.startswith("totally") for k in out)

@@ -39,7 +39,7 @@ def main() -> None:
             fn(spark, sf_dir).count()  # warmup (JIT, file listing, broadcasts)
             gc.collect()
             times = []
-            for _ in range(2):
+            for _ in range(1):  # receipt, not benchmark: one timed run
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 n = fn(spark, sf_dir).count()
