@@ -14,6 +14,7 @@ from .compact_index import (
     BinaryHashIndex,
     BinaryIVFIndex,
     GraphIndex,
+    Flat1DIndex,
     GraphPQIndex,
     GraphSQIndex,
     IMIIndex,
@@ -35,7 +36,7 @@ from .compact_index import (
     index_factory,
 )
 from .operators.kmeans import Kmeans
-from .operators.pca import PreTransformIndex
+from .operators.pca import NormTransformIndex, PreTransformIndex
 from .quantize import STORAGE_BF16, STORAGE_FP16, STORAGE_FP32
 from .session import get_spark
 from .sources.index_io import clone_index, read_index, write_index
@@ -70,6 +71,7 @@ __all__ = [
     "BinaryHashIndex",
     "BinaryIVFIndex",
     "GraphIndex",
+    "Flat1DIndex",
     "GraphPQIndex",
     "GraphSQIndex",
     "IMIIndex",
@@ -84,6 +86,7 @@ __all__ = [
     "PQFastScanIndex",
     "PQIndex",
     "PRQIndex",
+    "NormTransformIndex",
     "PreTransformIndex",
     "RefineIndex",
     "RQIndex",

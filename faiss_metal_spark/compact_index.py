@@ -3690,6 +3690,216 @@ class PRQIndex:
         self.codes.unpersist()
 
 
+@dataclass
+class Flat1DIndex:
+    """1-d specialized flat tier — faiss ``IndexFlat1D`` (IndexFlat.h:
+    "optimized version for 1D vectors"; built here from a d=1 table via
+    ``index_factory("Flat1D")``). Upstream quirk mirrored: distances are
+    ABSOLUTE differences ``|q − v|``, not squared L2 — the documented
+    IndexFlat1D deviation from IndexFlatL2.
+
+    Spark-first physical plan (the upstream sorted-permutation binary
+    search + two-pointer walk re-expressed for a cluster):
+
+    - **build**: rank the store once by (val, id) with a two-level
+      distributed ranking — one range-partition exchange (identical
+      cost to a global sort, the ``write_zordered`` discipline) plus a
+      per-partition local rank and a broadcast P-row offsets table; no
+      global single-partition window anywhere.
+    - **search**: (a) each query's insertion position = one scan
+      computing ``count(val < q)`` per query (map-side combined,
+      chunked 128 queries/aggregate); (b) the true top-k by ``|q − v|``
+      provably lives in the rank window ``[pos−k, pos+k−1]`` (k values
+      on each side), fetched through a broadcast range join — output
+      bounded at nq·2k rows; (c) exact rank via the shared
+      ``_finalize`` merge. Never materializes nq×n, never sorts at
+      search time.
+
+    Tie deviation (documented): when an equal-value group is larger
+    than k, the window keeps the group's sorted-order (val, id)
+    neighbors — the upstream two-pointer walk's own behavior — rather
+    than the global min-label members the flat (distance, label)
+    contract would pick."""
+
+    spark: SparkSession
+    ranked: DataFrame  # (id long, val double, rank long)
+    _n: int = field(default=-1, repr=False)
+
+    d = 1  # faiss IndexFlat1D is d=1 by construction
+
+    @classmethod
+    def from_df(
+        cls, df: DataFrame, id_col: str = "id", val_col: str = "val",
+        partitions: int | None = None,
+    ) -> "Flat1DIndex":
+        from pyspark.sql.window import Window
+
+        spark = df.sparkSession
+        base = df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(val_col).cast("double").alias("val"),
+        )
+        P = int(partitions or spark.sparkContext.defaultParallelism)
+        # persist the partitioned frame BEFORE deriving offsets: the
+        # range partitioner samples its bounds, so two evaluations of
+        # the same lineage may split differently — offsets and ranks
+        # must come from ONE materialization
+        pid = (
+            base.repartitionByRange(P, "val", "id")
+            .withColumn("pid", F.spark_partition_id())
+            .persist()
+        )
+        n = pid.count()
+        counts = {
+            r["pid"]: r["n"]
+            for r in pid.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        offsets, acc = {}, 0
+        for p in sorted(counts):  # range partitions are order-ascending
+            offsets[p] = acc
+            acc += counts[p]
+        omap = (
+            F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+            if offsets
+            else F.create_map()
+        )
+        w = Window.partitionBy("pid").orderBy("val", "id")
+        ranked = (
+            pid.withColumn("lrank", F.row_number().over(w))
+            .select(
+                "id",
+                "val",
+                (F.element_at(omap, F.col("pid")) + F.col("lrank") - 1).alias("rank"),
+            )
+            .persist()
+        )
+        ranked.count()
+        pid.unpersist()
+        return cls(spark, ranked, n)
+
+    @classmethod
+    def from_table(cls, vt, **kw) -> "Flat1DIndex":
+        if vt.d != 1:
+            raise ValueError(f"Flat1D requires a d=1 table, got d={vt.d}")
+        base = _float_view(vt)
+        return cls.from_df(
+            base.select("id", F.element_at("vec", 1).alias("val")), **kw
+        )
+
+    @property
+    def ntotal(self) -> int:
+        return self._n if self._n >= 0 else self.ranked.count()
+
+    def search(
+        self, queries: DataFrame, k: int, qid_col: str = "qid",
+        qval_col: str = "val",
+    ) -> DataFrame:
+        from .operators.knn import RESULT_SCHEMA, _finalize
+
+        qpdf = queries.select(
+            F.col(qid_col).cast("long").alias("qid"),
+            F.col(qval_col).cast("double").alias("qv"),
+        ).toPandas()
+        if len(qpdf) == 0:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        qvals = qpdf["qv"].tolist()
+        pos = []
+        if self.ntotal:
+            for c0 in range(0, len(qvals), 128):  # bounded expr width
+                chunk = qvals[c0 : c0 + 128]
+                row = self.ranked.agg(
+                    *[
+                        F.sum((F.col("val") < F.lit(v)).cast("long")).alias(f"p{i}")
+                        for i, v in enumerate(chunk)
+                    ]
+                ).collect()[0]
+                pos.extend(int(row[i] or 0) for i in range(len(chunk)))
+        else:
+            pos = [0] * len(qvals)
+        win = self.spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "qid": qpdf["qid"].to_numpy(np.int64),
+                    "qv": np.asarray(qvals, np.float64),
+                    "lo": np.asarray([max(0, p - k) for p in pos], np.int64),
+                    "hi": np.asarray([p + k - 1 for p in pos], np.int64),
+                }
+            )
+        )
+        cand = (
+            self.ranked.join(
+                F.broadcast(win),
+                (F.col("rank") >= F.col("lo")) & (F.col("rank") <= F.col("hi")),
+            )
+            .select(
+                "qid",
+                F.col("id").alias("label"),
+                F.abs(F.col("val") - F.col("qv")).alias("distance"),
+            )
+        )
+        qdf = queries.select(F.col(qid_col).cast("long").alias("qid"))
+        return _finalize(qdf, cand, k, "l2")
+
+    def search_numpy(self, x, k: int) -> tuple[np.ndarray, np.ndarray]:
+        x = np.asarray(x, np.float64).reshape(-1)
+        qdf = self.spark.createDataFrame(
+            pd.DataFrame({"qid": np.arange(len(x), dtype=np.int64), "val": x})
+        )
+        return _host_result(self.search(qdf, k), len(x), k)
+
+    def reconstruct(self, key: int) -> np.ndarray:
+        row = self.ranked.where(F.col("id") == int(key)).select("val").collect()
+        if not row:
+            raise KeyError(f"id {key} not in index")
+        return np.array([row[0]["val"]], dtype=np.float32)
+
+    def add_df(self, df: DataFrame, id_col: str = "id", val_col: str = "val") -> "Flat1DIndex":
+        """Append + re-rank (the upstream ``update_permutation`` after
+        add, distributed: one new range exchange over the union)."""
+        merged = self.ranked.select("id", "val").unionByName(
+            df.select(
+                F.col(id_col).cast("long").alias("id"),
+                F.col(val_col).cast("double").alias("val"),
+            )
+        )
+        new = Flat1DIndex.from_df(merged)
+        self.ranked.unpersist()
+        self.ranked, self._n = new.ranked, new._n
+        return self
+
+    def add_numpy(self, x, ids=None) -> "Flat1DIndex":
+        x = np.asarray(x, np.float64).reshape(-1)
+        if ids is None:
+            start = (
+                self.ranked.agg(F.max("id")).collect()[0][0] if self.ntotal else -1
+            )
+            ids = np.arange(start + 1, start + 1 + len(x), dtype=np.int64)
+        return self.add_df(
+            self.spark.createDataFrame(
+                pd.DataFrame({"id": np.asarray(ids, np.int64), "val": x})
+            )
+        )
+
+    def remove_ids(self, ids) -> int:
+        """Drop + re-rank (rank holes would break the window-coverage
+        guarantee, so removal rebuilds the permutation like add)."""
+        if isinstance(ids, tuple) and len(ids) == 2:
+            raise TypeError(
+                "remove_ids: a bare 2-tuple is ambiguous — pass "
+                "remove_ids([a, b]) for two literal ids, or "
+                "IDSelectorRange(lo, hi) for a range"
+            )
+        survivors = _drop_ids(self.ranked.select("id", "val"), ids)
+        new = Flat1DIndex.from_df(survivors)
+        removed = self.ntotal - new.ntotal
+        self.ranked.unpersist()
+        self.ranked, self._n = new.ranked, new._n
+        return removed
+
+    def release(self) -> None:
+        self.ranked.unpersist()
+
+
 class RefineIndex:
     """Generic two-stage wrapper — faiss ``IndexRefineFlat`` over ANY
     base index (``index_factory("...,RFlat")``): the base retrieves
@@ -3897,6 +4107,9 @@ def index_factory(vt, spec: str, **train_kw):
       fused-byte-LUT ADC; distances ≡ the unpacked x4 tiers exactly
     - ``"RQ4x8"``           → :class:`RQIndex` (faiss
       IndexResidualQuantizer: 4 sequential full-width 8-bit stages)
+    - ``"Flat1D"``          → :class:`Flat1DIndex` (faiss IndexFlat1D,
+      d=1 tables only: ranked store + positional window search,
+      distances are |q−v| like upstream)
     - ``"LSQ4x8"``          → :class:`RQIndex` with ICM encode sweeps
       (faiss IndexLocalSearchQuantizer's encode move; see the class
       docstring for the honest trainer mapping)
@@ -3950,6 +4163,10 @@ def index_factory(vt, spec: str, **train_kw):
       table (faiss IndexRefineFlat; ``k_factor`` forwards from
       ``train_kw``); composes outside transform prefixes, so
       ``"PCA32,IVF64,RFlat"`` refines in the ORIGINAL space like faiss
+    - ``"L2norm,<inner>"``  → :class:`~faiss_metal_spark.operators.pca.
+      NormTransformIndex` (faiss NormalizationTransform prefix: inner
+      tier built over the unit-normalized table, queries normalized
+      identically; reverse transform is the identity like upstream)
     - transform PREFIXES compose like faiss: ``"PCA32,<inner>"`` /
       ``"PCAW32,<inner>"`` (whitened) / ``"RR32,<inner>"`` (random
       rotation) train the transform on the table, derive the inner
@@ -3980,6 +4197,26 @@ def index_factory(vt, spec: str, **train_kw):
         return RowwiseMinMaxIndex.from_table(
             vt, m.group(2), fp16=m.group(1) is not None, **train_kw
         )
+    m = re.fullmatch(r"L2norm,(.+)", s)
+    if m:
+        # faiss "L2norm,<inner>" (NormalizationTransform prefix): build
+        # the inner tier over the unit-normalized table and wrap so
+        # queries normalize identically; composes recursively like the
+        # linear prefixes ("L2norm,PCA32,IVF64,Flat" works)
+        from .functions.vector import sqnorm
+        from .operators.pca import NormTransformIndex, normalize_vectors
+        from .vector_table import VectorTable
+
+        base = _float_view(vt)
+        normed = normalize_vectors(base)
+        inner_vt = VectorTable(
+            vt.spark, d=vt.d, metric=getattr(vt, "metric", "l2"),
+            df=normed.select(
+                "id", "vec", sqnorm(F.col("vec")).alias("norm_sq")
+            ),
+        )
+        inner = index_factory(inner_vt, m.group(1), **train_kw)
+        return NormTransformIndex(inner, d_in=vt.d)
     m = re.fullmatch(r"(PCAW?|RR)(\d+),(.+)", s)
     if m:
         from .functions.vector import sqnorm
@@ -4233,6 +4470,8 @@ def index_factory(vt, spec: str, **train_kw):
     m = re.fullmatch(r"RQ(\d+)x8", s)
     if m:
         return RQIndex.from_table(vt, m=int(m.group(1)), **train_kw)
+    if s == "Flat1D":
+        return Flat1DIndex.from_table(vt, **train_kw)
     m = re.fullmatch(r"LSQ(\d+)x8", s)
     if m:
         # faiss IndexLocalSearchQuantizer: the RQ code layout with the

@@ -324,3 +324,52 @@ def itq_rotation(
         U, _, Vt = np.linalg.svd(V.T @ B, full_matrices=False)
         R = U @ Vt
     return mean, np.ascontiguousarray(R.T @ W)
+
+
+class NormTransformIndex:
+    """≙ ``faiss::IndexPreTransform(NormalizationTransform, inner)`` —
+    the ``index_factory("L2norm,<inner>")`` prefix: the stored table was
+    L2-normalized before the inner tier was built, so queries MUST pass
+    through the identical normalization (the same silent-garbage footgun
+    :class:`PreTransformIndex` removes, for the nonlinear transform the
+    linear wrapper cannot express). ``reverse_transform`` of faiss's
+    NormalizationTransform is the identity (the norm is not recorded),
+    so ``reconstruct`` returns the inner (normalized) vector — same
+    honest lossiness as upstream (faiss/VectorTransform.cpp, the
+    NormalizationTransform::reverse_transform no-op).
+    """
+
+    def __init__(self, inner, d_in: int | None = None):
+        self.inner = inner
+        self._d_in = int(d_in) if d_in is not None else int(inner.d)
+
+    @property
+    def d_in(self) -> int:
+        return self._d_in
+
+    @property
+    def ntotal(self) -> int:
+        return self.inner.ntotal
+
+    @property
+    def spark(self):
+        return self.inner.spark
+
+    def search(self, queries: DataFrame, k: int, qid_col: str = "qid",
+               qvec_col: str = "vec", **kw) -> DataFrame:
+        normed = queries.select(
+            F.col(qid_col).alias("qid"),
+            normalize_col(qvec_col).alias("vec"),
+        )
+        return self.inner.search(normed, k, **kw)
+
+    def search_numpy(self, x: np.ndarray, k: int, **kw):
+        x = np.atleast_2d(np.asarray(x, np.float64))
+        if x.shape[1] != self.d_in:
+            raise ValueError(f"expected (n, {self.d_in}) array, got {x.shape}")
+        nrm = np.sqrt((x * x).sum(1, keepdims=True))
+        y = np.divide(x, nrm, out=x.copy(), where=nrm > 0).astype(np.float32)
+        return self.inner.search_numpy(y, k, **kw)
+
+    def reconstruct(self, key: int) -> np.ndarray:
+        return self.inner.reconstruct(key)

@@ -185,6 +185,7 @@ def _is_engine_index(index) -> bool:
         BinaryHashIndex,
         BinaryIndex,
         BinaryIVFIndex,
+        Flat1DIndex,
         GraphIndex,
         GraphPQIndex,
         GraphSQIndex,
@@ -204,19 +205,21 @@ def _is_engine_index(index) -> bool:
         RQIndex,
         SQ8Index,
     )
-    from ..operators.pca import PreTransformIndex
+    from ..operators.pca import NormTransformIndex, PreTransformIndex
     from ..sharded import ShardedIndex
     from ..vector_table import VectorTable
 
     return isinstance(
         index,
         (
+            NormTransformIndex,
             PreTransformIndex,
             VectorTable,
             SQ8Index,
             BinaryHashIndex,
             BinaryIndex,
             BinaryIVFIndex,
+            Flat1DIndex,
             GraphIndex,
             GraphPQIndex,
             GraphSQIndex,
@@ -244,6 +247,7 @@ def _write_payload(index, path: str) -> None:
         BinaryHashIndex,
         BinaryIndex,
         BinaryIVFIndex,
+        Flat1DIndex,
         GraphIndex,
         GraphPQIndex,
         GraphSQIndex,
@@ -497,6 +501,13 @@ def _write_payload(index, path: str) -> None:
             path,
             {"kind": "pq", "d": index.d, "ntotal": index.ntotal, "shapes": shapes},
         )
+    elif isinstance(index, Flat1DIndex):
+        _write_frame(index.ranked, f"{path}/ranked")
+        _write_meta(
+            index.spark,
+            path,
+            {"kind": "flat1d", "d": 1, "ntotal": index.ntotal},
+        )
     elif isinstance(index, PRQIndex):
         _write_frame(index.codes, f"{path}/codes")
         shapes = _write_arrays(index.spark, path, {"codebooks": index.codebooks})
@@ -552,6 +563,16 @@ def _write_payload(index, path: str) -> None:
             index.spark,
             path,
             {"kind": "opq", "d": index.d, "ntotal": index.ntotal, "shapes": shapes},
+        )
+    elif _is_normtransform(index):
+        # composite: inner payload first, _meta LAST (shards discipline);
+        # the transform itself is stateless (unit normalization), so the
+        # payload is just the inner index + d_in
+        _write_payload(index.inner, f"{path}/inner")
+        _write_meta(
+            index.spark,
+            path,
+            {"kind": "normtransform", "d": index.d_in},
         )
     elif _is_pretransform(index):
         # composite: inner payload first, _meta LAST (shards discipline)
@@ -647,6 +668,12 @@ def _is_pretransform(index) -> bool:
     return isinstance(index, PreTransformIndex)
 
 
+def _is_normtransform(index) -> bool:
+    from ..operators.pca import NormTransformIndex
+
+    return isinstance(index, NormTransformIndex)
+
+
 def clone_index(index):
     """Independent handle with identical state — faiss ``clone_index``.
 
@@ -679,6 +706,10 @@ def clone_index(index):
             df=index.df,
             _next_id=index._next_id,
         )
+    if _is_normtransform(index):
+        from ..operators.pca import NormTransformIndex
+
+        return NormTransformIndex(clone_index(index.inner), d_in=index.d_in)
     if _is_pretransform(index):
         from ..operators.pca import PreTransformIndex
 
@@ -722,6 +753,7 @@ def _read_payload(spark: SparkSession, path: str):
         BinaryHashIndex,
         BinaryIndex,
         BinaryIVFIndex,
+        Flat1DIndex,
         GraphIndex,
         GraphPQIndex,
         GraphSQIndex,
@@ -917,6 +949,10 @@ def _read_payload(spark: SparkSession, path: str):
             spark.read.parquet(f"{path}/codes"),
             meta["ntotal"],
         )
+    if kind == "flat1d":
+        return Flat1DIndex(
+            spark, spark.read.parquet(f"{path}/ranked"), meta["ntotal"]
+        )
     if kind == "prq":
         return PRQIndex(
             spark,
@@ -945,6 +981,12 @@ def _read_payload(spark: SparkSession, path: str):
             arrays["codebooks"],
             spark.read.parquet(f"{path}/codes"),
             meta["ntotal"],
+        )
+    if kind == "normtransform":
+        from ..operators.pca import NormTransformIndex
+
+        return NormTransformIndex(
+            _read_payload(spark, f"{path}/inner"), d_in=meta["d"]
         )
     if kind == "pretransform":
         from ..operators.pca import PreTransformIndex

@@ -384,3 +384,48 @@ def test_opq_dout_reducing_prefix(spark):
         index_factory(vt, "OPQ4_10,PQ4", sample_size=300)
     with pytest.raises(ValueError, match="expand"):
         index_factory(vt, "OPQ4_32,PQ4", sample_size=300)
+
+
+def test_l2norm_transform_prefix(spark, tmp_path):
+    """faiss "L2norm,<inner>" (NormalizationTransform): the inner tier
+    is built over unit vectors and queries normalize identically — L2
+    over the normalized table at unit queries ranks EXACTLY like cosine
+    similarity over the raw table, which is the pinnable invariant."""
+    from faiss_metal_spark import (
+        NormTransformIndex,
+        VectorTable,
+        clone_index,
+        index_factory,
+        read_index,
+        write_index,
+    )
+    from tests.conftest import make_fixture, numpy_oracle
+
+    V, Q = make_fixture(300, 5, 16, seed=23)
+    # scale rows wildly so raw-L2 and cosine DISAGREE (the footgun case)
+    scales = np.linspace(0.1, 10.0, len(V)).astype(np.float32)[:, None]
+    Vs = V * scales
+    vt = VectorTable(spark, 16).add_numpy(Vs)
+    idx = index_factory(vt, "L2norm,Flat")
+    assert isinstance(idx, NormTransformIndex) and idx.ntotal == 300
+    D, L = idx.search_numpy(Q, k=5)
+    _, oL = numpy_oracle(Vs, Q, 5, metric="cosine")
+    # top-1 exact; top-5 as sets (f32 normalize+GEMM vs the f64 oracle
+    # can flip near-equal neighbors at the tail)
+    np.testing.assert_array_equal(L[:, 0], oL[:, 0])
+    for i in range(len(Q)):
+        assert len(set(L[i]) & set(oL[i])) >= 4, (i, L[i], oL[i])
+    # composes recursively with a linear prefix
+    deep = index_factory(vt, "L2norm,PCA8,Flat", sample_size=300)
+    assert isinstance(deep, NormTransformIndex)
+    assert deep.search_numpy(Q, k=3)[1].shape == (5, 3)
+    # IO round-trip + clone
+    path = str(tmp_path / "l2n")
+    write_index(idx, path)
+    back = read_index(spark, path)
+    assert isinstance(back, NormTransformIndex)
+    D2, L2 = back.search_numpy(Q, k=5)
+    np.testing.assert_array_equal(L, L2)
+    np.testing.assert_allclose(D, D2, rtol=1e-6)
+    cl = clone_index(idx)
+    np.testing.assert_array_equal(cl.search_numpy(Q, k=5)[1], L)
