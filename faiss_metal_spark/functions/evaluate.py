@@ -159,3 +159,72 @@ def tune_polysemous_ht(
     finally:
         exact.unpersist()
     return {"ht": chosen, "points": points}
+
+
+def explore_operating_points(
+    index,
+    queries: DataFrame,
+    k: int,
+    param_grid: dict[str, list],
+    exact: DataFrame | None = None,
+    runs: int = 1,
+) -> list[dict]:
+    """General ``faiss::ParameterSpace::explore`` + ``OperatingPoints``
+    analog: sweep every combination of the given search-kwarg grid
+    (e.g. ``{"nprobe": [1, 2, 4], "ht": [9, 17]}``), measure recall@k
+    against the exact answer and wall seconds per search call, and mark
+    the Pareto-optimal points — the set faiss keeps in
+    ``OperatingPoints::optimal`` (no other point is both faster AND
+    more accurate).
+
+    ``exact`` defaults to the index's own ceiling when it exposes a
+    full-probe knob (``nlist``), else it must be supplied (e.g. a flat
+    ``knn_search`` result) — passing the ceiling rather than the true
+    exact answer isolates exactly the loss the swept knobs control,
+    the ``tune_nprobe`` discipline.
+
+    Returns points sorted fastest-first:
+    ``[{"params": {...}, "recall": r, "sec": s, "optimal": bool}]``.
+    Cost: ``runs`` searches per grid point over the query set — run on
+    a query SAMPLE, not the production feed.
+    """
+    import itertools
+    import time
+
+    if exact is None:
+        if not hasattr(index, "nlist"):
+            raise ValueError(
+                "explore_operating_points: pass exact= for indexes "
+                "without a full-probe ceiling (no .nlist)"
+            )
+        exact = index.search(queries, k, nprobe=index.nlist)
+    exact = exact.persist()
+    exact.count()
+    names = sorted(param_grid)
+    points = []
+    try:
+        for combo in itertools.product(*(param_grid[n] for n in names)):
+            kw = dict(zip(names, combo))
+            best = float("inf")
+            res = None
+            for _ in range(max(1, int(runs))):
+                t0 = time.perf_counter()
+                res = index.search(queries, k, **kw).persist()
+                res.count()
+                best = min(best, time.perf_counter() - t0)
+            r = mean_recall(res, exact)
+            res.unpersist()
+            points.append({"params": kw, "recall": r, "sec": round(best, 4)})
+    finally:
+        exact.unpersist()
+    points.sort(key=lambda p: (p["sec"], -p["recall"]))
+    # Pareto: keep points no other point dominates in (sec, recall) —
+    # after the fastest-first sort a point is optimal iff its recall
+    # strictly exceeds every faster point's recall (ties lose to the
+    # faster member, faiss's OperatingPoints pruning)
+    best_r = -1.0
+    for p in points:
+        p["optimal"] = p["recall"] > best_r
+        if p["recall"] > best_r:
+            best_r = p["recall"]
+    return points
