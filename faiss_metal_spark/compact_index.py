@@ -4133,7 +4133,9 @@ def index_factory(vt, spec: str, **train_kw):
     - ``"HNSW32,SQ8"`` / ``"HNSW32,PQ16[x<b>]"`` →
       :class:`GraphSQIndex` / :class:`GraphPQIndex` (faiss IndexHNSWSQ
       / IndexHNSWPQ: the graph over compressed storage — codes
-      resident, candidates decoded on fetch)
+      resident, candidates decoded on fetch); the ``"NSG32,SQ8"`` /
+      ``"NSG32,PQ16"`` forms (faiss IndexNSGSQ / IndexNSGPQ) add the
+      MRNG diversification + connectivity repair of ``"NSG<M>"``
     - ``"NSG32"`` → :class:`GraphIndex` with MRNG edge diversification
       (faiss IndexNSG: NN-Descent candidates pruned by the MRNG
       select; the ~√n landmark entry layer plays the navigating node)
@@ -4408,22 +4410,32 @@ def index_factory(vt, spec: str, **train_kw):
         return IVFSQIndex.from_table(
             vt, n_cells=int(m.group(1)), bits=int(m.group(2)), **train_kw
         )
-    m = re.fullmatch(r"HNSW(\d+),SQ([468])", s)
+    m = re.fullmatch(r"(HNSW|NSG)(\d+),SQ([468])", s)
     if m:
-        # faiss "HNSW32,SQ8": IndexHNSWSQ — the graph over
-        # scalar-quantized storage (memory-constrained HNSW)
-        return GraphSQIndex.from_table(
-            vt, M=int(m.group(1)), bits=int(m.group(2)), **train_kw
-        )
-    m = re.fullmatch(r"HNSW(\d+),PQ(\d+)(?:x(\d+))?", s)
-    if m:
-        # faiss "HNSW32,PQ16[x<b>]": IndexHNSWPQ — the graph over
-        # product-quantized storage (m bytes/vector resident)
+        # faiss "HNSW32,SQ8" / "NSG32,SQ8": IndexHNSWSQ / IndexNSGSQ —
+        # the graph over scalar-quantized storage (memory-constrained
+        # graph serving); the NSG form adds the MRNG diversification +
+        # connectivity repair the flat "NSG<M>" spec applies
         kw = dict(train_kw)
-        if m.group(3) is not None:
-            kw["nbits"] = int(m.group(3))
+        if m.group(1) == "NSG":
+            kw.setdefault("diversify", True)
+            kw.setdefault("repair", True)
+        return GraphSQIndex.from_table(
+            vt, M=int(m.group(2)), bits=int(m.group(3)), **kw
+        )
+    m = re.fullmatch(r"(HNSW|NSG)(\d+),PQ(\d+)(?:x(\d+))?", s)
+    if m:
+        # faiss "HNSW32,PQ16[x<b>]" / "NSG32,PQ16": IndexHNSWPQ /
+        # IndexNSGPQ — the graph over product-quantized storage
+        # (m bytes/vector resident)
+        kw = dict(train_kw)
+        if m.group(4) is not None:
+            kw["nbits"] = int(m.group(4))
+        if m.group(1) == "NSG":
+            kw.setdefault("diversify", True)
+            kw.setdefault("repair", True)
         return GraphPQIndex.from_table(
-            vt, M=int(m.group(1)), m=int(m.group(2)), **kw
+            vt, M=int(m.group(2)), m=int(m.group(3)), **kw
         )
     m = re.fullmatch(r"HNSW(\d+)(?:,Flat)?", s)
     if m:

@@ -198,3 +198,22 @@ def test_graph_reconstruct_batch_and_nndescent_facade(spark):
     with pytest.raises(KeyError):
         g.reconstruct_batch([0, 10_000])
     plain.release(), g.release()
+
+
+def test_nsg_over_compressed_factory(spark):
+    """r11: "NSG<M>,SQ8" / "NSG<M>,PQ<m>" (faiss IndexNSGSQ/IndexNSGPQ)
+    — the graph-over-codes tiers with the NSG build discipline: the
+    MRNG diversification caps serving degree at M, exactly as the flat
+    "NSG<M>" spec pins it."""
+    V, Q = make_fixture(260, 3, 16, seed=101)
+    vt = _vt(spark, V)
+    nsq = index_factory(vt, "NSG6,SQ8", seed=5)
+    assert isinstance(nsq, GraphSQIndex) and nsq.M == 6
+    npq = index_factory(vt, "NSG6,PQ8", seed=5, sample_size=260)
+    assert isinstance(npq, GraphPQIndex) and npq.m == 8
+    for idx in (nsq, npq):
+        deg = idx.graph.groupBy("id").count().agg(F.max("count")).collect()[0][0]
+        assert deg <= 6  # MRNG-diversified build, not the 2M candidates
+        D, L = idx.search_numpy(Q, 3)
+        assert L.shape == (3, 3) and (L >= 0).all()
+        idx.release()
