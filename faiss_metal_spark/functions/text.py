@@ -413,3 +413,50 @@ def normalize_for_dedup(text: Column | str, fold_accents: bool = True) -> Column
     out = F.regexp_replace(out, r"\s+", " ")
     out = F.regexp_replace(out, r"[\p{Cc}\p{Cf}]", "")
     return F.trim(out)
+
+
+C4_BAD_MARKERS = [
+    "lorem ipsum",
+    "javascript",
+    "cookie",
+    "privacy policy",
+    "terms of use",
+]
+
+
+def c4_clean_lines(
+    text: Column | str,
+    min_words: int = 3,
+    bad_markers: list[str] | None = None,
+    require_terminal_punct: bool = True,
+) -> Column:
+    """C4-style line-level cleaning (Raffel et al. 2020, §2.2 — the
+    published heuristics behind the Colossal Clean Crawled Corpus) as
+    ONE Catalyst projection: split the document on newlines, keep only
+    lines that (a) end in terminal punctuation (``. ! ? "``),
+    (b) carry at least ``min_words`` words, and (c) contain none of the
+    boilerplate markers (case-insensitive; C4 drops cookie/policy/
+    "lorem ipsum"/javascript lines), then re-join the survivors.
+    Returns the cleaned text (empty string when no line survives).
+
+    The paper's remaining rules live elsewhere in this engine: the
+    citation-span and curly-brace *document* drops are `gopher_flags` /
+    `quality_score` composition, and the three-sentence-span corpus
+    dedup is `segment_dedup` / `corpus_quality.duplicate_spans`.
+    Scale: a pure projection — no shuffle, no UDF, runs in whole-stage
+    codegen at scan time."""
+    c = F.col(text) if isinstance(text, str) else text
+    markers = C4_BAD_MARKERS if bad_markers is None else list(bad_markers)
+    line = lambda x: x  # noqa: E731 — readability alias
+
+    def keep(x):
+        trimmed = F.trim(line(x))
+        ok = F.size(F.split(trimmed, r"\s+")) >= int(min_words)
+        if require_terminal_punct:
+            ok = ok & trimmed.rlike('[.!?"]$')
+        low = F.lower(trimmed)
+        for mk in markers:
+            ok = ok & ~low.contains(mk.lower())
+        return ok
+
+    return F.array_join(F.filter(F.split(c, r"\n"), keep), "\n")

@@ -1195,3 +1195,39 @@ def test_segment_dedup(spark):
     assert out["short tail short tail"]["keeper"] == 3
     # distinct docs produce no whole-doc false positives
     assert not any(k.startswith("totally") for k in out)
+
+
+def test_c4_clean_lines(spark):
+    """C4 line rules (Raffel et al. 2020 §2.2): terminal punctuation,
+    min words, boilerplate markers — one codegen projection."""
+    from faiss_metal_spark.functions.text import c4_clean_lines
+
+    doc = "\n".join(
+        [
+            "This is a good sentence that survives.",   # keeps
+            "short line",                                # no punct, short
+            "Accept our cookie policy now.",             # marker
+            "Another fine line stays here!",             # keeps
+            'He said "stop".',                           # keeps (quote ok? ends .)
+            "Enable JavaScript to continue.",            # marker
+            "no terminal punctuation here",              # dropped
+        ]
+    )
+    df = docs_df(spark, [doc])
+    out = df.select(c4_clean_lines("text").alias("t")).collect()[0]["t"]
+    lines = out.split("\n")
+    assert lines == [
+        "This is a good sentence that survives.",
+        "Another fine line stays here!",
+        'He said "stop".',
+    ]
+    # empty result when nothing survives; marker list is a parameter
+    none = docs_df(spark, ["all lowercase no punct"]).select(
+        c4_clean_lines("text").alias("t")
+    ).collect()[0]["t"]
+    assert none == ""
+    keep_all = df.select(
+        c4_clean_lines("text", min_words=1, bad_markers=[],
+                       require_terminal_punct=False).alias("t")
+    ).collect()[0]["t"]
+    assert keep_all == doc  # trimmed lines identical here
