@@ -47,6 +47,17 @@ def exact_dedup(
     )
 
 
+def segment_col(text_col: str = "text", window: int = 20) -> Column:
+    """The fixed-``window``-token segment array of a document — the ONE
+    statement of segmentation shared by batch :func:`segment_dedup` and
+    the streaming variant so the two can never disagree on boundaries.
+    The trailing (<window)-token remainder is kept."""
+    return F.expr(
+        f"transform(sequence(0, int((size(split({text_col}, ' ')) - 1) / {int(window)})),"
+        f" i -> concat_ws(' ', slice(split({text_col}, ' '), i * {int(window)} + 1, {int(window)})))"
+    )
+
+
 def segment_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -68,12 +79,7 @@ def segment_dedup(
     window the raw text is already shuffle-cheap. The trailing segment
     is the (<window)-token remainder, kept: boilerplate tails matter.
     """
-    seg = F.explode(
-        F.expr(
-            f"transform(sequence(0, int((size(split({text_col}, ' ')) - 1) / {int(window)})),"
-            f" i -> concat_ws(' ', slice(split({text_col}, ' '), i * {int(window)} + 1, {int(window)})))"
-        )
-    ).alias("segment")
+    seg = F.explode(segment_col(text_col, window)).alias("segment")
     return exact_dedup(
         df.select(id_col, seg), F.col("segment"), id_col=id_col, keep=keep
     )

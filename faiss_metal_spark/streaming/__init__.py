@@ -7,6 +7,7 @@ from .index_ingest import (  # noqa: F401
 from .knn_stream import read_query_stream, run_knn_stream  # noqa: F401
 from .ops import (  # noqa: F401
     curate_stream,
+    dedup_segments_stream,
     dedup_stream,
     hourly_counts,
     join_within,

@@ -275,3 +275,40 @@ def curate_stream(
     if redact:
         scored = scored.withColumn(text_col, redact_pii(F.col(text_col)))
     return scored
+
+
+def dedup_segments_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming sub-document dedup: explode each arriving doc into
+    fixed ``window``-token segments (the batch ``segment_dedup``
+    boundaries, via the shared ``segment_col``) and keep the FIRST-SEEN
+    row per segment digest — continuous boilerplate removal for an
+    ingest feed, where the same license block arriving in doc after doc
+    should survive exactly once.
+
+    Returns (id, pidx, segment) survivor rows. State and watermark
+    semantics are ``dedup_stream``'s: with ``ts_col`` the digest state
+    is watermark-bounded (``dropDuplicatesWithinWatermark``); without
+    it, state grows with distinct segments (bounded backfills only).
+    The identical transformation runs in batch, which is how stream ≡
+    batch is pinned.
+    """
+    from ..operators.dedup import segment_col
+
+    d = docs.select(
+        F.col(id_col).alias("id"),
+        *( [F.col(ts_col)] if ts_col is not None else [] ),
+        F.posexplode(segment_col(text_col, window)).alias("pidx", "segment"),
+    ).withColumn("__fm_digest", F.md5(F.col("segment")))
+    if ts_col is not None and d.isStreaming:
+        d = d.withWatermark(ts_col, watermark)
+        d = d.dropDuplicatesWithinWatermark(["__fm_digest"])
+    else:
+        d = d.dropDuplicates(["__fm_digest"])
+    return d.select("id", "pidx", "segment")

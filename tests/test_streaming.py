@@ -608,3 +608,37 @@ def test_streaming_kmeans_matches_offline_replay(spark, tmp_path):
     np.testing.assert_allclose(state2.centers, replay2.centers, atol=1e-9)
     np.testing.assert_allclose(state2.masses, replay2.masses, atol=1e-9)
     assert state2.query is not None  # handle exposed (review finding)
+
+
+def test_dedup_segments_stream_equals_batch(spark, tmp_path):
+    """r11 streaming sub-document dedup: segments survive exactly once
+    across the feed; the surviving segment set equals the batch form's
+    and boundaries match batch segment_dedup (shared segment_col)."""
+    from faiss_metal_spark.streaming import dedup_segments_stream
+
+    d = str(tmp_path / "seg_feed")
+    boiler = "copyright acme corp reserved"
+    pdf_a = pd.DataFrame(
+        {"doc_id": [0, 1], "text": [boiler + " unique one", boiler + " unique two"]}
+    )
+    pdf_b = pd.DataFrame({"doc_id": [2], "text": [boiler + " unique three"]})
+    spark.createDataFrame(pdf_a).write.mode("overwrite").parquet(d)
+    spark.createDataFrame(pdf_b).write.mode("append").parquet(d)
+
+    batch = spark.read.parquet(d)
+    want = {r["segment"] for r in dedup_segments_stream(batch, window=4).collect()}
+    assert boiler in want and len(want) == 4  # 1 shared + 3 unique tails
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    run_to_memory(
+        dedup_segments_stream(stream, window=4),
+        "seg_dedup_t",
+        str(tmp_path / "cp_segdedup"),
+        output_mode="append",
+    )
+    got = {r["segment"] for r in spark.sql("SELECT segment FROM seg_dedup_t").collect()}
+    assert got == want
