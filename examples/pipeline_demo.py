@@ -195,6 +195,31 @@ def main() -> None:
         f"ivf updated ntotal={upd.ntotal}"
     )
     ddup.release(); pq4.base.release(); upd.release()
+
+    # 11. round-11 tiers: fast-scan PQ, product residual quantizer,
+    #     normalized-cosine prefix, 1-d index, operating-point sweep
+    fs = index_factory(vt, "PQ8x4fs", sample_size=500)
+    _, Lf = fs.search_numpy(Q, 5)
+    prq = index_factory(vt, "PRQ2x2x8", sample_size=500)
+    _, Lr = prq.search_numpy(Q, 5)
+    l2n = index_factory(vt, "L2norm,Flat")
+    _, Ln = l2n.search_numpy(Q * 3.0, 5)  # scaling invisible post-normalize
+    f1 = index_factory(VectorTable(spark, 1).add_numpy(Q[:, :1]), "Flat1D")
+    from faiss_metal_spark.functions import explore_operating_points
+
+    pts = explore_operating_points(
+        ivf, qdf, k=5, param_grid={"nprobe": [1, 4]},
+    )
+    print(
+        "[r11] "
+        f"pq4fs recall={mean_recall(_as_df(spark, Lf), exact):.2f} "
+        f"prq recall={mean_recall(_as_df(spark, Lr), exact):.2f} "
+        f"l2norm recall={mean_recall(_as_df(spark, Ln), exact):.2f} "
+        f"flat1d ntotal={f1.ntotal} "
+        f"sweep={[(p['params']['nprobe'], round(p['recall'], 2)) for p in pts]}"
+    )
+    for i in (fs, prq, f1):
+        i.release()
     print("OK")
 
 
