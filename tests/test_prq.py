@@ -175,3 +175,68 @@ def test_merge_and_remove(spark):
     removed = a.remove_ids(np.array([0, 1, 2]))
     assert removed == 3 and a.ntotal == 297
     a.release()
+
+
+def test_prq_codec_properties():
+    """Property check (hypothesis): for random data and random split
+    shapes, (a) per-block encode == concatenated per-slice RQ encodes,
+    (b) ICM refinement never worsens total reconstruction error,
+    (c) disjoint blocks make the total reconstruction error decompose
+    exactly into the per-block errors (the identity PRQ search rests
+    on). NOT asserted: encode(decode(x)) == x — multi-stage greedy
+    chains are not a fixed point in general (equal-error chains can
+    differ on the reconstruction)."""
+    from hypothesis import given, settings, strategies as st
+
+    from faiss_metal_spark.operators.rq import (
+        prq_assign_np,
+        prq_decode_np,
+        rq_assign_np,
+        rq_decode_np,
+        rq_train_np,
+    )
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        seed=st.integers(0, 10_000),
+        ns=st.sampled_from([1, 2, 4]),
+        m=st.integers(1, 3),
+        dsub=st.sampled_from([2, 4]),
+    )
+    def prop(seed, ns, m, dsub):
+        rng = np.random.default_rng(seed)
+        d = ns * dsub
+        X = rng.normal(size=(300, d))
+        books = np.stack(
+            [
+                rq_train_np(X[:, s * dsub : (s + 1) * dsub], m, iters=3)
+                for s in range(ns)
+            ]
+        )
+        codes = prq_assign_np(X, books)
+        # (a) block independence: each block's chain is its own RQ encode
+        for s in range(ns):
+            np.testing.assert_array_equal(
+                codes[:, s * m : (s + 1) * m],
+                rq_assign_np(X[:, s * dsub : (s + 1) * dsub], books[s]),
+            )
+        # (b) ICM monotonicity on the TOTAL error
+        rec = prq_decode_np(codes, books)
+        err0 = ((X - rec) ** 2).sum()
+        codes_icm = prq_assign_np(X, books, icm_sweeps=2)
+        err1 = ((X - prq_decode_np(codes_icm, books)) ** 2).sum()
+        assert err1 <= err0 + 1e-9
+        # (c) disjoint-block error decomposition: total == Σ per-block
+        per_block = sum(
+            (
+                (
+                    X[:, s * dsub : (s + 1) * dsub]
+                    - rq_decode_np(codes[:, s * m : (s + 1) * m], books[s])
+                )
+                ** 2
+            ).sum()
+            for s in range(ns)
+        )
+        np.testing.assert_allclose(err0, per_block, rtol=1e-12)
+
+    prop()
