@@ -2688,8 +2688,26 @@ class GraphIndex:
 
     def reconstruct_n(self, start: int, n: int) -> np.ndarray:
         """faiss ``Index::reconstruct_n`` — n consecutive labels from
-        ``start`` (the graph tier's labels are explicit ids)."""
-        return self.reconstruct_batch(np.arange(start, start + n))
+        ``start`` (the graph tier's labels are explicit ids). A RANGE
+        predicate, not an n-element IN-list: ``reconstruct_n(0,
+        ntotal)`` — the standard dump-the-index call — must stay an
+        O(1)-size plan at any n (``reconstruct_batch`` keeps ``isin``
+        for genuinely sparse id sets)."""
+        start, n = int(start), int(n)
+        rows = (
+            self.vectors.where(
+                (F.col("id") >= start) & (F.col("id") < start + n)
+            )
+            .select("id", "vec")
+            .collect()
+        )
+        byid = {r["id"]: r["vec"] for r in rows}
+        missing = [i for i in range(start, start + n) if i not in byid]
+        if missing:
+            raise KeyError(f"ids {missing[:5]} not in index")
+        return np.stack(
+            [np.asarray(byid[i], np.float32) for i in range(start, start + n)]
+        ) if n else np.zeros((0, self.d), dtype=np.float32)
 
     def release(self) -> None:
         self.vectors.unpersist()

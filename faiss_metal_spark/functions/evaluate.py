@@ -206,14 +206,19 @@ def explore_operating_points(
         for combo in itertools.product(*(param_grid[n] for n in names)):
             kw = dict(zip(names, combo))
             best = float("inf")
-            res = None
             for _ in range(max(1, int(runs))):
+                # fresh plan per run, NO persist in the timed region:
+                # persisting every run both leaked cache entries (only
+                # the last was released) and let later runs read the
+                # cache instead of searching
                 t0 = time.perf_counter()
-                res = index.search(queries, k, **kw).persist()
-                res.count()
+                index.search(queries, k, **kw).count()
                 best = min(best, time.perf_counter() - t0)
-            r = mean_recall(res, exact)
-            res.unpersist()
+            res = index.search(queries, k, **kw).persist()
+            try:
+                r = mean_recall(res, exact)
+            finally:
+                res.unpersist()
             points.append({"params": kw, "recall": r, "sec": round(best, 4)})
     finally:
         exact.unpersist()

@@ -202,6 +202,7 @@ def brp_lsh_pairs_fixed(
     id_col: str = "id",
     vec_col: str = "vec",
     exact_via: str = "auto",
+    track: list | None = None,
 ) -> DataFrame:
     """``mllib_lsh_pairs`` with a caller-FIXED hyperplane family — the
     same bucketed-random-projection machinery (h_t(v) = ⌊⟨v, p_t/‖p_t‖⟩
@@ -275,6 +276,13 @@ def brp_lsh_pairs_fixed(
             ids = pdf["id"].to_numpy(np.int64)
             Vm = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
             bc = v.sparkSession.sparkContext.broadcast((ids, Vm))
+            if track is not None:
+                # the fast path pins an up-to-64MB corpus broadcast on
+                # the driver+executors; repeated calls (threshold
+                # sweeps) accrete them, so callers can collect the
+                # handles and .destroy() once the plan materializes —
+                # the bloom_filter_rows(track=) release discipline
+                track.append(bc)
             thr = float(threshold)
 
             def fdist(pdfs):

@@ -692,27 +692,15 @@ def ivfpq_search(
         cn = (centroids * centroids).sum(1)
         order = (cn[None, :] - 2.0 * (Q @ centroids.T)).argsort(1, kind="stable")
         probe = order[:, :nprobe]
-    sizes: dict[int, int] = {}
-    if max_codes is not None:
-        if int(max_codes) <= 0:
-            raise ValueError("max_codes must be positive when set")
-        sizes = {
-            int(r["cell"]): int(r["n"])
-            for r in codes.groupBy("cell")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-    cell_to_qidx: dict[int, np.ndarray] = {}
-    for i, cells_i in enumerate(probe):
-        nscan = 0
-        for c in cells_i:
-            if c < 0:
-                continue
-            if max_codes is not None and nscan >= int(max_codes):
-                break  # faiss: stop BEFORE the next list once bounded
-            nscan += sizes.get(int(c), 0)
-            cell_to_qidx.setdefault(int(c), []).append(i)  # type: ignore[arg-type]
-    cell_to_qidx = {c: np.asarray(ix, dtype=np.int64) for c, ix in cell_to_qidx.items()}
+    from .similarity import build_probe_map, cell_size_map
+
+    sizes = cell_size_map(codes, max_codes)
+    cell_to_qidx = {
+        c: np.asarray(ix, dtype=np.int64)
+        for c, ix in build_probe_map(
+            probe, max_codes=max_codes, cell_sizes=sizes
+        ).items()
+    }
     ht_ = None if ht is None else int(ht)
     bc = spark.sparkContext.broadcast(
         (qids, Q, centroids, codebooks, cell_to_qidx, ht_)
@@ -739,9 +727,12 @@ def ivfpq_search(
             lut[:, j, :] = np.einsum("ijk,ijk->ij", diff, diff)
         if packed4:
             lut = _fuse_lut4(lut)  # (nq_c, ⌈m/2⌉, 256) fused tables
+        # hard width check: a packed4/layout mismatch must raise, not
+        # gather a prefix of the code bytes silently
+        width = (m + 1) // 2 if packed4 else m
         Ccodes = np.frombuffer(
             b"".join(pdf["code"].tolist()), dtype=np.uint8
-        ).reshape(len(pdf), -1)
+        ).reshape(len(pdf), width)
         labels = pdf["id"].to_numpy(np.int64)
         D = np.zeros((nq_c, len(Ccodes)), dtype=np.float64)
         for j in range(lut.shape[1]):

@@ -473,6 +473,45 @@ def ivf_write(assigned: DataFrame, path: str) -> None:
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
 
 
+
+def cell_size_map(frame, max_codes):
+    """Per-cell inverted-list sizes for the faiss max_codes pre-list
+    check — ONE implementation shared by the IVF-family search paths
+    (similarity.ivf_search and pq.ivfpq_search). Returns {} when the
+    bound is off; validates the bound once here."""
+    if max_codes is None:
+        return {}
+    if int(max_codes) <= 0:
+        raise ValueError("max_codes must be positive when set")
+    return {
+        int(r["cell"]): int(r["n"])
+        for r in frame.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+
+def build_probe_map(probe, max_codes=None, cell_sizes=None):
+    """cell → local indices of the queries that probe it, with the
+    faiss ``SearchParametersIVF::max_codes`` pre-list cut (``if
+    (max_codes && nscan >= max_codes) break`` — the crossing list still
+    scans in full, the first list always does). Negative cells are the
+    faiss -1 skip-slot sentinel. ONE statement of the loop, shared by
+    ``_collect_probe`` and ``pq.ivfpq_search`` so a future fix cannot
+    miss one copy."""
+    cell_to_qidx: dict[int, list[int]] = {}
+    sizes = cell_sizes or {}
+    for i, cells_i in enumerate(probe):
+        nscan = 0
+        for c in cells_i:
+            if c < 0:
+                continue
+            if max_codes is not None and nscan >= int(max_codes):
+                break
+            nscan += sizes.get(int(c), 0)
+            cell_to_qidx.setdefault(int(c), []).append(i)
+    return cell_to_qidx
+
 def _collect_probe(
     queries: DataFrame,
     centroids: np.ndarray,
@@ -524,17 +563,7 @@ def _collect_probe(
     # cell is the faiss -1 "skip this probe slot" sentinel (coarse
     # quantizers emit it for unfillable slots; search_preassigned
     # callers pass it through) — it matches nothing, drop it here.
-    cell_to_qidx: dict[int, list[int]] = {}
-    sizes = cell_sizes or {}
-    for i, cells_i in enumerate(probe):
-        nscan = 0
-        for c in cells_i:
-            if c < 0:
-                continue
-            if max_codes is not None and nscan >= int(max_codes):
-                break  # faiss: stop BEFORE the next list once bounded
-            nscan += sizes.get(int(c), 0)
-            cell_to_qidx.setdefault(int(c), []).append(i)
+    cell_to_qidx = build_probe_map(probe, max_codes=max_codes, cell_sizes=cell_sizes)
     return qids, Q, cell_to_qidx
 
 
@@ -589,16 +618,7 @@ def ivf_search(
 
     if metric not in ("l2", "ip", "cosine", "l1"):
         raise ValueError(f"unknown metric {metric!r}")
-    cell_sizes = None
-    if max_codes is not None:
-        if int(max_codes) <= 0:
-            raise ValueError("max_codes must be positive when set")
-        cell_sizes = {
-            int(r["cell"]): int(r["n"])
-            for r in assigned.groupBy("cell")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
+    cell_sizes = cell_size_map(assigned, max_codes) if max_codes is not None else None
     collected = _collect_probe(
         queries, centroids, nprobe, qid_col, qvec_col, probe_cells,
         max_codes=max_codes, cell_sizes=cell_sizes,

@@ -298,6 +298,16 @@ def dedup_segments_stream(
     it, state grows with distinct segments (bounded backfills only).
     The identical transformation runs in batch, which is how stream ≡
     batch is pinned.
+
+    Survivor-row determinism: the BATCH form keeps the smallest
+    ``(id, pidx)`` member of each digest group (a ``min_by``
+    aggregate — ``segment_dedup``'s ``keep="min"`` discipline). On a
+    STREAM, first-arrival order is the semantic ("first seen"), so
+    across micro-batches the earliest batch wins; within one
+    micro-batch ``dropDuplicatesWithinWatermark`` keeps an arbitrary
+    member (Spark exposes no ordered reduction there) — callers needing
+    row-level determinism inside a batch should compare segment SETS or
+    run the batch form over the drained feed.
     """
     from ..operators.dedup import segment_col
 
@@ -306,9 +316,15 @@ def dedup_segments_stream(
         *( [F.col(ts_col)] if ts_col is not None else [] ),
         F.posexplode(segment_col(text_col, window)).alias("pidx", "segment"),
     ).withColumn("__fm_digest", F.md5(F.col("segment")))
-    if ts_col is not None and d.isStreaming:
-        d = d.withWatermark(ts_col, watermark)
-        d = d.dropDuplicatesWithinWatermark(["__fm_digest"])
-    else:
-        d = d.dropDuplicates(["__fm_digest"])
-    return d.select("id", "pidx", "segment")
+    if d.isStreaming:
+        if ts_col is not None:
+            d = d.withWatermark(ts_col, watermark)
+            d = d.dropDuplicatesWithinWatermark(["__fm_digest"])
+        else:
+            d = d.dropDuplicates(["__fm_digest"])
+        return d.select("id", "pidx", "segment")
+    # batch: deterministic min-(id, pidx) keeper per digest group
+    keeper = d.groupBy("__fm_digest").agg(
+        F.min_by(F.struct("id", "pidx", "segment"), F.struct("id", "pidx")).alias("r")
+    )
+    return keeper.select("r.id", "r.pidx", "r.segment")

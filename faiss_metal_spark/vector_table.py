@@ -551,8 +551,33 @@ class VectorTable:
         """(n, d) FP32 block [start, start+n) — faiss
         ``Index::reconstruct_n`` (the reference inherits it alongside
         ``reconstruct``, MetalIndexFlat.h:47). Raises KeyError if any
-        id in the range is absent, like per-id ``reconstruct``."""
-        return self.reconstruct_batch(np.arange(start, start + n, dtype=np.int64))
+        id in the range is absent, like per-id ``reconstruct``. A
+        RANGE predicate, not an n-element IN-list: dumping the whole
+        index (``reconstruct_n(0, ntotal)``) must stay an O(1)-size
+        plan at any n (``reconstruct_batch`` keeps ``isin`` for
+        genuinely sparse id sets)."""
+        start, n = int(start), int(n)
+        if n <= 0:
+            return np.zeros((0, self.d), dtype=np.float32)
+        rows = (
+            self.df.where((F.col("id") >= start) & (F.col("id") < start + n))
+            .select("id", "vec")
+            .collect()
+        )
+        byid = {r["id"]: r["vec"] for r in rows}
+        missing = [i for i in range(start, start + n) if i not in byid]
+        if missing:
+            raise KeyError(f"ids {missing[:5]} out of range")
+        if self.compact:
+            from .quantize import DECODERS
+
+            dec = DECODERS[self.storage]
+            return np.stack(
+                [dec(bytes(byid[i])) for i in range(start, start + n)]
+            )
+        return np.stack(
+            [np.asarray(byid[i], np.float32) for i in range(start, start + n)]
+        )
 
     def reconstruct_batch(self, ids) -> np.ndarray:
         """(len(ids), d) FP32 rows in the given id order — faiss

@@ -626,8 +626,14 @@ def test_dedup_segments_stream_equals_batch(spark, tmp_path):
     spark.createDataFrame(pdf_b).write.mode("append").parquet(d)
 
     batch = spark.read.parquet(d)
-    want = {r["segment"] for r in dedup_segments_stream(batch, window=4).collect()}
+    batch_rows = {
+        r["segment"]: (r["id"], r["pidx"])
+        for r in dedup_segments_stream(batch, window=4).collect()
+    }
+    want = set(batch_rows)
     assert boiler in want and len(want) == 4  # 1 shared + 3 unique tails
+    # batch keeper is DETERMINISTIC: the min-(id, pidx) member survives
+    assert batch_rows[boiler] == (0, 0)
 
     stream = (
         spark.readStream.schema("doc_id long, text string")
