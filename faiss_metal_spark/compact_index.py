@@ -3453,6 +3453,14 @@ class RQIndex:
             self.search(_query_df(self.spark, x), k), len(np.atleast_2d(x)), k
         )
 
+    def range_search(self, queries: DataFrame, radius: float) -> DataFrame:
+        """faiss ``range_search`` (IndexFlatCodes inheritance): exact
+        asymmetric distance strictly under radius, unordered (qid,
+        label, distance), zero shuffles."""
+        from .operators.rq import rq_range_search
+
+        return rq_range_search(self.codes, self.codebooks, queries, radius)
+
     def add_df(self, df: DataFrame, id_col: str = "id", vec_col: str = "vec") -> "RQIndex":
         """faiss ``add``: encode with the FROZEN stage codebooks,
         append."""
@@ -3611,6 +3619,13 @@ class PRQIndex:
         return _host_result(
             self.search(_query_df(self.spark, x), k), len(np.atleast_2d(x)), k
         )
+
+    def range_search(self, queries: DataFrame, radius: float) -> DataFrame:
+        """faiss ``range_search`` over the product codes — same strict-<
+        unordered contract as :meth:`RQIndex.range_search`."""
+        from .operators.rq import prq_range_search
+
+        return prq_range_search(self.codes, self.codebooks, queries, radius)
 
     def add_df(self, df: DataFrame, id_col: str = "id", vec_col: str = "vec") -> "PRQIndex":
         """faiss ``add``: encode with the FROZEN per-block codebooks,

@@ -466,3 +466,98 @@ def prq_search(
         Qs = Q[:, s * dsub : (s + 1) * dsub]
         lut[:, s * m : (s + 1) * m, :] = np.einsum("qd,mkd->qmk", Qs, codebooks[s])
     return _lut_topk_search(codes, queries, qid_col, qids, qn, lut, k)
+
+
+def _lut_range_search(
+    codes: DataFrame,
+    qids: np.ndarray,
+    qn: np.ndarray,
+    lut: np.ndarray,
+    radius: float,
+) -> DataFrame:
+    """Shared additive-quantizer range scan: same LUT-gather ADC as
+    :func:`_lut_topk_search`, but each batch emits its (qid, label,
+    distance) pairs with ``distance < radius`` (STRICT, the faiss
+    range_search contract) — no merge stage, zero shuffles, output
+    bounded by the radius like the flat operator."""
+    from .knn import RANGE_SCHEMA
+
+    spark = codes.sparkSession
+    m = lut.shape[1]
+    r = float(radius)
+    bc = spark.sparkContext.broadcast((qids, qn, lut))
+
+    def emit(batches):
+        import pyarrow as pa
+
+        qids_, qn_, lut_ = bc.value
+        nq = len(qids_)
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            C = _arrow_codes(batch.column("code"))
+            recn = batch.column("recn").to_numpy(zero_copy_only=True)
+            labels = _arrow_i64(batch.column("id"))
+            ip = np.zeros((nq, len(C)), np.float64)
+            for j in range(m):
+                ip += lut_[:, j, :][:, C[:, j]]
+            D = qn_[:, None] - 2.0 * ip + recn[None, :]
+            np.maximum(D, 0.0, out=D)
+            qi, vi = np.nonzero(D < r)
+            if len(qi):
+                yield pa.record_batch(
+                    [
+                        pa.array(qids_[qi]),
+                        pa.array(labels[vi]),
+                        pa.array(D[qi, vi]),
+                    ],
+                    names=["qid", "label", "distance"],
+                )
+
+    return codes.mapInArrow(emit, RANGE_SCHEMA)
+
+
+def rq_range_search(
+    codes: DataFrame,
+    codebooks: np.ndarray,
+    queries: DataFrame,
+    radius: float,
+    qid_col: str = "qid",
+    qvec_col: str = "vec",
+) -> DataFrame:
+    """faiss ``IndexResidualQuantizer::range_search`` (inherited from
+    IndexFlatCodes): all stored codes whose exact asymmetric distance
+    ‖q − reconstruction‖² is strictly under ``radius`` — unordered
+    (qid, label, distance), same contract as the flat operator."""
+    qids, qn, Q, _empty = _host_queries(codes, queries, qid_col, qvec_col)
+    if _empty is not None:
+        from .knn import RANGE_SCHEMA
+
+        return codes.sparkSession.createDataFrame([], RANGE_SCHEMA)
+    lut = np.einsum("qd,mkd->qmk", Q, codebooks)
+    return _lut_range_search(codes, qids, qn, lut, radius)
+
+
+def prq_range_search(
+    codes: DataFrame,
+    codebooks: np.ndarray,
+    queries: DataFrame,
+    radius: float,
+    qid_col: str = "qid",
+    qvec_col: str = "vec",
+) -> DataFrame:
+    """Product form of :func:`rq_range_search` (faiss
+    IndexProductResidualQuantizer::range_search) — block-diagonal LUTs,
+    same scan."""
+    qids, qn, Q, _empty = _host_queries(codes, queries, qid_col, qvec_col)
+    if _empty is not None:
+        from .knn import RANGE_SCHEMA
+
+        return codes.sparkSession.createDataFrame([], RANGE_SCHEMA)
+    ns, m, ksub, dsub = codebooks.shape
+    nq = len(qids)
+    lut = np.empty((nq, ns * m, ksub), np.float64)
+    for s in range(ns):
+        Qs = Q[:, s * dsub : (s + 1) * dsub]
+        lut[:, s * m : (s + 1) * m, :] = np.einsum("qd,mkd->qmk", Qs, codebooks[s])
+    return _lut_range_search(codes, qids, qn, lut, radius)

@@ -240,3 +240,50 @@ def test_prq_codec_properties():
         np.testing.assert_allclose(err0, per_block, rtol=1e-12)
 
     prop()
+
+
+def test_rq_prq_range_search(spark):
+    """faiss IndexFlatCodes range_search on the additive tiers: every
+    (qid, label) with exact asymmetric distance STRICTLY under radius,
+    nothing else, unordered — vs the decode-then-score numpy oracle."""
+    from faiss_metal_spark.operators.rq import prq_decode_np
+
+    V, Q = make_fixture(300, 4, 16, seed=29)
+    vt = _vt(spark, V)
+    for idx in (
+        PRQIndex.from_table(vt, nsplits=2, m=2, iters=4),
+        RQIndex.from_table(vt, m=2, iters=4),
+    ):
+        books = idx.codebooks if isinstance(idx, PRQIndex) else idx.codebooks[None][0]
+        pdf = idx.codes.orderBy("id").toPandas()
+        ids = pdf["id"].to_numpy(np.int64)
+        C = np.stack([np.frombuffer(c, np.uint8) for c in pdf["code"]])
+        if isinstance(idx, PRQIndex):
+            R = prq_decode_np(C, idx.codebooks)
+        else:
+            from faiss_metal_spark.operators.rq import rq_decode_np
+
+            R = rq_decode_np(C, idx.codebooks)
+        D = ((Q.astype(np.float64)[:, None, :] - R[None, :, :]) ** 2).sum(-1)
+        radius = float(np.quantile(D, 0.05))
+        import pandas as pd
+
+        qdf = spark.createDataFrame(
+            pd.DataFrame({"qid": np.arange(len(Q)), "vec": list(Q)})
+        )
+        got = {
+            (r["qid"], r["label"]): r["distance"]
+            for r in idx.range_search(qdf, radius).collect()
+        }
+        want = {
+            (int(q), int(ids[v])): D[q, v]
+            for q, v in zip(*np.nonzero(D < radius))
+        }
+        assert set(got) == set(want)
+        for kk, dv in got.items():
+            assert abs(dv - want[kk]) <= 1e-9 * max(1.0, want[kk])
+        # strictness: a radius exactly AT a stored distance excludes it
+        dmin = D.min()
+        at = idx.range_search(qdf, float(dmin)).collect()
+        assert all(r["distance"] < dmin for r in at)
+        idx.release()
