@@ -3880,6 +3880,49 @@ class Flat1DIndex:
         )
         return _host_result(self.search(qdf, k), len(x), k)
 
+    def range_search(
+        self, queries: DataFrame, radius: float, qid_col: str = "qid",
+        qval_col: str = "val",
+    ) -> DataFrame:
+        """All stored values with ``|q − v| < radius`` (STRICT, the flat
+        range contract), unordered (qid, label, distance). In 1-d the
+        radius ball is the interval ``(q − r, q + r)``, so the scan is a
+        broadcast VALUE-window join on the ranked store — one scan,
+        zero shuffles, output bounded by the true result size. Note the
+        upstream wart this deliberately fixes: faiss IndexFlat1D
+        inherits IndexFlatL2's range_search, whose radius is in SQUARED
+        units while its own search() reports |q − v| — here both use
+        |q − v| consistently."""
+        from .operators.knn import RANGE_SCHEMA
+
+        qpdf = queries.select(
+            F.col(qid_col).cast("long").alias("qid"),
+            F.col(qval_col).cast("double").alias("qv"),
+        ).toPandas()
+        if len(qpdf) == 0:
+            return self.spark.createDataFrame([], RANGE_SCHEMA)
+        r = float(radius)
+        win = self.spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "qid": qpdf["qid"].to_numpy(np.int64),
+                    "qv": qpdf["qv"].to_numpy(np.float64),
+                }
+            )
+        )
+        return (
+            self.ranked.join(
+                F.broadcast(win),
+                (F.col("val") > F.col("qv") - r) & (F.col("val") < F.col("qv") + r),
+            )
+            .select(
+                "qid",
+                F.col("id").alias("label"),
+                F.abs(F.col("val") - F.col("qv")).alias("distance"),
+            )
+            .where(F.col("distance") < r)  # exact strict-< boundary
+        )
+
     def reconstruct(self, key: int) -> np.ndarray:
         row = self.ranked.where(F.col("id") == int(key)).select("val").collect()
         if not row:

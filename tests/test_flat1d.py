@@ -118,3 +118,35 @@ def test_factory_and_io(spark, tmp_path):
     cl = clone_index(idx)
     np.testing.assert_array_equal(cl.search_numpy(q, k=3)[1], L)
     idx.release()
+
+
+def test_range_search(spark):
+    """|q−v| < radius, strict, unordered — vs a numpy filter; the
+    radius unit is |q−v| (consistent with search, unlike the upstream
+    inherited squared-radius wart, documented in the method)."""
+    import pandas as pd
+
+    rng = np.random.default_rng(43)
+    vals = rng.uniform(0, 10, 400)
+    idx, vals, ids = _build(spark, vals)
+    q = np.array([2.5, 9.9, vals[3]])
+    r = 0.35
+    qdf = spark.createDataFrame(
+        pd.DataFrame({"qid": np.arange(len(q), dtype=np.int64), "val": q})
+    )
+    got = {(row["qid"], row["label"]): row["distance"]
+           for row in idx.range_search(qdf, r).collect()}
+    d = np.abs(vals[None, :] - q[:, None])
+    want = {(int(i), int(ids[j])): d[i, j] for i, j in zip(*np.nonzero(d < r))}
+    assert set(got) == set(want) and len(want) > 0
+    for kk in got:
+        assert abs(got[kk] - want[kk]) < 1e-12
+    # strict boundary: radius exactly at an existing distance excludes it
+    dmin = d.min()
+    assert all(
+        row["distance"] < dmin for row in idx.range_search(qdf, float(dmin)).collect()
+    )
+    # empty query batch
+    empty = spark.createDataFrame([], "qid long, val double")
+    assert idx.range_search(empty, 1.0).count() == 0
+    idx.release()
