@@ -2694,6 +2694,8 @@ class GraphIndex:
         O(1)-size plan at any n (``reconstruct_batch`` keeps ``isin``
         for genuinely sparse id sets)."""
         start, n = int(start), int(n)
+        if n <= 0:  # same contract as VectorTable.reconstruct_n
+            return np.zeros((0, self.d), dtype=np.float32)
         rows = (
             self.vectors.where(
                 (F.col("id") >= start) & (F.col("id") < start + n)

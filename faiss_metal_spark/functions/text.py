@@ -415,10 +415,18 @@ def normalize_for_dedup(text: Column | str, fold_accents: bool = True) -> Column
     return F.trim(out)
 
 
+# The C4 reference's actual line-drop phrases (TFDS c4_utils
+# _get_clean_page): cookie POLICY phrases, not the bare word — a
+# "cookie recipe" line must survive. "javascript" / "lorem ipsum"
+# match as whole words (boundary rlike below), never inside longer
+# tokens.
 C4_BAD_MARKERS = [
     "lorem ipsum",
     "javascript",
-    "cookie",
+    "cookie policy",
+    "uses cookies",
+    "use of cookies",
+    "use cookies",
     "privacy policy",
     "terms of use",
 ]
@@ -435,9 +443,12 @@ def c4_clean_lines(
     ONE Catalyst projection: split the document on newlines, keep only
     lines that (a) end in terminal punctuation (``. ! ? "``),
     (b) carry at least ``min_words`` words, and (c) contain none of the
-    boilerplate markers (case-insensitive; C4 drops cookie/policy/
-    "lorem ipsum"/javascript lines), then re-join the survivors.
-    Returns the cleaned text (empty string when no line survives).
+    boilerplate markers (case-insensitive WHOLE-WORD/phrase match —
+    the C4 cookie-POLICY phrase list, so "cookie recipe" survives and
+    "javascript" never matches inside a longer token), then re-join
+    the survivors. Returns the cleaned text (empty string when no line
+    survives). Caller-supplied ``bad_markers`` get the same
+    word-boundary treatment.
 
     The paper's remaining rules live elsewhere in this engine: the
     citation-span and curly-brace *document* drops are `gopher_flags` /
@@ -449,6 +460,8 @@ def c4_clean_lines(
     markers = C4_BAD_MARKERS if bad_markers is None else list(bad_markers)
     line = lambda x: x  # noqa: E731 — readability alias
 
+    import re as _re
+
     def keep(x):
         trimmed = F.trim(line(x))
         ok = F.size(F.split(trimmed, r"\s+")) >= int(min_words)
@@ -456,7 +469,9 @@ def c4_clean_lines(
             ok = ok & trimmed.rlike('[.!?"]$')
         low = F.lower(trimmed)
         for mk in markers:
-            ok = ok & ~low.contains(mk.lower())
+            # word-boundary phrase match (still codegen: one rlike)
+            pat = r"\b" + _re.escape(mk.lower()) + r"\b"
+            ok = ok & ~low.rlike(pat)
         return ok
 
     return F.array_join(F.filter(F.split(c, r"\n"), keep), "\n")

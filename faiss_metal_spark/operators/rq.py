@@ -287,8 +287,19 @@ def _lut_topk_search(
     partial top-k → ``_finalize`` merge. ``lut`` is (nq, m_total, 256)
     with one slab per stored code byte — full-width stages for RQ, a
     block-diagonal product layout for PRQ (same gather either way)."""
+    from .knn import _MAX_BROADCAST_ELEMS
+
     spark = codes.sparkSession
     m = lut.shape[1]
+    # Same ceiling discipline as pq.py: the LUT is nq·m·256 doubles —
+    # past the ceiling it would OOM an executor, so raise with the
+    # chunked_queries remedy instead.
+    if lut.size > _MAX_BROADCAST_ELEMS:
+        raise ValueError(
+            f"ADC LUT too large to broadcast ({lut.size} elems > "
+            f"{_MAX_BROADCAST_ELEMS}); use smaller query batches "
+            f"(see operators.chunked.chunked_queries)"
+        )
     bc = spark.sparkContext.broadcast((qids, qn, lut))
 
     def partial_topk(batches):
@@ -302,6 +313,14 @@ def _lut_topk_search(
             if batch.num_rows == 0:
                 continue
             C = _arrow_codes(batch.column("code"))
+            # hard width check: stale/mismatched codebooks must raise,
+            # not gather a prefix of each code silently (pq.py
+            # ivfpq_search has the same discipline)
+            if C.shape[1] != m:
+                raise ValueError(
+                    f"stored code width {C.shape[1]} != codebook "
+                    f"stages {m}: codes/codebooks mismatch"
+                )
             recn = batch.column("recn").to_numpy(zero_copy_only=True)
             labels = _arrow_i64(batch.column("id"))
             ip = np.zeros((nq, len(C)), np.float64)
@@ -480,11 +499,17 @@ def _lut_range_search(
     distance) pairs with ``distance < radius`` (STRICT, the faiss
     range_search contract) — no merge stage, zero shuffles, output
     bounded by the radius like the flat operator."""
-    from .knn import RANGE_SCHEMA
+    from .knn import _MAX_BROADCAST_ELEMS, RANGE_SCHEMA
 
     spark = codes.sparkSession
     m = lut.shape[1]
     r = float(radius)
+    if lut.size > _MAX_BROADCAST_ELEMS:
+        raise ValueError(
+            f"ADC LUT too large to broadcast ({lut.size} elems > "
+            f"{_MAX_BROADCAST_ELEMS}); use smaller query batches "
+            f"(see operators.chunked.chunked_queries)"
+        )
     bc = spark.sparkContext.broadcast((qids, qn, lut))
 
     def emit(batches):
@@ -496,6 +521,11 @@ def _lut_range_search(
             if batch.num_rows == 0:
                 continue
             C = _arrow_codes(batch.column("code"))
+            if C.shape[1] != m:
+                raise ValueError(
+                    f"stored code width {C.shape[1]} != codebook "
+                    f"stages {m}: codes/codebooks mismatch"
+                )
             recn = batch.column("recn").to_numpy(zero_copy_only=True)
             labels = _arrow_i64(batch.column("id"))
             ip = np.zeros((nq, len(C)), np.float64)
@@ -534,6 +564,10 @@ def rq_range_search(
         from .knn import RANGE_SCHEMA
 
         return codes.sparkSession.createDataFrame([], RANGE_SCHEMA)
+    if Q.shape[1] != codebooks.shape[2]:
+        raise ValueError(
+            f"query dim {Q.shape[1]} != codebook dim {codebooks.shape[2]}"
+        )
     lut = np.einsum("qd,mkd->qmk", Q, codebooks)
     return _lut_range_search(codes, qids, qn, lut, radius)
 
@@ -555,6 +589,8 @@ def prq_range_search(
 
         return codes.sparkSession.createDataFrame([], RANGE_SCHEMA)
     ns, m, ksub, dsub = codebooks.shape
+    if Q.shape[1] != ns * dsub:
+        raise ValueError(f"query dim {Q.shape[1]} != codebook dim {ns * dsub}")
     nq = len(qids)
     lut = np.empty((nq, ns * m, ksub), np.float64)
     for s in range(ns):

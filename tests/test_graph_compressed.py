@@ -195,6 +195,10 @@ def test_graph_reconstruct_batch_and_nndescent_facade(spark):
         g.reconstruct_n(10, 4), V[10:14].astype(np.float32), atol=0
     )
     assert g.reconstruct_batch([]).shape == (0, 8)
+    # n <= 0 returns empty (0, d) like VectorTable.reconstruct_n — no
+    # opaque np.stack error on a negative n
+    assert g.reconstruct_n(10, 0).shape == (0, 8)
+    assert g.reconstruct_n(10, -3).shape == (0, 8)
     with pytest.raises(KeyError):
         g.reconstruct_batch([0, 10_000])
     plain.release(), g.release()

@@ -258,3 +258,74 @@ def test_rq_icm_refinement(spark):
     with tempfile.TemporaryDirectory() as td:
         write_index(idx, f"{td}/rq")
         assert read_index(spark, f"{td}/rq").icm_sweeps == 2
+
+
+def test_lut_broadcast_ceiling_guard(spark, monkeypatch):
+    """The (nq, m_total, 256) ADC LUT broadcast gets the same
+    _MAX_BROADCAST_ELEMS discipline as pq.py: past the ceiling every
+    RQ/PRQ entry point (top-k AND range) raises with the
+    chunked_queries remedy instead of OOMing an executor."""
+    from faiss_metal_spark import PRQIndex
+    from faiss_metal_spark.operators import knn as knn_mod
+    from faiss_metal_spark.operators import rq as rq_mod
+
+    V, Q = make_fixture(300, 3, 16)
+    vt = _table(spark, V)
+    idx = RQIndex.from_table(vt, m=4, sample_size=300, iters=3)
+    pidx = PRQIndex.from_table(vt, nsplits=2, m=2, sample_size=300, iters=3)
+    qdf = spark.createDataFrame(
+        [(int(i), [float(v) for v in Q[i]]) for i in range(len(Q))],
+        "qid long, vec array<double>",
+    )
+    # 3 queries × 4 stages × 256 = 3072 elems — a ceiling of 1000 trips
+    monkeypatch.setattr(knn_mod, "_MAX_BROADCAST_ELEMS", 1000)
+    for call in (
+        lambda: rq_mod.rq_search(idx.codes, idx.codebooks, qdf, 5),
+        lambda: rq_mod.prq_search(pidx.codes, pidx.codebooks, qdf, 5),
+        lambda: rq_mod.rq_range_search(idx.codes, idx.codebooks, qdf, 1.0),
+        lambda: rq_mod.prq_range_search(pidx.codes, pidx.codebooks, qdf, 1.0),
+    ):
+        with pytest.raises(ValueError, match="chunked_queries"):
+            call()
+    # under the ceiling everything still runs
+    monkeypatch.setattr(knn_mod, "_MAX_BROADCAST_ELEMS", 8_000_000)
+    assert rq_mod.rq_search(idx.codes, idx.codebooks, qdf, 5).count() == 15
+
+
+def test_code_width_mismatch_raises(spark):
+    """Stale/mismatched codebooks (fewer stages than the stored code
+    width, same d) must raise, not silently score a prefix of each
+    code while recn reflects the full reconstruction — the pq.py
+    ivfpq_search width-guard discipline on the additive tiers."""
+    V, Q = make_fixture(300, 2, 8)
+    idx = RQIndex.from_table(_table(spark, V), m=4, sample_size=300, iters=3)
+    from faiss_metal_spark.operators.rq import rq_range_search, rq_search
+
+    qdf = spark.createDataFrame(
+        [(int(i), [float(v) for v in Q[i]]) for i in range(len(Q))],
+        "qid long, vec array<double>",
+    )
+    stale = idx.codebooks[:2]  # same d, fewer stages
+    with pytest.raises(Exception, match="code width"):
+        rq_search(idx.codes, stale, qdf, 3).collect()
+    with pytest.raises(Exception, match="code width"):
+        rq_range_search(idx.codes, stale, qdf, 10.0).collect()
+
+
+def test_range_search_dim_guard(spark):
+    """rq/prq range_search validate the query dimension up front (the
+    same 'query dim X != codebook dim Y' ValueError as top-k search),
+    instead of an opaque einsum broadcast error."""
+    from faiss_metal_spark import PRQIndex
+
+    V, _ = make_fixture(300, 1, 8)
+    vt = _table(spark, V)
+    idx = RQIndex.from_table(vt, m=2, sample_size=300, iters=3)
+    pidx = PRQIndex.from_table(vt, nsplits=2, m=2, sample_size=300, iters=3)
+    bad = spark.createDataFrame(
+        [(0, [0.0] * 9)], "qid long, vec array<double>"
+    )
+    with pytest.raises(ValueError, match="query dim 9"):
+        idx.range_search(bad, 1.0)
+    with pytest.raises(ValueError, match="query dim 9"):
+        pidx.range_search(bad, 1.0)

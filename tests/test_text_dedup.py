@@ -1231,3 +1231,22 @@ def test_c4_clean_lines(spark):
                        require_terminal_punct=False).alias("t")
     ).collect()[0]["t"]
     assert keep_all == doc  # trimmed lines identical here
+
+    # C4 drops cookie-POLICY phrases, not the bare word: a cookie
+    # recipe survives, and markers match on word boundaries so
+    # "javascript" never fires inside a longer token.
+    benign = "\n".join(
+        [
+            "Try this chocolate cookie recipe at home tonight.",  # keeps
+            "This site uses cookies to track you.",               # marker
+            "The library avascriptjavascriptify is unrelated ok.",  # keeps
+            "Please enable javascript in your browser.",           # marker
+        ]
+    )
+    out2 = docs_df(spark, [benign]).select(
+        c4_clean_lines("text").alias("t")
+    ).collect()[0]["t"]
+    assert out2.split("\n") == [
+        "Try this chocolate cookie recipe at home tonight.",
+        "The library avascriptjavascriptify is unrelated ok.",
+    ]
