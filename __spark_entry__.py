@@ -2671,7 +2671,13 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's decode-then-score arithmetic — and 'prq' rows: the
     product-of-residual-quantizers (faiss
     IndexProductResidualQuantizer, r11), the rq recipe applied
-    independently per 32-dim coordinate block. Codebooks are FIXED
+    independently per 32-dim coordinate block — and 'ivfrq' rows (r12):
+    the faiss IndexIVFResidualQuantizer composition (operators/rq.py
+    ivfrq_*): each vector's COARSE-CELL residual encoded by one fixed
+    16-codeword additive stage (the rq lane's r1 book), search probing
+    4 of 16 cells with the extended additive identity, so assignment +
+    residual encode + in-cell LUT scan hash-match the oracle's
+    decode-then-score over probed cells. Codebooks are FIXED
     (first-256 embedding rows / their residuals / their second-level
     residuals), so encode + ADC + top-k + rescore + refine-rerank all
     hash-match the DuckDB oracle; iterative training is pinned
@@ -2744,6 +2750,18 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     rqbooks = np.stack([centroids, r1])
     rq_rows = rq_search(rq_encode(emb, rqbooks), rqbooks, queries, k=10)
 
+    # ivfrq lane (faiss IndexIVFResidualQuantizer, r12): the SAME fixed
+    # stage book r1 now encodes each vector's COARSE-CELL residual in a
+    # cell-partitioned inverted file (by_residual=True, the faiss
+    # default); a vector's reconstruction is centroid(cell) + codeword —
+    # the rq lane's arithmetic — but search scans only the probed cells
+    from faiss_metal_spark.operators.rq import ivfrq_encode, ivfrq_search
+
+    ivfrq_rows = ivfrq_search(
+        ivfrq_encode(assigned, centroids, r1[None, :, :]),
+        centroids, r1[None, :, :], queries, k=10, nprobe=_ANN_NPROBE,
+    )
+
     # prq lane: product-of-residual-quantizers (faiss
     # IndexProductResidualQuantizer, r11) — the rq lane's recipe applied
     # per 32-dim coordinate block: each block gets two FIXED 16-codeword
@@ -2789,6 +2807,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(out_cols("refine", ref))
         .unionByName(out_cols("ivfpqr", pqr))
         .unionByName(out_cols("rq", rq_rows))
+        .unionByName(out_cols("ivfrq", ivfrq_rows))
         .unionByName(out_cols("prq", prq_rows))
         .unionByName(out_cols("poly", poly))
     )
@@ -3274,6 +3293,24 @@ rqr AS (
          row_number() OVER (PARTITION BY qid ORDER BY dist ASC, label ASC) - 1 AS rank
   FROM rqd
 ),
+-- ivfrq lane (faiss IndexIVFResidualQuantizer): rqrec IS the IVF-additive
+-- reconstruction (centroid(cell) + the cell-residual stage codeword), so
+-- the lane is rqd's decode-then-score restricted to each query's probed
+-- cells — the inverted-file pruning is the only difference from 'rq'
+ivfrqd AS (
+  SELECT q.qid, rqrec.id AS label,
+         list_sum([(x[1] - x[2]) * (x[1] - x[2]) FOR x IN
+                   list_zip(q.qv::DOUBLE[], rqrec.rv)]) AS dist
+  FROM probe p
+  JOIN q ON q.qid = p.qid
+  JOIN va ON va.cell = p.cell
+  JOIN rqrec ON rqrec.id = va.vec_id
+),
+ivfrqr AS (
+  SELECT qid, label, dist,
+         row_number() OVER (PARTITION BY qid ORDER BY dist ASC, label ASC) - 1 AS rank
+  FROM ivfrqd
+),
 -- poly lane (faiss IndexPQ ST_polysemous): relabel every sub-code by
 -- the FIXED shared permutation, Hamming-filter on the relabeled bytes
 -- (bit_count of the XOR summed over subspaces, STRICT < ht like faiss
@@ -3309,6 +3346,10 @@ UNION ALL
 SELECT 'rq' AS path, CAST(qid AS BIGINT) AS qid, CAST(rank AS INTEGER) AS rank,
        CAST(label AS BIGINT) AS label, ROUND(dist, 4) + 0.0 AS distance
 FROM rqr WHERE rank < 10
+UNION ALL
+SELECT 'ivfrq' AS path, CAST(qid AS BIGINT) AS qid, CAST(rank AS INTEGER) AS rank,
+       CAST(label AS BIGINT) AS label, ROUND(dist, 4) + 0.0 AS distance
+FROM ivfrqr WHERE rank < 10
 UNION ALL
 SELECT 'prq' AS path, CAST(qid AS BIGINT) AS qid, CAST(rank AS INTEGER) AS rank,
        CAST(label AS BIGINT) AS label, ROUND(dist, 4) + 0.0 AS distance

@@ -24,6 +24,7 @@ from .compact_index import (
     IVFPQFastScanIndex,
     IVFPQIndex,
     IVFPQRIndex,
+    IVFRQIndex,
     IVFSQIndex,
     OPQIndex,
     PQFastScanIndex,
@@ -82,6 +83,7 @@ __all__ = [
     "IVFPQIndex",
     "IVFPQRIndex",
     "IVFSQIndex",
+    "IVFRQIndex",
     "OPQIndex",
     "PQFastScanIndex",
     "PQIndex",

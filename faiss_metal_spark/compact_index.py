@@ -3726,6 +3726,206 @@ class PRQIndex:
 
 
 @dataclass
+class IVFRQIndex:
+    """IVF + additive-quantized entries — the faiss
+    ``IndexIVFResidualQuantizer`` family (``index_factory(
+    "IVF<n>,RQ<m>x8")``) and its product/ICM variants:
+    ``codebooks.ndim == 3`` is the full-width residual quantizer
+    (IVF+RQ; with ``icm_sweeps`` > 0 the ``"IVF<n>,LSQ<m>x8"`` encode
+    discipline), ``ndim == 4`` the per-coordinate-block product form
+    (IVF+PRQ / ``"IVF<n>,PLSQ..."``). Composition of the existing IVF
+    cell machinery and the flat additive tiers (operators/rq.py
+    ``ivfrq_*``): by default (``by_residual=True``, faiss's default)
+    each entry's additive code encodes ``x − centroid(cell)`` and
+    search uses the extended additive identity with one global
+    query-batch LUT broadcast shared across probed cells;
+    ``by_residual=False`` stores plain codes so a full probe is
+    bit-identical to the flat RQ/PRQ tier under shared codebooks.
+    Codes persist ``partitionBy("cell")`` via ``write_index`` (the
+    inverted-list layout, partition-pruned probes)."""
+
+    spark: SparkSession
+    d: int
+    centroids: np.ndarray
+    codebooks: np.ndarray  # (m, 256, d) RQ or (ns, m, 256, dsub) PRQ
+    codes: DataFrame
+    _n: int = field(default=-1, repr=False)
+    beam: int = 1
+    icm_sweeps: int = 0
+    by_residual: bool = True
+
+    @classmethod
+    def from_table(
+        cls, vt, n_cells: int, m: int, nsplits: int | None = None,
+        sample_size: int = 16384, iters: int = 10,
+        beam: int = 1, icm_sweeps: int = 0, by_residual: bool = True,
+    ) -> "IVFRQIndex":
+        from .operators.rq import ivfrq_build
+
+        base = _float_view(vt)
+        centroids, books, codes = ivfrq_build(
+            base, n_cells, m, nsplits=nsplits, sample_size=sample_size,
+            iters=iters, beam=beam, icm_sweeps=icm_sweeps,
+            by_residual=by_residual,
+        )
+        codes = codes.persist()
+        n = codes.count()
+        return cls(
+            vt.spark, vt.d, centroids, books, codes, n,
+            beam=int(beam), icm_sweeps=int(icm_sweeps),
+            by_residual=bool(by_residual),
+        )
+
+    @property
+    def nlist(self) -> int:
+        return len(self.centroids)
+
+    @property
+    def ntotal(self) -> int:
+        return self._n if self._n >= 0 else self.codes.count()
+
+    @property
+    def sa_code_size(self) -> int:
+        from .operators.rq import addq_m_total
+
+        return addq_m_total(self.codebooks)
+
+    def search(
+        self, queries: DataFrame, k: int, nprobe: int = 8,
+        sel=None, max_codes: int | None = None,
+    ) -> DataFrame:
+        """``sel`` / ``max_codes`` ≙ faiss ``SearchParametersIVF`` —
+        same contracts as :meth:`IVFPQIndex.search`."""
+        from .operators.rq import ivfrq_search
+
+        return ivfrq_search(
+            _sel_rows(self.codes, sel), self.centroids, self.codebooks,
+            queries, k, nprobe, by_residual=self.by_residual,
+            max_codes=max_codes,
+        )
+
+    def search_numpy(
+        self, x: np.ndarray, k: int, nprobe: int = 8,
+        sel=None, max_codes: int | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        return _host_result(
+            self.search(
+                _query_df(self.spark, x), k, nprobe, sel=sel,
+                max_codes=max_codes,
+            ),
+            len(np.atleast_2d(x)),
+            k,
+        )
+
+    def search_preassigned(
+        self, queries: DataFrame, k: int, assign: np.ndarray
+    ) -> DataFrame:
+        """≙ faiss ``IndexIVF::search_preassigned`` on the additive
+        file — caller-supplied probe cells indexed by qid (-1 = skip
+        slot); a full assignment reproduces ``search`` exactly."""
+        from .operators.rq import ivfrq_search
+
+        A, hook = _preassign_hook(assign)
+        return ivfrq_search(
+            self.codes, self.centroids, self.codebooks, queries, k,
+            nprobe=A.shape[1], by_residual=self.by_residual,
+            probe_cells=hook,
+        )
+
+    def search_preassigned_numpy(
+        self, x: np.ndarray, k: int, assign: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        return _host_result(
+            self.search_preassigned(_query_df(self.spark, x), k, assign),
+            len(np.atleast_2d(x)),
+            k,
+        )
+
+    def range_search(
+        self, queries: DataFrame, radius: float, nprobe: int = 8
+    ) -> DataFrame:
+        """faiss IVF-additive ``range_search``: strict ``< radius``
+        over the probed cells; subset under partial probes, never a
+        false positive."""
+        from .operators.rq import ivfrq_range_search
+
+        return ivfrq_range_search(
+            self.codes, self.centroids, self.codebooks, queries, radius,
+            nprobe, by_residual=self.by_residual,
+        )
+
+    def add_df(
+        self, df: DataFrame, id_col: str = "id", vec_col: str = "vec"
+    ) -> "IVFRQIndex":
+        """faiss ``IndexIVF::add_with_ids``: assign against the frozen
+        coarse quantizer, additive-encode with the frozen codebooks
+        (and the index's own beam/ICM discipline), append."""
+        from .operators.rq import ivfrq_encode
+        from .operators.similarity import ivf_assign
+
+        new = ivfrq_encode(
+            ivf_assign(_ivf_add_rows(df, id_col, vec_col), self.centroids),
+            self.centroids,
+            self.codebooks,
+            beam=self.beam,
+            icm_sweeps=self.icm_sweeps,
+            by_residual=self.by_residual,
+        )
+        _append_frame(self, "codes", new)
+        return self
+
+    def add_numpy(self, x: np.ndarray, ids=None) -> "IVFRQIndex":
+        return self.add_df(_numpy_add_df(self, "codes", x, ids))
+
+    def merge_from(
+        self, other: "IVFRQIndex", add_id: int = 0,
+        check_duplicates: bool = True,
+    ) -> "IVFRQIndex":
+        """faiss ``IndexIVF::merge_from`` — identical coarse quantizer,
+        codebooks AND encode discipline required (a donor encoded with
+        a different beam/residual mode holds different codes for the
+        same vectors)."""
+        _merge_ivf_frames(
+            self,
+            other,
+            "codes",
+            (
+                (self.d, self.beam, self.icm_sweeps, self.by_residual,
+                 self.centroids, self.codebooks),
+                (other.d, other.beam, other.icm_sweeps, other.by_residual,
+                 other.centroids, other.codebooks),
+            ),
+            add_id, check_duplicates=check_duplicates,
+        )
+        return self
+
+    def remove_ids(self, ids) -> int:
+        """faiss ``IndexIVF::remove_ids`` (no renumbering)."""
+        return _remove_ids_frame(self, "codes", ids)
+
+    def reconstruct(self, key: int) -> np.ndarray:
+        """centroid(cell) + additive decode when ``by_residual``, else
+        the plain codeword sum (faiss IVF-additive reconstruct)."""
+        from .operators.rq import addq_decode_np
+
+        row = (
+            self.codes.where(F.col("id") == int(key))
+            .select("code", "cell")
+            .collect()
+        )
+        if not row:
+            raise KeyError(f"id {key} not in index")
+        code = np.frombuffer(row[0]["code"], np.uint8)[None, :]
+        rec = addq_decode_np(code, self.codebooks)[0]
+        if self.by_residual:
+            rec = rec + self.centroids[int(row[0]["cell"])]
+        return rec
+
+    def release(self) -> None:
+        self.codes.unpersist()
+
+
+@dataclass
 class Flat1DIndex:
     """1-d specialized flat tier — faiss ``IndexFlat1D`` (IndexFlat.h:
     "optimized version for 1D vectors"; built here from a d=1 table via
@@ -4196,6 +4396,12 @@ def index_factory(vt, spec: str, **train_kw):
       stages, 8 bits/stage)
     - ``"PLSQ2x4x8"``       → :class:`PRQIndex` with ICM encode sweeps
       (faiss IndexProductLocalSearchQuantizer)
+    - ``"IVF256,RQ4x8"`` / ``"IVF256,LSQ4x8"`` / ``"IVF256,PRQ2x4x8"``
+      / ``"IVF256,PLSQ2x4x8"`` → :class:`IVFRQIndex` (the faiss
+      IndexIVFResidualQuantizer / IndexIVFLocalSearchQuantizer family
+      and product forms: additive codes of the COARSE RESIDUAL in a
+      cell-partitioned inverted file; ``by_residual=False`` via
+      train_kw stores plain codes — full probe ≡ the flat tier)
     - ``"IVF256"`` / ``"IVF256,Flat"`` → :class:`IVFIndex` (nlist=256)
     - ``"IVF256,FlatDedup"`` → :class:`IVFFlatDedupIndex` (faiss
       ``IndexIVFFlatDedup``: distinct vectors stored once, duplicate
@@ -4579,5 +4785,29 @@ def index_factory(vt, spec: str, **train_kw):
         train_kw.setdefault("icm_sweeps", 2)
         return PRQIndex.from_table(
             vt, nsplits=int(m.group(1)), m=int(m.group(2)), **train_kw
+        )
+    m = re.fullmatch(r"IVF(\d+),RQ(\d+)x8", s)
+    if m:
+        return IVFRQIndex.from_table(
+            vt, n_cells=int(m.group(1)), m=int(m.group(2)), **train_kw
+        )
+    m = re.fullmatch(r"IVF(\d+),LSQ(\d+)x8", s)
+    if m:
+        train_kw.setdefault("icm_sweeps", 2)
+        return IVFRQIndex.from_table(
+            vt, n_cells=int(m.group(1)), m=int(m.group(2)), **train_kw
+        )
+    m = re.fullmatch(r"IVF(\d+),PRQ(\d+)x(\d+)x8", s)
+    if m:
+        return IVFRQIndex.from_table(
+            vt, n_cells=int(m.group(1)), nsplits=int(m.group(2)),
+            m=int(m.group(3)), **train_kw
+        )
+    m = re.fullmatch(r"IVF(\d+),PLSQ(\d+)x(\d+)x8", s)
+    if m:
+        train_kw.setdefault("icm_sweeps", 2)
+        return IVFRQIndex.from_table(
+            vt, n_cells=int(m.group(1)), nsplits=int(m.group(2)),
+            m=int(m.group(3)), **train_kw
         )
     raise ValueError(f"index_factory: unsupported spec {spec!r}")

@@ -597,3 +597,391 @@ def prq_range_search(
         Qs = Q[:, s * dsub : (s + 1) * dsub]
         lut[:, s * m : (s + 1) * m, :] = np.einsum("qd,mkd->qmk", Qs, codebooks[s])
     return _lut_range_search(codes, qids, qn, lut, radius)
+
+
+# ---------------------------------------------------------------------------
+# IVF additive quantizers — faiss IndexIVFResidualQuantizer /
+# IndexIVFLocalSearchQuantizer and their product forms
+# (IndexIVFProductResidualQuantizer / IndexIVFProductLocalSearchQuantizer;
+# factory "IVF<n>,RQ<m>x8", "IVF<n>,LSQ<m>x8", "IVF<n>,PRQ<ns>x<m>x8",
+# "IVF<n>,PLSQ<ns>x<m>x8").  Composition of the two proven pieces: the
+# coarse IVF cell machinery (operators/similarity.py — train/assign/
+# probe-map/partition-pruned scan) and the additive LUT arithmetic above.
+# Default faiss behavior is by_residual=True: each vector's additive code
+# encodes (x − centroid(cell)), so the full reconstruction is
+# centroid + Σ c_m and the L2 identity extends with ONE extra per-cell
+# term:  ‖q − full‖² = ‖q‖² − 2(⟨q, centroid⟩ + Σ_m ⟨q, c_m⟩) + ‖full‖².
+# The inner-product LUTs ⟨q, c_mk⟩ are CELL-INDEPENDENT (unlike IVFPQ's
+# squared-difference tables), so one global (nq, m_total, ksub) table
+# broadcast serves every probed cell; only the scalar ⟨q, centroid⟩ is
+# per-cell.  ‖full‖² is precomputed at encode time into ``recn`` — the
+# scan never decodes a vector.  by_residual=False stores plain additive
+# codes of x (cells only gate WHICH rows scan), making full-probe search
+# bit-identical to the flat RQ/PRQ tier under shared codebooks.
+# Scale shape: training O(sample) on the driver; encode one mapInArrow
+# scan, no shuffle; search scans only probed cells (partition-pruned when
+# the code table persists partitionBy("cell")) with per-cell partial
+# top-k → the shared _finalize merge.
+# ---------------------------------------------------------------------------
+
+
+def addq_assign_np(
+    X: np.ndarray, codebooks: np.ndarray, beam: int = 1, icm_sweeps: int = 0
+) -> np.ndarray:
+    """Additive assignment dispatched on the codebook rank: ``(m, ksub,
+    d)`` → RQ stage chain, ``(ns, m, ksub, dsub)`` → per-block PRQ."""
+    if codebooks.ndim == 3:
+        return rq_assign_np(X, codebooks, beam=beam, icm_sweeps=icm_sweeps)
+    return prq_assign_np(X, codebooks, beam=beam, icm_sweeps=icm_sweeps)
+
+
+def addq_decode_np(codes: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Additive decode dispatched on the codebook rank (see
+    :func:`addq_assign_np`)."""
+    if codebooks.ndim == 3:
+        return rq_decode_np(codes, codebooks)
+    return prq_decode_np(codes, codebooks)
+
+
+def addq_m_total(codebooks: np.ndarray) -> int:
+    """Stored bytes per vector: m for RQ, ns·m for PRQ."""
+    if codebooks.ndim == 3:
+        return len(codebooks)
+    return codebooks.shape[0] * codebooks.shape[1]
+
+
+def addq_lut(Q: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Query/codeword inner-product LUTs ``(nq, m_total, ksub)`` — one
+    slab per stored code byte; full-width for RQ, block-diagonal for
+    PRQ (the disjoint-coordinate identity)."""
+    if codebooks.ndim == 3:
+        if Q.shape[1] != codebooks.shape[2]:
+            raise ValueError(
+                f"query dim {Q.shape[1]} != codebook dim {codebooks.shape[2]}"
+            )
+        return np.einsum("qd,mkd->qmk", Q, codebooks)
+    ns, m, ksub, dsub = codebooks.shape
+    if Q.shape[1] != ns * dsub:
+        raise ValueError(f"query dim {Q.shape[1]} != codebook dim {ns * dsub}")
+    lut = np.empty((len(Q), ns * m, ksub), np.float64)
+    for s in range(ns):
+        Qs = Q[:, s * dsub : (s + 1) * dsub]
+        lut[:, s * m : (s + 1) * m, :] = np.einsum("qd,mkd->qmk", Qs, codebooks[s])
+    return lut
+
+
+IVFRQ_CODE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("cell", T.IntegerType(), False),
+        T.StructField("code", T.BinaryType(), False),
+        T.StructField("recn", T.DoubleType(), False),
+    ]
+)
+
+
+def ivfrq_build(
+    vectors: DataFrame,
+    n_cells: int,
+    m: int,
+    nsplits: int | None = None,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    sample_size: int = 16384,
+    iters: int = 10,
+    beam: int = 1,
+    icm_sweeps: int = 0,
+    by_residual: bool = True,
+):
+    """Train coarse + additive quantizers and encode the corpus.
+
+    Returns ``(centroids (n_cells, d), codebooks, codes DataFrame (id,
+    cell, code BINARY, recn DOUBLE))``. ``nsplits=None`` trains one
+    full-width residual quantizer (faiss IVF+RQ/LSQ); an int trains an
+    independent per-coordinate-block quantizer (IVF+PRQ/PLSQ).
+    Training is O(sample) on the driver (both quantizers; the additive
+    stages train on the sample's COARSE residuals when ``by_residual``,
+    matching faiss's default), encoding is one scan — no shuffle."""
+    from .similarity import ivf_assign, ivf_train_centroids, train_sample
+
+    centroids = ivf_train_centroids(
+        vectors, n_cells, vec_col=vec_col, id_col=id_col,
+        sample_size=sample_size, iters=iters,
+    )
+    assigned = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
+
+    sample = train_sample(
+        assigned.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "cell"
+        ),
+        sample_size,
+        extra_cols=("vec", "cell"),
+    )
+    V = np.stack(sample["vec"].to_numpy()).astype(np.float64)
+    R = V - centroids[sample["cell"].to_numpy(np.int64)] if by_residual else V
+    if nsplits is None:
+        books = rq_train_np(R, m, iters)
+    else:
+        d = R.shape[1]
+        if d % nsplits:
+            raise ValueError(f"d={d} not divisible by nsplits={nsplits}")
+        dsub = d // nsplits
+        books = np.stack(
+            [
+                rq_train_np(R[:, s * dsub : (s + 1) * dsub], m, iters)
+                for s in range(nsplits)
+            ]
+        )
+    codes = ivfrq_encode(
+        assigned, centroids, books, id_col=id_col, vec_col=vec_col,
+        beam=beam, icm_sweeps=icm_sweeps, by_residual=by_residual,
+    )
+    return centroids, books, codes
+
+
+def ivfrq_encode(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    beam: int = 1,
+    icm_sweeps: int = 0,
+    by_residual: bool = True,
+) -> DataFrame:
+    """Additive-encode a cell-assigned table → ``(id, cell, code, recn)``
+    in one scan. ``recn`` = ‖FULL reconstruction‖² (centroid included
+    when ``by_residual``) — the term that keeps search LUT-only."""
+    spark = assigned.sparkSession
+    bc = spark.sparkContext.broadcast((centroids, codebooks))
+
+    def enc(batches):
+        import pyarrow as pa
+
+        C_, books_ = bc.value
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            V_ = _arrow_matrix(batch.column(vec_col), "array", np.float64)
+            cells = batch.column("cell").to_numpy(zero_copy_only=True)
+            tgt = V_ - C_[cells] if by_residual else V_
+            codes = addq_assign_np(tgt, books_, beam=beam, icm_sweeps=icm_sweeps)
+            full = addq_decode_np(codes, books_)
+            if by_residual:
+                full = full + C_[cells]
+            recn = (full * full).sum(1)
+            yield pa.record_batch(
+                [
+                    pa.array(_arrow_i64(batch.column(id_col))),
+                    pa.array(cells.astype(np.int32, copy=False)),
+                    _binary_array(codes),
+                    pa.array(recn),
+                ],
+                names=["id", "cell", "code", "recn"],
+            )
+
+    return assigned.mapInArrow(enc, IVFRQ_CODE_SCHEMA)
+
+
+def ivfrq_search(
+    codes: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    queries: DataFrame,
+    k: int,
+    nprobe: int,
+    qid_col: str = "qid",
+    qvec_col: str = "vec",
+    by_residual: bool = True,
+    probe_cells=None,
+    max_codes: int | None = None,
+) -> DataFrame:
+    """Probe ``nprobe`` cells, additive-LUT ADC within each (L2 only,
+    the faiss IVF-additive metric). Distances are EXACTLY
+    ‖q − full reconstruction‖² in float64 via the extended additive
+    identity (module section header), so results match a
+    decode-then-score oracle to rounding.
+
+    ``probe_cells`` / ``max_codes`` follow the ivfpq_search contract
+    (caller-supplied probe hook; faiss SearchParametersIVF::max_codes
+    whole-list pre-check). Scan cost is probed cells only; the LUT
+    broadcast is query-batch-sized and shared across cells."""
+    import pandas as pd
+
+    from .knn import _MAX_BROADCAST_ELEMS, _PARTIAL_SCHEMA, RESULT_SCHEMA, _finalize
+    from .similarity import build_probe_map, cell_size_map
+
+    m_total = addq_m_total(codebooks)
+    qpdf = queries.select(
+        F.col(qid_col).cast("long").alias("qid"), F.col(qvec_col).alias("qvec")
+    ).toPandas()
+    spark = codes.sparkSession
+    if len(qpdf) == 0:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    qids = qpdf["qid"].to_numpy(np.int64)
+    Q = np.stack(qpdf["qvec"].to_numpy()).astype(np.float64)
+    lut = addq_lut(Q, codebooks)  # validates the query dim
+    if lut.size > _MAX_BROADCAST_ELEMS:
+        raise ValueError(
+            f"ADC LUT too large to broadcast ({lut.size} elems > "
+            f"{_MAX_BROADCAST_ELEMS}); use smaller query batches "
+            f"(see operators.chunked.chunked_queries)"
+        )
+    qn = (Q * Q).sum(1)
+
+    if probe_cells is not None:
+        if getattr(probe_cells, "by_qid", False):
+            probe = np.asarray(probe_cells(Q, qids))[:, :nprobe]
+        else:
+            probe = np.asarray(probe_cells(Q))[:, :nprobe]
+    else:
+        cn = (centroids * centroids).sum(1)
+        order = (cn[None, :] - 2.0 * (Q @ centroids.T)).argsort(1, kind="stable")
+        probe = order[:, :nprobe]
+    sizes = cell_size_map(codes, max_codes)
+    cell_to_qidx = {
+        c: np.asarray(ix, dtype=np.int64)
+        for c, ix in build_probe_map(
+            probe, max_codes=max_codes, cell_sizes=sizes
+        ).items()
+    }
+    bc = spark.sparkContext.broadcast((qids, Q, qn, centroids, lut, cell_to_qidx))
+
+    def cell_topk(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        qids_, Q_, qn_, C_, lut_, c2q = bc.value
+        cell = int(key[0])
+        qidx = c2q.get(cell)
+        if qidx is None or len(pdf) == 0:
+            return pd.DataFrame({"qid": [], "label": [], "distance": []}).astype(
+                {"qid": np.int64, "label": np.int64, "distance": np.float64}
+            )
+        Ccodes = np.frombuffer(
+            b"".join(pdf["code"].tolist()), dtype=np.uint8
+        ).reshape(len(pdf), -1)
+        # hard width check (the pq.py / _lut_topk_search discipline)
+        if Ccodes.shape[1] != m_total:
+            raise ValueError(
+                f"stored code width {Ccodes.shape[1]} != codebook "
+                f"stages {m_total}: codes/codebooks mismatch"
+            )
+        labels = pdf["id"].to_numpy(np.int64)
+        recn = pdf["recn"].to_numpy(np.float64)
+        ip = np.zeros((len(qidx), len(Ccodes)), np.float64)
+        for j in range(m_total):
+            ip += lut_[qidx, j, :][:, Ccodes[:, j]]
+        if by_residual:
+            # the one per-cell scalar: <q, centroid(cell)> per query
+            ip += (Q_[qidx] @ C_[cell])[:, None]
+        D = qn_[qidx][:, None] - 2.0 * ip + recn[None, :]
+        np.maximum(D, 0.0, out=D)
+        kk = min(k, D.shape[1])
+        # (distance, label) lexicographic ties — additive codes collide
+        # heavily, same argument as _lut_topk_search
+        idx = np.lexsort(
+            (np.broadcast_to(labels, D.shape), D), axis=1
+        )[:, :kk]
+        return pd.DataFrame(
+            {
+                "qid": np.repeat(qids_[qidx], kk),
+                "label": labels[idx.ravel()],
+                "distance": np.take_along_axis(D, idx, axis=1).ravel(),
+            }
+        )
+
+    subset = codes.where(
+        F.col("cell").isin([int(c) for c in sorted(cell_to_qidx)])
+    )
+    candidates = subset.groupBy("cell").applyInPandas(cell_topk, _PARTIAL_SCHEMA)
+    qdf = queries.select(F.col(qid_col).cast("long").alias("qid"))
+    return _finalize(qdf, candidates, k, "l2").where(F.col("label") >= 0)
+
+
+def ivfrq_range_search(
+    codes: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    queries: DataFrame,
+    radius: float,
+    nprobe: int,
+    qid_col: str = "qid",
+    qvec_col: str = "vec",
+    by_residual: bool = True,
+) -> DataFrame:
+    """faiss ``IndexIVFAdditiveQuantizer`` range_search: the additive
+    radius filter over the probed cells — strict ``distance < radius``
+    (L2), exact w.r.t. the code approximation within cell coverage,
+    subset under partial probes, never a false positive. Unordered
+    (qid, label, distance); each probed cell group emits its passing
+    pairs directly, so output volume is bounded by the radius."""
+    import pandas as pd
+
+    from .knn import _MAX_BROADCAST_ELEMS, RANGE_SCHEMA
+
+    m_total = addq_m_total(codebooks)
+    qpdf = queries.select(
+        F.col(qid_col).cast("long").alias("qid"), F.col(qvec_col).alias("qvec")
+    ).toPandas()
+    spark = codes.sparkSession
+    if len(qpdf) == 0:
+        return spark.createDataFrame([], RANGE_SCHEMA)
+    qids = qpdf["qid"].to_numpy(np.int64)
+    Q = np.stack(qpdf["qvec"].to_numpy()).astype(np.float64)
+    lut = addq_lut(Q, codebooks)
+    if lut.size > _MAX_BROADCAST_ELEMS:
+        raise ValueError(
+            f"ADC LUT too large to broadcast ({lut.size} elems > "
+            f"{_MAX_BROADCAST_ELEMS}); use smaller query batches "
+            f"(see operators.chunked.chunked_queries)"
+        )
+    qn = (Q * Q).sum(1)
+    cn = (centroids * centroids).sum(1)
+    order = (cn[None, :] - 2.0 * (Q @ centroids.T)).argsort(1, kind="stable")
+    probe = order[:, :nprobe]
+    cell_to_qidx: dict[int, np.ndarray] = {}
+    for i, cells_i in enumerate(probe):
+        for c in cells_i:
+            cell_to_qidx.setdefault(int(c), []).append(i)  # type: ignore[arg-type]
+    cell_to_qidx = {
+        c: np.asarray(ix, dtype=np.int64) for c, ix in cell_to_qidx.items()
+    }
+    bc = spark.sparkContext.broadcast((qids, Q, qn, centroids, lut, cell_to_qidx))
+    r = float(radius)
+
+    def cell_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        qids_, Q_, qn_, C_, lut_, c2q = bc.value
+        cell = int(key[0])
+        qidx = c2q.get(cell)
+        if qidx is None or len(pdf) == 0:
+            return pd.DataFrame({"qid": [], "label": [], "distance": []}).astype(
+                {"qid": np.int64, "label": np.int64, "distance": np.float64}
+            )
+        Ccodes = np.frombuffer(
+            b"".join(pdf["code"].tolist()), dtype=np.uint8
+        ).reshape(len(pdf), -1)
+        if Ccodes.shape[1] != m_total:
+            raise ValueError(
+                f"stored code width {Ccodes.shape[1]} != codebook "
+                f"stages {m_total}: codes/codebooks mismatch"
+            )
+        labels = pdf["id"].to_numpy(np.int64)
+        recn = pdf["recn"].to_numpy(np.float64)
+        ip = np.zeros((len(qidx), len(Ccodes)), np.float64)
+        for j in range(m_total):
+            ip += lut_[qidx, j, :][:, Ccodes[:, j]]
+        if by_residual:
+            ip += (Q_[qidx] @ C_[cell])[:, None]
+        D = qn_[qidx][:, None] - 2.0 * ip + recn[None, :]
+        np.maximum(D, 0.0, out=D)
+        qi, vi = np.nonzero(D < r)
+        return pd.DataFrame(
+            {
+                "qid": qids_[qidx][qi],
+                "label": labels[vi],
+                "distance": D[qi, vi],
+            }
+        )
+
+    subset = codes.where(
+        F.col("cell").isin([int(c) for c in sorted(cell_to_qidx)])
+    )
+    return subset.groupBy("cell").applyInPandas(cell_range, RANGE_SCHEMA)

@@ -195,6 +195,7 @@ def _is_engine_index(index) -> bool:
         IVFPQFastScanIndex,
         IVFPQIndex,
         IVFPQRIndex,
+        IVFRQIndex,
         IVFSQIndex,
         LSHIndex,
         OPQIndex,
@@ -229,6 +230,7 @@ def _is_engine_index(index) -> bool:
             IVFPQFastScanIndex,
             IVFPQIndex,
             IVFPQRIndex,
+            IVFRQIndex,
             IVFSQIndex,
             LSHIndex,
             PQFastScanIndex,
@@ -257,6 +259,7 @@ def _write_payload(index, path: str) -> None:
         IVFPQFastScanIndex,
         IVFPQIndex,
         IVFPQRIndex,
+        IVFRQIndex,
         IVFSQIndex,
         LSHIndex,
         OPQIndex,
@@ -398,6 +401,26 @@ def _write_payload(index, path: str) -> None:
             index.spark,
             path,
             {"kind": "ivfpqr", "d": index.d, "ntotal": index.ntotal, "shapes": shapes},
+        )
+    elif isinstance(index, IVFRQIndex):
+        _write_frame(index.codes, f"{path}/codes", partition_by="cell")
+        shapes = _write_arrays(
+            index.spark,
+            path,
+            {"centroids": index.centroids, "codebooks": index.codebooks},
+        )
+        _write_meta(
+            index.spark,
+            path,
+            {
+                "kind": "ivfrq",
+                "d": index.d,
+                "ntotal": index.ntotal,
+                "beam": index.beam,
+                "icm_sweeps": index.icm_sweeps,
+                "by_residual": index.by_residual,
+                "shapes": shapes,
+            },
         )
     elif isinstance(index, BinaryIVFIndex):
         _write_frame(index.words, f"{path}/words", partition_by="cell")
@@ -763,6 +786,7 @@ def _read_payload(spark: SparkSession, path: str):
         IVFPQFastScanIndex,
         IVFPQIndex,
         IVFPQRIndex,
+        IVFRQIndex,
         IVFSQIndex,
         LSHIndex,
         OPQIndex,
@@ -922,6 +946,18 @@ def _read_payload(spark: SparkSession, path: str):
             arrays["codebooks"],
             spark.read.parquet(f"{path}/codes"),
             meta["ntotal"],
+        )
+    if kind == "ivfrq":
+        return IVFRQIndex(
+            spark,
+            meta["d"],
+            arrays["centroids"],
+            arrays["codebooks"],
+            spark.read.parquet(f"{path}/codes"),
+            meta["ntotal"],
+            beam=int(meta.get("beam", 1)),
+            icm_sweeps=int(meta.get("icm_sweeps", 0)),
+            by_residual=bool(meta.get("by_residual", True)),
         )
     if kind == "ivfpqr":
         return IVFPQRIndex(
