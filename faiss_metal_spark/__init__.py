@@ -24,6 +24,7 @@ from .compact_index import (
     IVFPQFastScanIndex,
     IVFPQIndex,
     IVFPQRIndex,
+    IVFRQFastScanIndex,
     IVFRQIndex,
     IVFSQIndex,
     OPQIndex,
@@ -31,6 +32,7 @@ from .compact_index import (
     PQIndex,
     PRQIndex,
     RefineIndex,
+    RQFastScanIndex,
     RQIndex,
     RowwiseMinMaxIndex,
     SQ8Index,
@@ -83,6 +85,7 @@ __all__ = [
     "IVFPQIndex",
     "IVFPQRIndex",
     "IVFSQIndex",
+    "IVFRQFastScanIndex",
     "IVFRQIndex",
     "OPQIndex",
     "PQFastScanIndex",
@@ -91,6 +94,7 @@ __all__ = [
     "NormTransformIndex",
     "PreTransformIndex",
     "RefineIndex",
+    "RQFastScanIndex",
     "RQIndex",
     "RowwiseMinMaxIndex",
     "index_factory",

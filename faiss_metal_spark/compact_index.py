@@ -3759,6 +3759,7 @@ class IVFRQIndex:
         cls, vt, n_cells: int, m: int, nsplits: int | None = None,
         sample_size: int = 16384, iters: int = 10,
         beam: int = 1, icm_sweeps: int = 0, by_residual: bool = True,
+        nbits: int = 8,
     ) -> "IVFRQIndex":
         from .operators.rq import ivfrq_build
 
@@ -3766,7 +3767,7 @@ class IVFRQIndex:
         centroids, books, codes = ivfrq_build(
             base, n_cells, m, nsplits=nsplits, sample_size=sample_size,
             iters=iters, beam=beam, icm_sweeps=icm_sweeps,
-            by_residual=by_residual,
+            by_residual=by_residual, nbits=nbits,
         )
         codes = codes.persist()
         n = codes.count()
@@ -3926,6 +3927,310 @@ class IVFRQIndex:
 
 
 @dataclass
+class RQFastScanIndex:
+    """faiss ``IndexAdditiveQuantizerFastScan`` in its residual form
+    (``IndexResidualQuantizerFastScan``; factory ``RQ<m>x4fs``): 4-bit
+    RQ stages packed two per stored byte, additive LUT search via
+    fused per-byte 256-entry tables — one gather per byte instead of
+    two nibble gathers. Search matches the plain nbits=4 RQ tier
+    trained on the same sample: labels exactly, distances to
+    pair-association ulp (the fused table sums each byte's two stage
+    inner products first — same reals; far tighter than faiss's own
+    fast-scan, which quantizes LUTs to int8). Packing reuses the PQ
+    fast-scan layout helpers (operators/pq.py pq_pack4_np /
+    _fuse_lut4) — the layout is codebook-agnostic."""
+
+    spark: SparkSession
+    d: int
+    codebooks: np.ndarray  # (m, 16, d) — nbits=4 full-width stages
+    codes: DataFrame  # (id, code BINARY ⌈m/2⌉ bytes, recn DOUBLE)
+    _n: int = field(default=-1, repr=False)
+    beam: int = 1
+    icm_sweeps: int = 0
+
+    @classmethod
+    def from_table(
+        cls, vt, m: int, sample_size: int = 16384, iters: int = 10,
+        beam: int = 1, icm_sweeps: int = 0,
+    ) -> "RQFastScanIndex":
+        from .operators.rq import rq_encode, rq_train
+
+        base = _float_view(vt)
+        books = rq_train(base, m, sample_size=sample_size, iters=iters,
+                         nbits=4)
+        codes = rq_encode(
+            base, books, beam=beam, icm_sweeps=icm_sweeps, pack4=True
+        ).persist()
+        n = codes.count()
+        return cls(
+            vt.spark, vt.d, books, codes, n,
+            beam=int(beam), icm_sweeps=int(icm_sweeps),
+        )
+
+    @property
+    def m(self) -> int:
+        return int(self.codebooks.shape[0])
+
+    @property
+    def nbits(self) -> int:
+        return 4
+
+    @property
+    def ntotal(self) -> int:
+        return self._n if self._n >= 0 else self.codes.count()
+
+    def search(self, queries: DataFrame, k: int) -> DataFrame:
+        from .operators.rq import rq_search
+
+        return rq_search(self.codes, self.codebooks, queries, k, packed4=True)
+
+    def search_numpy(self, x: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+        return _host_result(
+            self.search(_query_df(self.spark, x), k),
+            len(np.atleast_2d(x)),
+            k,
+        )
+
+    def range_search(self, *_a, **_k):
+        """faiss ``IndexFastScan`` has no range_search (upstream raises
+        — no unbounded-result path in the SIMD kernel); same explicit
+        refusal. Use the plain RQ tier for radius queries."""
+        raise NotImplementedError(
+            "RQFastScanIndex.range_search: faiss IndexFastScan does not "
+            "implement range search; use RQIndex instead"
+        )
+
+    def reconstruct(self, key: int) -> np.ndarray:
+        from .operators.pq import pq_unpack4_np
+        from .operators.rq import rq_decode_np
+
+        row = self.codes.where(F.col("id") == int(key)).select("code").collect()
+        if not row:
+            raise KeyError(f"id {key} not in index")
+        packed = np.frombuffer(row[0]["code"], np.uint8)[None, :]
+        return rq_decode_np(pq_unpack4_np(packed, self.m), self.codebooks)[0]
+
+    def add_df(
+        self, df: DataFrame, id_col: str = "id", vec_col: str = "vec"
+    ) -> "RQFastScanIndex":
+        from .operators.rq import rq_encode
+
+        new = rq_encode(
+            _ivf_add_rows(df, id_col, vec_col), self.codebooks,
+            beam=self.beam, icm_sweeps=self.icm_sweeps, pack4=True,
+        )
+        _append_frame(self, "codes", new)
+        return self
+
+    def add_numpy(self, x: np.ndarray, ids=None) -> "RQFastScanIndex":
+        return self.add_df(_numpy_add_df(self, "codes", x, ids))
+
+    def remove_ids(self, ids) -> int:
+        return _remove_ids_frame(self, "codes", ids)
+
+    def merge_from(
+        self, other: "RQFastScanIndex", add_id: int = 0,
+        check_duplicates: bool = True,
+    ) -> "RQFastScanIndex":
+        if type(other) is not type(self):
+            raise ValueError(
+                f"merge_from requires the same index type "
+                f"({type(self).__name__} != {type(other).__name__})"
+            )
+        _merge_ivf_frames(
+            self, other, "codes",
+            (
+                (self.d, self.beam, self.icm_sweeps, self.codebooks),
+                (other.d, other.beam, other.icm_sweeps, other.codebooks),
+            ),
+            add_id, check_duplicates=check_duplicates,
+        )
+        return self
+
+    # -- standalone codec ---------------------------------------------------
+
+    @property
+    def sa_code_size(self) -> int:
+        return (self.m + 1) // 2  # packed bytes/vector
+
+    def sa_encode(self, x: np.ndarray) -> np.ndarray:
+        from .operators.pq import pq_pack4_np
+        from .operators.rq import rq_assign_np
+
+        x = np.atleast_2d(np.asarray(x, np.float64))
+        if x.shape[1] != self.d:
+            raise ValueError(f"expected (n, {self.d}) array, got {x.shape}")
+        packed = pq_pack4_np(
+            rq_assign_np(x, self.codebooks, beam=self.beam,
+                         icm_sweeps=self.icm_sweeps)
+        )
+        return np.array([row.tobytes() for row in packed], dtype=object)
+
+    def sa_decode(self, codes) -> np.ndarray:
+        from .operators.pq import pq_unpack4_np
+        from .operators.rq import rq_decode_np
+
+        rows = [np.frombuffer(c, dtype=np.uint8) for c in codes]
+        if not rows:
+            return np.zeros((0, self.d), dtype=np.float32)
+        return rq_decode_np(
+            pq_unpack4_np(np.stack(rows), self.m), self.codebooks
+        ).astype(np.float32)
+
+    def release(self) -> None:
+        self.codes.unpersist()
+
+
+@dataclass
+class IVFRQFastScanIndex:
+    """faiss ``IndexIVFAdditiveQuantizerFastScan`` (residual form;
+    factory ``IVF<n>,RQ<m>x4fs``): the inverted-file composition of
+    :class:`RQFastScanIndex` — packed 4-bit residual-RQ codes in
+    cell-partitioned lists, per-probe fused-LUT additive scan. Full
+    probe ≡ the unpacked nbits=4 :class:`IVFRQIndex` (same trained
+    state): labels exactly, distances to pair-association ulp."""
+
+    spark: SparkSession
+    d: int
+    centroids: np.ndarray
+    codebooks: np.ndarray  # (m, 16, d)
+    codes: DataFrame  # (id, cell, code BINARY packed, recn DOUBLE)
+    _n: int = field(default=-1, repr=False)
+    beam: int = 1
+    icm_sweeps: int = 0
+    by_residual: bool = True
+
+    @classmethod
+    def from_table(
+        cls, vt, n_cells: int, m: int, sample_size: int = 16384,
+        iters: int = 10, beam: int = 1, icm_sweeps: int = 0,
+        by_residual: bool = True,
+    ) -> "IVFRQFastScanIndex":
+        from .operators.rq import ivfrq_build
+
+        base = _float_view(vt)
+        centroids, books, codes = ivfrq_build(
+            base, n_cells, m, sample_size=sample_size, iters=iters,
+            beam=beam, icm_sweeps=icm_sweeps, by_residual=by_residual,
+            nbits=4, pack4=True,
+        )
+        codes = codes.persist()
+        n = codes.count()
+        return cls(
+            vt.spark, vt.d, centroids, books, codes, n,
+            beam=int(beam), icm_sweeps=int(icm_sweeps),
+            by_residual=bool(by_residual),
+        )
+
+    @property
+    def m(self) -> int:
+        return int(self.codebooks.shape[0])
+
+    @property
+    def nlist(self) -> int:
+        return len(self.centroids)
+
+    @property
+    def ntotal(self) -> int:
+        return self._n if self._n >= 0 else self.codes.count()
+
+    def search(
+        self, queries: DataFrame, k: int, nprobe: int = 8,
+        sel=None, max_codes: int | None = None,
+    ) -> DataFrame:
+        from .operators.rq import ivfrq_search
+
+        return ivfrq_search(
+            _sel_rows(self.codes, sel), self.centroids, self.codebooks,
+            queries, k, nprobe, by_residual=self.by_residual,
+            max_codes=max_codes, packed4=True,
+        )
+
+    def search_numpy(
+        self, x: np.ndarray, k: int, nprobe: int = 8,
+        sel=None, max_codes: int | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        return _host_result(
+            self.search(
+                _query_df(self.spark, x), k, nprobe, sel=sel,
+                max_codes=max_codes,
+            ),
+            len(np.atleast_2d(x)),
+            k,
+        )
+
+    def range_search(self, *_a, **_k):
+        """faiss IndexIVFFastScan parity: no range_search — use the
+        unpacked IVF<n>,RQ<m>x8 tier for radius queries."""
+        raise NotImplementedError(
+            "IVFRQFastScanIndex.range_search: faiss IndexIVFFastScan "
+            "does not implement range search; use IVFRQIndex instead"
+        )
+
+    def add_df(
+        self, df: DataFrame, id_col: str = "id", vec_col: str = "vec"
+    ) -> "IVFRQFastScanIndex":
+        from .operators.rq import ivfrq_encode
+        from .operators.similarity import ivf_assign
+
+        new = ivfrq_encode(
+            ivf_assign(_ivf_add_rows(df, id_col, vec_col), self.centroids),
+            self.centroids,
+            self.codebooks,
+            beam=self.beam,
+            icm_sweeps=self.icm_sweeps,
+            by_residual=self.by_residual,
+            pack4=True,
+        )
+        _append_frame(self, "codes", new)
+        return self
+
+    def add_numpy(self, x: np.ndarray, ids=None) -> "IVFRQFastScanIndex":
+        return self.add_df(_numpy_add_df(self, "codes", x, ids))
+
+    def merge_from(
+        self, other: "IVFRQFastScanIndex", add_id: int = 0,
+        check_duplicates: bool = True,
+    ) -> "IVFRQFastScanIndex":
+        _merge_ivf_frames(
+            self,
+            other,
+            "codes",
+            (
+                (self.d, self.beam, self.icm_sweeps, self.by_residual,
+                 self.centroids, self.codebooks),
+                (other.d, other.beam, other.icm_sweeps, other.by_residual,
+                 other.centroids, other.codebooks),
+            ),
+            add_id, check_duplicates=check_duplicates,
+        )
+        return self
+
+    def remove_ids(self, ids) -> int:
+        return _remove_ids_frame(self, "codes", ids)
+
+    def reconstruct(self, key: int) -> np.ndarray:
+        from .operators.pq import pq_unpack4_np
+        from .operators.rq import rq_decode_np
+
+        row = (
+            self.codes.where(F.col("id") == int(key))
+            .select("code", "cell")
+            .collect()
+        )
+        if not row:
+            raise KeyError(f"id {key} not in index")
+        packed = np.frombuffer(row[0]["code"], np.uint8)[None, :]
+        rec = rq_decode_np(pq_unpack4_np(packed, self.m), self.codebooks)[0]
+        if self.by_residual:
+            rec = rec + self.centroids[int(row[0]["cell"])]
+        return rec
+
+    def release(self) -> None:
+        self.codes.unpersist()
+
+
+@dataclass
 class Flat1DIndex:
     """1-d specialized flat tier — faiss ``IndexFlat1D`` (IndexFlat.h:
     "optimized version for 1D vectors"; built here from a d=1 table via
@@ -3941,9 +4246,11 @@ class Flat1DIndex:
       cost to a global sort, the ``write_zordered`` discipline) plus a
       per-partition local rank and a broadcast P-row offsets table; no
       global single-partition window anywhere.
-    - **search**: (a) each query's insertion position = one scan
-      computing ``count(val < q)`` per query (map-side combined,
-      chunked 128 queries/aggregate); (b) the true top-k by ``|q − v|``
+    - **search**: (a) ALL queries' insertion positions in ONE scan:
+      the query batch broadcasts and each partition emits its partial
+      ``count(val < q)`` vector via ``np.searchsorted``, partials
+      summed on the driver (P × nq longs — query-batch bounded);
+      (b) the true top-k by ``|q − v|``
       provably lives in the rank window ``[pos−k, pos+k−1]`` (k values
       on each side), fetched through a broadcast range join — output
       bounded at nq·2k rows; (c) exact rank via the shared
@@ -4025,6 +4332,45 @@ class Flat1DIndex:
     def ntotal(self) -> int:
         return self._n if self._n >= 0 else self.ranked.count()
 
+    def _positions(self, qvals) -> list[int]:
+        """Insertion positions ``count(val < q)`` for ALL queries in ONE
+        scan of the store: broadcast the query batch, each partition
+        emits its partial count vector (``np.searchsorted`` over its
+        locally sorted values — strict ``<`` via side='left'), partials
+        sum on the driver (P × nq longs, query-batch bounded). Replaces
+        the r11 ⌈nq/128⌉ sequential full-scan aggregates — position
+        probing now costs one corpus scan at ANY nq."""
+        q = np.asarray(qvals, np.float64)
+        if len(q) == 0:
+            return []
+        bcq = self.spark.sparkContext.broadcast(q)
+
+        def partials(batches):
+            import pyarrow as pa
+
+            q_ = bcq.value
+            acc = np.zeros(len(q_), np.int64)
+            seen = False
+            for batch in batches:
+                if batch.num_rows == 0:
+                    continue
+                seen = True
+                vals = np.sort(
+                    batch.column("val").to_numpy(zero_copy_only=False)
+                )
+                acc += np.searchsorted(vals, q_, side="left")
+            if seen:
+                yield pa.record_batch([pa.array([acc.tolist()])], names=["c"])
+
+        rows = (
+            self.ranked.select("val")
+            .mapInArrow(partials, "c array<long>")
+            .collect()
+        )
+        if not rows:
+            return [0] * len(q)
+        return [int(p) for p in np.sum([r["c"] for r in rows], axis=0)]
+
     def search(
         self, queries: DataFrame, k: int, qid_col: str = "qid",
         qval_col: str = "val",
@@ -4038,19 +4384,7 @@ class Flat1DIndex:
         if len(qpdf) == 0:
             return self.spark.createDataFrame([], RESULT_SCHEMA)
         qvals = qpdf["qv"].tolist()
-        pos = []
-        if self.ntotal:
-            for c0 in range(0, len(qvals), 128):  # bounded expr width
-                chunk = qvals[c0 : c0 + 128]
-                row = self.ranked.agg(
-                    *[
-                        F.sum((F.col("val") < F.lit(v)).cast("long")).alias(f"p{i}")
-                        for i, v in enumerate(chunk)
-                    ]
-                ).collect()[0]
-                pos.extend(int(row[i] or 0) for i in range(len(chunk)))
-        else:
-            pos = [0] * len(qvals)
+        pos = self._positions(qvals) if self.ntotal else [0] * len(qvals)
         win = self.spark.createDataFrame(
             pd.DataFrame(
                 {
@@ -4402,6 +4736,11 @@ def index_factory(vt, spec: str, **train_kw):
       and product forms: additive codes of the COARSE RESIDUAL in a
       cell-partitioned inverted file; ``by_residual=False`` via
       train_kw stores plain codes — full probe ≡ the flat tier)
+    - ``"RQ4x4fs"`` / ``"IVF256,RQ4x4fs"`` → :class:`RQFastScanIndex`
+      / :class:`IVFRQFastScanIndex` (faiss
+      IndexAdditiveQuantizerFastScan residual forms: 4-bit RQ stages
+      packed two per byte, fused byte-LUT additive scan — distances ≡
+      the unpacked nbits=4 tiers to pair-association ulp)
     - ``"IVF256"`` / ``"IVF256,Flat"`` → :class:`IVFIndex` (nlist=256)
     - ``"IVF256,FlatDedup"`` → :class:`IVFFlatDedupIndex` (faiss
       ``IndexIVFFlatDedup``: distinct vectors stored once, duplicate
@@ -4766,6 +5105,17 @@ def index_factory(vt, spec: str, **train_kw):
     m = re.fullmatch(r"RQ(\d+)x8", s)
     if m:
         return RQIndex.from_table(vt, m=int(m.group(1)), **train_kw)
+    m = re.fullmatch(r"RQ(\d+)x4fs(?:_\d+)?", s)
+    if m:
+        # faiss "RQ<m>x4fs[_<bbs>]" (IndexAdditiveQuantizerFastScan,
+        # residual form): the _<bbs> SIMD block size is accepted and
+        # ignored like the PQ fast-scan specs
+        return RQFastScanIndex.from_table(vt, m=int(m.group(1)), **train_kw)
+    m = re.fullmatch(r"IVF(\d+),RQ(\d+)x4fs(?:_\d+)?", s)
+    if m:
+        return IVFRQFastScanIndex.from_table(
+            vt, n_cells=int(m.group(1)), m=int(m.group(2)), **train_kw
+        )
     if s == "Flat1D":
         return Flat1DIndex.from_table(vt, **train_kw)
     m = re.fullmatch(r"LSQ(\d+)x8", s)

@@ -51,14 +51,17 @@ def _train_sample_matrix(
     return np.stack(sample["vec"].to_numpy()).astype(np.float64)
 
 
-def rq_train_np(X: np.ndarray, m: int, iters: int = 10) -> np.ndarray:
-    """Greedy stage-wise RQ training on a host sample → ``(m, 256, d)``.
-    Stage j's k-means sees the sample's residual after stages 0..j−1 —
-    the faiss greedy RQ trainer (beam_size=1)."""
+def rq_train_np(
+    X: np.ndarray, m: int, iters: int = 10, ksub: int = 256
+) -> np.ndarray:
+    """Greedy stage-wise RQ training on a host sample → ``(m, ksub,
+    d)``. Stage j's k-means sees the sample's residual after stages
+    0..j−1 — the faiss greedy RQ trainer (beam_size=1). ``ksub`` is
+    2^nbits (16 for the 4-bit fast-scan stages)."""
     R = np.asarray(X, np.float64).copy()
     books = []
     for _ in range(m):
-        bj = train_books_np(R, 1, iters)[0]  # (256, d) full-width stage
+        bj = train_books_np(R, 1, iters, ksub=ksub)[0]  # full-width stage
         codes = _stage_assign(R, bj)
         R = R - bj[codes]
         books.append(bj)
@@ -72,11 +75,14 @@ def rq_train(
     vec_col: str = "vec",
     sample_size: int = 16384,
     iters: int = 10,
+    nbits: int = 8,
 ) -> np.ndarray:
-    """Greedy stage-wise training → codebooks ``(m, 256, d)`` (each
+    """Greedy stage-wise training → codebooks ``(m, 2^nbits, d)`` (each
     stage full-width); O(sample) on the driver like the PQ trainer."""
     X = _train_sample_matrix(vectors, id_col, vec_col, sample_size)
-    return rq_train_np(X, m, iters)
+    if not 1 <= int(nbits) <= 8:
+        raise ValueError(f"nbits must be 1..8, got {nbits}")
+    return rq_train_np(X, m, iters, ksub=1 << int(nbits))
 
 
 def _stage_assign(X: np.ndarray, book: np.ndarray) -> np.ndarray:
@@ -203,11 +209,21 @@ def rq_encode(
     vec_col: str = "vec",
     beam: int = 1,
     icm_sweeps: int = 0,
+    pack4: bool = False,
 ) -> DataFrame:
     """One-scan encode → ``(id, code BINARY, recn DOUBLE)``; ``recn``
     = ‖reconstruction‖², precomputed here so search never decodes.
     ``beam``/``icm_sweeps`` forward to :func:`rq_assign_np` (faiss
-    max_beam_size / LSQ ICM refinement)."""
+    max_beam_size / LSQ ICM refinement). ``pack4`` stores the
+    fast-scan two-codes-per-byte layout (nbits=4 stages only; faiss
+    IndexResidualQuantizerFastScan — ``recn`` still reflects the full
+    unpacked reconstruction, packing is layout)."""
+    from .pq import pq_pack4_np
+
+    if pack4 and codebooks.shape[1] != 16:
+        raise ValueError(
+            f"pack4 requires nbits=4 codebooks, got ksub={codebooks.shape[1]}"
+        )
     spark = vectors.sparkSession
     bc = spark.sparkContext.broadcast(codebooks)
 
@@ -222,6 +238,8 @@ def rq_encode(
             codes = rq_assign_np(V, books_, beam=beam, icm_sweeps=icm_sweeps)
             rec = rq_decode_np(codes, books_)
             recn = (rec * rec).sum(1)
+            if pack4:
+                codes = pq_pack4_np(codes)
             yield pa.record_batch(
                 [
                     pa.array(_arrow_i64(batch.column(id_col))),
@@ -243,20 +261,34 @@ def rq_search(
     k: int,
     qid_col: str = "qid",
     qvec_col: str = "vec",
+    packed4: bool = False,
 ) -> DataFrame:
     """Asymmetric top-k over RQ codes via the additive identity
     (see module docstring) — distances are EXACTLY
     ‖q − reconstruction‖² in float64, so results match a
     decode-then-score oracle to rounding. L2 only (the faiss RQ
-    default metric). Returns (qid, rank, label, distance)."""
+    default metric). Returns (qid, rank, label, distance).
+
+    ``packed4``: the fast-scan layout (faiss
+    IndexResidualQuantizerFastScan) — codes carry two 4-bit stage
+    codes per byte and the per-stage 16-entry inner-product LUTs fuse
+    into per-byte 256-entry tables, so the scan gathers once per
+    stored byte. The fused gather sums the SAME inner products
+    pair-associated, so distances match the unpacked nbits=4 path to
+    summation-order ulp (labels identical: equal code chains fuse to
+    bit-equal sums)."""
     qids, qn, Q, empty = _host_queries(codes, queries, qid_col, qvec_col)
     if empty is not None:
         return empty
     m, ksub, d = codebooks.shape
     if Q.shape[1] != d:
         raise ValueError(f"query dim {Q.shape[1]} != codebook dim {d}")
-    # nq × m × 256 inner-product LUTs (query-batch-sized broadcast)
+    # nq × m × ksub inner-product LUTs (query-batch-sized broadcast)
     lut = np.einsum("qd,mkd->qmk", Q, codebooks)
+    if packed4:
+        from .pq import _fuse_lut4
+
+        lut = _fuse_lut4(lut)  # (nq, ⌈m/2⌉, 256) fused byte tables
     return _lut_topk_search(codes, queries, qid_col, qids, qn, lut, k)
 
 
@@ -692,6 +724,8 @@ def ivfrq_build(
     beam: int = 1,
     icm_sweeps: int = 0,
     by_residual: bool = True,
+    nbits: int = 8,
+    pack4: bool = False,
 ):
     """Train coarse + additive quantizers and encode the corpus.
 
@@ -699,6 +733,8 @@ def ivfrq_build(
     cell, code BINARY, recn DOUBLE))``. ``nsplits=None`` trains one
     full-width residual quantizer (faiss IVF+RQ/LSQ); an int trains an
     independent per-coordinate-block quantizer (IVF+PRQ/PLSQ).
+    ``nbits``/``pack4``: 4-bit stages stored two per byte — the faiss
+    IndexIVFAdditiveQuantizerFastScan layout (RQ form only).
     Training is O(sample) on the driver (both quantizers; the additive
     stages train on the sample's COARSE residuals when ``by_residual``,
     matching faiss's default), encoding is one scan — no shuffle."""
@@ -719,8 +755,11 @@ def ivfrq_build(
     )
     V = np.stack(sample["vec"].to_numpy()).astype(np.float64)
     R = V - centroids[sample["cell"].to_numpy(np.int64)] if by_residual else V
+    if not 1 <= int(nbits) <= 8:
+        raise ValueError(f"nbits must be 1..8, got {nbits}")
+    ksub = 1 << int(nbits)
     if nsplits is None:
-        books = rq_train_np(R, m, iters)
+        books = rq_train_np(R, m, iters, ksub=ksub)
     else:
         d = R.shape[1]
         if d % nsplits:
@@ -728,13 +767,14 @@ def ivfrq_build(
         dsub = d // nsplits
         books = np.stack(
             [
-                rq_train_np(R[:, s * dsub : (s + 1) * dsub], m, iters)
+                rq_train_np(R[:, s * dsub : (s + 1) * dsub], m, iters, ksub=ksub)
                 for s in range(nsplits)
             ]
         )
     codes = ivfrq_encode(
         assigned, centroids, books, id_col=id_col, vec_col=vec_col,
         beam=beam, icm_sweeps=icm_sweeps, by_residual=by_residual,
+        pack4=pack4,
     )
     return centroids, books, codes
 
@@ -748,10 +788,20 @@ def ivfrq_encode(
     beam: int = 1,
     icm_sweeps: int = 0,
     by_residual: bool = True,
+    pack4: bool = False,
 ) -> DataFrame:
     """Additive-encode a cell-assigned table → ``(id, cell, code, recn)``
     in one scan. ``recn`` = ‖FULL reconstruction‖² (centroid included
-    when ``by_residual``) — the term that keeps search LUT-only."""
+    when ``by_residual``) — the term that keeps search LUT-only.
+    ``pack4`` stores the fast-scan two-codes-per-byte layout (4-bit RQ
+    stages only; recn still reflects the unpacked reconstruction)."""
+    from .pq import pq_pack4_np
+
+    if pack4 and (codebooks.ndim != 3 or codebooks.shape[1] != 16):
+        raise ValueError(
+            "pack4 requires nbits=4 RQ codebooks (m, 16, d); got shape "
+            f"{codebooks.shape}"
+        )
     spark = assigned.sparkSession
     bc = spark.sparkContext.broadcast((centroids, codebooks))
 
@@ -770,6 +820,8 @@ def ivfrq_encode(
             if by_residual:
                 full = full + C_[cells]
             recn = (full * full).sum(1)
+            if pack4:
+                codes = pq_pack4_np(codes)
             yield pa.record_batch(
                 [
                     pa.array(_arrow_i64(batch.column(id_col))),
@@ -795,6 +847,7 @@ def ivfrq_search(
     by_residual: bool = True,
     probe_cells=None,
     max_codes: int | None = None,
+    packed4: bool = False,
 ) -> DataFrame:
     """Probe ``nprobe`` cells, additive-LUT ADC within each (L2 only,
     the faiss IVF-additive metric). Distances are EXACTLY
@@ -804,8 +857,11 @@ def ivfrq_search(
 
     ``probe_cells`` / ``max_codes`` follow the ivfpq_search contract
     (caller-supplied probe hook; faiss SearchParametersIVF::max_codes
-    whole-list pre-check). Scan cost is probed cells only; the LUT
-    broadcast is query-batch-sized and shared across cells."""
+    whole-list pre-check). ``packed4``: the fast-scan layout (faiss
+    IndexIVFAdditiveQuantizerFastScan) — fused per-byte LUTs over
+    packed 4-bit RQ codes, distances ≡ unpacked to pair-association
+    ulp. Scan cost is probed cells only; the LUT broadcast is
+    query-batch-sized and shared across cells."""
     import pandas as pd
 
     from .knn import _MAX_BROADCAST_ELEMS, _PARTIAL_SCHEMA, RESULT_SCHEMA, _finalize
@@ -821,6 +877,16 @@ def ivfrq_search(
     qids = qpdf["qid"].to_numpy(np.int64)
     Q = np.stack(qpdf["qvec"].to_numpy()).astype(np.float64)
     lut = addq_lut(Q, codebooks)  # validates the query dim
+    if packed4:
+        from .pq import _fuse_lut4
+
+        if codebooks.ndim != 3 or codebooks.shape[1] != 16:
+            raise ValueError(
+                "packed4 requires nbits=4 RQ codebooks (m, 16, d); got "
+                f"shape {codebooks.shape}"
+            )
+        lut = _fuse_lut4(lut)
+        m_total = (m_total + 1) // 2  # packed byte width
     if lut.size > _MAX_BROADCAST_ELEMS:
         raise ValueError(
             f"ADC LUT too large to broadcast ({lut.size} elems > "

@@ -195,6 +195,7 @@ def _is_engine_index(index) -> bool:
         IVFPQFastScanIndex,
         IVFPQIndex,
         IVFPQRIndex,
+        IVFRQFastScanIndex,
         IVFRQIndex,
         IVFSQIndex,
         LSHIndex,
@@ -203,6 +204,7 @@ def _is_engine_index(index) -> bool:
         PQIndex,
         PRQIndex,
         RefineIndex,
+        RQFastScanIndex,
         RQIndex,
         SQ8Index,
     )
@@ -230,7 +232,8 @@ def _is_engine_index(index) -> bool:
             IVFPQFastScanIndex,
             IVFPQIndex,
             IVFPQRIndex,
-            IVFRQIndex,
+            IVFRQFastScanIndex,
+        IVFRQIndex,
             IVFSQIndex,
             LSHIndex,
             PQFastScanIndex,
@@ -238,7 +241,8 @@ def _is_engine_index(index) -> bool:
             OPQIndex,
             PRQIndex,
             RefineIndex,
-            RQIndex,
+            RQFastScanIndex,
+        RQIndex,
             ShardedIndex,
         ),
     )
@@ -259,6 +263,7 @@ def _write_payload(index, path: str) -> None:
         IVFPQFastScanIndex,
         IVFPQIndex,
         IVFPQRIndex,
+        IVFRQFastScanIndex,
         IVFRQIndex,
         IVFSQIndex,
         LSHIndex,
@@ -267,6 +272,7 @@ def _write_payload(index, path: str) -> None:
         PQIndex,
         PRQIndex,
         RefineIndex,
+        RQFastScanIndex,
         RQIndex,
         SQ8Index,
     )
@@ -419,6 +425,41 @@ def _write_payload(index, path: str) -> None:
                 "beam": index.beam,
                 "icm_sweeps": index.icm_sweeps,
                 "by_residual": index.by_residual,
+                "shapes": shapes,
+            },
+        )
+    elif isinstance(index, IVFRQFastScanIndex):
+        _write_frame(index.codes, f"{path}/codes", partition_by="cell")
+        shapes = _write_arrays(
+            index.spark,
+            path,
+            {"centroids": index.centroids, "codebooks": index.codebooks},
+        )
+        _write_meta(
+            index.spark,
+            path,
+            {
+                "kind": "ivfrq_fs",
+                "d": index.d,
+                "ntotal": index.ntotal,
+                "beam": index.beam,
+                "icm_sweeps": index.icm_sweeps,
+                "by_residual": index.by_residual,
+                "shapes": shapes,
+            },
+        )
+    elif isinstance(index, RQFastScanIndex):
+        _write_frame(index.codes, f"{path}/codes")
+        shapes = _write_arrays(index.spark, path, {"codebooks": index.codebooks})
+        _write_meta(
+            index.spark,
+            path,
+            {
+                "kind": "rq_fs",
+                "d": index.d,
+                "ntotal": index.ntotal,
+                "beam": index.beam,
+                "icm_sweeps": index.icm_sweeps,
                 "shapes": shapes,
             },
         )
@@ -786,6 +827,7 @@ def _read_payload(spark: SparkSession, path: str):
         IVFPQFastScanIndex,
         IVFPQIndex,
         IVFPQRIndex,
+        IVFRQFastScanIndex,
         IVFRQIndex,
         IVFSQIndex,
         LSHIndex,
@@ -794,6 +836,7 @@ def _read_payload(spark: SparkSession, path: str):
         PQIndex,
         PRQIndex,
         RefineIndex,
+        RQFastScanIndex,
         RQIndex,
         SQ8Index,
     )
@@ -946,6 +989,28 @@ def _read_payload(spark: SparkSession, path: str):
             arrays["codebooks"],
             spark.read.parquet(f"{path}/codes"),
             meta["ntotal"],
+        )
+    if kind == "ivfrq_fs":
+        return IVFRQFastScanIndex(
+            spark,
+            meta["d"],
+            arrays["centroids"],
+            arrays["codebooks"],
+            spark.read.parquet(f"{path}/codes"),
+            meta["ntotal"],
+            beam=int(meta.get("beam", 1)),
+            icm_sweeps=int(meta.get("icm_sweeps", 0)),
+            by_residual=bool(meta.get("by_residual", True)),
+        )
+    if kind == "rq_fs":
+        return RQFastScanIndex(
+            spark,
+            meta["d"],
+            arrays["codebooks"],
+            spark.read.parquet(f"{path}/codes"),
+            meta["ntotal"],
+            beam=int(meta.get("beam", 1)),
+            icm_sweeps=int(meta.get("icm_sweeps", 0)),
         )
     if kind == "ivfrq":
         return IVFRQIndex(

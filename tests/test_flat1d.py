@@ -150,3 +150,34 @@ def test_range_search(spark):
     empty = spark.createDataFrame([], "qid long, val double")
     assert idx.range_search(empty, 1.0).count() == 0
     idx.release()
+
+
+def test_positions_single_scan_at_large_nq(spark):
+    """r12: insertion-position probing is ONE Spark job at ANY query
+    count (the r11 implementation ran ⌈nq/128⌉ sequential full-store
+    aggregates) — pinned with a job-group count around the position
+    pass, plus oracle equality at nq > 2·128 so the new path is proven
+    on the multi-chunk regime the old one chunked."""
+    rng = np.random.default_rng(9)
+    vals = np.sort(rng.normal(size=400)).astype(np.float64)
+    idx, vals, ids = _build(spark, vals)
+    q = rng.normal(size=300).astype(np.float64)
+
+    sc = spark.sparkContext
+    sc.setJobGroup("flat1d-pos", "position probe", interruptOnCancel=False)
+    try:
+        pos = idx._positions(q.tolist())
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("flat1d-pos")
+    assert len(jobs) == 1, f"position probe ran {len(jobs)} jobs, want 1"
+    # positions are exactly count(val < q)
+    want = [int((vals < v).sum()) for v in q]
+    assert pos == want
+
+    # end-to-end at nq=300: search ≡ the abs-diff oracle
+    D, L = idx.search_numpy(q, 3)
+    De, Le = _oracle(vals, ids, q, 3)
+    np.testing.assert_array_equal(L, Le)
+    np.testing.assert_allclose(D, De, atol=1e-12)
+    idx.release()
