@@ -2288,6 +2288,14 @@ _MLB_CELLS, _MLB_ITERS, _MLB_DP = 8, 3, 6
 _MLB_PLANE_LO, _MLB_PLANE_HI = 24, 27
 _MLB_BUCKET_LEN, _MLB_THRESH = 2.0, 1.2
 _MLB_NNG_K = 5
+# The 'nng' lane is the exact O(n²/B) kNN-graph ORACLE (it exists to
+# hash-check the graph construction contract, not to be the production
+# path — that's nn_descent). Cap it at a FIXED deterministic sample so
+# the lane stays O(sample²) at any scale factor: ids < 768 covers the
+# whole sf0.01 gate corpus (500 rows — hash unchanged) while keeping
+# the sf≥0.1 bench receipts measuring the engine, not the oracle lane
+# (VERDICT r11 item #5; engine and DuckDB oracle filter identically).
+_MLB_NNG_N = 768
 _MLB_PERM_SEED = 4321
 
 
@@ -2313,9 +2321,13 @@ def q_mllib_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     b=count, x=‖centroid‖². 'pair' rows: bucketed-random-projection
     LSH near-dup pairs with a FIXED plane family (rows 24..26) —
     a=id_a, b=id_b, x=dist. 'nng' rows: the exact kNN graph (k=5,
-    blocked grid join, neither side broadcast) — the graph tiers'
-    construction contract and NN-Descent's convergence target —
-    a=id, b=nbr, x=dist. 'opq' rows: OPQ rotate→encode→ADC with a
+    blocked grid join, neither side broadcast) over the FIXED
+    deterministic sample ids < _MLB_NNG_N (r12: the lane is the
+    O(sample²) hash-check ORACLE for the graph-construction contract —
+    the production path is nn_descent — so the cap keeps it
+    constant-cost at any sf; the whole sf0.01 gate corpus sits inside
+    the sample) — a=id, b=nbr, x=dist. 'opq' rows: OPQ
+    rotate→encode→ADC with a
     FIXED permutation rotation (a permutation matrix IS orthogonal,
     so the full IndexPreTransform(OPQ, PQ) search path runs
     unchanged) — a=qid, b=label, x=distance."""
@@ -2396,8 +2408,9 @@ def q_mllib_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # k+1 then drop self: self (dist 0) is always in the top-(k+1)
     # unless ≥k+1 exact duplicates outrank it, in which case the
     # survivors are still exactly the top-k non-self rows
+    nng_src = emb.where(F.col("id") < _MLB_NNG_N)  # fixed-sample cap
     g = knn_join_blocked(
-        emb, emb, k=_MLB_NNG_K + 1, metric="l2",
+        nng_src, nng_src, k=_MLB_NNG_K + 1, metric="l2",
         num_qblocks=4, num_vblocks=4,
         id_col="id", vec_col="vec", qid_col="id", qvec_col="vec",
         compute="f64",  # oracle hash-exactness (library default: f32)
@@ -2519,13 +2532,15 @@ pairrows AS (
     JOIN embeddings vb ON vb.vec_id = c.id_b)
   WHERE dist <= {thresh}
 ),
--- nng lane: exact top-{_MLB_NNG_K} graph, self excluded
+-- nng lane: exact top-{_MLB_NNG_K} graph over the FIXED sample
+-- (ids < {_MLB_NNG_N} — the whole corpus at the sf0.01 gate), self excluded
 ng AS (
   SELECT va.vec_id AS id, vb.vec_id AS nbr,
          GREATEST(list_inner_product(va.embedding::DOUBLE[], va.embedding::DOUBLE[])
            + list_inner_product(vb.embedding::DOUBLE[], vb.embedding::DOUBLE[])
            - 2 * list_inner_product(va.embedding::DOUBLE[], vb.embedding::DOUBLE[]), 0.0) AS dist
   FROM embeddings va JOIN embeddings vb ON va.vec_id <> vb.vec_id
+  WHERE va.vec_id < {_MLB_NNG_N} AND vb.vec_id < {_MLB_NNG_N}
 ),
 nngrows AS (
   SELECT 'nng' AS kind, id AS a, nbr AS b, round(dist, 4) + 0.0 AS x FROM (
@@ -2702,98 +2717,127 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and 9 lanes × a parquet scan+filter job was ~2s of pure per-job
     # overhead at sf0.1 — a LocalRelation source makes each of those a
     # millisecond-scale local collect instead (values identical)
-    qpdf = (
-        emb.where(F.col("id") < 8)
-        .select(F.col("id").alias("qid"), "vec")
-        .toPandas()
-    )
+    # Every lane's search constructor eagerly collects the query batch
+    # (its LUT broadcast needs host-side queries), ~0.25 s of fixed
+    # per-job cost each × 10 lanes. The lanes are independent given the
+    # shared precursors, so they build from a thread pool — the r10
+    # ann_compact pattern (commit 5344e7a), build steps only: the lane
+    # DataFrames stay lazy, the returned plan still carries every lane.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_q = pool.submit(
+            lambda: emb.where(F.col("id") < 8)
+            .select(F.col("id").alias("qid"), "vec")
+            .toPandas()
+        )
+        f_fixed = pool.submit(_fixed_quantizers, emb)
+        qpdf = f_q.result()
+        centroids, books, rbooks, rbooks2 = f_fixed.result()
     queries = spark.createDataFrame(qpdf)
-    centroids, books, rbooks, rbooks2 = _fixed_quantizers(emb)
 
     codes = pq_encode(emb, books)
-    flat = pq_search(codes, books, queries, k=10)
-
-    # pq4 lane: the 4-bit code width (faiss PQ8x4) — same machinery over
-    # the first SIXTEEN fixed codebook entries per subspace; every
-    # consumer reads the width from the codebook shape
+    # pq4/fs lanes: the 4-bit code width (faiss PQ8x4) over the first
+    # SIXTEEN fixed codebook entries per subspace; 'fs' is the same
+    # books with codes packed two per byte + fused byte-LUT ADC —
+    # layout only, so the oracle lane reuses pq4's CTE
     books4 = books[:, :16, :].copy()
-    flat4 = pq_search(pq_encode(emb, books4), books4, queries, k=10)
-
-    # fs lane: the fast-scan layout (faiss PQ8x4fs, r11) — the SAME
-    # 16-entry books as pq4, codes packed two per byte, fused
-    # byte-LUT ADC. Packing is layout: the lane must reproduce pq4's
-    # answer value-for-value (the oracle lane reuses pq4's CTE)
-    fs = pq_search(
-        pq_encode(emb, books4, pack4=True), books4, queries, k=10,
-        packed4=True,
-    )
-
     assigned = ivf_assign(emb, centroids)
     rcodes = ivfpq_encode(assigned, centroids, rbooks)
-    ivf = ivfpq_search(rcodes, centroids, rbooks, queries, k=10, nprobe=_ANN_NPROBE)
-
-    ref = refine_search(emb, codes, books, queries, k=10, refine_factor=4)
-
     rcodes2 = ivfpqr_encode(assigned, centroids, rbooks, rbooks2)
-    pqr = ivfpqr_search(
-        rcodes2, centroids, rbooks, rbooks2, queries,
-        k=10, nprobe=_ANN_NPROBE, k_factor=4,
-    )
 
-    # rq lane: two fixed full-width stages (16 codewords each) — stage
-    # 0 is the centroid rows; stage 1 is rows 16..31's residuals after
-    # a stage-0 encode, derived with the engine's own codec helper so
-    # the arithmetic can never drift from rq_encode
+    # rq lane books: two fixed full-width stages (16 codewords each) —
+    # stage 0 is the centroid rows; stage 1 is rows 16..31's residuals
+    # after a stage-0 encode, derived with the engine's own codec
+    # helper so the arithmetic can never drift from rq_encode
     B = np.concatenate(list(books), axis=1)  # the first-256 rows, re-joined
     seed = B[16:32]
     r1 = seed - centroids[rq_assign_np(seed, centroids[None, :, :])[:, 0]]
     rqbooks = np.stack([centroids, r1])
-    rq_rows = rq_search(rq_encode(emb, rqbooks), rqbooks, queries, k=10)
 
-    # ivfrq lane (faiss IndexIVFResidualQuantizer, r12): the SAME fixed
-    # stage book r1 now encodes each vector's COARSE-CELL residual in a
-    # cell-partitioned inverted file (by_residual=True, the faiss
-    # default); a vector's reconstruction is centroid(cell) + codeword —
-    # the rq lane's arithmetic — but search scans only the probed cells
-    from faiss_metal_spark.operators.rq import ivfrq_encode, ivfrq_search
-
-    ivfrq_rows = ivfrq_search(
-        ivfrq_encode(assigned, centroids, r1[None, :, :]),
-        centroids, r1[None, :, :], queries, k=10, nprobe=_ANN_NPROBE,
-    )
-
-    # prq lane: product-of-residual-quantizers (faiss
-    # IndexProductResidualQuantizer, r11) — the rq lane's recipe applied
-    # per 32-dim coordinate block: each block gets two FIXED 16-codeword
-    # stages (stage 0 = the centroid rows' block slice; stage 1 = rows
-    # 16..31's per-block stage-0 residuals), derived with the engine's
-    # own codec helper so the arithmetic can never drift from prq_encode
-    from faiss_metal_spark.operators.rq import prq_encode, prq_search
-
+    # prq lane books (faiss IndexProductResidualQuantizer, r11): the rq
+    # recipe per 32-dim coordinate block
     pb = []
     for sl in (slice(0, 32), slice(32, 64)):
         b0 = centroids[:, sl]
         r1b = seed[:, sl] - b0[rq_assign_np(seed[:, sl], b0[None, :, :])[:, 0]]
         pb.append(np.stack([b0, r1b]))
     prqbooks = np.stack(pb)  # (2 blocks, 2 stages, 16, 32)
-    prq_rows = prq_search(prq_encode(emb, prqbooks), prqbooks, queries, k=10)
 
-    # poly lane: faiss IndexPQ ST_polysemous — codes + books relabel by
-    # a fixed permutation (relabeling is distance-invisible), then the
-    # Hamming-filtered ADC search at ht=_POLY_HT of the 64 code bits;
-    # the oracle reproduces the relabel + bit_count(xor) filter + ADC
+    # poly lane books: codes + books relabel by a fixed permutation
+    # (distance-invisible), then the Hamming-gated ADC at ht=_POLY_HT
     from faiss_metal_spark.operators.polysemous import (
         apply_polysemous,
         polysemous_search,
+    )
+    from faiss_metal_spark.operators.rq import (
+        ivfrq_encode,
+        ivfrq_search,
+        prq_encode,
+        prq_search,
     )
 
     perm = _poly_perm()
     pbooks, pcodes = apply_polysemous(
         books, codes, np.tile(perm, (_PQ_M, 1))
     )
-    poly = polysemous_search(pcodes, pbooks, queries, k=10, ht=_POLY_HT).where(
-        F.col("label") >= 0  # the oracle emits only real (unpadded) rows
-    )
+
+    with ThreadPoolExecutor(max_workers=10) as pool:
+        f_flat = pool.submit(pq_search, codes, books, queries, 10)
+        f_flat4 = pool.submit(
+            lambda: pq_search(pq_encode(emb, books4), books4, queries, k=10)
+        )
+        f_fs = pool.submit(
+            lambda: pq_search(
+                pq_encode(emb, books4, pack4=True), books4, queries,
+                k=10, packed4=True,
+            )
+        )
+        f_ivf = pool.submit(
+            lambda: ivfpq_search(
+                rcodes, centroids, rbooks, queries, k=10, nprobe=_ANN_NPROBE
+            )
+        )
+        f_ref = pool.submit(
+            lambda: refine_search(emb, codes, books, queries, k=10,
+                                  refine_factor=4)
+        )
+        f_pqr = pool.submit(
+            lambda: ivfpqr_search(
+                rcodes2, centroids, rbooks, rbooks2, queries,
+                k=10, nprobe=_ANN_NPROBE, k_factor=4,
+            )
+        )
+        f_rq = pool.submit(
+            lambda: rq_search(rq_encode(emb, rqbooks), rqbooks, queries, k=10)
+        )
+        # ivfrq lane (faiss IndexIVFResidualQuantizer, r12): the SAME
+        # fixed stage book r1 encodes each vector's COARSE-CELL residual
+        # in a cell-partitioned inverted file (by_residual=True);
+        # reconstruction = centroid(cell) + codeword — the rq lane's
+        # arithmetic — but search scans only the probed cells
+        f_ivfrq = pool.submit(
+            lambda: ivfrq_search(
+                ivfrq_encode(assigned, centroids, r1[None, :, :]),
+                centroids, r1[None, :, :], queries, k=10,
+                nprobe=_ANN_NPROBE,
+            )
+        )
+        f_prq = pool.submit(
+            lambda: prq_search(prq_encode(emb, prqbooks), prqbooks,
+                               queries, k=10)
+        )
+        f_poly = pool.submit(
+            lambda: polysemous_search(pcodes, pbooks, queries, k=10,
+                                      ht=_POLY_HT)
+        )
+        flat, flat4, fs = f_flat.result(), f_flat4.result(), f_fs.result()
+        ivf, ref, pqr = f_ivf.result(), f_ref.result(), f_pqr.result()
+        rq_rows, ivfrq_rows = f_rq.result(), f_ivfrq.result()
+        prq_rows = f_prq.result()
+        poly = f_poly.result().where(
+            F.col("label") >= 0  # the oracle emits only real rows
+        )
 
     out_cols = lambda kind, df: df.select(  # noqa: E731
         F.lit(kind).alias("path"), "qid", "rank", "label",
