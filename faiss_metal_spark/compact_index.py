@@ -4512,31 +4512,90 @@ class Flat1DIndex:
         self.ranked.unpersist()
 
 
+def _refine_reconstruct_df(index) -> DataFrame:
+    """``(id, vec)`` DECODED view of a tier's storage — the rescore
+    source a generalized faiss ``IndexRefine`` needs (factory
+    ``"...,Refine(SQfp16)"``: the refine tier rescores through ITS OWN
+    reconstruction, not the exact table). One lazy decode plan over the
+    tier's persisted frame — no shuffle, no materialization until the
+    rescore join fetches candidate rows."""
+    from .vector_table import VectorTable
+
+    if isinstance(index, VectorTable):
+        # flat / fp16 / bf16 compact: the dequantized float view IS the
+        # tier's reconstruction (faiss Refine(SQfp16) semantics)
+        return _float_view(index)
+    if isinstance(index, SQ8Index):
+        from .operators.sq import sq_reconstruct_col
+
+        return index.codes.select(
+            "id",
+            sq_reconstruct_col(
+                "code", index.vmin, index.vmax, index.bits
+            ).alias("vec"),
+        )
+    if isinstance(index, PQFastScanIndex):
+        raise TypeError(
+            "Refine over the packed fast-scan tier is unsupported — "
+            "use the plain PQ<m>x4 tier as the refine spec"
+        )
+    if isinstance(index, PQIndex):
+        from .operators.pq import pq_reconstruct
+
+        return pq_reconstruct(index.codes, index.codebooks)
+    if isinstance(index, (RQIndex, PRQIndex)):
+        from .operators.rq import rq_reconstruct
+
+        return rq_reconstruct(index.codes, index.codebooks)
+    raise TypeError(
+        f"Refine(<spec>) does not support {type(index).__name__} as the "
+        "refine tier (supported: Flat/SQfp16/SQbf16 tables, SQ4/6/8, "
+        "PQ<m>[x<b>], RQ/LSQ/PRQ/PLSQ)"
+    )
+
+
 class RefineIndex:
-    """Generic two-stage wrapper — faiss ``IndexRefineFlat`` over ANY
-    base index (``index_factory("...,RFlat")``): the base retrieves
+    """Generic two-stage wrapper — faiss ``IndexRefine`` /
+    ``IndexRefineFlat`` over ANY base index (``index_factory(
+    "...,RFlat")`` / ``"...,Refine(<spec>)"``): the base retrieves
     ``k·k_factor`` candidates its own approximate way, the wrapper
-    rescores exactly those rows against the full-precision source
-    table and re-ranks on exact L2. Every tier here exposes the same
+    rescores exactly those rows against the refine source — the
+    full-precision table for RFlat, or an arbitrary refine tier's
+    RECONSTRUCTION for ``Refine(SQfp16)`` / ``Refine(PQ8)`` /
+    ``Refine(RQ4x8)`` (faiss lets the refine storage be any codec; the
+    rescored distance is then the refine tier's decode distance, not
+    exact L2) — and re-ranks. Every tier here exposes the same
     ``search(queries, k, **kw)`` contract, so any of them can be the
     base (IVF, PQ, IMI, LSH, graph, binary-hash, ...).
 
     Scale: stage 2 touches exactly nq·k·k_factor source rows through
     a broadcast semi-join on the candidate ids — the corpus table
     never shuffles (the shared two-stage discipline of
-    ``refine_search`` / ``hamming_refine``).
+    ``refine_search`` / ``hamming_refine``); a codec refine source is
+    a lazy decode plan, so only the fetched candidates ever decode.
     """
 
-    def __init__(self, base, source: DataFrame, k_factor: int = 4):
+    def __init__(self, base, source: DataFrame, k_factor: int = 4,
+                 refine=None):
         self.base = base
         self.source = source.select(
             F.col("id").cast("long").alias("id"), "vec"
         )
         self.k_factor = int(k_factor)
+        # the refine TIER (None for RFlat) — kept for introspection and
+        # clone; `source` is always the materialization-ready plan
+        self.refine = refine
 
     @classmethod
     def from_table(cls, vt, base, k_factor: int = 4) -> "RefineIndex":
         return cls(base, _float_view(vt), k_factor)
+
+    @classmethod
+    def from_refine_index(cls, base, refine, k_factor: int = 4) -> "RefineIndex":
+        """faiss ``IndexRefine(base, refine)``: rescore through the
+        refine tier's reconstruction (see :func:`_refine_reconstruct_df`)."""
+        return cls(base, _refine_reconstruct_df(refine), k_factor,
+                   refine=refine)
 
     @property
     def spark(self):
@@ -4788,6 +4847,11 @@ def index_factory(vt, spec: str, **train_kw):
       table (faiss IndexRefineFlat; ``k_factor`` forwards from
       ``train_kw``); composes outside transform prefixes, so
       ``"PCA32,IVF64,RFlat"`` refines in the ORIGINAL space like faiss
+    - a ``",Refine(<spec>)"`` SUFFIX (``"IVF64,PQ8,Refine(SQfp16)"``,
+      ``"PQ8,Refine(PQ16)"``, ``"LSH,Refine(RQ4x8)"``) — faiss
+      IndexRefine with an ARBITRARY refine tier: candidates rescore
+      through the refine spec's reconstruction instead of the exact
+      table (``Refine(Flat)`` ≡ ``RFlat``)
     - ``"L2norm,<inner>"``  → :class:`~faiss_metal_spark.operators.pca.
       NormTransformIndex` (faiss NormalizationTransform prefix: inner
       tier built over the unit-normalized table, queries normalized
@@ -4814,6 +4878,20 @@ def index_factory(vt, spec: str, **train_kw):
         kf = train_kw.pop("k_factor", 4)
         base = index_factory(vt, s[: -len(",RFlat")], **train_kw)
         return RefineIndex.from_table(vt, base, k_factor=kf)
+    m = re.fullmatch(r"(.+),Refine\((.+)\)", s)
+    if m:
+        # faiss "...,Refine(<spec>)" suffix (IndexRefine with an
+        # arbitrary refine index): the base spec retrieves k·k_factor
+        # candidates, the refine spec's tier rescores them through ITS
+        # reconstruction (SQfp16 halves the rescore storage; PQ/RQ make
+        # it codes). Outermost like RFlat, so the refine tier builds
+        # over the ORIGINAL table. Refine(Flat) ≡ RFlat.
+        kf = train_kw.pop("k_factor", 4)
+        base = index_factory(vt, m.group(1), **train_kw)
+        if m.group(2) == "Flat":
+            return RefineIndex.from_table(vt, base, k_factor=kf)
+        refine = index_factory(vt, m.group(2), **train_kw)
+        return RefineIndex.from_refine_index(base, refine, k_factor=kf)
     m = re.fullmatch(r"MinMax(FP16)?,(.+)", s)
     if m:
         # faiss "MinMax,"/"MinMaxFP16," codec prefixes: per-row

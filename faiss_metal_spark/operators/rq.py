@@ -1051,3 +1051,42 @@ def ivfrq_range_search(
         F.col("cell").isin([int(c) for c in sorted(cell_to_qidx)])
     )
     return subset.groupBy("cell").applyInPandas(cell_range, RANGE_SCHEMA)
+
+
+def rq_reconstruct(
+    codes: DataFrame, codebooks: np.ndarray, id_col: str = "id"
+) -> DataFrame:
+    """Distributed additive decode: ``(id, vec ARRAY<FLOAT>)`` from the
+    code table — the RQ/PRQ twin of ``pq.pq_reconstruct`` (one
+    ``mapInArrow`` scan, no shuffle), for rerank stages that need
+    approximate float vectors (e.g. a ``Refine(RQ4x8)`` tier)."""
+    spark = codes.sparkSession
+    bc = spark.sparkContext.broadcast(codebooks)
+    d = codebooks.shape[-1] * (
+        1 if codebooks.ndim == 3 else codebooks.shape[0]
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("vec", T.ArrayType(T.FloatType()), False),
+        ]
+    )
+
+    def dec(batches):
+        import pyarrow as pa
+
+        books = bc.value
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            C = _arrow_codes(batch.column("code"))
+            V = addq_decode_np(C, books).astype(np.float32)
+            n, d_ = V.shape
+            offs = pa.array(np.arange(0, (n + 1) * d_, d_, dtype=np.int32))
+            vec_arr = pa.ListArray.from_arrays(offs, pa.array(V.ravel()))
+            yield pa.record_batch(
+                [pa.array(_arrow_i64(batch.column(id_col))), vec_arr],
+                names=["id", "vec"],
+            )
+
+    return codes.mapInArrow(dec, schema)

@@ -784,8 +784,13 @@ def clone_index(index):
 
     if isinstance(index, RefineIndex):
         # not a dataclass: recurse into the base, share the immutable
-        # source frame (same discipline as the other composites)
-        return RefineIndex(clone_index(index.base), index.source, index.k_factor)
+        # source frame (same discipline as the other composites); the
+        # refine tier handle (if any) rides along un-cloned — it only
+        # feeds the shared source plan
+        return RefineIndex(
+            clone_index(index.base), index.source, index.k_factor,
+            refine=index.refine,
+        )
     if not _is_engine_index(index):
         raise TypeError(
             f"clone_index: unsupported index type {type(index).__name__}"
