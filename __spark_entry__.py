@@ -2290,11 +2290,15 @@ _MLB_BUCKET_LEN, _MLB_THRESH = 2.0, 1.2
 _MLB_NNG_K = 5
 # The 'nng' lane is the exact O(n²/B) kNN-graph ORACLE (it exists to
 # hash-check the graph construction contract, not to be the production
-# path — that's nn_descent). Cap it at a FIXED deterministic sample so
-# the lane stays O(sample²) at any scale factor: ids < 768 covers the
-# whole sf0.01 gate corpus (500 rows — hash unchanged) while keeping
-# the sf≥0.1 bench receipts measuring the engine, not the oracle lane
-# (VERDICT r11 item #5; engine and DuckDB oracle filter identically).
+# path — that's nn_descent), and the 'pair' lane's fixed bucket
+# geometry admits pairs at a quadratic rate by construction (Σ n_b²
+# over buckets; the production near-dup paths bound collision sets
+# with banding/multiprobe). Cap BOTH at a FIXED deterministic sample
+# so the lanes stay O(sample²) at any scale factor: ids < 768 covers
+# the whole sf0.01 gate corpus (500 rows — hash unchanged) while
+# keeping the sf≥0.1 receipts measuring the engine, not the oracle
+# lanes (VERDICT r11 item #5; engine and DuckDB oracle filter
+# identically).
 _MLB_NNG_N = 768
 _MLB_PERM_SEED = 4321
 
@@ -2394,9 +2398,12 @@ def q_mllib_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # -- pair lane: fixed-plane BRP-LSH bucket join --------------------
+    # -- pair lane: fixed-plane BRP-LSH bucket join over the fixed
+    # sample (see _MLB_NNG_N — the fixed geometry is quadratic in
+    # bucket occupancy by construction) -------------------------------
     pairs = brp_lsh_pairs_fixed(
-        emb, planes, _MLB_BUCKET_LEN, _MLB_THRESH
+        emb.where(F.col("id") < _MLB_NNG_N), planes,
+        _MLB_BUCKET_LEN, _MLB_THRESH,
     ).select(
         F.lit("pair").alias("kind"),
         F.col("id_a").alias("a"),
@@ -2517,6 +2524,7 @@ ph AS (
          floor(list_inner_product(v.embedding::DOUBLE[], p.pv)
                / (sqrt(list_inner_product(p.pv, p.pv)) * {blen})) AS h
   FROM embeddings v CROSS JOIN pl p
+  WHERE v.vec_id < {_MLB_NNG_N}
 ),
 pcand AS (
   SELECT DISTINCT pa.id AS id_a, pb.id AS id_b
