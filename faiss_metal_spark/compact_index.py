@@ -4836,6 +4836,12 @@ def index_factory(vt, spec: str, **train_kw):
       PCA to ``d_out`` then the rotation alternation in reduced space,
       composed into one (d_out, d) PreTransform matrix; the inner spec
       builds at ``d_out`` (``"OPQ16_64,IVF64,PQ16"``)
+    - ``"IDMap,Flat"`` / ``"IDMap2,Flat"`` (also over SQfp16/SQbf16) →
+      :class:`~faiss_metal_spark.vector_table.IDMapVectorTable` /
+      ``IDMap2VectorTable`` (faiss IndexIDMap/IDMap2: add refuses
+      without ids, remove never renumbers). Over any DERIVED tier the
+      prefix refuses with guidance — external ids are first-class on
+      every tier here, so the faiss wrapper adds nothing
     - ``"LSH"`` / ``"LSH128"`` → :class:`LSHIndex` (faiss
       ``IndexLSH``: rotation sign bits + Hamming scan; bare ``LSH``
       means nbits = d, the faiss default ``("LSH")`` spec)
@@ -5033,6 +5039,31 @@ def index_factory(vt, spec: str, **train_kw):
         )
         inner = index_factory(inner_vt, rest, **train_kw)
         return PreTransformIndex(mean, R, inner)
+    m = re.fullmatch(r"IDMap(2?),(.+)", s)
+    if m:
+        # faiss "IDMap,<inner>" / "IDMap2,<inner>": external-id wrapper.
+        # Spark-first the id column already HOLDS caller ids on every
+        # tier, so only the Flat forms need the actual wrapper classes
+        # (whose add refuses without ids, the faiss contract); for any
+        # derived inner the wrapper adds nothing — refuse with the
+        # actionable alternative instead of silently changing add
+        # semantics.
+        from .vector_table import IDMap2VectorTable, IDMapVectorTable
+
+        if m.group(2) in ("Flat", "SQfp16", "SQbf16"):
+            inner = index_factory(vt, m.group(2), **train_kw)
+            cls_map = IDMap2VectorTable if m.group(1) else IDMapVectorTable
+            return cls_map(
+                inner.spark, inner.d, metric=inner.metric,
+                storage=inner.storage, compact=inner.compact,
+                df=inner.df, _next_id=inner._next_id,
+            )
+        raise ValueError(
+            f"index_factory: IDMap{m.group(1)} over {m.group(2)!r} is "
+            "unnecessary here — external ids are first-class on every "
+            f"tier; build {m.group(2)!r} directly and pass ids via "
+            "add_numpy(x, ids=...) / add_df(df, id_col=...)"
+        )
     if s == "Flat":
         return vt
     if s == "SQ8":

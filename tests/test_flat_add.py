@@ -326,3 +326,40 @@ def test_add_sa_codes_validates_narrow_code_bytes(spark):
         idx.add_sa_codes([b"\x10\x00\x00\x00"])  # 16 >= 2^4
     assert idx.ntotal == 202
     idx.release()
+
+
+def test_idmap_factory_prefix(spark):
+    """r12: factory "IDMap,Flat"/"IDMap2,Flat" → the real wrapper
+    classes (add refuses without ids — the faiss IndexIDMap contract);
+    over a derived tier the prefix refuses with actionable guidance
+    (external ids are first-class on every tier here)."""
+    import numpy as np
+    import pytest
+
+    from faiss_metal_spark import VectorTable, index_factory
+    from faiss_metal_spark.vector_table import (
+        IDMap2VectorTable,
+        IDMapVectorTable,
+    )
+    from conftest import make_fixture
+
+    V, Q = make_fixture(50, 2, 8)
+    vt = VectorTable(spark, 8).add_numpy(V)
+    im = index_factory(vt, "IDMap,Flat")
+    assert type(im) is IDMapVectorTable and im.ntotal == 50
+    with pytest.raises(NotImplementedError, match="add_with_ids"):
+        im.add_numpy(V[:1])
+    im.add_with_ids(V[:2], np.array([1000, 2000]))
+    assert im.ntotal == 52
+    D, L = im.search_numpy(Q, 3)
+    assert D.shape == (2, 3)
+
+    im2 = index_factory(vt, "IDMap2,Flat")
+    assert type(im2) is IDMap2VectorTable
+    im2.add_with_ids(V[:1] + 0.5, np.array([7777]))
+    np.testing.assert_allclose(
+        im2.reconstruct(7777), V[0] + 0.5, rtol=1e-6
+    )
+
+    with pytest.raises(ValueError, match="first-class"):
+        index_factory(vt, "IDMap,PQ4")
