@@ -149,3 +149,70 @@ def ivfpq_store_search(
     return ivfpq_search(
         spark.read.parquet(index_path), centroids, codebooks, queries, k, nprobe
     )
+
+
+def run_ivfrq_ingest(
+    vector_stream: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    index_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+    beam: int = 1,
+    icm_sweeps: int = 0,
+    by_residual: bool = True,
+):
+    """Continuously grow a cell-partitioned IVF-ADDITIVE code store —
+    the r12 twin of :func:`run_ivfpq_ingest` for the faiss
+    IndexIVFResidualQuantizer family (``IndexIVF::add`` semantics):
+    each micro-batch is assigned against the fixed coarse centroids
+    and its cell residuals additive-encoded with the fixed stage
+    codebooks (RQ for 3-d books, per-block PRQ for 4-d), landing as
+    (id, cell, code, recn) rows in the cells' partitions. Stream-side
+    plan is two stateless Arrow projections — no shuffle, no state;
+    ``recn`` is precomputed at ingest so the serving scan stays
+    LUT-only."""
+    from ..operators.rq import ivfrq_encode
+
+    codes = ivfrq_encode(
+        ivf_assign(vector_stream, centroids), centroids, codebooks,
+        beam=beam, icm_sweeps=icm_sweeps, by_residual=by_residual,
+    )
+    q = (
+        codes.writeStream.format("parquet")
+        .option("path", index_path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("cell")
+        .outputMode("append")
+    )
+    q = (
+        q.trigger(availableNow=True)
+        if available_now
+        else q.trigger(processingTime="1 second")
+    )
+    handle = q.start()
+    if available_now:
+        handle.awaitTermination()
+    return handle
+
+
+def ivfrq_store_search(
+    spark: SparkSession,
+    index_path: str,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 8,
+    by_residual: bool = True,
+) -> DataFrame:
+    """Additive-LUT search over the growing code store as of now —
+    identical semantics to ``ivfrq_search`` over batch-built codes
+    (partition-pruned probes: the probe ``isin`` lands on the parquet
+    partition column)."""
+    from ..operators.rq import ivfrq_search
+
+    return ivfrq_search(
+        spark.read.parquet(index_path), centroids, codebooks, queries,
+        k, nprobe, by_residual=by_residual,
+    )

@@ -82,3 +82,64 @@ def test_pq_assign_is_true_nearest_codeword(n, m, dsub, seed):
         np.testing.assert_array_equal(codes[:, j], true)
     snapped = pq_decode_np(codes, books)
     np.testing.assert_array_equal(pq_assign_np(snapped, books), codes)
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(
+    n=st.integers(1, 30),
+    m=st.integers(1, 6),
+    d=st.integers(1, 24),
+    nbits=st.sampled_from([4, 8]),
+    seed=st.integers(0, 2**16),
+)
+def test_rq_codec_properties(n, m, d, nbits, seed):
+    """r12: additive (RQ) codec invariants at any shape/width —
+    (a) stage codes are < 2^nbits and assignment is deterministic
+    (beam=1 ≡ the default greedy chain bit-for-bit); (b) ICM
+    refinement NEVER increases any vector's reconstruction error
+    (coordinate descent — the one true per-vector monotonicity the
+    additive family offers; the stage-prefix claim holds only
+    in-distribution and is pinned on correlated data in test_rq.py);
+    (c) for nbits=4, pack→fuse equals the unpacked gather exactly on
+    inner-product LUTs and the pack round-trip is lossless."""
+    from faiss_metal_spark.operators.pq import (
+        _fuse_lut4,
+        pq_pack4_np,
+        pq_unpack4_np,
+    )
+    from faiss_metal_spark.operators.rq import (
+        rq_assign_np,
+        rq_decode_np,
+        rq_icm_refine_np,
+        rq_train_np,
+    )
+
+    rng = np.random.default_rng(seed)
+    ksub = 1 << nbits
+    X = rng.normal(size=(max(n, ksub), d)) * 3.0  # ≥ ksub train rows
+    books = rq_train_np(X, m, iters=3, ksub=ksub)
+    assert books.shape == (m, ksub, d)
+    V = rng.normal(size=(n, d)) * 3.0
+    codes = rq_assign_np(V, books)
+    assert codes.max(initial=0) < ksub
+    np.testing.assert_array_equal(rq_assign_np(V, books, beam=1), codes)
+
+    # (b) ICM coordinate descent: per-vector error never increases
+    err = lambda c: ((V - rq_decode_np(c, books)) ** 2).sum(1)  # noqa: E731
+    refined = rq_icm_refine_np(V, books, codes, sweeps=2)
+    assert (err(refined) <= err(codes) + 1e-9).all()
+
+    # (d) packed layout: one fused gather ≡ two nibble gathers, and the
+    # pack/unpack round-trip is lossless
+    if nbits == 4:
+        packed = pq_pack4_np(codes)
+        assert packed.shape[1] == (m + 1) // 2
+        np.testing.assert_array_equal(pq_unpack4_np(packed, m), codes)
+        q = rng.normal(size=(3, d))
+        lut = np.einsum("qd,mkd->qmk", q, books)
+        fused = _fuse_lut4(lut)
+        ip_plain = sum(lut[:, j, :][:, codes[:, j]] for j in range(m))
+        ip_fused = sum(
+            fused[:, p, :][:, packed[:, p]] for p in range(packed.shape[1])
+        )
+        np.testing.assert_allclose(ip_fused, ip_plain, rtol=1e-12)

@@ -266,3 +266,34 @@ def test_guards(spark):
         spark.createDataFrame([], "qid long, vec array<double>"), 3
     )
     assert empty.count() == 0
+
+
+def test_sel_and_max_codes(spark):
+    """faiss SearchParametersIVF on the additive file: `sel` restricts
+    candidates to the selected ids (≡ search over the subsetted code
+    table); `max_codes=1` behaves like nprobe=1 (the first probed list
+    always scans), a huge bound is unrestricted."""
+    from faiss_metal_spark.vector_table import IDSelectorRange
+
+    V, Q = make_fixture(500, 4, 8)
+    idx = IVFRQIndex.from_table(_table(spark, V), n_cells=8, m=3,
+                                sample_size=500, iters=4)
+    # sel: results ≡ full search with non-selected rows removed
+    D0, L0 = idx.search_numpy(Q, 5, nprobe=8, sel=IDSelectorRange(0, 250))
+    assert (L0[L0 >= 0] < 250).all()
+    ids, cells, codes, _ = _collect_codes(idx)
+    keep = ids < 250
+    R = _recon(idx, cells, codes)[keep]
+    De, Le = _oracle_topk(R, Q, 5)
+    np.testing.assert_array_equal(L0, ids[keep][Le])
+    np.testing.assert_allclose(D0, De, atol=1e-9)
+
+    # max_codes: 1 ≡ nprobe=1; huge ≡ unrestricted
+    D1, L1 = idx.search_numpy(Q, 5, nprobe=8, max_codes=1)
+    D2, L2 = idx.search_numpy(Q, 5, nprobe=1)
+    np.testing.assert_array_equal(L1, L2)
+    np.testing.assert_allclose(D1, D2, atol=1e-12)
+    D3, L3 = idx.search_numpy(Q, 5, nprobe=8, max_codes=10**9)
+    D4, L4 = idx.search_numpy(Q, 5, nprobe=8)
+    np.testing.assert_array_equal(L3, L4)
+    idx.release()

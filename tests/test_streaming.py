@@ -648,3 +648,65 @@ def test_dedup_segments_stream_equals_batch(spark, tmp_path):
     )
     got = {r["segment"] for r in spark.sql("SELECT segment FROM seg_dedup_t").collect()}
     assert got == want
+
+
+def test_ivfrq_ingest_stream_equals_batch(spark, tmp_path):
+    """r12: streaming IVF-additive ingest (frozen coarse centroids +
+    RQ stage books, append-only cell partitions of (code, recn) rows)
+    produces the same code store — and therefore the same additive-LUT
+    search results — as batch ivfrq_encode over the full corpus."""
+    import numpy as np
+
+    from faiss_metal_spark.operators.rq import ivfrq_build, ivfrq_search
+    from faiss_metal_spark.streaming.index_ingest import (
+        ivfrq_store_search,
+        read_vector_stream,
+        run_ivfrq_ingest,
+    )
+    from tests.conftest import make_fixture, queries_df, vectors_df
+
+    V, Q = make_fixture(nv=600, nq=5, d=16, seed=31)
+    vdf = vectors_df(spark, V)
+    C, books, batch_codes = ivfrq_build(vdf, n_cells=4, m=3, sample_size=600)
+
+    src = tmp_path / "vecs_rq"
+    for i in range(3):
+        vectors_df(spark, V[i * 200 : (i + 1) * 200]).withColumn(
+            "id", F.col("id") + F.lit(i * 200)
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    store = str(tmp_path / "ivfrq_store")
+    run_ivfrq_ingest(
+        read_vector_stream(spark, str(src), max_files_per_trigger=1),
+        C,
+        books,
+        store,
+        checkpoint=str(tmp_path / "cp_ivfrq"),
+    )
+
+    got = spark.read.parquet(store).orderBy("id").toPandas()
+    want = batch_codes.orderBy("id").toPandas()
+    np.testing.assert_array_equal(got["id"].to_numpy(), want["id"].to_numpy())
+    np.testing.assert_array_equal(got["cell"].to_numpy(), want["cell"].to_numpy())
+    assert [bytes(c) for c in got["code"]] == [bytes(c) for c in want["code"]]
+    np.testing.assert_allclose(
+        got["recn"].to_numpy(), want["recn"].to_numpy(), atol=0
+    )
+
+    qdf = queries_df(spark, Q)
+    got_s = (
+        ivfrq_store_search(spark, store, C, books, qdf, 5, nprobe=4)
+        .orderBy("qid", "rank")
+        .toPandas()
+    )
+    want_s = (
+        ivfrq_search(batch_codes, C, books, qdf, 5, nprobe=4)
+        .orderBy("qid", "rank")
+        .toPandas()
+    )
+    np.testing.assert_array_equal(
+        got_s["label"].to_numpy(), want_s["label"].to_numpy()
+    )
+    np.testing.assert_allclose(
+        got_s["distance"].to_numpy(), want_s["distance"].to_numpy(), atol=1e-9
+    )
