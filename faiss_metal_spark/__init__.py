@@ -38,6 +38,7 @@ from .compact_index import (
     SQ8Index,
     index_factory,
 )
+from .operators.coarse import HNSWCoarseQuantizer
 from .operators.kmeans import Kmeans
 from .operators.pca import NormTransformIndex, PreTransformIndex
 from .quantize import STORAGE_BF16, STORAGE_FP16, STORAGE_FP32
@@ -99,6 +100,7 @@ __all__ = [
     "RowwiseMinMaxIndex",
     "index_factory",
     "Kmeans",
+    "HNSWCoarseQuantizer",
     "write_index",
     "read_index",
     "clone_index",

@@ -722,6 +722,11 @@ class IVFIndex:
     centroids: np.ndarray
     assigned: DataFrame
     _n: int = field(default=-1, repr=False)
+    # faiss IndexHNSWFlat-as-coarse-quantizer (factory
+    # "IVF<n>_HNSW<M>,Flat"; operators/coarse.py) — when set, add-time
+    # assignment AND probe selection run its beam search instead of
+    # the exact argmin, so per-vector coarse cost is nlist-independent
+    quantizer: object = field(default=None, repr=False)
 
     @classmethod
     def from_table(
@@ -730,14 +735,28 @@ class IVFIndex:
         n_cells: int,
         sample_size: int = 16384,
         iters: int = 10,
+        coarse_hnsw_m: int | None = None,
+        coarse_kw: dict | None = None,
     ) -> "IVFIndex":
+        """``coarse_hnsw_m`` (r12): build the coarse quantizer as a
+        beam-searched centroid graph with degree M (the faiss
+        ``IVF<n>_HNSW<M>`` recipe) — assignment becomes approximate
+        exactly as in faiss; ``coarse_kw`` forwards beam/rounds/expand/
+        seed to :meth:`HNSWCoarseQuantizer.train`."""
         from .operators.similarity import ivf_assign, ivf_train_centroids
 
         base = _float_view(vt)
         C = ivf_train_centroids(base, n_cells, sample_size=sample_size, iters=iters)
-        assigned = ivf_assign(base, C).persist()
+        q = None
+        if coarse_hnsw_m is not None:
+            from .operators.coarse import HNSWCoarseQuantizer
+
+            q = HNSWCoarseQuantizer.train(
+                C, M=int(coarse_hnsw_m), **(coarse_kw or {})
+            )
+        assigned = ivf_assign(base, C, assigner=q).persist()
         n = assigned.count()
-        return cls(vt.spark, vt.d, vt.metric, C, assigned, n)
+        return cls(vt.spark, vt.d, vt.metric, C, assigned, n, quantizer=q)
 
     @property
     def nlist(self) -> int:
@@ -764,6 +783,9 @@ class IVFIndex:
         return ivf_search(
             _sel_rows(self.assigned, sel), self.centroids, queries, k,
             nprobe, metric=self.metric, max_codes=max_codes,
+            probe_cells=(
+                self.quantizer.probe_fn(nprobe) if self.quantizer else None
+            ),
         )
 
     def search_numpy(
@@ -795,6 +817,9 @@ class IVFIndex:
             radius,
             nprobe,
             metric=self.metric,
+            probe_cells=(
+                self.quantizer.probe_fn(nprobe) if self.quantizer else None
+            ),
         )
 
     def range_search_preassigned(
@@ -821,7 +846,10 @@ class IVFIndex:
         retrain) and append them to the inverted file."""
         from .operators.similarity import ivf_assign
 
-        new = ivf_assign(_ivf_add_rows(df, id_col, vec_col), self.centroids)
+        new = ivf_assign(
+            _ivf_add_rows(df, id_col, vec_col), self.centroids,
+            assigner=self.quantizer,
+        )
         _append_frame(self, "assigned", new)
         return self
 
@@ -840,8 +868,10 @@ class IVFIndex:
             other,
             "assigned",
             (
-                (self.d, self.metric, self.centroids),
-                (other.d, other.metric, other.centroids),
+                (self.d, self.metric, self.centroids,
+                 getattr(self.quantizer, "edges", None)),
+                (other.d, other.metric, other.centroids,
+                 getattr(getattr(other, "quantizer", None), "edges", None)),
             ),
             add_id, check_duplicates=check_duplicates,
         )
@@ -1558,6 +1588,9 @@ class IVFPQIndex:
     codebooks: np.ndarray
     codes: DataFrame
     _n: int = field(default=-1, repr=False)
+    # graph coarse quantizer (factory "IVF<n>_HNSW<M>,PQ<m>") — see
+    # IVFIndex.quantizer
+    quantizer: object = field(default=None, repr=False)
 
     @classmethod
     def from_table(
@@ -1568,18 +1601,38 @@ class IVFPQIndex:
         sample_size: int = 16384,
         iters: int = 10,
         nbits: int = 8,
+        coarse_hnsw_m: int | None = None,
+        coarse_kw: dict | None = None,
     ) -> "IVFPQIndex":
-        """``nbits`` = residual-code width (faiss ``IVF<n>,PQ<m>x<b>``)."""
+        """``nbits`` = residual-code width (faiss ``IVF<n>,PQ<m>x<b>``);
+        ``coarse_hnsw_m`` (r12) = the graph-coarse-quantizer recipe
+        (``IVF<n>_HNSW<M>,PQ<m>``) — see :meth:`IVFIndex.from_table`."""
         from .operators.pq import ivfpq_build
 
         base = _float_view(vt)
-        centroids, books, codes = ivfpq_build(
-            base, n_cells, m, sample_size=sample_size, iters=iters,
-            nbits=nbits,
-        )
+        q = None
+        if coarse_hnsw_m is not None:
+            from .operators.coarse import HNSWCoarseQuantizer
+            from .operators.similarity import ivf_train_centroids
+
+            C = ivf_train_centroids(
+                base, n_cells, sample_size=sample_size, iters=iters
+            )
+            q = HNSWCoarseQuantizer.train(
+                C, M=int(coarse_hnsw_m), **(coarse_kw or {})
+            )
+            centroids, books, codes = ivfpq_build(
+                base, n_cells, m, sample_size=sample_size, iters=iters,
+                nbits=nbits, centroids=C, assigner=q,
+            )
+        else:
+            centroids, books, codes = ivfpq_build(
+                base, n_cells, m, sample_size=sample_size, iters=iters,
+                nbits=nbits,
+            )
         codes = codes.persist()
         n = codes.count()
-        return cls(vt.spark, vt.d, centroids, books, codes, n)
+        return cls(vt.spark, vt.d, centroids, books, codes, n, quantizer=q)
 
     @property
     def nbits(self) -> int:
@@ -1629,6 +1682,9 @@ class IVFPQIndex:
         return ivfpq_search(
             _sel_rows(self.codes, sel), self.centroids, self.codebooks,
             queries, k, nprobe, ht=ht, max_codes=max_codes,
+            probe_cells=(
+                self.quantizer.probe_fn(nprobe) if self.quantizer else None
+            ),
         )
 
     def search_numpy(
@@ -1695,7 +1751,10 @@ class IVFPQIndex:
         from .operators.similarity import ivf_assign
 
         new = ivfpq_encode(
-            ivf_assign(_ivf_add_rows(df, id_col, vec_col), self.centroids),
+            ivf_assign(
+                _ivf_add_rows(df, id_col, vec_col), self.centroids,
+                assigner=self.quantizer,
+            ),
             self.centroids,
             self.codebooks,
         )
@@ -1714,8 +1773,10 @@ class IVFPQIndex:
             other,
             "codes",
             (
-                (self.d, self.centroids, self.codebooks),
-                (other.d, other.centroids, other.codebooks),
+                (self.d, self.centroids, self.codebooks,
+                 getattr(self.quantizer, "edges", None)),
+                (other.d, other.centroids, other.codebooks,
+                 getattr(getattr(other, "quantizer", None), "edges", None)),
             ),
             add_id, check_duplicates=check_duplicates,
         )
@@ -4801,6 +4862,11 @@ def index_factory(vt, spec: str, **train_kw):
       packed two per byte, fused byte-LUT additive scan — distances ≡
       the unpacked nbits=4 tiers to pair-association ulp)
     - ``"IVF256"`` / ``"IVF256,Flat"`` → :class:`IVFIndex` (nlist=256)
+    - ``"IVF65536_HNSW32,Flat"`` / ``"IVF65536_HNSW32,PQ16[x<b>]"`` →
+      the same tiers with a GRAPH coarse quantizer (faiss's big-nlist
+      recipe: the coarse index is an HNSW over the centroids, so
+      assignment and probe selection cost is nlist-independent;
+      approximate exactly as upstream — operators/coarse.py)
     - ``"IVF256,FlatDedup"`` → :class:`IVFFlatDedupIndex` (faiss
       ``IndexIVFFlatDedup``: distinct vectors stored once, duplicate
       ids in a side map, search expands them back)
@@ -5112,6 +5178,25 @@ def index_factory(vt, spec: str, **train_kw):
     m = re.fullmatch(r"IVF(\d+)(?:,Flat)?", s)
     if m:
         return IVFIndex.from_table(vt, n_cells=int(m.group(1)), **train_kw)
+    m = re.fullmatch(r"IVF(\d+)_HNSW(\d+)(?:,Flat)?", s)
+    if m:
+        # faiss's big-nlist recipe: the coarse quantizer is an HNSW
+        # graph over the centroids — assignment and probe selection
+        # become nlist-independent beam searches (approximate, exactly
+        # as upstream)
+        return IVFIndex.from_table(
+            vt, n_cells=int(m.group(1)),
+            coarse_hnsw_m=int(m.group(2)), **train_kw
+        )
+    m = re.fullmatch(r"IVF(\d+)_HNSW(\d+),PQ(\d+)(?:x(\d+))?", s)
+    if m:
+        kw = dict(train_kw)
+        if m.group(4) is not None:
+            kw["nbits"] = int(m.group(4))
+        return IVFPQIndex.from_table(
+            vt, n_cells=int(m.group(1)), m=int(m.group(3)),
+            coarse_hnsw_m=int(m.group(2)), **kw
+        )
     m = re.fullmatch(r"IVF(\d+),FlatDedup", s)
     if m:
         return IVFFlatDedupIndex.from_table(vt, n_cells=int(m.group(1)), **train_kw)

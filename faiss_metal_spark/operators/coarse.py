@@ -1,0 +1,282 @@
+"""Graph-based coarse quantization — the faiss big-nlist recipe
+``index_factory("IVF65536_HNSW32,PQ16")``: when the inverted file has
+tens of thousands of cells, brute-force nearest-centroid assignment
+(nlist·d flops per vector) dominates both add and probe selection, so
+faiss makes the coarse quantizer an ``IndexHNSWFlat`` over the
+centroids and assigns by graph search. The reference engine has no IVF
+tier at all (/root/reference/include/faiss-metal/MetalIndexFlat.h:47)
+— superset, faiss-shaped.
+
+Spark-first shape: the centroids and their kNN graph are DRIVER-held
+numpy (nlist ≤ ~10⁵ rows — quantizer-sized by construction, the same
+budget every trainer here keeps), broadcast once; assignment and probe
+selection run as VECTORIZED beam searches inside the existing Arrow
+batch scans, so the per-vector cost drops from ``nlist·d`` to
+``(landmarks + rounds·beam·M)·d`` — the HNSW economics — while the
+distributed plan is unchanged (same one-scan assign, same
+partition-pruned probes).
+
+Approximation contract (identical to faiss): assignment may differ
+from the exact argmin on boundary vectors; everything downstream is
+exact GIVEN the assignment (a vector is found through the cell its
+code lives in). Probe selection is the same beam search at query
+time, so a vector assigned by the graph is reachable by the graph.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def exact_knn_graph_np(C: np.ndarray, k: int, block: int = 4096) -> np.ndarray:
+    """Exact kNN graph over a host matrix, blocked GEMM — ``(n, k)``
+    neighbor ids, self excluded, (distance, id) ties. O(n²d/B) on the
+    driver: centroids are quantizer-sized (≤ ~10⁵), so this stays a
+    seconds-scale one-time build (unlike corpus graphs, which use the
+    distributed nn_descent)."""
+    C = np.asarray(C, np.float64)
+    n = len(C)
+    k = min(int(k), n - 1)
+    if k <= 0:
+        return np.zeros((n, 0), np.int64)
+    cn = (C * C).sum(1)
+    out = np.empty((n, k), np.int64)
+    ids = np.arange(n)
+    # argpartition to k+pad then a small (dist, id) lexsort — the full
+    # row lexsort is O(n log n) per row and dominated the 32k+ build;
+    # the pad absorbs boundary distance ties (beyond pad-way ties the
+    # edge set can differ, which any valid kNN graph tolerates)
+    pad = min(n - 1, k + 64)
+    for lo in range(0, n, block):
+        hi = min(lo + block, n)
+        D = cn[None, :] - 2.0 * (C[lo:hi] @ C.T)  # + cn[lo:hi] const/row
+        D[np.arange(hi - lo), ids[lo:hi]] = np.inf  # exclude self
+        part = np.argpartition(D, pad - 1, axis=1)[:, :pad]
+        Dp = np.take_along_axis(D, part, axis=1)
+        order = np.lexsort((part, Dp), axis=1)[:, :k]
+        out[lo:hi] = np.take_along_axis(part, order, axis=1)
+    return out
+
+
+def _rowwise_searchsorted(sorted_rows: np.ndarray, queries: np.ndarray) -> np.ndarray:
+    """Per-row ``searchsorted`` without a Python loop: offset each row
+    into its own disjoint value band, search once on the flattened
+    (globally sorted) array, subtract the band base."""
+    n, kb = sorted_rows.shape
+    big = int(max(sorted_rows.max(initial=0), queries.max(initial=0))) + 1
+    base = np.arange(n, dtype=np.int64)[:, None] * big
+    flat = (sorted_rows + base).ravel()
+    pos = np.searchsorted(flat, (queries + base).ravel())
+    return pos.reshape(queries.shape) - np.arange(n, dtype=np.int64)[:, None] * kb
+
+
+class HNSWCoarseQuantizer:
+    """Beam-search nearest-cell assignment over a centroid kNN graph —
+    the engine's ``IndexHNSWFlat``-as-coarse-quantizer. Deterministic:
+    landmark entry (exact scoring of a seeded ~√nlist sample), then
+    ``rounds`` of expand-the-beam over the exact M-NN centroid graph,
+    stable (distance, id) ties everywhere.
+
+    Picklable and small (centroids + (nlist, M) edges + landmark ids),
+    so one broadcast serves every Arrow batch of the assign scan and
+    every probe-map build."""
+
+    def __init__(
+        self,
+        centroids: np.ndarray,
+        edges: np.ndarray,
+        landmarks: np.ndarray,
+        beam: int = 32,
+        rounds: int = 3,
+        expand: int = 8,
+    ):
+        self.centroids = np.asarray(centroids, np.float64)
+        self.edges = np.asarray(edges, np.int64)
+        self.landmarks = np.asarray(landmarks, np.int64)
+        self.beam = int(beam)
+        self.rounds = int(rounds)
+        self.expand = int(expand)
+        self._c32 = self.centroids.astype(np.float32)
+        self._cn32 = (self._c32 * self._c32).sum(1, dtype=np.float32)
+
+    # dataclass-free: keep __getstate__ simple (numpy only)
+    def __getstate__(self):
+        return {
+            "centroids": self.centroids,
+            "edges": self.edges,
+            "landmarks": self.landmarks,
+            "beam": self.beam,
+            "rounds": self.rounds,
+            "expand": self.expand,
+        }
+
+    def __setstate__(self, st):
+        self.__init__(**st)
+
+    @classmethod
+    def train(
+        cls,
+        centroids: np.ndarray,
+        M: int = 32,
+        beam: int | None = None,
+        rounds: int = 12,
+        expand: int = 8,
+        seed: int = 42,
+    ) -> "HNSWCoarseQuantizer":
+        """Build the exact M-NN centroid graph + a seeded ~√nlist
+        landmark set (the HNSW upper-layer role, the graph_search
+        entry-layer discipline). Per-query work is
+        ``(landmarks + rounds·expand·M)·d`` flops — independent of
+        nlist, the HNSW economics."""
+        C = np.asarray(centroids, np.float64)
+        n = len(C)
+        edges = exact_knn_graph_np(C, M)
+        n_land = min(n, max(8, int(np.sqrt(n)) + 1))
+        rng = np.random.default_rng(seed)
+        landmarks = np.sort(rng.choice(n, size=n_land, replace=False))
+        b = int(beam) if beam is not None else max(M, 32)
+        return cls(
+            C, edges, landmarks, beam=min(b, n), rounds=rounds,
+            expand=expand,
+        )
+
+    @property
+    def nlist(self) -> int:
+        return len(self.centroids)
+
+    def search_np(self, X: np.ndarray, nprobe: int, chunk: int = 1024):
+        """(n, d) → ((n, nprobe) cell ids, (n, nprobe) distances) —
+        the quantizer's approximate nearest cells in (distance, id)
+        order. Vectorized beam search; rows process in ``chunk``
+        groups and the per-round gather/score buffers PREALLOCATE once
+        and reuse across chunks and rounds (fresh multi-hundred-MB
+        temporaries pay first-touch page faults every call — measured
+        ~100× the warm gather cost on THP-heavy hosts)."""
+        X = np.atleast_2d(np.asarray(X, np.float32))
+        n = len(X)
+        nprobe = min(int(nprobe), self.nlist)
+        out_i = np.empty((n, nprobe), np.int64)
+        out_d = np.empty((n, nprobe), np.float64)
+        ws: dict = {}
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            ids, ds = self._beam(X[lo:hi], nprobe, ws)
+            out_i[lo:hi], out_d[lo:hi] = ids, ds
+        return out_i, out_d
+
+    def assign_np(self, X: np.ndarray) -> np.ndarray:
+        """(n, d) → (n,) approximate nearest cell (the add-time
+        assignment — faiss quantizer->search(x, 1))."""
+        return self.search_np(X, 1)[0][:, 0]
+
+    def probe_fn(self, nprobe: int):
+        """Hook for the shared ``probe_cells=`` machinery of
+        ivf_search / ivfpq_search / ivfrq_search."""
+
+        def probe(Q):
+            return self.search_np(Q, nprobe)[0]
+
+        return probe
+
+    # -- internals ----------------------------------------------------------
+
+    def _beam(self, X: np.ndarray, nprobe: int, ws: dict):
+        """One chunk's beam search. ``ws`` holds reusable buffers
+        (keyed by shape) so repeated chunks/rounds never allocate —
+        scoring is float32 throughout (assignment ranks, it does not
+        feed stored distances; ranking parity with the f64 exact
+        assign is pinned by tests at the recall level, matching the
+        faiss quantizer's own approximate contract)."""
+        C32 = self._c32
+        cn, E = self._cn32, self.edges
+        n = len(X)
+        b = min(max(self.beam, int(nprobe)), self.nlist)
+        M = E.shape[1]
+
+        def buf(name, shape, dtype):
+            a = ws.get(name)
+            if a is None or a.shape[0] < shape[0] or a.shape[1:] != shape[1:]:
+                a = np.empty(shape, dtype)
+                ws[name] = a
+            return a[: shape[0]]
+
+        # landmark entry: exact scores over the seeded layer
+        L = self.landmarks
+        dl = cn[L][None, :] - 2.0 * (X @ C32[L].T)  # (n, nl)
+        k0 = min(b, len(L))
+        o0 = np.lexsort((np.broadcast_to(L, dl.shape), dl), axis=1)[:, :k0]
+        bi = L[o0]  # (n, k0) beam ids, (distance, id) order
+        bd = np.take_along_axis(dl, o0, axis=1).astype(np.float32)
+        Ex = min(self.expand, b)
+        # frontier = the entries to expand this round (HNSW expands the
+        # best UNEXPANDED nodes; here: the best new entrants per round,
+        # starting from the landmark beam's head)
+        frontier = bi[:, :Ex]
+        for _ in range(self.rounds if M else 0):
+            kb = bi.shape[1]
+            fe = frontier.shape[1]
+            kc = kb + fe * M
+            ids = buf("ids", (n, kc), np.int64)
+            ds = buf("ds", (n, kc), np.float32)
+            ids[:, :kb] = bi
+            ds[:, :kb] = bd
+            np.take(E, frontier, axis=0, out=ids[:, kb:].reshape(n, fe, M))
+            flat = ids[:, kb:]
+            # score the frontier's neighbors: one gather into a reused
+            # (n·fe·M, d) f32 buffer, one batched einsum (BLAS path)
+            G = buf("G", (n * fe * M, X.shape[1]), np.float32)
+            np.take(C32, flat.reshape(-1), axis=0, out=G)
+            prod = buf("prod", (n, fe * M), np.float32)
+            np.einsum(
+                "nkd,nd->nk", G.reshape(n, fe * M, X.shape[1]), X,
+                out=prod, optimize=True,
+            )
+            ds[:, kb:] = cn[flat]
+            ds[:, kb:] -= 2.0 * prod
+            # per-row dedupe + top-b: sort by (dist, id); duplicates of
+            # one id carry identical dist so they land adjacent — keep
+            # each row's first occurrence, take the first b survivors
+            order = np.lexsort((ids, ds), axis=1)
+            sid = np.take_along_axis(ids, order, axis=1)
+            sds = np.take_along_axis(ds, order, axis=1)
+            fresh = buf("fresh", (n, kc), bool)
+            fresh[:, 0] = True
+            np.not_equal(sid[:, 1:], sid[:, :-1], out=fresh[:, 1:])
+            pos = fresh.cumsum(axis=1) - 1  # slot among survivors
+            keep = fresh & (pos < b)
+            width = min(b, int(keep.sum(1).min()))  # every row has ≥ width
+            nbi = np.empty((n, width), np.int64)
+            nbd = np.empty((n, width), np.float32)
+            r, c = np.nonzero(keep)
+            sel = pos[r, c]
+            m = sel < width
+            nbi[r[m], sel[m]] = sid[r[m], c[m]]
+            nbd[r[m], sel[m]] = sds[r[m], c[m]]
+            # next frontier: the best entries NOT in the previous beam
+            # (per-row membership via searchsorted on the row-sorted
+            # previous ids); rows with no entrants re-expand their head
+            # (harmless: dedupe keeps the beam stable, the row has
+            # converged)
+            prev_sorted = np.sort(bi, axis=1)
+            j = np.clip(_rowwise_searchsorted(prev_sorted, nbi), 0, kb - 1)
+            entrant = np.take_along_axis(prev_sorted, j, axis=1) != nbi
+            epos = entrant.cumsum(axis=1) - 1
+            ekeep = entrant & (epos < Ex)
+            frontier = np.repeat(nbi[:, :1], Ex, axis=1)  # converged rows
+            er, ec = np.nonzero(ekeep)
+            frontier[er, epos[er, ec]] = nbi[er, ec]
+            if not entrant.any():
+                bi, bd = nbi, nbd
+                break
+            bi, bd = nbi, nbd
+        take = min(nprobe, bi.shape[1])
+        out_i, out_d = bi[:, :take], bd[:, :take].astype(np.float64)
+        if take < nprobe:
+            # degenerate tiny beams (beam < nprobe on a sparse graph):
+            # pad per row with its own last reached cell at +inf — the
+            # probe machinery treats repeats as one cell
+            pad_i = np.repeat(out_i[:, -1:], nprobe - take, axis=1)
+            pad_d = np.full((n, nprobe - take), np.inf)
+            out_i = np.concatenate([out_i, pad_i], axis=1)
+            out_d = np.concatenate([out_d, pad_d], axis=1)
+        return out_i, out_d

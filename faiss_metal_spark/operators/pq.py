@@ -515,6 +515,8 @@ def ivfpq_build(
     iters: int = 10,
     nbits: int = 8,
     pack4: bool = False,
+    centroids: np.ndarray | None = None,
+    assigner=None,
 ):
     """Train coarse + residual quantizers and encode the corpus.
 
@@ -522,14 +524,21 @@ def ivfpq_build(
     codes DataFrame (id, cell, code BINARY))``. Training is O(sample)
     on the driver (both quantizers), encoding is one scan: assign cell,
     subtract its centroid, PQ-encode the residual — no shuffle.
+    ``centroids``/``assigner`` (r12): pre-trained coarse centroids and
+    an approximate assigner (the graph coarse quantizer) — the
+    residual books then train on the SAME assignment the codes use.
     """
     from .similarity import ivf_assign, ivf_train_centroids, train_sample
 
-    centroids = ivf_train_centroids(
-        vectors, n_cells, vec_col=vec_col, id_col=id_col,
-        sample_size=sample_size, iters=iters,
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            vectors, n_cells, vec_col=vec_col, id_col=id_col,
+            sample_size=sample_size, iters=iters,
+        )
+    assigned = ivf_assign(
+        vectors, centroids, id_col=id_col, vec_col=vec_col,
+        assigner=assigner,
     )
-    assigned = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
 
     sample = train_sample(
         assigned.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "cell"),

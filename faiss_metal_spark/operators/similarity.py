@@ -438,10 +438,17 @@ def ivf_assign(
     centroids: np.ndarray,
     id_col: str = "id",
     vec_col: str = "vec",
+    assigner=None,
 ) -> DataFrame:
-    """Add a ``cell`` column = nearest centroid id (one scan, no shuffle)."""
+    """Add a ``cell`` column = nearest centroid id (one scan, no
+    shuffle). ``assigner`` (r12): an optional picklable object with
+    ``assign_np((n, d)) -> (n,) cells`` replacing the exact argmin —
+    the graph coarse quantizer hook (faiss IndexHNSWFlat-as-quantizer;
+    operators/coarse.py), which makes per-vector assign cost
+    independent of nlist. The distributed plan is identical either
+    way."""
     spark = vectors.sparkSession
-    bc = spark.sparkContext.broadcast(centroids)
+    bc = spark.sparkContext.broadcast((centroids, assigner))
     fields = vectors.schema.fields
 
     out_schema = T.StructType(list(fields) + [T.StructField("cell", T.IntegerType())])
@@ -451,14 +458,17 @@ def ivf_assign(
 
         from .knn import _arrow_matrix
 
-        C = bc.value
+        C, asg = bc.value
         cn = (C * C).sum(1)
         for batch in batches:
             if batch.num_rows == 0:
                 continue
             V = _arrow_matrix(batch.column(vec_col), "array", np.float64)
-            # argmin ‖v−c‖² = argmin ‖c‖²−2v·c  (‖v‖² constant per row)
-            cell = (cn[None, :] - 2.0 * (V @ C.T)).argmin(1).astype(np.int32)
+            if asg is not None:
+                cell = np.asarray(asg.assign_np(V), np.int32)
+            else:
+                # argmin ‖v−c‖² = argmin ‖c‖²−2v·c (‖v‖² constant/row)
+                cell = (cn[None, :] - 2.0 * (V @ C.T)).argmin(1).astype(np.int32)
             yield pa.record_batch(
                 list(batch.columns) + [pa.array(cell)],
                 names=list(batch.schema.names) + ["cell"],

@@ -335,18 +335,23 @@ def _write_payload(index, path: str) -> None:
         )
     elif isinstance(index, IVFIndex):
         _write_frame(index.assigned, f"{path}/assigned", partition_by="cell")
-        shapes = _write_arrays(index.spark, path, {"centroids": index.centroids})
-        _write_meta(
-            index.spark,
-            path,
-            {
-                "kind": "ivf",
-                "d": index.d,
-                "metric": index.metric,
-                "ntotal": index.ntotal,
-                "shapes": shapes,
-            },
-        )
+        arrays = {"centroids": index.centroids}
+        meta = {
+            "kind": "ivf",
+            "d": index.d,
+            "metric": index.metric,
+            "ntotal": index.ntotal,
+        }
+        if index.quantizer is not None:
+            arrays["coarse_edges"] = index.quantizer.edges
+            arrays["coarse_landmarks"] = index.quantizer.landmarks
+            meta["coarse"] = {
+                "beam": index.quantizer.beam,
+                "rounds": index.quantizer.rounds,
+                "expand": index.quantizer.expand,
+            }
+        meta["shapes"] = _write_arrays(index.spark, path, arrays)
+        _write_meta(index.spark, path, meta)
     elif isinstance(index, IVFFlatDedupIndex):
         _write_frame(index.assigned, f"{path}/assigned", partition_by="cell")
         _write_frame(index.instances, f"{path}/instances")
@@ -382,16 +387,18 @@ def _write_payload(index, path: str) -> None:
         )
     elif isinstance(index, IVFPQIndex):
         _write_frame(index.codes, f"{path}/codes", partition_by="cell")
-        shapes = _write_arrays(
-            index.spark,
-            path,
-            {"centroids": index.centroids, "codebooks": index.codebooks},
-        )
-        _write_meta(
-            index.spark,
-            path,
-            {"kind": "ivfpq", "d": index.d, "ntotal": index.ntotal, "shapes": shapes},
-        )
+        arrays = {"centroids": index.centroids, "codebooks": index.codebooks}
+        meta = {"kind": "ivfpq", "d": index.d, "ntotal": index.ntotal}
+        if index.quantizer is not None:
+            arrays["coarse_edges"] = index.quantizer.edges
+            arrays["coarse_landmarks"] = index.quantizer.landmarks
+            meta["coarse"] = {
+                "beam": index.quantizer.beam,
+                "rounds": index.quantizer.rounds,
+                "expand": index.quantizer.expand,
+            }
+        meta["shapes"] = _write_arrays(index.spark, path, arrays)
+        _write_meta(index.spark, path, meta)
     elif isinstance(index, IVFPQRIndex):
         _write_frame(index.codes, f"{path}/codes", partition_by="cell")
         shapes = _write_arrays(
@@ -802,6 +809,24 @@ def clone_index(index):
     return type(index)(**kw)
 
 
+def _read_coarse(meta: dict, arrays: dict):
+    """Rebuild the graph coarse quantizer from an ivf/ivfpq payload
+    (r12; ids persisted as exact float64 < 2^53, re-cast on read)."""
+    c = meta.get("coarse")
+    if not c:
+        return None
+    from ..operators.coarse import HNSWCoarseQuantizer
+
+    return HNSWCoarseQuantizer(
+        arrays["centroids"],
+        arrays["coarse_edges"].astype(np.int64),
+        arrays["coarse_landmarks"].astype(np.int64).ravel(),
+        beam=int(c["beam"]),
+        rounds=int(c["rounds"]),
+        expand=int(c["expand"]),
+    )
+
+
 def read_index(spark: SparkSession, path: str):
     """Reload an index written by :func:`write_index` (faiss read_index).
 
@@ -911,6 +936,7 @@ def _read_payload(spark: SparkSession, path: str):
             arrays["centroids"],
             spark.read.parquet(f"{path}/assigned"),
             meta["ntotal"],
+            quantizer=_read_coarse(meta, arrays),
         )
     if kind == "ivf_dedup":
         return IVFFlatDedupIndex(
@@ -994,6 +1020,7 @@ def _read_payload(spark: SparkSession, path: str):
             arrays["codebooks"],
             spark.read.parquet(f"{path}/codes"),
             meta["ntotal"],
+            quantizer=_read_coarse(meta, arrays),
         )
     if kind == "ivfrq_fs":
         return IVFRQFastScanIndex(

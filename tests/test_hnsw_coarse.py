@@ -1,0 +1,166 @@
+"""Graph coarse quantizer (r12) — the faiss big-nlist recipe
+``index_factory("IVF<n>_HNSW<M>,Flat")`` / ``"IVF<n>_HNSW<M>,PQ<m>"``
+(faiss makes the coarse quantizer an IndexHNSWFlat so assignment and
+probe selection cost is nlist-independent; operators/coarse.py).
+
+Approximation contract (= faiss): assignment may differ from the exact
+argmin on boundary vectors; everything downstream is exact GIVEN the
+assignment. Pins:
+
+- the quantizer's top-1 assignment recall vs the exact argmin ≥ 0.85
+  on k-means-like clustered centroids, and assignment is deterministic;
+- every stored row's cell IS the quantizer's own assignment, and
+  search with the quantizer's own probe ranking ≡ search_preassigned
+  fed that ranking (the given-the-assignment exactness);
+- probing ALL cells recovers the exact flat answer over the stored
+  rows regardless of probe order (coverage ≡ correctness);
+- add_df assigns through the quantizer (frozen state);
+- IO round-trips the quantizer (kinds ivf/ivfpq gain coarse arrays;
+  reloaded search value-identical), clone shares it, merge_from
+  refuses a mismatched quantizer graph;
+- the IVFPQ form trains its residual books on the SAME approximate
+  assignment the codes use (reconstruction check through stored cells).
+"""
+
+import numpy as np
+import pytest
+
+from faiss_metal_spark import (
+    HNSWCoarseQuantizer,
+    IVFIndex,
+    IVFPQIndex,
+    VectorTable,
+    clone_index,
+    index_factory,
+    read_index,
+    write_index,
+)
+from faiss_metal_spark.operators.pq import pq_decode_np
+
+from conftest import make_fixture
+
+
+def _clustered(n, d, seed=5, rank=8):
+    rng = np.random.default_rng(seed)
+    B = rng.normal(size=(rank, d))
+    return (
+        rng.normal(size=(n, rank)) @ B + 0.2 * rng.normal(size=(n, d))
+    ).astype(np.float32)
+
+
+def _vt(spark, V):
+    return VectorTable(spark, V.shape[1]).add_numpy(V)
+
+
+def test_quantizer_recall_and_determinism():
+    rng = np.random.default_rng(3)
+    C = _clustered(2048, 32, seed=3).astype(np.float64)
+    X = _clustered(1500, 32, seed=4).astype(np.float64)
+    q = HNSWCoarseQuantizer.train(C, M=16, seed=7)
+    cells, dists = q.search_np(X, 4)
+    cn = (C * C).sum(1)
+    D = cn[None, :] - 2.0 * (X @ C.T)
+    exact1 = D.argmin(1)
+    assert (cells[:, 0] == exact1).mean() >= 0.85
+    # distances are true ‖x‖²-less scores of the returned cells (f32
+    # scoring — compare via ranking, and values loosely)
+    np.testing.assert_allclose(
+        dists[:, 0],
+        np.take_along_axis(D, cells[:, :1], axis=1)[:, 0],
+        rtol=1e-3, atol=1e-2,
+    )
+    c2, _ = q.search_np(X, 4)
+    assert np.array_equal(cells, c2)
+    # probe rows are (distance, id)-ordered and duplicate-free
+    for row in cells[:50]:
+        assert len(set(row.tolist())) == len(row)
+
+
+def test_ivf_hnsw_flat_contract(spark, tmp_path):
+    V = _clustered(800, 16)
+    Q = _clustered(6, 16, seed=11).astype(np.float64)
+    vt = _vt(spark, V)
+    idx = index_factory(vt, "IVF32_HNSW8,Flat", sample_size=800, iters=4)
+    assert isinstance(idx, IVFIndex) and idx.quantizer is not None
+
+    # every stored row's cell is the quantizer's own assignment
+    rows = idx.assigned.orderBy("id").collect()
+    cells = np.array([r["cell"] for r in rows])
+    want = idx.quantizer.assign_np(V.astype(np.float64))
+    np.testing.assert_array_equal(cells, want)
+
+    # search ≡ search_preassigned fed the quantizer's own ranking
+    probe, _ = idx.quantizer.search_np(Q, 4)
+    D0, L0 = idx.search_numpy(Q, 5, nprobe=4)
+    D1, L1 = idx.search_preassigned_numpy(Q, 5, probe)
+    np.testing.assert_array_equal(L0, L1)
+    np.testing.assert_allclose(D0, D1, atol=1e-12)
+
+    # full coverage ≡ exact flat answer over the stored rows
+    D2, L2 = idx.search_numpy(Q, 5, nprobe=idx.nlist)
+    Vd = V.astype(np.float64)
+    Dx = ((Q[:, None, :] - Vd[None, :, :]) ** 2).sum(2)
+    lab = np.broadcast_to(np.arange(len(V)), Dx.shape)
+    ex = np.lexsort((lab, Dx), axis=1)[:, :5]
+    np.testing.assert_array_equal(L2, ex)
+
+    # frozen-state add assigns through the quantizer
+    idx.add_numpy(V[:3] + 0.01, ids=np.arange(900, 903))
+    arow = {r["id"]: r["cell"] for r in idx.assigned.where("id >= 900").collect()}
+    awant = idx.quantizer.assign_np((V[:3] + 0.01).astype(np.float64))
+    assert [arow[900 + i] for i in range(3)] == list(awant)
+
+    # IO round-trip carries the quantizer; search value-identical
+    write_index(idx, str(tmp_path / "ivfh"))
+    idx2 = read_index(spark, str(tmp_path / "ivfh"))
+    assert idx2.quantizer is not None
+    np.testing.assert_array_equal(idx2.quantizer.edges, idx.quantizer.edges)
+    D3, L3 = idx2.search_numpy(Q, 5, nprobe=4)
+    D4, L4 = idx.search_numpy(Q, 5, nprobe=4)
+    np.testing.assert_array_equal(L3, L4)
+    np.testing.assert_allclose(D3, D4, atol=0)
+
+    # clone shares the quantizer; merge refuses a different graph
+    cl = clone_index(idx2)
+    assert cl.quantizer is idx2.quantizer
+    other = index_factory(vt, "IVF32_HNSW4,Flat", sample_size=800, iters=4)
+    with pytest.raises(ValueError, match="trained state"):
+        idx.merge_from(other)
+    idx.release(), idx2.release(), other.release()
+
+
+def test_ivfpq_hnsw_form(spark, tmp_path):
+    V = _clustered(800, 16, seed=21)
+    Q = _clustered(5, 16, seed=22).astype(np.float64)
+    vt = _vt(spark, V)
+    idx = index_factory(vt, "IVF16_HNSW8,PQ4", sample_size=800, iters=4)
+    assert isinstance(idx, IVFPQIndex) and idx.quantizer is not None
+
+    # stored cells = the quantizer's assignment; reconstruction goes
+    # through the stored cell (the books trained on the same
+    # assignment, so decode errors stay small on in-distribution data)
+    rows = idx.codes.orderBy("id").collect()
+    cells = np.array([r["cell"] for r in rows])
+    np.testing.assert_array_equal(
+        cells, idx.quantizer.assign_np(V.astype(np.float64))
+    )
+    codes = np.stack([np.frombuffer(r["code"], np.uint8) for r in rows])
+    R = idx.centroids[cells] + pq_decode_np(codes, idx.codebooks)
+    rel = ((V - R) ** 2).sum(1).mean() / (V ** 2).sum(1).mean()
+    assert rel < 0.5  # coarse+PQ reconstruction actually approximates
+
+    # given-the-assignment exactness: search ≡ preassigned(quantizer)
+    probe, _ = idx.quantizer.search_np(Q, 4)
+    D0, L0 = idx.search_numpy(Q, 5, nprobe=4)
+    D1, L1 = idx.search_preassigned_numpy(Q, 5, probe)
+    np.testing.assert_array_equal(L0, L1)
+    np.testing.assert_allclose(D0, D1, atol=1e-12)
+
+    # IO kind ivfpq round-trips the quantizer
+    write_index(idx, str(tmp_path / "ivfpqh"))
+    idx2 = read_index(spark, str(tmp_path / "ivfpqh"))
+    assert idx2.quantizer is not None
+    D2, L2 = idx2.search_numpy(Q, 5, nprobe=4)
+    np.testing.assert_array_equal(L0, L2)
+    np.testing.assert_allclose(D0, D2, atol=0)
+    idx.release(), idx2.release()
