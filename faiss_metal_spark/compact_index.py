@@ -1367,6 +1367,9 @@ class IVFSQIndex:
     codes: DataFrame
     _n: int = field(default=-1, repr=False)
     bits: int = 8
+    # graph coarse quantizer (factory "IVF<n>_HNSW<M>,SQ8") — see
+    # IVFIndex.quantizer
+    quantizer: object = field(default=None, repr=False)
 
     @classmethod
     def from_table(
@@ -1376,6 +1379,8 @@ class IVFSQIndex:
         bits: int = 8,
         sample_size: int = 16384,
         iters: int = 10,
+        coarse_hnsw_m: int | None = None,
+        coarse_kw: dict | None = None,
     ) -> "IVFSQIndex":
         from .operators.similarity import ivf_assign, ivf_train_centroids
         from .operators.sq import sq_code_col, sq_train
@@ -1383,10 +1388,17 @@ class IVFSQIndex:
         base = _float_view(vt)
         vmin, vmax = sq_train(base)
         C = ivf_train_centroids(base, n_cells, sample_size=sample_size, iters=iters)
+        q = None
+        if coarse_hnsw_m is not None:
+            from .operators.coarse import HNSWCoarseQuantizer
+
+            q = HNSWCoarseQuantizer.train(
+                C, M=int(coarse_hnsw_m), **(coarse_kw or {})
+            )
         # one scan: cell assignment (Arrow stage) then the Catalyst
         # encode projection — vectors never leave the executors
         codes = (
-            ivf_assign(base, C)
+            ivf_assign(base, C, assigner=q)
             .select(
                 F.col("id").cast("long").alias("id"),
                 sq_code_col("vec", vmin, vmax, bits).alias("code"),
@@ -1395,7 +1407,10 @@ class IVFSQIndex:
             .persist()
         )
         n = codes.count()
-        return cls(vt.spark, vt.d, vt.metric, C, vmin, vmax, codes, n, bits)
+        return cls(
+            vt.spark, vt.d, vt.metric, C, vmin, vmax, codes, n, bits,
+            quantizer=q,
+        )
 
     @property
     def nlist(self) -> int:
@@ -1438,6 +1453,9 @@ class IVFSQIndex:
             vec_col="code",
             decode=self._decode(),
             max_codes=max_codes,
+            probe_cells=(
+                self.quantizer.probe_fn(nprobe) if self.quantizer else None
+            ),
         )
 
     def search_numpy(
@@ -1497,6 +1515,9 @@ class IVFSQIndex:
             metric=self.metric,
             vec_col="code",
             decode=self._decode(),
+            probe_cells=(
+                self.quantizer.probe_fn(nprobe) if self.quantizer else None
+            ),
         )
 
     def range_search_preassigned(
@@ -1522,7 +1543,10 @@ class IVFSQIndex:
         from .operators.similarity import ivf_assign
         from .operators.sq import sq_code_col
 
-        new = ivf_assign(_ivf_add_rows(df, id_col, vec_col), self.centroids).select(
+        new = ivf_assign(
+            _ivf_add_rows(df, id_col, vec_col), self.centroids,
+            assigner=self.quantizer,
+        ).select(
             F.col("id").cast("long").alias("id"),
             sq_code_col("vec", self.vmin, self.vmax, self.bits).alias("code"),
             "cell",
@@ -1542,7 +1566,9 @@ class IVFSQIndex:
             other,
             "codes",
             (
-                (self.d, self.metric, self.centroids, self.vmin, self.vmax, self.bits),
+                (self.d, self.metric, self.centroids, self.vmin,
+                 self.vmax, self.bits,
+                 getattr(self.quantizer, "edges", None)),
                 (
                     other.d,
                     other.metric,
@@ -1550,6 +1576,7 @@ class IVFSQIndex:
                     other.vmin,
                     other.vmax,
                     other.bits,
+                    getattr(getattr(other, "quantizer", None), "edges", None),
                 ),
             ),
             add_id, check_duplicates=check_duplicates,
@@ -3814,28 +3841,45 @@ class IVFRQIndex:
     beam: int = 1
     icm_sweeps: int = 0
     by_residual: bool = True
+    # graph coarse quantizer (factory "IVF<n>_HNSW<M>,RQ<m>x8") — see
+    # IVFIndex.quantizer
+    quantizer: object = field(default=None, repr=False)
 
     @classmethod
     def from_table(
         cls, vt, n_cells: int, m: int, nsplits: int | None = None,
         sample_size: int = 16384, iters: int = 10,
         beam: int = 1, icm_sweeps: int = 0, by_residual: bool = True,
-        nbits: int = 8,
+        nbits: int = 8, coarse_hnsw_m: int | None = None,
+        coarse_kw: dict | None = None,
     ) -> "IVFRQIndex":
         from .operators.rq import ivfrq_build
 
         base = _float_view(vt)
+        q = None
+        kw = {}
+        if coarse_hnsw_m is not None:
+            from .operators.coarse import HNSWCoarseQuantizer
+            from .operators.similarity import ivf_train_centroids
+
+            C = ivf_train_centroids(
+                base, n_cells, sample_size=sample_size, iters=iters
+            )
+            q = HNSWCoarseQuantizer.train(
+                C, M=int(coarse_hnsw_m), **(coarse_kw or {})
+            )
+            kw = {"centroids": C, "assigner": q}
         centroids, books, codes = ivfrq_build(
             base, n_cells, m, nsplits=nsplits, sample_size=sample_size,
             iters=iters, beam=beam, icm_sweeps=icm_sweeps,
-            by_residual=by_residual, nbits=nbits,
+            by_residual=by_residual, nbits=nbits, **kw,
         )
         codes = codes.persist()
         n = codes.count()
         return cls(
             vt.spark, vt.d, centroids, books, codes, n,
             beam=int(beam), icm_sweeps=int(icm_sweeps),
-            by_residual=bool(by_residual),
+            by_residual=bool(by_residual), quantizer=q,
         )
 
     @property
@@ -3864,6 +3908,9 @@ class IVFRQIndex:
             _sel_rows(self.codes, sel), self.centroids, self.codebooks,
             queries, k, nprobe, by_residual=self.by_residual,
             max_codes=max_codes,
+            probe_cells=(
+                self.quantizer.probe_fn(nprobe) if self.quantizer else None
+            ),
         )
 
     def search_numpy(
@@ -3914,6 +3961,9 @@ class IVFRQIndex:
         return ivfrq_range_search(
             self.codes, self.centroids, self.codebooks, queries, radius,
             nprobe, by_residual=self.by_residual,
+            probe_cells=(
+                self.quantizer.probe_fn(nprobe) if self.quantizer else None
+            ),
         )
 
     def add_df(
@@ -3926,7 +3976,10 @@ class IVFRQIndex:
         from .operators.similarity import ivf_assign
 
         new = ivfrq_encode(
-            ivf_assign(_ivf_add_rows(df, id_col, vec_col), self.centroids),
+            ivf_assign(
+                _ivf_add_rows(df, id_col, vec_col), self.centroids,
+                assigner=self.quantizer,
+            ),
             self.centroids,
             self.codebooks,
             beam=self.beam,
@@ -3953,9 +4006,11 @@ class IVFRQIndex:
             "codes",
             (
                 (self.d, self.beam, self.icm_sweeps, self.by_residual,
-                 self.centroids, self.codebooks),
+                 self.centroids, self.codebooks,
+                 getattr(self.quantizer, "edges", None)),
                 (other.d, other.beam, other.icm_sweeps, other.by_residual,
-                 other.centroids, other.codebooks),
+                 other.centroids, other.codebooks,
+                 getattr(getattr(other, "quantizer", None), "edges", None)),
             ),
             add_id, check_duplicates=check_duplicates,
         )
@@ -5196,6 +5251,18 @@ def index_factory(vt, spec: str, **train_kw):
         return IVFPQIndex.from_table(
             vt, n_cells=int(m.group(1)), m=int(m.group(3)),
             coarse_hnsw_m=int(m.group(2)), **kw
+        )
+    m = re.fullmatch(r"IVF(\d+)_HNSW(\d+),SQ([468])", s)
+    if m:
+        return IVFSQIndex.from_table(
+            vt, n_cells=int(m.group(1)), bits=int(m.group(3)),
+            coarse_hnsw_m=int(m.group(2)), **train_kw
+        )
+    m = re.fullmatch(r"IVF(\d+)_HNSW(\d+),RQ(\d+)x8", s)
+    if m:
+        return IVFRQIndex.from_table(
+            vt, n_cells=int(m.group(1)), m=int(m.group(3)),
+            coarse_hnsw_m=int(m.group(2)), **train_kw
         )
     m = re.fullmatch(r"IVF(\d+),FlatDedup", s)
     if m:

@@ -726,6 +726,8 @@ def ivfrq_build(
     by_residual: bool = True,
     nbits: int = 8,
     pack4: bool = False,
+    centroids: np.ndarray | None = None,
+    assigner=None,
 ):
     """Train coarse + additive quantizers and encode the corpus.
 
@@ -740,11 +742,15 @@ def ivfrq_build(
     matching faiss's default), encoding is one scan — no shuffle."""
     from .similarity import ivf_assign, ivf_train_centroids, train_sample
 
-    centroids = ivf_train_centroids(
-        vectors, n_cells, vec_col=vec_col, id_col=id_col,
-        sample_size=sample_size, iters=iters,
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            vectors, n_cells, vec_col=vec_col, id_col=id_col,
+            sample_size=sample_size, iters=iters,
+        )
+    assigned = ivf_assign(
+        vectors, centroids, id_col=id_col, vec_col=vec_col,
+        assigner=assigner,
     )
-    assigned = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
 
     sample = train_sample(
         assigned.select(
@@ -972,6 +978,7 @@ def ivfrq_range_search(
     qid_col: str = "qid",
     qvec_col: str = "vec",
     by_residual: bool = True,
+    probe_cells=None,
 ) -> DataFrame:
     """faiss ``IndexIVFAdditiveQuantizer`` range_search: the additive
     radius filter over the probed cells — strict ``distance < radius``
@@ -1000,9 +1007,12 @@ def ivfrq_range_search(
             f"(see operators.chunked.chunked_queries)"
         )
     qn = (Q * Q).sum(1)
-    cn = (centroids * centroids).sum(1)
-    order = (cn[None, :] - 2.0 * (Q @ centroids.T)).argsort(1, kind="stable")
-    probe = order[:, :nprobe]
+    if probe_cells is not None:
+        probe = np.asarray(probe_cells(Q))[:, :nprobe]
+    else:
+        cn = (centroids * centroids).sum(1)
+        order = (cn[None, :] - 2.0 * (Q @ centroids.T)).argsort(1, kind="stable")
+        probe = order[:, :nprobe]
     cell_to_qidx: dict[int, np.ndarray] = {}
     for i, cells_i in enumerate(probe):
         for c in cells_i:

@@ -417,11 +417,17 @@ def _write_payload(index, path: str) -> None:
         )
     elif isinstance(index, IVFRQIndex):
         _write_frame(index.codes, f"{path}/codes", partition_by="cell")
-        shapes = _write_arrays(
-            index.spark,
-            path,
-            {"centroids": index.centroids, "codebooks": index.codebooks},
-        )
+        arrays = {"centroids": index.centroids, "codebooks": index.codebooks}
+        coarse = None
+        if index.quantizer is not None:
+            arrays["coarse_edges"] = index.quantizer.edges
+            arrays["coarse_landmarks"] = index.quantizer.landmarks
+            coarse = {
+                "beam": index.quantizer.beam,
+                "rounds": index.quantizer.rounds,
+                "expand": index.quantizer.expand,
+            }
+        shapes = _write_arrays(index.spark, path, arrays)
         _write_meta(
             index.spark,
             path,
@@ -432,6 +438,7 @@ def _write_payload(index, path: str) -> None:
                 "beam": index.beam,
                 "icm_sweeps": index.icm_sweeps,
                 "by_residual": index.by_residual,
+                "coarse": coarse,
                 "shapes": shapes,
             },
         )
@@ -539,11 +546,21 @@ def _write_payload(index, path: str) -> None:
         )
     elif isinstance(index, IVFSQIndex):
         _write_frame(index.codes, f"{path}/codes", partition_by="cell")
-        shapes = _write_arrays(
-            index.spark,
-            path,
-            {"centroids": index.centroids, "vmin": index.vmin, "vmax": index.vmax},
-        )
+        arrays = {
+            "centroids": index.centroids,
+            "vmin": index.vmin,
+            "vmax": index.vmax,
+        }
+        coarse = None
+        if index.quantizer is not None:
+            arrays["coarse_edges"] = index.quantizer.edges
+            arrays["coarse_landmarks"] = index.quantizer.landmarks
+            coarse = {
+                "beam": index.quantizer.beam,
+                "rounds": index.quantizer.rounds,
+                "expand": index.quantizer.expand,
+            }
+        shapes = _write_arrays(index.spark, path, arrays)
         _write_meta(
             index.spark,
             path,
@@ -553,6 +570,7 @@ def _write_payload(index, path: str) -> None:
                 "metric": index.metric,
                 "ntotal": index.ntotal,
                 "bits": index.bits,
+                "coarse": coarse,
                 "shapes": shapes,
             },
         )
@@ -1002,6 +1020,7 @@ def _read_payload(spark: SparkSession, path: str):
             spark.read.parquet(f"{path}/codes"),
             meta["ntotal"],
             meta["bits"],
+            quantizer=_read_coarse(meta, arrays),
         )
     if kind == "ivfpq_fs":
         return IVFPQFastScanIndex(
@@ -1055,6 +1074,7 @@ def _read_payload(spark: SparkSession, path: str):
             beam=int(meta.get("beam", 1)),
             icm_sweeps=int(meta.get("icm_sweeps", 0)),
             by_residual=bool(meta.get("by_residual", True)),
+            quantizer=_read_coarse(meta, arrays),
         )
     if kind == "ivfpqr":
         return IVFPQRIndex(

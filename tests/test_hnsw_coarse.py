@@ -164,3 +164,53 @@ def test_ivfpq_hnsw_form(spark, tmp_path):
     np.testing.assert_array_equal(L0, L2)
     np.testing.assert_allclose(D0, D2, atol=0)
     idx.release(), idx2.release()
+
+
+def test_ivfsq_and_ivfrq_hnsw_forms(spark, tmp_path):
+    """The remaining coarse-recipe family members: SQ and additive
+    codes behind the graph quantizer — stored cells are the
+    quantizer's assignment, search ≡ preassigned(quantizer ranking),
+    IO round-trips the graph."""
+    V = _clustered(600, 16, seed=31)
+    Q = _clustered(4, 16, seed=32).astype(np.float64)
+    vt = _vt(spark, V)
+
+    sq = index_factory(vt, "IVF16_HNSW8,SQ8", sample_size=600, iters=4)
+    assert sq.quantizer is not None
+    cells = np.array([r["cell"] for r in sq.codes.orderBy("id").collect()])
+    np.testing.assert_array_equal(
+        cells, sq.quantizer.assign_np(V.astype(np.float64))
+    )
+    probe, _ = sq.quantizer.search_np(Q, 4)
+    D0, L0 = sq.search_numpy(Q, 5, nprobe=4)
+    D1, L1 = sq.search_preassigned_numpy(Q, 5, probe)
+    np.testing.assert_array_equal(L0, L1)
+    np.testing.assert_allclose(D0, D1, atol=1e-12)
+    write_index(sq, str(tmp_path / "sqh"))
+    sq2 = read_index(spark, str(tmp_path / "sqh"))
+    assert sq2.quantizer is not None
+    D2, L2 = sq2.search_numpy(Q, 5, nprobe=4)
+    np.testing.assert_array_equal(L0, L2)
+
+    from faiss_metal_spark import IVFRQIndex
+
+    rq = index_factory(vt, "IVF16_HNSW8,RQ2x8", sample_size=600, iters=4)
+    assert isinstance(rq, IVFRQIndex) and rq.quantizer is not None
+    rcells = np.array([r["cell"] for r in rq.codes.orderBy("id").collect()])
+    np.testing.assert_array_equal(
+        rcells, rq.quantizer.assign_np(V.astype(np.float64))
+    )
+    Dr0, Lr0 = rq.search_numpy(Q, 5, nprobe=4)
+    Dr1, Lr1 = rq.search_preassigned_numpy(Q, 5, probe_cells_to_assign(rq, Q, 4))
+    np.testing.assert_array_equal(Lr0, Lr1)
+    np.testing.assert_allclose(Dr0, Dr1, atol=1e-12)
+    write_index(rq, str(tmp_path / "rqh"))
+    rq2 = read_index(spark, str(tmp_path / "rqh"))
+    assert rq2.quantizer is not None
+    Dr2, Lr2 = rq2.search_numpy(Q, 5, nprobe=4)
+    np.testing.assert_array_equal(Lr0, Lr2)
+    sq.release(), rq.release()
+
+
+def probe_cells_to_assign(idx, Q, nprobe):
+    return idx.quantizer.search_np(Q, nprobe)[0]
