@@ -207,6 +207,22 @@ def _numpy_add_df(index, frame_attr: str, x: np.ndarray, ids) -> DataFrame:
     )
 
 
+def _coarse_state(q) -> tuple:
+    """Flattened trained-state components of a graph coarse quantizer
+    (all five knobs change the APPROXIMATE assignment, so merge_from
+    must compare them all — identical edges alone do not imply
+    identical assignments: landmarks/beam/rounds/expand steer the walk
+    over the same graph). None-safe for absent quantizers and foreign
+    index types."""
+    return (
+        getattr(q, "edges", None),
+        getattr(q, "landmarks", None),
+        getattr(q, "beam", None),
+        getattr(q, "rounds", None),
+        getattr(q, "expand", None),
+    )
+
+
 def _merge_ivf_frames(
     self_idx, other, frame_attr: str, trained_state: tuple, add_id: int,
     check_duplicates: bool = True,
@@ -869,9 +885,9 @@ class IVFIndex:
             "assigned",
             (
                 (self.d, self.metric, self.centroids,
-                 getattr(self.quantizer, "edges", None)),
+                 *_coarse_state(self.quantizer)),
                 (other.d, other.metric, other.centroids,
-                 getattr(getattr(other, "quantizer", None), "edges", None)),
+                 *_coarse_state(getattr(other, "quantizer", None))),
             ),
             add_id, check_duplicates=check_duplicates,
         )
@@ -1568,7 +1584,7 @@ class IVFSQIndex:
             (
                 (self.d, self.metric, self.centroids, self.vmin,
                  self.vmax, self.bits,
-                 getattr(self.quantizer, "edges", None)),
+                 *_coarse_state(self.quantizer)),
                 (
                     other.d,
                     other.metric,
@@ -1576,7 +1592,7 @@ class IVFSQIndex:
                     other.vmin,
                     other.vmax,
                     other.bits,
-                    getattr(getattr(other, "quantizer", None), "edges", None),
+                    *_coarse_state(getattr(other, "quantizer", None)),
                 ),
             ),
             add_id, check_duplicates=check_duplicates,
@@ -1638,6 +1654,7 @@ class IVFPQIndex:
 
         base = _float_view(vt)
         q = None
+        kw = {}
         if coarse_hnsw_m is not None:
             from .operators.coarse import HNSWCoarseQuantizer
             from .operators.similarity import ivf_train_centroids
@@ -1648,15 +1665,11 @@ class IVFPQIndex:
             q = HNSWCoarseQuantizer.train(
                 C, M=int(coarse_hnsw_m), **(coarse_kw or {})
             )
-            centroids, books, codes = ivfpq_build(
-                base, n_cells, m, sample_size=sample_size, iters=iters,
-                nbits=nbits, centroids=C, assigner=q,
-            )
-        else:
-            centroids, books, codes = ivfpq_build(
-                base, n_cells, m, sample_size=sample_size, iters=iters,
-                nbits=nbits,
-            )
+            kw = {"centroids": C, "assigner": q}
+        centroids, books, codes = ivfpq_build(
+            base, n_cells, m, sample_size=sample_size, iters=iters,
+            nbits=nbits, **kw,
+        )
         codes = codes.persist()
         n = codes.count()
         return cls(vt.spark, vt.d, centroids, books, codes, n, quantizer=q)
@@ -1801,9 +1814,9 @@ class IVFPQIndex:
             "codes",
             (
                 (self.d, self.centroids, self.codebooks,
-                 getattr(self.quantizer, "edges", None)),
+                 *_coarse_state(self.quantizer)),
                 (other.d, other.centroids, other.codebooks,
-                 getattr(getattr(other, "quantizer", None), "edges", None)),
+                 *_coarse_state(getattr(other, "quantizer", None))),
             ),
             add_id, check_duplicates=check_duplicates,
         )
@@ -4007,10 +4020,10 @@ class IVFRQIndex:
             (
                 (self.d, self.beam, self.icm_sweeps, self.by_residual,
                  self.centroids, self.codebooks,
-                 getattr(self.quantizer, "edges", None)),
+                 *_coarse_state(self.quantizer)),
                 (other.d, other.beam, other.icm_sweeps, other.by_residual,
                  other.centroids, other.codebooks,
-                 getattr(getattr(other, "quantizer", None), "edges", None)),
+                 *_coarse_state(getattr(other, "quantizer", None))),
             ),
             add_id, check_duplicates=check_duplicates,
         )

@@ -233,25 +233,30 @@ class HNSWCoarseQuantizer:
             )
             ds[:, kb:] = cn[flat]
             ds[:, kb:] -= 2.0 * prod
-            # per-row dedupe + top-b: sort by (dist, id); duplicates of
-            # one id carry identical dist so they land adjacent — keep
-            # each row's first occurrence, take the first b survivors
-            order = np.lexsort((ids, ds), axis=1)
-            sid = np.take_along_axis(ids, order, axis=1)
-            sds = np.take_along_axis(ds, order, axis=1)
+            # per-row dedupe + top-b. Dedupe is ID-KEYED, not
+            # value-keyed: the same centroid can re-enter with a
+            # slightly different float32 score (the landmark GEMM and
+            # the neighbor einsum are different BLAS reductions —
+            # measured up to ~1e-5 apart on identical pairs), so
+            # adjacency-after-(dist,id)-sort would let both copies
+            # survive. Pass 1 groups by id keeping the best-scored
+            # copy; pass 2 ranks the survivors by (dist, id).
+            o1 = np.lexsort((ds, ids), axis=1)  # id groups, best first
+            gid = np.take_along_axis(ids, o1, axis=1)
+            gds = np.take_along_axis(ds, o1, axis=1)
             fresh = buf("fresh", (n, kc), bool)
             fresh[:, 0] = True
-            np.not_equal(sid[:, 1:], sid[:, :-1], out=fresh[:, 1:])
-            pos = fresh.cumsum(axis=1) - 1  # slot among survivors
-            keep = fresh & (pos < b)
-            width = min(b, int(keep.sum(1).min()))  # every row has ≥ width
-            nbi = np.empty((n, width), np.int64)
-            nbd = np.empty((n, width), np.float32)
-            r, c = np.nonzero(keep)
-            sel = pos[r, c]
-            m = sel < width
-            nbi[r[m], sel[m]] = sid[r[m], c[m]]
-            nbd[r[m], sel[m]] = sds[r[m], c[m]]
+            np.not_equal(gid[:, 1:], gid[:, :-1], out=fresh[:, 1:])
+            # demote duplicate copies so the ranking pass never picks
+            # them: +inf distance with a beyond-range id
+            gds[~fresh] = np.inf
+            gid[~fresh] = self.nlist
+            o2 = np.lexsort((gid, gds), axis=1)
+            sid = np.take_along_axis(gid, o2, axis=1)
+            sds = np.take_along_axis(gds, o2, axis=1)
+            width = min(b, int(np.isfinite(sds).sum(1).min()))
+            nbi = sid[:, :width].copy()
+            nbd = sds[:, :width].copy()
             # next frontier: the best entries NOT in the previous beam
             # (per-row membership via searchsorted on the row-sorted
             # previous ids); rows with no entrants re-expand their head
@@ -265,17 +270,18 @@ class HNSWCoarseQuantizer:
             frontier = np.repeat(nbi[:, :1], Ex, axis=1)  # converged rows
             er, ec = np.nonzero(ekeep)
             frontier[er, epos[er, ec]] = nbi[er, ec]
-            if not entrant.any():
-                bi, bd = nbi, nbd
-                break
             bi, bd = nbi, nbd
+            if not entrant.any():
+                break
         take = min(nprobe, bi.shape[1])
         out_i, out_d = bi[:, :take], bd[:, :take].astype(np.float64)
         if take < nprobe:
             # degenerate tiny beams (beam < nprobe on a sparse graph):
-            # pad per row with its own last reached cell at +inf — the
-            # probe machinery treats repeats as one cell
-            pad_i = np.repeat(out_i[:, -1:], nprobe - take, axis=1)
+            # pad with the faiss -1 skip-slot sentinel, which every
+            # probe-map consumer (build_probe_map) drops — a repeated
+            # REAL cell would be scanned once per occurrence and its
+            # candidates would crowd the top-k with duplicate labels
+            pad_i = np.full((n, nprobe - take), -1, np.int64)
             pad_d = np.full((n, nprobe - take), np.inf)
             out_i = np.concatenate([out_i, pad_i], axis=1)
             out_d = np.concatenate([out_d, pad_d], axis=1)

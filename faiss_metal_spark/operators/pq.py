@@ -816,11 +816,12 @@ def ivfpq_range_search(
     cn = (centroids * centroids).sum(1)
     order = (cn[None, :] - 2.0 * (Q @ centroids.T)).argsort(1, kind="stable")
     probe = order[:, :nprobe]
-    cell_to_qidx: dict[int, np.ndarray] = {}
-    for i, cells_i in enumerate(probe):
-        for c in cells_i:
-            cell_to_qidx.setdefault(int(c), []).append(i)  # type: ignore[arg-type]
-    cell_to_qidx = {c: np.asarray(ix, dtype=np.int64) for c, ix in cell_to_qidx.items()}
+    from .similarity import build_probe_map  # shared loop: -1 skip slots
+
+    cell_to_qidx = {
+        c: np.asarray(ix, dtype=np.int64)
+        for c, ix in build_probe_map(probe).items()
+    }
     bc = spark.sparkContext.broadcast((qids, Q, centroids, codebooks, cell_to_qidx))
     r = float(radius)
 

@@ -1013,12 +1013,11 @@ def ivfrq_range_search(
         cn = (centroids * centroids).sum(1)
         order = (cn[None, :] - 2.0 * (Q @ centroids.T)).argsort(1, kind="stable")
         probe = order[:, :nprobe]
-    cell_to_qidx: dict[int, np.ndarray] = {}
-    for i, cells_i in enumerate(probe):
-        for c in cells_i:
-            cell_to_qidx.setdefault(int(c), []).append(i)  # type: ignore[arg-type]
+    from .similarity import build_probe_map  # shared loop: -1 skip slots
+
     cell_to_qidx = {
-        c: np.asarray(ix, dtype=np.int64) for c, ix in cell_to_qidx.items()
+        c: np.asarray(ix, dtype=np.int64)
+        for c, ix in build_probe_map(probe).items()
     }
     bc = spark.sparkContext.broadcast((qids, Q, qn, centroids, lut, cell_to_qidx))
     r = float(radius)
@@ -1072,9 +1071,6 @@ def rq_reconstruct(
     approximate float vectors (e.g. a ``Refine(RQ4x8)`` tier)."""
     spark = codes.sparkSession
     bc = spark.sparkContext.broadcast(codebooks)
-    d = codebooks.shape[-1] * (
-        1 if codebooks.ndim == 3 else codebooks.shape[0]
-    )
     schema = T.StructType(
         [
             T.StructField("id", T.LongType(), False),

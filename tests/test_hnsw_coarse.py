@@ -214,3 +214,70 @@ def test_ivfsq_and_ivfrq_hnsw_forms(spark, tmp_path):
 
 def probe_cells_to_assign(idx, Q, nprobe):
     return idx.quantizer.search_np(Q, nprobe)[0]
+
+
+def test_probe_rows_unique_and_pad_sentinel(spark):
+    """r12 review findings: (a) a probe row must never repeat a REAL
+    cell — build_probe_map appends the query once per occurrence and
+    _finalize has no label dedup, so a repeat would crowd the top-k
+    with duplicate labels; the ID-keyed two-pass dedupe guarantees
+    uniqueness even though the landmark GEMM and the neighbor einsum
+    are different f32 reductions. (b) When the beam reaches fewer than
+    nprobe distinct cells, the pad is the faiss -1 skip sentinel
+    (dropped by every probe-map consumer), never a repeated cell."""
+    rng = np.random.default_rng(9)
+    C = _clustered(512, 16, seed=9).astype(np.float64)
+    X = _clustered(800, 16, seed=10).astype(np.float64)
+    q = HNSWCoarseQuantizer.train(C, M=8, seed=7)
+    cells, _ = q.search_np(X, 16)
+    for row in cells:
+        real = row[row >= 0]
+        assert len(set(real.tolist())) == len(real)
+
+    # sparse graph: M=1 strands the walk below nprobe distinct cells
+    qs = HNSWCoarseQuantizer.train(C[:40], M=1, beam=4, seed=7)
+    cs, ds = qs.search_np(X[:64], 20)
+    assert (cs < 0).any()  # the pad actually engaged
+    for i, row in enumerate(cs):
+        real = row[row >= 0]
+        assert len(set(real.tolist())) == len(real)
+        assert (ds[i][row < 0] == np.inf).all()
+
+    # end-to-end: unique labels out of an IVF search under that probe
+    from faiss_metal_spark.operators.similarity import build_probe_map
+
+    pm = build_probe_map(cs)
+    assert -1 not in pm and all(c >= 0 for c in pm)
+    V = _clustered(300, 16, seed=12)
+    vt = _vt(spark, V)
+    idx = IVFIndex.from_table(vt, n_cells=24, sample_size=300, iters=3,
+                              coarse_hnsw_m=1, coarse_kw={"beam": 4})
+    D, L = idx.search_numpy(X[:5], 8, nprobe=20)
+    for i in range(5):
+        real = L[i][L[i] >= 0]
+        assert len(set(real.tolist())) == len(real)
+    idx.release()
+
+
+def test_merge_refuses_same_edges_different_walk(spark):
+    """r12 review finding: identical centroid graphs walked with
+    different landmarks/beam/rounds produce different approximate
+    assignments — merge_from must compare the WHOLE quantizer state,
+    not just the edges."""
+    V = _clustered(400, 16, seed=41)
+    vt = _vt(spark, V)
+    a = IVFIndex.from_table(vt, n_cells=16, sample_size=400, iters=3,
+                            coarse_hnsw_m=8, coarse_kw={"seed": 1})
+    b = IVFIndex.from_table(vt, n_cells=16, sample_size=400, iters=3,
+                            coarse_hnsw_m=8, coarse_kw={"seed": 2})
+    # same centroids, same edges — only the landmark walk differs
+    np.testing.assert_array_equal(a.centroids, b.centroids)
+    np.testing.assert_array_equal(a.quantizer.edges, b.quantizer.edges)
+    assert not np.array_equal(a.quantizer.landmarks, b.quantizer.landmarks)
+    with pytest.raises(ValueError, match="trained state"):
+        a.merge_from(b, add_id=10_000)
+    c = IVFIndex.from_table(vt, n_cells=16, sample_size=400, iters=3,
+                            coarse_hnsw_m=8, coarse_kw={"seed": 1, "rounds": 3})
+    with pytest.raises(ValueError, match="trained state"):
+        a.merge_from(c, add_id=10_000)
+    a.release(), b.release(), c.release()
