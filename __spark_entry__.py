@@ -2917,6 +2917,27 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dedup_rows = dedup_idx.search(queries, k=10, nprobe=_ANN_NPROBE)
 
+    # 'gq' rows (r13): the GRAPH coarse quantizer (faiss
+    # IVF<n>_HNSW<M> — operators/coarse.py) at FULL COVERAGE:
+    # landmarks = every cell, beam = nlist, f64 scoring — the beam walk
+    # is then provably the exact f64 argmin ranking, so DuckDB replays
+    # it as plain nearest-centroid (the same 'r' CTE as the 'ivf'
+    # lane). Assignment AND probe selection both run through the
+    # quantizer's real beam path — this puts the graph machinery,
+    # not a test double, under the hash gate.
+    from faiss_metal_spark import HNSWCoarseQuantizer
+    from faiss_metal_spark.operators.coarse import exact_knn_graph_np
+
+    gq = HNSWCoarseQuantizer(
+        centroids, exact_knn_graph_np(centroids, 4),
+        np.arange(len(centroids)), beam=len(centroids), rounds=2,
+        dtype="f64",
+    )
+    gq_rows = ivf_search(
+        ivf_assign(emb, centroids, assigner=gq), None, queries, k=10,
+        nprobe=_ANN_NPROBE, probe_cells=gq.probe_fn(_ANN_NPROBE),
+    )
+
     tag = lambda kind, df: df.select(  # noqa: E731
         F.lit(kind).alias("path"), "qid", "rank", "label",
         _norm(F.col("distance"), 4).alias("distance"),
@@ -2925,6 +2946,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         tag("ivf", res)
         .unionByName(tag("imi", imi_rows))
         .unionByName(tag("dedup", dedup_rows))
+        .unionByName(tag("gq", gq_rows))
     )
 
 
@@ -3061,6 +3083,14 @@ UNION ALL
 SELECT 'dedup' AS path, CAST(qid AS BIGINT) AS qid, CAST(rank AS INTEGER) AS rank,
        CAST(label AS BIGINT) AS label, ROUND(dist, 4) + 0.0 AS distance
 FROM ddr WHERE rank < 10
+UNION ALL
+-- gq lane: the graph coarse quantizer at full coverage (landmarks =
+-- all cells, beam = nlist, f64) is provably the exact argmin, so the
+-- oracle is the plain nearest-centroid ranking — identical rows to
+-- 'ivf', replayed under the 'gq' tag
+SELECT 'gq' AS path, CAST(qid AS BIGINT) AS qid, CAST(rank AS INTEGER) AS rank,
+       CAST(label AS BIGINT) AS label, ROUND(dist, 4) + 0.0 AS distance
+FROM r WHERE rank < 10
 """
 
 

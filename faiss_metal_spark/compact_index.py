@@ -768,7 +768,8 @@ class IVFIndex:
             from .operators.coarse import HNSWCoarseQuantizer
 
             q = HNSWCoarseQuantizer.train(
-                C, M=int(coarse_hnsw_m), **(coarse_kw or {})
+                C, M=int(coarse_hnsw_m),
+                **{"spark": vt.spark, **(coarse_kw or {})},
             )
         assigned = ivf_assign(base, C, assigner=q).persist()
         n = assigned.count()
@@ -1409,7 +1410,8 @@ class IVFSQIndex:
             from .operators.coarse import HNSWCoarseQuantizer
 
             q = HNSWCoarseQuantizer.train(
-                C, M=int(coarse_hnsw_m), **(coarse_kw or {})
+                C, M=int(coarse_hnsw_m),
+                **{"spark": vt.spark, **(coarse_kw or {})},
             )
         # one scan: cell assignment (Arrow stage) then the Catalyst
         # encode projection — vectors never leave the executors
@@ -1663,7 +1665,8 @@ class IVFPQIndex:
                 base, n_cells, sample_size=sample_size, iters=iters
             )
             q = HNSWCoarseQuantizer.train(
-                C, M=int(coarse_hnsw_m), **(coarse_kw or {})
+                C, M=int(coarse_hnsw_m),
+                **{"spark": vt.spark, **(coarse_kw or {})},
             )
             kw = {"centroids": C, "assigner": q}
         centroids, books, codes = ivfpq_build(
@@ -3879,7 +3882,8 @@ class IVFRQIndex:
                 base, n_cells, sample_size=sample_size, iters=iters
             )
             q = HNSWCoarseQuantizer.train(
-                C, M=int(coarse_hnsw_m), **(coarse_kw or {})
+                C, M=int(coarse_hnsw_m),
+                **{"spark": vt.spark, **(coarse_kw or {})},
             )
             kw = {"centroids": C, "assigner": q}
         centroids, books, codes = ivfrq_build(
@@ -4741,10 +4745,22 @@ class RefineIndex:
     def search(self, queries: DataFrame, k: int, **base_kw) -> DataFrame:
         """``queries`` uses the engine-standard (qid, vec) schema —
         the one every tier's search accepts; ``base_kw`` forwards the
-        base's own knobs (nprobe, nflip, ef, ...)."""
-        from .functions.vector import l2sq
+        base's own knobs (nprobe, nflip, ef, ...). Rescoring runs in
+        the BASE's metric (faiss ``IndexRefine`` re-ranks in the
+        index's own metric_type): IP bases rescore by dot product and
+        keep the largest, cosine by similarity, L1 by Manhattan — an
+        IP base never silently returns L2-ranked rows."""
+        from .functions.vector import cosine_sim, dot, l1dist, l2sq
         from .operators.knn import _finalize
 
+        metric = getattr(self.base, "metric", "l2")
+        scorers = {"l2": l2sq, "ip": dot, "cosine": cosine_sim, "l1": l1dist}
+        if metric not in scorers:
+            raise ValueError(
+                f"Refine cannot rescore in base metric {metric!r} "
+                f"(supported: {sorted(scorers)})"
+            )
+        score = scorers[metric]
         cand = (
             self.base.search(queries, k * self.k_factor, **base_kw)
             .where(F.col("label") >= 0)
@@ -4759,10 +4775,10 @@ class RefineIndex:
             .join(vv, "label")
             .join(F.broadcast(qq), "qid")
             .select(
-                "qid", "label", l2sq(F.col("_qvec"), F.col("_vvec")).alias("distance")
+                "qid", "label", score(F.col("_qvec"), F.col("_vvec")).alias("distance")
             )
         )
-        return _finalize(qq.select("qid"), rescored, k, "l2")
+        return _finalize(qq.select("qid"), rescored, k, metric)
 
     def search_numpy(self, x: np.ndarray, k: int, **base_kw):
         return _host_result(

@@ -469,8 +469,17 @@ def c4_clean_lines(
             ok = ok & trimmed.rlike('[.!?"]$')
         low = F.lower(trimmed)
         for mk in markers:
-            # word-boundary phrase match (still codegen: one rlike)
-            pat = r"\b" + _re.escape(mk.lower()) + r"\b"
+            # word-boundary phrase match (still codegen: one rlike).
+            # \b only where the marker EDGE is a word char — \b needs
+            # a word char on the inside, so wrapping a marker like
+            # '© 2024' or 'cookie:' unconditionally could never match
+            # and would silently disable that filter.
+            m = mk.lower()
+            pat = _re.escape(m)
+            if m and _re.match(r"\w", m[0]):
+                pat = r"\b" + pat
+            if m and _re.match(r"\w", m[-1]):
+                pat = pat + r"\b"
             ok = ok & ~low.rlike(pat)
         return ok
 

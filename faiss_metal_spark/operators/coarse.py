@@ -58,6 +58,67 @@ def exact_knn_graph_np(C: np.ndarray, k: int, block: int = 4096) -> np.ndarray:
     return out
 
 
+# Above this nlist the O(nlist²·d) driver BLAS loop of
+# exact_knn_graph_np stops being seconds-scale (~40 s at 32k, ~45 min
+# at 262k) and the centroid M-NN graph builds DISTRIBUTED with the
+# same nn_descent the corpus graphs use. The faiss big-nlist recipe
+# (IVF65536_HNSW32 …) starts exactly where the driver build cliffs.
+EXACT_GRAPH_THRESHOLD = 50_000
+
+
+def nn_descent_graph_np(
+    spark, C: np.ndarray, M: int, iters: int = 8, seed: int = 42
+) -> np.ndarray:
+    """Distributed approximate M-NN graph over the centroid matrix —
+    ``(n, M)`` neighbor ids, dense, (distance, id)-ordered per row.
+    One ``nn_descent`` run (operators/knn_graph.py) over a centroid
+    DataFrame: the build cost is the corpus-graph economics
+    (O(n·M²·iters) distributed) instead of O(n²·d) on the driver.
+    Rows the descent leaves short of M pad by repeating the row's best
+    neighbor — the beam's id-keyed dedupe collapses repeats, so a
+    padded row just expands a slightly smaller frontier (same contract
+    as a sparse exact graph)."""
+    import pandas as pd
+
+    from .knn_graph import nn_descent
+
+    C = np.asarray(C, np.float64)
+    n = len(C)
+    M = min(int(M), n - 1)
+    if M <= 0:
+        return np.zeros((n, 0), np.int64)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"id": np.arange(n, dtype=np.int64), "vec": [r.tolist() for r in C]}
+        )
+    )
+    g = nn_descent(df, k=M, iters=iters, seed=seed)
+    pdf = (
+        g.orderBy("id", "dist", "nbr").toPandas()
+    )  # nlist·M rows — 262k×32 ≈ 8M rows, driver-sized by construction
+    ids = pdf["id"].to_numpy(np.int64)
+    nbrs = pdf["nbr"].to_numpy(np.int64)
+    # rank within each id group (ids arrive sorted)
+    starts = np.searchsorted(ids, ids)
+    pos = np.arange(len(ids)) - starts
+    keep = pos < M
+    edges = np.full((n, M), -1, np.int64)
+    edges[ids[keep], pos[keep]] = nbrs[keep]
+    # pad short/absent rows: repeat the row's best neighbor (dedupe
+    # collapses repeats); a row with NO edges (degenerate) walks to a
+    # ring neighbor so the graph stays traversable
+    first = edges[:, 0].copy()
+    empty = first < 0
+    if empty.any():
+        ring = (np.arange(n, dtype=np.int64) + 1) % n
+        first[empty] = ring[empty]
+        edges[empty, 0] = first[empty]
+    hole = edges < 0
+    if hole.any():
+        edges[hole] = np.broadcast_to(first[:, None], edges.shape)[hole]
+    return edges
+
+
 def _rowwise_searchsorted(sorted_rows: np.ndarray, queries: np.ndarray) -> np.ndarray:
     """Per-row ``searchsorted`` without a Python loop: offset each row
     into its own disjoint value band, search once on the flattened
@@ -89,15 +150,24 @@ class HNSWCoarseQuantizer:
         beam: int = 32,
         rounds: int = 3,
         expand: int = 8,
+        dtype: str = "f32",
     ):
+        """``dtype``: beam scoring precision — 'f32' (default: the
+        ranking-only fast path) or 'f64' (bit-matches the exact f64
+        argmin when the walk covers the graph — the oracle-checkable
+        full-coverage configuration)."""
         self.centroids = np.asarray(centroids, np.float64)
         self.edges = np.asarray(edges, np.int64)
         self.landmarks = np.asarray(landmarks, np.int64)
         self.beam = int(beam)
         self.rounds = int(rounds)
         self.expand = int(expand)
-        self._c32 = self.centroids.astype(np.float32)
-        self._cn32 = (self._c32 * self._c32).sum(1, dtype=np.float32)
+        if dtype not in ("f32", "f64"):
+            raise ValueError(f"dtype must be 'f32' or 'f64', got {dtype!r}")
+        self.dtype = dtype
+        self._sdt = np.float32 if dtype == "f32" else np.float64
+        self._c32 = self.centroids.astype(self._sdt)
+        self._cn32 = (self._c32 * self._c32).sum(1, dtype=self._sdt)
 
     # dataclass-free: keep __getstate__ simple (numpy only)
     def __getstate__(self):
@@ -108,6 +178,7 @@ class HNSWCoarseQuantizer:
             "beam": self.beam,
             "rounds": self.rounds,
             "expand": self.expand,
+            "dtype": self.dtype,
         }
 
     def __setstate__(self, st):
@@ -122,15 +193,38 @@ class HNSWCoarseQuantizer:
         rounds: int = 12,
         expand: int = 8,
         seed: int = 42,
+        spark=None,
+        exact_threshold: int = EXACT_GRAPH_THRESHOLD,
+        graph_iters: int = 8,
     ) -> "HNSWCoarseQuantizer":
-        """Build the exact M-NN centroid graph + a seeded ~√nlist
-        landmark set (the HNSW upper-layer role, the graph_search
-        entry-layer discipline). Per-query work is
+        """Build the M-NN centroid graph + a seeded ~√nlist landmark
+        set (the HNSW upper-layer role, the graph_search entry-layer
+        discipline). Per-query work is
         ``(landmarks + rounds·expand·M)·d`` flops — independent of
-        nlist, the HNSW economics."""
+        nlist, the HNSW economics.
+
+        The GRAPH BUILD routes by nlist: at or under
+        ``exact_threshold`` it is the exact driver BLAS build
+        (seconds-scale); above it — the faiss ``IVF65536_HNSW32``
+        big-nlist regime, where the O(nlist²·d) driver loop is
+        ~45 min at 262k and days at 1M — it runs the DISTRIBUTED
+        ``nn_descent`` over a centroid DataFrame (``spark`` required;
+        approximate graph, same contract the corpus graphs carry,
+        recall-pinned in tests/test_hnsw_coarse.py)."""
         C = np.asarray(centroids, np.float64)
         n = len(C)
-        edges = exact_knn_graph_np(C, M)
+        if n > int(exact_threshold):
+            if spark is None:
+                raise ValueError(
+                    f"nlist={n} exceeds exact_threshold={exact_threshold}: "
+                    "the exact driver graph build is O(nlist²·d) — pass "
+                    "spark= so the centroid M-NN graph builds with the "
+                    "distributed nn_descent (or raise exact_threshold "
+                    "explicitly to force the driver build)"
+                )
+            edges = nn_descent_graph_np(spark, C, M, iters=graph_iters, seed=seed)
+        else:
+            edges = exact_knn_graph_np(C, M)
         n_land = min(n, max(8, int(np.sqrt(n)) + 1))
         rng = np.random.default_rng(seed)
         landmarks = np.sort(rng.choice(n, size=n_land, replace=False))
@@ -152,7 +246,7 @@ class HNSWCoarseQuantizer:
         and reuse across chunks and rounds (fresh multi-hundred-MB
         temporaries pay first-touch page faults every call — measured
         ~100× the warm gather cost on THP-heavy hosts)."""
-        X = np.atleast_2d(np.asarray(X, np.float32))
+        X = np.atleast_2d(np.asarray(X, self._sdt))
         n = len(X)
         nprobe = min(int(nprobe), self.nlist)
         out_i = np.empty((n, nprobe), np.int64)
@@ -183,7 +277,7 @@ class HNSWCoarseQuantizer:
     def _beam(self, X: np.ndarray, nprobe: int, ws: dict):
         """One chunk's beam search. ``ws`` holds reusable buffers
         (keyed by shape) so repeated chunks/rounds never allocate —
-        scoring is float32 throughout (assignment ranks, it does not
+        scoring is self._sdt (f32 default) throughout (assignment ranks, it does not
         feed stored distances; ranking parity with the f64 exact
         assign is pinned by tests at the recall level, matching the
         faiss quantizer's own approximate contract)."""
@@ -206,7 +300,7 @@ class HNSWCoarseQuantizer:
         k0 = min(b, len(L))
         o0 = np.lexsort((np.broadcast_to(L, dl.shape), dl), axis=1)[:, :k0]
         bi = L[o0]  # (n, k0) beam ids, (distance, id) order
-        bd = np.take_along_axis(dl, o0, axis=1).astype(np.float32)
+        bd = np.take_along_axis(dl, o0, axis=1).astype(self._sdt)
         Ex = min(self.expand, b)
         # frontier = the entries to expand this round (HNSW expands the
         # best UNEXPANDED nodes; here: the best new entrants per round,
@@ -217,16 +311,16 @@ class HNSWCoarseQuantizer:
             fe = frontier.shape[1]
             kc = kb + fe * M
             ids = buf("ids", (n, kc), np.int64)
-            ds = buf("ds", (n, kc), np.float32)
+            ds = buf("ds", (n, kc), self._sdt)
             ids[:, :kb] = bi
             ds[:, :kb] = bd
             np.take(E, frontier, axis=0, out=ids[:, kb:].reshape(n, fe, M))
             flat = ids[:, kb:]
             # score the frontier's neighbors: one gather into a reused
             # (n·fe·M, d) f32 buffer, one batched einsum (BLAS path)
-            G = buf("G", (n * fe * M, X.shape[1]), np.float32)
+            G = buf("G", (n * fe * M, X.shape[1]), self._sdt)
             np.take(C32, flat.reshape(-1), axis=0, out=G)
-            prod = buf("prod", (n, fe * M), np.float32)
+            prod = buf("prod", (n, fe * M), self._sdt)
             np.einsum(
                 "nkd,nd->nk", G.reshape(n, fe * M, X.shape[1]), X,
                 out=prod, optimize=True,
@@ -254,17 +348,25 @@ class HNSWCoarseQuantizer:
             o2 = np.lexsort((gid, gds), axis=1)
             sid = np.take_along_axis(gid, o2, axis=1)
             sds = np.take_along_axis(gds, o2, axis=1)
-            width = min(b, int(np.isfinite(sds).sum(1).min()))
+            # PER-ROW width: always keep min(b, kc) slots — rows with
+            # fewer unique candidates carry (inf, nlist) sentinel
+            # entries (they sort last). Truncating to the chunk-wide
+            # minimum finite count would let one converged/degenerate
+            # query shrink every other row's beam in its chunk, making
+            # a vector's assignment depend on batch co-residents.
+            width = min(b, sid.shape[1])
             nbi = sid[:, :width].copy()
             nbd = sds[:, :width].copy()
-            # next frontier: the best entries NOT in the previous beam
-            # (per-row membership via searchsorted on the row-sorted
-            # previous ids); rows with no entrants re-expand their head
-            # (harmless: dedupe keeps the beam stable, the row has
-            # converged)
+            # next frontier: the best REAL entries NOT in the previous
+            # beam (per-row membership via searchsorted on the
+            # row-sorted previous ids; sentinel slots never expand);
+            # rows with no entrants re-expand their head (harmless:
+            # dedupe keeps the beam stable, the row has converged)
             prev_sorted = np.sort(bi, axis=1)
             j = np.clip(_rowwise_searchsorted(prev_sorted, nbi), 0, kb - 1)
-            entrant = np.take_along_axis(prev_sorted, j, axis=1) != nbi
+            entrant = (
+                np.take_along_axis(prev_sorted, j, axis=1) != nbi
+            ) & (nbi < self.nlist)
             epos = entrant.cumsum(axis=1) - 1
             ekeep = entrant & (epos < Ex)
             frontier = np.repeat(nbi[:, :1], Ex, axis=1)  # converged rows
@@ -274,7 +376,13 @@ class HNSWCoarseQuantizer:
             if not entrant.any():
                 break
         take = min(nprobe, bi.shape[1])
-        out_i, out_d = bi[:, :take], bd[:, :take].astype(np.float64)
+        out_i = bi[:, :take].copy()
+        out_d = bd[:, :take].astype(np.float64)
+        # in-beam sentinel slots (rows with < take unique candidates)
+        # map to the same faiss -1 skip-slot the pad below uses
+        sent = out_i >= self.nlist
+        out_i[sent] = -1
+        out_d[sent] = np.inf
         if take < nprobe:
             # degenerate tiny beams (beam < nprobe on a sparse graph):
             # pad with the faiss -1 skip-slot sentinel, which every

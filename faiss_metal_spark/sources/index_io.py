@@ -349,6 +349,7 @@ def _write_payload(index, path: str) -> None:
                 "beam": index.quantizer.beam,
                 "rounds": index.quantizer.rounds,
                 "expand": index.quantizer.expand,
+                "dtype": index.quantizer.dtype,
             }
         meta["shapes"] = _write_arrays(index.spark, path, arrays)
         _write_meta(index.spark, path, meta)
@@ -396,6 +397,7 @@ def _write_payload(index, path: str) -> None:
                 "beam": index.quantizer.beam,
                 "rounds": index.quantizer.rounds,
                 "expand": index.quantizer.expand,
+                "dtype": index.quantizer.dtype,
             }
         meta["shapes"] = _write_arrays(index.spark, path, arrays)
         _write_meta(index.spark, path, meta)
@@ -842,6 +844,7 @@ def _read_coarse(meta: dict, arrays: dict):
         beam=int(c["beam"]),
         rounds=int(c["rounds"]),
         expand=int(c["expand"]),
+        dtype=str(c.get("dtype", "f32")),  # pre-r13 stores: f32
     )
 
 

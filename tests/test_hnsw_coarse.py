@@ -281,3 +281,43 @@ def test_merge_refuses_same_edges_different_walk(spark):
     with pytest.raises(ValueError, match="trained state"):
         a.merge_from(c, add_id=10_000)
     a.release(), b.release(), c.release()
+
+
+def test_distributed_graph_build_above_threshold(spark, monkeypatch):
+    """r13: above ``exact_threshold`` the centroid M-NN graph builds
+    with the DISTRIBUTED nn_descent (operators/knn_graph.py) — the
+    O(nlist²·d) driver BLAS loop never runs — and the quantizer holds
+    the same assignment-recall pin as the exact build."""
+    import faiss_metal_spark.operators.coarse as coarse_mod
+
+    C = _clustered(2048, 32, seed=3).astype(np.float64)
+    X = _clustered(1500, 32, seed=4).astype(np.float64)
+
+    def _no_driver_build(*a, **k):
+        raise AssertionError("driver BLAS build ran above the threshold")
+
+    monkeypatch.setattr(coarse_mod, "exact_knn_graph_np", _no_driver_build)
+    q = HNSWCoarseQuantizer.train(
+        C, M=16, seed=7, spark=spark, exact_threshold=1024
+    )
+    cells, _ = q.search_np(X, 4)
+    cn = (C * C).sum(1)
+    D = cn[None, :] - 2.0 * (X @ C.T)
+    assert (cells[:, 0] == D.argmin(1)).mean() >= 0.85
+    # graph shape + no self-edges + in-range ids
+    assert q.edges.shape == (2048, 16)
+    assert (q.edges >= 0).all() and (q.edges < 2048).all()
+    assert (q.edges != np.arange(2048)[:, None]).all()
+    # deterministic for a fixed (data, M, iters, seed)
+    q2 = HNSWCoarseQuantizer.train(
+        C, M=16, seed=7, spark=spark, exact_threshold=1024
+    )
+    np.testing.assert_array_equal(q.edges, q2.edges)
+
+
+def test_above_threshold_requires_spark():
+    """No silent O(nlist²·d) cliff: past the threshold with no session
+    the build refuses with guidance instead of running for hours."""
+    C = _clustered(300, 8, seed=1).astype(np.float64)
+    with pytest.raises(ValueError, match="nn_descent"):
+        HNSWCoarseQuantizer.train(C, M=8, exact_threshold=100)
