@@ -3839,7 +3839,12 @@ sig AS (SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM s)
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, shingle_size=3, threshold=0.1)
+    # materialize_shingles: the text→shingle→hash stage runs once
+    # instead of once per plan branch (r13; values identical — see
+    # ngram_jaccard_pairs)
+    pairs = ngram_jaccard_pairs(
+        d, shingle_size=3, threshold=0.1, materialize_shingles=True
+    )
     return pairs.select("id_a", "id_b", _norm(F.col("jaccard"), 4).alias("jaccard"))
 
 
@@ -4496,12 +4501,24 @@ def q_simhash_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     # both union branches consume sig; materialize it once (the
     # signature build is a full corpus scan — lazy reuse would run it
-    # twice, and union branches can race a plain cache)
-    sig = simhash_signatures(d).localCheckpoint()
+    # twice, and union branches can race a plain cache). The two
+    # checkpoints are INDEPENDENT eager jobs over the same scan, and
+    # each underfills the cluster at headline sf — build them from a
+    # thread pool (the ann_pq/ann_compact pattern, build steps only;
+    # every lane below stays lazy). Measured at sf0.1: ~2.9 s of
+    # sequential checkpoint time → ~1.6 s overlapped.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_sig = pool.submit(lambda: simhash_signatures(d).localCheckpoint())
+        f_mh = pool.submit(
+            lambda: minhash_signatures(
+                d, num_hashes=8, shingle_size=3
+            ).localCheckpoint()
+        )
+        sig = f_sig.result()
+        mh_sig = f_mh.result()
     pairs = simhash_neardup_pairs(sig, bands=4, max_hamming=3)
-    # consumed by BOTH the 'mh' batch branch and the 'imh' index side —
-    # materialize once (same reasoning as sig above)
-    mh_sig = minhash_signatures(d, num_hashes=8, shingle_size=3).localCheckpoint()
     mh = lsh_candidate_pairs(mh_sig, num_hashes=8, bands=4).select(
         F.lit("mh").alias("kind"),
         F.col("id_a").alias("a"),

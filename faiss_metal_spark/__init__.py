@@ -30,6 +30,7 @@ from .compact_index import (
     OPQIndex,
     PQFastScanIndex,
     PQIndex,
+    PRQFastScanIndex,
     PRQIndex,
     RefineIndex,
     RQFastScanIndex,
@@ -91,6 +92,7 @@ __all__ = [
     "OPQIndex",
     "PQFastScanIndex",
     "PQIndex",
+    "PRQFastScanIndex",
     "PRQIndex",
     "NormTransformIndex",
     "PreTransformIndex",

@@ -3694,13 +3694,15 @@ class PRQIndex:
     def from_table(
         cls, vt, nsplits: int, m: int, sample_size: int = 16384,
         iters: int = 10, beam: int = 1, icm_sweeps: int = 0,
+        nbits: int = 8,
     ) -> "PRQIndex":
         from .operators.rq import prq_encode, prq_train
 
         if vt.d % nsplits:
             raise ValueError(f"d={vt.d} not divisible by nsplits={nsplits}")
         base = _float_view(vt)
-        books = prq_train(base, nsplits, m, sample_size=sample_size, iters=iters)
+        books = prq_train(base, nsplits, m, sample_size=sample_size,
+                          iters=iters, nbits=nbits)
         codes = prq_encode(base, books, beam=beam, icm_sweeps=icm_sweeps).persist()
         n = codes.count()
         return cls(
@@ -4215,18 +4217,186 @@ class RQFastScanIndex:
 
 
 @dataclass
+class PRQFastScanIndex:
+    """faiss ``IndexProductResidualQuantizerFastScan`` (factory
+    ``PRQ<ns>x<m>x4fs``; with ``icm_sweeps`` > 0 the
+    ``IndexProductLocalSearchQuantizerFastScan`` encode discipline,
+    ``PLSQ<ns>x<m>x4fs``): the product-additive composition of
+    :class:`RQFastScanIndex` — per-block 4-bit residual stages, the
+    flattened (ns·m) code chain packed two per byte, search via fused
+    per-byte 256-entry block-diagonal LUTs. The inner products are
+    linear, so fusing adjacent stages ACROSS a block boundary sums the
+    same reals pair-associated: labels exactly equal the unpacked
+    nbits=4 :class:`PRQIndex` on the same trained state, distances to
+    summation-order ulp. Layout helpers shared with every fast-scan
+    tier (operators/pq.py ``pq_pack4_np`` / ``_fuse_lut4``)."""
+
+    spark: SparkSession
+    d: int
+    codebooks: np.ndarray  # (ns, m, 16, d // ns) — nbits=4 blocks
+    codes: DataFrame  # (id, code BINARY ⌈ns·m/2⌉ bytes, recn DOUBLE)
+    _n: int = field(default=-1, repr=False)
+    beam: int = 1
+    icm_sweeps: int = 0
+
+    @classmethod
+    def from_table(
+        cls, vt, nsplits: int, m: int, sample_size: int = 16384,
+        iters: int = 10, beam: int = 1, icm_sweeps: int = 0,
+    ) -> "PRQFastScanIndex":
+        from .operators.rq import prq_encode, prq_train
+
+        if vt.d % nsplits:
+            raise ValueError(f"d={vt.d} not divisible by nsplits={nsplits}")
+        base = _float_view(vt)
+        books = prq_train(base, nsplits, m, sample_size=sample_size,
+                          iters=iters, nbits=4)
+        codes = prq_encode(
+            base, books, beam=beam, icm_sweeps=icm_sweeps, pack4=True
+        ).persist()
+        n = codes.count()
+        return cls(
+            vt.spark, vt.d, books, codes, n,
+            beam=int(beam), icm_sweeps=int(icm_sweeps),
+        )
+
+    @property
+    def nsplits(self) -> int:
+        return int(self.codebooks.shape[0])
+
+    @property
+    def m_total(self) -> int:
+        ns, m = self.codebooks.shape[:2]
+        return ns * m
+
+    @property
+    def nbits(self) -> int:
+        return 4
+
+    @property
+    def ntotal(self) -> int:
+        return self._n if self._n >= 0 else self.codes.count()
+
+    def search(self, queries: DataFrame, k: int) -> DataFrame:
+        from .operators.rq import prq_search
+
+        return prq_search(self.codes, self.codebooks, queries, k, packed4=True)
+
+    def search_numpy(self, x: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+        return _host_result(
+            self.search(_query_df(self.spark, x), k),
+            len(np.atleast_2d(x)),
+            k,
+        )
+
+    def range_search(self, *_a, **_k):
+        """faiss ``IndexFastScan`` has no range_search; use the plain
+        PRQ<ns>x<m>x8 tier for radius queries."""
+        raise NotImplementedError(
+            "PRQFastScanIndex.range_search: faiss IndexFastScan does not "
+            "implement range search; use PRQIndex instead"
+        )
+
+    def reconstruct(self, key: int) -> np.ndarray:
+        from .operators.pq import pq_unpack4_np
+        from .operators.rq import prq_decode_np
+
+        row = self.codes.where(F.col("id") == int(key)).select("code").collect()
+        if not row:
+            raise KeyError(f"id {key} not in index")
+        packed = np.frombuffer(row[0]["code"], np.uint8)[None, :]
+        return prq_decode_np(
+            pq_unpack4_np(packed, self.m_total), self.codebooks
+        )[0]
+
+    def add_df(
+        self, df: DataFrame, id_col: str = "id", vec_col: str = "vec"
+    ) -> "PRQFastScanIndex":
+        from .operators.rq import prq_encode
+
+        new = prq_encode(
+            _ivf_add_rows(df, id_col, vec_col), self.codebooks,
+            beam=self.beam, icm_sweeps=self.icm_sweeps, pack4=True,
+        )
+        _append_frame(self, "codes", new)
+        return self
+
+    def add_numpy(self, x: np.ndarray, ids=None) -> "PRQFastScanIndex":
+        return self.add_df(_numpy_add_df(self, "codes", x, ids))
+
+    def remove_ids(self, ids) -> int:
+        return _remove_ids_frame(self, "codes", ids)
+
+    def merge_from(
+        self, other: "PRQFastScanIndex", add_id: int = 0,
+        check_duplicates: bool = True,
+    ) -> "PRQFastScanIndex":
+        if type(other) is not type(self):
+            raise ValueError(
+                f"merge_from requires the same index type "
+                f"({type(self).__name__} != {type(other).__name__})"
+            )
+        _merge_ivf_frames(
+            self, other, "codes",
+            (
+                (self.d, self.beam, self.icm_sweeps, self.codebooks),
+                (other.d, other.beam, other.icm_sweeps, other.codebooks),
+            ),
+            add_id, check_duplicates=check_duplicates,
+        )
+        return self
+
+    # -- standalone codec ---------------------------------------------------
+
+    @property
+    def sa_code_size(self) -> int:
+        return (self.m_total + 1) // 2  # packed bytes/vector
+
+    def sa_encode(self, x: np.ndarray) -> np.ndarray:
+        from .operators.pq import pq_pack4_np
+        from .operators.rq import prq_assign_np
+
+        x = np.atleast_2d(np.asarray(x, np.float64))
+        if x.shape[1] != self.d:
+            raise ValueError(f"expected (n, {self.d}) array, got {x.shape}")
+        packed = pq_pack4_np(
+            prq_assign_np(x, self.codebooks, beam=self.beam,
+                          icm_sweeps=self.icm_sweeps)
+        )
+        return np.array([row.tobytes() for row in packed], dtype=object)
+
+    def sa_decode(self, codes) -> np.ndarray:
+        from .operators.pq import pq_unpack4_np
+        from .operators.rq import prq_decode_np
+
+        rows = [np.frombuffer(c, dtype=np.uint8) for c in codes]
+        if not rows:
+            return np.zeros((0, self.d), dtype=np.float32)
+        return prq_decode_np(
+            pq_unpack4_np(np.stack(rows), self.m_total), self.codebooks
+        ).astype(np.float32)
+
+    def release(self) -> None:
+        self.codes.unpersist()
+
+
+@dataclass
 class IVFRQFastScanIndex:
-    """faiss ``IndexIVFAdditiveQuantizerFastScan`` (residual form;
-    factory ``IVF<n>,RQ<m>x4fs``): the inverted-file composition of
-    :class:`RQFastScanIndex` — packed 4-bit residual-RQ codes in
-    cell-partitioned lists, per-probe fused-LUT additive scan. Full
-    probe ≡ the unpacked nbits=4 :class:`IVFRQIndex` (same trained
-    state): labels exactly, distances to pair-association ulp."""
+    """faiss ``IndexIVFAdditiveQuantizerFastScan`` (factory
+    ``IVF<n>,RQ<m>x4fs`` for the residual form,
+    ``IVF<n>,PRQ<ns>x<m>x4fs`` / ``IVF<n>,PLSQ<ns>x<m>x4fs`` for the
+    product forms — ``nsplits`` picks the family exactly as in
+    :class:`IVFRQIndex`): the inverted-file composition of
+    :class:`RQFastScanIndex` / :class:`PRQFastScanIndex` — packed
+    4-bit additive codes in cell-partitioned lists, per-probe
+    fused-LUT additive scan. Full probe ≡ the unpacked nbits=4
+    :class:`IVFRQIndex` (same trained state): labels exactly,
+    distances to pair-association ulp."""
 
     spark: SparkSession
     d: int
     centroids: np.ndarray
-    codebooks: np.ndarray  # (m, 16, d)
+    codebooks: np.ndarray  # (m, 16, d) RQ or (ns, m, 16, dsub) PRQ
     codes: DataFrame  # (id, cell, code BINARY packed, recn DOUBLE)
     _n: int = field(default=-1, repr=False)
     beam: int = 1
@@ -4235,7 +4405,8 @@ class IVFRQFastScanIndex:
 
     @classmethod
     def from_table(
-        cls, vt, n_cells: int, m: int, sample_size: int = 16384,
+        cls, vt, n_cells: int, m: int, nsplits: int | None = None,
+        sample_size: int = 16384,
         iters: int = 10, beam: int = 1, icm_sweeps: int = 0,
         by_residual: bool = True,
     ) -> "IVFRQFastScanIndex":
@@ -4243,9 +4414,9 @@ class IVFRQFastScanIndex:
 
         base = _float_view(vt)
         centroids, books, codes = ivfrq_build(
-            base, n_cells, m, sample_size=sample_size, iters=iters,
-            beam=beam, icm_sweeps=icm_sweeps, by_residual=by_residual,
-            nbits=4, pack4=True,
+            base, n_cells, m, nsplits=nsplits, sample_size=sample_size,
+            iters=iters, beam=beam, icm_sweeps=icm_sweeps,
+            by_residual=by_residual, nbits=4, pack4=True,
         )
         codes = codes.persist()
         n = codes.count()
@@ -4257,7 +4428,10 @@ class IVFRQFastScanIndex:
 
     @property
     def m(self) -> int:
-        return int(self.codebooks.shape[0])
+        """Stored 4-bit stages per vector (ns·m for the product form)."""
+        from .operators.rq import addq_m_total
+
+        return addq_m_total(self.codebooks)
 
     @property
     def nlist(self) -> int:
@@ -4344,7 +4518,7 @@ class IVFRQFastScanIndex:
 
     def reconstruct(self, key: int) -> np.ndarray:
         from .operators.pq import pq_unpack4_np
-        from .operators.rq import rq_decode_np
+        from .operators.rq import addq_decode_np
 
         row = (
             self.codes.where(F.col("id") == int(key))
@@ -4354,7 +4528,7 @@ class IVFRQFastScanIndex:
         if not row:
             raise KeyError(f"id {key} not in index")
         packed = np.frombuffer(row[0]["code"], np.uint8)[None, :]
-        rec = rq_decode_np(pq_unpack4_np(packed, self.m), self.codebooks)[0]
+        rec = addq_decode_np(pq_unpack4_np(packed, self.m), self.codebooks)[0]
         if self.by_residual:
             rec = rec + self.centroids[int(row[0]["cell"])]
         return rec
@@ -4940,11 +5114,16 @@ def index_factory(vt, spec: str, **train_kw):
       and product forms: additive codes of the COARSE RESIDUAL in a
       cell-partitioned inverted file; ``by_residual=False`` via
       train_kw stores plain codes — full probe ≡ the flat tier)
-    - ``"RQ4x4fs"`` / ``"IVF256,RQ4x4fs"`` → :class:`RQFastScanIndex`
-      / :class:`IVFRQFastScanIndex` (faiss
+    - ``"RQ4x4fs"`` / ``"LSQ4x4fs"`` / ``"IVF256,RQ4x4fs"`` →
+      :class:`RQFastScanIndex` / :class:`IVFRQFastScanIndex` (faiss
       IndexAdditiveQuantizerFastScan residual forms: 4-bit RQ stages
       packed two per byte, fused byte-LUT additive scan — distances ≡
       the unpacked nbits=4 tiers to pair-association ulp)
+    - ``"PRQ2x4x4fs"`` / ``"PLSQ2x4x4fs"`` / ``"IVF256,PRQ2x4x4fs"`` /
+      ``"IVF256,PLSQ2x4x4fs"`` → :class:`PRQFastScanIndex` /
+      :class:`IVFRQFastScanIndex` with per-block stages (faiss
+      IndexProduct{Residual,LocalSearch}QuantizerFastScan and their
+      IVF forms — the product-additive fast-scan family)
     - ``"IVF256"`` / ``"IVF256,Flat"`` → :class:`IVFIndex` (nlist=256)
     - ``"IVF65536_HNSW32,Flat"`` / ``"IVF65536_HNSW32,PQ16[x<b>]"`` →
       the same tiers with a GRAPH coarse quantizer (faiss's big-nlist
@@ -5405,6 +5584,40 @@ def index_factory(vt, spec: str, **train_kw):
     if m:
         return IVFRQFastScanIndex.from_table(
             vt, n_cells=int(m.group(1)), m=int(m.group(2)), **train_kw
+        )
+    m = re.fullmatch(r"LSQ(\d+)x4fs(?:_\d+)?", s)
+    if m:
+        # faiss IndexLocalSearchQuantizerFastScan: RQ fast-scan layout
+        # with the ICM encode move
+        train_kw.setdefault("icm_sweeps", 2)
+        return RQFastScanIndex.from_table(vt, m=int(m.group(1)), **train_kw)
+    m = re.fullmatch(r"PRQ(\d+)x(\d+)x4fs(?:_\d+)?", s)
+    if m:
+        # faiss IndexProductResidualQuantizerFastScan
+        return PRQFastScanIndex.from_table(
+            vt, nsplits=int(m.group(1)), m=int(m.group(2)), **train_kw
+        )
+    m = re.fullmatch(r"PLSQ(\d+)x(\d+)x4fs(?:_\d+)?", s)
+    if m:
+        # faiss IndexProductLocalSearchQuantizerFastScan
+        train_kw.setdefault("icm_sweeps", 2)
+        return PRQFastScanIndex.from_table(
+            vt, nsplits=int(m.group(1)), m=int(m.group(2)), **train_kw
+        )
+    m = re.fullmatch(r"IVF(\d+),PRQ(\d+)x(\d+)x4fs(?:_\d+)?", s)
+    if m:
+        # faiss IndexIVFProductResidualQuantizerFastScan
+        return IVFRQFastScanIndex.from_table(
+            vt, n_cells=int(m.group(1)), nsplits=int(m.group(2)),
+            m=int(m.group(3)), **train_kw
+        )
+    m = re.fullmatch(r"IVF(\d+),PLSQ(\d+)x(\d+)x4fs(?:_\d+)?", s)
+    if m:
+        # faiss IndexIVFProductLocalSearchQuantizerFastScan
+        train_kw.setdefault("icm_sweeps", 2)
+        return IVFRQFastScanIndex.from_table(
+            vt, n_cells=int(m.group(1)), nsplits=int(m.group(2)),
+            m=int(m.group(3)), **train_kw
         )
     if s == "Flat1D":
         return Flat1DIndex.from_table(vt, **train_kw)

@@ -272,6 +272,7 @@ def ngram_jaccard_pairs(
     shingle_size: int = 3,
     threshold: float = 0.0,
     max_df: int | None = 10_000,
+    materialize_shingles: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs.
 
@@ -297,6 +298,15 @@ def ngram_jaccard_pairs(
     compares longs. A 64-bit collision (≈ p·2⁻⁶⁴ per pair) would
     overcount one intersection — negligible against the corpus sizes
     this runs at, and the oracle comparison would surface it.
+
+    ``materialize_shingles`` (r13): localCheckpoint the (id, sh)
+    shingle table so the text→explode→hash stage runs ONCE instead of
+    once per plan branch (the self-join's two sides + the size
+    aggregate + the df-cutoff ban each re-evaluate it lazily — four
+    corpus explodes in one plan). The checkpoint stores 16-byte rows
+    (one per distinct doc-shingle), a few × the token count — the
+    standard space-for-rescan trade; values identical either way.
+    Measured at sf0.1: ~3.0 s → ~2.3 s for the headline key.
     """
     def _shingle_rows(src: DataFrame) -> DataFrame:
         return src.select(
@@ -320,6 +330,8 @@ def ngram_jaccard_pairs(
         )
         docs_sh = docs.join(cand_ids, id_col, "left_semi")
     sh = _shingle_rows(docs_sh)
+    if materialize_shingles:
+        sh = sh.localCheckpoint()
     if max_df is not None:
         # the document-frequency cutoff is defined over the WHOLE
         # corpus, so the ban list aggregates a full-corpus explode even
@@ -330,8 +342,14 @@ def ngram_jaccard_pairs(
         # and anti-join; the complement ("keep") set is nearly the
         # whole shingle vocabulary and would force a full shuffle join
         # of the corpus against itself-sized state.
+        # without candidate restriction `sh` already holds the whole
+        # corpus's shingle rows — aggregate those instead of
+        # re-exploding the corpus text a second time (and when the
+        # shingle table is materialized, the ban costs one cheap
+        # aggregate over the checkpoint)
+        ban_src = sh if pair_candidates is None else _shingle_rows(docs)
         ban = (
-            _shingle_rows(docs)
+            ban_src
             .groupBy("sh")
             .agg(F.count(F.lit(1)).alias("_df"))
             .where(F.col("_df") > max_df)

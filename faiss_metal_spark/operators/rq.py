@@ -410,16 +410,23 @@ def prq_train(
     vec_col: str = "vec",
     sample_size: int = 16384,
     iters: int = 10,
+    nbits: int = 8,
 ) -> np.ndarray:
     """One driver-side sample, one greedy RQ trainer per coordinate
-    block → codebooks ``(nsplits, m, 256, dsub)``."""
+    block → codebooks ``(nsplits, m, 2^nbits, dsub)``."""
     X = _train_sample_matrix(vectors, id_col, vec_col, sample_size)
     d = X.shape[1]
     if d % nsplits:
         raise ValueError(f"d={d} not divisible by nsplits={nsplits}")
+    if not 1 <= int(nbits) <= 8:
+        raise ValueError(f"nbits must be 1..8, got {nbits}")
+    ksub = 1 << int(nbits)
     dsub = d // nsplits
     return np.stack(
-        [rq_train_np(X[:, s * dsub : (s + 1) * dsub], m, iters) for s in range(nsplits)]
+        [
+            rq_train_np(X[:, s * dsub : (s + 1) * dsub], m, iters, ksub=ksub)
+            for s in range(nsplits)
+        ]
     )
 
 
@@ -463,9 +470,20 @@ def prq_encode(
     vec_col: str = "vec",
     beam: int = 1,
     icm_sweeps: int = 0,
+    pack4: bool = False,
 ) -> DataFrame:
     """One-scan encode → ``(id, code BINARY (nsplits·m bytes), recn
-    DOUBLE)`` — the RQ encode shape with per-block assignment."""
+    DOUBLE)`` — the RQ encode shape with per-block assignment.
+    ``pack4`` stores the fast-scan two-codes-per-byte layout (nbits=4
+    blocks only; faiss IndexProductResidualQuantizerFastScan — pairs
+    pack in stored-byte order straight across block boundaries, the
+    same flattened (ns·m)-chain the LUT fusion pairs)."""
+    from .pq import pq_pack4_np
+
+    if pack4 and codebooks.shape[2] != 16:
+        raise ValueError(
+            f"pack4 requires nbits=4 codebooks, got ksub={codebooks.shape[2]}"
+        )
     spark = vectors.sparkSession
     bc = spark.sparkContext.broadcast(codebooks)
 
@@ -480,6 +498,8 @@ def prq_encode(
             codes = prq_assign_np(V, books_, beam=beam, icm_sweeps=icm_sweeps)
             rec = prq_decode_np(codes, books_)
             recn = (rec * rec).sum(1)
+            if pack4:
+                codes = pq_pack4_np(codes)
             yield pa.record_batch(
                 [
                     pa.array(_arrow_i64(batch.column(id_col))),
@@ -501,10 +521,17 @@ def prq_search(
     k: int,
     qid_col: str = "qid",
     qvec_col: str = "vec",
+    packed4: bool = False,
 ) -> DataFrame:
     """Asymmetric top-k over PRQ codes — block-diagonal LUTs feeding the
     shared RQ gather scan; distances are exactly ‖q − reconstruction‖²
-    in float64 (the disjoint-block identity above)."""
+    in float64 (the disjoint-block identity above). ``packed4``: the
+    fast-scan layout (faiss IndexProductResidualQuantizerFastScan) —
+    adjacent 4-bit stages of the flattened (ns·m) chain fuse into
+    per-byte 256-entry tables exactly as in :func:`rq_search`; the
+    inner products are linear, so pairing across a block boundary sums
+    the same reals pair-associated (labels identical, distances to
+    summation-order ulp)."""
     qids, qn, Q, empty = _host_queries(codes, queries, qid_col, qvec_col)
     if empty is not None:
         return empty
@@ -516,6 +543,14 @@ def prq_search(
     for s in range(ns):
         Qs = Q[:, s * dsub : (s + 1) * dsub]
         lut[:, s * m : (s + 1) * m, :] = np.einsum("qd,mkd->qmk", Qs, codebooks[s])
+    if packed4:
+        from .pq import _fuse_lut4
+
+        if ksub != 16:
+            raise ValueError(
+                f"packed4 requires nbits=4 codebooks, got ksub={ksub}"
+            )
+        lut = _fuse_lut4(lut)
     return _lut_topk_search(codes, queries, qid_col, qids, qn, lut, k)
 
 
@@ -682,6 +717,14 @@ def addq_m_total(codebooks: np.ndarray) -> int:
     return codebooks.shape[0] * codebooks.shape[1]
 
 
+def addq_is4(codebooks: np.ndarray) -> bool:
+    """True when every stage is a 4-bit (16-entry) book — the
+    fast-scan packing precondition, either codebook rank."""
+    return (codebooks.ndim == 3 and codebooks.shape[1] == 16) or (
+        codebooks.ndim == 4 and codebooks.shape[2] == 16
+    )
+
+
 def addq_lut(Q: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
     """Query/codeword inner-product LUTs ``(nq, m_total, ksub)`` — one
     slab per stored code byte; full-width for RQ, block-diagonal for
@@ -803,10 +846,10 @@ def ivfrq_encode(
     stages only; recn still reflects the unpacked reconstruction)."""
     from .pq import pq_pack4_np
 
-    if pack4 and (codebooks.ndim != 3 or codebooks.shape[1] != 16):
+    if pack4 and not addq_is4(codebooks):
         raise ValueError(
-            "pack4 requires nbits=4 RQ codebooks (m, 16, d); got shape "
-            f"{codebooks.shape}"
+            "pack4 requires nbits=4 additive codebooks ((m, 16, d) RQ "
+            f"or (ns, m, 16, dsub) PRQ); got shape {codebooks.shape}"
         )
     spark = assigned.sparkSession
     bc = spark.sparkContext.broadcast((centroids, codebooks))
@@ -886,10 +929,10 @@ def ivfrq_search(
     if packed4:
         from .pq import _fuse_lut4
 
-        if codebooks.ndim != 3 or codebooks.shape[1] != 16:
+        if not addq_is4(codebooks):
             raise ValueError(
-                "packed4 requires nbits=4 RQ codebooks (m, 16, d); got "
-                f"shape {codebooks.shape}"
+                "packed4 requires nbits=4 additive codebooks ((m, 16, d) "
+                f"RQ or (ns, m, 16, dsub) PRQ); got shape {codebooks.shape}"
             )
         lut = _fuse_lut4(lut)
         m_total = (m_total + 1) // 2  # packed byte width

@@ -202,6 +202,7 @@ def _is_engine_index(index) -> bool:
         OPQIndex,
         PQFastScanIndex,
         PQIndex,
+        PRQFastScanIndex,
         PRQIndex,
         RefineIndex,
         RQFastScanIndex,
@@ -239,6 +240,7 @@ def _is_engine_index(index) -> bool:
             PQFastScanIndex,
             PQIndex,
             OPQIndex,
+            PRQFastScanIndex,
             PRQIndex,
             RefineIndex,
             RQFastScanIndex,
@@ -270,6 +272,7 @@ def _write_payload(index, path: str) -> None:
         OPQIndex,
         PQFastScanIndex,
         PQIndex,
+        PRQFastScanIndex,
         PRQIndex,
         RefineIndex,
         RQFastScanIndex,
@@ -461,6 +464,21 @@ def _write_payload(index, path: str) -> None:
                 "beam": index.beam,
                 "icm_sweeps": index.icm_sweeps,
                 "by_residual": index.by_residual,
+                "shapes": shapes,
+            },
+        )
+    elif isinstance(index, PRQFastScanIndex):
+        _write_frame(index.codes, f"{path}/codes")
+        shapes = _write_arrays(index.spark, path, {"codebooks": index.codebooks})
+        _write_meta(
+            index.spark,
+            path,
+            {
+                "kind": "prq_fs",
+                "d": index.d,
+                "ntotal": index.ntotal,
+                "beam": index.beam,
+                "icm_sweeps": index.icm_sweeps,
                 "shapes": shapes,
             },
         )
@@ -885,6 +903,7 @@ def _read_payload(spark: SparkSession, path: str):
         OPQIndex,
         PQFastScanIndex,
         PQIndex,
+        PRQFastScanIndex,
         PRQIndex,
         RefineIndex,
         RQFastScanIndex,
@@ -1055,6 +1074,16 @@ def _read_payload(spark: SparkSession, path: str):
             beam=int(meta.get("beam", 1)),
             icm_sweeps=int(meta.get("icm_sweeps", 0)),
             by_residual=bool(meta.get("by_residual", True)),
+        )
+    if kind == "prq_fs":
+        return PRQFastScanIndex(
+            spark,
+            meta["d"],
+            arrays["codebooks"],
+            spark.read.parquet(f"{path}/codes"),
+            meta["ntotal"],
+            beam=int(meta.get("beam", 1)),
+            icm_sweeps=int(meta.get("icm_sweeps", 0)),
         )
     if kind == "rq_fs":
         return RQFastScanIndex(
