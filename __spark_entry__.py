@@ -1984,7 +1984,24 @@ def q_corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_mix flag, and shard_pack's shard / in-shard position / GPT-style
     concat-and-chunk sequence range (seq_len=512, 8 shards) — the
     columns a 100 TB corpus needs to be written out as training
-    shards."""
+    shards.
+
+    r13 URL-curation columns (functions/url.py — the CCNet/RefinedWeb
+    domain-level pass): the corpus has no URL column, so a
+    deterministic synthetic URL derives from (doc_id, source) in BOTH
+    engines — mixed-case hosts, optional www., default :443 ports,
+    tracking params, fragments — and the columns hash-check the
+    ENGINE's generic operators against the oracle's independent
+    statement of the expected result: ``curl`` = canonicalize_url,
+    ``domain`` = registered_domain (incl. the co.uk eTLD+1 path),
+    ``in_domain_cap`` = domain_cap(≤25/domain), ``url_ok`` =
+    domain_blocklist_filter survival."""
+    from faiss_metal_spark.functions.url import (
+        canonicalize_url,
+        domain_blocklist_filter,
+        domain_cap,
+        registered_domain,
+    )
     from faiss_metal_spark.pipeline import (
         hash_split,
         mixture_sample,
@@ -1994,6 +2011,33 @@ def q_corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents")
+    # deterministic synthetic raw URL (same construction as the oracle)
+    host = F.concat(
+        F.when(F.col("doc_id") % 5 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"), (F.col("doc_id") % 7).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(".co.uk")).otherwise(F.lit(".com")),
+    )
+    raw = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 6 == 2, F.upper(host)).otherwise(host),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/docs/"), F.col("doc_id").cast("string"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("?utm_source=feed&page="), F.col("doc_id").cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 1, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    du = d.withColumn("url", raw)
+    url_cols = du.select(
+        "doc_id",
+        canonicalize_url("url").alias("curl"),
+        registered_domain("url").alias("domain"),
+    )
+    dcap = domain_cap(du, 25).select("doc_id", F.lit(1).alias("in_domain_cap"))
+    dok = domain_blocklist_filter(
+        du, ["src14.com", "src03.co.uk"]
+    ).select("doc_id", F.lit(1).alias("url_ok"))
     capped = stratified_cap(d, "lang", 30).select(
         "doc_id", F.lit(1).alias("in_cap")
     )
@@ -2011,11 +2055,17 @@ def q_corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(budgeted, "doc_id", "left")
         .join(mixed, "doc_id")
         .join(packed, "doc_id")
+        .join(url_cols, "doc_id")
+        .join(dcap, "doc_id", "left")
+        .join(dok, "doc_id", "left")
         .select(
             "doc_id", "split", F.coalesce("in_cap", F.lit(0)).alias("in_cap"),
             F.coalesce("in_budget", F.lit(0)).alias("in_budget"),
             "in_mix",
             "shard", "pos", "n_tok", "tok_off", "first_seq", "last_seq",
+            "curl", "domain",
+            F.coalesce("in_domain_cap", F.lit(0)).alias("in_domain_cap"),
+            F.coalesce("url_ok", F.lit(0)).alias("url_ok"),
         )
     )
 
@@ -2049,6 +2099,30 @@ WITH r AS (
            PARTITION BY shard ORDER BY bucket, h, doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_off
   FROM t
+), u AS (
+  -- independent statement of the URL-curation expectations: the raw
+  -- synthetic URL (mixed case / www. / :443 / utm params / fragment)
+  -- canonicalizes to lowercase host + stripped port/params/fragment;
+  -- the registered domain is the host minus the www. label (eTLD+1,
+  -- incl. the co.uk 3-label path)
+  SELECT doc_id,
+         'https://'
+           || (CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END)
+           || source || CAST(doc_id % 7 AS VARCHAR)
+           || (CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END)
+           || '/docs/' || CAST(doc_id AS VARCHAR)
+           || (CASE WHEN doc_id % 2 = 0
+               THEN '?page=' || CAST(doc_id AS VARCHAR) ELSE '' END) AS curl,
+         source || CAST(doc_id % 7 AS VARCHAR)
+           || (CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END) AS domain
+  FROM documents
+), ucap AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY domain
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS drk
+  FROM u
 )
 SELECT r.doc_id,
   CASE WHEN substr(md5(CAST(r.doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
@@ -2069,10 +2143,16 @@ SELECT r.doc_id,
   CAST(o.n_tok AS BIGINT) AS n_tok,
   CAST(o.tok_off AS BIGINT) AS tok_off,
   CAST(o.tok_off // 512 AS BIGINT) AS first_seq,
-  CAST((o.tok_off + GREATEST(o.n_tok, 1) - 1) // 512 AS BIGINT) AS last_seq
+  CAST((o.tok_off + GREATEST(o.n_tok, 1) - 1) // 512 AS BIGINT) AS last_seq,
+  u.curl AS curl,
+  u.domain AS domain,
+  CASE WHEN ucap.drk <= 25 THEN 1 ELSE 0 END AS in_domain_cap,
+  CASE WHEN u.domain IN ('src14.com', 'src03.co.uk') THEN 0 ELSE 1 END AS url_ok
 FROM r JOIN o ON r.doc_id = o.doc_id
 JOIN bdg ON bdg.doc_id = r.doc_id
 JOIN documents d ON d.doc_id = r.doc_id
+JOIN u ON u.doc_id = r.doc_id
+JOIN ucap ON ucap.doc_id = r.doc_id
 """
 
 

@@ -12,6 +12,7 @@ north-star targets.
 from .compact_index import (
     BinaryIndex,
     BinaryHashIndex,
+    BinaryHNSWIndex,
     BinaryIVFIndex,
     GraphIndex,
     Flat1DIndex,
@@ -74,6 +75,7 @@ __all__ = [
     "SQ8Index",
     "BinaryIndex",
     "BinaryHashIndex",
+    "BinaryHNSWIndex",
     "BinaryIVFIndex",
     "GraphIndex",
     "Flat1DIndex",

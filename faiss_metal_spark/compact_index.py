@@ -345,7 +345,17 @@ class SQ8Index:
     per-dim min/max trained on the table's FP32 reconstruction, b-bit
     codes (``bits`` = 8 / 6 / 4 ≙ faiss QT_8bit / QT_6bit / QT_4bit;
     named for its 8-bit default), asymmetric search (exact query vs
-    reconstructed codes)."""
+    reconstructed codes).
+
+    Variants (r13): ``uniform`` trains ONE shared (vmin, vmax) pair
+    across every dimension (faiss ``QT_8bit_uniform`` /
+    ``QT_4bit_uniform``; factory ``"SQ8u"``/``"SQ4u"``/``"SQ6u"`` or
+    the faiss-literal ``"SQ8_uniform"`` forms) — represented as
+    constant trained arrays, so every downstream path is unchanged;
+    ``direct`` is faiss ``QT_8bit_direct`` (factory ``"SQ8d"`` /
+    ``"SQ8_direct"``): the code IS ``clamp(floor(x), 0, 255)`` and
+    decode returns it verbatim — training-free, for data already on a
+    [0, 256) integer scale (image bytes)."""
 
     spark: SparkSession
     d: int
@@ -354,16 +364,30 @@ class SQ8Index:
     codes: DataFrame
     _n: int = field(default=-1, repr=False)
     bits: int = 8
+    direct: bool = False
 
     @classmethod
-    def from_table(cls, vt, bits: int = 8) -> "SQ8Index":
+    def from_table(
+        cls, vt, bits: int = 8, uniform: bool = False, direct: bool = False
+    ) -> "SQ8Index":
         from .operators.sq import sq_encode, sq_train
 
+        if direct and (uniform or bits != 8):
+            raise ValueError(
+                "direct is the faiss QT_8bit_direct form: bits=8, "
+                "not combinable with uniform"
+            )
         base = _float_view(vt)
-        vmin, vmax = sq_train(base)
-        codes = sq_encode(base, vmin, vmax, bits).persist()
+        if direct:
+            # training-free (faiss QT_8bit_direct has no trained state);
+            # the stored range is the identity [0, 255] for introspection
+            vmin = np.zeros(vt.d, np.float64)
+            vmax = np.full(vt.d, 255.0, np.float64)
+        else:
+            vmin, vmax = sq_train(base, uniform=uniform)
+        codes = sq_encode(base, vmin, vmax, bits, direct=direct).persist()
         n = codes.count()
-        return cls(vt.spark, vt.d, vmin, vmax, codes, n, bits)
+        return cls(vt.spark, vt.d, vmin, vmax, codes, n, bits, direct)
 
     @property
     def ntotal(self) -> int:
@@ -372,7 +396,10 @@ class SQ8Index:
     def search(self, queries: DataFrame, k: int) -> DataFrame:
         from .operators.sq import sq_search
 
-        return sq_search(self.codes, self.vmin, self.vmax, queries, k, self.bits)
+        return sq_search(
+            self.codes, self.vmin, self.vmax, queries, k, self.bits,
+            direct=self.direct,
+        )
 
     def search_numpy(self, x: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
         return _host_result(
@@ -385,7 +412,8 @@ class SQ8Index:
         from .operators.sq import sq_range_search
 
         return sq_range_search(
-            self.codes, self.vmin, self.vmax, queries, radius, self.bits
+            self.codes, self.vmin, self.vmax, queries, radius, self.bits,
+            direct=self.direct,
         )
 
     def reconstruct(self, key: int) -> np.ndarray:
@@ -394,7 +422,10 @@ class SQ8Index:
         row = (
             self.codes.where(F.col("id") == int(key))
             .select(
-                sq_reconstruct_col("code", self.vmin, self.vmax, self.bits).alias("r")
+                sq_reconstruct_col(
+                    "code", self.vmin, self.vmax, self.bits,
+                    direct=self.direct,
+                ).alias("r")
             )
             .collect()
         )
@@ -409,7 +440,8 @@ class SQ8Index:
         from .operators.sq import sq_encode
 
         new = sq_encode(
-            _ivf_add_rows(df, id_col, vec_col), self.vmin, self.vmax, self.bits
+            _ivf_add_rows(df, id_col, vec_col), self.vmin, self.vmax, self.bits,
+            direct=self.direct,
         )
         _append_frame(self, "codes", new)
         return self
@@ -437,8 +469,8 @@ class SQ8Index:
         _merge_ivf_frames(
             self, other, "codes",
             (
-                (self.d, self.bits, self.vmin, self.vmax),
-                (other.d, other.bits, other.vmin, other.vmax),
+                (self.d, self.bits, self.direct, self.vmin, self.vmax),
+                (other.d, other.bits, other.direct, other.vmin, other.vmax),
             ),
             add_id, check_duplicates=check_duplicates,
         )
@@ -465,7 +497,10 @@ class SQ8Index:
         x = np.asarray(x, dtype=np.float64)
         if x.ndim != 2 or x.shape[1] != self.d:
             raise ValueError(f"expected (n, {self.d}) array, got {x.shape}")
-        codes = sq_pack_np(sq_encode_np(x, self.vmin, self.vmax, self.bits), self.bits)
+        codes = sq_pack_np(
+            sq_encode_np(x, self.vmin, self.vmax, self.bits, direct=self.direct),
+            self.bits,
+        )
         return np.array([row.tobytes() for row in codes], dtype=object)
 
     def add_sa_codes(self, codes, ids=None) -> "SQ8Index":
@@ -519,9 +554,9 @@ class SQ8Index:
         if not rows:
             return np.zeros((0, self.d), dtype=np.float32)
         unpacked = sq_unpack_np(np.stack(rows), self.d, self.bits)
-        return sq_decode_np(unpacked, self.vmin, self.vmax, self.bits).astype(
-            np.float32
-        )
+        return sq_decode_np(
+            unpacked, self.vmin, self.vmax, self.bits, direct=self.direct
+        ).astype(np.float32)
 
 
 @dataclass
@@ -3120,6 +3155,200 @@ class GraphPQIndex:
 
 
 @dataclass
+class BinaryHNSWIndex:
+    """faiss ``IndexBinaryHNSW`` (factory ``"BHNSW<M>"``): the NSW
+    graph over PACKED BINARY storage, every distance the walk computes
+    a Hamming distance (faiss/IndexBinaryHNSW.h — an IndexBinaryFlat
+    storage driven by the HNSW walk). The binary twin of
+    :class:`GraphSQIndex`: the resident artifact is the packed word
+    table (1 bit/dim, the :class:`BinaryIndex` layout), the graph
+    builds with NN-Descent over the UNPACKED 0/1 bit vectors — squared
+    L2 between 0/1 rows IS the packed Hamming distance, so the float
+    graph machinery computes exactly the distances faiss's
+    HammingComputer would — and serving walks ``graph_search`` with a
+    word-unpack decode hook (fetched candidates only, ≤ nq·beam·k rows
+    per round).
+
+    Contract (binary family): queries are the engine-standard float
+    (qid, vec) rows, sign-binarized query-side like every binary tier;
+    results carry INTEGER Hamming distances (long), min(k, reached)
+    rows per qid with no sentinel padding (the IndexBinaryFlat /
+    IndexBinaryIVF row contract), APPROXIMATE like every graph tier —
+    recall against the exhaustive flat scan is pinned in tests, not
+    exactness. Read-only derived tier: ``add_df`` refuses (rebuild
+    after source mutation; incremental insertion lives on the flat
+    :class:`GraphIndex`)."""
+
+    spark: SparkSession
+    d: int
+    words: DataFrame  # (id, words ARRAY<LONG>) — the resident artifact
+    graph: DataFrame  # (id, nbr) edges
+    M: int = 16
+    ef_search: int = 64
+    _n: int = field(default=-1, repr=False)
+
+    @classmethod
+    def from_table(
+        cls,
+        vt,
+        M: int = 16,
+        iters: int = 4,
+        seed: int = 42,
+        ef_search: int = 64,
+        diversify: bool = False,
+        repair: bool = False,
+    ) -> "BinaryHNSWIndex":
+        from .operators.binary import binarize, unpack_words_np
+        from .operators.knn_graph import connect_graph, mrng_diversify, nn_descent
+
+        base = _float_view(vt)
+        words = binarize(base, vt.d).persist()
+        n = words.count()
+        # build over the unpacked bit vectors (one Arrow-vectorized
+        # stage — a BUILD-TIME transient released before serving);
+        # l2sq(bits_a, bits_b) == hamming(words_a, words_b) exactly
+        d = vt.d
+        bits_schema = "id long, vec array<double>"
+
+        def unpack(batches):
+            import pyarrow as pa
+
+            from .operators.knn import _arrow_matrix
+
+            for batch in batches:
+                if batch.num_rows == 0:
+                    continue
+                W = _arrow_matrix(batch.column("words"), "array", np.int64)
+                B = unpack_words_np(W, d)
+                yield pa.record_batch(
+                    [batch.column("id"), pa.array(list(B))],
+                    names=["id", "vec"],
+                )
+
+        dec = words.mapInArrow(
+            unpack, bits_schema
+        ).persist()
+        if diversify:
+            cand = nn_descent(dec, k=2 * M, iters=iters, seed=seed)
+            graph = mrng_diversify(cand, dec, M)
+        else:
+            graph = nn_descent(dec, k=M, iters=iters, seed=seed)
+        if repair and n > 1:
+            graph = connect_graph(graph, dec)
+        graph = graph.persist()
+        graph.count()
+        dec.unpersist()
+        return cls(vt.spark, vt.d, words, graph, M, ef_search, n)
+
+    @property
+    def ntotal(self) -> int:
+        return self._n if self._n >= 0 else self.words.count()
+
+    def _decode(self):
+        from .operators.binary import unpack_words_np
+
+        d = self.d
+
+        def dec(pdf: pd.DataFrame) -> np.ndarray:
+            W = np.stack(pdf["code"].to_numpy()).astype(np.int64)
+            return unpack_words_np(W, d)
+
+        return dec
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int,
+        ef: int | None = None,
+        iters: int = 3,
+        entry: str = "landmarks",
+    ) -> DataFrame:
+        """(qid, rank, label, distance): distance is the EXACT packed
+        Hamming distance of each returned label (long); rows are the
+        walk's top-min(k, reached) per qid, unpadded."""
+        from .operators.knn_graph import graph_search
+
+        qbits = queries.select(
+            F.col("qid").cast("long").alias("qid"),
+            F.transform(
+                "vec",
+                lambda x: F.when(x > 0, F.lit(1.0)).otherwise(F.lit(0.0)),
+            ).alias("vec"),
+        )
+        res = graph_search(
+            self.words,
+            self.graph,
+            qbits,
+            k,
+            beam=max(ef if ef is not None else self.ef_search, k),
+            iters=iters,
+            entry=entry,
+            vec_col="words",
+            decode=self._decode(),
+        )
+        return res.where(F.col("label") >= 0).select(
+            "qid", "rank", "label",
+            F.col("distance").cast("long").alias("distance"),
+        )
+
+    def search_numpy(
+        self,
+        x: np.ndarray,
+        k: int,
+        ef: int | None = None,
+        iters: int = 3,
+        entry: str = "landmarks",
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Host twin — (nq, k) arrays, −1/−1 fill past the reached
+        rows (the flat binary host contract)."""
+        x = np.atleast_2d(x)
+        res = self.search(
+            _query_df(self.spark, x), k, ef, iters=iters, entry=entry
+        ).collect()
+        D = np.full((len(x), k), -1, np.int64)
+        L = np.full((len(x), k), -1, np.int64)
+        for r in res:
+            D[r["qid"], r["rank"]] = r["distance"]
+            L[r["qid"], r["rank"]] = r["label"]
+        return D, L
+
+    def range_search(self, *_a, **_k):
+        """faiss ``IndexBinaryHNSW`` has no range_search (the walk has
+        no unbounded-result path); use BinaryIndex for radius queries."""
+        raise NotImplementedError(
+            "BinaryHNSWIndex.range_search: faiss IndexBinaryHNSW does "
+            "not implement range search; use BinaryIndex instead"
+        )
+
+    def reconstruct(self, key: int) -> np.ndarray:
+        """The stored 0/1 bit vector (d,) — the decoded form of the
+        packed code (faiss reconstructs the binary code)."""
+        from .operators.binary import unpack_words_np
+
+        row = (
+            self.words.where(F.col("id") == int(key)).select("words").collect()
+        )
+        if not row:
+            raise KeyError(f"id {key} not in index")
+        return unpack_words_np(
+            np.asarray(row[0]["words"], np.int64)[None, :], self.d
+        )[0]
+
+    def add_df(self, *_a, **_k):
+        raise NotImplementedError(
+            "BinaryHNSWIndex is a read-only derived tier — rebuild via "
+            "from_table after mutating the source (incremental NSW "
+            "insertion lives on the flat GraphIndex)"
+        )
+
+    add_numpy = add_df
+
+    def release(self) -> None:
+        self.words.unpersist()
+        self.graph.unpersist()
+
+
+@dataclass
 class LSHIndex:
     """Binary-hash tier — faiss ``IndexLSH`` (``index_factory("LSH")``),
     the ``rotate_data=true, train_thresholds=false`` default: each
@@ -4838,7 +5067,8 @@ def _refine_reconstruct_df(index) -> DataFrame:
         return index.codes.select(
             "id",
             sq_reconstruct_col(
-                "code", index.vmin, index.vmax, index.bits
+                "code", index.vmin, index.vmax, index.bits,
+                direct=index.direct,
             ).alias("vec"),
         )
     if isinstance(index, PQFastScanIndex):
@@ -5399,6 +5629,16 @@ def index_factory(vt, spec: str, **train_kw):
         return SQ8Index.from_table(vt, **train_kw)
     if s in ("SQ6", "SQ4"):
         return SQ8Index.from_table(vt, bits=int(s[2]), **train_kw)
+    m = re.fullmatch(r"SQ([468])u", s) or re.fullmatch(r"SQ([468])_uniform", s)
+    if m:
+        # faiss QT_8bit_uniform / QT_4bit_uniform (one shared range
+        # across dims; the 6-bit form for completeness)
+        return SQ8Index.from_table(
+            vt, bits=int(m.group(1)), uniform=True, **train_kw
+        )
+    if s in ("SQ8d", "SQ8_direct"):
+        # faiss QT_8bit_direct: code = (uint8) x, decode = code
+        return SQ8Index.from_table(vt, direct=True, **train_kw)
     if s in ("SQfp16", "SQbf16"):
         # faiss QT_fp16 stores IEEE half codes and searches them
         # asymmetrically — exactly the compact half-precision
@@ -5414,6 +5654,12 @@ def index_factory(vt, spec: str, **train_kw):
     m = re.fullmatch(r"BIVF(\d+)", s)
     if m:
         return BinaryIVFIndex.from_table(vt, n_cells=int(m.group(1)), **train_kw)
+    m = re.fullmatch(r"BHNSW(\d*)", s)
+    if m:
+        # faiss IndexBinaryHNSW (binary_factory "BHNSW<M>"; default M=32
+        # upstream — 16 here, the engine's graph-family default)
+        kw = {"M": int(m.group(1))} if m.group(1) else {}
+        return BinaryHNSWIndex.from_table(vt, **kw, **train_kw)
     m = re.fullmatch(r"BHash(\d+)", s)
     if m:
         return BinaryHashIndex.from_table(vt, b=int(m.group(1)), **train_kw)

@@ -369,6 +369,22 @@ def binary_ivf_search(
     return _rank_topk(joined, k, corpus=inv)
 
 
+def unpack_words_np(W, d: int) -> "np.ndarray":
+    """Inverse of the :func:`binarize_np` bit layout: (n, ceil(d/32))
+    packed words → (n, d) float64 0/1 bit matrix (dim w·32+j reads bit
+    31−j of word w). Squared L2 between two unpacked rows equals their
+    packed Hamming distance exactly — the identity that lets the graph
+    family's float machinery (nn_descent build, graph_search serving)
+    run over binary storage (faiss IndexBinaryHNSW)."""
+    import numpy as np
+
+    W = np.atleast_2d(np.asarray(W, np.int64))
+    n, nw = W.shape
+    shifts = np.arange(BITS_PER_WORD - 1, -1, -1, dtype=np.int64)
+    bits = (W[:, :, None] >> shifts) & 1  # (n, nw, 32)
+    return bits.reshape(n, nw * BITS_PER_WORD)[:, :d].astype(np.float64)
+
+
 def binarize_np(X) -> "np.ndarray":
     """numpy twin of :func:`binarize_col` for host-side arrays
     (centroids): (n, d) float → (n, ceil(d/32)) int64 packed words,

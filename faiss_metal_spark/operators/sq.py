@@ -56,11 +56,17 @@ def _levels(bits: int) -> int:
 
 
 def sq_train(
-    df: DataFrame, vec_col: str = "vec"
+    df: DataFrame, vec_col: str = "vec", uniform: bool = False
 ) -> tuple[np.ndarray, np.ndarray]:
     """Per-dimension (vmin, vmax) over the corpus — one pass, map-side
     combined. Returns float64 arrays of length d. Bit-width-independent
-    (FAISS trains RS_minmax once regardless of QT_*bit)."""
+    (FAISS trains RS_minmax once regardless of QT_*bit).
+
+    ``uniform``: ONE shared (vmin, vmax) pair across every dimension
+    (faiss ``QT_8bit_uniform`` / ``QT_4bit_uniform`` — the
+    RS_minmax-over-all-components train); returned broadcast to
+    length-d constant arrays so the whole per-dim codec machinery
+    (encode/decode/search/IO) serves the uniform tier unchanged."""
     mm = (
         df.select(F.posexplode(vec_col).alias("j", "x"))
         .groupBy("j")
@@ -71,7 +77,12 @@ def sq_train(
         .orderBy("j")
         .toPandas()
     )
-    return mm["vmin"].to_numpy(np.float64), mm["vmax"].to_numpy(np.float64)
+    vmin = mm["vmin"].to_numpy(np.float64)
+    vmax = mm["vmax"].to_numpy(np.float64)
+    if uniform:
+        vmin = np.full_like(vmin, vmin.min())
+        vmax = np.full_like(vmax, vmax.max())
+    return vmin, vmax
 
 
 # FAISS name for the 8-bit path (kept: pinned by tests + SQL oracles)
@@ -83,13 +94,25 @@ def _lit_arr(vals: np.ndarray) -> Column:
 
 
 def sq_code_col(
-    vec: Column | str, vmin: np.ndarray, vmax: np.ndarray, bits: int = 8
+    vec: Column | str, vmin: np.ndarray, vmax: np.ndarray, bits: int = 8,
+    direct: bool = False,
 ) -> Column:
     """Catalyst b-bit SQ encode: array<int> codes in [0, 2^bits−1]
     (see module docstring for the exact arithmetic — kept bit-identical
-    to the SQL oracle)."""
+    to the SQL oracle). ``direct``: faiss ``QT_8bit_direct`` — the
+    code IS ``clamp(floor(x), 0, L)`` (the upstream uint8 cast,
+    floor-toward-zero on the non-negative domain it targets) and
+    decode returns the code verbatim; (vmin, vmax) are ignored."""
     lv = float(_levels(bits))
     v = F.col(vec) if isinstance(vec, str) else vec
+    if direct:
+        return F.transform(
+            v,
+            lambda x: F.least(
+                F.lit(lv),
+                F.greatest(F.lit(0.0), F.floor(x.cast("double"))),
+            ).cast("int"),
+        )
     vmin_l, vmax_l = _lit_arr(vmin), _lit_arr(vmax)
     return F.transform(
         v,
@@ -124,11 +147,15 @@ def sq8_code_col(
 
 
 def sq_reconstruct_col(
-    codes: Column | str, vmin: np.ndarray, vmax: np.ndarray, bits: int = 8
+    codes: Column | str, vmin: np.ndarray, vmax: np.ndarray, bits: int = 8,
+    direct: bool = False,
 ) -> Column:
-    """Decode codes back to array<double>: r_i = vmin_i + code_i·Δ_i/L."""
+    """Decode codes back to array<double>: r_i = vmin_i + code_i·Δ_i/L
+    (``direct``: r_i = code_i — faiss QT_8bit_direct decode)."""
     lv = float(_levels(bits))
     c = F.col(codes) if isinstance(codes, str) else codes
+    if direct:
+        return F.transform(c, lambda x: x.cast("double"))
     vmin_l, vmax_l = _lit_arr(vmin), _lit_arr(vmax)
     return F.transform(
         c,
@@ -154,11 +181,12 @@ def sq_encode(
     bits: int = 8,
     id_col: str = "id",
     vec_col: str = "vec",
+    direct: bool = False,
 ) -> DataFrame:
     """(id, vec) → (id, code: array<int>) — the stored index form."""
     return df.select(
         F.col(id_col).cast("long").alias("id"),
-        sq_code_col(vec_col, vmin, vmax, bits).alias("code"),
+        sq_code_col(vec_col, vmin, vmax, bits, direct=direct).alias("code"),
     )
 
 
@@ -183,6 +211,7 @@ def sq_search(
     code_col: str = "code",
     qid_col: str = "qid",
     qvec_col: str = "vec",
+    direct: bool = False,
 ) -> DataFrame:
     """Asymmetric b-bit SQ top-k: exact query vs reconstructed codes,
     L2² ascending, ties by label. Returns (qid, rank, label, distance).
@@ -196,7 +225,7 @@ def sq_search(
 
     v = codes.select(
         F.col(id_col).cast("long").alias("label"),
-        sq_reconstruct_col(code_col, vmin, vmax, bits).alias("_rvec"),
+        sq_reconstruct_col(code_col, vmin, vmax, bits, direct=direct).alias("_rvec"),
     )
     q = queries.select(
         F.col(qid_col).cast("long").alias("qid"),
@@ -235,7 +264,8 @@ def sq8_search(
 
 
 def sq_encode_np(
-    x: np.ndarray, vmin: np.ndarray, vmax: np.ndarray, bits: int = 8
+    x: np.ndarray, vmin: np.ndarray, vmax: np.ndarray, bits: int = 8,
+    direct: bool = False,
 ) -> np.ndarray:
     """(n, d) float → (n, d) uint8 codes — the ONE numpy statement of
     the b-bit SQ arithmetic (floor(norm·L + 0.5), clipped, zero-range
@@ -244,6 +274,8 @@ def sq_encode_np(
     two."""
     lv = float(_levels(bits))
     x = np.atleast_2d(np.asarray(x, np.float64))
+    if direct:
+        return np.clip(np.floor(x), 0.0, lv).astype(np.uint8)
     vmin_ = np.asarray(vmin, np.float64)
     rng = np.asarray(vmax, np.float64) - vmin_
     safe = np.where(rng == 0.0, 1.0, rng)
@@ -254,9 +286,13 @@ def sq_encode_np(
 
 
 def sq_decode_np(
-    codes: np.ndarray, vmin: np.ndarray, vmax: np.ndarray, bits: int = 8
+    codes: np.ndarray, vmin: np.ndarray, vmax: np.ndarray, bits: int = 8,
+    direct: bool = False,
 ) -> np.ndarray:
-    """(n, d) uint8 → (n, d) float64: r = vmin + code·Δ/L."""
+    """(n, d) uint8 → (n, d) float64: r = vmin + code·Δ/L (``direct``:
+    r = code — faiss QT_8bit_direct)."""
+    if direct:
+        return np.atleast_2d(codes).astype(np.float64)
     vmin_ = np.asarray(vmin, np.float64)
     scale = (np.asarray(vmax, np.float64) - vmin_) / float(_levels(bits))
     return vmin_ + codes.astype(np.float64) * scale
@@ -368,6 +404,7 @@ def sq_range_search(
     code_col: str = "code",
     qid_col: str = "qid",
     qvec_col: str = "vec",
+    direct: bool = False,
 ) -> DataFrame:
     """All neighbors with asymmetric distance < radius — faiss
     ``IndexScalarQuantizer`` inherits ``Index::range_search``; keep
@@ -379,7 +416,7 @@ def sq_range_search(
 
     v = codes.select(
         F.col(id_col).cast("long").alias("label"),
-        sq_reconstruct_col(code_col, vmin, vmax, bits).alias("_rvec"),
+        sq_reconstruct_col(code_col, vmin, vmax, bits, direct=direct).alias("_rvec"),
     )
     q = queries.select(
         F.col(qid_col).cast("long").alias("qid"),

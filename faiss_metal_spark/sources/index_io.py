@@ -183,6 +183,7 @@ def write_index(index, path: str, keep_versions: int = 2) -> None:
 def _is_engine_index(index) -> bool:
     from ..compact_index import (
         BinaryHashIndex,
+        BinaryHNSWIndex,
         BinaryIndex,
         BinaryIVFIndex,
         Flat1DIndex,
@@ -221,6 +222,8 @@ def _is_engine_index(index) -> bool:
             VectorTable,
             SQ8Index,
             BinaryHashIndex,
+            BinaryHNSWIndex,
+        BinaryHNSWIndex,
             BinaryIndex,
             BinaryIVFIndex,
             Flat1DIndex,
@@ -253,6 +256,7 @@ def _is_engine_index(index) -> bool:
 def _write_payload(index, path: str) -> None:
     from ..compact_index import (
         BinaryHashIndex,
+        BinaryHNSWIndex,
         BinaryIndex,
         BinaryIVFIndex,
         Flat1DIndex,
@@ -316,6 +320,7 @@ def _write_payload(index, path: str) -> None:
                 "d": index.d,
                 "ntotal": index.ntotal,
                 "bits": index.bits,
+                "direct": index.direct,
                 "shapes": shapes,
             },
         )
@@ -511,6 +516,21 @@ def _write_payload(index, path: str) -> None:
                 "d": index.d,
                 "ntotal": index.ntotal,
                 "shapes": shapes,
+            },
+        )
+    elif isinstance(index, BinaryHNSWIndex):
+        _write_frame(index.words, f"{path}/words")
+        _write_frame(index.graph, f"{path}/graph")
+        # binary kind: no arrays/ dataset (the BinaryIndex discipline)
+        _write_meta(
+            index.spark,
+            path,
+            {
+                "kind": "bhnsw",
+                "d": index.d,
+                "ntotal": index.ntotal,
+                "M": index.M,
+                "ef_search": index.ef_search,
             },
         )
     elif isinstance(index, GraphSQIndex):
@@ -884,6 +904,7 @@ def read_index(spark: SparkSession, path: str):
 def _read_payload(spark: SparkSession, path: str):
     from ..compact_index import (
         BinaryHashIndex,
+        BinaryHNSWIndex,
         BinaryIndex,
         BinaryIVFIndex,
         Flat1DIndex,
@@ -956,6 +977,7 @@ def _read_payload(spark: SparkSession, path: str):
             spark.read.parquet(f"{path}/codes"),
             meta["ntotal"],
             meta.get("bits", 8),  # round-7 stores predate b-bit tiers
+            bool(meta.get("direct", False)),  # pre-r13 stores: minmax
         )
     if kind == "binary":
         source = (
@@ -995,6 +1017,16 @@ def _read_payload(spark: SparkSession, path: str):
             meta["d"],
             arrays["centroid_words"].astype(np.int64),
             spark.read.parquet(f"{path}/words"),
+            meta["ntotal"],
+        )
+    if kind == "bhnsw":
+        return BinaryHNSWIndex(
+            spark,
+            meta["d"],
+            spark.read.parquet(f"{path}/words"),
+            spark.read.parquet(f"{path}/graph"),
+            meta["M"],
+            meta["ef_search"],
             meta["ntotal"],
         )
     if kind == "graph_sq":
