@@ -3917,39 +3917,97 @@ sig AS (SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM s)
 """
 
 
+# The uncandidated exact-Jaccard lane's shared-shingle self-join emits
+# Σ_sh df(sh)² rows — measured QUADRATIC on this corpus (sf0.1→sf1:
+# 2.8M → 253M join rows; the shingle vocabulary barely grows, so dfs
+# grow linearly and their squares quadratically). That shape is the
+# reference semantics, not the at-scale path, so it runs on a FIXED
+# doc prefix (covers the whole sf0.01 gate corpus — hash unchanged;
+# constant-cost beyond it — the mllib_index_build capped-oracle-lane
+# precedent). The at-scale path is the 'lsh' lane below.
+_NGJ_EXACT_N = 2000
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard, two tagged lanes: 'exact' rows are the
+    uncandidated all-shared-shingle-pairs form over the fixed
+    ``doc_id < _NGJ_EXACT_N`` prefix (the quadratic reference shape,
+    capped — see note above); 'lsh' rows are the AT-SCALE pipeline —
+    MinHash-LSH banded candidates (8 hashes, 4 bands: the same banding
+    engine simhash_all checks standalone) verified with exact Jaccard
+    (``ngram_jaccard_pairs(pair_candidates=)``): only candidate docs
+    ever shingle for the verify join, so the whole lane is linear in
+    the corpus. The df-cutoff ban for the lsh lane aggregates the FULL
+    corpus (the cutoff is corpus-defined) while the exact lane's ban
+    is defined over its own restricted rows — both stated identically
+    in the oracle."""
     d = _t(spark, sf_dir, "documents")
     # materialize_shingles: the text→shingle→hash stage runs once
     # instead of once per plan branch (r13; values identical — see
     # ngram_jaccard_pairs)
-    pairs = ngram_jaccard_pairs(
-        d, shingle_size=3, threshold=0.1, materialize_shingles=True
+    exact = ngram_jaccard_pairs(
+        d.where(F.col("doc_id") < _NGJ_EXACT_N),
+        shingle_size=3, threshold=0.1, materialize_shingles=True,
     )
-    return pairs.select("id_a", "id_b", _norm(F.col("jaccard"), 4).alias("jaccard"))
+    sig = minhash_signatures(d, num_hashes=8, shingle_size=3)
+    cands = lsh_candidate_pairs(sig, num_hashes=8, bands=4)
+    # NOT materialize_shingles here: under candidate restriction the
+    # shingle table is candidate-sized (cheap to re-evaluate) and the
+    # checkpoint would eagerly run the minhash-banding pipeline an
+    # extra time — measured 4.0 s → 5.9 s at sf0.1 with it on
+    lsh = ngram_jaccard_pairs(
+        d, pair_candidates=cands, shingle_size=3, threshold=0.1
+    )
+    tag = lambda kind, df: df.select(  # noqa: E731
+        F.lit(kind).alias("kind"), "id_a", "id_b",
+        _norm(F.col("jaccard"), 4).alias("jaccard"),
+    )
+    return tag("exact", exact).unionByName(tag("lsh", lsh))
 
 
-ORACLE_NGRAM_JACCARD = """
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-sh0 AS (
+def _oracle_ngram_jaccard() -> str:
+    return f"""
+WITH {_MINHASH_CTES},
+dsh0 AS (
   SELECT doc_id,
-         unnest(list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)])) AS sh
+         unnest(list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)])) AS s
   FROM toks WHERE len(t) >= 3
 ),
 -- document-frequency cutoff (engine max_df=10000): boilerplate
--- shingles leave the similarity definition on BOTH engines
-keep AS (SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) <= 10000),
-sh AS (SELECT sh0.doc_id, sh0.sh FROM sh0 JOIN keep USING (sh)),
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-inter AS (
+-- shingles leave the similarity definition on BOTH engines. The lsh
+-- lane's ban is corpus-wide; the exact lane's ban is defined over its
+-- own doc prefix (exactly what ngram_jaccard_pairs computes).
+dkeep AS (SELECT s FROM dsh0 GROUP BY s HAVING COUNT(*) <= 10000),
+dsh AS (SELECT dsh0.doc_id, dsh0.s FROM dsh0 JOIN dkeep USING (s)),
+dsizes AS (SELECT doc_id, COUNT(*) AS sz FROM dsh GROUP BY doc_id),
+linter AS (
+  SELECT p.id_a, p.id_b, COUNT(*) AS i
+  FROM pairs p
+  JOIN dsh a ON a.doc_id = p.id_a
+  JOIN dsh b ON b.doc_id = p.id_b AND b.s = a.s
+  GROUP BY 1, 2
+),
+esh0 AS (SELECT doc_id, s FROM dsh0 WHERE doc_id < {_NGJ_EXACT_N}),
+ekeep AS (SELECT s FROM esh0 GROUP BY s HAVING COUNT(*) <= 10000),
+esh AS (SELECT esh0.doc_id, esh0.s FROM esh0 JOIN ekeep USING (s)),
+esizes AS (SELECT doc_id, COUNT(*) AS sz FROM esh GROUP BY doc_id),
+einter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM esh a JOIN esh b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
-SELECT id_a, id_b,
+SELECT 'exact' AS kind, id_a, id_b,
        ROUND(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 4) + 0.0 AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = id_a
-JOIN sizes sb ON sb.doc_id = id_b
+FROM einter
+JOIN esizes sa ON sa.doc_id = id_a
+JOIN esizes sb ON sb.doc_id = id_b
+WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.1
+UNION ALL
+SELECT 'lsh' AS kind, id_a, id_b,
+       ROUND(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 4) + 0.0 AS jaccard
+FROM linter
+JOIN dsizes sa ON sa.doc_id = id_a
+JOIN dsizes sb ON sb.doc_id = id_b
 WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.1
 """
 
@@ -4912,7 +4970,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_corpus": _ORACLE_CURATE_TAGGED,
         "decontaminate": ORACLE_DECONTAM,
         "corpus_splits": ORACLE_SPLITS,
-        "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+        "ngram_jaccard": _oracle_ngram_jaccard(),
         "simhash_all": _oracle_simhash_all(),
         "embedding_neardup": ORACLE_NEARDUP,
         "lang_text_stats": _oracle_lang_text_stats(),

@@ -355,6 +355,12 @@ def ngram_jaccard_pairs(
             .where(F.col("_df") > max_df)
             .select("sh")
         )
+        if materialize_shingles:
+            # the ban join rides inside `sh`, which three plan branches
+            # consume — under candidate restriction the ban's own
+            # full-corpus explode would otherwise run once per branch;
+            # the list itself is tiny (banned digests only)
+            ban = ban.localCheckpoint()
         sh = sh.join(F.broadcast(ban), "sh", "left_anti")
 
     sh_join = sh

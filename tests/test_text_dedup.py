@@ -1250,3 +1250,36 @@ def test_c4_clean_lines(spark):
         "Try this chocolate cookie recipe at home tonight.",
         "The library avascriptjavascriptify is unrelated ok.",
     ]
+
+
+def test_ngram_candidated_equals_exact_on_candidates(spark):
+    """The r13 'lsh' lane contract: candidate-restricted exact-Jaccard
+    verification produces the SAME values the uncandidated all-pairs
+    form produces for those pairs (sizes come from intact per-doc
+    shingle sets; the df-cutoff ban stays corpus-defined), and the
+    materialize_shingles knob never changes values."""
+    rng = __import__("random").Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choices(vocab, k=30)) for _ in range(40)]
+    df = docs_df(spark, texts)
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, shingle_size=3).collect()
+    }
+    assert exact  # random short-vocab docs share shingles
+    cand_pairs = list(exact)[:10]
+    cand = spark.createDataFrame(cand_pairs, schema="id_a long, id_b long")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, pair_candidates=cand, shingle_size=3
+        ).collect()
+    }
+    assert got == {p: exact[p] for p in cand_pairs}
+    mat = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, shingle_size=3, materialize_shingles=True
+        ).collect()
+    }
+    assert mat == exact
