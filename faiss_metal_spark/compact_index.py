@@ -364,14 +364,23 @@ class SQ8Index:
     codes: DataFrame
     _n: int = field(default=-1, repr=False)
     bits: int = 8
-    direct: bool = False
+    direct: bool | str = False  # False / True / "signed"
 
     @classmethod
     def from_table(
-        cls, vt, bits: int = 8, uniform: bool = False, direct: bool = False
+        cls, vt, bits: int = 8, uniform: bool = False, direct=False
     ) -> "SQ8Index":
+        """``direct``: False (trained min/max), True (faiss
+        QT_8bit_direct — code = clamp(floor(x), 0, 255)), or
+        ``"signed"`` (QT_8bit_direct_signed — code =
+        clamp(floor(x)+128, 0, 255), decode = code − 128; the
+        [−128, 128) domain)."""
         from .operators.sq import sq_encode, sq_train
 
+        if direct not in (False, True, "signed"):
+            raise ValueError(
+                f"direct must be False, True or 'signed', got {direct!r}"
+            )
         if direct and (uniform or bits != 8):
             raise ValueError(
                 "direct is the faiss QT_8bit_direct form: bits=8, "
@@ -380,9 +389,10 @@ class SQ8Index:
         base = _float_view(vt)
         if direct:
             # training-free (faiss QT_8bit_direct has no trained state);
-            # the stored range is the identity [0, 255] for introspection
-            vmin = np.zeros(vt.d, np.float64)
-            vmax = np.full(vt.d, 255.0, np.float64)
+            # the stored range is the identity window for introspection
+            off = 128.0 if direct == "signed" else 0.0
+            vmin = np.full(vt.d, -off, np.float64)
+            vmax = np.full(vt.d, 255.0 - off, np.float64)
         else:
             vmin, vmax = sq_train(base, uniform=uniform)
         codes = sq_encode(base, vmin, vmax, bits, direct=direct).persist()
@@ -1433,12 +1443,16 @@ class IVFSQIndex:
         iters: int = 10,
         coarse_hnsw_m: int | None = None,
         coarse_kw: dict | None = None,
+        uniform: bool = False,
     ) -> "IVFSQIndex":
+        """``uniform`` (r13): one shared (vmin, vmax) across dims —
+        faiss ``IVF<n>,SQ8_uniform``; constant trained arrays, every
+        downstream path unchanged (the SQ8Index uniform discipline)."""
         from .operators.similarity import ivf_assign, ivf_train_centroids
         from .operators.sq import sq_code_col, sq_train
 
         base = _float_view(vt)
-        vmin, vmax = sq_train(base)
+        vmin, vmax = sq_train(base, uniform=uniform)
         C = ivf_train_centroids(base, n_cells, sample_size=sample_size, iters=iters)
         q = None
         if coarse_hnsw_m is not None:
@@ -5639,6 +5653,10 @@ def index_factory(vt, spec: str, **train_kw):
     if s in ("SQ8d", "SQ8_direct"):
         # faiss QT_8bit_direct: code = (uint8) x, decode = code
         return SQ8Index.from_table(vt, direct=True, **train_kw)
+    if s in ("SQ8ds", "SQ8_direct_signed"):
+        # faiss QT_8bit_direct_signed: code = (uint8)(x + 128),
+        # decode = code − 128
+        return SQ8Index.from_table(vt, direct="signed", **train_kw)
     if s in ("SQfp16", "SQbf16"):
         # faiss QT_fp16 stores IEEE half codes and searches them
         # asymmetrically — exactly the compact half-precision
@@ -5742,6 +5760,15 @@ def index_factory(vt, spec: str, **train_kw):
             m=int(m.group(2)),
             m_refine=int(m.group(3)),
             **train_kw,
+        )
+    m = re.fullmatch(r"IVF(\d+),SQ([468])u", s) or re.fullmatch(
+        r"IVF(\d+),SQ([468])_uniform", s
+    )
+    if m:
+        # faiss IVF + QT_*bit_uniform (one shared range across dims)
+        return IVFSQIndex.from_table(
+            vt, n_cells=int(m.group(1)), bits=int(m.group(2)),
+            uniform=True, **train_kw
         )
     m = re.fullmatch(r"IVF(\d+),SQ([468])", s)
     if m:

@@ -106,11 +106,17 @@ def sq_code_col(
     lv = float(_levels(bits))
     v = F.col(vec) if isinstance(vec, str) else vec
     if direct:
+        # direct=True: code = clamp(floor(x), 0, L); direct="signed"
+        # (faiss QT_8bit_direct_signed): code = clamp(floor(x)+128,
+        # 0, 255) — the upstream (uint8)(x + 128) cast on [−128, 128)
+        off = 128.0 if direct == "signed" else 0.0
         return F.transform(
             v,
             lambda x: F.least(
                 F.lit(lv),
-                F.greatest(F.lit(0.0), F.floor(x.cast("double"))),
+                F.greatest(
+                    F.lit(0.0), F.floor(x.cast("double")) + F.lit(off)
+                ),
             ).cast("int"),
         )
     vmin_l, vmax_l = _lit_arr(vmin), _lit_arr(vmax)
@@ -155,7 +161,8 @@ def sq_reconstruct_col(
     lv = float(_levels(bits))
     c = F.col(codes) if isinstance(codes, str) else codes
     if direct:
-        return F.transform(c, lambda x: x.cast("double"))
+        off = 128.0 if direct == "signed" else 0.0
+        return F.transform(c, lambda x: x.cast("double") - F.lit(off))
     vmin_l, vmax_l = _lit_arr(vmin), _lit_arr(vmax)
     return F.transform(
         c,
@@ -275,7 +282,8 @@ def sq_encode_np(
     lv = float(_levels(bits))
     x = np.atleast_2d(np.asarray(x, np.float64))
     if direct:
-        return np.clip(np.floor(x), 0.0, lv).astype(np.uint8)
+        off = 128.0 if direct == "signed" else 0.0
+        return np.clip(np.floor(x) + off, 0.0, lv).astype(np.uint8)
     vmin_ = np.asarray(vmin, np.float64)
     rng = np.asarray(vmax, np.float64) - vmin_
     safe = np.where(rng == 0.0, 1.0, rng)
@@ -292,7 +300,8 @@ def sq_decode_np(
     """(n, d) uint8 → (n, d) float64: r = vmin + code·Δ/L (``direct``:
     r = code — faiss QT_8bit_direct)."""
     if direct:
-        return np.atleast_2d(codes).astype(np.float64)
+        off = 128.0 if direct == "signed" else 0.0
+        return np.atleast_2d(codes).astype(np.float64) - off
     vmin_ = np.asarray(vmin, np.float64)
     scale = (np.asarray(vmax, np.float64) - vmin_) / float(_levels(bits))
     return vmin_ + codes.astype(np.float64) * scale

@@ -977,7 +977,7 @@ def _read_payload(spark: SparkSession, path: str):
             spark.read.parquet(f"{path}/codes"),
             meta["ntotal"],
             meta.get("bits", 8),  # round-7 stores predate b-bit tiers
-            bool(meta.get("direct", False)),  # pre-r13 stores: minmax
+            meta.get("direct", False),  # False/True/"signed"; pre-r13: minmax
         )
     if kind == "binary":
         source = (

@@ -120,3 +120,79 @@ def test_sq_direct_guards(spark):
     with pytest.raises(ValueError, match="trained state"):
         a.merge_from(b, add_id=1000)
     a.release(), b.release()
+
+
+def test_sq_direct_signed(spark, tmp_path):
+    """faiss QT_8bit_direct_signed (factory SQ8ds / SQ8_direct_signed):
+    code = clamp(floor(x)+128, 0, 255), decode = code − 128."""
+    rng = np.random.default_rng(9)
+    V = rng.uniform(-140, 140, size=(100, 5)).astype(np.float32)
+    Q = V[:3]
+    vt = _vt(spark, V)
+    idx = index_factory(vt, "SQ8ds")
+    assert idx.direct == "signed"
+    lit = index_factory(vt, "SQ8_direct_signed")
+    assert lit.direct == "signed"
+    lit.release()
+
+    want_codes = np.clip(
+        np.floor(V.astype(np.float64)) + 128, 0, 255
+    ).astype(np.uint8)
+    got = {r["id"]: r["code"] for r in idx.codes.collect()}
+    for i in range(len(V)):
+        assert got[i] == want_codes[i].tolist()
+    dec = want_codes.astype(np.float64) - 128
+    np.testing.assert_array_equal(idx.reconstruct(4), dec[4])
+
+    Dk, Lk = _exact_topk(dec, Q, 5)
+    D, L = idx.search_numpy(Q, 5)
+    np.testing.assert_array_equal(L, Lk)
+    np.testing.assert_allclose(D, Dk, rtol=1e-12)
+
+    # sa codec fixed point in the signed domain
+    sa = idx.sa_encode(V[:4].astype(np.float64))
+    np.testing.assert_array_equal(idx.sa_decode(sa), dec[:4].astype(np.float32))
+
+    # IO round-trips the "signed" marker (not collapsed to a bool)
+    p = str(tmp_path / "sqds")
+    write_index(idx, p)
+    r = read_index(spark, p)
+    assert r.direct == "signed"
+    D1, L1 = r.search_numpy(Q, 5)
+    np.testing.assert_array_equal(L, L1)
+    np.testing.assert_array_equal(D, D1)
+
+    with pytest.raises(ValueError, match="direct"):
+        SQ8Index.from_table(vt, direct="sideways")
+    # signed vs unsigned direct: trained-state mismatch refuses merge
+    b = SQ8Index.from_table(vt, direct=True)
+    with pytest.raises(ValueError, match="trained state"):
+        idx.merge_from(b, add_id=1000)
+    idx.release(), b.release()
+
+
+def test_ivfsq_uniform(spark):
+    """faiss IVF + QT_*bit_uniform (factory IVF<n>,SQ8u /
+    IVF<n>,SQ4_uniform): one shared range; full probe ≡ the flat
+    uniform tier exactly (the shared-train discipline)."""
+    from faiss_metal_spark import IVFSQIndex
+
+    rng = np.random.default_rng(13)
+    V = (rng.normal(size=(250, 8)) * np.array([1, 40, 1, 1, 1, 1, 1, 1])).astype(
+        np.float32
+    )
+    Q = V[:4]
+    vt = _vt(spark, V)
+    ivf = index_factory(vt, "IVF8,SQ8u", sample_size=250, iters=3)
+    assert isinstance(ivf, IVFSQIndex)
+    assert np.unique(ivf.vmin).size == 1 and np.unique(ivf.vmax).size == 1
+    flat = SQ8Index.from_table(vt, uniform=True)
+    np.testing.assert_array_equal(ivf.vmin, flat.vmin)
+    D0, L0 = flat.search_numpy(Q, 6)
+    D1, L1 = ivf.search_numpy(Q, 6, nprobe=8)  # full probe
+    np.testing.assert_array_equal(L0, L1)
+    # flat vs in-cell decode differ only in summation shape (~1e-11)
+    np.testing.assert_allclose(D0, D1, rtol=1e-9)
+    lit = index_factory(vt, "IVF8,SQ4_uniform", sample_size=250, iters=3)
+    assert lit.bits == 4 and np.unique(lit.vmin).size == 1
+    ivf.release(), flat.release(), lit.release()

@@ -38,9 +38,15 @@ def main() -> None:
             fn = qs[k]
             fn(spark, sf_dir).count()  # warmup (JIT, file listing, broadcasts)
             gc.collect()
+            # min-of-2 timed runs (r13): a shared receipt session
+            # accumulates executor/GC state across keys, and one-shot
+            # readings produced 10×-inflated ghosts (corpus_splits 22 s
+            # one-shot vs 2.5 s double-run — SCALE.md caveat); a spike
+            # must now hit both runs to distort a key
             times = []
-            for _ in range(1):  # receipt, not benchmark: one timed run
+            for _ in range(2):
                 spark.catalog.clearCache()
+                gc.collect()
                 t0 = time.perf_counter()
                 n = fn(spark, sf_dir).count()
                 times.append(time.perf_counter() - t0)
