@@ -4108,7 +4108,7 @@ class IVFRQIndex:
 
     @classmethod
     def from_table(
-        cls, vt, n_cells: int, m: int, nsplits: int | None = None,
+        cls, vt, n_cells: int, m: int, *, nsplits: int | None = None,
         sample_size: int = 16384, iters: int = 10,
         beam: int = 1, icm_sweeps: int = 0, by_residual: bool = True,
         nbits: int = 8, coarse_hnsw_m: int | None = None,
@@ -4648,7 +4648,7 @@ class IVFRQFastScanIndex:
 
     @classmethod
     def from_table(
-        cls, vt, n_cells: int, m: int, nsplits: int | None = None,
+        cls, vt, n_cells: int, m: int, *, nsplits: int | None = None,
         sample_size: int = 16384,
         iters: int = 10, beam: int = 1, icm_sweeps: int = 0,
         by_residual: bool = True,

@@ -109,8 +109,11 @@ def registered_domain(url: Column | str, from_host: bool = False) -> Column:
     host = _c(url) if from_host else url_domain(url)
     labels = F.split(host, r"\.")
     n = F.size(labels)
-    second = F.element_at(labels, n - 1)  # 2nd-to-last label
-    tld = F.element_at(labels, n)
+    # Guard the n-1 index explicitly: element_at(_, 0) throws under
+    # ANSI, and relying on when()-short-circuit codegen order is
+    # fragile across plan rewrites (single-label/empty hosts hit it).
+    second = F.when(n >= 2, F.element_at(labels, n - 1))  # 2nd-to-last
+    tld = F.when(n >= 1, F.element_at(labels, n))
     cc = (F.length(tld) == 2) & second.isin(*_SECOND_LEVEL)
     take = F.when(cc & (n >= 3), F.lit(3)).otherwise(F.lit(2))
     return F.when(n <= take, host).otherwise(
@@ -140,7 +143,12 @@ def domain_cap(
     semantics have one statement engine-wide."""
     from ..pipeline import stratified_cap
 
-    tagged = docs.withColumn("_dom", registered_domain(url_col))
-    return stratified_cap(tagged, "_dom", n_per_domain, id_col=id_col).drop(
-        "_dom"
+    # Collision-checked helper column: never silently overwrite (and
+    # then drop) a caller column that happens to be named "_dom".
+    dom_col = "_dom"
+    while dom_col in docs.columns:
+        dom_col = "_" + dom_col
+    tagged = docs.withColumn(dom_col, registered_domain(url_col))
+    return stratified_cap(tagged, dom_col, n_per_domain, id_col=id_col).drop(
+        dom_col
     )

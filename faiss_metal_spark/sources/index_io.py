@@ -223,7 +223,6 @@ def _is_engine_index(index) -> bool:
             SQ8Index,
             BinaryHashIndex,
             BinaryHNSWIndex,
-        BinaryHNSWIndex,
             BinaryIndex,
             BinaryIVFIndex,
             Flat1DIndex,
@@ -237,7 +236,7 @@ def _is_engine_index(index) -> bool:
             IVFPQIndex,
             IVFPQRIndex,
             IVFRQFastScanIndex,
-        IVFRQIndex,
+            IVFRQIndex,
             IVFSQIndex,
             LSHIndex,
             PQFastScanIndex,
@@ -247,7 +246,7 @@ def _is_engine_index(index) -> bool:
             PRQIndex,
             RefineIndex,
             RQFastScanIndex,
-        RQIndex,
+            RQIndex,
             ShardedIndex,
         ),
     )

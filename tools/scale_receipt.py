@@ -24,7 +24,13 @@ HEAVY = ["curate_corpus", "mllib_index_build", "ann_pq", "ann_compact", "simhash
 
 
 def main() -> None:
-    keys = sys.argv[1:] or HEAVY
+    argv = list(sys.argv[1:])
+    out_path = None
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_path = argv[i + 1]
+        del argv[i : i + 2]
+    keys = argv or HEAVY
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     import __spark_entry__ as entry
     from faiss_metal_spark import get_spark
@@ -67,6 +73,9 @@ def main() -> None:
             "load1m": v[1.0]["load1m"],
         }
     print(json.dumps(table, indent=2))
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(table, f, indent=2)
 
 
 if __name__ == "__main__":
