@@ -100,19 +100,12 @@ def bench_grid(spark) -> tuple[dict[str, float], dict[str, dict]]:
         vecs.count()  # materialize the index (build ≠ search time)
         rng = np.random.default_rng(1042 + d)
         Q = rng.uniform(-1, 1, size=(nq, d)).astype(np.float32)
-        # pandas → Arrow single-batch query table (a Python-list source
-        # would cost ~300 ms of pickled-RDD task scheduling per call)
-        import pandas as pd
-
-        qdf = spark.createDataFrame(
-            pd.DataFrame(
-                {
-                    "qid": np.arange(nq, dtype=np.int64),
-                    "vec": [v.tolist() for v in Q],
-                }
-            ),
-            schema="qid long, vec array<float>",
-        )
+        # r14: the grid times the HOST entry path (queries_host) — the
+        # arrays exist on the driver, so collecting a query DataFrame
+        # back per call (the pre-r14 shape) is a whole extra Spark job
+        # of pure scheduling floor; host ≡ DataFrame path is pinned in
+        # tests/test_search_jobs.py
+        qhost = (np.arange(nq, dtype=np.int64), Q.astype(np.float64))
         stats: dict[str, dict] = {}
         fmts = ("fp32", "fp32_f64", "fp16c", "bf16c") if label in wide else (
             "fp32", "fp16c", "bf16c"
@@ -144,13 +137,13 @@ def bench_grid(spark) -> tuple[dict[str, float], dict[str, dict]]:
         for fmt in fmts:
             tbl, kwargs = tables[fmt]
             for _ in range(warmup):
-                n = knn_search(tbl, qdf, k, **kwargs).count()
+                n = knn_search(tbl, None, k, queries_host=qhost, **kwargs).count()
                 assert n == nq * k, f"{label}/{fmt}: got {n} rows"
         for _ in range(iters):
             for fmt in fmts:
                 tbl, kwargs = tables[fmt]
                 t0 = time.perf_counter()
-                knn_search(tbl, qdf, k, **kwargs).count()
+                knn_search(tbl, None, k, queries_host=qhost, **kwargs).count()
                 times[fmt].append(time.perf_counter() - t0)
         for fmt in fmts:
             total = sum(times[fmt])

@@ -20,6 +20,7 @@ from .compact_index import (
     GraphSQIndex,
     IMIIndex,
     LSHIndex,
+    NSGIndex,
     IVFFlatDedupIndex,
     IVFIndex,
     IVFPQFastScanIndex,
@@ -83,6 +84,7 @@ __all__ = [
     "GraphSQIndex",
     "IMIIndex",
     "LSHIndex",
+    "NSGIndex",
     "IVFFlatDedupIndex",
     "IVFIndex",
     "IVFPQFastScanIndex",

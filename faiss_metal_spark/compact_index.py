@@ -326,7 +326,10 @@ def _add_sa_codes_frame(index, frame_attr, codes, ids, schema, extra=None):
 
 
 def _host_result(res: DataFrame, nq: int, k: int) -> tuple[np.ndarray, np.ndarray]:
-    pdf = res.orderBy("qid", "rank").toPandas()
+    # no orderBy: the (qid, rank) scatter below places every row, and
+    # a driver-bound sort costs a whole range-exchange (sampling job +
+    # sort stages) per search call — 2 of the measured 6 AQE jobs
+    pdf = res.toPandas()
     if nq == 0:
         return np.zeros((0, k), np.float64), np.zeros((0, k), np.int64)
     # pad to exactly k per query (sentinels) like VectorTable.search_numpy
@@ -2867,6 +2870,145 @@ class GraphIndex:
     def release(self) -> None:
         self.vectors.unpersist()
         self.graph.unpersist()
+
+
+@dataclass
+class NSGIndex(GraphIndex):
+    """faiss ``IndexNSG`` / ``IndexNSGFlat`` (factory ``"NSG<R>"``;
+    faiss/IndexNSG.h, NSG.cpp build/tree_grow/attach — Fu et al.,
+    "Fast Approximate Nearest Neighbor Search With The Navigating
+    Spreading-out Graph", VLDB 2019) as a dedicated tier rather than
+    the HNSW facade:
+
+    - **Build**: NN-Descent candidate graph (degree ``2R``) → MRNG
+      edge select down to ≤ ``R`` directed edges per node
+      (``mrng_diversify`` ≙ NSG's Algorithm 2 / faiss
+      ``NSG::link``) → connectivity repair (``connect_graph`` ≙ faiss
+      ``tree_grow``/``attach``: islands re-link to their exact nearest
+      main-component neighbor — repair bridges may push a handful of
+      nodes to R+1 edges, exactly as faiss lets ``attach`` exceed R).
+    - **Navigating node**: the corpus MEDOID (the vector nearest the
+      dataset centroid — NSG §4.1's navigating node; faiss keeps it in
+      ``NSG::enterpoint``), computed with one distributed avg + one
+      argmin scan at build and stored in ``nav_id``.
+    - **Search**: beam search seeded at the navigating node
+      (``graph_search(entry="fixed", entry_ids=[nav_id])`` — NSG's
+      search always starts there), ``ef``/``iters`` playing the L
+      pool-size role. ``entry="landmarks"`` stays available for huge
+      corpora where a coarse entry layer beats the diameter-bound walk
+      from one fixed node.
+
+    ``M`` (inherited) IS ``R`` — the NSG degree bound. Read-only like
+    the other derived graph tiers at build; ``add_df`` keeps the
+    inherited NSW insertion (faiss IndexNSG refuses add-after-build;
+    deviation documented: incremental adds here shrink-on-insert and
+    may locally exceed NSG's pruning guarantees, rebuild for strict
+    NSG structure).
+    """
+
+    nav_id: int = -1
+
+    # NSG search walks from one fixed node, so give the walk more
+    # rounds than the landmark-seeded default (diameter-bound).
+    _NAV_ITERS = 5
+
+    @property
+    def R(self) -> int:
+        return self.M
+
+    @classmethod
+    def from_table(
+        cls,
+        vt,
+        R: int = 16,
+        iters: int = 4,
+        seed: int = 42,
+        ef_search: int = 64,
+        **_ignored,
+    ) -> "NSGIndex":
+        from .functions.vector import l2sq
+        from .operators.knn_graph import mrng_diversify, nn_descent, nsg_connect
+
+        base = _float_view(vt).persist()
+        n = base.count()
+        # navigating node = medoid: distributed elementwise mean, then
+        # one argmin scan (both corpus-bounded; only 1 row collects)
+        mean_row = base.select(
+            F.array(
+                *[F.avg(F.col("vec")[i]) for i in range(vt.d)]
+            ).alias("c")
+        ).first()
+        centroid = [float(x) for x in mean_row["c"]] if mean_row else []
+        nav = (
+            base.select(
+                "id",
+                l2sq(
+                    F.col("vec"), F.array(*[F.lit(c) for c in centroid])
+                ).alias("_d"),
+            )
+            .orderBy(F.col("_d").asc(), F.col("id").asc())
+            .first()
+        ) if centroid else None
+        nav_id = int(nav["id"]) if nav is not None else -1
+        cand = nn_descent(base, k=2 * R, iters=iters, seed=seed)
+        graph = mrng_diversify(cand, base, R)
+        if n > 1:
+            # faiss tree_grow/attach: DIRECTED reachability from the
+            # navigating node (weak connectivity is not enough for a
+            # walk that always starts there)
+            graph = nsg_connect(graph, base, nav_id)
+        graph = graph.persist()
+        graph.count()
+        return cls(
+            vt.spark, vt.d, base, graph, R, ef_search, n, nav_id=nav_id
+        )
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int,
+        ef: int | None = None,
+        iters: int | None = None,
+        entry: str = "nav",
+    ) -> DataFrame:
+        from .operators.knn_graph import graph_search
+
+        if entry == "nav":
+            return graph_search(
+                self.vectors,
+                self.graph,
+                queries,
+                k,
+                beam=max(ef if ef is not None else self.ef_search, k),
+                iters=self._NAV_ITERS if iters is None else iters,
+                entry="fixed",
+                entry_ids=[self.nav_id],
+            )
+        return super().search(
+            queries, k, ef, iters=3 if iters is None else iters, entry=entry
+        )
+
+    def search_numpy(
+        self,
+        x: np.ndarray,
+        k: int,
+        ef: int | None = None,
+        iters: int | None = None,
+        entry: str = "nav",
+    ) -> tuple[np.ndarray, np.ndarray]:
+        return _host_result(
+            self.search(_query_df(self.spark, x), k, ef, iters=iters, entry=entry),
+            len(np.atleast_2d(x)),
+            k,
+        )
+
+    def range_search(self, *_a, **_k):
+        """faiss ``IndexNSG`` has no range_search (same beam-search
+        limitation as IndexHNSW)."""
+        raise NotImplementedError(
+            "NSGIndex.range_search: faiss IndexNSG does not support "
+            "range search; use a flat/IVF tier for radius queries"
+        )
 
 
 @dataclass
@@ -5681,8 +5823,9 @@ def index_factory(vt, spec: str, **train_kw):
     m = re.fullmatch(r"BHash(\d+)", s)
     if m:
         return BinaryHashIndex.from_table(vt, b=int(m.group(1)), **train_kw)
-    m = re.fullmatch(r"BMHash(\d+)x(\d+)", s)
+    m = re.fullmatch(r"B(?:M|Multi)Hash(\d+)x(\d+)", s)
     if m:
+        # "BMHash4x8" with the long-form "BMultiHash4x8" alias
         return BinaryHashIndex.from_table(
             vt, b=int(m.group(2)), n_slices=int(m.group(1)), **train_kw
         )
@@ -5814,18 +5957,13 @@ def index_factory(vt, spec: str, **train_kw):
         return GraphIndex.from_table(vt, M=int(m.group(1)), **train_kw)
     m = re.fullmatch(r"NSG(\d+)(?:,Flat)?", s)
     if m:
-        # faiss IndexNSG builds exactly this way: an NN-Descent kNN
-        # graph pruned by the MRNG edge select (Fu et al. 2019), then
-        # the connectivity repair (tree_grow/attach — connect_graph
-        # here): islands the pruning disconnected re-link to their
-        # exact nearest main-component neighbor, so search reaches
-        # every node. The navigating-node entry point is played by the
-        # serving layer's ~√n landmark entry (graph_search
-        # entry="landmarks", r10): the beam starts at the query's
-        # nearest landmarks instead of random seeds.
-        return GraphIndex.from_table(
-            vt, M=int(m.group(1)), diversify=True, repair=True, **train_kw
-        )
+        # faiss IndexNSG / IndexNSGFlat: dedicated tier (r14) — an
+        # NN-Descent kNN graph pruned by the MRNG edge select (Fu et
+        # al. 2019), the connectivity repair (tree_grow/attach —
+        # connect_graph), and a TRUE navigating-node entry: the corpus
+        # medoid computed at build seeds every search beam
+        # (graph_search entry="fixed"), exactly NSG's enterpoint.
+        return NSGIndex.from_table(vt, R=int(m.group(1)), **train_kw)
     m = re.fullmatch(r"OPQ(\d+)(?:,PQ(\d+)(?:x(\d+))?)?", s)
     if m:
         if m.group(2) is not None and m.group(2) != m.group(1):

@@ -102,22 +102,106 @@ def url_domain(url: Column | str) -> Column:
     )
 
 
-def registered_domain(url: Column | str, from_host: bool = False) -> Column:
-    """Approximate eTLD+1 (see module docstring): ``a.b.co.uk`` →
-    ``b.co.uk``, ``www.x.com`` → ``x.com``. Pass ``from_host=True``
-    when the column already holds a bare host."""
-    host = _c(url) if from_host else url_domain(url)
+def _parse_psl(psl) -> tuple[set, set, set, int]:
+    """Split PSL rule lines into (exact, wildcard-base, exception)
+    sets + the longest rule's label count. Accepts raw
+    publicsuffix.org lines: blanks and ``//`` comments are skipped,
+    ``*.``-prefixed rules contribute their base, ``!``-prefixed rules
+    are exceptions."""
+    exact, wild, exc = set(), set(), set()
+    max_j = 1
+    for raw in psl:
+        rule = raw.strip().lower()
+        if not rule or rule.startswith("//"):
+            continue
+        if rule.startswith("!"):
+            body = rule[1:]
+            exc.add(body)
+            max_j = max(max_j, body.count(".") + 1)
+        elif rule.startswith("*."):
+            body = rule[2:]
+            wild.add(body)
+            max_j = max(max_j, body.count(".") + 2)
+        else:
+            exact.add(rule)
+            max_j = max(max_j, rule.count(".") + 1)
+    return exact, wild, exc, max_j
+
+
+def registered_domain(
+    url: Column | str, from_host: bool = False, psl=None
+) -> Column:
+    """eTLD+1 of a URL's host.
+
+    Default (``psl=None``): the documented zero-dependency
+    APPROXIMATION — last two labels, three when the TLD is a 2-letter
+    country code behind a common second-level label (``a.b.co.uk`` →
+    ``b.co.uk``, ``www.x.com`` → ``x.com``).
+
+    ``psl=``: an iterable of public-suffix rules (raw
+    publicsuffix.org list lines — comments/blanks skipped, ``*.``
+    wildcard and ``!`` exception rules honored per the PSL algorithm:
+    prevailing rule = any matching exception, else the longest match,
+    else ``*``). Real crawls need this: the heuristic caps and blocks
+    ``*.github.io`` / ``*.blogspot.com``-class suffixes incorrectly.
+    Compiled into a bounded literal-set expression (Catalyst turns
+    large ``isin`` lists into an InSet hash probe — a plan constant,
+    broadcast by construction, no Python per row and no extra
+    shuffle; the full ~10k-rule PSL is ~100 KB of plan literal).
+
+    Pass ``from_host=True`` when the column already holds a bare
+    host."""
+    host = F.lower(_c(url)) if from_host else url_domain(url)
     labels = F.split(host, r"\.")
     n = F.size(labels)
-    # Guard the n-1 index explicitly: element_at(_, 0) throws under
-    # ANSI, and relying on when()-short-circuit codegen order is
-    # fragile across plan rewrites (single-label/empty hosts hit it).
-    second = F.when(n >= 2, F.element_at(labels, n - 1))  # 2nd-to-last
-    tld = F.when(n >= 1, F.element_at(labels, n))
-    cc = (F.length(tld) == 2) & second.isin(*_SECOND_LEVEL)
-    take = F.when(cc & (n >= 3), F.lit(3)).otherwise(F.lit(2))
+    if psl is None:
+        # Guard the n-1 index explicitly: element_at(_, 0) throws
+        # under ANSI, and relying on when()-short-circuit codegen
+        # order is fragile across plan rewrites (single-label/empty
+        # hosts hit it).
+        second = F.when(n >= 2, F.element_at(labels, n - 1))  # 2nd-to-last
+        tld = F.when(n >= 1, F.element_at(labels, n))
+        cc = (F.length(tld) == 2) & second.isin(*_SECOND_LEVEL)
+        take = F.when(cc & (n >= 3), F.lit(3)).otherwise(F.lit(2))
+        return F.when(n <= take, host).otherwise(
+            F.array_join(F.slice(labels, n - take + 1, take), ".")
+        )
+
+    exact, wild, exc, max_j = _parse_psl(psl)
+
+    def suffix(j):
+        # last j labels joined; start clamps to 1 so slice never sees
+        # a 0/negative index when n < j (the n >= j gate decides the
+        # VALUE, the clamp keeps evaluation-order independence — the
+        # ADVICE-1 ANSI lesson)
+        return F.array_join(
+            F.slice(labels, F.greatest(n - F.lit(j) + 1, F.lit(1)), F.lit(j)),
+            ".",
+        )
+
+    # public-suffix label count by PSL precedence: exception rules
+    # first (ps = rule minus its first label), else the LONGEST
+    # matching exact/wildcard rule (scan j descending), else 1 ("*").
+    ps_len = F.lit(1)
+    for j in range(2, max_j + 1):  # longest wins: later when() = outer
+        cond = (n >= j) & F.lit(False)
+        if exact:
+            cond = cond | suffix(j).isin(*sorted(exact))
+        if wild and j >= 2:
+            cond = cond | suffix(j - 1).isin(*sorted(wild))
+        ps_len = F.when((n >= j) & cond, F.lit(j)).otherwise(ps_len)
+    # j == 1 exact rules (plain TLD entries like "com") keep ps_len at
+    # 1 — already the default.
+    for j in sorted({r.count(".") + 1 for r in exc}):
+        ps_len = F.when(
+            (n >= j) & suffix(j).isin(*sorted(e for e in exc if e.count(".") + 1 == j)),
+            F.lit(j - 1),
+        ).otherwise(ps_len)
+    take = ps_len + 1
     return F.when(n <= take, host).otherwise(
-        F.array_join(F.slice(labels, n - take + 1, take), ".")
+        F.array_join(
+            F.slice(labels, F.greatest(n - take + 1, F.lit(1)), take), "."
+        )
     )
 
 

@@ -119,6 +119,7 @@ def knn_search(
     vec_format: str = "array",
     norm_col: str | None = None,
     compute: Literal["auto", "f32", "f64"] = "auto",
+    queries_host: tuple | None = None,
 ) -> DataFrame:
     """Top-k nearest neighbors of each query row among the vector rows.
 
@@ -131,6 +132,15 @@ def knn_search(
     path by default; the declarative sql path when ``nv_hint`` says the
     vector side is tiny (counting would cost a job, so the caller
     supplies the hint — a real deployment knows its table sizes).
+
+    ``queries_host=(qids, Q)`` (r14): host-array queries for callers
+    that already hold them in numpy (``search_numpy``). Skips both the
+    query-DataFrame build and the ``_collect_queries`` round-trip —
+    the collect is a whole Spark job whose ~0.4 s scheduling floor
+    dominated every sub-second grid config (BENCH_GRID method notes),
+    and it only re-materializes arrays the caller had. gemm path only
+    (``queries`` may be None); values identical to the DataFrame path
+    by construction — same (qids, Q) reach the same kernel.
     """
     if k <= 0:
         raise ValueError("k must be positive")  # ≙ MetalIndexFlat.mm:321
@@ -146,12 +156,17 @@ def knn_search(
     if use_norms:
         vcols.append(F.col(norm_col).cast("double").alias("norm_sq"))
     v = vectors.select(*vcols)
-    q = queries.select(
-        F.col(qid_col).cast("long").alias("qid"), F.col(qvec_col).alias("qvec")
-    )
-
-    if method == "auto":
-        method = "sql" if (nv_hint is not None and nv_hint <= _SMALL_NV) else "gemm"
+    if queries_host is not None:
+        if method == "sql":
+            raise ValueError("queries_host requires the gemm path")
+        method = "gemm"
+        q = None
+    else:
+        q = queries.select(
+            F.col(qid_col).cast("long").alias("qid"), F.col(qvec_col).alias("qvec")
+        )
+        if method == "auto":
+            method = "sql" if (nv_hint is not None and nv_hint <= _SMALL_NV) else "gemm"
     if vec_format != "array" and method != "gemm":
         raise ValueError("compact binary vector storage requires the gemm path")
 
@@ -169,7 +184,18 @@ def knn_search(
         if compute not in ("f32", "f64"):
             raise ValueError(f"unknown compute {compute!r} (auto/f32/f64)")
         dtype = np.float64 if compute == "f64" else np.float32
-        qids, Q = _collect_queries(q)
+        if queries_host is not None:
+            qids = np.asarray(queries_host[0], dtype=np.int64)
+            Q = np.asarray(queries_host[1], dtype=np.float64)
+            if Q.ndim != 2 or len(qids) != len(Q):
+                raise ValueError("queries_host must be (qids, (nq, d) matrix)")
+            if Q.size > _MAX_BROADCAST_ELEMS:
+                raise ValueError(
+                    f"query batch too large to broadcast ({Q.size} elems); "
+                    "use knn_join for large-nq workloads"
+                )
+        else:
+            qids, Q = _collect_queries(q)
         candidates = _gemm_candidates(
             v, qids, Q, k, metric, vec_format, use_norms, dtype
         )
@@ -501,7 +527,9 @@ def _finalize(
     # the qids (gemm path), the scaffold is a LocalRelation — no tasks
     # re-scan the query table just to enumerate its keys.
     if qids is not None:
-        scaffold = q.sparkSession.createDataFrame(
+        # q is None on the queries_host fast path — any session works
+        # for a LocalRelation scaffold
+        scaffold = (q if q is not None else candidates).sparkSession.createDataFrame(
             pd.DataFrame({"qid": np.asarray(qids, dtype=np.int64)}),
             schema="qid long",
         )

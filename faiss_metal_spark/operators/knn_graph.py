@@ -320,6 +320,147 @@ def connect_graph(
     return graph.unionByName(links).unionByName(back)
 
 
+def nsg_connect(
+    graph: DataFrame,
+    vectors: DataFrame,
+    nav_id: int,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    max_rounds: int = 64,
+    max_attach: int = 16,
+) -> DataFrame:
+    """faiss ``IndexNSG``'s tree_grow/attach (NSG.cpp) — guarantee
+    every node is DIRECTED-reachable from the navigating node, which
+    is strictly stronger than :func:`connect_graph`'s weak
+    connectivity: a cluster whose only link is an OUTBOUND edge into
+    the main component is weakly connected but invisible to a beam
+    walk that starts at the navigating node (measured: a 4-cluster
+    fixture answered only same-cluster queries under the weak repair).
+
+    Distributed shape, nothing driver-sized:
+
+    1. BFS from ``nav_id`` over the directed edge list to a fixpoint
+       (≤ ``max_rounds`` equi-join rounds, frontier/visited are id
+       frames — ``localCheckpoint`` per round, the nn_descent lineage
+       discipline; navigable graphs have ~log-n diameter so the bound
+       is slack);
+    2. unreached nodes → weakly-connected components of their INDUCED
+       subgraph (+ isolated nodes as singletons); each component's
+       min-id representative is knn-searched (k=1, exact) against the
+       REACHED vectors only — query side is components-bounded exactly
+       like ``connect_graph``'s attach;
+    3. the bridge links add BOTH directions (reached→rep makes the
+       component enterable; rep→reached keeps the return path), PLUS a
+       direct ``nav → rep`` hub edge: the beam walk always starts at
+       the navigating node, and without a hub edge there is no
+       distance GRADIENT inside the entry cluster pointing at whichever
+       boundary node happens to hold the bridge (measured: 4/12
+       cross-cluster self-hits without the hub, 12/12 with). faiss
+       avoids this because its Link stage draws every node's candidate
+       pool from a search path out of the enterpoint — the hub edge is
+       the cheap equivalent, and it concentrates only #islands extra
+       edges on the one navigating node. Then BFS resumes FROM the new
+       representatives to claim their component interiors. Repeat ≤
+       ``max_attach`` times (faiss loops tree_grow the same way until
+       the spanning tree covers n).
+
+    Returns the repaired (id, nbr, dist) graph; a graph already fully
+    reachable returns its rows unchanged. Build-time one-off: serving
+    never runs this.
+    """
+    from .knn import knn_search
+
+    spark = graph.sparkSession
+    v = vectors.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
+    ).persist()
+    g = graph
+    reached = spark.createDataFrame(
+        [(int(nav_id),)], "id long"
+    ).localCheckpoint(eager=True)
+    frontier = reached
+    for _attach in range(int(max_attach)):
+        edges = g.select(
+            F.col("id").cast("long").alias("id"),
+            F.col("nbr").cast("long").alias("nbr"),
+        )
+        for _ in range(int(max_rounds)):
+            nxt = (
+                edges.join(frontier, "id")
+                .select(F.col("nbr").alias("id"))
+                .distinct()
+                .join(reached, "id", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.count() == 0:
+                break
+            reached = reached.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+        unreached = (
+            v.select("id").join(reached, "id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if unreached.count() == 0:
+            break
+        induced = (
+            edges.join(unreached, "id")
+            .join(unreached.select(F.col("id").alias("nbr")), "nbr")
+        )
+        from .dedup import connected_components
+
+        cc = connected_components(
+            induced.select(F.col("id").alias("id_a"), F.col("nbr").alias("id_b"))
+        )
+        in_edges = cc.select("id").distinct()
+        singletons = unreached.join(in_edges, "id", "left_anti").select(
+            F.col("id").alias("rep")
+        )
+        reps = (
+            cc.select(F.col("cluster").alias("rep")).distinct()
+            .unionByName(singletons)
+            .localCheckpoint(eager=True)
+        )
+        attach_q = reps.join(
+            v.select(F.col("id").alias("rep"), "vec"), "rep"
+        ).select(F.col("rep").alias("qid"), "vec")
+        reached_v = reached.join(v, "id")
+        links = (
+            knn_search(reached_v, attach_q, k=1, metric="l2", compute="f64")
+            .where(F.col("label") >= 0)
+            .select(
+                F.col("label").alias("id"),
+                F.col("qid").alias("nbr"),
+                F.col("distance").alias("dist"),
+            )
+        )
+        back = links.select(
+            F.col("nbr").alias("id"), F.col("id").alias("nbr"), "dist"
+        )
+        # hub edges nav → rep (see docstring: the walk starts at nav,
+        # so every island must be one hop from it)
+        nav_vec_row = v.where(F.col("id") == int(nav_id)).select("vec").first()
+        hub = attach_q.select(
+            F.lit(int(nav_id)).alias("id"),
+            F.col("qid").alias("nbr"),
+            l2sq(
+                F.col("vec"),
+                F.array(*[F.lit(float(x)) for x in nav_vec_row["vec"]]),
+            ).alias("dist"),
+        ).where(F.col("nbr") != int(nav_id))
+        g = (
+            g.unionByName(links)
+            .unionByName(back)
+            .unionByName(hub)
+            .localCheckpoint(eager=True)
+        )
+        reached = reached.unionByName(
+            reps.select(F.col("rep").alias("id"))
+        ).localCheckpoint(eager=True)
+        frontier = reps.select(F.col("rep").alias("id"))
+    v.unpersist()
+    return g
+
+
 def graph_search(
     vectors: DataFrame,
     graph: DataFrame,
@@ -334,6 +475,7 @@ def graph_search(
     qid_col: str = "qid",
     qvec_col: str = "vec",
     entry: str = "landmarks",
+    entry_ids=None,
     stats: dict | None = None,
     decode=None,
 ) -> DataFrame:
@@ -356,7 +498,9 @@ def graph_search(
     nq × √n scoring pass (the landmark set is a deterministic hash
     sample — derivable from the vectors, nothing extra persists).
     ``"hash"`` is the legacy flat entry: ``n_seeds`` hash-random ids
-    (``n_seeds`` only affects that path).
+    (``n_seeds`` only affects that path). ``"fixed"`` (r14) seeds every
+    query's beam at the caller-supplied ``entry_ids`` — the NSG
+    navigating-node entry (:class:`~..compact_index.NSGIndex`).
 
     Then ``iters`` rounds of expand-the-beam — neighbors (via
     ``graph`` edges) of the current best ``beam`` candidates are
@@ -392,8 +536,10 @@ def graph_search(
     """
     if k <= 0:
         raise ValueError("k must be positive")
-    if entry not in ("landmarks", "hash"):
-        raise ValueError(f"unknown entry {entry!r} (landmarks/hash)")
+    if entry not in ("landmarks", "hash", "fixed"):
+        raise ValueError(f"unknown entry {entry!r} (landmarks/hash/fixed)")
+    if entry == "fixed" and not entry_ids:
+        raise ValueError("entry='fixed' requires a non-empty entry_ids list")
     b = beam if beam is not None else max(3 * k, 16)
     if b < k:
         raise ValueError(f"beam {b} must be >= k {k}")
@@ -489,6 +635,21 @@ def graph_search(
         land_scored = _dist(land.join(F.broadcast(q), how="cross"))
         beam_df = _topb(land_scored).localCheckpoint(eager=True)
         visited = land_scored.select("qid", "label").localCheckpoint(eager=True)
+        if stats is not None:
+            n_evals += visited.count()
+    elif entry == "fixed":
+        # NSG navigating-node entry (faiss IndexNSG search_on_graph's
+        # enterpoint): every query's beam starts at the SAME fixed
+        # node set — typically the single medoid NSGIndex computed at
+        # build. A plan literal (no landmark scan): one bounded
+        # nq × |entry_ids| scoring pass seeds the walk.
+        ids = sorted({int(i) for i in entry_ids})
+        seeds = q.select(
+            "qid",
+            F.explode(F.array(*[F.lit(i) for i in ids])).alias("label"),
+        )
+        beam_df = _topb(_score(seeds)).localCheckpoint(eager=True)
+        visited = seeds.localCheckpoint(eager=True)
         if stats is not None:
             n_evals += visited.count()
     else:

@@ -200,6 +200,7 @@ def _is_engine_index(index) -> bool:
         IVFRQIndex,
         IVFSQIndex,
         LSHIndex,
+        NSGIndex,
         OPQIndex,
         PQFastScanIndex,
         PQIndex,
@@ -239,6 +240,7 @@ def _is_engine_index(index) -> bool:
             IVFRQIndex,
             IVFSQIndex,
             LSHIndex,
+            NSGIndex,
             PQFastScanIndex,
             PQIndex,
             OPQIndex,
@@ -272,6 +274,7 @@ def _write_payload(index, path: str) -> None:
         IVFRQIndex,
         IVFSQIndex,
         LSHIndex,
+        NSGIndex,
         OPQIndex,
         PQFastScanIndex,
         PQIndex,
@@ -572,17 +575,18 @@ def _write_payload(index, path: str) -> None:
     elif isinstance(index, GraphIndex):
         _write_frame(index.vectors, f"{path}/vectors")
         _write_frame(index.graph, f"{path}/graph")
-        _write_meta(
-            index.spark,
-            path,
-            {
-                "kind": "graph",
-                "d": index.d,
-                "ntotal": index.ntotal,
-                "M": index.M,
-                "ef_search": index.ef_search,
-            },
-        )
+        meta = {
+            # NSGIndex subclasses GraphIndex: same payload plus the
+            # navigating node (kind "nsg" restores the subclass)
+            "kind": "nsg" if isinstance(index, NSGIndex) else "graph",
+            "d": index.d,
+            "ntotal": index.ntotal,
+            "M": index.M,
+            "ef_search": index.ef_search,
+        }
+        if isinstance(index, NSGIndex):
+            meta["nav_id"] = int(index.nav_id)
+        _write_meta(index.spark, path, meta)
     elif isinstance(index, IVFSQIndex):
         _write_frame(index.codes, f"{path}/codes", partition_by="cell")
         arrays = {
@@ -920,6 +924,7 @@ def _read_payload(spark: SparkSession, path: str):
         IVFRQIndex,
         IVFSQIndex,
         LSHIndex,
+        NSGIndex,
         OPQIndex,
         PQFastScanIndex,
         PQIndex,
@@ -1061,6 +1066,17 @@ def _read_payload(spark: SparkSession, path: str):
             meta["M"],
             meta["ef_search"],
             meta["ntotal"],
+        )
+    if kind == "nsg":
+        return NSGIndex(
+            spark,
+            meta["d"],
+            spark.read.parquet(f"{path}/vectors"),
+            spark.read.parquet(f"{path}/graph"),
+            meta["M"],
+            meta["ef_search"],
+            meta["ntotal"],
+            nav_id=int(meta["nav_id"]),
         )
     if kind == "ivfsq":
         return IVFSQIndex(

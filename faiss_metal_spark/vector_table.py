@@ -756,6 +756,7 @@ class VectorTable:
         self, queries: DataFrame, k: int, method: str = "auto",
         qid_col: str = "qid", qvec_col: str = "vec",
         params: SearchParams | None = None, compute: str = "auto",
+        _queries_host: tuple | None = None,
     ) -> DataFrame:
         metric = self.metric
         if params is not None:
@@ -766,6 +767,7 @@ class VectorTable:
             method = "gemm"
         return knn_search(
             self._sel_view(params), queries, k, metric=metric, method=method,
+            queries_host=_queries_host,
             qid_col=qid_col, qvec_col=qvec_col, vec_format=self._vec_format,
             # quantized tables search with the precomputed fp32 norms
             # (MetalIndexFlat.mm:258-268); fp32 tables recompute — the
@@ -804,6 +806,33 @@ class VectorTable:
     ) -> tuple[np.ndarray, np.ndarray]:
         """≙ search(n, x, k, distances, labels) with host arrays in/out."""
         x = np.asarray(x, dtype=np.float32)
+        if x.ndim == 1 and x.size:
+            x = x[None, :]
+        eff_method = (params.method if params is not None else None) or method
+        if eff_method in ("auto", "gemm") and len(x):
+            # host fast path (r14): the arrays are already in hand —
+            # skip the query-DataFrame build AND the _collect_queries
+            # job (one whole Spark job of ~0.4 s scheduling floor per
+            # search call; values identical — float32-rounded queries
+            # reach the same kernel either way)
+            res = self.search(
+                None, k, method=method, params=params, compute=compute,
+                _queries_host=(
+                    np.arange(len(x), dtype=np.int64),
+                    x.astype(np.float64),
+                ),
+            ).toPandas()
+            # scatter by (qid, rank) instead of orderBy: a driver-bound
+            # sort costs a whole range-exchange (sampling job + sort
+            # stages) per search call
+            nq = len(x)
+            D = np.empty((nq, k), np.float64)
+            L = np.empty((nq, k), np.int64)
+            qi = res["qid"].to_numpy(np.int64)
+            ri = res["rank"].to_numpy(np.int64)
+            D[qi, ri] = res["distance"].to_numpy(np.float64)
+            L[qi, ri] = res["label"].to_numpy(np.int64)
+            return D.astype(np.float32), L
         # pandas input → Arrow packs one JVM-side batch; a Python list
         # would become a pickled RDD over defaultParallelism partitions
         # whose collect costs ~300 ms of task scheduling per search call
@@ -821,14 +850,21 @@ class VectorTable:
             qdf = self.spark.createDataFrame(
                 [], schema="qid long, vec array<float>"
             )
-        res = (
-            self.search(qdf, k, method=method, params=params, compute=compute)
-            .orderBy("qid", "rank")
-            .toPandas()
-        )
+        res = self.search(
+            qdf, k, method=method, params=params, compute=compute
+        ).toPandas()
         nq = len(x)
-        D = res["distance"].to_numpy(np.float64).reshape(nq, k)
-        L = res["label"].to_numpy(np.int64).reshape(nq, k)
+        if nq == 0:
+            return (
+                np.zeros((0, k), np.float32),
+                np.zeros((0, k), np.int64),
+            )
+        D = np.empty((nq, k), np.float64)
+        L = np.empty((nq, k), np.int64)
+        qi = res["qid"].to_numpy(np.int64)
+        ri = res["rank"].to_numpy(np.int64)
+        D[qi, ri] = res["distance"].to_numpy(np.float64)
+        L[qi, ri] = res["label"].to_numpy(np.int64)
         return D.astype(np.float32), L
 
     def search_async(

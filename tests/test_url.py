@@ -122,3 +122,73 @@ def test_blocklist_and_cap(spark):
             r["doc_id"] for r in out if r["doc_id"] % 3 == mod
         )
         assert got == sorted(want)
+
+
+def test_registered_domain_psl(spark):
+    """PSL-backed eTLD+1 (r14): wildcard + exception + multi-label
+    rules from a publicsuffix.org-style fixture of known-tricky
+    suffixes the 2/3-label heuristic gets wrong."""
+    from faiss_metal_spark.functions.url import registered_domain
+
+    psl = [
+        "// this is a comment",
+        "",
+        "com",
+        "co.uk",
+        "github.io",
+        "blogspot.com",
+        "*.ck",
+        "!www.ck",
+        "s3.amazonaws.com",
+        "uk",
+    ]
+    cases = [
+        # (host, expected eTLD+1 under the PSL)
+        ("a.b.github.io", "b.github.io"),          # heuristic says github.io
+        ("foo.blogspot.com", "foo.blogspot.com"),  # heuristic says blogspot.com
+        ("x.foo.blogspot.com", "foo.blogspot.com"),
+        ("www.example.co.uk", "example.co.uk"),
+        ("foo.bar.ck", "foo.bar.ck"),              # wildcard *.ck: ps = bar.ck
+        ("a.foo.bar.ck", "foo.bar.ck"),
+        ("www.ck", "www.ck"),                       # exception !www.ck: ps = ck
+        ("sub.www.ck", "www.ck"),
+        ("bucket.s3.amazonaws.com", "bucket.s3.amazonaws.com"),
+        ("www.example.com", "example.com"),
+        ("example.com", "example.com"),
+        ("com", "com"),                              # host == public suffix
+        ("localhost", "localhost"),                  # no rule: '*' default
+        ("", ""),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], ["host"])
+    got = [
+        r.rd
+        for r in df.select(
+            registered_domain("host", from_host=True, psl=psl).alias("rd")
+        ).collect()
+    ]
+    for (h, want), g in zip(cases, got):
+        assert (g or "") == want, (h, g, want)
+
+
+def test_registered_domain_psl_default_unchanged(spark):
+    """psl=None keeps the r13 approximation bit-for-bit (the
+    corpus_splits hash depends on it)."""
+    from faiss_metal_spark.functions.url import registered_domain
+
+    urls = [
+        ("https://www.example.co.uk/p",),
+        ("http://a.b.c.com/x",),
+        ("https://x.com",),
+        ("not a url",),
+    ]
+    df = spark.createDataFrame(urls, ["url"])
+    got = [
+        (r.a or "", r.b or "")
+        for r in df.select(
+            registered_domain("url").alias("a"),
+            registered_domain("url", psl=None).alias("b"),
+        ).collect()
+    ]
+    want = ["example.co.uk", "c.com", "x.com", ""]
+    assert [a for a, _ in got] == want
+    assert [b for _, b in got] == want
