@@ -437,16 +437,40 @@ def connected_components(
     GraphX-style pattern). Deterministic → exactly reproducible by a
     recursive-SQL oracle.
 
-    Strategy gate: after the (always-needed) materialization of the
-    symmetric edge list, if it holds ≤ ``small_graph_rows`` rows the
-    whole graph is collected and solved with one union-find pass —
-    the small-side discipline of a broadcast join applied to graph
-    closure. A dedup graph is edge-sparse by construction (pairs only
-    exist where near-duplicates do), so even 100 TB corpora routinely
-    land under the gate; the iterative path exists for the ones that
-    don't. Measured at sf0.1: the 793-edge LSH graph costs ~3.2 s in
+    Strategy gate: a single bounded collect probes the RAW edge list —
+    ``limit(small_graph_rows + 1)`` so the driver never materializes
+    more than the gate no matter the graph. If everything arrived
+    (≤ ``small_graph_rows`` edges) the graph is solved with one
+    union-find pass — the small-side discipline of a broadcast join
+    applied to graph closure; symmetrization/self-loops are an
+    ITERATIVE-path artifact the collected solver never needs, so the
+    small path is ONE action on the edge lineage (r14: the previous
+    shape built the 2E+V symmetric frame, counted it, then collected
+    it — three passes and two shuffles of pure overhead, 2.0 s of a
+    256-edge curate_corpus CC at sf0.1; now ~0.5 s). A dedup graph is
+    edge-sparse by construction (pairs only exist where
+    near-duplicates do), so even 100 TB corpora routinely land under
+    the gate; the iterative path exists for the ones that don't.
+    Measured at sf0.1: the 793-edge LSH graph costs ~3.2 s in
     driver-scheduled propagation rounds vs ~0.4 s collected.
     """
+    raw = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    )
+    probe = raw.limit(int(small_graph_rows) + 1).toPandas()
+    if len(probe) <= small_graph_rows:
+        import pandas as pd
+
+        parent = _union_find(zip(probe["a"], probe["b"]))
+        ids = sorted(
+            set(int(i) for i in probe["a"]) | set(int(i) for i in probe["b"])
+        )
+        out = pd.DataFrame(
+            {"id": ids, "cluster": [parent.get(i, i) for i in ids]}
+        )
+        return edges.sparkSession.createDataFrame(
+            out, schema="id long, cluster long"
+        )
     # persist the symmetric edge list BEFORE the first action: edges
     # usually sit on an expensive lineage (the whole LSH pipeline), and
     # marking the cache after the init action would recompute that
@@ -455,28 +479,12 @@ def connected_components(
     # round is one join + one aggregation (2 shuffles) instead of
     # join + agg + label-realignment join (3 shuffles) — at 100× the
     # graph, that third shuffle per round is the difference.
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    sym = raw.unionByName(
+        raw.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
     und = sym.unionByName(
         sym.select("a").distinct().select("a", F.col("a").alias("b"))
     ).persist()
-
-    # one cheap action on the cache we need anyway decides the strategy
-    n_und = und.count()
-    if n_und <= small_graph_rows:
-        import pandas as pd
-
-        pdf = und.toPandas()
-        und.unpersist()
-        parent = _union_find(zip(pdf["a"], pdf["b"]))
-        ids = sorted(int(i) for i in pdf["a"].unique())
-        out = pd.DataFrame(
-            {"id": ids, "cluster": [parent.get(i, i) for i in ids]}
-        )
-        return edges.sparkSession.createDataFrame(
-            out, schema="id long, cluster long"
-        )
     # first propagation round fused into init: label₀ = min over
     # neighbors∪self of id comes straight off the self-looped edge list
     labels = (
