@@ -2955,8 +2955,9 @@ class NSGIndex(GraphIndex):
         if n > 1:
             # faiss tree_grow/attach: DIRECTED reachability from the
             # navigating node (weak connectivity is not enough for a
-            # walk that always starts there)
-            graph = nsg_connect(graph, base, nav_id)
+            # walk that always starts there); hints route small builds
+            # through the collected repair
+            graph = nsg_connect(graph, base, nav_id, n_hint=n, d_hint=vt.d)
         graph = graph.persist()
         graph.count()
         return cls(

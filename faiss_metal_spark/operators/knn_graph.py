@@ -36,6 +36,8 @@ graph in returns it unchanged).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -320,6 +322,100 @@ def connect_graph(
     return graph.unionByName(links).unionByName(back)
 
 
+def _nsg_connect_driver(
+    graph: DataFrame,
+    vectors: DataFrame,
+    nav_id: int,
+    max_attach: int,
+) -> DataFrame:
+    """Collected twin of :func:`nsg_connect` for corpora under the
+    broadcast-size gate (the connected_components small-path
+    discipline): the edge list and vector matrix fit on the driver, so
+    the BFS-to-fixpoint + attach loop runs in numpy instead of paying
+    2·diameter driver-scheduled Spark jobs (measured: a 320-node build
+    spent ~40 s in BFS round scheduling; this path is ~1 s). Same
+    repair semantics — directed reachability from ``nav_id``,
+    per-island min-id representatives, exact nearest-reached bridge
+    both ways plus the nav hub edge. Deterministic: sorted iteration
+    everywhere, f64 distances of the stored float32 values."""
+    from collections import defaultdict
+
+    from .dedup import _union_find
+
+    ep = vectors.toPandas()
+    ids = ep["id"].to_numpy(np.int64)
+    X = np.stack(ep["vec"].to_numpy()).astype(np.float64)
+    pos = {int(i): j for j, i in enumerate(ids)}
+    E = graph.toPandas()
+    ea = E["id"].to_numpy(np.int64)
+    eb = E["nbr"].to_numpy(np.int64)
+    ed = E["dist"].to_numpy(np.float64)
+    adj: dict[int, list[int]] = defaultdict(list)
+    for a, b in zip(ea.tolist(), eb.tolist()):
+        adj[a].append(b)
+
+    def bfs(frontier: list[int], reached: set) -> None:
+        stack = list(frontier)
+        while stack:
+            u = stack.pop()
+            for w in adj.get(u, ()):
+                if w not in reached:
+                    reached.add(w)
+                    stack.append(w)
+
+    reached = {int(nav_id)}
+    bfs([int(nav_id)], reached)
+    new_rows: list[tuple[int, int, float]] = []
+    nav_vec = X[pos[int(nav_id)]]
+    for _ in range(int(max_attach)):
+        unreached = sorted(set(int(i) for i in ids) - reached)
+        if not unreached:
+            break
+        uset = set(unreached)
+        induced = [
+            (a, b)
+            for a, b in zip(ea.tolist(), eb.tolist())
+            if a in uset and b in uset
+        ]
+        parent = _union_find(induced)
+        reps = sorted({parent.get(i, i) for i in unreached})
+        rl = sorted(reached)
+        R = X[[pos[r] for r in rl]]
+        for chunk in range(0, len(reps), 256):
+            batch = reps[chunk : chunk + 256]
+            P = X[[pos[r] for r in batch]]
+            D = ((P[:, None, :] - R[None, :, :]) ** 2).sum(-1)
+            nn = D.argmin(1)
+            for bi, rep in enumerate(batch):
+                nnid = rl[int(nn[bi])]
+                dist = float(D[bi, nn[bi]])
+                new_rows.append((nnid, rep, dist))
+                new_rows.append((rep, nnid, dist))
+                adj[nnid].append(rep)
+                adj[rep].append(nnid)
+                if rep != int(nav_id):
+                    dnav = float(((X[pos[rep]] - nav_vec) ** 2).sum())
+                    new_rows.append((int(nav_id), rep, dnav))
+                    adj[int(nav_id)].append(rep)
+        reached.update(reps)
+        bfs(reps, reached)
+    if not new_rows:
+        return graph
+    out = pd.DataFrame(
+        {
+            "id": np.concatenate([ea, np.array([r[0] for r in new_rows], np.int64)]),
+            "nbr": np.concatenate([eb, np.array([r[1] for r in new_rows], np.int64)]),
+            "dist": np.concatenate([ed, np.array([r[2] for r in new_rows], np.float64)]),
+        }
+    )
+    return graph.sparkSession.createDataFrame(out, "id long, nbr long, dist double")
+
+
+# Collected-repair gate: vectors matrix bytes the driver will hold —
+# the nn_descent broadcast-gate discipline (64 MB of f64).
+_NSG_DRIVER_ELEMS = 8 << 20
+
+
 def nsg_connect(
     graph: DataFrame,
     vectors: DataFrame,
@@ -328,6 +424,8 @@ def nsg_connect(
     vec_col: str = "vec",
     max_rounds: int = 64,
     max_attach: int = 16,
+    n_hint: int | None = None,
+    d_hint: int | None = None,
 ) -> DataFrame:
     """faiss ``IndexNSG``'s tree_grow/attach (NSG.cpp) — guarantee
     every node is DIRECTED-reachable from the navigating node, which
@@ -367,6 +465,12 @@ def nsg_connect(
     Returns the repaired (id, nbr, dist) graph; a graph already fully
     reachable returns its rows unchanged. Build-time one-off: serving
     never runs this.
+
+    ``n_hint``/``d_hint`` (r14, the knn ``nv_hint`` discipline —
+    callers know their table sizes): when ``n·d ≤`` the 64 MB driver
+    gate, the repair runs COLLECTED (``_nsg_connect_driver``) — same
+    semantics, numpy BFS instead of 2·diameter driver-scheduled Spark
+    jobs. Without hints the distributed path runs unconditionally.
     """
     from .knn import knn_search
 
@@ -374,6 +478,16 @@ def nsg_connect(
     v = vectors.select(
         F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
     ).persist()
+    if (
+        n_hint is not None
+        and d_hint is not None
+        and n_hint * d_hint <= _NSG_DRIVER_ELEMS
+    ):
+        out = _nsg_connect_driver(
+            graph.select("id", "nbr", "dist"), v, nav_id, max_attach
+        )
+        v.unpersist()
+        return out
     g = graph
     reached = spark.createDataFrame(
         [(int(nav_id),)], "id long"

@@ -144,3 +144,57 @@ def test_graph_search_fixed_entry_validates(spark):
         graph_search(g.vectors, g.graph, qdf, 2, entry="fixed")
     with pytest.raises(ValueError, match="unknown entry"):
         graph_search(g.vectors, g.graph, qdf, 2, entry="bogus")
+
+
+def test_nsg_connect_distributed_equals_driver(spark):
+    """The collected repair (small-graph gate) and the distributed
+    BFS/attach repair must produce the SAME reachability and the same
+    bridge structure on the clustered fixture — the driver path is the
+    gate-bounded twin, not a different algorithm."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from faiss_metal_spark.operators.knn_graph import (
+        mrng_diversify,
+        nn_descent,
+        nsg_connect,
+    )
+
+    V = _clustered(200, 6, seed=13)
+    vt = _vt(spark, V)
+    base = vt.df.select("id", "vec")
+    cand = nn_descent(base, k=16, iters=4, seed=3)
+    graph = mrng_diversify(cand, base, 8)
+    # medoid
+    c = V.astype(np.float64).mean(0)
+    nav = int(np.lexsort((np.arange(len(V)), ((V - c) ** 2).sum(1)))[0])
+
+    g_driver = nsg_connect(graph, base, nav, n_hint=200, d_hint=6)
+    g_dist = nsg_connect(graph, base, nav)  # no hints -> distributed
+
+    def edge_set(g):
+        pdf = g.toPandas()
+        return set(zip(pdf["id"].tolist(), pdf["nbr"].tolist()))
+
+    e_drv, e_dst = edge_set(g_driver), edge_set(g_dist)
+
+    def reachable(edges, start):
+        from collections import defaultdict
+
+        adj = defaultdict(list)
+        for a, b in edges:
+            adj[a].append(b)
+        seen, stack = {start}, [start]
+        while stack:
+            u = stack.pop()
+            for w in adj[u]:
+                if w not in seen:
+                    seen.add(w)
+                    stack.append(w)
+        return seen
+
+    assert len(reachable(e_drv, nav)) == 200
+    assert len(reachable(e_dst, nav)) == 200
+    # both repairs add the same bridge structure (same components, same
+    # exact-NN attach, same tie-break) — edge sets must agree
+    assert e_drv == e_dst
