@@ -316,6 +316,18 @@ def bench_headline(spark) -> dict[str, float]:
     def _reset():
         spark.catalog.clearCache()
         gc.collect()
+        # r14 measurement-hygiene fix: the reset always INTENDED to free
+        # checkpointed lineages ("cache-clear + gc between runs"), but a
+        # Python gc.collect() only drops the py4j handles — the JVM-side
+        # localCheckpoint blocks stay live in the block manager until a
+        # JVM GC lets the ContextCleaner unpersist them, and on a 24 GB
+        # driver over tiny sf data that GC never triggers on its own.
+        # Measured on this host: without the JVM gc the session enters a
+        # degraded mode where unchanged keys run 2-5x slower
+        # (ngram_jaccard timed [4.5, 4.2, 23.3] in a 6-key session;
+        # [12.6, 10.6, 11.3] in a full run) — with it, six consecutive
+        # ngram_jaccard runs stay in 4.0-4.8 s. See OPTIMIZATION_r14.md.
+        spark._jvm.System.gc()
 
     out, runs = {}, {}
     for name, fn in entry_mod.queries().items():
@@ -351,8 +363,10 @@ def main() -> None:
     queries.update(headline)
     # grid isolation: headline queries leave persisted intermediates
     # behind (pipelines cache what they reuse); the kNN grid measures
-    # the search engine, not leftover cache pressure
+    # the search engine, not leftover cache pressure (JVM gc for the
+    # same checkpoint-block reason as bench_headline._reset)
     spark.catalog.clearCache()
+    spark._jvm.System.gc()
     grid_headline, grid_stats = bench_grid(spark)
     queries.update(grid_headline)
 
