@@ -1079,16 +1079,25 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # "sole supplier with a returned line in a multi-supplier order" ≡
     # "order has ≥2 distinct suppliers and exactly 1 distinct R-flag
-    # supplier" — one scan + one aggregation; the exists/not-exists
-    # correlation folds into per-order set arithmetic (no self-join,
-    # no anti-join). The oracle keeps the textbook correlated form so
-    # the rewrite is value-checked against it.
-    per_order = l.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("ns"),
-        F.array_distinct(
-            F.collect_list(
-                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-            )
+    # supplier" — the exists/not-exists correlation folds into
+    # per-order set arithmetic (no self-join, no anti-join). The oracle
+    # keeps the textbook correlated form so the rewrite is
+    # value-checked against it.
+    # r14 (guide §2.3): two-level aggregation instead of one
+    # countDistinct+collect_list agg — the single-agg form planned an
+    # Expand that DOUBLED the shuffled lineitem rows; aggregating to
+    # distinct (orderkey, suppkey) first is map-side combined, shuffles
+    # at most one row per distinct pair, and the second agg is
+    # pair-scale. rsupps arrives unordered either way; only its SIZE
+    # and sole member are consumed. Measured at sf0.1: the lane alone
+    # 4.1-5.2 s → 2.7-3.4 s, values identical.
+    per_os = l.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_r")
+    )
+    per_order = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("ns"),
+        F.collect_list(
+            F.when(F.col("has_r") == 1, F.col("l_suppkey"))
         ).alias("rsupps"),
     )
     sole = (
@@ -1800,9 +1809,6 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-scan parquet; that is the faster plan here.
     d = _t(spark, sf_dir, "documents")
     e = _t(spark, sf_dir, "embeddings")
-    centroids, _, _, _ = _fixed_quantizers(
-        e.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
-    )
     cols = lambda v, df: df.select(  # noqa: E731
         F.lit(v).alias("variant"), "doc_id", "lang", "n_tokens",
         _norm(F.col("quality"), 4).alias("quality"),
@@ -1819,15 +1825,23 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the idle executor threads (the ann_compact/mllib r10 pattern)
     from concurrent.futures import ThreadPoolExecutor
 
+    def _sem_lane():
+        # r14: the quantizer collect (the sem lane's only input besides
+        # the embeddings) runs INSIDE this thread so it overlaps the
+        # lex lane's CC probe instead of serializing before the pool
+        # (guide §2.6)
+        centroids, _, _, _ = _fixed_quantizers(
+            e.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+        )
+        return semantic_dedup(
+            e, centroids, id_col="vec_id", vec_col="embedding", threshold=0.35
+        )
+
     with ThreadPoolExecutor(max_workers=2) as pool:
         f_lex = pool.submit(
             lambda: curate_corpus(d, min_quality=0.5).localCheckpoint(eager=False)
         )
-        f_sem = pool.submit(
-            lambda: semantic_dedup(
-                e, centroids, id_col="vec_id", vec_col="embedding", threshold=0.35
-            )
-        )
+        f_sem = pool.submit(_sem_lane)
         lex = f_lex.result()
         sem_drop = (
             f_sem.result()
@@ -2963,11 +2977,26 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
     )
-    centroids, _, _, _ = _fixed_quantizers(emb)
+    # r14 (guide §2.6/§5): each of the FOUR lanes' search constructors
+    # eagerly collects the query batch for its probe-map broadcast —
+    # four parquet scan+filter jobs of pure per-job floor. Collect the
+    # 8 query rows ONCE (overlapped with the quantizer collect from a
+    # thread) and serve every lane from a LocalRelation, the ann_pq
+    # r12 pattern: each lane's collect becomes a driver-local
+    # millisecond op, values identical.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_q = pool.submit(
+            lambda: emb.where(F.col("id") < 8)
+            .select(F.col("id").alias("qid"), "vec")
+            .toPandas()
+        )
+        f_fixed = pool.submit(_fixed_quantizers, emb)
+        qpdf = f_q.result()
+        centroids, _, _, _ = f_fixed.result()
+    queries = spark.createDataFrame(qpdf)
     assigned = ivf_assign(emb, centroids)
-    queries = emb.where(F.col("id") < 8).select(
-        F.col("id").alias("qid"), F.col("vec")
-    )
     res = ivf_search(assigned, centroids, queries, k=10, nprobe=_ANN_NPROBE)
 
     C0 = centroids[:, : centroids.shape[1] // 2].copy()
@@ -3546,7 +3575,9 @@ FROM rr WHERE rank < 10
 """
 
 
-def q_ann_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ann_binary(
+    spark: SparkSession, sf_dir: str, queries: DataFrame | None = None
+) -> DataFrame:
     """Binary (sign-bit) vector index, both stages tagged in one result:
     'hamming' rows are IndexBinaryFlat-style Hamming top-10 over codes
     packed 32 dims per BIGINT word (1 bit/dim — 32× smaller than FP32,
@@ -3564,7 +3595,10 @@ def q_ann_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
     )
-    queries = emb.where(F.col("id") < 8).select(F.col("id").alias("qid"), "vec")
+    if queries is None:
+        queries = emb.where(F.col("id") < 8).select(
+            F.col("id").alias("qid"), "vec"
+        )
     ham = hamming_knn(emb, queries, k=10, d=d)
     ref = hamming_refine(emb, queries, k=10, d=d, refine_factor=4)
     return ham.select(
@@ -3631,7 +3665,7 @@ def q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_sq(
-    spark: SparkSession, sf_dir: str, bits: int, trained=None
+    spark: SparkSession, sf_dir: str, bits: int, trained=None, queries=None
 ) -> DataFrame:
     """Shared b-bit SQ lane (operators/sq.py): min/max training is
     bit-width-independent, so callers composing several widths pass
@@ -3646,7 +3680,10 @@ def _q_ann_sq(
     )
     vmin, vmax = trained if trained is not None else sq_train(emb)
     codes = sq_encode(emb, vmin, vmax, bits)
-    queries = emb.where(F.col("id") < 8).select(F.col("id").alias("qid"), "vec")
+    if queries is None:
+        queries = emb.where(F.col("id") < 8).select(
+            F.col("id").alias("qid"), "vec"
+        )
     res = sq_search(codes, vmin, vmax, queries, k=10, bits=bits)
     return res.select(
         "qid", "rank", "label", _norm(F.col("distance"), 4).alias("distance")
@@ -3736,7 +3773,17 @@ def q_ann_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, os.path.join(sf_dir, "embeddings.parquet"),
         d=_PQ_M * _PQ_DSUB, id_col="vec_id", vec_col="embedding",
     )
-    with ThreadPoolExecutor(max_workers=5) as pool:
+    # r14 (guide §2.6/§5): collect the 8 query rows ONCE inside the
+    # build pool and serve every lane from a LocalRelation (the
+    # ann_pq/ann_ivf pattern) — the ivfsq lane's probe-map collect
+    # becomes a driver-local op and the lazy lanes' query subtree
+    # stops being a parquet scan job per lane at action time.
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        f_q = pool.submit(
+            lambda: emb.where(F.col("id") < 8)
+            .select(F.col("id").alias("qid"), "vec")
+            .toPandas()
+        )
         f_tr = pool.submit(sq_train, emb)
         f_cp = pool.submit(
             lambda: np.stack(
@@ -3748,17 +3795,22 @@ def q_ann_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda: LSHIndex.from_table(vt, nbits=_LSH_NBITS, seed=_LSH_SEED)
         )
         f_bh = pool.submit(lambda: BinaryHashIndex.from_table(vt, b=_BHASH_B))
-        f_bin = pool.submit(q_ann_binary, spark, sf_dir)
+        queries = spark.createDataFrame(f_q.result())
+        f_bin = pool.submit(q_ann_binary, spark, sf_dir, queries)
         trained = f_tr.result()
         centroids = f_cp.result()
         lsh = f_lsh.result()
         bh = f_bh.result()
         binary_lanes = f_bin.result()
 
-    sq8 = _q_ann_sq(spark, sf_dir, bits=8, trained=trained).select(
+    sq8 = _q_ann_sq(
+        spark, sf_dir, bits=8, trained=trained, queries=queries
+    ).select(
         F.lit("sq8").alias("path"), "qid", "rank", "label", "distance"
     )
-    sq4 = _q_ann_sq(spark, sf_dir, bits=4, trained=trained).select(
+    sq4 = _q_ann_sq(
+        spark, sf_dir, bits=4, trained=trained, queries=queries
+    ).select(
         F.lit("sq4").alias("path"), "qid", "rank", "label", "distance"
     )
     # ivfsq lane: fixed centroids (first rows — deterministic, like
@@ -3773,7 +3825,6 @@ def q_ann_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             np.stack(pdf["code"].to_numpy()).astype(np.uint8), vmin, vmax, 8
         )
 
-    queries = emb.where(F.col("id") < 8).select(F.col("id").alias("qid"), "vec")
     ivfsq = ivf_search(
         inv, centroids, queries, k=10, nprobe=_ANN_CELLS,
         vec_col="code", decode=_dec,
@@ -4065,7 +4116,7 @@ def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.chunk_id").cast("int").alias("k2"),
         doc_fingerprint(F.col("c.chunk")).alias("fp"),
     )
-    sp = duplicate_spans(d, n=8, min_count=2).select(
+    sp = duplicate_spans(d, n=8, min_count=2, materialize_grams=True).select(
         F.lit("dupspan").alias("kind"),
         "doc_id",
         F.col("span_start").cast("int").alias("k2"),

@@ -171,6 +171,7 @@ def duplicate_spans(
     min_count: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize_grams: bool = False,
 ) -> DataFrame:
     """Maximal duplicated-substring spans, word-granular: token
     positions covered by any n-gram whose corpus-wide occurrence count
@@ -182,12 +183,22 @@ def duplicate_spans(
     shuffle); the island merge is a per-doc window over covered
     positions (gaps-and-islands: a break wherever the previous covered
     position isn't pos−1).
+
+    ``materialize_grams`` (r14): localCheckpoint the hashed gram table
+    so the text→explode→hash stage runs once instead of once per plan
+    branch (the df-count aggregate and the semi-join probe each
+    re-evaluate it lazily) — the ngram_jaccard_pairs
+    ``materialize_shingles`` trade (r13): 20 bytes per gram stored vs
+    a second full explode+hash pass; values identical either way.
+    Measured at sf0.1: 1.9-2.2 s → 1.4 s for the dupspan lane.
     """
     grams = (
         docs.select(F.col(id_col).alias("doc_id"), _tok_col(text_col).alias("tt"))
         .select("doc_id", F.explode(_gram_structs(F.col("tt"), n)).alias("s"))
         .select("doc_id", F.col("s.pos").alias("pos"), F.xxhash64("s.g").alias("gh"))
     )
+    if materialize_grams:
+        grams = grams.localCheckpoint()
     dup = (
         grams.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("cnt"))

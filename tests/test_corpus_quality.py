@@ -97,6 +97,26 @@ def test_duplicate_spans_matches_pandas(spark, corpus):
     assert got.shape == exp.shape and (got.values == exp.values).all()
 
 
+def test_duplicate_spans_materialize_grams_identical(spark, corpus):
+    """materialize_grams=True (r14: one explode+hash pass instead of one
+    per plan branch) is a physical-plan change only — spans identical."""
+    _, df = corpus
+    cols = ["doc_id", "span_start", "span_end", "span_tokens"]
+    base = (
+        duplicate_spans(df, n=8)
+        .toPandas()[cols]
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    ck = (
+        duplicate_spans(df, n=8, materialize_grams=True)
+        .toPandas()[cols]
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    assert base.shape == ck.shape and (base.values == ck.values).all()
+
+
 def test_dsir_weights_match_pandas(spark, corpus):
     docs, df = corpus
     B = 64

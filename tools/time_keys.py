@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""Bench-discipline timing for a subset of headline keys: 1 discarded
+warmup + min of 3 timed runs, cache-clear + Python gc + JVM gc between
+runs (exactly bench_headline's protocol post-r14). For quick same-host
+A/B of a targeted optimization without a full bench pass.
+
+    python tools/time_keys.py [sf_dir] key [key ...]
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+KEYS = sys.argv[2:]
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+    import __spark_entry__ as entry
+    from faiss_metal_spark.session import get_spark
+
+    spark = get_spark("time-keys")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def reset():
+        spark.catalog.clearCache()
+        gc.collect()
+        spark._jvm.System.gc()
+
+    qs = entry.queries()
+    out = {}
+    for name in KEYS or list(qs):
+        fn = qs[name]
+        fn(spark, SF_DIR).count()
+        reset()
+        timed = []
+        for _ in range(3):
+            t0 = time.time()
+            fn(spark, SF_DIR).count()
+            timed.append(round(time.time() - t0, 3))
+            reset()
+        out[name] = {"min": min(timed), "times": timed,
+                     "load1m": round(os.getloadavg()[0], 2)}
+        print(name, out[name], flush=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
