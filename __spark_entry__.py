@@ -2467,11 +2467,24 @@ def q_mllib_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf = emb.where(F.col("id") < 256).orderBy("id").toPandas()
         return np.stack(pdf["vec"].to_numpy()).astype(np.float64)
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
+    def _collect_queries():
+        # r14: the opq lane's pq_search eagerly collects its query
+        # batch for the ADC LUT broadcast — one more parquet scan job;
+        # collect it here (overlapped with the other build steps) and
+        # serve the lane from a LocalRelation (the ann_pq pattern)
+        return (
+            emb.where(F.col("id") < 8)
+            .select(F.col("id").alias("qid"), "vec")
+            .toPandas()
+        )
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
         f_lloyd = pool.submit(_train_lloyd)
         f_planes = pool.submit(_collect_planes)
         f_books = pool.submit(_collect_books)
+        f_q = pool.submit(_collect_queries)
         (C, assigned), planes, B = f_lloyd.result(), f_planes.result(), f_books.result()
+        opq_queries = spark.createDataFrame(f_q.result())
 
     # -- cell lane: Lloyd from the first-8 rows ------------------------
     cents = spark.createDataFrame(
@@ -2539,7 +2552,7 @@ def q_mllib_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     opq = opq_search(
         opq_encode(emb, R, books), R, books,
-        emb.where(F.col("id") < 8).select(F.col("id").alias("qid"), "vec"),
+        opq_queries,
         k=10,
     ).select(
         F.lit("opq").alias("kind"),
