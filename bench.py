@@ -316,21 +316,27 @@ def bench_headline(spark) -> dict[str, float]:
     def _reset():
         spark.catalog.clearCache()
         gc.collect()
+
+    out, runs = {}, {}
+    for name, fn in entry_mod.queries().items():
         # r14 measurement-hygiene fix: the reset always INTENDED to free
         # checkpointed lineages ("cache-clear + gc between runs"), but a
         # Python gc.collect() only drops the py4j handles — the JVM-side
         # localCheckpoint blocks stay live in the block manager until a
         # JVM GC lets the ContextCleaner unpersist them, and on a 24 GB
-        # driver over tiny sf data that GC never triggers on its own.
-        # Measured on this host: without the JVM gc the session enters a
-        # degraded mode where unchanged keys run 2-5x slower
-        # (ngram_jaccard timed [4.5, 4.2, 23.3] in a 6-key session;
-        # [12.6, 10.6, 11.3] in a full run) — with it, six consecutive
-        # ngram_jaccard runs stay in 4.0-4.8 s. See OPTIMIZATION_r14.md.
+        # driver over tiny sf data that GC never triggers on its own;
+        # the leaked blocks put the session in a degraded mode where
+        # unchanged keys run 2-5x slower (ngram_jaccard [12.6, 10.6,
+        # 11.3] s in a full run vs 4.4 s isolated). The JVM gc runs ONCE
+        # PER KEY, BEFORE the warmup — not between timed runs — because
+        # the full GC also queues every dead broadcast into the async
+        # ContextCleaner, whose drain then bleeds into whatever runs
+        # next: with the gc between timed runs the broadcast-heavy keys
+        # regressed (tpch_q5 2.97->3.90 s on identical code) while the
+        # warmup placement lets the cleaner churn drain during the
+        # DISCARDED warmup run. Measured per-protocol on this host, see
+        # OPTIMIZATION_r14.md.
         spark._jvm.System.gc()
-
-    out, runs = {}, {}
-    for name, fn in entry_mod.queries().items():
         fn(spark, SF_DIR).count()  # warmup: compile + JIT, discarded
         _reset()
         timed, loads = [], []
@@ -364,7 +370,8 @@ def main() -> None:
     # grid isolation: headline queries leave persisted intermediates
     # behind (pipelines cache what they reuse); the kNN grid measures
     # the search engine, not leftover cache pressure (JVM gc for the
-    # same checkpoint-block reason as bench_headline._reset)
+    # same checkpoint-block reason as the per-key gc in bench_headline;
+    # the grid's own warmup iterations absorb the cleaner drain)
     spark.catalog.clearCache()
     spark._jvm.System.gc()
     grid_headline, grid_stats = bench_grid(spark)

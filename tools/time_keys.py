@@ -32,12 +32,12 @@ def main() -> None:
     def reset():
         spark.catalog.clearCache()
         gc.collect()
-        spark._jvm.System.gc()
 
     qs = entry.queries()
     out = {}
     for name in KEYS or list(qs):
         fn = qs[name]
+        spark._jvm.System.gc()  # per-key, pre-warmup — bench protocol
         fn(spark, SF_DIR).count()
         reset()
         timed = []
