@@ -95,6 +95,25 @@ def _norm(col, digits: int):
     return F.round(col, digits) + F.lit(0.0)
 
 
+def _local_queries(spark: SparkSession, qpdf) -> DataFrame:
+    """LocalRelation query batch from a collected pandas frame (the
+    toPandas→createDataFrame roundtrip the r14 lane folds use). Asserts
+    the vec column came back as float32 arrays (r14 advice): the
+    distance lanes' values are identical to the parquet path only while
+    Arrow preserves the element type — a silent fallback to row-based
+    float64 inference must fail loudly here, not as an oracle hash
+    mismatch three stages later."""
+    from pyspark.sql import types as T
+
+    out = spark.createDataFrame(qpdf)
+    vt = out.schema["vec"].dataType
+    assert vt == T.ArrayType(T.FloatType()), (
+        f"LocalRelation vec dtype drifted to {vt} — Arrow conversion "
+        "fell back to row-based inference?"
+    )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # kNN queries (the reference's core operator, SURVEY §2.3-2.5)
 # ---------------------------------------------------------------------------
@@ -2440,6 +2459,18 @@ def q_mllib_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
     )
+    # r15 (guide §5 reuse-vs-recompute — the winnow materialize_grams
+    # trade): this key re-reads the embeddings parquet ~20× (3 Lloyd
+    # mean passes + the final assign, 4 build collects, and every
+    # result lane's scans). localCheckpoint it ONCE inside the timed
+    # query — each later pass reads block-manager memory instead of
+    # re-running scan+project, and the Lloyd loop's per-iteration plan
+    # stops re-growing lineage. Partitioning is preserved 1:1, so the
+    # (cell,pos) mean aggregation sums in the same order and the
+    # 6dp-rounded centroids are unchanged (oracle-verified at sf0.001/
+    # 0.01/0.1). Not cross-run caching: the checkpoint lives and dies
+    # inside one query invocation.
+    emb = emb.localCheckpoint()
 
     # The build-time trainer actions (Lloyd's per-iteration means, the
     # plane/codebook row collects) are independent of each other — run
@@ -2484,7 +2515,7 @@ def q_mllib_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         f_books = pool.submit(_collect_books)
         f_q = pool.submit(_collect_queries)
         (C, assigned), planes, B = f_lloyd.result(), f_planes.result(), f_books.result()
-        opq_queries = spark.createDataFrame(f_q.result())
+        opq_queries = _local_queries(spark, f_q.result())
 
     # -- cell lane: Lloyd from the first-8 rows ------------------------
     cents = spark.createDataFrame(
@@ -2849,7 +2880,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         f_fixed = pool.submit(_fixed_quantizers, emb)
         qpdf = f_q.result()
         centroids, books, rbooks, rbooks2 = f_fixed.result()
-    queries = spark.createDataFrame(qpdf)
+    queries = _local_queries(spark, qpdf)
 
     codes = pq_encode(emb, books)
     # pq4/fs lanes: the 4-bit code width (faiss PQ8x4) over the first
@@ -3008,7 +3039,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         f_fixed = pool.submit(_fixed_quantizers, emb)
         qpdf = f_q.result()
         centroids, _, _, _ = f_fixed.result()
-    queries = spark.createDataFrame(qpdf)
+    queries = _local_queries(spark, qpdf)
     assigned = ivf_assign(emb, centroids)
     res = ivf_search(assigned, centroids, queries, k=10, nprobe=_ANN_NPROBE)
 
@@ -3808,7 +3839,7 @@ def q_ann_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda: LSHIndex.from_table(vt, nbits=_LSH_NBITS, seed=_LSH_SEED)
         )
         f_bh = pool.submit(lambda: BinaryHashIndex.from_table(vt, b=_BHASH_B))
-        queries = spark.createDataFrame(f_q.result())
+        queries = _local_queries(spark, f_q.result())
         f_bin = pool.submit(q_ann_binary, spark, sf_dir, queries)
         trained = f_tr.result()
         centroids = f_cp.result()

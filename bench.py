@@ -95,6 +95,22 @@ def bench_grid(spark) -> tuple[dict[str, float], dict[str, dict]]:
     headline: dict[str, float] = {}
     grid_stats: dict[str, dict] = {}
     for label, nv, nq, d, k in grid:
+        # r15: JVM gc once per LABEL, before its warmup — the exact
+        # per-key placement bench_headline uses (r14). The grid
+        # previously gc'd once at grid start only; by the 5th label the
+        # session has accumulated hundreds of dead per-call broadcasts
+        # plus the previous labels' dropped cache blocks, and the async
+        # ContextCleaner drain then lands inside whichever label's
+        # timed iterations coincide with the next natural full GC —
+        # the best available explanation for the driver's r14
+        # knn_large_1536d 0.50→3.19 s at 32 cores, persistent across
+        # all 10 iterations, decaying over the two labels after it,
+        # absent at 8 cores and not reproducible on this round's
+        # 32-core host (0.72 s in full-bench context, receipts in
+        # OPTIMIZATION_r15.md). Placement (pre-warmup, never between
+        # timed runs) per the r14 measurement: the cleaner churn the
+        # full GC queues must drain during the DISCARDED warmup.
+        spark._jvm.System.gc()
         warmup, iters = (2, 5) if label in probe_only else (3, 10)
         vecs = _gen_vectors(spark, nv, d).persist()
         vecs.count()  # materialize the index (build ≠ search time)
@@ -191,7 +207,10 @@ def bench_grid(spark) -> tuple[dict[str, float], dict[str, dict]]:
         }
         for fmt in ("fp16c", "bf16c"):
             if fmt in tables:
-                tables[fmt][0].unpersist()
+                # blocking: an async drop races the NEXT label's cache
+                # fills and timed warmup (same hygiene as the per-label
+                # gc above — debris must not bleed across labels)
+                tables[fmt][0].unpersist(blocking=True)
         # Single-node RESIDENT baseline (the reference's unified-memory
         # GPU engine analog): numpy f32 brute force over the same data,
         # same warmup/iters discipline, array already in RAM — no scan,
@@ -238,7 +257,7 @@ def bench_grid(spark) -> tuple[dict[str, float], dict[str, dict]]:
             )
             del Vn
         grid_stats[label] = stats
-        vecs.unpersist()
+        vecs.unpersist(blocking=True)
     return headline, grid_stats
 
 

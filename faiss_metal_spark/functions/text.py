@@ -63,6 +63,18 @@ def quality_score(text: Column | str) -> Column:
     at 1) + 0.3·mean-token-length saturation (len/8 capped at 1).
     Deterministic, closed-form — the SQL oracle computes the same.
     """
+    if isinstance(text, str):
+        # r15: one F.expr string (equality pinned by
+        # tests/test_r15_expr_equiv.py); D suffixes keep literals DOUBLE
+        sp = f"split(`{text}`, ' ')"
+        return F.expr(
+            f"0.4D * (CAST(size(array_distinct({sp})) AS DOUBLE) "
+            f"/ CAST(size({sp}) AS DOUBLE)) "
+            f"+ 0.3D * least(CAST(size({sp}) AS DOUBLE) / 64.0D, 1.0D) "
+            f"+ 0.3D * least((CAST(aggregate({sp}, 0, (acc, x) -> "
+            f"acc + length(x)) AS DOUBLE) / CAST(size({sp}) AS DOUBLE)) "
+            f"/ 8.0D, 1.0D)"
+        )
     dr = distinct_token_ratio(text)
     ls = F.least(token_count(text).cast("double") / F.lit(64.0), F.lit(1.0))
     ts = F.least(avg_token_len(text) / F.lit(8.0), F.lit(1.0))
@@ -112,6 +124,15 @@ def token_hash32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def _sql_h32(x: str) -> str:
+    """SQL text of :func:`token_hash32` over SQL fragment ``x`` —
+    identical expression tree once parsed (r15: the expensive builders
+    render ONE SQL string per column instead of hundreds of py4j
+    round-trips; doc_profile measured 1.09 s of pure driver-side plan
+    construction before this)."""
+    return f"CAST(conv(substring(md5({x}), 1, 8), 16, 10) AS BIGINT)"
+
+
 def doc_fingerprint(text: Column | str) -> Column:
     """Order-sensitive rolling (Rabin–Karp) fingerprint of the token
     stream: fold (acc·31 + hash32(token)) mod 2³¹−1 left-to-right.
@@ -121,6 +142,13 @@ def doc_fingerprint(text: Column | str) -> Column:
     the bag of words matches. Pure Catalyst (aggregate HOF) — no
     Python, no shuffle; it's a projection.
     """
+    if isinstance(text, str):
+        # r15: one F.expr string (tests/test_r15_expr_equiv.py)
+        return F.expr(
+            f"aggregate(transform(split(`{text}`, ' '), "
+            f"x -> {_sql_h32('x')}), CAST(0 AS BIGINT), "
+            f"(acc, v) -> (acc * {FP_BASE} + v) % {FP_MOD})"
+        )
     t = tokens(text)
     vals = F.transform(t, token_hash32)
     return F.aggregate(
@@ -190,11 +218,33 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     return F.get(F.transform(F.array(t), mk), 0)
 
 
+def _shingles_sql(col_sql: str, n: int) -> str:
+    """SQL text of :func:`shingles` over SQL fragment ``col_sql`` —
+    same bind-once 1-element-array trick (tt is a lambda variable)."""
+    return (
+        f"get(transform(array(split({col_sql}, ' ')), tt -> "
+        f"transform(CASE WHEN size(tt) >= {n} THEN "
+        f"sequence(1, size(tt) - {n - 1}) "
+        f"ELSE CAST(array() AS array<int>) END, "
+        f"j -> concat_ws(' ', slice(tt, j, {n})))), 0)"
+    )
+
+
 def repetition_ratio(text: Column | str, n: int = 3) -> Column:
     """Within-document n-gram repetition: 1 − |distinct n-grams| /
     |n-grams| (0 = no repeated n-gram, → 1 for highly repetitive
     boilerplate). The standard repeated-n-gram quality filter for LLM
     training corpora; docs shorter than n grams score 0.0."""
+    if isinstance(text, str):
+        # r15: one F.expr string; the shingle expression repeats
+        # inline exactly as the Column API repeated it
+        # (tests/test_r15_expr_equiv.py)
+        s = _shingles_sql(f"`{text}`", n)
+        return F.expr(
+            f"CASE WHEN size({s}) > 0 THEN 1.0D "
+            f"- CAST(size(array_distinct({s})) AS DOUBLE) "
+            f"/ CAST(size({s}) AS DOUBLE) ELSE 0.0D END"
+        )
     s = shingles(text, n)
     return F.when(
         F.size(s) > 0,
@@ -226,7 +276,15 @@ def hashed_embedding(
     This is the bridge from the text stack to the vector stack:
     documents become ``array<double>`` embeddings that every kNN / ANN
     / dedup operator in the engine accepts directly.
+
+    r15: for string column names the whole expression renders as ONE
+    ``F.expr`` SQL string — semantically identical (pinned by
+    tests/test_r15_expr_equiv.py) but one py4j round-trip instead of
+    ~60 (guide §5, driver discipline: plan construction is driver-side
+    single-threaded work). Column inputs keep the Column-API path.
     """
+    if isinstance(text, str):
+        return F.expr(_hashed_embedding_sql(f"`{text}`", d, normalize))
     t = tokens(text)
 
     def mk(x: Column) -> Column:
@@ -266,6 +324,35 @@ def hashed_embedding(
         return F.get(F.transform(F.array(nrm), with_n), 0)
 
     return F.get(F.transform(F.array(raw), normed), 0)
+
+
+def _hashed_embedding_sql(col_sql: str, d: int, normalize: bool) -> str:
+    """SQL text of :func:`hashed_embedding` over SQL fragment
+    ``col_sql`` — same lane/sign/fold/normalize semantics, same
+    bind-once 1-element-array trick (p/r/n are lambda variables, so no
+    subexpression re-evaluates per lane). Double literals carry the
+    ``D`` suffix: a bare ``1.0`` parses as DECIMAL in Spark SQL."""
+    h = _sql_h32("x")
+    pairs = (
+        f"transform(split({col_sql}, ' '), x -> named_struct("
+        f"'lane', CAST(pmod({h}, {d}) AS INT), "
+        f"'sign', CASE WHEN (shiftright({h}, 16) & 1) = 1 "
+        f"THEN 1.0D ELSE -1.0D END))"
+    )
+    raw = (
+        f"get(transform(array({pairs}), p -> "
+        f"transform(sequence(0, {d - 1}), i -> "
+        f"aggregate(p, 0.0D, (acc, s) -> acc + "
+        f"(CASE WHEN s.lane = i THEN s.sign ELSE 0.0D END)))), 0)"
+    )
+    if not normalize:
+        return raw
+    return (
+        f"get(transform(array({raw}), r -> "
+        f"get(transform(array(sqrt(aggregate(r, 0.0D, (a, v) -> a + v * v))), "
+        f"n -> CASE WHEN n > 0.0D THEN transform(r, v -> v / n) ELSE r END), "
+        f"0)), 0)"
+    )
 
 
 def chunk_spans(

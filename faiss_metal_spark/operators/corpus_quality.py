@@ -93,20 +93,21 @@ def repetition_profile(
         F.col(id_col).alias("doc_id"), _tok_col(text_col).alias("tt")
     ).select("doc_id", "tt", F.size("tt").alias("n_tokens"))
 
-    def _tag(n: int):
-        # single-parameter lambda: a two-arg lambda would be read by
-        # F.transform as (element, index) and shadow the closed-over n
-        return lambda s: F.struct(
-            F.lit(n).alias("n"), s["pos"].alias("pos"), s["g"].alias("g")
+    # r15: the tagged-gram expression renders as ONE F.expr SQL string —
+    # the Column-API build (4 × nested transform/struct lambdas) was
+    # ~0.4 s of driver-side py4j construction per call (guide §5;
+    # equality pinned by tests/test_r15_expr_equiv.py). Same bind-once
+    # semantics: `i` and `s` are lambda variables.
+    def _gs_sql(n: int) -> str:
+        return (
+            f"CASE WHEN size(tt) >= {n} THEN "
+            f"transform(sequence(0, size(tt) - {n}), i -> named_struct("
+            f"'n', {n}, 'pos', i, 'g', concat_ws(' ', slice(tt, i + 1, {n})))) "
+            f"ELSE CAST(array() AS array<struct<n:int,pos:int,g:string>>) END"
         )
 
-    tagged = F.flatten(
-        F.array(
-            *[
-                F.transform(_gram_structs(F.col("tt"), n), _tag(n))
-                for n in (*top_ns, dup_n)
-            ]
-        )
+    tagged = F.expr(
+        "flatten(array(" + ", ".join(_gs_sql(n) for n in (*top_ns, dup_n)) + "))"
     )
     grams = base.select(
         "doc_id", "n_tokens", F.explode(tagged).alias("s")
@@ -123,12 +124,10 @@ def repetition_profile(
         .agg(
             F.first("n_tokens").alias("n_tokens"),
             *[
-                F.max(
-                    F.when(
-                        F.col("n") == n,
-                        (F.col("maxc") * n).cast("double") / F.col("n_tokens"),
-                    )
-                ).alias(f"top{n}_frac")
+                F.expr(
+                    f"max(CASE WHEN n = {n} THEN "
+                    f"CAST(maxc * {n} AS DOUBLE) / n_tokens END) AS top{n}_frac"
+                )
                 for n in top_ns
             ],
         )
@@ -191,6 +190,15 @@ def duplicate_spans(
     ``materialize_shingles`` trade (r13): 20 bytes per gram stored vs
     a second full explode+hash pass; values identical either way.
     Measured at sf0.1: 1.9-2.2 s → 1.4 s for the dupspan lane.
+
+    Retention caveat (library callers): the checkpointed gram blocks
+    stay in the block manager until a JVM GC lets the ContextCleaner
+    release them — ``spark.catalog.clearCache()`` does NOT free them
+    and the driver's Python ``gc.collect()`` only drops py4j handles.
+    A long-lived session invoking this repeatedly with
+    ``materialize_grams=True`` should call ``spark._jvm.System.gc()``
+    periodically (the engine's bench does, once per key) or leave the
+    flag off.
     """
     grams = (
         docs.select(F.col(id_col).alias("doc_id"), _tok_col(text_col).alias("tt"))
@@ -243,6 +251,12 @@ def dsir_weights(
     The bucket-stats side is B rows (broadcast join); totals ride in a
     1-row cross join. Lazy end to end: no action until the caller's.
     """
+    # r15: hot expressions render as F.expr SQL strings — one py4j call
+    # each instead of dozens (equality pinned by
+    # tests/test_r15_expr_equiv.py); the ln/CAST chains are the exact
+    # SQL the Column API built.
+    from ..functions.text import _sql_h32
+
     tok = docs.select(
         F.col(id_col).alias("doc_id"),
         target.alias("_is_target"),
@@ -250,31 +264,28 @@ def dsir_weights(
     ).select(
         "doc_id",
         "_is_target",
-        F.pmod(token_hash32(F.col("t")), F.lit(buckets)).alias("b"),
+        F.expr(f"pmod({_sql_h32('t')}, {buckets}) AS b"),
     )
+    _tgt = "sum(CASE WHEN _is_target THEN 1 ELSE 0 END)"
     stats = tok.groupBy("b").agg(
-        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("tc"),
-        F.count(F.lit(1)).alias("rc"),
+        F.expr(f"{_tgt} AS tc"), F.expr("count(1) AS rc")
     )
-    totals = tok.agg(
-        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("tt"),
-        F.count(F.lit(1)).alias("rt"),
-    )
+    totals = tok.agg(F.expr(f"{_tgt} AS tt"), F.expr("count(1) AS rt"))
     scored = (
         tok.join(F.broadcast(stats), "b", "left")
         .crossJoin(F.broadcast(totals))
         .select(
             "doc_id",
-            (
-                F.log((F.coalesce(F.col("tc"), F.lit(0)) + F.lit(1)).cast("double"))
-                - F.log((F.col("tt") + F.lit(buckets)).cast("double"))
-                - F.log((F.coalesce(F.col("rc"), F.lit(0)) + F.lit(1)).cast("double"))
-                + F.log((F.col("rt") + F.lit(buckets)).cast("double"))
-            ).alias("lr"),
+            F.expr(
+                "ln(CAST(coalesce(tc, 0) + 1 AS DOUBLE)) "
+                f"- ln(CAST(tt + {buckets} AS DOUBLE)) "
+                "- ln(CAST(coalesce(rc, 0) + 1 AS DOUBLE)) "
+                f"+ ln(CAST(rt + {buckets} AS DOUBLE)) AS lr"
+            ),
         )
     )
     return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tok"), F.sum("lr").alias("weight")
+        F.expr("count(1) AS n_tok"), F.expr("sum(lr) AS weight")
     )
 
 
@@ -311,17 +322,17 @@ def bigram_lm_scores(
         train = docs
 
     def _bigrams(df: DataFrame, keep_id: bool) -> DataFrame:
-        tt = _tok_col(text_col)
-        pairs = F.when(
-            F.size(tt) >= 2,
-            F.transform(
-                F.sequence(F.lit(0), F.size(tt) - 2),
-                lambda i: F.struct(
-                    F.element_at(tt, i + 1).alias("a"),
-                    F.element_at(tt, i + 2).alias("b"),
-                ),
-            ),
-        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        # r15: one F.expr string (the Column build was ~40 py4j calls
+        # per invocation, and this runs twice per score); the inline
+        # repetition of the split mirrors the Column API exactly —
+        # equality pinned by tests/test_r15_expr_equiv.py
+        sp = f"split(`{text_col}`, ' ')"
+        pairs = F.expr(
+            f"CASE WHEN size({sp}) >= 2 THEN "
+            f"transform(sequence(0, size({sp}) - 2), i -> named_struct("
+            f"'a', element_at({sp}, i + 1), 'b', element_at({sp}, i + 2))) "
+            f"ELSE CAST(array() AS array<struct<a:string,b:string>>) END"
+        )
         cols = [F.col(id_col).alias("doc_id")] if keep_id else []
         return df.select(*cols, F.explode(pairs).alias("p")).select(
             *(["doc_id"] if keep_id else []),
@@ -337,6 +348,7 @@ def bigram_lm_scores(
         F.explode(_tok_col(text_col)).alias("t")
     ).agg(F.countDistinct("t").alias("v"))
 
+    a_lit = f"{float(alpha)!r}D"
     scored = (
         _bigrams(docs, keep_id=True)
         .join(c2, ["a", "b"], "left")
@@ -344,18 +356,13 @@ def bigram_lm_scores(
         .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",
-            (
-                F.log(
-                    (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(float(alpha)))
-                )
-                - F.log(
-                    F.coalesce(F.col("c1"), F.lit(0))
-                    + F.lit(float(alpha)) * F.col("v")
-                )
-            ).alias("lp"),
+            F.expr(
+                f"ln(coalesce(c2, 0) + {a_lit}) "
+                f"- ln(coalesce(c1, 0) + {a_lit} * v) AS lp"
+            ),
         )
     )
     return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        (-F.avg("lp")).alias("cross_entropy"),
+        F.expr("count(1) AS n_bigrams"),
+        F.expr("-avg(lp) AS cross_entropy"),
     )

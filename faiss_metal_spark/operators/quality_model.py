@@ -69,6 +69,20 @@ def quality_model_score(weights: np.ndarray, text: Column | str) -> Column:
     projection on the full corpus scan."""
     w = np.asarray(weights, np.float64)
     d, b = len(w) - 1, float(w[-1])
+    if isinstance(text, str):
+        # r15: one F.expr string instead of ~d py4j literal calls —
+        # value-identical (repr() round-trips doubles exactly; the D
+        # suffix keeps SQL literals DOUBLE, not DECIMAL); pinned by
+        # tests/test_r15_expr_equiv.py
+        from ..functions.text import _hashed_embedding_sql
+
+        emb = _hashed_embedding_sql(f"`{text}`", d, normalize=True)
+        wlits = ", ".join(f"{float(x)!r}D" for x in w[:d])
+        z = (
+            f"aggregate(zip_with({emb}, array({wlits}), (a, c) -> a * c), "
+            f"{b!r}D, (acc, v) -> acc + v)"
+        )
+        return F.expr(f"1.0D / (1.0D + exp(-({z})))")
     wcol = F.array(*[F.lit(float(x)) for x in w[:d]])
     z = F.aggregate(
         F.zip_with(hashed_embedding(text, d), wcol, lambda a, c: a * c),

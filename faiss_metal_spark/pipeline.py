@@ -302,24 +302,34 @@ def stratified_cap(
     ROW_NUMBER() OVER (PARTITION BY g ORDER BY md5(id), id) ≤ n).
 
     Two-phase selection (the partial/final shape of the kNN
-    block_select): rank within (input partition × group) first and keep
-    ≤ n, so the final per-group window sees at most n·partitions rows —
+    block_select): rank within (sub-bucket × group) first and keep
+    ≤ n, so the final per-group window sees at most n·buckets rows —
     a hot group never funnels its full row count through one task, only
     its bounded candidate set.
+
+    r15: phase 1 keys on a DETERMINISTIC sub-bucket
+    ``pmod(xxhash64(id), 64)`` instead of ``spark_partition_id()`` —
+    the partition id is retry-unsafe under speculative execution /
+    fetch-failure recomputation (guide §2.5: a re-run task can see a
+    different partition id, so two attempts could keep different
+    phase-1 survivor sets). Result-identical either way (phase 1 only
+    prunes rows phase 2 would drop: each sub-bucket's global top-n
+    contains the group's top-n members that hash there), pinned by
+    tests/test_r15_expr_equiv.py::test_stratified_cap_*.
     """
     from pyspark.sql.window import Window
 
     h = F.md5(F.col(id_col).cast("string"))
-    w1 = Window.partitionBy("_pid", group_col).orderBy("_h", id_col)
+    w1 = Window.partitionBy("_bkt", group_col).orderBy("_h", id_col)
     w2 = Window.partitionBy(group_col).orderBy("_h", id_col)
     return (
         docs.withColumn("_h", h)
-        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_bkt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(64)))
         .withColumn("_rk", F.row_number().over(w1))
         .where(F.col("_rk") <= n_per_group)
         .withColumn("_rk", F.row_number().over(w2))
         .where(F.col("_rk") <= n_per_group)
-        .drop("_h", "_pid", "_rk")
+        .drop("_h", "_bkt", "_rk")
     )
 
 

@@ -1,8 +1,12 @@
 #!/usr/bin/env python
-"""Bench-discipline timing for a subset of headline keys: 1 discarded
-warmup + min of 3 timed runs, cache-clear + Python gc + JVM gc between
-runs (exactly bench_headline's protocol post-r14). For quick same-host
-A/B of a targeted optimization without a full bench pass.
+"""Bench-discipline timing for a subset of headline keys: JVM gc once
+per key BEFORE the discarded warmup (never between timed runs — the
+full GC queues dead broadcasts into the async ContextCleaner and the
+drain would bleed into the next timed run; measured r14, tpch_q5
+2.97→3.90 s with gc-in-reset), then 1 discarded warmup + min of 3
+timed runs with cache-clear + Python gc between runs — exactly
+bench_headline's protocol post-r14. For quick same-host A/B of a
+targeted optimization without a full bench pass.
 
     python tools/time_keys.py [sf_dir] key [key ...]
 """
