@@ -106,12 +106,13 @@ def repetition_profile(
             f"ELSE CAST(array() AS array<struct<n:int,pos:int,g:string>>) END"
         )
 
-    tagged = F.expr(
+    tagged = (
         "flatten(array(" + ", ".join(_gs_sql(n) for n in (*top_ns, dup_n)) + "))"
     )
-    grams = base.select(
-        "doc_id", "n_tokens", F.explode(tagged).alias("s")
-    ).select("doc_id", "n_tokens", "s.n", "s.pos", "s.g")
+    # inline() explodes the struct array straight into (n, pos, g)
+    # columns — one DataFrame op instead of explode + unpack select
+    # (every DataFrame transformation is an eager analyzer pass)
+    grams = base.select("doc_id", "n_tokens", F.expr(f"inline({tagged})"))
 
     counts = grams.groupBy("doc_id", "n", "g").agg(
         F.count(F.lit(1)).alias("cnt"), F.first("n_tokens").alias("n_tokens")
@@ -257,14 +258,16 @@ def dsir_weights(
     # SQL the Column API built.
     from ..functions.text import _sql_h32
 
+    # bucket-hash INSIDE the token array, then one explode — a single
+    # DataFrame op (one analyzer pass) instead of explode + hash select;
+    # same per-token md5 count, same values
     tok = docs.select(
         F.col(id_col).alias("doc_id"),
         target.alias("_is_target"),
-        F.explode(_tok_col(text_col)).alias("t"),
-    ).select(
-        "doc_id",
-        "_is_target",
-        F.expr(f"pmod({_sql_h32('t')}, {buckets}) AS b"),
+        F.expr(
+            f"explode(transform(split(`{text_col}`, ' '), "
+            f"t -> pmod({_sql_h32('t')}, {buckets}))) AS b"
+        ),
     )
     _tgt = "sum(CASE WHEN _is_target THEN 1 ELSE 0 END)"
     stats = tok.groupBy("b").agg(
@@ -327,18 +330,15 @@ def bigram_lm_scores(
         # repetition of the split mirrors the Column API exactly —
         # equality pinned by tests/test_r15_expr_equiv.py
         sp = f"split(`{text_col}`, ' ')"
-        pairs = F.expr(
+        pairs = (
             f"CASE WHEN size({sp}) >= 2 THEN "
             f"transform(sequence(0, size({sp}) - 2), i -> named_struct("
             f"'a', element_at({sp}, i + 1), 'b', element_at({sp}, i + 2))) "
             f"ELSE CAST(array() AS array<struct<a:string,b:string>>) END"
         )
         cols = [F.col(id_col).alias("doc_id")] if keep_id else []
-        return df.select(*cols, F.explode(pairs).alias("p")).select(
-            *(["doc_id"] if keep_id else []),
-            F.col("p.a").alias("a"),
-            F.col("p.b").alias("b"),
-        )
+        # inline() emits (a, b) directly — one op, one analyzer pass
+        return df.select(*cols, F.expr(f"inline({pairs})"))
 
     c2 = _bigrams(train, keep_id=False).groupBy("a", "b").agg(
         F.count(F.lit(1)).alias("c2")
