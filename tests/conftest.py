@@ -9,10 +9,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from faiss_metal_spark.session import get_spark  # noqa: E402
 
-# Small local session for tests: 8 threads keeps JVM startup + shuffle
-# overhead low on tiny fixtures while still exercising multi-partition
-# partial/final merge paths.
-os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+# Small local session for tests: 2 threads (r15, was 8). The suite is
+# bound by per-action scheduling floors, not compute — on tiny fixtures
+# every extra thread only adds tasks per stage (measured: the same test
+# files run 21% faster at 2 threads than at 8 on an idle 32-core host,
+# identical results). Two partitions still exercise every
+# multi-partition partial/final merge path (2 partials + final merge),
+# and the tests that need specific partition geometries construct them
+# explicitly with repartition(). Override with SPARK_GRAFT_CPUS.
+os.environ.setdefault("SPARK_GRAFT_CPUS", "2")
 
 
 @pytest.fixture(scope="session")

@@ -35,8 +35,12 @@ def _vt(spark, V):
 
 
 def _flat_over(spark, Vdec, M, seed, ef):
+    # iters=2 everywhere in this file: the tests pin contracts (build
+    # equality, IO, clone, degree caps), not graph quality — 2 descent
+    # rounds exercise the identical code path at half the job count
     return GraphIndex.from_table(
-        _vt(spark, Vdec.astype(np.float32)), M=M, seed=seed, ef_search=ef
+        _vt(spark, Vdec.astype(np.float32)), M=M, seed=seed, ef_search=ef,
+        iters=2,
     )
 
 
@@ -56,7 +60,7 @@ def test_graph_sq_equals_flat_graph_over_reconstruction(spark):
 
     V, Q = make_fixture(300, 6, 16, seed=91)
     vt = _vt(spark, V)
-    idx = GraphSQIndex.from_table(vt, M=8, bits=8, seed=5, ef_search=32)
+    idx = GraphSQIndex.from_table(vt, M=8, bits=8, seed=5, ef_search=32, iters=2)
     assert idx.ntotal == 300 and idx.bits == 8
 
     # the reference twin: flat graph over the decoded codes
@@ -99,7 +103,7 @@ def test_graph_pq_equals_flat_graph_over_reconstruction(spark):
     V, Q = make_fixture(300, 6, 16, seed=93)
     vt = _vt(spark, V)
     idx = GraphPQIndex.from_table(
-        vt, M=8, m=8, seed=5, ef_search=32, sample_size=300
+        vt, M=8, m=8, seed=5, ef_search=32, sample_size=300, iters=2
     )
     assert idx.ntotal == 300 and idx.m == 8 and idx.nbits == 8
 
@@ -135,13 +139,13 @@ def test_graph_compressed_factory_io_clone(spark):
     V, Q = make_fixture(260, 3, 16, seed=97)
     vt = _vt(spark, V)
 
-    sq = index_factory(vt, "HNSW8,SQ8", seed=5)
+    sq = index_factory(vt, "HNSW8,SQ8", seed=5, iters=2)
     assert isinstance(sq, GraphSQIndex) and sq.M == 8
-    sq6 = index_factory(vt, "HNSW8,SQ6", seed=5)
+    sq6 = index_factory(vt, "HNSW8,SQ6", seed=5, iters=2)
     assert isinstance(sq6, GraphSQIndex) and sq6.bits == 6
-    pq = index_factory(vt, "HNSW8,PQ8", seed=5, sample_size=260)
+    pq = index_factory(vt, "HNSW8,PQ8", seed=5, sample_size=260, iters=2)
     assert isinstance(pq, GraphPQIndex) and pq.m == 8
-    pq4 = index_factory(vt, "HNSW8,PQ8x4", seed=5, sample_size=260)
+    pq4 = index_factory(vt, "HNSW8,PQ8x4", seed=5, sample_size=260, iters=2)
     assert isinstance(pq4, GraphPQIndex) and pq4.nbits == 4
 
     Ds, Ls = sq.search_numpy(Q, 4)
@@ -177,10 +181,10 @@ def test_graph_reconstruct_batch_and_nndescent_facade(spark):
     non-diversified GraphIndex build, value-identical)."""
     V, Q = make_fixture(150, 2, 8, seed=101)
     vt = _vt(spark, V)
-    g = index_factory(vt, "NNDescent6", seed=7)
+    g = index_factory(vt, "NNDescent6", seed=7, iters=2)
     assert isinstance(g, GraphIndex) and g.M == 6
 
-    plain = GraphIndex.from_table(vt, M=6, seed=7)
+    plain = GraphIndex.from_table(vt, M=6, seed=7, iters=2)
     D0, L0 = plain.search_numpy(Q, 3)
     D1, L1 = g.search_numpy(Q, 3)
     np.testing.assert_array_equal(L0, L1)
@@ -211,9 +215,9 @@ def test_nsg_over_compressed_factory(spark):
     "NSG<M>" spec pins it."""
     V, Q = make_fixture(260, 3, 16, seed=101)
     vt = _vt(spark, V)
-    nsq = index_factory(vt, "NSG6,SQ8", seed=5)
+    nsq = index_factory(vt, "NSG6,SQ8", seed=5, iters=2)
     assert isinstance(nsq, GraphSQIndex) and nsq.M == 6
-    npq = index_factory(vt, "NSG6,PQ8", seed=5, sample_size=260)
+    npq = index_factory(vt, "NSG6,PQ8", seed=5, sample_size=260, iters=2)
     assert isinstance(npq, GraphPQIndex) and npq.m == 8
     for idx in (nsq, npq):
         deg = idx.graph.groupBy("id").count().agg(F.max("count")).collect()[0][0]
