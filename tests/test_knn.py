@@ -164,21 +164,25 @@ def test_two_level_merge_at_extreme_partition_counts(spark):
     and the plan must show one extra aggregate only above the gate."""
     from faiss_metal_spark.operators import knn as knn_mod
 
+    # r15: cross the parts·k gate with 131 partitions × k=501 instead
+    # of 701 × k=100 — same gate semantics (131·501 = 65,631 > 65,536;
+    # plain k=10 → 1,310 stays under), a fifth of the per-task
+    # scheduling floor this test pays (it was 28 s of the suite)
     V, Q = make_fixture(4000, 5, 32)
-    vdf = vectors_df(spark, V).repartition(701).persist()  # 701*100 > 65536
+    vdf = vectors_df(spark, V).repartition(131).persist()
     qdf = queries_df(spark, Q)
     try:
         res = (
-            knn_search(vdf, qdf, 100, metric="l2", method="gemm")
+            knn_search(vdf, qdf, 501, metric="l2", method="gemm")
             .orderBy("qid", "rank")
             .toPandas()
         )
-        D = res["distance"].to_numpy(np.float64).reshape(5, 100)
-        L = res["label"].to_numpy(np.int64).reshape(5, 100)
-        check_against_oracle(V, Q, 100, D, L, "l2", 1e-3)
+        D = res["distance"].to_numpy(np.float64).reshape(5, 501)
+        L = res["label"].to_numpy(np.int64).reshape(5, 501)
+        check_against_oracle(V, Q, 501, D, L, "l2", 1e-3)
         # the salted plan has two HashAggregate pairs on qid paths; the
-        # un-gated k=10 plan (701*10 < gate) has one partial stage less
-        gated = knn_search(vdf, qdf, 100, metric="l2", method="gemm")
+        # un-gated k=10 plan (131*10 < gate) has one partial stage less
+        gated = knn_search(vdf, qdf, 501, metric="l2", method="gemm")
         plain = knn_search(vdf, qdf, 10, metric="l2", method="gemm")
         assert "_salt" in gated._jdf.queryExecution().optimizedPlan().toString()
         assert "_salt" not in plain._jdf.queryExecution().optimizedPlan().toString()
