@@ -16,8 +16,13 @@ from faiss_metal_spark.session import get_spark  # noqa: E402
 # identical results). Two partitions still exercise every
 # multi-partition partial/final merge path (2 partials + final merge),
 # and the tests that need specific partition geometries construct them
-# explicitly with repartition(). Override with SPARK_GRAFT_CPUS.
-os.environ.setdefault("SPARK_GRAFT_CPUS", "2")
+# explicitly with repartition(). Pinned UNCONDITIONALLY (not
+# setdefault): the bench driver exports SPARK_GRAFT_CPUS=32 for its
+# own session, and inheriting that here would run every tiny fixture
+# at local[32] — 32 tasks per stage of pure scheduling overhead and a
+# blown verification budget. The test session's core count is a test
+# concern; override with SPARK_GRAFT_TEST_CPUS if needed.
+os.environ["SPARK_GRAFT_CPUS"] = os.environ.get("SPARK_GRAFT_TEST_CPUS", "2")
 
 
 @pytest.fixture(scope="session")
