@@ -56,6 +56,14 @@ def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Co
     return hits.cast("double") / F.size(t).cast("double")
 
 
+def _plain_name(text) -> bool:
+    """True when ``text`` is a plain (unqualified) column name — the
+    F.expr fast paths backquote it as ONE identifier, which would
+    change the meaning of dotted/backticked names that F.col() parses
+    as qualified references; those fall back to the Column path."""
+    return isinstance(text, str) and "." not in text and "`" not in text
+
+
 def quality_score(text: Column | str) -> Column:
     """Composite document-quality score in [0, 1].
 
@@ -63,7 +71,7 @@ def quality_score(text: Column | str) -> Column:
     at 1) + 0.3·mean-token-length saturation (len/8 capped at 1).
     Deterministic, closed-form — the SQL oracle computes the same.
     """
-    if isinstance(text, str):
+    if _plain_name(text):
         # r15: one F.expr string (equality pinned by
         # tests/test_r15_expr_equiv.py); D suffixes keep literals DOUBLE
         sp = f"split(`{text}`, ' ')"
@@ -142,7 +150,7 @@ def doc_fingerprint(text: Column | str) -> Column:
     the bag of words matches. Pure Catalyst (aggregate HOF) — no
     Python, no shuffle; it's a projection.
     """
-    if isinstance(text, str):
+    if _plain_name(text):
         # r15: one F.expr string (tests/test_r15_expr_equiv.py)
         return F.expr(
             f"aggregate(transform(split(`{text}`, ' '), "
@@ -235,7 +243,7 @@ def repetition_ratio(text: Column | str, n: int = 3) -> Column:
     |n-grams| (0 = no repeated n-gram, → 1 for highly repetitive
     boilerplate). The standard repeated-n-gram quality filter for LLM
     training corpora; docs shorter than n grams score 0.0."""
-    if isinstance(text, str):
+    if _plain_name(text):
         # r15: one F.expr string; the shingle expression repeats
         # inline exactly as the Column API repeated it
         # (tests/test_r15_expr_equiv.py)
@@ -283,7 +291,7 @@ def hashed_embedding(
     ~60 (guide §5, driver discipline: plan construction is driver-side
     single-threaded work). Column inputs keep the Column-API path.
     """
-    if isinstance(text, str):
+    if _plain_name(text):
         return F.expr(_hashed_embedding_sql(f"`{text}`", d, normalize))
     t = tokens(text)
 

@@ -69,7 +69,9 @@ def quality_model_score(weights: np.ndarray, text: Column | str) -> Column:
     projection on the full corpus scan."""
     w = np.asarray(weights, np.float64)
     d, b = len(w) - 1, float(w[-1])
-    if isinstance(text, str):
+    from ..functions.text import _plain_name
+
+    if _plain_name(text):
         # r15: one F.expr string instead of ~d py4j literal calls —
         # value-identical (repr() round-trips doubles exactly; the D
         # suffix keeps SQL literals DOUBLE, not DECIMAL); pinned by
